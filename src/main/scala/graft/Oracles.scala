@@ -1,0 +1,232 @@
+package graft
+
+/** DuckDB oracle SQL for each entry in [[Queries]] (SparkEntry
+  * contract). Each statement mirrors its Spark query column-for-column
+  * (identical aliases) and uses the same exact-arithmetic shape
+  * (DECIMAL-internal sums, single final DOUBLE casts, single-division
+  * ratios) so results are bit-identical, not merely approximately
+  * equal. Table names are the driver's parquet views.
+  */
+object Oracles {
+
+  /** Effective validity predicate of the change-log scan (SURVEY S3). */
+  private val V = "user_id IS NOT NULL AND event_type IS NOT NULL"
+
+  /** The change-log column mapping (FIXTURES.md role mapping). */
+  private val LOG =
+    s"""SELECT event_id AS log_id, user_id AS rsbsa_no, event_type AS "table", ts, value, props FROM events WHERE $V"""
+
+  val sql: Map[String, String] = Map(
+    "s1_changelog_count" ->
+      s"SELECT count(*) AS cnt FROM events WHERE $V",
+
+    "s2_changelog_page" ->
+      s"""SELECT log_id, rsbsa_no, "table" FROM ($LOG) ORDER BY log_id LIMIT 100 OFFSET 50""",
+
+    "s3_changelog_scan" ->
+      s"""SELECT log_id, rsbsa_no, "table" FROM ($LOG)""",
+
+    "s4_keyed_extract" ->
+      s"""SELECT * FROM orders WHERE o_custkey IN (SELECT DISTINCT user_id FROM events WHERE $V)""",
+
+    "s5_bridge_extract" ->
+      s"""SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN (SELECT DISTINCT user_id FROM events WHERE $V)""",
+
+    "s6_two_hop" ->
+      s"""SELECT * FROM lineitem WHERE l_orderkey IN (
+         |  SELECT o_orderkey FROM orders WHERE o_custkey IN (
+         |    SELECT DISTINCT user_id FROM events WHERE $V))""".stripMargin,
+
+    "j3_exists_updates" ->
+      s"""SELECT * FROM customer
+         |WHERE c_custkey IN (SELECT DISTINCT user_id FROM events WHERE $V)
+         |  AND c_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)""".stripMargin,
+
+    "j3_exists_inserts" ->
+      s"""SELECT * FROM customer
+         |WHERE c_custkey IN (SELECT DISTINCT user_id FROM events WHERE $V)
+         |  AND c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)""".stripMargin,
+
+    "upsert_merge" ->
+      s"""WITH keys AS (SELECT DISTINCT user_id FROM events WHERE $V),
+         |incoming AS (
+         |  SELECT c_custkey, upper(c_name) AS c_name, c_nationkey, c_acctbal,
+         |         upper(c_mktsegment) AS c_mktsegment
+         |  FROM customer WHERE c_custkey IN (SELECT user_id FROM keys))
+         |SELECT * FROM customer
+         |WHERE c_custkey NOT IN (SELECT c_custkey FROM incoming)
+         |UNION ALL SELECT * FROM incoming""".stripMargin,
+
+    "refresh_merge" ->
+      s"""WITH keys AS (SELECT DISTINCT user_id FROM events
+         |              WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         |tord AS (SELECT o_orderkey FROM orders
+         |         WHERE o_custkey IN (SELECT user_id FROM keys)),
+         |incoming AS (
+         |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         |         l_quantity * 2 AS l_quantity, l_extendedprice, l_discount,
+         |         l_tax, l_returnflag, l_linestatus, l_shipdate
+         |  FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM tord))
+         |SELECT * FROM lineitem
+         |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM tord)
+         |UNION ALL SELECT * FROM incoming""".stripMargin,
+
+    "f1_normalize_upper" ->
+      """SELECT c_custkey, upper(c_name) AS c_name, c_nationkey, c_acctbal,
+        |       upper(c_mktsegment) AS c_mktsegment FROM customer""".stripMargin,
+
+    "a2_work_units" ->
+      s"""SELECT DISTINCT event_type AS "table", user_id AS rsbsa_no FROM events WHERE $V""",
+
+    "a3_distinct_keys" ->
+      s"SELECT DISTINCT user_id AS rsbsa_no FROM events WHERE $V",
+
+    "a6_latest_wins" ->
+      s"""SELECT log_id, rsbsa_no, "table" FROM ($LOG)
+         |QUALIFY row_number() OVER (PARTITION BY rsbsa_no ORDER BY log_id DESC) = 1""".stripMargin,
+
+    "w3_top100" ->
+      s"""SELECT log_id, rsbsa_no, "table", ts, value FROM ($LOG)
+         |ORDER BY ts DESC, log_id DESC LIMIT 100""".stripMargin,
+
+    "t1_except_keys" ->
+      s"""SELECT c_custkey AS key FROM customer
+         |EXCEPT SELECT user_id AS key FROM events WHERE $V""".stripMargin,
+
+    "t2_intersect_keys" ->
+      s"""SELECT c_custkey AS key FROM customer
+         |INTERSECT SELECT user_id AS key FROM events WHERE $V""".stripMargin,
+
+    "f2_composite_key" ->
+      s"""SELECT event_id AS log_id,
+         |       event_type || ':' || CAST(user_id AS VARCHAR) AS composite
+         |FROM events WHERE $V""".stripMargin,
+
+    "f3_key_split" ->
+      s"""SELECT event_id AS log_id,
+         |       split_part(event_type || ':' || CAST(user_id AS VARCHAR), ':', 2) AS key_part
+         |FROM events WHERE $V""".stripMargin,
+
+    "a7_error_rate" ->
+      s"""SELECT user_id AS rsbsa_no, count(*) AS total,
+         |       count(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+         |       (100.0 * count(CASE WHEN event_type = 'error' THEN 1 END)) / count(*) AS err_pct
+         |FROM events WHERE $V GROUP BY user_id""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "join_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_exact_survivors" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 3, 0) + 2),
+        |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2]))) AS shingles
+        |  FROM tok),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+        |  round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) AS jaccard
+        |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |HAVING round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) >= 0.5""".stripMargin,
+
+    "sim_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q),
+        |probes AS (SELECT vec_id AS qid, qv AS pv, nsq AS pn FROM n
+        |           WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |scored AS (
+        |  SELECT p.qid, c.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+        |        i -> c.qv[i] * p.pv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(p.pn AS DOUBLE))) AS cos
+        |  FROM n c, probes p WHERE c.vec_id != p.qid)
+        |SELECT qid, rank, nid, round(cos, 6) AS cos FROM (
+        |  SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(text) AS DOUBLE)
+        |    / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 4) AS chars_per_token,
+        |  round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
+        |  round(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('the','of','and','to','in','is','that','for'))) AS DOUBLE)
+        |    / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 4) AS stopword_ratio
+        |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+
+    "text_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('der','die','und','das','von','zu','mit','den'))) AS s_de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('the','of','and','to','in','is','that','for'))) AS s_en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('el','la','de','que','y','en','los','del'))) AS s_es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('le','la','de','et','les','des','un','une'))) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM sc""".stripMargin,
+  )
+}

@@ -1,0 +1,299 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Normalize, Similarity, TextAnalysis}
+import graft.operators.{ChangeLog, Merge}
+import graft.sources.Readers
+
+/** The engine's operator surface as named queries over the driver
+  * fixtures, each paired with DuckDB oracle SQL (SparkEntry contract).
+  *
+  * Oracle-robustness rules used throughout:
+  *   - every computed column is aliased identically in Spark and SQL;
+  *   - money aggregates go through exact DECIMAL internally and are
+  *     cast to DOUBLE once at the end (order-independent, bit-identical
+  *     across engines);
+  *   - ratios/cosines are a single IEEE division of exact integers —
+  *     deterministic in both engines;
+  *   - result sets are deterministic sets (no order-dependent LIMIT
+  *     without a unique total order).
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
+  // ================================================================ parity
+
+  /** S1/A1 — change-log count under the effective validity predicate. */
+  val s1ChangelogCount: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir).agg(count(lit(1)).as("cnt"))
+
+  /** S2/W2 — ordered LIMIT/OFFSET page of the change-log. */
+  val s2ChangelogPage: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir)
+      .select("log_id", "rsbsa_no", "table")
+      .orderBy("log_id").offset(50).limit(100)
+
+  /** S3/P2/P3 — full valid change-log scan, log columns only. */
+  val s3ChangelogScan: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir).select("log_id", "rsbsa_no", "table")
+
+  /** S4/J1/P4 — keyed extract: orders for keys in the change-log
+    * (IN-list-as-semi-join; reference ships a literal IN list).
+    */
+  val s4KeyedExtract: Q = (s, dir) => {
+    val keys = Readers.validChangeLog(s, dir)
+      .select(col("rsbsa_no").as("o_custkey")).distinct()
+    t(s, dir, "orders").join(keys, Seq("o_custkey"), "left_semi")
+  }
+
+  /** S5 — bridge-table extract: projection + keyed semi join. */
+  val s5BridgeExtract: Q = (s, dir) => {
+    val keys = Readers.validChangeLog(s, dir)
+      .select(col("rsbsa_no").as("o_custkey")).distinct()
+    t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(keys, Seq("o_custkey"), "left_semi")
+  }
+
+  /** S6/J2 — two-hop extract through the bridge:
+    * keys → orders (bridge) → lineitem (far table).
+    */
+  val s6TwoHop: Q = (s, dir) => {
+    val keys = Readers.validChangeLog(s, dir)
+      .select(col("rsbsa_no").as("o_custkey")).distinct()
+    ChangeLog.twoHopExtract(
+      far = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+      bridge = t(s, dir, "orders").select("o_custkey", "o_orderkey"),
+      keys = keys, nearKey = "o_custkey", farKey = "o_orderkey",
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+  }
+
+  /** J3 — exists-split, update half (keys present in target). */
+  val j3ExistsUpdates: Q = (s, dir) => {
+    val incoming = incomingCustomers(s, dir)
+    val (updates, _) = Merge.existsSplit(incoming,
+      firstHalfCustomers(s, dir), "c_custkey")
+    updates
+  }
+
+  /** J3 — exists-split, insert half (keys absent from target). */
+  val j3ExistsInserts: Q = (s, dir) => {
+    val incoming = incomingCustomers(s, dir)
+    val (_, inserts) = Merge.existsSplit(incoming,
+      firstHalfCustomers(s, dir), "c_custkey")
+    inserts
+  }
+
+  /** A "target state" fixture derived from the fixtures themselves so
+    * the oracle can reconstruct it: customers with even keys.
+    */
+  private def firstHalfCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(pmod(col("c_custkey"), lit(2)) === 0)
+
+  /** Incoming batch fixture: customers touched by the change-log. */
+  private def incomingCustomers(s: SparkSession, dir: String): DataFrame = {
+    val keys = Readers.validChangeLog(s, dir)
+      .select(col("rsbsa_no").as("c_custkey")).distinct()
+    t(s, dir, "customer").join(keys, Seq("c_custkey"), "left_semi")
+  }
+
+  /** One-to-one upsert merge (J3+K2 semantics): touched customers get
+    * their normalized (uppercased) incoming row; untouched rows are
+    * retained unchanged.
+    */
+  val upsertMerge: Q = (s, dir) => {
+    val incoming = Normalize.uppercase(incomingCustomers(s, dir),
+      Seq("c_name", "c_mktsegment"))
+    Merge.upsert(t(s, dir, "customer"), incoming, "c_custkey")
+  }
+
+  /** One-to-many refresh merge (J4+K3 semantics): lineitems of touched
+    * orders are replaced by the transformed incoming set; everything
+    * else is retained.
+    */
+  val refreshMerge: Q = (s, dir) => {
+    val keys = ChangeLog.keysForTable(
+      Readers.validChangeLog(s, dir), "purchase")
+      .select(col("rsbsa_no").as("o_custkey"))
+    val touchedOrders = t(s, dir, "orders")
+      .join(keys, Seq("o_custkey"), "left_semi").select("o_orderkey")
+    val li = t(s, dir, "lineitem")
+    val incoming = li
+      .join(touchedOrders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
+      .withColumn("l_quantity", col("l_quantity") * 2)
+    Merge.refresh(
+      li,
+      incoming,
+      "l_orderkey",
+    )
+  }
+
+  /** F1/P8 — per-table uppercase normalization (null-safe, string-only). */
+  val f1NormalizeUpper: Q = (s, dir) =>
+    Normalize.uppercase(t(s, dir, "customer"), Seq("c_name", "c_mktsegment"))
+
+  /** A2 — distinct (table, key) work units from the change-log. */
+  val a2WorkUnits: Q = (s, dir) =>
+    ChangeLog.workUnits(Readers.validChangeLog(s, dir))
+
+  /** A3/T4 — distinct key extraction. */
+  val a3DistinctKeys: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir).select("rsbsa_no").distinct()
+
+  /** A6/W5 — latest log entry per key (replay "last write wins"). */
+  val a6LatestWins: Q = (s, dir) => {
+    val w = Window.partitionBy(col("rsbsa_no")).orderBy(col("log_id").desc)
+    Readers.validChangeLog(s, dir)
+      .select("log_id", "rsbsa_no", "table")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** W1/W3 — last-100 newest-first with a unique total order. */
+  val w3Top100: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir)
+      .select("log_id", "rsbsa_no", "table", "ts", "value")
+      .orderBy(col("ts").desc, col("log_id").desc).limit(100)
+
+  /** T1 — set difference on keys (target keys not in the log). */
+  val t1ExceptKeys: Q = (s, dir) =>
+    t(s, dir, "customer").select(col("c_custkey").as("key"))
+      .except(Readers.validChangeLog(s, dir).select(col("rsbsa_no").as("key")))
+
+  /** T2 — set intersection on keys. */
+  val t2IntersectKeys: Q = (s, dir) =>
+    t(s, dir, "customer").select(col("c_custkey").as("key"))
+      .intersect(Readers.validChangeLog(s, dir).select(col("rsbsa_no").as("key")))
+
+  /** F2 — composite `table:key` work-unit id. */
+  val f2CompositeKey: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir).select(
+      col("log_id"),
+      Normalize.compositeKey(col("table"), col("rsbsa_no")).as("composite"))
+
+  /** F3 — key recovered from the composite id. */
+  val f3KeySplit: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir).select(
+      col("log_id"),
+      Normalize.keyPart(
+        Normalize.compositeKey(col("table"), col("rsbsa_no")), 2).as("key_part"))
+
+  /** A5/A7/F9 — per-key processed/error counters and error rate (the
+    * run-report aggregates). Single IEEE division — no rounding needed
+    * for determinism.
+    */
+  val a7ErrorRate: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir)
+      .groupBy(col("rsbsa_no"))
+      .agg(
+        count(lit(1)).as("total"),
+        count(when(col("table") === "error", 1)).as("errors"))
+      .withColumn("err_pct",
+        (lit(100.0) * col("errors")) / col("total"))
+
+  /** Flagship pricing-summary aggregate (exact-decimal internal sums,
+    * single final cast to DOUBLE → bit-identical across engines).
+    */
+  val q1PricingSummary: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    val ext = col("l_extendedprice").cast("decimal(9,2)")
+    val one = lit(1).cast("decimal(3,2)")
+    val disc = col("l_discount").cast("decimal(3,2)")
+    val tax = col("l_tax").cast("decimal(3,2)")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(ext).cast("double").as("sum_base_price"),
+        sum(ext * (one - disc)).cast("double").as("sum_disc_price"),
+        sum(ext * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(disc).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Broadcast-dim join chain + aggregate: revenue by nation/region
+    * (customer ⋈ nation ⋈ region ⋈ orders, decimal-exact revenue).
+    */
+  val joinRevenueByNation: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  // ============================================================ extensions
+
+  /** Exact dedup groups: md5 fingerprint → keeper id + copy count. */
+  val dedupExact: Q = (s, dir) => Dedup.exact(t(s, dir, "documents"))
+
+  /** Exact-dedup survivors (the kept corpus rows). */
+  val dedupExactSurvivors: Q = (s, dir) =>
+    Dedup.exactSurvivors(t(s, dir, "documents")).select("doc_id", "text")
+
+  /** N-gram (3-token shingle) Jaccard near-dup pairs ≥ 0.5. */
+  val dedupNgramJaccard: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3, threshold = 0.5)
+      .select("a_id", "b_id", "inter", "jaccard")
+
+  /** MinHash+LSH near-dup pairs (verified ≥ 0.5) — not SQL-expressible;
+    * rows-only check, unit-tested against [[dedupNgramJaccard]].
+    */
+  val dedupMinhashLsh: Q = (s, dir) =>
+    Dedup.minHashDuplicates(t(s, dir, "documents"), threshold = 0.5)
+
+  /** SimHash near-dup pairs (hamming ≤ 3) — rows-only check. */
+  val dedupSimhash: Q = (s, dir) =>
+    Dedup.simHashDuplicates(t(s, dir, "documents"))
+
+  /** Brute-force cosine top-10 for a fixed probe set (exact integer
+    * dot products → deterministic ranks in both engines).
+    */
+  val simCosineTopk: Q = (s, dir) =>
+    Similarity.bruteForceTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
+
+  /** LSH-bucketed ANN top-10 (scale path) — rows-only check. */
+  val simLshTopk: Q = (s, dir) =>
+    Similarity.lshTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
+
+  /** Token accounting: whitespace tokens + BPE-ish estimator. */
+  val textTokenCount: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe_tokens"))
+
+  /** Quality signals per document. */
+  val textQuality: Q = (s, dir) =>
+    TextAnalysis.qualitySignals(t(s, dir, "documents"), col("text"))
+
+  /** Content fingerprints (md5 exact + rolling Karp–Rabin). */
+  val textFingerprint: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+
+  /** Language-ID heuristic over stopword n-gram hits. */
+  val textLangId: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+}

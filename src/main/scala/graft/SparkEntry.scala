@@ -1,13 +1,68 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (and the training-data extensions)
+  * is exposed as a named query in [[queries]]; SQL-expressible ones have
+  * a DuckDB oracle in [[oracleSql]] (column names aligned — the driver
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- parity: scans / pagination (S1–S3, W1–W2, P2–P3)
+    "s1_changelog_count" -> Queries.s1ChangelogCount,
+    "s2_changelog_page" -> Queries.s2ChangelogPage,
+    "s3_changelog_scan" -> Queries.s3ChangelogScan,
+    // -- parity: keyed extraction (S4–S6, J1–J2, P4)
+    "s4_keyed_extract" -> Queries.s4KeyedExtract,
+    "s5_bridge_extract" -> Queries.s5BridgeExtract,
+    "s6_two_hop" -> Queries.s6TwoHop,
+    // -- parity: exists-split + merges (J3–J4, K2–K3, A4)
+    "j3_exists_updates" -> Queries.j3ExistsUpdates,
+    "j3_exists_inserts" -> Queries.j3ExistsInserts,
+    "upsert_merge" -> Queries.upsertMerge,
+    "refresh_merge" -> Queries.refreshMerge,
+    // -- parity: normalization + scalar functions (F1–F3, P8)
+    "f1_normalize_upper" -> Queries.f1NormalizeUpper,
+    "f2_composite_key" -> Queries.f2CompositeKey,
+    "f3_key_split" -> Queries.f3KeySplit,
+    // -- parity: aggregation / windows / sets (A1–A7, W3, W5, T1–T2)
+    "a2_work_units" -> Queries.a2WorkUnits,
+    "a3_distinct_keys" -> Queries.a3DistinctKeys,
+    "a6_latest_wins" -> Queries.a6LatestWins,
+    "a7_error_rate" -> Queries.a7ErrorRate,
+    "w3_top100" -> Queries.w3Top100,
+    "t1_except_keys" -> Queries.t1ExceptKeys,
+    "t2_intersect_keys" -> Queries.t2IntersectKeys,
+    // -- analytics flagships
+    "q1_pricing_summary" -> Queries.q1PricingSummary,
+    "join_revenue_by_nation" -> Queries.joinRevenueByNation,
+    // -- extensions: dedup family
+    "dedup_exact" -> Queries.dedupExact,
+    "dedup_exact_survivors" -> Queries.dedupExactSurvivors,
+    "dedup_ngram_jaccard" -> Queries.dedupNgramJaccard,
+    "dedup_minhash_lsh" -> Queries.dedupMinhashLsh,
+    "dedup_simhash" -> Queries.dedupSimhash,
+    // -- extensions: similarity search
+    "sim_cosine_topk" -> Queries.simCosineTopk,
+    "sim_lsh_topk" -> Queries.simLshTopk,
+    // -- extensions: text analysis
+    "text_token_count" -> Queries.textTokenCount,
+    "text_quality" -> Queries.textQuality,
+    "text_fingerprint" -> Queries.textFingerprint,
+    "text_lang_id" -> Queries.textLangId,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (MinHash/SimHash/LSH — xxhash64-based; rows-only check).
+    */
+  def oracleSql: Map[String, String] = Oracles.sql
 }

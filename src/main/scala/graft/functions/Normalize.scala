@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Normalization + scalar helpers (SURVEY.md §2.7 F1–F10).
+  *
+  * All are Spark built-ins (codegen'd) — no UDFs. The reference's row
+  * transforms (`services/etlService.js:148-201`, `index.js:230-234`,
+  * `utils/logger.js:22-42`) become config-driven column expressions.
+  */
+object Normalize {
+
+  /** F1 — uppercase the given columns, null-safe and string-only, like
+    * the reference's `uppercaseFields` (`services/etlService.js:194-200`,
+    * which guards `typeof === 'string'`). Columns absent from the frame
+    * or of non-string type pass through untouched.
+    */
+  def uppercase(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stringCols = df.schema.fields
+      .filter(f => f.dataType == StringType && cols.contains(f.name))
+      .map(_.name).toSet
+    // single select (not a withColumn fold) so Catalyst sees one Project
+    val projected = df.columns.map { c =>
+      if (stringCols.contains(c)) upper(col(c)).as(c) else col(c)
+    }
+    df.select(projected.toIndexedSeq: _*)
+  }
+
+  /** F1 applied per-table from the catalog normalization lists. */
+  def forTable(df: DataFrame, table: String): DataFrame =
+    graft.schema.Catalog.tables.get(table) match {
+      case Some(spec) => uppercase(df, spec.upperCols)
+      case None       => df
+    }
+
+  /** F2 — composite key `` `${table}:${rsbsa_no}` ``
+    * (`services/etlService.js:620`).
+    */
+  def compositeKey(table: Column, key: Column): Column =
+    concat_ws(":", table, key)
+
+  /** F3 — split composite key on `:`, 1-based part
+    * (`services/etlService.js:628`).
+    */
+  def keyPart(composite: Column, part: Int): Column =
+    element_at(split(composite, ":"), part)
+
+  /** F5 — Manila-time ISO timestamp `yyyy-MM-dd'T'HH:mm:ss.SSS+08:00`
+    * (`services/etlService.js:753-773`, `utils/logger.js:22-42`). The
+    * engine stays in UTC; Manila formatting is presentation-edge only.
+    */
+  def manilaIso(ts: Column): Column =
+    date_format(from_utc_timestamp(ts, "Asia/Manila"),
+      "yyyy-MM-dd'T'HH:mm:ss.SSS'+08:00'")
+
+  /** F7 — ZEROFILL display padding (`padStart(3,'0')`,
+    * `services/etlService.js:771`; DDL `:277-290`).
+    */
+  def zeroPad(c: Column, width: Int): Column = lpad(c.cast("string"), width, "0")
+
+  /** F4 — parse a `[ts] message` log line into its parts
+    * (`index.js:230-234`).
+    */
+  def logTimestamp(line: Column): Column = regexp_extract(line, "^\\[(.*?)\\]", 1)
+  def logMessage(line: Column): Column =
+    trim(regexp_replace(line, "^\\[(.*?)\\]\\s*", ""))
+
+  /** F9 — error-rate percent rounded to 2 decimals
+    * (`services/etlService.js:674`).
+    */
+  def errorRatePct(errors: Column, total: Column): Column =
+    round(errors.cast("double") / total.cast("double") * 100, 2)
+
+  /** F6 — uptime decompose millis → (hours, minutes, seconds)
+    * (`index.js:39-44`).
+    */
+  def uptimeParts(ms: Column): (Column, Column, Column) = {
+    val totalSec = floor(ms / 1000)
+    (floor(totalSec / 3600),
+     floor(pmod(totalSec, lit(3600)) / 60),
+     pmod(totalSec, lit(60)))
+  }
+}

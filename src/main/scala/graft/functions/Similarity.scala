@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north star: similarity search for training-data curation).
+  *
+  * Numeric determinism: embeddings are quantized to integers
+  * (round(x·1000)) so dot products are exact 64-bit sums —
+  * order-independent and bit-identical across engines (the DuckDB
+  * oracle computes the same integers). Norms/cosines then take one
+  * sqrt + one divide each: single IEEE ops, still deterministic.
+  *
+  * Scale design: brute-force top-k is the correctness baseline
+  * (O(Q·N) — fine when the query set is small and broadcast). The
+  * scale path is random-hyperplane LSH bucketing: each vector lands in
+  * 2^p sign-buckets, probes join only within their bucket, so the
+  * candidate set shrinks ~2^p-fold; recall is traded via multi-probe.
+  */
+object Similarity {
+
+  /** Quantize a float embedding to exact integer components. */
+  def quantized(embedding: Column, scale: Int = 1000): Column =
+    transform(embedding, x => round(x * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Squared L2 norm of a quantized vector (exact integer). */
+  def intNormSq(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine similarity from exact integer dot/norms; deterministic. */
+  def cosineFromInts(dot: Column, normA: Column, normB: Column): Column =
+    dot.cast("double") / (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
+
+  /** Brute-force cosine top-k: every query vector against the full
+    * corpus. The query side is tiny (selected ids) → Catalyst
+    * broadcasts it; the corpus is scanned once, never shuffled until
+    * the per-query top-k (partial top-k per partition via the window's
+    * underlying sort — k rows per query survive).
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val quant = embeddings.select(
+      col("vec_id"),
+      quantized(col("embedding")).as("q"),
+    ).withColumn("nsq", intNormSq(col("q")))
+    val queries = quant
+      .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nsq").as("qn"))
+    val scored = quant.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosineFromInts(intDot(col("q"), col("qv")), col("nsq"), col("qn"))
+          .as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Random-hyperplane signature: p sign bits packed into a long. The
+    * hyperplane components are deterministic pseudo-random ±[0,1)
+    * values derived by hashing (plane, dim) — reproducible across runs
+    * and engines, no RNG state. Narrow map-only transform (no shuffle).
+    */
+  def lshSignature(embedding: Column, planes: Int): Column =
+    (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
+      val dot = aggregate(
+        zip_with(embedding,
+          sequence(lit(0), size(embedding) - 1),
+          (x, i) =>
+            x * ((pmod(xxhash64(lit(p.toLong * 7919) + i), lit(2000L))
+              .cast("double") - 1000.0) / 1000.0)),
+        lit(0.0), (a, v) => a + v)
+      acc.bitwiseOR(when(dot > 0, lit(1L << p)).otherwise(lit(0L)))
+    }
+
+  /** LSH-bucketed ANN: probes only meet corpus vectors in their own
+    * sign-bucket. With p planes the corpus splits into ≤2^p buckets —
+    * the shuffle moves each vector once (by bucket), and each query
+    * joins a ~N/2^p slice instead of N.
+    */
+  def lshTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int, planes: Int = 8): DataFrame = {
+    val sig = embeddings.select(
+      col("vec_id"),
+      quantized(col("embedding")).as("q"),
+      lshSignature(col("embedding"), planes).as("bucket"),
+    ).withColumn("nsq", intNormSq(col("q")))
+    val queries = sig
+      .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        col("nsq").as("qn"), col("bucket"))
+    val scored = sig.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosineFromInts(intDot(col("q"), col("qv")), col("nsq"), col("qn"))
+          .as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity
+    * threshold, via LSH buckets (scale path for embedding dedup).
+    */
+  def cosineNearDupPairs(
+      embeddings: DataFrame, threshold: Double, planes: Int = 8): DataFrame = {
+    val sig = embeddings.select(
+      col("vec_id"),
+      quantized(col("embedding")).as("q"),
+      lshSignature(col("embedding"), planes).as("bucket"),
+    ).withColumn("nsq", intNormSq(col("q")))
+    val a = sig.select(col("bucket"), col("vec_id").as("a_id"),
+      col("q").as("a_q"), col("nsq").as("a_n"))
+    val b = sig.select(col("bucket"), col("vec_id").as("b_id"),
+      col("q").as("b_q"), col("nsq").as("b_n"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosineFromInts(intDot(col("a_q"), col("b_q")),
+          col("a_n"), col("b_n")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

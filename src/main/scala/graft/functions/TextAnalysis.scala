@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (repo north star; beyond the reference's own surface).
+  *
+  * Everything is built from codegen'd Spark built-ins over the
+  * `documents` table — no UDFs in the hot path, so whole-stage codegen
+  * spans the full pipeline and the operators scale linearly with input
+  * splits (pure narrow transformations: no shuffle at all until an
+  * aggregation is requested).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (training-pipeline token accounting). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: count of character n-chunks — ceil of
+    * chars/4 is the common "~4 chars per token" estimator.
+    */
+  def approxBpeTokenCount(text: Column): Column =
+    ceil(length(text).cast("double") / 4).cast("long")
+
+  /** Small multilingual stopword lists for the n-gram language-ID
+    * heuristic. Deliberately tiny and deterministic: language ID at
+    * 100 TB must be a narrow map-only transform.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den"),
+  )
+
+  /** Per-language stopword-hit score: how many tokens are in the
+    * language's stopword list.
+    */
+  def langScore(text: Column, lang: String): Column = {
+    val words = stopwords(lang)
+    size(filter(tokens(lower(text)), t => words.map(lit).foldLeft(lit(false))(
+      (acc, w) => acc || t === w)))
+  }
+
+  /** Language-ID heuristic: argmax of stopword scores, `und` when all
+    * zero. Ties broken by language-code order (deterministic).
+    */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
+    val best = array_max(array(scores: _*))
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Quality signals: length, token stats, punctuation/digit/space
+    * ratios, stopword density. Ratios are single IEEE divisions of
+    * exact integer counts — deterministic across engines.
+    */
+  def qualitySignals(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokenCount(text)
+    val chars = length(text)
+    val stopHits = langScore(text, "en")
+    df.select(
+      col("doc_id"),
+      chars.cast("long").as("n_chars"),
+      toks.cast("long").as("n_tokens"),
+      round(chars.cast("double") / toks.cast("double"), 4).as("chars_per_token"),
+      round(length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+        / chars.cast("double"), 4).as("punct_ratio"),
+      round(length(regexp_replace(text, "[^0-9]", "")).cast("double")
+        / chars.cast("double"), 4).as("digit_ratio"),
+      round(stopHits.cast("double") / toks.cast("double"), 4).as("stopword_ratio"),
+    )
+  }
+
+  /** Composite quality score in [0,1]: high when docs are mid-length,
+    * low-punctuation, stopword-bearing (i.e., prose-like).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val lengthScore = least(toks / lit(64.0), lit(1.0))
+    val stopScore = least(langScore(text, "en").cast("double") * 8 / toks, lit(1.0))
+    round((lengthScore + stopScore) / 2, 4)
+  }
+
+  /** Exact content fingerprint: md5 of the normalized text. Used by
+    * exact dedup; portable (identical in any engine).
+    */
+  def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
+
+  /** 64-bit rolling polynomial (Karp–Rabin) fingerprint over the text:
+    * f = Σ c_i · B^(n-1-i) mod 2^64, B = 31. Built from
+    * `aggregate` over the char codes — codegen'd, no UDF; the rolling
+    * form is what a streaming dedup would incrementally maintain.
+    */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => acc * lit(31L) + c,
+    )
+}
