@@ -114,21 +114,50 @@ object Dedup {
         h => pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(P)))))
   }
 
+  /** One row per (doc, distinct shingle hash) — the relational form all
+    * scale paths run on (explode once; everything downstream is
+    * codegen'd column expressions, no interpreted lambdas).
+    */
+  def explodedShingles(docs: DataFrame, w: Int): DataFrame =
+    withShingles(docs, w)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+
+  /** Signature table: doc_id, m0..m(k−1) minhash columns, n_sh shingle
+    * count. The k permutation-mins are k plain `min(...)` aggregates
+    * over the exploded shingle table — whole-stage codegen with
+    * map-side partial aggregation, one shuffle on doc_id. This is the
+    * 100 TB shape: no per-row array materialization, no interpreted
+    * higher-order functions in the hot path.
+    */
+  private def signatureTable(docs: DataFrame, w: Int, k: Int): DataFrame = {
+    val as = coeffs(k, 0x5eedL)
+    val bs = coeffs(k, 0xca5cadeL)
+    val ex = explodedShingles(docs, w)
+      .withColumn("hm", pmod(col("sh"), lit(P)))
+    val aggs = (0 until k).map(i =>
+      min(pmod(lit(as(i)) * col("hm") + lit(bs(i)), lit(P))).as(s"m$i")) :+
+      count(lit(1)).as("n_sh")
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (band, band_hash, doc_id) bucket keys from the signature table. */
+  private def bandedBuckets(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * r until (b + 1) * r).map(i => col(s"m$i")): _*).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+  }
+
   /** LSH banding: split the signature into `bands` bands of `k/bands`
     * rows, hash each band, emit (band_idx, band_hash) bucket keys.
     * Docs sharing any bucket become candidate pairs.
     */
   def minHashCandidates(
       docs: DataFrame, w: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
-    val r = k / bands
-    val sigs = withShingles(docs, w)
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), minHashSignature(col("shingles"), k).as("sig"))
-    val banded = sigs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
-        .as("bucket"))
-      .select(col("doc_id"), col("bucket.band"), col("bucket.bh"))
+    val banded = bandedBuckets(signatureTable(docs, w, k), k, bands)
     val x = banded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
     val y = banded.select(col("band"), col("bh"), col("doc_id").as("b_id"))
     x.join(y, Seq("band", "bh"))
@@ -137,21 +166,33 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates verified with
-    * exact Jaccard over shingle sets (via array_intersect on the two
-    * docs' shingle arrays — only candidate pairs pay this cost).
+    * exact Jaccard — intersection counts come from re-joining the
+    * exploded shingle table on the candidate pairs, so only candidate
+    * pairs pay the verification cost and the whole pipeline stays in
+    * codegen.
     */
   def minHashDuplicates(
       docs: DataFrame, w: Int = 3, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
-    val sh = withShingles(docs, w)
-    val cands = minHashCandidates(docs, w, k, bands)
-    cands
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+    val sig = signatureTable(docs, w, k)
+    val cands = bandedBuckets(sig, k, bands)
+      .select(col("band"), col("bh"), col("doc_id")).as("x")
+      .join(bandedBuckets(sig, k, bands)
+        .select(col("band"), col("bh"), col("doc_id").as("b_id")), Seq("band", "bh"))
+      .filter(col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+    val ex = explodedShingles(docs, w)
+    val inter = cands
+      .join(ex.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(ex.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    val sizes = sig.select(col("doc_id"), col("n_sh"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
       .withColumn("jaccard",
         round(col("inter").cast("double")
-          / (size(col("a_sh")) + size(col("b_sh")) - col("inter")).cast("double"), 4))
+          / (col("a_n") + col("b_n") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -174,13 +215,31 @@ object Dedup {
     }
   }
 
+  /** SimHash fingerprints as a table, computed scale-shaped: explode
+    * token hashes, 64 codegen'd vote sums in one grouped aggregation,
+    * then pack the sign bits. (Column-expression variant [[simHash]]
+    * kept for composability/tests.)
+    */
+  def simHashTable(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(transform(split(lower(col("text")), "\\s+"), t => xxhash64(t))).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"v$b"))
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+          acc.bitwiseOR(when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        }.as("fp"))
+  }
+
   /** SimHash near-dup pairs within a Hamming radius. Pigeonhole
     * banding: split 64 bits into 4 16-bit chunks; hamming ≤ 3 ⇒ at
     * least one chunk identical, so bucket-join on chunks and verify
     * with bit_count(xor) — never all-pairs.
     */
   def simHashDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col("doc_id"), simHash(col("text")).as("fp"))
+    val fp = simHashTable(docs)
     val chunked = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
