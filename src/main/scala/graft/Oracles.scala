@@ -209,6 +209,114 @@ object Oracles {
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
 
+    "s9_log_parse" ->
+      s"""WITH lines AS (
+         |  SELECT '[' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z] table='
+         |    || event_type || ' id=' || CAST(event_id AS VARCHAR) AS value
+         |  FROM events WHERE $V)
+         |SELECT regexp_extract(value, '^\\[(.*?)\\]', 1) AS ts_str,
+         |       trim(regexp_replace(value, '^\\[(.*?)\\]\\s*', '')) AS message
+         |FROM lines""".stripMargin,
+
+    "f5_manila_iso" ->
+      s"""SELECT event_id AS log_id,
+         |  strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%dT%H:%M:%S.%g') || '+08:00' AS manila_ts
+         |FROM events WHERE $V""".stripMargin,
+
+    "f6_uptime" ->
+      s"""WITH m AS (
+         |  SELECT event_id AS log_id,
+         |    event_id * 100000 + CAST(floor(value) AS BIGINT) * 10 AS uptime_ms
+         |  FROM events WHERE $V)
+         |SELECT log_id, uptime_ms,
+         |  CAST(floor(CAST(floor(uptime_ms / 1000) AS BIGINT) / 3600) AS BIGINT) AS up_h,
+         |  CAST(floor((CAST(floor(uptime_ms / 1000) AS BIGINT) % 3600) / 60) AS BIGINT) AS up_m,
+         |  CAST(floor(uptime_ms / 1000) AS BIGINT) % 60 AS up_s
+         |FROM m""".stripMargin,
+
+    "f7_zero_pad" ->
+      s"""SELECT event_id AS log_id,
+         |  lpad(CAST(user_id % 1000 AS VARCHAR), 3, '0') AS geo_code
+         |FROM events WHERE $V""".stripMargin,
+
+    "f8_json_extract" ->
+      s"""SELECT event_id AS log_id,
+         |  json_extract_string(props, '$$.k') AS k_val
+         |FROM events WHERE $V""".stripMargin,
+
+    "p6_skip_counting" ->
+      """WITH log AS (
+        |  SELECT user_id AS rsbsa_no,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS "table"
+        |  FROM events)
+        |SELECT count(*) AS total,
+        |  count(CASE WHEN rsbsa_no IS NOT NULL AND "table" IS NOT NULL THEN 1 END) AS valid,
+        |  count(CASE WHEN rsbsa_no IS NULL OR "table" IS NULL THEN 1 END) AS skipped
+        |FROM log""".stripMargin,
+
+    "w4_sample_errors" ->
+      s"""SELECT event_id AS log_id, user_id AS rsbsa_no, event_type AS "table"
+         |FROM events WHERE $V AND event_type = 'error'
+         |ORDER BY log_id LIMIT 5""".stripMargin,
+
+    "w5_running_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  row_number() OVER w AS line_rank,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)""".stripMargin,
+
+    "a1_distinct_count" ->
+      s"""SELECT count(*) AS total,
+         |  count(DISTINCT user_id) AS n_keys,
+         |  count(DISTINCT event_type) AS n_tables
+         |FROM events WHERE $V""".stripMargin,
+
+    "t3_union_totals" ->
+      s"""SELECT event_type AS "table", count(*) AS n FROM events WHERE $V GROUP BY event_type
+         |UNION ALL SELECT 'ALL' AS "table", count(*) AS n FROM events WHERE $V""".stripMargin,
+
+    "window_tumbling" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+         |  event_type AS "table", count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM events WHERE $V GROUP BY 1, 2""".stripMargin,
+
+    "rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "emb_norm_stats" ->
+      """WITH q AS (
+        |  SELECT label,
+        |    CAST(list_sum(list_transform(
+        |      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      x -> x * x)) AS BIGINT) AS nsq
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |  CAST(sum(nsq) AS DOUBLE) / count(*) AS avg_norm_sq
+        |FROM q GROUP BY label""".stripMargin,
+
+    "media_profile" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |    CAST((doc_id % 1920) + 1 AS INTEGER) AS meta_width,
+        |    n_chars * 40 AS meta_duration_ms
+        |  FROM documents)
+        |SELECT kind, count(*) AS n,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  max(meta_width) AS max_width,
+        |  max(meta_duration_ms) AS max_duration_ms
+        |FROM m GROUP BY kind""".stripMargin,
+
     "text_lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id,

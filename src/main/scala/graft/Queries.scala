@@ -296,4 +296,171 @@ object Queries {
     t(s, dir, "documents").select(
       col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  // ====================================================== parity, wave 2
+
+  /** S9/F4 — log-line format + parse round trip: synthesize `[ts] msg`
+    * lines from the change-log, then regex-parse them back (the
+    * reference's log-analytics pipeline, `index.js:226-237`).
+    */
+  val s9LogParse: Q = (s, dir) => {
+    val lines = Readers.validChangeLog(s, dir).select(
+      format_string("[%s] table=%s id=%d",
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+        col("table"), col("log_id")).as("value"))
+    lines.select(
+      Normalize.logTimestamp(col("value")).as("ts_str"),
+      Normalize.logMessage(col("value")).as("message"))
+  }
+
+  /** F5 — Manila-time ISO presentation formatting. */
+  val f5ManilaIso: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir).select(
+      col("log_id"),
+      Normalize.manilaIso(col("ts")).as("manila_ts"))
+
+  /** F6 — uptime decompose ms → h/m/s (pure integer arithmetic). */
+  val f6Uptime: Q = (s, dir) => {
+    val ms = (col("log_id") * 100000 + floor(col("value")) * 10).as("uptime_ms")
+    val parts = Normalize.uptimeParts(col("uptime_ms"))
+    Readers.validChangeLog(s, dir).select(col("log_id"), ms)
+      .select(col("log_id"), col("uptime_ms"),
+        parts._1.cast("long").as("up_h"),
+        parts._2.cast("long").as("up_m"),
+        parts._3.cast("long").as("up_s"))
+  }
+
+  /** F7 — ZEROFILL zero-padding on export. */
+  val f7ZeroPad: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir).select(
+      col("log_id"),
+      Normalize.zeroPad(pmod(col("rsbsa_no"), lit(1000)), 3).as("geo_code"))
+
+  /** F8/ext — JSON field extraction from the props payload. */
+  val f8JsonExtract: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir).select(
+      col("log_id"),
+      get_json_object(col("props"), "$.k").as("k_val"))
+
+  /** P6 — validity split with skip accounting: rows with a (simulated)
+    * null table are counted as skipped, not silently dropped
+    * (`services/etlService.js:612-619`).
+    */
+  val p6SkipCounting: Q = (s, dir) => {
+    val log = Readers.changeLog(s, dir).withColumn("table",
+      when(col("table") === "error", lit(null)).otherwise(col("table")))
+    log.agg(
+      count(lit(1)).as("total"),
+      count(when(col("rsbsa_no").isNotNull && col("table").isNotNull, 1))
+        .as("valid"),
+      count(when(col("rsbsa_no").isNull || col("table").isNull, 1))
+        .as("skipped"))
+  }
+
+  /** W4 — sample-N: first 5 error entries in replay order. */
+  val w4SampleErrors: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir)
+      .filter(col("table") === "error")
+      .select("log_id", "rsbsa_no", "table")
+      .orderBy("log_id").limit(5)
+
+  /** W5 — frame-spec windows: per-order running quantity + line rank
+    * (exact decimal running sum).
+    */
+  val w5RunningSum: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      row_number().over(w).as("line_rank"),
+      sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+        .cast("double").as("running_qty"))
+  }
+
+  /** A1/A3 — exact distinct-key cardinality alongside total count. */
+  val a1DistinctCount: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir).agg(
+      count(lit(1)).as("total"),
+      countDistinct(col("rsbsa_no")).as("n_keys"),
+      countDistinct(col("table")).as("n_tables"))
+
+  /** Registry-cardinality sketch (extension): approx_count_distinct —
+    * sketch differs from DuckDB's, rows-only check; exact twin above.
+    */
+  val a1ApproxDistinct: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir).agg(
+      approx_count_distinct(col("rsbsa_no")).as("approx_keys"),
+      approx_count_distinct(col("table")).as("approx_tables"))
+
+  /** T3 — union of per-table results into run totals. */
+  val t3UnionTotals: Q = (s, dir) => {
+    val per = Readers.validChangeLog(s, dir)
+      .groupBy(col("table")).agg(count(lit(1)).as("n"))
+    per.unionByName(
+      Readers.validChangeLog(s, dir)
+        .agg(count(lit(1)).as("n")).select(lit("ALL").as("table"), col("n")))
+  }
+
+  /** Extension — tumbling event-time window aggregation (batch form of
+    * the streaming windowed activity; exact decimal sums).
+    */
+  val windowTumbling: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("table"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("w_start"), col("table"), col("n"),
+        col("total_value"))
+
+  /** Extension — ROLLUP revenue (grouping-sets surface). */
+  val rollupRevenue: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+        .as("revenue"))
+  }
+
+  /** Extension — per-label embedding norm statistics (exact integer
+    * norms, single-division average).
+    */
+  val embNormStats: Q = (s, dir) =>
+    t(s, dir, "embeddings").select(
+      col("label"),
+      Similarity.intNormSq(Similarity.quantized(col("embedding"))).as("nsq"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("nsq")).cast("double") / count(lit(1))).as("avg_norm_sq"))
+
+  /** Multimodal — columnar metadata profile (no payload decode). */
+  val mediaProfile: Q = (s, dir) =>
+    graft.functions.Multimodal.mediaProfile(
+      graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
+
+  /** Multimodal — stubbed per-partition feature extraction
+    * (mapPartitions batch shape; deterministic fake decode) —
+    * rows-only check.
+    */
+  val mediaFeatures: Q = (s, dir) => {
+    val feats = graft.functions.Multimodal.extractFeatures(
+      graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
+    feats.toDF().select(col("media_id"), col("kind"), col("n_bytes"),
+      col("checksum"))
+  }
+
+  /** Multimodal — frame-sampling plumbing over opaque payloads —
+    * rows-only check.
+    */
+  val mediaFrames: Q = (s, dir) =>
+    graft.functions.Multimodal.sampleFrames(
+      graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
+      stride = 64, frameLen = 32)
+      .select(col("media_id"), col("frame_no"),
+        length(col("frame_bytes")).as("frame_len"))
 }

@@ -58,6 +58,25 @@ object SparkEntry {
     "text_quality" -> Queries.textQuality,
     "text_fingerprint" -> Queries.textFingerprint,
     "text_lang_id" -> Queries.textLangId,
+    // -- parity wave 2: log analytics, scalar fns, skip metrics
+    "s9_log_parse" -> Queries.s9LogParse,
+    "f5_manila_iso" -> Queries.f5ManilaIso,
+    "f6_uptime" -> Queries.f6Uptime,
+    "f7_zero_pad" -> Queries.f7ZeroPad,
+    "f8_json_extract" -> Queries.f8JsonExtract,
+    "p6_skip_counting" -> Queries.p6SkipCounting,
+    "w4_sample_errors" -> Queries.w4SampleErrors,
+    "w5_running_sum" -> Queries.w5RunningSum,
+    "a1_distinct_count" -> Queries.a1DistinctCount,
+    "a1_approx_distinct" -> Queries.a1ApproxDistinct,
+    "t3_union_totals" -> Queries.t3UnionTotals,
+    // -- extensions: windows, grouping sets, embeddings, multimodal
+    "window_tumbling" -> Queries.windowTumbling,
+    "rollup_revenue" -> Queries.rollupRevenue,
+    "emb_norm_stats" -> Queries.embNormStats,
+    "media_profile" -> Queries.mediaProfile,
+    "media_features" -> Queries.mediaFeatures,
+    "media_frames" -> Queries.mediaFrames,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming / incremental surfaces (SURVEY.md §2.8 R1–R8).
+  *
+  * The reference's incrementality is a cron-driven replay of the
+  * change-log plus a tailable log file (`index.js:75-86, 278-312`).
+  * Spark-first, those become Structured Streaming jobs:
+  *   - the change-log as a streaming source with `log_id` as the
+  *     implicit offset (file source: new parquet files = new entries),
+  *   - `Trigger.AvailableNow` for the "run once, catch up" cron tick
+  *     and `Trigger.ProcessingTime` for the resident scheduler,
+  *   - `foreachBatch` running the per-table merge — each micro-batch is
+  *     exactly the reference's "batch" (R2), single-flight by
+  *     construction (R3: one StreamingQuery per source),
+  *   - the log tail as `readStream.text` (R4).
+  *
+  * Event-time windows + watermarks are the engine's extension beyond
+  * the reference's processing-time-only model (SURVEY §2.8 note).
+  */
+object Streams {
+
+  /** Streaming change-log source over a directory of parquet files
+    * (R2). Schema must be supplied — streaming sources don't infer.
+    */
+  def changeLogStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("log_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rsbsa_no",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("table",
+        org.apache.spark.sql.types.StringType),
+    ))
+    spark.readStream.schema(schema).parquet(dir)
+      .filter(col("rsbsa_no").isNotNull && col("table").isNotNull)
+  }
+
+  /** Incremental replay (R1+R2): each micro-batch of change-log
+    * entries drives the per-batch merge via `foreachBatch`. `availableNow`
+    * = the cron-tick semantics (process everything pending, then stop);
+    * otherwise a resident `ProcessingTime` trigger.
+    */
+  def replay(
+      log: DataFrame,
+      onBatch: (DataFrame, Long) => Unit,
+      checkpoint: String,
+      availableNow: Boolean = true,
+      interval: String = "1 minute",
+  ): StreamingQuery = {
+    val writer: DataStreamWriter[Row] = log.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => onBatch(batch, id))
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime(interval))).start()
+  }
+
+  /** Tumbling event-time aggregation with watermark (extension over
+    * `events.ts`): count + exact-decimal value sum per window and
+    * table.
+    */
+  def windowedActivity(
+      log: DataFrame, window: String = "1 hour", watermark: String = "2 hours")
+      : DataFrame =
+    log
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("table"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("table"), col("n"), col("total_value"))
+
+  /** Session windows per key (extension): gap-based sessionization of
+    * the change-log.
+    */
+  def sessionizedActivity(
+      log: DataFrame, gap: String = "30 minutes", watermark: String = "2 hours")
+      : DataFrame =
+    log
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("rsbsa_no"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("rsbsa_no"), col("n_events"))
+
+  /** Log-file tail (R4/S10): parsed `[ts] message` stream; see
+    * [[graft.sources.Readers.logStream]]. Convenience re-export.
+    */
+  def logTail(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Readers.logStream(spark, dir)
+}
