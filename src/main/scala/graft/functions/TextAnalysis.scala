@@ -91,15 +91,17 @@ object TextAnalysis {
     */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 
-  /** 64-bit rolling polynomial (Karp–Rabin) fingerprint over the text:
-    * f = Σ c_i · B^(n-1-i) mod 2^64, B = 31. Built from
-    * `aggregate` over the char codes — codegen'd, no UDF; the rolling
-    * form is what a streaming dedup would incrementally maintain.
+  /** Rolling polynomial (Karp–Rabin) fingerprint over the text:
+    * f = Σ c_i · B^(n-1-i) mod P, B = 31, P a prime < 2^30 (keeps
+    * `acc·B + c` < 2^36 — safe under Spark's default ANSI arithmetic,
+    * no wraparound). Built from `aggregate` over the char codes — no
+    * UDF; the rolling form is what a streaming dedup would
+    * incrementally maintain.
     */
   def fingerprintRolling(text: Column): Column =
     aggregate(
       transform(split(text, ""), ch => ascii(ch).cast("long")),
       lit(0L),
-      (acc, c) => acc * lit(31L) + c,
+      (acc, c) => pmod(acc * lit(31L) + c, lit(1073741789L)),
     )
 }

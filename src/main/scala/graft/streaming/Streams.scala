@@ -67,6 +67,8 @@ object Streams {
       log: DataFrame, window: String = "1 hour", watermark: String = "2 hours")
       : DataFrame =
     log
+      // watermarks require TIMESTAMP (not NTZ); UTC session ⇒ same wall clock
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
         col("table"))
@@ -83,6 +85,7 @@ object Streams {
       log: DataFrame, gap: String = "30 minutes", watermark: String = "2 hours")
       : DataFrame =
     log
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("rsbsa_no"))
       .agg(count(lit(1)).as("n_events"))

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+
+/** Extension-operator correctness: MinHash-LSH vs exact Jaccard,
+  * SimHash hamming, LSH ANN vs brute force, text analysis edges.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exact dedup: identical texts collapse to min doc_id") {
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exact(d)
+    assert(groups.count() == 2)
+    val dup = groups.filter($"n_copies" === 2)
+    assert(dup.select("keep_id").as[Long].head() == 1L)
+    assert(Dedup.exactSurvivors(d).count() == 2)
+  }
+
+  test("minhash-LSH finds every exact-Jaccard pair at fixture scale (recall)") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashDuplicates(docs, 3, 128, 32, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-dups")
+    assert(lsh == exact) // 128 perms / 32 bands at jaccard≥0.5 → full recall here
+  }
+
+  test("minhash candidates are a superset of verified duplicates") {
+    val cands = Dedup.minHashCandidates(docs, 3, 128, 32)
+      .as[(Long, Long)].collect().toSet
+    val dups = Dedup.minHashDuplicates(docs, 3, 128, 32, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(dups.subsetOf(cands))
+  }
+
+  test("simhash: identical text → hamming 0; near text → small hamming") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "completely different words entirely unrelated content here now"),
+    ).toDF("doc_id", "text")
+    val fp = Dedup.simHashTable(d).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
+    val pairs = Dedup.simHashDuplicates(d, maxHamming = 3)
+    assert(pairs.filter($"a_id" === 1 && $"b_id" === 2).count() == 1)
+  }
+
+  test("simHash column expression agrees with scale-shaped simHashTable") {
+    val d = docs.limit(50)
+    val viaCol = d.select($"doc_id", Dedup.simHash($"text").as("fp"))
+    val viaTable = Dedup.simHashTable(d)
+    assert(viaCol.exceptAll(viaTable).isEmpty)
+  }
+
+  test("brute-force top-k: self excluded, scores within [-1,1], k rows per query") {
+    val topk = Similarity.bruteForceTopK(embs, Seq(0L, 1L), 5)
+    val rows = topk.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.getLong(2) != r.getLong(0))) // nid != qid
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0))
+    // ranks are 1..5 per query
+    assert(topk.filter($"qid" === 0L).select("rank").as[Int].collect().sorted
+      .sameElements(Array(1, 2, 3, 4, 5)))
+  }
+
+  test("LSH top-k returns true neighbors from the same bucket (precision vs brute force)") {
+    val brute = Similarity.bruteForceTopK(embs, Seq(0L, 1L, 2L, 3L, 4L), 10)
+      .select("qid", "nid", "cos")
+    val lsh = Similarity.lshTopK(embs, Seq(0L, 1L, 2L, 3L, 4L), 10)
+      .select("qid", "nid", "cos")
+    // every LSH hit's cosine must equal the brute-force cosine for that pair
+    val joined = lsh.as("l").join(brute.as("b"), Seq("qid", "nid"), "left")
+      .filter($"b.cos".isNotNull && $"l.cos" =!= $"b.cos")
+    assert(joined.count() == 0)
+    assert(lsh.count() > 0)
+  }
+
+  test("cosineNearDupPairs is symmetric-free (a<b) and thresholded") {
+    val pairs = Similarity.cosineNearDupPairs(embs, threshold = 0.8)
+    assert(pairs.filter($"a_id" >= $"b_id").count() == 0)
+    assert(pairs.filter($"cos" < 0.8).count() == 0)
+  }
+
+  test("text analysis edge cases: empty-ish and single-token docs") {
+    val d = Seq((1L, "word"), (2L, "the the the"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val toks = d.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(toks(1L) == 1 && toks(2L) == 3 && toks(3L) == 2)
+    val lang = d.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(lang(2L) == "en") // 'the' ×3
+    assert(lang(1L) == "und") // no stopword hits
+  }
+
+  test("rolling fingerprint is deterministic and order-sensitive") {
+    val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val fp = d.select($"doc_id",
+      TextAnalysis.fingerprintRolling($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+  }
+}

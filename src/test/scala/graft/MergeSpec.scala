@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Merge
+import graft.functions.Normalize
+
+/** Merge semantics on tiny hand-built frames (SURVEY.md §5-2):
+  * exists-split correctness, upsert ≤1-row-per-key, refresh mirror,
+  * untouched keys unmodified, cascade fan-out.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    ("R1", "old-a", 1), ("R2", "old-b", 2), ("R3", "old-c", 3),
+  ).toDF("rsbsa_no", "name", "v")
+
+  test("existsSplit partitions incoming into updates/inserts") {
+    val incoming = Seq(("R2", "new-b", 20), ("R9", "new-i", 90))
+      .toDF("rsbsa_no", "name", "v")
+    val (updates, inserts) = Merge.existsSplit(incoming, target, "rsbsa_no")
+    assert(updates.select("rsbsa_no").as[String].collect().toSet == Set("R2"))
+    assert(inserts.select("rsbsa_no").as[String].collect().toSet == Set("R9"))
+  }
+
+  test("upsert: replaces touched keys, keeps untouched, inserts new, ≤1 row/key") {
+    val incoming = Seq(("R2", "new-b", 20), ("R9", "new-i", 90))
+      .toDF("rsbsa_no", "name", "v")
+    val out = Merge.upsert(target, incoming, "rsbsa_no")
+    val rows = out.as[(String, String, Int)].collect().toSet
+    assert(rows == Set(
+      ("R1", "old-a", 1), ("R3", "old-c", 3),    // untouched unchanged
+      ("R2", "new-b", 20), ("R9", "new-i", 90))) // replaced + inserted
+    val perKey = out.groupBy("rsbsa_no").count().filter($"count" > 1).count()
+    assert(perKey == 0)
+  }
+
+  test("refresh: one-to-many delete-then-insert mirrors incoming for touched keys") {
+    val t = Seq(("R1", 1), ("R1", 2), ("R2", 3), ("R3", 4))
+      .toDF("rsbsa_no", "v")
+    val incoming = Seq(("R1", 10), ("R1", 11), ("R1", 12)).toDF("rsbsa_no", "v")
+    val out = Merge.refresh(t, incoming, "rsbsa_no")
+    val r1 = out.filter($"rsbsa_no" === "R1").select("v").as[Int].collect().sorted
+    assert(r1.sameElements(Array(10, 11, 12))) // exact mirror, old rows gone
+    assert(out.filter($"rsbsa_no" === "R2").count() == 1) // untouched
+    assert(out.count() == 5)
+  }
+
+  test("latestPerKey collapses duplicate log entries, highest log_id wins") {
+    val dup = Seq(("R1", 1L, "a"), ("R1", 5L, "b"), ("R2", 3L, "c"))
+      .toDF("rsbsa_no", "log_id", "payload")
+    val out = Merge.latestPerKey(dup, "rsbsa_no", "log_id")
+    assert(out.count() == 2)
+    assert(out.filter($"rsbsa_no" === "R1").select("payload")
+      .as[String].head() == "b")
+  }
+
+  test("replay idempotence: merging the same incoming twice is a no-op") {
+    val incoming = Seq(("R2", "new-b", 20)).toDF("rsbsa_no", "name", "v")
+    val once = Merge.upsert(target, incoming, "rsbsa_no")
+    val twice = Merge.upsert(once, incoming, "rsbsa_no")
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+    val t = Seq(("R1", 1), ("R2", 3)).toDF("rsbsa_no", "v")
+    val inc = Seq(("R1", 10)).toDF("rsbsa_no", "v")
+    val ronce = Merge.refresh(t, inc, "rsbsa_no")
+    val rtwice = Merge.refresh(ronce, inc, "rsbsa_no")
+    assert(rtwice.exceptAll(ronce).isEmpty && ronce.exceptAll(rtwice).isEmpty)
+  }
+
+  test("atomicOverwrite publishes staged state and survives re-read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val path = s"$dir/t.parquet"
+    Merge.atomicOverwrite(target, path)
+    assert(spark.read.parquet(path).count() == 3)
+    val incoming = Seq(("R2", "new-b", 20)).toDF("rsbsa_no", "name", "v")
+    val merged = Merge.upsert(spark.read.parquet(path), incoming, "rsbsa_no")
+    Merge.atomicOverwrite(merged, path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 3)
+    assert(back.filter($"rsbsa_no" === "R2").select("name")
+      .as[String].head() == "new-b")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".old")))
+  }
+
+  test("bucketedMerge rewrites only touched buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val path = s"$dir/t.parquet"
+    val n = 16
+    val init = spark.range(0, 200).toDF("k")
+      .withColumn("rsbsa_no", concat(lit("R"), $"k")).drop("k")
+      .withColumn("v", lit(0))
+      .withColumn("__bucket", Merge.bucketColumn($"rsbsa_no", n))
+    init.write.partitionBy("__bucket").parquet(path)
+    val before = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .toArray.map(_.toString).filter(_.contains("__bucket=")).sorted
+    val incoming = Seq(("R7", 99)).toDF("rsbsa_no", "v")
+    Merge.bucketedMerge(spark, path, incoming, "rsbsa_no", n, oneToOne = true)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 200)
+    assert(back.filter($"rsbsa_no" === "R7").select("v").as[Int].head() == 99)
+    assert(back.filter($"rsbsa_no" === "R8").select("v").as[Int].head() == 0)
+    assert(before.length == java.nio.file.Files.list(
+      java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).count(_.contains("__bucket=")))
+  }
+
+  test("normalization: uppercase is null-safe, string-only, idempotent") {
+    val df = Seq(
+      (Some("abc"), Some(1)), (None, Some(2)), (Some("MiXeD"), None),
+    ).toDF("name", "v")
+    val out = Normalize.uppercase(df, Seq("name", "v", "missing_col"))
+    val names = out.select("name").as[Option[String]].collect().toSet
+    assert(names == Set(Some("ABC"), None, Some("MIXED")))
+    // non-string 'v' untouched even though listed
+    assert(out.schema("v").dataType == df.schema("v").dataType)
+    val again = Normalize.uppercase(out, Seq("name"))
+    assert(again.exceptAll(out).isEmpty)
+  }
+
+  test("catalog drives per-table normalization lists") {
+    val df = Seq(("r1", "juan", "dela cruz", "x"))
+      .toDF("rsbsa_no", "first_name", "surname", "other")
+    val out = Normalize.forTable(df, "farmers_kyc1")
+    val row = out.head()
+    assert(row.getString(1) == "JUAN" && row.getString(2) == "DELA CRUZ")
+    assert(row.getString(3) == "x") // not in kyc1's list
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Streaming surfaces (SURVEY.md §2.8): incremental change-log replay
+  * via AvailableNow + foreachBatch, log tail, windowed aggregation
+  * batch/stream equivalence.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("changeLogStream + replay: AvailableNow processes all pending entries once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    Seq((1L, "R1", "t1"), (2L, null.asInstanceOf[String], "t1"), (3L, "R2", "t2"))
+      .toDF("log_id", "rsbsa_no", "table")
+      .write.parquet(s"$dir/batch1.parquet")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = Streams.replay(
+      Streams.changeLogStream(spark, s"$dir/*"),
+      onBatch = (batch, _) => seen.addAndGet(batch.count()),
+      checkpoint = ckpt)
+    q.awaitTermination(60000)
+    assert(seen.get() == 2) // null-key row filtered (P6), rest replayed
+
+    // incremental: new file → only new entries on restart (offset kept)
+    Seq((4L, "R3", "t1")).toDF("log_id", "rsbsa_no", "table")
+      .write.parquet(s"$dir/batch2.parquet")
+    val seen2 = new java.util.concurrent.atomic.AtomicLong(0)
+    val q2 = Streams.replay(
+      Streams.changeLogStream(spark, s"$dir/*"),
+      onBatch = (batch, _) => seen2.addAndGet(batch.count()),
+      checkpoint = ckpt)
+    q2.awaitTermination(60000)
+    assert(seen2.get() == 1) // only the new entry — true incrementality
+  }
+
+  test("windowed activity: streaming result equals batch computation") {
+    val events = sources.Readers.validChangeLog(spark, sfDir)
+      .select("log_id", "rsbsa_no", "table", "ts", "value")
+    val batchResult = events
+      .withColumn("ts", $"ts".cast("timestamp")) // match streaming side
+      .groupBy(window($"ts", "1 hour"), $"table")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select($"window.start".as("w_start"), $"table", $"n", $"total_value")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-winsrc").toString
+    events.write.parquet(s"$dir/data.parquet")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/*")
+    val agg = Streams.windowedActivity(stream)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_out")
+      .select("w_start", "table", "n", "total_value")
+    assert(streamed.count() == batchResult.count())
+    assert(streamed.exceptAll(batchResult).isEmpty)
+    assert(batchResult.exceptAll(streamed).isEmpty)
+  }
+
+  test("log tail stream parses [ts] message lines (R4/S10)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-logs").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/app.log"),
+      "[2025-05-03T10:31:00.800Z] Starting ETL process. Total records: 8\n" +
+      "\n" + // blank dropped
+      "[2025-05-03T10:31:02.080Z] ETL process completed. Processed: 17, Skipped: 0\n")
+    val q = Streams.logTail(spark, dir)
+      .writeStream.format("memory").queryName("log_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-logckpt").toString)
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("log_out").orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "2025-05-03T10:31:00.800Z")
+    assert(rows(0).getString(1) == "Starting ETL process. Total records: 8")
+    assert(rows(1).getString(1).startsWith("ETL process completed"))
+  }
+
+  test("batch log scan: last-100 newest-first (S9/W3 shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-logs2").toString
+    val lines = (1 to 150).map(i =>
+      f"[2025-05-03T10:${i / 60}%02d:${i % 60}%02d.000Z] run $i")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/app.log"), lines.mkString("\n"))
+    val last100 = sources.Readers.logLines(spark, s"$dir/app.log")
+      .orderBy($"ts".desc).limit(100)
+    val got = last100.collect()
+    assert(got.length == 100)
+    assert(got.head.getString(1) == "run 150")
+    assert(got.last.getString(1) == "run 51")
+  }
+}
