@@ -60,16 +60,16 @@ object Dedup {
     * SQL-expressible (DuckDB oracle).
     */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = withShingles(docs, w)
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
-    val exploded = sh.select(col("doc_id"), col("n_sh"),
-      explode(col("shingles")).as("sh"))
-    val a = exploded.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("sh"))
-    val b = exploded.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("sh"))
+    val ex = explodedShingles(docs, w)
+    val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = ex.select(col("doc_id").as("a_id"), col("sh"))
+    val b = ex.select(col("doc_id").as("b_id"), col("sh"))
     a.join(b, Seq("sh"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
+      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
       .withColumn("jaccard",
         round(col("inter").cast("double")
           / (col("a_n") + col("b_n") - col("inter")).cast("double"), 4))
@@ -115,12 +115,31 @@ object Dedup {
   }
 
   /** One row per (doc, distinct shingle hash) — the relational form all
-    * scale paths run on (explode once; everything downstream is
-    * codegen'd column expressions, no interpreted lambdas).
+    * scale paths run on. Built with posexplode + lead windows instead
+    * of array lambdas: higher-order functions are interpreted (no
+    * codegen) and were the dominant cost; window + concat + xxhash64
+    * stay inside whole-stage codegen and the doc_id partitioning from
+    * the window is reused by every downstream per-doc aggregation.
+    * Semantics identical to [[shingleHashes]] (incl. the short-doc
+    * whole-text shingle).
     */
-  def explodedShingles(docs: DataFrame, w: Int): DataFrame =
-    withShingles(docs, w)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+  def explodedShingles(docs: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(lower(col("text")), "\\s+")))
+      .toDF("doc_id", "pos", "tok")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val whole = Window.partitionBy("doc_id")
+    val leads = (1 until w).map(j => lead(col("tok"), j).over(byPos))
+    toks
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (col("tok") +: leads): _*).as("shingle"),
+        leads.last.isNotNull.as("full"),
+        count(lit(1)).over(whole).as("n"))
+      .filter(col("full") || (col("pos") === 0 && col("n") < w))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+  }
 
   /** Signature table: doc_id, m0..m(k−1) minhash columns, n_sh shingle
     * count. The k permutation-mins are k plain `min(...)` aggregates
@@ -129,15 +148,14 @@ object Dedup {
     * 100 TB shape: no per-row array materialization, no interpreted
     * higher-order functions in the hot path.
     */
-  private def signatureTable(docs: DataFrame, w: Int, k: Int): DataFrame = {
+  private def signatureTable(ex: DataFrame, k: Int): DataFrame = {
     val as = coeffs(k, 0x5eedL)
     val bs = coeffs(k, 0xca5cadeL)
-    val ex = explodedShingles(docs, w)
-      .withColumn("hm", pmod(col("sh"), lit(P)))
+    val folded = ex.withColumn("hm", pmod(col("sh"), lit(P)))
     val aggs = (0 until k).map(i =>
       min(pmod(lit(as(i)) * col("hm") + lit(bs(i)), lit(P))).as(s"m$i")) :+
       count(lit(1)).as("n_sh")
-    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    folded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** (band, band_hash, doc_id) bucket keys from the signature table. */
@@ -157,7 +175,8 @@ object Dedup {
     */
   def minHashCandidates(
       docs: DataFrame, w: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
-    val banded = bandedBuckets(signatureTable(docs, w, k), k, bands)
+    val banded = bandedBuckets(
+      signatureTable(explodedShingles(docs, w), k), k, bands)
     val x = banded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
     val y = banded.select(col("band"), col("bh"), col("doc_id").as("b_id"))
     x.join(y, Seq("band", "bh"))
@@ -174,14 +193,19 @@ object Dedup {
   def minHashDuplicates(
       docs: DataFrame, w: Int = 3, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
-    val sig = signatureTable(docs, w, k)
-    val cands = bandedBuckets(sig, k, bands)
-      .select(col("band"), col("bh"), col("doc_id")).as("x")
-      .join(bandedBuckets(sig, k, bands)
-        .select(col("band"), col("bh"), col("doc_id").as("b_id")), Seq("band", "bh"))
+    // The exploded shingle table and the signature table each feed
+    // multiple downstream branches (bands ×2 sides, sizes, verify);
+    // their shuffles are canonically identical, so Spark's
+    // ReusedExchange computes each once — no explicit persist (which
+    // would leak cache entries across repeated calls).
+    val ex = explodedShingles(docs, w)
+    val sig = signatureTable(ex, k)
+    val banded = bandedBuckets(sig, k, bands)
+    val cands = banded
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("b_id")),
+        Seq("band", "bh"))
       .filter(col("doc_id") < col("b_id"))
       .select(col("doc_id").as("a_id"), col("b_id")).distinct()
-    val ex = explodedShingles(docs, w)
     val inter = cands
       .join(ex.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
       .join(ex.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
