@@ -37,6 +37,9 @@ object Oracles {
          |  SELECT o_orderkey FROM orders WHERE o_custkey IN (
          |    SELECT DISTINCT user_id FROM events WHERE $V))""".stripMargin,
 
+    "s8_point_lookup" ->
+      "SELECT * FROM orders WHERE o_orderkey = 1 LIMIT 1",
+
     "j3_exists_updates" ->
       s"""SELECT * FROM customer
          |WHERE c_custkey IN (SELECT DISTINCT user_id FROM events WHERE $V)

@@ -77,6 +77,12 @@ object Queries {
         "l_returnflag", "l_linestatus", "l_shipdate")
   }
 
+  /** S8/P5 — point lookup by unique key (the reference's dead-code
+    * row-at-a-time path, kept for API parity).
+    */
+  val s8PointLookup: Q = (s, dir) =>
+    t(s, dir, "orders").filter(col("o_orderkey") === 1).limit(1)
+
   /** J3 — exists-split, update half (keys present in target). */
   val j3ExistsUpdates: Q = (s, dir) => {
     val incoming = incomingCustomers(s, dir)

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sink surfaces (SURVEY.md §2.1 K1–K5).
+  *
+  * The reference's sinks are MySQL statements (multi-row INSERT,
+  * dup-key upsert, delete-then-insert) plus an append-only log file.
+  * Engine equivalents: appending/overwriting parquet (or any
+  * DataFrameWriter format), the atomic merge publish in [[Merge]], and
+  * a driver-side run log. Identifier quoting (the reference escapes
+  * `long`, `group`, … by hand, `services/etlService.js:135-138`) is
+  * handled by Spark's parser/writers natively — covered by a
+  * reserved-word column test.
+  */
+object Sinks {
+
+  /** K1 — bulk append. The reference builds multi-row VALUES inserts;
+    * the engine's equivalent is a partitioned columnar append (row
+    * groups are the "batches").
+    */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** K4 — ensure-schema (`CREATE TABLE IF NOT EXISTS`,
+    * `services/etlService.js:203-242`): create an empty parquet target
+    * with the declared catalog schema if absent. Secondary indexes have
+    * no Spark equivalent — key layout is the bucketing choice in
+    * [[Merge.bucketedMerge]] (SURVEY.md §4).
+    */
+  def ensureTable(spark: SparkSession, path: String, schema: StructType): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.ErrorIfExists).parquet(path)
+    }
+  }
+
+  /** K4 for a catalog table by name (falls back to error if the table
+    * has no fully-declared schema).
+    */
+  def ensureCatalogTable(spark: SparkSession, dir: String, table: String): Unit = {
+    val schema = table match {
+      case "farmers_kyc3" => graft.schema.Catalog.farmersKyc3Schema
+      case "farmparcel"   => graft.schema.Catalog.farmparcelSchema
+      case other => throw new IllegalArgumentException(
+        s"no declared schema for $other")
+    }
+    ensureTable(spark, s"$dir/$table.parquet", schema)
+  }
+
+  /** K5 — append-only run log with Manila-formatted timestamps
+    * (`utils/logger.js:45-66`): driver-side, newline-framed
+    * `[ts] message`, the format the log-analytics pipeline (S9/S10)
+    * parses back.
+    */
+  def appendLog(path: String, message: String, nowMs: Long = System.currentTimeMillis()): Unit = {
+    val ts = java.time.Instant.ofEpochMilli(nowMs)
+      .atZone(java.time.ZoneId.of("Asia/Manila"))
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSxxx"))
+    val line = s"[$ts] $message\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path), line,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+}
