@@ -45,18 +45,19 @@ object Similarity {
     */
   def bruteForceTopK(
       embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val quant = embeddings.select(
       col("vec_id"),
       quantized(col("embedding")).as("q"),
-    ).withColumn("nsq", intNormSq(col("q")))
+    ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
     val queries = quant
       .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("nsq").as("qn"))
     val scored = quant.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        cosineFromInts(intDot(col("q"), col("qv")), col("nsq"), col("qn"))
-          .as("cos"))
+        cosineFromInts(call_function("graft_dot", col("q"), col("qv")),
+          col("nsq"), col("qn")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -87,11 +88,12 @@ object Similarity {
     */
   def lshTopK(
       embeddings: DataFrame, queryIds: Seq[Long], k: Int, planes: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val sig = embeddings.select(
       col("vec_id"),
       quantized(col("embedding")).as("q"),
       lshSignature(col("embedding"), planes).as("bucket"),
-    ).withColumn("nsq", intNormSq(col("q")))
+    ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
     val queries = sig
       .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
       .select(col("vec_id").as("qid"), col("q").as("qv"),
@@ -99,8 +101,8 @@ object Similarity {
     val scored = sig.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        cosineFromInts(intDot(col("q"), col("qv")), col("nsq"), col("qn"))
-          .as("cos"))
+        cosineFromInts(call_function("graft_dot", col("q"), col("qv")),
+          col("nsq"), col("qn")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -112,11 +114,12 @@ object Similarity {
     */
   def cosineNearDupPairs(
       embeddings: DataFrame, threshold: Double, planes: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val sig = embeddings.select(
       col("vec_id"),
       quantized(col("embedding")).as("q"),
       lshSignature(col("embedding"), planes).as("bucket"),
-    ).withColumn("nsq", intNormSq(col("q")))
+    ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
     val a = sig.select(col("bucket"), col("vec_id").as("a_id"),
       col("q").as("a_q"), col("nsq").as("a_n"))
     val b = sig.select(col("bucket"), col("vec_id").as("b_id"),
@@ -124,7 +127,7 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(cosineFromInts(intDot(col("a_q"), col("b_q")),
+        round(cosineFromInts(call_function("graft_dot", col("a_q"), col("b_q")),
           col("a_n"), col("b_n")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }

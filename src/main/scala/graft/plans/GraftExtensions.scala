@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for the native vector expressions: either through
+  * `SparkSessionExtensions` (`.withExtensions(new GraftExtensions)` /
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) or imperatively
+  * on an existing session via [[GraftFunctions.register]]. SQL names:
+  * `graft_dot`, `graft_norm_sq`, `graft_hamming64`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.specs.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private[plans] val specs: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+      (es: Seq[Expression]) => ArrayDotProduct(es(0), es(1))),
+    ("graft_norm_sq",
+      new ExpressionInfo(classOf[ArrayNormSq].getName, "graft_norm_sq"),
+      (es: Seq[Expression]) => ArrayNormSq(es.head)),
+    ("graft_hamming64",
+      new ExpressionInfo(classOf[Hamming64].getName, "graft_hamming64"),
+      (es: Seq[Expression]) => Hamming64(es(0), es(1))),
+  )
+
+  /** Idempotent imperative registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    specs.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** Column-API wrappers (register first). */
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  }
+  def normSq(spark: SparkSession, a: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_norm_sq", a)
+  }
+  def hamming64(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_hamming64", a, b)
+  }
+}

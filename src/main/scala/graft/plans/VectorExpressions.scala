@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expressions for the vector hot paths (SURVEY.md
+  * §2.9 extension note; builder preference order (b): a custom
+  * `Expression` with `doGenCode` beats the interpreted higher-order
+  * `aggregate`/`zip_with` lambdas it replaces).
+  *
+  * All operate on quantized integer vectors (`array<bigint>`, see
+  * [[graft.functions.Similarity.quantized]]) so arithmetic is exact and
+  * engine-independent. Inputs are bounded (|component| ≤ ~10^3, dims ≤
+  * ~10^4) so products fit comfortably in 64 bits.
+  */
+
+/** Exact integer dot product of two equal-length long arrays. */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    left.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"expected array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long ${ev.value}Acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer squared L2 norm of a long array. */
+case class ArrayNormSq(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getLong(i); acc += x * x; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |long ${ev.value}Acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $a.getLong($i);
+         |  ${ev.value}Acc += $x * $x;
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayNormSq =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two 64-bit fingerprints (popcount of xor) —
+  * SimHash verification.
+  */
+case class Hamming64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.bitCount(l.asInstanceOf[Long] ^ r.asInstanceOf[Long]).toLong
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (long) java.lang.Long.bitCount($a ^ $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Hamming64 =
+    copy(left = newLeft, right = newRight)
+}
