@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities (SURVEY.md §4 scale notes; builder brief:
+  * "salting for skew, AQE for runtime re-plan").
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`,
+  * default on) splits oversized shuffle partitions at runtime and is
+  * the first line of defense. Salting is the declarative fallback for
+  * the cases AQE can't fix: a single hot key inside one partition
+  * (AQE can split partitions, not keys), or skewed aggregations.
+  */
+object Skew {
+
+  /** Salted equi-join for a skew-heavy fact side: the fact's rows get a
+    * deterministic salt in [0, factor); the (small, broadcastable-ish
+    * but above broadcast threshold) dim side is replicated `factor`
+    * times, so each hot key's rows spread over `factor` reducers.
+    * Deterministic — salt comes from xxhash64 of the whole fact row,
+    * not rand(), so replays/retries see identical placement.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      factor: Int,
+      joinType: String = "inner",
+  ): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(factor))
+        .cast("int"))
+    val replicatedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation for skewed group keys: partial
+    * aggregate on (key, salt), then final aggregate on key. Expressed
+    * here for the count/sum family, which re-aggregates losslessly.
+    */
+  def saltedCountSum(
+      df: DataFrame,
+      key: String,
+      sumCol: Option[String],
+      factor: Int,
+  ): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(factor)))
+    val partialAggs = Seq(count(lit(1)).as("__n")) ++
+      sumCol.map(c => sum(col(c)).as("__s"))
+    val partial = salted.groupBy(col(key), col("__salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs = Seq(sum(col("__n")).as("n")) ++
+      sumCol.map(_ => sum(col("__s")).as("total"))
+    partial.groupBy(col(key)).agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Range-partition a log by its offset column — the engine's
+    * replacement for the reference's LIMIT/OFFSET batch loop (each
+    * partition IS a batch, SURVEY.md §2.5 W2), with even sizing even
+    * when log_ids are dense at one end.
+    */
+  def partitionByLogRange(log: DataFrame, partitions: Int): DataFrame =
+    log.repartitionByRange(partitions, col("log_id"))
+}

@@ -97,4 +97,28 @@ object Streams {
     */
   def logTail(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Readers.logStream(spark, dir)
+
+  /** Custom streaming state (extension; brief: `mapGroupsWithState`
+    * for custom state): first-seen dedup across micro-batches — emit a
+    * change-log key only the first time it appears in the stream;
+    * subsequent entries for the key are suppressed. State (seen flag)
+    * is checkpointed, so the guarantee holds across restarts.
+    */
+  def firstSeenKeys(log: DataFrame): org.apache.spark.sql.Dataset[(Long, String)] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = log.sparkSession
+    import spark.implicits._
+    log.select(col("log_id").cast("long"), col("rsbsa_no").cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[Boolean, (Long, String)](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Boolean]) =>
+          val first = rows.minBy(_._1)
+          if (state.getOption.contains(true)) (-1L, key) // already seen
+          else { state.update(true); (first._1, key) }
+      }
+      .filter(_._1 >= 0)
+  }
 }

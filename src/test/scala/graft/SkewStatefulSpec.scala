@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.streaming.Streams
+
+/** Skew utilities and stateful streaming dedup. */
+class SkewStatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals plain join on skewed data (inner + left)") {
+    // hot key: 5k rows on one key, trickle on others
+    val fact = spark.range(0, 5000).select(lit(1L).as("k"), $"id".as("v"))
+      .union(spark.range(0, 100).select(($"id" % 10 + 2).as("k"), $"id".as("v")))
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (99L, "unmatched"))
+      .toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"), "inner")
+    val salted = Skew.saltedJoin(fact, dim, "k", factor = 8, "inner")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedCountSum equals direct groupBy aggregation") {
+    val df = spark.range(0, 10000)
+      .select(($"id" % 3).as("k"), ($"id" % 7).cast("double").as("x"))
+    val direct = df.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"x").as("total"))
+    val salted = Skew.saltedCountSum(df, "k", Some("x"), factor = 16)
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("partitionByLogRange spreads a dense log over N partitions") {
+    val log = spark.range(0, 1000).select($"id".as("log_id"))
+    val parts = Skew.partitionByLogRange(log, 8)
+    assert(parts.rdd.getNumPartitions == 8)
+    val sizes = parts.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.forall(s => s > 50 && s < 250)) // roughly even
+  }
+
+  test("firstSeenKeys: stateful dedup emits each key once across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-ckpt").toString
+    Seq((1L, "R1"), (2L, "R2"), (3L, "R1"))
+      .toDF("log_id", "rsbsa_no").write.parquet(s"$dir/b1.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("log_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rsbsa_no",
+        org.apache.spark.sql.types.StringType)))
+    val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+    def runOnce(): Set[(Long, String)] = {
+      emitted.clear()
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+      val q = Streams.firstSeenKeys(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, String)], _: Long) =>
+          batch.collect().foreach(emitted.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      emitted.asScala.toSet
+    }
+    val out1 = runOnce()
+    assert(out1 == Set((1L, "R1"), (2L, "R2"))) // R1 emitted once, min log_id
+    // second batch: R1 again (suppressed by state) + new R3
+    Seq((4L, "R1"), (5L, "R3"))
+      .toDF("log_id", "rsbsa_no").write.parquet(s"$dir/b2.parquet")
+    val out2 = runOnce()
+    assert(out2.contains((5L, "R3")))
+    assert(!out2.contains((4L, "R1"))) // state survived the restart
+  }
+}
