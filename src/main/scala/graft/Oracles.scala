@@ -140,6 +140,23 @@ object Oracles {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
 
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus != 'F'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  min(l_quantity) AS qmin,
+        |  max(l_quantity) AS qmax
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -246,6 +246,32 @@ object Queries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Shipping-priority-style flagship: join + filter + decimal-exact
+    * revenue + deterministic top-10 (unique orderkey tiebreak).
+    */
+  val q3TopOrders: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter(col("o_orderstatus") =!= "F")
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice").cast("decimal(9,2)"))
+        * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Exact interpolated percentiles per group (statistical surface). */
+  val aggPercentiles: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"))
+
   // ============================================================ extensions
 
   /** Exact dedup groups: md5 fingerprint → keeper id + copy count. */

@@ -45,6 +45,8 @@ object SparkEntry {
     // -- analytics flagships
     "q1_pricing_summary" -> Queries.q1PricingSummary,
     "join_revenue_by_nation" -> Queries.joinRevenueByNation,
+    "q3_top_orders" -> Queries.q3TopOrders,
+    "agg_percentiles" -> Queries.aggPercentiles,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
     "dedup_exact_survivors" -> Queries.dedupExactSurvivors,
