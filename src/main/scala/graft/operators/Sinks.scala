@@ -38,16 +38,12 @@ object Sinks {
     }
   }
 
-  /** K4 for a catalog table by name (falls back to error if the table
-    * has no fully-declared schema).
+  /** K4 for a catalog table by name — all 12 reference tables have
+    * full declared schemas in [[graft.schema.Schemas]].
     */
   def ensureCatalogTable(spark: SparkSession, dir: String, table: String): Unit = {
-    val schema = table match {
-      case "farmers_kyc3" => graft.schema.Catalog.farmersKyc3Schema
-      case "farmparcel"   => graft.schema.Catalog.farmparcelSchema
-      case other => throw new IllegalArgumentException(
-        s"no declared schema for $other")
-    }
+    val schema = graft.schema.Schemas.byName.getOrElse(table,
+      throw new IllegalArgumentException(s"no declared schema for $table"))
     ensureTable(spark, s"$dir/$table.parquet", schema)
   }
 

@@ -54,7 +54,8 @@ object Catalog {
       key: String,
       card: Cardinality,
       upper: Seq[String],
-  ): (String, TableSpec) = name -> TableSpec(name, key, card, upper)
+  ): (String, TableSpec) =
+    name -> TableSpec(name, key, card, upper, Schemas.byName.get(name))
 
   /** The 12 target tables with merge class + normalization lists,
     * transcribed from `services/etlService.js:10-12,148-191,203-242`.
@@ -99,32 +100,10 @@ object Catalog {
       Seq("encoder_agency", "encoder_fullname")),
   )
 
-  /** Representative declared schemas (full MySQL→Spark transcription for
-    * the tables unit tests compute on; SURVEY.md §1.2 table).
+  /** Full MySQL→Spark schema transcriptions live in [[Schemas]]
+    * (SURVEY.md §1.2); convenience aliases for the tables unit tests
+    * compute on.
     */
-  val farmersKyc3Schema: StructType = StructType(Seq(
-    StructField("rsbsa_no", StringType, nullable = false),
-    StructField("no_farm_parcels", IntegerType),
-    StructField("arb", BooleanType),
-    StructField("gross_income_farming", DecimalType(10, 2)),
-    StructField("gross_income_nonfarming", DecimalType(10, 2)),
-    StructField("vtc_date", DateType),
-    StructField("vtc_bgy_chair", StringType),
-    StructField("vtc_agri_office", StringType),
-    StructField("vtc_mafc_chair", StringType),
-  ))
-
-  val farmparcelSchema: StructType = StructType(Seq(
-    StructField("parcel_id", StringType, nullable = false),
-    StructField("rsbsa_no", StringType),
-    StructField("parcel_no", ByteType),
-    StructField("farm_area", DecimalType(10, 4)),
-    StructField("lat", FloatType),
-    StructField("long", FloatType), // reserved-word identifier on purpose
-    StructField("parcel_geo_pol", BinaryType),   // WKB pass-through
-    StructField("parcel_geo_point", BinaryType), // WKB pass-through
-    StructField("remarks", StringType),
-    StructField("active", StringType),
-    StructField("date_created", TimestampType),
-  ))
+  val farmersKyc3Schema: StructType = Schemas.farmersKyc3
+  val farmparcelSchema: StructType = Schemas.farmparcel
 }
