@@ -262,6 +262,19 @@ object Queries {
       .limit(10)
   }
 
+  /** Skew path — two-phase salted aggregation equals direct grouping
+    * (decimal-exact, so the re-aggregation is lossless and
+    * oracle-checkable against plain GROUP BY).
+    */
+  val skewSaltedAgg: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .withColumn("qty_dec", col("l_quantity").cast("decimal(18,2)"))
+    graft.operators.Skew
+      .saltedCountSum(li, "l_returnflag", Some("qty_dec"), factor = 8)
+      .select(col("l_returnflag"), col("n"),
+        col("total").cast("double").as("total_qty"))
+  }
+
   /** Exact interpolated percentiles per group (statistical surface). */
   val aggPercentiles: Q = (s, dir) =>
     t(s, dir, "lineitem")

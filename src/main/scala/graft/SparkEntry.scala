@@ -47,6 +47,7 @@ object SparkEntry {
     "join_revenue_by_nation" -> Queries.joinRevenueByNation,
     "q3_top_orders" -> Queries.q3TopOrders,
     "agg_percentiles" -> Queries.aggPercentiles,
+    "skew_salted_agg" -> Queries.skewSaltedAgg,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
     "dedup_exact_survivors" -> Queries.dedupExactSurvivors,

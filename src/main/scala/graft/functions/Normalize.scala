@@ -67,6 +67,19 @@ object Normalize {
   def logMessage(line: Column): Column =
     trim(regexp_replace(line, "^\\[(.*?)\\]\\s*", ""))
 
+  /** ENUM domain validation (SURVEY.md §1.2: MySQL ENUM → String +
+    * domain check): rows whose enum-typed columns hold values outside
+    * the declared domain — the quarantine feed (R8).
+    */
+  def enumViolations(df: DataFrame, table: String): DataFrame = {
+    val domains = graft.schema.Schemas.enumDomains
+    val checks = df.columns.filter(domains.contains).map { c =>
+      col(c).isNotNull && !col(c).isin(domains(c).map(lit): _*)
+    }
+    if (checks.isEmpty) df.limit(0)
+    else df.filter(checks.reduce(_ || _))
+  }
+
   /** F9 — error-rate percent rounded to 2 decimals
     * (`services/etlService.js:674`).
     */

@@ -56,4 +56,17 @@ class CatalogSpec extends SparkSpec {
       Seq("FFRS", "NFFIS", "NCFRSS", "NIA", "FISHR"))
     assert(Schemas.enumDomains("validated") == Seq("1", "0", "2"))
   }
+
+  test("enumViolations quarantines out-of-domain rows, passes valid + null") {
+    import spark.implicits._
+    val df = Seq(
+      ("R1", "FFRS", "1"), ("R2", "BOGUS", "1"),
+      ("R3", null.asInstanceOf[String], "2"), ("R4", "NIA", "9"),
+    ).toDF("rsbsa_no", "data_source", "validated")
+    val bad = graft.functions.Normalize.enumViolations(df, "farmers_kyc1")
+    assert(bad.select("rsbsa_no").as[String].collect().toSet == Set("R2", "R4"))
+    val clean = Seq(("R9", "x")).toDF("rsbsa_no", "free_text")
+    assert(graft.functions.Normalize.enumViolations(clean, "farmers_kyc1")
+      .count() == 0)
+  }
 }
