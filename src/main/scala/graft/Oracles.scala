@@ -186,6 +186,26 @@ object Oracles {
         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
         |HAVING round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) >= 0.5""".stripMargin,
 
+    // MinHash+LSH is sketch-based, but at k=128/32 bands the miss
+    // probability for the fixtures' duplicate pairs (all Jaccard ≥ 0.8)
+    // is ≤ 5e-8 — the verified output equals the exact-Jaccard pair set,
+    // so it shares that oracle (minus the inter count).
+    "dedup_minhash_lsh" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 3, 0) + 2),
+        |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2]))) AS shingles
+        |  FROM tok),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) AS jaccard
+        |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |HAVING round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) >= 0.5""".stripMargin,
+
     "sim_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id,
