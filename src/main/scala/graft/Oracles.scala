@@ -327,6 +327,29 @@ object Oracles {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          |FROM events WHERE $V GROUP BY 1, 2""".stripMargin,
 
+    "session_windows" ->
+      s"""WITH e AS (SELECT user_id AS rsbsa_no, ts FROM events WHERE $V),
+         |m AS (SELECT rsbsa_no, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+         |       ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY rsbsa_no ORDER BY ts)),
+         |s AS (SELECT rsbsa_no, ts,
+         |  sum(new_s) OVER (PARTITION BY rsbsa_no ORDER BY ts
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+         |       rsbsa_no, count(*) AS n_events
+         |FROM s GROUP BY rsbsa_no, sid""".stripMargin,
+
+    "text_quality_score" ->
+      """SELECT doc_id,
+        |  round((least(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) / 64.0, 1.0)
+        |       + least(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |           t -> t IN ('the','of','and','to','in','is','that','for'))) AS DOUBLE) * 8
+        |           / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0)) / 2, 4) AS quality
+        |FROM documents""".stripMargin,
+
     "rollup_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue

@@ -457,6 +457,24 @@ object Queries {
       .select(col("window.start").as("w_start"), col("table"), col("n"),
         col("total_value"))
 
+  /** Extension — gap-based sessionization (batch form of the
+    * streaming `session_window`; the oracle reproduces the same
+    * half-open semantics with lag + cumulative-sum session ids).
+    */
+  val sessionWindows: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("rsbsa_no"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("rsbsa_no"), col("n_events"))
+
+  /** Extension — composite document quality score in [0,1]. */
+  val textQualityScore: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
   /** Extension — ROLLUP revenue (grouping-sets surface). */
   val rollupRevenue: Q = (s, dir) => {
     val o = t(s, dir, "orders")

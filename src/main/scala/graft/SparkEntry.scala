@@ -76,6 +76,8 @@ object SparkEntry {
     "t3_union_totals" -> Queries.t3UnionTotals,
     // -- extensions: windows, grouping sets, embeddings, multimodal
     "window_tumbling" -> Queries.windowTumbling,
+    "session_windows" -> Queries.sessionWindows,
+    "text_quality_score" -> Queries.textQualityScore,
     "rollup_revenue" -> Queries.rollupRevenue,
     "emb_norm_stats" -> Queries.embNormStats,
     "media_profile" -> Queries.mediaProfile,
