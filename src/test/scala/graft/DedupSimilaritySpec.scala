@@ -103,6 +103,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lang(1L) == "und") // no stopword hits
   }
 
+  test("relational explodedShingles matches the column-level shingleHashes API") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val d = docs.limit(100)
+    val viaArray = Dedup.withShingles(d, 3)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val viaRelational = Dedup.explodedShingles(d, 3)
+    assert(viaArray.exceptAll(viaRelational).isEmpty
+      && viaRelational.exceptAll(viaArray).isEmpty)
+    // short-doc edge: fewer tokens than the shingle width
+    val tiny = Seq((1L, "solo"), (2L, "two words")).toDF("doc_id", "text")
+    val a = Dedup.withShingles(tiny, 3)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val r = Dedup.explodedShingles(tiny, 3)
+    assert(a.exceptAll(r).isEmpty && r.exceptAll(a).isEmpty)
+    assert(r.count() == 2) // one whole-text shingle each
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
       .toDF("doc_id", "text")
