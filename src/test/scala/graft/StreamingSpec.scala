@@ -64,6 +64,48 @@ class StreamingSpec extends SparkSpec {
     assert(batchResult.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming replay drives an incremental merge (R2 end-to-end)") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-r2src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-r2ckpt").toString
+    val tgt = java.nio.file.Files.createTempDirectory("graft-r2tgt").toString + "/t.parquet"
+    // initial target state
+    operators.Merge.atomicOverwrite(
+      Seq(("R1", "old"), ("R2", "old")).toDF("rsbsa_no", "payload"), tgt)
+
+    def replayAll(): Unit = {
+      val q = Streams.replay(
+        Streams.changeLogStream(spark, s"$srcDir/*"),
+        onBatch = (batch, _) => {
+          val merged = operators.Merge.upsert(
+            spark.read.parquet(tgt),
+            operators.Merge.latestPerKey(
+              batch.select($"rsbsa_no", $"log_id",
+                concat(lit("v"), $"log_id").as("payload")),
+              "rsbsa_no", "log_id").select("rsbsa_no", "payload"),
+            "rsbsa_no")
+          operators.Merge.atomicOverwrite(merged, tgt)
+        },
+        checkpoint = ckpt)
+      q.awaitTermination(120000)
+    }
+
+    Seq((1L, "R1", "t"), (2L, "R1", "t"), (3L, "R3", "t"))
+      .toDF("log_id", "rsbsa_no", "table")
+      .write.parquet(s"$srcDir/b1.parquet")
+    replayAll()
+    val after1 = spark.read.parquet(tgt)
+      .as[(String, String)].collect().toMap
+    assert(after1 == Map("R1" -> "v2", "R2" -> "old", "R3" -> "v3"))
+
+    // second micro-batch only replays the new entries (offsets kept)
+    Seq((4L, "R2", "t")).toDF("log_id", "rsbsa_no", "table")
+      .write.parquet(s"$srcDir/b2.parquet")
+    replayAll()
+    val after2 = spark.read.parquet(tgt)
+      .as[(String, String)].collect().toMap
+    assert(after2 == Map("R1" -> "v2", "R2" -> "v4", "R3" -> "v3"))
+  }
+
   test("log tail stream parses [ts] message lines (R4/S10)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-logs").toString
     java.nio.file.Files.writeString(
