@@ -100,6 +100,26 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_bytes")
   }
 
+  /** STUB resize — deterministic byte-domain downsample standing in
+    * for an image resize: keeps every `factor`-th byte and scales the
+    * metadata dimensions accordingly. The pipeline shape (narrow
+    * per-row transform, metadata kept consistent with payload) is what
+    * a real resize kernel slots into.
+    */
+  def resizeStub(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val down = r.payload.zipWithIndex.collect {
+        case (b, i) if i % factor == 0 => b
+      }
+      r.copy(
+        payload = down,
+        meta_width = math.max(1, r.meta_width / factor),
+        meta_height = math.max(1, r.meta_height / factor),
+      )
+    }
+  }
+
   /** Build a deterministic media table from the documents fixture
     * (text bytes as payload) — exercises the full pipeline without
     * codecs.
