@@ -131,10 +131,11 @@ object Dedup {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val whole = Window.partitionBy("doc_id")
     val leads = (1 until w).map(j => lead(col("tok"), j).over(byPos))
+    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
     toks
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", (col("tok") +: leads): _*).as("shingle"),
-        leads.last.isNotNull.as("full"),
+        full.as("full"),
         count(lit(1)).over(whole).as("n"))
       .filter(col("full") || (col("pos") === 0 && col("n") < w))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))

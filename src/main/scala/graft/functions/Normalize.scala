@@ -69,13 +69,21 @@ object Normalize {
 
   /** ENUM domain validation (SURVEY.md §1.2: MySQL ENUM → String +
     * domain check): rows whose enum-typed columns hold values outside
-    * the declared domain — the quarantine feed (R8).
+    * the declared domain — the quarantine feed (R8). Scoped to the
+    * named table's declared schema: only columns that are both in the
+    * frame AND enum-typed in that table's DDL are checked (a
+    * same-named column in another table may have a different domain).
     */
   def enumViolations(df: DataFrame, table: String): DataFrame = {
     val domains = graft.schema.Schemas.enumDomains
-    val checks = df.columns.filter(domains.contains).map { c =>
-      col(c).isNotNull && !col(c).isin(domains(c).map(lit): _*)
-    }
+    val declared = graft.schema.Schemas.byName.get(table)
+      .map(_.fieldNames.toSet)
+      .getOrElse(domains.keySet) // unknown table: fall back to global names
+    val checks = df.columns
+      .filter(c => domains.contains(c) && declared.contains(c))
+      .map { c =>
+        col(c).isNotNull && !col(c).isin(domains(c).map(lit): _*)
+      }
     if (checks.isEmpty) df.limit(0)
     else df.filter(checks.reduce(_ || _))
   }

@@ -70,10 +70,12 @@ object Merge {
   }
 
   /** Strategy dispatch by catalog cardinality class
-    * (`services/etlService.js:47-51`).
+    * (`services/etlService.js:47-51`). Tables outside the catalog get
+    * the reference's default arm: one-to-many refresh on `rsbsa_no`.
     */
   def merge(table: String, target: DataFrame, incoming: DataFrame): DataFrame = {
-    val spec = Catalog.tables(table)
+    val spec = Catalog.tables.getOrElse(table,
+      graft.schema.TableSpec(table, "rsbsa_no", Cardinality.OneToMany, Nil))
     spec.cardinality match {
       case Cardinality.OneToOne  => upsert(target, incoming, spec.key)
       case Cardinality.OneToMany => refresh(target, incoming, spec.key)

@@ -28,6 +28,13 @@ object Skew {
       factor: Int,
       joinType: String = "inner",
   ): DataFrame = {
+    // right/full outer would emit `factor` null-padded rows per
+    // unmatched dim key (one per replica) — only fact-preserving join
+    // types are sound under dim replication.
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support join type $joinType " +
+        "(dim side is replicated; right/full outer would duplicate rows)")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(factor))
         .cast("int"))

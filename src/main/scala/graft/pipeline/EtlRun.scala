@@ -55,24 +55,30 @@ final class EtlRun(
     writeTarget: (String, DataFrame) => Unit,
 ) {
 
-  /** One table's plan: keys → semi-extract → normalize → merge. */
-  def planTable(log: DataFrame, table: String): DataFrame = {
+  /** The extraction a table's plan runs on: keyed semi-extract, or —
+    * for `farmparcel` — the two-hop bridge extract (S5+S6/J2:
+    * farmers → ownership → parcel). Shared by the merge plan and the
+    * run report so counts describe the same rows that were merged.
+    */
+  def extractFor(log: DataFrame, table: String): DataFrame = {
     val spec = Catalog.tables.getOrElse(table,
       graft.schema.TableSpec(table, "rsbsa_no", Cardinality.OneToMany, Nil))
-    val keys = ChangeLog.keysForTable(log, table)
-      .withColumnRenamed("rsbsa_no", spec.key)
-    val extracted =
-      if (table == "farmparcel")
-        // bridge cascade (S5+S6/J2): farmers → ownership → parcel
-        ChangeLog.twoHopExtract(
-          far = readSource("farmparcel"),
-          bridge = readSource("farmparcelownership")
-            .select("rsbsa_no", "parcel_id"),
-          keys = ChangeLog.keysForTable(log, table),
-          nearKey = "rsbsa_no", farKey = "parcel_id")
-      else
-        ChangeLog.keyedExtract(readSource(table), keys, spec.key)
-    val normalized = Normalize.forTable(extracted, table)
+    if (table == "farmparcel")
+      ChangeLog.twoHopExtract(
+        far = readSource("farmparcel"),
+        bridge = readSource("farmparcelownership")
+          .select("rsbsa_no", "parcel_id"),
+        keys = ChangeLog.keysForTable(log, table),
+        nearKey = "rsbsa_no", farKey = "parcel_id")
+    else
+      ChangeLog.keyedExtract(readSource(table),
+        ChangeLog.keysForTable(log, table)
+          .withColumnRenamed("rsbsa_no", spec.key), spec.key)
+  }
+
+  /** One table's plan: keys → semi-extract → normalize → merge. */
+  def planTable(log: DataFrame, table: String): DataFrame = {
+    val normalized = Normalize.forTable(extractFor(log, table), table)
     Merge.merge(table, readTarget(table), normalized)
   }
 
@@ -87,31 +93,30 @@ final class EtlRun(
     val skipped = total - valid.count()
     val named = valid.select("table").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    // cascade: ownership implies parcel re-sync
+    // cascade: an ownership change always re-syncs the referenced
+    // parcels (`services/etlService.js:642-654`), so whenever the log
+    // names farmparcelownership its keys also count as farmparcel keys
+    // — including when farmparcel is independently named too.
     val tables =
       if (named.contains("farmparcelownership") && !named.contains("farmparcel"))
         named :+ "farmparcel"
       else named
+    val cascaded =
+      if (named.contains("farmparcelownership"))
+        valid.unionByName(
+          valid.filter(col("table") === "farmparcelownership")
+            .withColumn("table", lit("farmparcel")))
+      else valid
     val results = tables.map { table =>
       try {
-        val cascadeLog =
-          if (table == "farmparcel" && !named.contains("farmparcel"))
-            // parcel keys come from the ownership log entries
-            valid.withColumn("table",
-              when(col("table") === "farmparcelownership", lit("farmparcel"))
-                .otherwise(col("table")))
-          else valid
-        val merged = planTable(cascadeLog, table)
-        val extracted = ChangeLog.keyedExtract(
-          readSource(table),
-          ChangeLog.keysForTable(cascadeLog, table)
-            .withColumnRenamed("rsbsa_no",
-              Catalog.tables.get(table).map(_.key).getOrElse("rsbsa_no")),
-          Catalog.tables.get(table).map(_.key).getOrElse("rsbsa_no")).count()
+        val extracted = extractFor(cascaded, table).count()
+        val merged = planTable(cascaded, table)
         writeTarget(table, merged)
-        // count from the published state (the merged plan's target input
-        // was just swapped out from under it — never re-execute it)
-        TableResult(table, extracted, readTarget(table).count(), None)
+        // `merged` here = rows synced in THIS run (the reference's
+        // "Processed" semantics) — normalization is row-preserving, so
+        // it equals the extraction count; the published target row
+        // count would include all historical rows.
+        TableResult(table, extracted, extracted, None)
       } catch {
         case e: Exception => TableResult(table, 0, 0, Some(e.getMessage))
       }

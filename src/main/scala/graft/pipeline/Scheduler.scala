@@ -26,27 +26,38 @@ object Cron {
   def isValid(pattern: String): Boolean =
     cronRe.pattern.matcher(pattern.trim).matches()
 
-  /** Minimal next-fire computation for step-minute and fixed-minute
-    * patterns (the cadences the reference is run at). Returns a delay
-    * in milliseconds from `nowMs`.
+  /** Does a single cron field match a value? Supports star, step
+    * (*&#47;n), fixed numbers, ranges, and comma lists.
     */
-  def nextDelayMs(pattern: String, nowMs: Long): Long = {
-    require(isValid(pattern), s"invalid cron pattern: $pattern")
-    val minuteField = pattern.trim.split("\\s+")(0)
-    val nowMin = (nowMs / 60000L) % 60
-    val next: Long = minuteField match {
-      case "*" => 1L
-      case s if s.startsWith("*/") =>
-        val n = s.drop(2).toLong
-        n - (nowMin % n)
-      case s if s.forall(_.isDigit) =>
-        val m = s.toLong
-        val d = (m - nowMin + 60) % 60
-        if (d == 0) 60 else d
-      case _ => 1L
+  private def fieldMatches(field: String, value: Long): Boolean =
+    field.split(",").exists {
+      case "*" => true
+      case st if st.startsWith("*/") => value % st.drop(2).toLong == 0
+      case r if r.contains("-") =>
+        val Array(a, b) = r.split("-", 2)
+        val (lo, hi) = (a.takeWhile(_.isDigit).toLong, b.takeWhile(_.isDigit).toLong)
+        value >= lo && value <= hi
+      case n if n.forall(_.isDigit) => n.toLong == value
+      case _ => false
     }
-    next * 60000L - (nowMs % 60000L)
+
+  /** Does the pattern fire at the given instant (minute + hour fields;
+    * day-of-month/month/day-of-week are treated as `*`, matching the
+    * reference's observed cadences)?
+    */
+  def matches(pattern: String, atMs: Long): Boolean = {
+    require(isValid(pattern), s"invalid cron pattern: $pattern")
+    val fields = pattern.trim.split("\\s+")
+    val t = java.time.Instant.ofEpochMilli(atMs)
+      .atZone(java.time.ZoneOffset.UTC)
+    fieldMatches(fields(0), t.getMinute.toLong) &&
+      fieldMatches(fields(1), t.getHour.toLong)
   }
+
+  /** Delay in milliseconds from `nowMs` to the next minute boundary
+    * (the scheduler ticks per minute and fires when [[matches]]).
+    */
+  def nextMinuteDelayMs(nowMs: Long): Long = 60000L - (nowMs % 60000L)
 }
 
 /** Status snapshot (R6: `GET /api/etl-status`, `index.js:329-342`). */
@@ -74,35 +85,44 @@ final class EtlScheduler(run: () => Unit) {
   private val lastRun = new AtomicReference[Option[Long]](None)
   private val runs = new AtomicLong(0)
 
-  private def tick(): Unit = {
-    if (running.compareAndSet(false, true)) { // single-flight guard (R3)
+  /** Single-flight guarded execution (R3): returns false when a run is
+    * already in flight (the 409 path) — the claim itself is the CAS, so
+    * there is no check-then-act window.
+    */
+  private def runGuarded(): Boolean = {
+    if (running.compareAndSet(false, true)) {
       try {
         lastRun.set(Some(System.currentTimeMillis()))
         run()
         runs.incrementAndGet()
       } finally running.set(false)
-    }
+      true
+    } else false
   }
 
   /** E2 — start recurring runs on a validated cron cadence
     * (`runOnInit:false` semantics: first run happens at the first
-    * tick, not at schedule time).
+    * matching tick, not at schedule time). The executor ticks at each
+    * minute boundary and fires only when the pattern matches that
+    * minute — node-cron's model.
     */
   def start(cronPattern: String): Unit = synchronized {
     require(Cron.isValid(cronPattern), s"invalid cron pattern: $cronPattern")
     require(scheduled.get().isEmpty, "already scheduled")
     startTime.set(Some(System.currentTimeMillis()))
-    val periodMs = math.max(60000L,
-      Cron.nextDelayMs(cronPattern, System.currentTimeMillis()))
     scheduled.set(Some(exec.scheduleAtFixedRate(
-      () => tick(), periodMs, 60000L, TimeUnit.MILLISECONDS)))
+      () => if (Cron.matches(cronPattern, System.currentTimeMillis())) {
+        val _ = runGuarded()
+      },
+      Cron.nextMinuteDelayMs(System.currentTimeMillis()),
+      60000L, TimeUnit.MILLISECONDS)))
   }
 
-  /** Immediate one-shot run (the `/api/start-etl-force` path, E1). */
-  def runOnce(): Boolean = {
-    if (running.get()) false // 409: already running
-    else { tick(); true }
-  }
+  /** Immediate one-shot run (the `/api/start-etl-force` path, E1).
+    * Returns false — without running — when a run is already in
+    * flight (the reference's 409 response, `index.js:115`).
+    */
+  def runOnce(): Boolean = runGuarded()
 
   /** R7 — graceful stop: cancel the schedule, wait for the in-flight
     * run up to `graceMs`, then force-terminate the executor.

@@ -23,12 +23,13 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    left.dataType match {
-      case ArrayType(LongType, _) =>
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
+      case (l, r) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-          .TypeCheckFailure(s"expected array<bigint>, got $other")
+          .TypeCheckFailure(
+            s"expected (array<bigint>, array<bigint>), got ($l, $r)")
     }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -64,6 +65,15 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 case class ArrayNormSq(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"expected array<bigint>, got $other")
+    }
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -101,6 +111,15 @@ case class Hamming64(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"expected (bigint, bigint), got ($l, $r)")
+    }
 
   override def nullSafeEval(l: Any, r: Any): Any =
     java.lang.Long.bitCount(l.asInstanceOf[Long] ^ r.asInstanceOf[Long]).toLong

@@ -63,8 +63,13 @@ class CatalogSpec extends SparkSpec {
       ("R1", "FFRS", "1"), ("R2", "BOGUS", "1"),
       ("R3", null.asInstanceOf[String], "2"), ("R4", "NIA", "9"),
     ).toDF("rsbsa_no", "data_source", "validated")
-    val bad = graft.functions.Normalize.enumViolations(df, "farmers_kyc1")
-    assert(bad.select("rsbsa_no").as[String].collect().toSet == Set("R2", "R4"))
+    // table-scoped: kyc1 declares data_source but NOT validated, so only
+    // R2's bogus data_source is quarantined here…
+    val kyc1Bad = graft.functions.Normalize.enumViolations(df, "farmers_kyc1")
+    assert(kyc1Bad.select("rsbsa_no").as[String].collect().toSet == Set("R2"))
+    // …while kyc4 declares validated but not data_source
+    val kyc4Bad = graft.functions.Normalize.enumViolations(df, "farmers_kyc4")
+    assert(kyc4Bad.select("rsbsa_no").as[String].collect().toSet == Set("R4"))
     val clean = Seq(("R9", "x")).toDF("rsbsa_no", "free_text")
     assert(graft.functions.Normalize.enumViolations(clean, "farmers_kyc1")
       .count() == 0)

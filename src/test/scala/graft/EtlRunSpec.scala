@@ -85,6 +85,29 @@ class EtlRunSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tgt/farmers_livelihood.parquet").collect().toSet == liv1)
   }
 
+  test("cascade still fires when farmparcel is also named directly") {
+    val src = java.nio.file.Files.createTempDirectory("graft-src4").toString
+    val tgt = java.nio.file.Files.createTempDirectory("graft-tgt4").toString
+    writeFixtures(src)
+    // R1 touches ownership (parcels P1,P2 via bridge); the log ALSO
+    // names farmparcel directly for R2 (parcels P3 via bridge) — both
+    // key sets must re-sync.
+    val log = Seq(
+      (1L, "R1", "farmparcelownership"),
+      (2L, "R2", "farmparcel"),
+    ).toDF("log_id", "rsbsa_no", "table")
+    val report = EtlRun.onParquet(spark, src, tgt).run(log)
+    assert(report.errors == 0)
+    val parcels = spark.read.parquet(s"$tgt/farmparcel.parquet")
+    assert(parcels.select("parcel_id").as[String].collect().toSet
+      == Set("P1", "P2", "P3"))
+    // report counts describe the rows actually merged per table
+    val parcelResult = report.tables.find(_.table == "farmparcel").get
+    assert(parcelResult.extracted == 3 && parcelResult.merged == 3)
+    val ownResult = report.tables.find(_.table == "farmparcelownership").get
+    assert(ownResult.extracted == 2)
+  }
+
   test("failure isolation: one broken table does not abort the run") {
     val src = java.nio.file.Files.createTempDirectory("graft-src3").toString
     val tgt = java.nio.file.Files.createTempDirectory("graft-tgt3").toString

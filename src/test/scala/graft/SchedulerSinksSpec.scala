@@ -32,6 +32,20 @@ class SchedulerSinksSpec extends SparkSpec {
     assert(sched.runOnce()) // accepted after completion
   }
 
+  test("cron matching honors minute/hour fields (fires on cadence, not every minute)") {
+    def ms(h: Int, m: Int): Long =
+      java.time.LocalDateTime.of(2026, 8, 12, h, m)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    assert(Cron.matches("*/5 * * * *", ms(3, 10)))
+    assert(!Cron.matches("*/5 * * * *", ms(3, 11)))
+    assert(Cron.matches("0 3 * * 1", ms(3, 0)))
+    assert(!Cron.matches("0 3 * * 1", ms(4, 0)))
+    assert(!Cron.matches("0 3 * * 1", ms(3, 1)))
+    assert(Cron.matches("0,30 1-5 * * *", ms(2, 30)))
+    assert(!Cron.matches("0,30 1-5 * * *", ms(6, 30)))
+    assert(Cron.matches("* * * * *", ms(23, 59)))
+  }
+
   test("status bookkeeping + graceful stop (R6/R7)") {
     val sched = new EtlScheduler(() => ())
     val s0 = sched.status

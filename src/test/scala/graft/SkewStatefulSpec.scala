@@ -30,6 +30,19 @@ class SkewStatefulSpec extends SparkSpec {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("saltedJoin rejects dim-duplicating join types") {
+    val fact = Seq((1L, 1)).toDF("k", "v")
+    val dim = Seq((1L, "a")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "k", 4, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "k", 4, "full_outer")
+    }
+    // left_anti is fact-preserving and allowed
+    assert(Skew.saltedJoin(fact, dim, "k", 4, "left_anti").count() == 0)
+  }
+
   test("partitionByLogRange spreads a dense log over N partitions") {
     val log = spark.range(0, 1000).select($"id".as("log_id"))
     val parts = Skew.partitionByLogRange(log, 8)
