@@ -350,6 +350,40 @@ object Oracles {
         |           / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0)) / 2, 4) AS quality
         |FROM documents""".stripMargin,
 
+    "pivot_counts" ->
+      s"""SELECT user_id AS rsbsa_no,
+         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         |FROM events WHERE $V GROUP BY user_id""".stripMargin,
+
+    "unpivot_counts" ->
+      s"""WITH p AS (
+         |  SELECT user_id AS rsbsa_no,
+         |    count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         |    count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         |    count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         |    count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         |  FROM events WHERE $V GROUP BY user_id)
+         |SELECT rsbsa_no, 'click' AS "table", click AS n FROM p
+         |UNION ALL SELECT rsbsa_no, 'error', error FROM p
+         |UNION ALL SELECT rsbsa_no, 'purchase', purchase FROM p
+         |UNION ALL SELECT rsbsa_no, 'signup', signup FROM p
+         |UNION ALL SELECT rsbsa_no, 'view', view FROM p""".stripMargin,
+
+    "f_string_funcs" ->
+      """SELECT doc_id,
+        |  substr(text, 1, 12) AS prefix,
+        |  trim(substr(text, 1, 12), ' ') AS trimmed,
+        |  regexp_replace(lang, 'h', 'H', 'g') AS replaced,
+        |  lang || '-' || source AS tag,
+        |  CAST(length(source) AS BIGINT) AS src_len,
+        |  CAST(levenshtein(lang, 'en') AS BIGINT) AS lang_dist
+        |FROM documents""".stripMargin,
+
     "rollup_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue

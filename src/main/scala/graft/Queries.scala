@@ -475,6 +475,35 @@ object Queries {
       col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
 
+  /** Extension — pivot: per-key event-type counts as columns. */
+  val pivotCounts: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir)
+      .groupBy(col("rsbsa_no"))
+      .pivot("table", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+
+  /** Extension — unpivot (melt) the pivoted counts back to rows. */
+  val unpivotCounts: Q = (s, dir) =>
+    pivotCounts(s, dir).unpivot(
+      Array(col("rsbsa_no")),
+      Array(col("click"), col("error"), col("purchase"), col("signup"),
+        col("view")),
+      "table", "n")
+
+  /** Extension — string-function coverage (substring, trim, replace,
+    * concat, length, edit distance) — all codegen built-ins.
+    */
+  val fStringFuncs: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      substring(col("text"), 1, 12).as("prefix"),
+      trim(substring(col("text"), 1, 12), " ").as("trimmed"),
+      regexp_replace(col("lang"), "h", "H").as("replaced"),
+      concat_ws("-", col("lang"), col("source")).as("tag"),
+      length(col("source")).cast("long").as("src_len"),
+      levenshtein(col("lang"), lit("en")).cast("long").as("lang_dist"))
+
   /** Extension — ROLLUP revenue (grouping-sets surface). */
   val rollupRevenue: Q = (s, dir) => {
     val o = t(s, dir, "orders")

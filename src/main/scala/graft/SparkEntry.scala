@@ -78,6 +78,9 @@ object SparkEntry {
     "window_tumbling" -> Queries.windowTumbling,
     "session_windows" -> Queries.sessionWindows,
     "text_quality_score" -> Queries.textQualityScore,
+    "pivot_counts" -> Queries.pivotCounts,
+    "unpivot_counts" -> Queries.unpivotCounts,
+    "f_string_funcs" -> Queries.fStringFuncs,
     "rollup_revenue" -> Queries.rollupRevenue,
     "emb_norm_stats" -> Queries.embNormStats,
     "media_profile" -> Queries.mediaProfile,
