@@ -350,6 +350,18 @@ object Oracles {
         |           / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0)) / 2, 4) AS quality
         |FROM documents""".stripMargin,
 
+    "asof_join" ->
+      s"""WITH j AS (
+         |  SELECT e.event_id AS log_id, e.user_id AS rsbsa_no,
+         |         o.o_orderkey, o.o_orderdate,
+         |    row_number() OVER (PARTITION BY e.event_id
+         |      ORDER BY (o.o_orderdate IS NULL), o.o_orderdate DESC,
+         |               o.o_orderkey DESC) AS rn
+         |  FROM (SELECT * FROM events WHERE $V) e
+         |  LEFT JOIN orders o
+         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+         |SELECT log_id, rsbsa_no, o_orderkey, o_orderdate FROM j WHERE rn = 1""".stripMargin,
+
     "pivot_counts" ->
       s"""SELECT user_id AS rsbsa_no,
          |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,

@@ -475,6 +475,23 @@ object Queries {
       col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
 
+  /** Extension — as-of join: each change-log event aligned to the
+    * latest order the same key placed at-or-before the event time.
+    */
+  val asofJoin: Q = (s, dir) => {
+    val events = Readers.validChangeLog(s, dir)
+      .select(col("log_id"), col("rsbsa_no"), col("ts"))
+    val orders = t(s, dir, "orders").select(
+      col("o_custkey").as("rsbsa_no"),
+      col("o_orderkey"),
+      col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
+    graft.operators.AsOfJoin.asOf(
+      events, orders.withColumnRenamed("rsbsa_no", "o_custkey"),
+      leftId = "log_id", leftKey = "rsbsa_no", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate", tieBreaker = "o_orderkey")
+      .select("log_id", "rsbsa_no", "o_orderkey", "o_orderdate")
+  }
+
   /** Extension — pivot: per-key event-type counts as columns. */
   val pivotCounts: Q = (s, dir) =>
     Readers.validChangeLog(s, dir)

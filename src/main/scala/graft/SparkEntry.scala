@@ -78,6 +78,7 @@ object SparkEntry {
     "window_tumbling" -> Queries.windowTumbling,
     "session_windows" -> Queries.sessionWindows,
     "text_quality_score" -> Queries.textQualityScore,
+    "asof_join" -> Queries.asofJoin,
     "pivot_counts" -> Queries.pivotCounts,
     "unpivot_counts" -> Queries.unpivotCounts,
     "f_string_funcs" -> Queries.fStringFuncs,

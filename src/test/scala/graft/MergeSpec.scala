@@ -106,6 +106,41 @@ class MergeSpec extends SparkSpec {
       .map(_.toString).count(_.contains("__bucket=")))
   }
 
+  test("asOf join: latest right at-or-before left time, tolerance, ties, no-match") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, "K1", ts("2024-01-01 10:00:30")),
+      (2L, "K1", ts("2024-01-01 10:05:00")),
+      (3L, "K2", ts("2024-01-01 10:00:00")), // no quote for K2
+      (4L, "K1", ts("2024-01-01 09:00:00")), // before all quotes
+    ).toDF("trade_id", "key", "t_time")
+    val quotes = Seq(
+      ("K1", 101L, ts("2024-01-01 10:00:00")),
+      ("K1", 102L, ts("2024-01-01 10:00:30")), // tie with trade 1 time
+      ("K1", 103L, ts("2024-01-01 10:00:30")), // same ts → tiebreak by id desc
+      ("K1", 104L, ts("2024-01-01 10:04:00")),
+    ).toDF("q_key", "quote_id", "q_time")
+    val out = graft.operators.AsOfJoin.asOf(
+      trades, quotes, "trade_id", "key", "q_key", "t_time", "q_time",
+      tieBreaker = "quote_id")
+      .select($"trade_id", $"quote_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(1L).contains(103L)) // equal ts allowed, max id wins tie
+    assert(out(2L).contains(104L)) // latest ≤ 10:05
+    assert(out(3L).isEmpty)        // left-outer: no quote for K2
+    assert(out(4L).isEmpty)        // nothing at-or-before
+
+    val bounded = graft.operators.AsOfJoin.asOf(
+      trades, quotes, "trade_id", "key", "q_key", "t_time", "q_time",
+      tieBreaker = "quote_id",
+      tolerance = Some(org.apache.spark.sql.functions.expr("INTERVAL 30 SECONDS")))
+      .select($"trade_id", $"quote_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(bounded(1L).contains(103L)) // exactly at trade time: within 30s
+    assert(bounded(2L).isEmpty)        // nearest quote is 60s old: outside tolerance
+  }
+
   test("normalization: uppercase is null-safe, string-only, idempotent") {
     val df = Seq(
       (Some("abc"), Some(1)), (None, Some(2)), (Some("MiXeD"), None),
