@@ -1,18 +1,24 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.plans.GraftFunctions
 
 /** Deduplication operators for training-data pipelines (north star).
   *
   * Scale design: every variant is candidate-generation + verification.
   * Exact dedup is a hash groupBy (one shuffle on the fingerprint).
+  * N-gram Jaccard generates candidates with prefix filtering (only the
+  * rarest shingles of each doc join — exact, never all-pairs).
   * MinHash/LSH and SimHash generate candidates by bucketing — only
-  * near-identical docs ever meet in a shuffle — and verification runs
-  * per candidate pair, never all-pairs. At 100 TB the all-pairs
-  * n-gram-Jaccard join is for verification of LSH candidates only; the
-  * standalone form here exists for oracle-checkable correctness at
-  * small SF.
+  * near-identical docs ever meet in a shuffle. Verification always runs
+  * per candidate pair against the per-doc shingle arrays.
+  *
+  * Shingling and MinHash signatures are single codegen'd kernel calls
+  * per document ([[graft.plans.TextKernels]]) — the document text is
+  * read once, narrowly, and never travels through a shuffle.
   */
 object Dedup {
 
@@ -36,9 +42,12 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct hashed w-token shingles per document. Hashing shingles to
-    * 64-bit immediately keeps all downstream state fixed-width — the
-    * document text never travels through a shuffle again.
+  /** Distinct hashed w-token shingles per document — column-level
+    * reference form (interpreted higher-order functions; kept as the
+    * semantic baseline the native kernel is unit-tested against).
+    * Hashing shingles to 64-bit immediately keeps all downstream state
+    * fixed-width — the document text never travels through a shuffle
+    * again.
     */
   def shingleHashes(text: Column, w: Int): Column = {
     val toks = split(lower(text), "\\s+")
@@ -48,33 +57,79 @@ object Dedup {
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w))))))
   }
 
+  /** Native (codegen'd) shingle-hash array — the hot-path form; one
+    * kernel call per row, same semantics as [[shingleHashes]].
+    */
+  def nativeShingles(text: Column, w: Int): Column =
+    call_function("graft_shingles", text, lit(w))
+
   def withShingles(docs: DataFrame, w: Int = 3): DataFrame =
     docs.select(col("doc_id"), shingleHashes(col("text"), w).as("shingles"))
 
   // ------------------------------------------------------ n-gram Jaccard
 
-  /** Exact n-gram Jaccard near-dup pairs: explode shingles, self-join on
-    * shingle hash, count intersections per pair, Jaccard =
-    * |∩| / (|A|+|B|−|∩|). Quadratic in the worst case — at scale this
-    * is the verify stage behind [[minHashCandidates]]; standalone it is
-    * SQL-expressible (DuckDB oracle).
+  /** Exact n-gram Jaccard near-dup pairs, scale-safe via **prefix
+    * filtering** (set-similarity-join literature: Chaudhuri et al.
+    * ICDE'06, Bayardo et al. WWW'07 All-Pairs). For threshold t, two
+    * docs with J(A,B) ≥ t share ≥ ⌈t·|A|⌉ shingles, so under any global
+    * shingle order each doc's first |S| − ⌈t·|S|⌉ + 1 shingles (its
+    * *prefix*) must contain a common element — the candidate join only
+    * touches prefixes. Ordering shingles by ascending document
+    * frequency puts the rarest shingles in the prefixes, so hot
+    * shingles (the quadratic blow-up in a naive self-join: f docs
+    * sharing a shingle ⇒ O(f²) join rows) are excluded unless a doc
+    * has nothing rarer. A length filter (J ≤ min/max of sizes) prunes
+    * further; exact verification on the per-doc shingle arrays keeps
+    * the output identical to the naive all-pairs form (DuckDB oracle).
     */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val ex = explodedShingles(docs, w)
-    val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = ex.select(col("doc_id").as("a_id"), col("sh"))
-    val b = ex.select(col("doc_id").as("b_id"), col("sh"))
-    a.join(b, Seq("sh"))
+    // Global rarity order: document frequency asc, shingle hash asc —
+    // consistent across docs (required for prefix-filter exactness).
+    val withDf = ex.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val ranked = withDf
+      .withColumn("rk", row_number().over(byRarity))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // Prefix length |S| − ⌈t·|S|⌉ + 1; the tiny epsilon keeps ceil from
+    // rounding an exactly-integer t·|S| up on FP noise (which would
+    // shorten the prefix and break exactness).
+    val prefix = ranked
+      .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("sh"), col("n_sh"))
+    val cands = prefix.select(col("doc_id").as("a_id"), col("sh"), col("n_sh").as("a_n"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("sh"), col("n_sh").as("b_n")),
+        Seq("sh"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
-      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
-      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
+      // length filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)
+      .filter(least(col("a_n"), col("b_n")).cast("double")
+        >= lit(threshold) * greatest(col("a_n"), col("b_n")).cast("double") - lit(1e-9))
+      .select("a_id", "b_id").distinct()
+    verifyPairs(docs, cands, w, threshold)
+      .select("a_id", "b_id", "inter", "jaccard")
+  }
+
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs against
+    * the per-doc shingle arrays: one narrow kernel pass rebuilds the
+    * arrays, the candidate set (small by construction) joins them on
+    * doc_id, and `array_intersect` computes |∩| inside codegen. Only
+    * candidate pairs ever pay verification cost.
+    */
+  private def verifyPairs(
+      docs: DataFrame, cands: DataFrame, w: Int, threshold: Double): DataFrame = {
+    val arrs = docs.select(col("doc_id"), nativeShingles(col("text"), w).as("shingles"))
+    cands
+      .join(arrs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
+      .join(arrs.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("inter"),
+        size(col("a_sh")).cast("long").as("a_n"),
+        size(col("b_sh")).cast("long").as("b_n"))
       .withColumn("jaccard",
         round(col("inter").cast("double")
           / (col("a_n") + col("b_n") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "inter", "jaccard")
   }
 
   // ------------------------------------------------------------- MinHash
@@ -114,57 +169,42 @@ object Dedup {
         h => pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(P)))))
   }
 
-  /** One row per (doc, distinct shingle hash) — the relational form all
-    * scale paths run on. Built with posexplode + lead windows instead
-    * of array lambdas: higher-order functions are interpreted (no
-    * codegen) and were the dominant cost; window + concat + xxhash64
-    * stay inside whole-stage codegen and the doc_id partitioning from
-    * the window is reused by every downstream per-doc aggregation.
-    * Semantics identical to [[shingleHashes]] (incl. the short-doc
-    * whole-text shingle).
+  /** One row per (doc, distinct shingle hash) — the relational form the
+    * prefix-filter candidate join runs on. One narrow codegen'd kernel
+    * call builds the distinct shingle array per row; explode is the
+    * only plan node after the scan. Semantics identical to
+    * [[shingleHashes]] (incl. the short-doc whole-text shingle) —
+    * unit-tested equivalence.
     */
   def explodedShingles(docs: DataFrame, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col("doc_id"), posexplode(split(lower(col("text")), "\\s+")))
-      .toDF("doc_id", "pos", "tok")
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val whole = Window.partitionBy("doc_id")
-    val leads = (1 until w).map(j => lead(col("tok"), j).over(byPos))
-    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
-    toks
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", (col("tok") +: leads): _*).as("shingle"),
-        full.as("full"),
-        count(lit(1)).over(whole).as("n"))
-      .filter(col("full") || (col("pos") === 0 && col("n") < w))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      .distinct()
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(nativeShingles(col("text"), w)).as("sh"))
   }
 
-  /** Signature table: doc_id, m0..m(k−1) minhash columns, n_sh shingle
-    * count. The k permutation-mins are k plain `min(...)` aggregates
-    * over the exploded shingle table — whole-stage codegen with
-    * map-side partial aggregation, one shuffle on doc_id. This is the
-    * 100 TB shape: no per-row array materialization, no interpreted
-    * higher-order functions in the hot path.
+  /** (doc_id, shingles, sig) sketch table: both the distinct-shingle
+    * array and the k-permutation MinHash signature are single kernel
+    * calls per row — the whole sketch is one narrow pass over the
+    * corpus, no shuffle at all until candidates join.
     */
-  private def signatureTable(ex: DataFrame, k: Int): DataFrame = {
-    val as = coeffs(k, 0x5eedL)
-    val bs = coeffs(k, 0xca5cadeL)
-    val folded = ex.withColumn("hm", pmod(col("sh"), lit(P)))
-    val aggs = (0 until k).map(i =>
-      min(pmod(lit(as(i)) * col("hm") + lit(bs(i)), lit(P))).as(s"m$i")) :+
-      count(lit(1)).as("n_sh")
-    folded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  private def sketchTable(docs: DataFrame, w: Int, k: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), nativeShingles(col("text"), w).as("shingles"))
+      .select(col("doc_id"), col("shingles"),
+        call_function("graft_minhash", col("shingles"), lit(k)).as("sig"))
   }
 
-  /** (band, band_hash, doc_id) bucket keys from the signature table. */
+  /** (band, band_hash, doc_id) bucket keys from the signature array:
+    * `bands` Murmur3 hashes over k/bands signature slots each —
+    * identical bucket values to a column-per-slot formulation, computed
+    * narrowly from the array.
+    */
   private def bandedBuckets(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash((b * r until (b + 1) * r).map(i => col(s"m$i")): _*).as("bh"))
+        hash((b * r until (b + 1) * r).map(i =>
+          element_at(col("sig"), i + 1)): _*).as("bh"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
@@ -172,12 +212,14 @@ object Dedup {
 
   /** LSH banding: split the signature into `bands` bands of `k/bands`
     * rows, hash each band, emit (band_idx, band_hash) bucket keys.
-    * Docs sharing any bucket become candidate pairs.
+    * Docs sharing any bucket become candidate pairs. The shuffle moves
+    * only (doc_id, band, bh) triples — never text, shingles, or
+    * signatures.
     */
   def minHashCandidates(
       docs: DataFrame, w: Int = 3, k: Int = 128, bands: Int = 32): DataFrame = {
     val banded = bandedBuckets(
-      signatureTable(explodedShingles(docs, w), k), k, bands)
+      sketchTable(docs, w, k).select(col("doc_id"), col("sig")), k, bands)
     val x = banded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
     val y = banded.select(col("band"), col("bh"), col("doc_id").as("b_id"))
     x.join(y, Seq("band", "bh"))
@@ -186,39 +228,22 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates verified with
-    * exact Jaccard — intersection counts come from re-joining the
-    * exploded shingle table on the candidate pairs, so only candidate
-    * pairs pay the verification cost and the whole pipeline stays in
-    * codegen.
+    * exact Jaccard on the per-doc shingle arrays. Plan shape: one
+    * narrow sketch pass, a bucket self-join over 24-byte rows, and a
+    * verification join that only candidate pairs pay for — the 100 TB
+    * shape.
     */
   def minHashDuplicates(
       docs: DataFrame, w: Int = 3, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
-    // The exploded shingle table and the signature table each feed
-    // multiple downstream branches (bands ×2 sides, sizes, verify);
-    // their shuffles are canonically identical, so Spark's
-    // ReusedExchange computes each once — no explicit persist (which
-    // would leak cache entries across repeated calls).
-    val ex = explodedShingles(docs, w)
-    val sig = signatureTable(ex, k)
-    val banded = bandedBuckets(sig, k, bands)
+    val banded = bandedBuckets(
+      sketchTable(docs, w, k).select(col("doc_id"), col("sig")), k, bands)
     val cands = banded
       .join(banded.select(col("band"), col("bh"), col("doc_id").as("b_id")),
         Seq("band", "bh"))
       .filter(col("doc_id") < col("b_id"))
       .select(col("doc_id").as("a_id"), col("b_id")).distinct()
-    val inter = cands
-      .join(ex.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
-      .join(ex.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-    val sizes = sig.select(col("doc_id"), col("n_sh"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double")
-          / (col("a_n") + col("b_n") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
+    verifyPairs(docs, cands, w, threshold)
       .select("a_id", "b_id", "jaccard")
   }
 

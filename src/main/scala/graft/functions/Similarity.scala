@@ -21,9 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantize a float embedding to exact integer components. */
-  def quantized(embedding: Column, scale: Int = 1000): Column =
+  /** Quantize a float embedding to exact integer components —
+    * column-level reference form (kept as the semantic baseline for
+    * the native kernel's equivalence test).
+    */
+  def quantizedHof(embedding: Column, scale: Int = 1000): Column =
     transform(embedding, x => round(x * scale).cast("long"))
+
+  /** Quantize a float embedding to exact integer components. Native
+    * codegen'd kernel; HALF_UP rounding bit-identical to `round()`.
+    */
+  def quantized(embedding: Column, scale: Int = 1000): Column =
+    call_function("graft_quantize", embedding, lit(scale))
 
   /** Exact integer dot product of two quantized vectors. */
   def intDot(a: Column, b: Column): Column =
@@ -68,8 +77,10 @@ object Similarity {
     * hyperplane components are deterministic pseudo-random ±[0,1)
     * values derived by hashing (plane, dim) — reproducible across runs
     * and engines, no RNG state. Narrow map-only transform (no shuffle).
+    * Column-level reference form, interpreted — kept as the baseline
+    * the native kernel is unit-tested against.
     */
-  def lshSignature(embedding: Column, planes: Int): Column =
+  private[graft] def lshSignatureHof(embedding: Column, planes: Int): Column =
     (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
       val dot = aggregate(
         zip_with(embedding,
@@ -80,6 +91,13 @@ object Similarity {
         lit(0.0), (a, v) => a + v)
       acc.bitwiseOR(when(dot > 0, lit(1L << p)).otherwise(lit(0L)))
     }
+
+  /** Random-hyperplane signature, native codegen'd kernel
+    * ([[graft.plans.HyperplaneSigExpr]]) — bit-identical buckets to
+    * [[lshSignatureHof]], one kernel call per row.
+    */
+  def lshSignature(embedding: Column, planes: Int): Column =
+    call_function("graft_hyperplane_sig", embedding, lit(planes))
 
   /** LSH-bucketed ANN: probes only meet corpus vectors in their own
     * sign-bucket. With p planes the corpus splits into ≤2^p buckets —

@@ -31,7 +31,26 @@ object GraftFunctions {
     ("graft_hamming64",
       new ExpressionInfo(classOf[Hamming64].getName, "graft_hamming64"),
       (es: Seq[Expression]) => Hamming64(es(0), es(1))),
+    // Text/dedup kernels: the scalar second argument must be a foldable
+    // literal (shingle width / permutation count / plane count).
+    ("graft_shingles",
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingles"),
+      (es: Seq[Expression]) => ShingleHashesExpr(es(0), foldedInt(es(1)))),
+    ("graft_minhash",
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
+      (es: Seq[Expression]) => MinHashSigExpr(es(0), foldedInt(es(1)))),
+    ("graft_hyperplane_sig",
+      new ExpressionInfo(classOf[HyperplaneSigExpr].getName, "graft_hyperplane_sig"),
+      (es: Seq[Expression]) => HyperplaneSigExpr(es(0), foldedInt(es(1)))),
+    ("graft_quantize",
+      new ExpressionInfo(classOf[QuantizeExpr].getName, "graft_quantize"),
+      (es: Seq[Expression]) => QuantizeExpr(es(0), foldedInt(es(1)))),
   )
+
+  private def foldedInt(e: Expression): Int = {
+    require(e.foldable, s"expected a foldable integer literal, got $e")
+    e.eval().asInstanceOf[Number].intValue()
+  }
 
   /** Idempotent imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,250 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-at-a-time kernels for the text/dedup hot paths, called from
+  * generated code (one static call per row keeps the whole pipeline
+  * inside whole-stage codegen; the per-row work is a tight JVM loop
+  * instead of interpreted higher-order-function lambdas, which round-1
+  * profiling showed to be ~20× slower).
+  *
+  * Semantics mirror the column-level baselines exactly (unit-tested
+  * equivalence):
+  *  - [[shingleHashes]] ≡ `xxhash64(concat_ws(" ", slice(split(lower(text),
+  *    "\\s+"), i, w)))` distinct, incl. the whole-text shingle for docs
+  *    shorter than `w` tokens.
+  *  - [[minHashSig]] ≡ k min-aggregates of `(a_i·pmod(sh,P) + b_i) mod P`
+  *    with the splitmix64-derived coefficients.
+  *  - [[hyperplaneSig]] ≡ [[graft.functions.Similarity]] random-hyperplane
+  *    sign bits (same hash-derived plane components, same accumulation
+  *    order, bit-identical buckets).
+  */
+object TextKernels {
+
+  /** xxhash64 seed used by Spark's `xxhash64` function. */
+  private final val Seed = 42L
+
+  /** Mersenne prime 2^31−1 — universal-hash modulus (see
+    * [[graft.functions.Dedup]]): folding inputs to [0, P) keeps
+    * `a·h + b` below 2^62, no 64-bit wraparound under ANSI mode.
+    */
+  final val P = 2147483647L
+
+  /** splitmix64 of (salt, i): well-mixed, reproducible — identical to
+    * the round-1 column-level coefficient derivation.
+    */
+  private def splitmix(salt: Long, i: Int): Long = {
+    var z = salt + 0x9e3779b97f4a7c15L * (i + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z & 0x7fffffffL) | 1L // odd, < 2^31
+  }
+
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def coeffs(k: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(k, k =>
+      (Array.tabulate(k)(splitmix(0x5eedL, _)),
+        Array.tabulate(k)(splitmix(0xca5cadeL, _))))
+
+  /** Distinct 64-bit hashes of the w-token shingles of `text`
+    * (lowercased, whitespace-tokenized; one whole-text shingle when the
+    * doc has fewer than `w` tokens).
+    */
+  def shingleHashes(text: UTF8String, w: Int): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val n = toks.length
+    val count = math.max(n - w, 0) + 1
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var m = 0
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      val end = math.min(i + w, n)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val h = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), Seed)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == count) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  /** k-permutation MinHash signature of a shingle-hash array. */
+  def minHashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = coeffs(k)
+    val mins = Array.fill(k)(P)
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      val hm = ((shingles.getLong(j) % P) + P) % P
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * hm + bs(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** Random-hyperplane sign signature: bit p of the result is set when
+    * the dot product of the embedding with pseudo-random plane p is
+    * positive. Plane components are hash-derived (`xxhash64(p·7919 + i)
+    * mod 2000`, shifted to ±1), identical to the round-1 column form,
+    * and accumulation is in element order for bit-identical buckets.
+    */
+  def hyperplaneSig(emb: ArrayData, planes: Int, isFloat: Boolean): Long = {
+    val n = emb.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      val base = p.toLong * 7919
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+        val h = XXH64.hashLong(base + i, Seed)
+        val wgt = (((h % 2000L) + 2000L) % 2000L - 1000L).toDouble / 1000.0
+        dot += x * wgt
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Quantize a float/double embedding to exact integer components
+    * (`round(x·scale)` as long) — same contract as
+    * [[graft.functions.Similarity.quantized]]. Rounding goes through
+    * `BigDecimal.valueOf(...).setScale(0, HALF_UP)` — exactly what
+    * Spark's `round()` does — so results are bit-identical to the
+    * column form (`Math.round` would differ on negative halves).
+    */
+  def quantize(emb: ArrayData, scale: Int, isFloat: Boolean): ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      out(i) = java.math.BigDecimal.valueOf(x * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `graft_shingles(text, w)` — distinct w-token shingle hashes. */
+case class ShingleHashesExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.shingleHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(shingles, k)` — k-permutation MinHash signature. */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minHashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.minHashSig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** `graft_hyperplane_sig(embedding, planes)` — packed sign bits of
+  * `planes` pseudo-random hyperplane dot products (LSH bucket key).
+  */
+case class HyperplaneSigExpr(child: Expression, planes: Int)
+    extends UnaryExpression {
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"expected array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.hyperplaneSig(input.asInstanceOf[ArrayData], planes, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.hyperplaneSig($c, $planes, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
+}
+
+/** `graft_quantize(embedding, scale)` — integer-quantized vector. */
+case class QuantizeExpr(child: Expression, scale: Int)
+    extends UnaryExpression {
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"expected array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.quantize(input.asInstanceOf[ArrayData], scale, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.quantize($c, $scale, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeExpr =
+    copy(child = newChild)
+}
