@@ -538,7 +538,8 @@ object Queries {
   /** Extension — per-label embedding norm statistics (exact integer
     * norms, single-division average).
     */
-  val embNormStats: Q = (s, dir) =>
+  val embNormStats: Q = (s, dir) => {
+    graft.plans.GraftFunctions.register(s)
     t(s, dir, "embeddings").select(
       col("label"),
       Similarity.intNormSq(Similarity.quantized(col("embedding"))).as("nsq"))
@@ -546,6 +547,7 @@ object Queries {
       .agg(
         count(lit(1)).as("n"),
         (sum(col("nsq")).cast("double") / count(lit(1))).as("avg_norm_sq"))
+  }
 
   /** Multimodal — columnar metadata profile (no payload decode). */
   val mediaProfile: Q = (s, dir) =>

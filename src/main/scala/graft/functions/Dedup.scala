@@ -59,9 +59,12 @@ object Dedup {
 
   /** Native (codegen'd) shingle-hash array — the hot-path form; one
     * kernel call per row, same semantics as [[shingleHashes]].
+    * Self-registering: resolves on any session.
     */
-  def nativeShingles(text: Column, w: Int): Column =
+  def nativeShingles(text: Column, w: Int): Column = {
+    GraftFunctions.registerActive()
     call_function("graft_shingles", text, lit(w))
+  }
 
   def withShingles(docs: DataFrame, w: Int = 3): DataFrame =
     docs.select(col("doc_id"), shingleHashes(col("text"), w).as("shingles"))

@@ -30,9 +30,13 @@ object Similarity {
 
   /** Quantize a float embedding to exact integer components. Native
     * codegen'd kernel; HALF_UP rounding bit-identical to `round()`.
+    * Self-registering: resolves on any session, no pipeline ordering
+    * dependency.
     */
-  def quantized(embedding: Column, scale: Int = 1000): Column =
+  def quantized(embedding: Column, scale: Int = 1000): Column = {
+    graft.plans.GraftFunctions.registerActive()
     call_function("graft_quantize", embedding, lit(scale))
+  }
 
   /** Exact integer dot product of two quantized vectors. */
   def intDot(a: Column, b: Column): Column =
@@ -94,10 +98,12 @@ object Similarity {
 
   /** Random-hyperplane signature, native codegen'd kernel
     * ([[graft.plans.HyperplaneSigExpr]]) — bit-identical buckets to
-    * [[lshSignatureHof]], one kernel call per row.
+    * [[lshSignatureHof]], one kernel call per row. Self-registering.
     */
-  def lshSignature(embedding: Column, planes: Int): Column =
+  def lshSignature(embedding: Column, planes: Int): Column = {
+    graft.plans.GraftFunctions.registerActive()
     call_function("graft_hyperplane_sig", embedding, lit(planes))
+  }
 
   /** LSH-bucketed ANN: probes only meet corpus vectors in their own
     * sign-bucket. With p planes the corpus splits into ≤2^p buckets —

@@ -59,6 +59,18 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
 
+  /** Register on the thread's active (or default) session. The
+    * Column-level wrappers ([[graft.functions.Similarity.quantized]],
+    * [[graft.functions.Dedup.nativeShingles]], …) call this before
+    * emitting a `call_function`, so they resolve on ANY session —
+    * including a fresh one that never ran a registering pipeline.
+    * (Spark 4 analyzes `Dataset.select` eagerly, so resolution must be
+    * guaranteed at Column-construction time, not first-action time.)
+    */
+  def registerActive(): Unit =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+
   /** Column-API wrappers (register first). */
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

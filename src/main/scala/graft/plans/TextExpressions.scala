@@ -84,19 +84,24 @@ object TextKernels {
       if (m == count) out else java.util.Arrays.copyOf(out, m))
   }
 
-  /** k-permutation MinHash signature of a shingle-hash array. */
+  /** k-permutation MinHash signature of a shingle-hash array. Null
+    * elements are skipped (the column form's `transform` propagates
+    * null through `pmod`, and `array_min` ignores nulls — same result).
+    */
   def minHashSig(shingles: ArrayData, k: Int): ArrayData = {
     val (as, bs) = coeffs(k)
     val mins = Array.fill(k)(P)
     val n = shingles.numElements()
     var j = 0
     while (j < n) {
-      val hm = ((shingles.getLong(j) % P) + P) % P
-      var i = 0
-      while (i < k) {
-        val v = (as(i) * hm + bs(i)) % P
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      if (!shingles.isNullAt(j)) {
+        val hm = ((shingles.getLong(j) % P) + P) % P
+        var i = 0
+        while (i < k) {
+          val v = (as(i) * hm + bs(i)) % P
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -142,9 +147,17 @@ object TextKernels {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
-      out(i) = java.math.BigDecimal.valueOf(x * scale)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      // Mirror `round(x * scale).cast("long")` exactly. Spark coerces
+      // float×int to DOUBLE (verified empirically in
+      // KernelEquivalenceSpec: 0.0025f×1000 → 2.4999998975… → 2,
+      // whereas a float-precision product would give 2.5f → 3), so the
+      // float element is widened BEFORE the multiply, and rounding goes
+      // through BigDecimal.valueOf like Spark's Round on DoubleType.
+      val d = (if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)) * scale
+      out(i) =
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d.toLong
+        else java.math.BigDecimal.valueOf(d)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)

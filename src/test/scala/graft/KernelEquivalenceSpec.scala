@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity}
+
+/** Explicit kernel-vs-column-baseline equivalence (VERDICT r2 item 7):
+  * every native Catalyst kernel must produce the same values as the
+  * interpreted higher-order-function form it replaced, on both the
+  * driver fixtures and constructed edge cases (float and double
+  * element types, negatives, half-way rounding values, nulls).
+  */
+class KernelEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("graft_quantize ≡ quantizedHof on the fixture embeddings") {
+    val both = embs.select(
+      Similarity.quantizedHof($"embedding").as("hof"),
+      Similarity.quantized($"embedding").as("native"))
+    assert(both.filter(not($"hof" <=> $"native")).count() == 0)
+  }
+
+  test("graft_quantize ≡ quantizedHof on float edge cases") {
+    // Half-way products, negatives, float-vs-double product divergence
+    // candidates, and the empty array.
+    val df = Seq(
+      Array(0.0005f, -0.0005f, 0.0015f, -0.0015f, 0.0025f),
+      Array(1.5f, -1.5f, 2.5f, -2.5f, 0.5f, -0.5f),
+      Array(0.1f, -0.1f, 0.9999995f, 1e-9f, -1e-9f),
+      Array.empty[Float],
+    ).toDF("embedding")
+    val both = df.select(
+      Similarity.quantizedHof($"embedding").as("hof"),
+      Similarity.quantized($"embedding").as("native"))
+    assert(both.filter(not($"hof" <=> $"native")).count() == 0)
+  }
+
+  test("graft_quantize ≡ quantizedHof on double arrays") {
+    val df = Seq(
+      Array(0.0005, -0.0005, 1.5, -1.5, 0.12345),
+      Array(-0.9999995, 1e-12, -1e-12),
+    ).toDF("embedding")
+    val both = df.select(
+      Similarity.quantizedHof($"embedding").as("hof"),
+      Similarity.quantized($"embedding").as("native"))
+    assert(both.filter(not($"hof" <=> $"native")).count() == 0)
+  }
+
+  test("graft_minhash ≡ minHashSignature on fixture shingle arrays") {
+    val sh = docs.select(Dedup.nativeShingles($"text", 3).as("shingles"))
+    val both = sh.select(
+      Dedup.minHashSignature($"shingles", 32).as("hof"),
+      call_function("graft_minhash", $"shingles", lit(32)).as("native"))
+    assert(both.filter(not($"hof" <=> $"native")).count() == 0)
+  }
+
+  test("graft_minhash skips null elements (≡ array_min null-ignore)") {
+    val df = Seq(
+      (Seq[Option[Long]](Some(42L), None, Some(-7L)), Seq(42L, -7L)),
+      (Seq[Option[Long]](None, Some(0L)), Seq(0L)),
+    ).toDF("with_null", "without")
+    val both = df.select(
+      call_function("graft_minhash", $"with_null", lit(16)).as("a"),
+      call_function("graft_minhash", $"without", lit(16)).as("b"),
+      Dedup.minHashSignature($"with_null", 16).as("hof"))
+    assert(both.filter(not($"a" <=> $"b") || not($"a" <=> $"hof")).count() == 0)
+  }
+
+  test("graft_hyperplane_sig ≡ lshSignatureHof on the fixture embeddings") {
+    val both = embs.select(
+      Similarity.lshSignatureHof($"embedding", 8).as("hof"),
+      Similarity.lshSignature($"embedding", 8).as("native"))
+    assert(both.filter(not($"hof" <=> $"native")).count() == 0)
+  }
+
+  test("graft_hyperplane_sig ≡ lshSignatureHof on doubles incl. empty") {
+    val df = Seq(
+      Array(0.3, -0.7, 0.2, 0.9),
+      Array(-1.0, -2.0),
+      Array.empty[Double],
+    ).toDF("embedding")
+    val both = df.select(
+      Similarity.lshSignatureHof($"embedding", 12).as("hof"),
+      Similarity.lshSignature($"embedding", 12).as("native"))
+    assert(both.filter(not($"hof" <=> $"native")).count() == 0)
+  }
+
+  test("quantized/lshSignature/nativeShingles resolve on a fresh session") {
+    // Regression for VERDICT r2 #1/#2: a brand-new session (empty
+    // function registry) must be able to run the wrapper-based queries
+    // standalone — no alphabetically-earlier query registering kernels
+    // as a side effect.
+    val fresh = spark.newSession()
+    SparkSession.setActiveSession(fresh)
+    try {
+      assert(Queries.embNormStats(fresh, sfDir).count() > 0)
+      assert(Queries.simCosineTopk(fresh, sfDir).count() > 0)
+      val sh = fresh.read.parquet(s"$sfDir/documents.parquet")
+        .select(Dedup.nativeShingles(col("text"), 3).as("s"))
+      assert(sh.filter(size(col("s")) > 0).count() > 0)
+    } finally SparkSession.setActiveSession(spark)
+  }
+}
