@@ -16,6 +16,12 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong, AtomicReference}
   */
 object Cron {
 
+  /** The reference runs node-cron with `timezone: "Asia/Manila"`
+    * (`index.js:75-86`) — matching is evaluated in that zone unless a
+    * caller overrides it.
+    */
+  val DefaultZone: java.time.ZoneId = java.time.ZoneId.of("Asia/Manila")
+
   /** F11 — validate a 5-field cron pattern (minute hour dom month dow;
     * numbers, star, step, lists, ranges — the subset node-cron accepts
     * for the reference's use).
@@ -26,32 +32,49 @@ object Cron {
   def isValid(pattern: String): Boolean =
     cronRe.pattern.matcher(pattern.trim).matches()
 
-  /** Does a single cron field match a value? Supports star, step
-    * (*&#47;n), fixed numbers, ranges, and comma lists.
+  /** Does a single cron field match a value? Supports star, steps
+    * (`*&#47;n`, `a-b/n`, `n/m` = n..max/m, Vixie-style), fixed
+    * numbers, ranges, and comma lists. Step expansion starts at the
+    * field's range minimum (so `*&#47;5` on day-of-month fires on the
+    * 1st, 6th, …, like node-cron's range expansion — not on multiples
+    * of 5).
     */
-  private def fieldMatches(field: String, value: Long): Boolean =
-    field.split(",").exists {
-      case "*" => true
-      case st if st.startsWith("*/") => value % st.drop(2).toLong == 0
-      case r if r.contains("-") =>
-        val Array(a, b) = r.split("-", 2)
-        val (lo, hi) = (a.takeWhile(_.isDigit).toLong, b.takeWhile(_.isDigit).toLong)
-        value >= lo && value <= hi
-      case n if n.forall(_.isDigit) => n.toLong == value
-      case _ => false
+  private def fieldMatches(
+      field: String, value: Int, rangeMin: Int, rangeMax: Int): Boolean =
+    field.split(",").exists { part =>
+      val (body, step) = part.split("/", 2) match {
+        case Array(b, s) => (b, s.toInt)
+        case Array(b) => (b, 1)
+      }
+      val (lo, hi) = body match {
+        case "*" => (rangeMin, rangeMax)
+        case r if r.contains("-") =>
+          val Array(a, b) = r.split("-", 2); (a.toInt, b.toInt)
+        case n if step == 1 => (n.toInt, n.toInt)
+        case n => (n.toInt, rangeMax) // Vixie: "n/step" = n..max by step
+      }
+      value >= lo && value <= hi && (value - lo) % step == 0
     }
 
-  /** Does the pattern fire at the given instant (minute + hour fields;
-    * day-of-month/month/day-of-week are treated as `*`, matching the
-    * reference's observed cadences)?
+  /** Does the pattern fire at the given instant? All five fields are
+    * honored (`0 0 1 * *` fires monthly, not daily), matched in `zone`
+    * (reference: Asia/Manila). Like node-cron — and unlike Vixie cron's
+    * dom-OR-dow rule — restricted day-of-month AND day-of-week must
+    * both match. Day-of-week accepts 0-7 with both 0 and 7 = Sunday.
     */
-  def matches(pattern: String, atMs: Long): Boolean = {
+  def matches(
+      pattern: String, atMs: Long,
+      zone: java.time.ZoneId = DefaultZone): Boolean = {
     require(isValid(pattern), s"invalid cron pattern: $pattern")
-    val fields = pattern.trim.split("\\s+")
-    val t = java.time.Instant.ofEpochMilli(atMs)
-      .atZone(java.time.ZoneOffset.UTC)
-    fieldMatches(fields(0), t.getMinute.toLong) &&
-      fieldMatches(fields(1), t.getHour.toLong)
+    val f = pattern.trim.split("\\s+")
+    val t = java.time.Instant.ofEpochMilli(atMs).atZone(zone)
+    val dow = t.getDayOfWeek.getValue % 7 // java: Mon=1..Sun=7 → cron Sun=0
+    fieldMatches(f(0), t.getMinute, 0, 59) &&
+      fieldMatches(f(1), t.getHour, 0, 23) &&
+      fieldMatches(f(2), t.getDayOfMonth, 1, 31) &&
+      fieldMatches(f(3), t.getMonthValue, 1, 12) &&
+      (fieldMatches(f(4), dow, 0, 7) ||
+        (dow == 0 && fieldMatches(f(4), 7, 0, 7)))
   }
 
   /** Delay in milliseconds from `nowMs` to the next minute boundary
@@ -68,6 +91,7 @@ final case class SchedulerStatus(
     lastRunMs: Option[Long],
     runsCompleted: Long,
     uptimeMs: Long,
+    lastError: Option[String] = None,
 )
 
 /** Single-flight scheduled runner: at each tick, skip if the previous
@@ -84,6 +108,7 @@ final class EtlScheduler(run: () => Unit) {
   private val startTime = new AtomicReference[Option[Long]](None)
   private val lastRun = new AtomicReference[Option[Long]](None)
   private val runs = new AtomicLong(0)
+  private val lastError = new AtomicReference[Option[String]](None)
 
   /** Single-flight guarded execution (R3): returns false when a run is
     * already in flight (the 409 path) — the claim itself is the CAS, so
@@ -111,12 +136,28 @@ final class EtlScheduler(run: () => Unit) {
     require(scheduled.get().isEmpty, "already scheduled")
     startTime.set(Some(System.currentTimeMillis()))
     scheduled.set(Some(exec.scheduleAtFixedRate(
-      () => if (Cron.matches(cronPattern, System.currentTimeMillis())) {
-        val _ = runGuarded()
-      },
+      () => tickOnce(cronPattern),
       Cron.nextMinuteDelayMs(System.currentTimeMillis()),
       60000L, TimeUnit.MILLISECONDS)))
   }
+
+  /** One scheduler tick: fire when the pattern matches this minute.
+    * MUST NOT throw — `scheduleAtFixedRate` permanently cancels the
+    * schedule on an escaped exception while `status` would keep
+    * reporting `scheduled=true`; a failing run is instead recorded in
+    * [[SchedulerStatus.lastError]] and the cadence continues (the
+    * reference's node-cron task survives a failed `runETLProcess` the
+    * same way). Package-visible so the no-throw contract is testable
+    * without waiting for a minute boundary.
+    */
+  private[graft] def tickOnce(cronPattern: String): Unit =
+    try {
+      if (Cron.matches(cronPattern, System.currentTimeMillis())) {
+        val _ = runGuarded()
+      }
+    } catch {
+      case e: Throwable => lastError.set(Some(e.toString))
+    }
 
   /** Immediate one-shot run (the `/api/start-etl-force` path, E1).
     * Returns false — without running — when a run is already in
@@ -145,5 +186,6 @@ final class EtlScheduler(run: () => Unit) {
     runsCompleted = runs.get(),
     uptimeMs = startTime.get()
       .map(System.currentTimeMillis() - _).getOrElse(0L),
+    lastError = lastError.get(),
   )
 }

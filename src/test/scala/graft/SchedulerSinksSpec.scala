@@ -32,18 +32,62 @@ class SchedulerSinksSpec extends SparkSpec {
     assert(sched.runOnce()) // accepted after completion
   }
 
-  test("cron matching honors minute/hour fields (fires on cadence, not every minute)") {
-    def ms(h: Int, m: Int): Long =
-      java.time.LocalDateTime.of(2026, 8, 12, h, m)
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-    assert(Cron.matches("*/5 * * * *", ms(3, 10)))
-    assert(!Cron.matches("*/5 * * * *", ms(3, 11)))
-    assert(Cron.matches("0 3 * * 1", ms(3, 0)))
-    assert(!Cron.matches("0 3 * * 1", ms(4, 0)))
-    assert(!Cron.matches("0 3 * * 1", ms(3, 1)))
-    assert(Cron.matches("0,30 1-5 * * *", ms(2, 30)))
-    assert(!Cron.matches("0,30 1-5 * * *", ms(6, 30)))
-    assert(Cron.matches("* * * * *", ms(23, 59)))
+  test("cron matching honors all five fields in the reference's zone") {
+    // Times are MANILA wall-clock (the zone node-cron runs in,
+    // index.js:75-86). 2026-08-10 = Monday, 08-12 = Wednesday,
+    // 08-16 = Sunday.
+    def ms(mo: Int, d: Int, h: Int, m: Int): Long =
+      java.time.ZonedDateTime.of(2026, mo, d, h, m, 0, 0, Cron.DefaultZone)
+        .toInstant.toEpochMilli
+    assert(Cron.matches("*/5 * * * *", ms(8, 12, 3, 10)))
+    assert(!Cron.matches("*/5 * * * *", ms(8, 12, 3, 11)))
+    assert(Cron.matches("0,30 1-5 * * *", ms(8, 12, 2, 30)))
+    assert(!Cron.matches("0,30 1-5 * * *", ms(8, 12, 6, 30)))
+    assert(Cron.matches("* * * * *", ms(8, 12, 23, 59)))
+    // Zone: 03:00 Manila is 19:00 UTC the previous day — a UTC matcher
+    // would reject the hour field.
+    assert(Cron.matches("0 3 * * *", ms(8, 12, 3, 0)))
+    // Day-of-week: Monday-only pattern fires Monday, not Wednesday,
+    // and both 0 and 7 mean Sunday.
+    assert(Cron.matches("0 3 * * 1", ms(8, 10, 3, 0)))
+    assert(!Cron.matches("0 3 * * 1", ms(8, 12, 3, 0)))
+    assert(!Cron.matches("0 3 * * 1", ms(8, 10, 4, 0)))
+    assert(Cron.matches("0 3 * * 0", ms(8, 16, 3, 0)))
+    assert(Cron.matches("0 3 * * 7", ms(8, 16, 3, 0)))
+    // Day-of-month + month: a monthly pattern fires ONLY on the 1st
+    // (the round-1/2 matcher fired it daily), a yearly one only in its
+    // month.
+    assert(Cron.matches("0 0 1 * *", ms(9, 1, 0, 0)))
+    assert(!Cron.matches("0 0 1 * *", ms(8, 12, 0, 0)))
+    assert(Cron.matches("0 0 1 9 *", ms(9, 1, 0, 0)))
+    assert(!Cron.matches("0 0 1 8 *", ms(9, 1, 0, 0)))
+    // Step expansion anchors at the field's range minimum: */7 on
+    // day-of-month fires on the 1st, 8th, … — not on multiples of 7.
+    assert(Cron.matches("0 0 */7 * *", ms(8, 8, 0, 0)))
+    assert(!Cron.matches("0 0 */7 * *", ms(8, 7, 0, 0)))
+    // node-cron AND rule: restricted dom and dow must BOTH match.
+    assert(Cron.matches("0 0 10 * 1", ms(8, 10, 0, 0)))  // Mon the 10th
+    assert(!Cron.matches("0 0 10 * 0", ms(8, 10, 0, 0))) // Mon, not Sun
+    assert(!Cron.matches("0 0 16 * 1", ms(8, 10, 0, 0))) // Mon, not 16th
+  }
+
+  test("scheduler tick survives a throwing run and reports lastError (R1)") {
+    val boom = new EtlScheduler(() => sys.error("etl exploded"))
+    boom.tickOnce("* * * * *") // must not throw — cadence would die
+    assert(boom.status.lastError.exists(_.contains("etl exploded")))
+    assert(!boom.status.running)
+    assert(boom.status.runsCompleted == 0)
+    // A subsequent healthy tick still fires: the schedule survived.
+    var ran = false
+    val ok = new EtlScheduler(() => { ran = true })
+    ok.tickOnce("* * * * *")
+    assert(ran && ok.status.runsCompleted == 1)
+    // Non-matching minute: no fire, no error.
+    val never = new EtlScheduler(() => fail("must not fire"))
+    val nowManila = java.time.Instant.now().atZone(Cron.DefaultZone)
+    val otherMinute = (nowManila.getMinute + 30) % 60
+    never.tickOnce(s"$otherMinute * * * *")
+    assert(never.status.runsCompleted == 0 && never.status.lastError.isEmpty)
   }
 
   test("status bookkeeping + graceful stop (R6/R7)") {
