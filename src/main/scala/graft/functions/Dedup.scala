@@ -268,22 +268,28 @@ object Dedup {
     }
   }
 
-  /** SimHash fingerprints as a table, computed scale-shaped: explode
-    * token hashes, 64 codegen'd vote sums in one grouped aggregation,
-    * then pack the sign bits. (Column-expression variant [[simHash]]
-    * kept for composability/tests.)
+  /** Per-occurrence token hashes (duplicates kept — SimHash votes per
+    * occurrence), native codegen'd kernel; same semantics as
+    * `transform(split(lower(text), "\\s+"), xxhash64)` (unit-tested
+    * equivalence). Self-registering.
+    */
+  def nativeTokenHashes(text: Column): Column = {
+    GraftFunctions.registerActive()
+    call_function("graft_tokenhashes", text)
+  }
+
+  /** SimHash fingerprints as a table: the whole 64-bit fingerprint is
+    * TWO codegen'd kernel calls per document (token hashes → vote-sign
+    * pack), a purely narrow map over the corpus — no explode, no
+    * shuffle at all until the bucket join. (Round 2 shuffled every
+    * token row into a 64-vote-sum aggregation; round 1 used interpreted
+    * HOF lambdas. Column-expression variant [[simHash]] kept for
+    * composability/tests.)
     */
   def simHashTable(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(transform(split(lower(col("text")), "\\s+"), t => xxhash64(t))).as("h"))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
-        .otherwise(lit(-1L))).as(s"v$b"))
-    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-          acc.bitwiseOR(when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        }.as("fp"))
+    GraftFunctions.registerActive()
+    docs.select(col("doc_id"),
+      call_function("graft_simhash64", nativeTokenHashes(col("text"))).as("fp"))
   }
 
   /** SimHash near-dup pairs within a Hamming radius. Pigeonhole

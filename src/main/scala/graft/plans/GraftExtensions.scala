@@ -36,6 +36,12 @@ object GraftFunctions {
     ("graft_shingles",
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingles"),
       (es: Seq[Expression]) => ShingleHashesExpr(es(0), foldedInt(es(1)))),
+    ("graft_tokenhashes",
+      new ExpressionInfo(classOf[TokenHashesExpr].getName, "graft_tokenhashes"),
+      (es: Seq[Expression]) => TokenHashesExpr(es.head)),
+    ("graft_simhash64",
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (es: Seq[Expression]) => SimHash64Expr(es.head)),
     ("graft_minhash",
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
       (es: Seq[Expression]) => MinHashSigExpr(es(0), foldedInt(es(1)))),

@@ -84,6 +84,23 @@ object TextKernels {
       if (m == count) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** xxhash64 of every whitespace token of the lowercased text, in
+    * order, duplicates kept — ≡ `transform(split(lower(text), "\\s+"),
+    * xxhash64)` (SimHash needs every occurrence to vote, so no
+    * distinct; `split` with its default -1 limit keeps leading/trailing
+    * empty tokens, and so does this).
+    */
+  def tokenHashes(text: UTF8String): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), Seed)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** k-permutation MinHash signature of a shingle-hash array. Null
     * elements are skipped (the column form's `transform` propagates
     * null through `pmod`, and `array_min` ignores nulls — same result).
@@ -106,6 +123,34 @@ object TextKernels {
       j += 1
     }
     UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** 64-bit SimHash fingerprint from per-occurrence token hashes: per
+    * bit, each token votes +1/−1 by its bit value; the fingerprint bit
+    * is the sign of the vote sum. One tight pass over the token array —
+    * ≡ the 64-vote-sum grouped aggregation (unit-tested equivalence)
+    * but with no explode and no shuffle.
+    */
+  def simHash64(toks: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = toks.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
   }
 
   /** Random-hyperplane sign signature: bit p of the result is set when
@@ -181,6 +226,47 @@ case class ShingleHashesExpr(child: Expression, w: Int)
     defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.shingleHashes($c, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** `graft_tokenhashes(text)` — per-occurrence token hashes. */
+case class TokenHashesExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.tokenHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+}
+
+/** `graft_simhash64(token_hashes)` — 64-bit SimHash fingerprint. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"expected array<bigint> not null, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simHash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.simHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
 }
 

@@ -50,6 +50,25 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(both.filter(not($"hof" <=> $"native")).count() == 0)
   }
 
+  test("graft_tokenhashes ≡ transform(split(lower),xxhash64) incl. dup/empty tokens") {
+    val fixture = docs.select($"text")
+    val edge = Seq("", " ", "a  b a", " leading", "trailing ", "UP low UP")
+      .toDF("text")
+    for (df <- Seq(fixture, edge)) {
+      val both = df.select(
+        transform(split(lower($"text"), "\\s+"), t => xxhash64(t)).as("hof"),
+        Dedup.nativeTokenHashes($"text").as("native"))
+      assert(both.filter(not($"hof" <=> $"native")).count() == 0)
+    }
+  }
+
+  test("graft_simhash64 ∘ graft_tokenhashes ≡ column-form simHash on fixtures") {
+    val both = docs.select(
+      Dedup.simHash($"text").as("hof"),
+      call_function("graft_simhash64", Dedup.nativeTokenHashes($"text")).as("native"))
+    assert(both.filter(not($"hof" <=> $"native")).count() == 0)
+  }
+
   test("graft_minhash ≡ minHashSignature on fixture shingle arrays") {
     val sh = docs.select(Dedup.nativeShingles($"text", 3).as("shingles"))
     val both = sh.select(
