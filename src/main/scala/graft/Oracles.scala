@@ -37,6 +37,15 @@ object Oracles {
          |  SELECT o_orderkey FROM orders WHERE o_custkey IN (
          |    SELECT DISTINCT user_id FROM events WHERE $V))""".stripMargin,
 
+    // Cascade (S7/J5): the sparse batch names ONLY ownership rows
+    // (click, value < 1); the cascade relabels them as parcel keys,
+    // then the standard two-hop orders→lineitem extract runs.
+    "s7_cascade_extract" ->
+      s"""SELECT * FROM lineitem WHERE l_orderkey IN (
+         |  SELECT o_orderkey FROM orders WHERE o_custkey IN (
+         |    SELECT DISTINCT user_id FROM events
+         |    WHERE user_id IS NOT NULL AND event_type = 'click' AND value < 1))""".stripMargin,
+
     "s8_point_lookup" ->
       "SELECT * FROM orders WHERE o_orderkey = 1 LIMIT 1",
 

@@ -77,6 +77,42 @@ object Queries {
         "l_returnflag", "l_linestatus", "l_shipdate")
   }
 
+  /** S7/J5 — cascade extract through the SHARED pipeline
+    * implementation ([[graft.pipeline.EtlRun.cascadeLog]] +
+    * [[graft.pipeline.EtlRun.extractFor]]): the fixture log's `click`
+    * rows play `farmparcelownership`, `view` rows play `farmparcel`;
+    * orders is the ownership bridge, lineitem the parcel table. The
+    * cascade relabels ownership rows as parcel rows, so the parcel
+    * key set is view-users ∪ click-users — then the standard two-hop
+    * extract runs.
+    */
+  val s7CascadeExtract: Q = (s, dir) => {
+    // Sparse batch (value < 1) so the key set doesn't saturate the
+    // dense fixtures; ONLY ownership rows are named, so every result
+    // row exists because cascadeLog relabeled it — an empty result
+    // would mean the cascade is broken.
+    val log = Readers.validChangeLog(s, dir)
+      .filter(col("value") < 1)
+      .withColumn("table",
+        when(col("table") === "click", lit("farmparcelownership"))
+          .otherwise(col("table")))
+    val run = new graft.pipeline.EtlRun(
+      s,
+      readSource = {
+        case "farmparcelownership" =>
+          t(s, dir, "orders").select(
+            col("o_custkey").as("rsbsa_no"), col("o_orderkey").as("parcel_id"))
+        case "farmparcel" =>
+          t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "parcel_id")
+        case other => t(s, dir, other)
+      },
+      readTarget = name => t(s, dir, name),
+      writeTarget = (_, _) => (),
+    )
+    run.extractFor(graft.pipeline.EtlRun.cascadeLog(log), "farmparcel")
+      .withColumnRenamed("parcel_id", "l_orderkey")
+  }
+
   /** S8/P5 — point lookup by unique key (the reference's dead-code
     * row-at-a-time path, kept for API parity).
     */

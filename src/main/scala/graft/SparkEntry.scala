@@ -24,6 +24,7 @@ object SparkEntry {
     "s4_keyed_extract" -> Queries.s4KeyedExtract,
     "s5_bridge_extract" -> Queries.s5BridgeExtract,
     "s6_two_hop" -> Queries.s6TwoHop,
+    "s7_cascade_extract" -> Queries.s7CascadeExtract,
     "s8_point_lookup" -> Queries.s8PointLookup,
     // -- parity: exists-split + merges (J3–J4, K2–K3, A4)
     "j3_exists_updates" -> Queries.j3ExistsUpdates,

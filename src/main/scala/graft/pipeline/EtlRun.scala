@@ -93,20 +93,11 @@ final class EtlRun(
     val skipped = total - valid.count()
     val named = valid.select("table").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    // cascade: an ownership change always re-syncs the referenced
-    // parcels (`services/etlService.js:642-654`), so whenever the log
-    // names farmparcelownership its keys also count as farmparcel keys
-    // — including when farmparcel is independently named too.
     val tables =
       if (named.contains("farmparcelownership") && !named.contains("farmparcel"))
         named :+ "farmparcel"
       else named
-    val cascaded =
-      if (named.contains("farmparcelownership"))
-        valid.unionByName(
-          valid.filter(col("table") === "farmparcelownership")
-            .withColumn("table", lit("farmparcel")))
-      else valid
+    val cascaded = EtlRun.cascadeLog(valid)
     val results = tables.map { table =>
       try {
         val extracted = extractFor(cascaded, table).count()
@@ -126,6 +117,20 @@ final class EtlRun(
 }
 
 object EtlRun {
+
+  /** S7/J5 — the reference's cascade as a log rewrite: an ownership
+    * change always re-syncs the referenced parcels
+    * (`services/etlService.js:642-654`), so every log row naming
+    * `farmparcelownership` also counts as a `farmparcel` row — including
+    * when farmparcel is independently named too. Declarative (a no-op
+    * union when the log names no ownership rows), shared by [[EtlRun.run]]
+    * and the `s7_cascade_extract` oracle query so pipeline and query
+    * exercise one implementation.
+    */
+  def cascadeLog(valid: DataFrame): DataFrame =
+    valid.unionByName(
+      valid.filter(col("table") === "farmparcelownership")
+        .withColumn("table", lit("farmparcel")))
 
   /** Parquet-directory-backed runner (targets under `targetDir`,
     * sources under `sourceDir`), merges published atomically.
