@@ -100,13 +100,28 @@ final class EtlRun(
     val cascaded = EtlRun.cascadeLog(valid)
     val results = tables.map { table =>
       try {
-        val extracted = extractFor(cascaded, table).count()
-        val merged = planTable(cascaded, table)
+        // Single pass per table: the extraction count rides the merge
+        // write as an `observe` metric instead of a separate
+        // `extract.count()` job (which re-ran the whole extract — at
+        // 100 TB that doubled every per-table scan+shuffle). The
+        // incoming side is tagged so the metric counts exactly the
+        // rows this run merged in ("Processed" semantics —
+        // normalization and both merge strategies are row-preserving
+        // on the incoming side); the tag is dropped before the write.
+        val obs = org.apache.spark.sql.Observation()
+        val normalized = Normalize
+          .forTable(extractFor(cascaded, table), table)
+          .withColumn("__incoming", lit(true))
+        val target = readTarget(table).withColumn("__incoming", lit(false))
+        val merged = Merge.merge(table, target, normalized)
+          .observe(obs, sum(when(col("__incoming"), 1L).otherwise(0L))
+            .as("extracted"))
+          .drop("__incoming")
         writeTarget(table, merged)
-        // `merged` here = rows synced in THIS run (the reference's
-        // "Processed" semantics) — normalization is row-preserving, so
-        // it equals the extraction count; the published target row
-        // count would include all historical rows.
+        val extracted = obs.get("extracted") match {
+          case n: java.lang.Number => n.longValue()
+          case _ => 0L // sum over an empty merge result is SQL NULL
+        }
         TableResult(table, extracted, extracted, None)
       } catch {
         case e: Exception => TableResult(table, 0, 0, Some(e.getMessage))

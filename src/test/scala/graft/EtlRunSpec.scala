@@ -108,6 +108,42 @@ class EtlRunSpec extends SparkSpec {
     assert(ownResult.extracted == 2)
   }
 
+  test("run() is single-pass: one query execution per table (no double extract)") {
+    val src = java.nio.file.Files.createTempDirectory("graft-src5").toString
+    val tgt = java.nio.file.Files.createTempDirectory("graft-tgt5").toString
+    writeFixtures(src)
+    val log = Seq(
+      (1L, "R1", "farmers_kyc1"), (2L, "R2", "farmers_livelihood"),
+    ).toDF("log_id", "rsbsa_no", "table")
+    val funcs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { val _ = funcs.add(funcName) }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val report = EtlRun.onParquet(spark, src, tgt).run(log)
+      assert(report.errors == 0)
+      assert(report.tables.map(_.extracted).sum == 2) // counts unchanged
+      // the listener bus is async — wait for it to drain
+      val deadline = System.currentTimeMillis() + 15000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && funcs.size != last) {
+        last = funcs.size; Thread.sleep(300)
+      }
+      // 3 driver-side bookkeeping actions (total count, skipped count,
+      // table-name list) + exactly ONE action per table: the merge
+      // write carrying the observe metric. A 2nd per-table action means
+      // the extract ran twice (the pre-round-3 double-scan).
+      assert(funcs.size == 3 + report.tables.size,
+        s"expected ${3 + report.tables.size} executions, saw: $funcs")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("failure isolation: one broken table does not abort the run") {
     val src = java.nio.file.Files.createTempDirectory("graft-src3").toString
     val tgt = java.nio.file.Files.createTempDirectory("graft-tgt3").toString
