@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** JDBC source/sink surface (SURVEY.md §2.1 S4/K1–K3 endpoints).
+  *
+  * The reference's entire IO surface is a relational database — two
+  * pools (`config/db.js:5-35`), keyed `SELECT … WHERE key IN (…)`
+  * extracts (`services/etlService.js:34-38`), and multi-row
+  * insert/upsert/delete-then-insert sinks
+  * (`services/etlService.js:117-146`). Engine equivalents, Spark-first:
+  *
+  *  - reads go through `spark.read.jdbc` so Catalyst pushes projections
+  *    and filters into the remote SQL;
+  *  - the keyed extract applies the IN-pushdown-or-semi-join policy:
+  *    small key sets become an `In` filter the JDBC source pushes into
+  *    the remote `WHERE` (the reference's literal IN list); large key
+  *    sets stay distributed — partitioned read + semi join (a 50k-key
+  *    IN list must become a join, SURVEY §7.4);
+  *  - the append sink is Spark's batched JDBC writer (`batchsize` rows
+  *    per round trip — the reference's multi-row VALUES insert);
+  *  - delete-then-insert (K3, the one-to-many refresh) runs per
+  *    partition inside executor-side transactions after a repartition
+  *    by key, so no key list is ever collected to the driver.
+  */
+object Jdbc {
+
+  /** Read a remote table. Column pruning and filter pushdown reach the
+    * generated SQL (`PushedFilters` in the scan; verified in
+    * `JdbcSpec`).
+    */
+  def table(
+      spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+      .load()
+
+  /** S4/J1/P4 over JDBC — keyed extract with the
+    * IN-pushdown-or-semi-join policy. `keys` is a single-column
+    * DataFrame of key values; when its count is ≤ `inListLimit` the
+    * keys ship as an `In` filter (pushed into the remote WHERE),
+    * otherwise the remote table is read partitioned and semi-joined.
+    */
+  def keyedExtract(
+      spark: SparkSession, url: String, tableName: String, key: String,
+      keys: DataFrame, inListLimit: Int = 1000,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val src = table(spark, url, tableName, options)
+    // limit+1 probe: never collects more than inListLimit+1 values to
+    // decide the policy.
+    val probe = keys.select(col(key)).distinct().limit(inListLimit + 1).collect()
+    if (probe.length <= inListLimit)
+      src.filter(col(key).isin(probe.toIndexedSeq.map(_.get(0)): _*))
+    else
+      src.join(keys.select(key).distinct(), Seq(key), "left_semi")
+  }
+
+  /** K1 over JDBC — batched multi-row append (the reference's
+    * `INSERT INTO … VALUES (…),(…),…`, `services/etlService.js:117-129`).
+    */
+  def append(
+      df: DataFrame, url: String, table: String, batchSize: Int = 1000,
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .options(options)
+      .mode(SaveMode.Append)
+      .save()
+
+  /** K3 over JDBC — delete-then-insert refresh
+    * (`services/etlService.js:85-115`): every target row whose key
+    * appears in `df` is deleted, then the full incoming row set is
+    * inserted, per-partition in one executor-side transaction each.
+    * The repartition by key guarantees a key's delete and inserts land
+    * in the same partition/transaction, so concurrent readers never
+    * see a half-refreshed key and nothing is collected to the driver.
+    */
+  def refresh(
+      df: DataFrame, url: String, tableName: String, key: String,
+      batchSize: Int = 1000): Unit = {
+    val cols = df.columns
+    val keyIdx = cols.indexOf(key)
+    require(keyIdx >= 0, s"key column $key not in ${cols.mkString(",")}")
+    val insertSql =
+      s"INSERT INTO $tableName (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val deleteSql = s"DELETE FROM $tableName WHERE $key = ?"
+    df.repartition(col(key)).foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(deleteSql)
+          val ins = conn.prepareStatement(insertSql)
+          try {
+            val seenKeys = new java.util.HashSet[AnyRef]()
+            var pendingDel = 0
+            var pendingIns = 0
+            rows.foreach { row =>
+              val k = row.get(keyIdx).asInstanceOf[AnyRef]
+              if (seenKeys.add(k)) {
+                del.setObject(1, k); del.addBatch(); pendingDel += 1
+                if (pendingDel >= batchSize) { del.executeBatch(); pendingDel = 0 }
+              }
+              var i = 0
+              while (i < cols.length) {
+                ins.setObject(i + 1, row.get(i).asInstanceOf[AnyRef]); i += 1
+              }
+              ins.addBatch(); pendingIns += 1
+              // deletes always flush before the batch of inserts that
+              // could collide with them
+              if (pendingIns >= batchSize) {
+                if (pendingDel > 0) { del.executeBatch(); pendingDel = 0 }
+                ins.executeBatch(); pendingIns = 0
+              }
+            }
+            if (pendingDel > 0) del.executeBatch()
+            if (pendingIns > 0) ins.executeBatch()
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally { del.close(); ins.close() }
+        } finally conn.close()
+      }
+    }
+  }
+}

@@ -20,6 +20,15 @@ object Readers {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The same keyed-table surface over JDBC (the reference's actual
+    * source is a MySQL pool, `config/db.js:5-35`) — see
+    * [[graft.sources.Jdbc]] for the pushdown/semi-join policy.
+    */
+  def jdbcTable(
+      spark: SparkSession, url: String, name: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    Jdbc.table(spark, url, name, options)
+
   /** The change-log source (reference `etl_logger_profiling`,
     * `models/EtlLogger.js:8-13`). The driver fixtures model it with
     * `events` (`event_id`→`log_id`, `user_id`→`rsbsa_no`,

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Jdbc
+
+/** JDBC source/sink surface against embedded Derby (the container has
+  * no network; Derby ships with Spark's jars). Covers: batched append,
+  * keyed extract under both policy arms (IN pushdown vs semi join),
+  * filter pushdown reaching the remote scan, and the per-partition
+  * delete-then-insert refresh (K3).
+  */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDb(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-derby").toString
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  private def exec(url: String, sql: String*): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try sql.foreach(st.executeUpdate)
+      finally st.close()
+    } finally conn.close()
+  }
+
+  test("append writes batched rows; table() reads them back (K1/S4)") {
+    val url = freshDb()
+    exec(url, "CREATE TABLE farmers (rsbsa_no VARCHAR(20) NOT NULL, first_name VARCHAR(50))")
+    val df = (1 to 250).map(i => (f"R$i%04d", s"name$i")).toDF("rsbsa_no", "first_name")
+    Jdbc.append(df, url, "farmers", batchSize = 100)
+    val back = Jdbc.table(spark, url, "farmers")
+    assert(back.count() == 250)
+    // projection + filter push into the remote scan (P2/P3 over JDBC)
+    val one = back.select("first_name").where($"rsbsa_no" === "R0042")
+    assert(one.as[String].collect().toSeq == Seq("name42"))
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters"), scan)
+  }
+
+  test("keyedExtract: small key set pushes an IN filter, large set semi-joins (S4 policy)") {
+    val url = freshDb()
+    exec(url, "CREATE TABLE orders2 (o_id INT NOT NULL, o_cust INT NOT NULL)")
+    Jdbc.append((1 to 500).map(i => (i, i % 50)).toDF("o_id", "o_cust"), url, "orders2")
+
+    val smallKeys = Seq(3, 7).toDF("o_cust")
+    val small = Jdbc.keyedExtract(spark, url, "orders2", "o_cust", smallKeys)
+    assert(small.count() == 20) // 10 orders per cust key
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("PushedFilters") && smallPlan.toLowerCase.contains("in("),
+      smallPlan)
+
+    val bigKeys = (0 until 40).toDF("o_cust")
+    val big = Jdbc.keyedExtract(spark, url, "orders2", "o_cust", bigKeys, inListLimit = 10)
+    assert(big.count() == 400)
+    assert(big.queryExecution.executedPlan.toString.contains("Join"), "expected semi-join arm")
+  }
+
+  test("refresh: delete-then-insert per key inside partition transactions (K3)") {
+    val url = freshDb()
+    exec(url,
+      "CREATE TABLE livelihood (rsbsa_no VARCHAR(20) NOT NULL, activity VARCHAR(50) NOT NULL)",
+      "INSERT INTO livelihood VALUES ('R1','farming'), ('R1','fishing'), ('R2','farming'), ('R3','poultry')")
+    // incoming: R1 shrinks to one row, R2 changes, R4 is new; R3 untouched
+    val incoming = Seq(
+      ("R1", "rice"), ("R2", "corn"), ("R2", "fishing"), ("R4", "farming"),
+    ).toDF("rsbsa_no", "activity")
+    Jdbc.refresh(incoming, url, "livelihood", "rsbsa_no", batchSize = 2)
+    val after = Jdbc.table(spark, url, "livelihood")
+      .as[(String, String)].collect().toSet
+    assert(after == Set(
+      ("R1", "rice"), ("R2", "corn"), ("R2", "fishing"),
+      ("R3", "poultry"), ("R4", "farming")))
+  }
+
+  test("reserved-word identifiers round-trip through the JDBC writer (P9)") {
+    val url = freshDb()
+    // "year" is reserved in Derby — Spark's JDBC writer must quote it.
+    val df = Seq((1, 2024)).toDF("id", "year")
+    df.write.format("jdbc").option("url", url)
+      .option("dbtable", "withres").mode("append").save()
+    assert(Jdbc.table(spark, url, "withres").columns.map(_.toLowerCase).toSet
+      == Set("id", "year"))
+  }
+}
