@@ -141,6 +141,33 @@ class MergeSpec extends SparkSpec {
     assert(bounded(2L).isEmpty)        // nearest quote is 60s old: outside tolerance
   }
 
+  test("asOf union-window ≡ range-join baseline under hot-key fan-out (stress)") {
+    // One hot key: 400 left × 2000 right rows. The range-join baseline
+    // materializes 800k intermediate rows for this key; the
+    // union-window form sorts 2400. Results must be identical — with
+    // and without tolerance — including duplicate right timestamps
+    // (tiebreak), a cold key, and a left key with no right rows.
+    val left = ((1 to 400).map(i => (i.toLong, "HOT", (i * 7 % 3000).toLong))
+      ++ Seq((401L, "COLD", 100L), (402L, "NONE", 100L)))
+      .toDF("trade_id", "key", "t_time")
+    val right = ((1 to 2000).map(j => ("HOT", j.toLong, (j * 3 % 3000).toLong))
+      ++ Seq(("COLD", 9001L, 50L), ("COLD", 9002L, 50L)))
+      .toDF("q_key", "quote_id", "q_time")
+    for (tol <- Seq(None, Some(lit(5L)))) {
+      val fast = graft.operators.AsOfJoin.asOf(
+        left, right, "trade_id", "key", "q_key", "t_time", "q_time",
+        tieBreaker = "quote_id", tolerance = tol)
+        .select("trade_id", "quote_id", "q_time")
+      val base = graft.operators.AsOfJoin.asOfViaRangeJoin(
+        left, right, "trade_id", "key", "q_key", "t_time", "q_time",
+        tieBreaker = "quote_id", tolerance = tol)
+        .select("trade_id", "quote_id", "q_time")
+      assert(fast.count() == left.count()) // exactly one row per left row
+      assert(fast.exceptAll(base).isEmpty && base.exceptAll(fast).isEmpty,
+        s"asOf mismatch vs baseline (tolerance=$tol)")
+    }
+  }
+
   test("normalization: uppercase is null-safe, string-only, idempotent") {
     val df = Seq(
       (Some("abc"), Some(1)), (None, Some(2)), (Some("MiXeD"), None),
