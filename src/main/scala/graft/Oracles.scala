@@ -193,7 +193,7 @@ object Oracles {
         |  round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) AS jaccard
         |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-        |HAVING round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) >= 0.5""".stripMargin,
+        |HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5""".stripMargin,
 
     // MinHash+LSH is sketch-based, but at k=128/32 bands the miss
     // probability for the fixtures' duplicate pairs (all Jaccard ≥ 0.8)
@@ -213,7 +213,7 @@ object Oracles {
         |  round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) AS jaccard
         |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-        |HAVING round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) >= 0.5""".stripMargin,
+        |HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5""".stripMargin,
 
     "sim_cosine_topk" ->
       """WITH q AS (

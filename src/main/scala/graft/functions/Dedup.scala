@@ -90,7 +90,15 @@ object Dedup {
     val ex = explodedShingles(docs, w)
     // Global rarity order: document frequency asc, shingle hash asc —
     // consistent across docs (required for prefix-filter exactness).
-    val withDf = ex.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+    // DF is a grouped count + join-back, NOT a window: the window form
+    // (`count().over(partitionBy("sh"))`) funneled every occurrence of
+    // a hot stopword shingle into a single task. The grouped count is
+    // two-phase by construction (map-side partial aggregation emits ≤1
+    // row per distinct shingle per task — the salted phase of
+    // [[Skew.saltedCountSum]] without its extra shuffle), and the join
+    // back on `sh` is AQE-skew-splittable (one build row per hot key).
+    val dfTable = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val withDf = ex.join(dfTable, Seq("sh"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
     val ranked = withDf
       .withColumn("rk", row_number().over(byRarity))
@@ -129,10 +137,17 @@ object Dedup {
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("inter"),
         size(col("a_sh")).cast("long").as("a_n"),
         size(col("b_sh")).cast("long").as("b_n"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double")
-          / (col("a_n") + col("b_n") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
+      // Threshold on the UNROUNDED jaccard: the prefix/length filters
+      // guarantee candidates only for true J ≥ t, so a rounded filter
+      // could admit borderline pairs (true J in [t−5e-5, t)) that the
+      // candidate stage rightly pruned — the unrounded filter makes
+      // filter and candidate bound agree exactly. Rounding is display
+      // only (and the DuckDB oracle thresholds unrounded too).
+      .withColumn("__j", col("inter").cast("double")
+        / (col("a_n") + col("b_n") - col("inter")).cast("double"))
+      .filter(col("__j") >= threshold)
+      .withColumn("jaccard", round(col("__j"), 4))
+      .drop("__j")
   }
 
   // ------------------------------------------------------------- MinHash
