@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata.
   *
   * The Spark-side shape is real and tested — schema, partitioning,
-  * batched per-partition processing — while the actual media decode is
-  * STUBBED (this container has no image/audio codecs): `decodeStub`
+  * batched per-partition processing. IMAGE decode/resize is REAL
+  * (`javax.imageio` ships PNG/JPEG/GIF/BMP with the JDK); audio/video
+  * decode is STUBBED (no such codecs in this container): `decodeStub`
   * derives deterministic fake features from the bytes. Swapping in a
-  * real decoder (JNI/ONNX/etc.) changes only the function body, not
-  * the pipeline shape.
+  * real A/V decoder (JNI/ONNX/etc.) changes only the function body,
+  * not the pipeline shape.
   *
   * Design for 100 TB: media rows are processed with `mapPartitions`
   * (one decoder init per partition, streamed batches — the Scala
@@ -40,9 +41,73 @@ object Multimodal {
       feature: Array[Float], // stub embedding
   )
 
-  /** STUB decode — deterministic fake standing in for a codec:
-    * features are a hash-derived vector of the payload. Marked clearly;
-    * replace with a real decoder off-container.
+  /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP decoders
+    * ship with the JDK — no container codecs needed): returns
+    * (width, height, 8-dim feature vector) or None when the payload is
+    * not a decodable image. Features: pixel dims, aspect, mean
+    * luma/R/G/B (normalized), fraction of non-black pixels — all
+    * deterministic functions of the decoded raster.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0.0; var sg = 0.0; var sb = 0.0; var nz = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            if ((p & 0xffffff) != 0) nz += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        val luma = (0.299 * sr + 0.587 * sg + 0.114 * sb) / n
+        Some((w, h, Array(
+          w.toFloat, h.toFloat, (w.toDouble / h).toFloat,
+          (luma / 255.0).toFloat, (sr / n / 255.0).toFloat,
+          (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+          (nz / n).toFloat)))
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL image resize via `java.awt` scaling + PNG re-encode: shrink
+    * by `factor` (bilinear), or None when the payload is not a
+    * decodable image.
+    */
+  def resizeImage(payload: Array[Byte], factor: Int): Option[(Array[Byte], Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val tw = math.max(1, img.getWidth / factor)
+        val th = math.max(1, img.getHeight / factor)
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, tw, th, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        Some((baos.toByteArray, tw, th))
+      }
+    } catch { case _: Exception => None }
+
+  /** STUB decode — deterministic fake standing in for the codecs this
+    * container lacks (audio/video): features are a hash-derived vector
+    * of the payload. Image payloads take the real [[decodeImage]] path.
     */
   def decodeStub(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     var h = 1125899906842597L // FNV-ish rolling
@@ -71,14 +136,18 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder init would go here
+      // per-partition decoder init would go here (ImageIO is static)
       rows.map { r =>
+        val feat =
+          if (r.kind == "image") decodeImage(r.payload).map(_._3)
+            .getOrElse(decodeStub(r.payload))
+          else decodeStub(r.payload)
         MediaFeatures(
           media_id = r.media_id,
           kind = r.kind,
           n_bytes = r.payload.length.toLong,
           checksum = checksum(r.payload),
-          feature = decodeStub(r.payload),
+          feature = feat,
         )
       }
     }
@@ -100,11 +169,33 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_bytes")
   }
 
+  /** Narrow per-row resize: image payloads go through the REAL
+    * [[resizeImage]] (decode → bilinear scale → PNG re-encode, metadata
+    * updated to the actual output raster); non-image payloads fall back
+    * to the byte-domain stub downsample.
+    */
+  def resize(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      (if (r.kind == "image") resizeImage(r.payload, factor) else None) match {
+        case Some((bytes, w, h)) =>
+          r.copy(payload = bytes, meta_width = w, meta_height = h)
+        case None =>
+          val down = r.payload.zipWithIndex.collect {
+            case (b, i) if i % factor == 0 => b
+          }
+          r.copy(
+            payload = down,
+            meta_width = math.max(1, r.meta_width / factor),
+            meta_height = math.max(1, r.meta_height / factor))
+      }
+    }
+  }
+
   /** STUB resize — deterministic byte-domain downsample standing in
-    * for an image resize: keeps every `factor`-th byte and scales the
-    * metadata dimensions accordingly. The pipeline shape (narrow
-    * per-row transform, metadata kept consistent with payload) is what
-    * a real resize kernel slots into.
+    * for the codecs this container lacks: keeps every `factor`-th byte
+    * and scales the metadata dimensions accordingly. Image payloads
+    * should use [[resize]], which decodes for real.
     */
   def resizeStub(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._

@@ -40,6 +40,46 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.filter($"w1" =!= greatest(expr("w0 div 2"), lit(1))).count() == 0)
   }
 
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("real image decode: dims + channel means from an actual PNG") {
+    // solid red 16x8 → feature = [w, h, aspect, luma, r, g, b, nonzero]
+    val (w0, h0, feat) = Multimodal.decodeImage(pngBytes(16, 8, 0xff0000)).get
+    assert((w0, h0) == (16, 8))
+    assert(feat(0) == 16f && feat(1) == 8f && feat(2) == 2f)
+    assert(feat(4) == 1f && feat(5) == 0f && feat(6) == 0f) // pure red
+    assert(feat(7) == 1f) // every pixel non-black
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("extractFeatures takes the real decode path for image payloads") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", pngBytes(10, 10, 0x00ff00), 10, 10, 0L),
+      Multimodal.MediaRecord(2L, "audio", Array[Byte](1, 2, 3), 0, 0, 10L),
+    ).toDS()
+    val byId = Multimodal.extractFeatures(recs).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(byId(1L).feature(0) == 10f && byId(1L).feature(5) == 1f) // real dims, green
+    assert(byId(2L).feature.length == 8) // stub arm still works
+  }
+
+  test("resize really rescales image payloads (decode of output confirms)") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", pngBytes(32, 16, 0x123456), 32, 16, 0L),
+    ).toDS()
+    val out = Multimodal.resize(recs, factor = 4).head()
+    assert(out.meta_width == 8 && out.meta_height == 4)
+    val (w1, h1, _) = Multimodal.decodeImage(out.payload).get
+    assert((w1, h1) == (8, 4)) // the payload itself was re-encoded at 8x4
+  }
+
   test("sampleFrames yields bounded per-frame slices with ordinals") {
     val frames = Multimodal.sampleFrames(media.limit(10), stride = 64, frameLen = 32)
     assert(frames.filter(length($"frame_bytes") > 32).count() == 0)
