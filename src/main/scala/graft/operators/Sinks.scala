@@ -60,6 +60,16 @@ object Sinks {
     * `[ts] message`, the format the log-analytics pipeline (S9/S10)
     * parses back.
     */
+  /** K5 complement — truncate the run log (`DELETE /api/logs`,
+    * `index.js:255-276`; the HTTP layer broadcasts `clear` to stream
+    * followers, [[graft.pipeline.ControlServer]]).
+    */
+  def truncateLog(path: String): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path), "",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+
   def appendLog(path: String, message: String, nowMs: Long = System.currentTimeMillis()): Unit = {
     val ts = java.time.Instant.ofEpochMilli(nowMs)
       .atZone(java.time.ZoneId.of("Asia/Manila"))
