@@ -215,6 +215,29 @@ object Oracles {
         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
         |HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5""".stripMargin,
 
+    // Exact embedding-cosine near-dup pairs: same quantized-integer
+    // dot/norm arithmetic as sim_cosine_topk; threshold on the
+    // unrounded cosine, rounding display-only. (dedup_cosine_lsh is
+    // recall-bounded by design → rows-only, tested vs this baseline.)
+    "dedup_cosine_pairs" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+        |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))), 6) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+        |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4""".stripMargin,
+
     "sim_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -585,6 +585,20 @@ object Queries {
         (sum(col("nsq")).cast("double") / count(lit(1))).as("avg_norm_sq"))
   }
 
+  /** Embedding-cosine near-dup pairs, exact all-pairs baseline
+    * (threshold 0.4 — the synthetic embeddings are random, max cosine
+    * ≈0.51, so this selects the genuinely most-similar tail).
+    */
+  val dedupCosinePairs: Q = (s, dir) =>
+    Similarity.cosineNearDupPairsExact(t(s, dir, "embeddings"), 0.4)
+
+  /** Embedding-cosine near-dup pairs via LSH buckets — the scale path
+    * (recall traded by planes; tested against the exact baseline in
+    * DedupSimilaritySpec, rows-only here).
+    */
+  val dedupCosineLsh: Q = (s, dir) =>
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.4)
+
   /** Multimodal — columnar metadata profile (no payload decode). */
   val mediaProfile: Q = (s, dir) =>
     graft.functions.Multimodal.mediaProfile(

@@ -55,6 +55,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Queries.dedupNgramJaccard,
     "dedup_minhash_lsh" -> Queries.dedupMinhashLsh,
     "dedup_simhash" -> Queries.dedupSimhash,
+    "dedup_cosine_pairs" -> Queries.dedupCosinePairs,
+    "dedup_cosine_lsh" -> Queries.dedupCosineLsh,
     // -- extensions: similarity search
     "sim_cosine_topk" -> Queries.simCosineTopk,
     "sim_lsh_topk" -> Queries.simLshTopk,

@@ -134,6 +134,31 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity
+    * threshold, EXACT (all-pairs) — the correctness baseline the
+    * LSH-bucketed [[cosineNearDupPairs]] trades recall against.
+    * Quantized-integer dots keep scores bit-identical across engines;
+    * the threshold applies to the unrounded cosine (rounding is
+    * display only). O(N²) — fixture/SF-scale verification, not the
+    * 100 TB path.
+    */
+  def cosineNearDupPairsExact(
+      embeddings: DataFrame, threshold: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val q = embeddings.select(
+      col("vec_id"),
+      quantized(col("embedding")).as("q"),
+    ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
+    val a = q.select(col("vec_id").as("a_id"), col("q").as("a_q"), col("nsq").as("a_n"))
+    val b = q.select(col("vec_id").as("b_id"), col("q").as("b_q"), col("nsq").as("b_n"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("__c", cosineFromInts(
+        call_function("graft_dot", col("a_q"), col("b_q")),
+        col("a_n"), col("b_n")))
+      .filter(col("__c") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("__c"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity
     * threshold, via LSH buckets (scale path for embedding dedup).
     */
   def cosineNearDupPairs(
