@@ -1,0 +1,73 @@
+package graft
+
+/** Plan-shape regression guards: the 100-TB design claims are plan
+  * properties, so assert them on the compiled plans directly — a code
+  * change that silently reintroduces a scan-wide column read, a
+  * cartesian candidate join, or a per-key join fan-out fails here, not
+  * in a benchmark three rounds later.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def planOf(name: String, execute: Boolean = false): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    // AQE finalizes the plan only when THIS dataframe executes
+    // (count() would plan a different query)
+    if (execute) { val _ = df.collect() }
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("keyed extracts are broadcast semi joins with filters pushed to the scan") {
+    val p = planOf("s4_keyed_extract")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(800))
+  }
+
+  test("projection pruning reaches the changelog scan (no full-width read)") {
+    val p = planOf("s3_changelog_scan")
+    // the query selects log_id/rsbsa_no/table only — the scan must not
+    // read the wide props/value columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("value"), readSchema)
+  }
+
+  test("as-of join plans with no join operator at all (union-window form)") {
+    val p = planOf("asof_join")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("Window"), p.take(800))
+    // exactly one shuffle: the per-key window partitioning
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) == 1, p.take(800))
+  }
+
+  test("sketch dedups never plan a cartesian/nested-loop candidate join") {
+    for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an all-pairs join:\n${p.take(800)}")
+    }
+  }
+
+  test("simhash fingerprint is computed before the first exchange (narrow map)") {
+    val p = planOf("dedup_simhash")
+    val firstExchange = p.indexOf("Exchange")
+    val kernel = p.indexOf("simhash64")
+    assert(kernel >= 0, "native simhash64 kernel not in plan")
+    // plan prints top-down: the kernel expression must appear BELOW
+    // (after) the first exchange line — i.e. upstream of the shuffle
+    assert(firstExchange < kernel, p.take(800))
+  }
+
+  test("brute-force similarity broadcasts the query side") {
+    val p = planOf("sim_cosine_topk")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("flagship aggregation is map-side combined inside codegen") {
+    val p = planOf("q1_pricing_summary", execute = true)
+    // "*(n)" marks whole-stage-codegen'd operators in the simple plan
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("*(")), p.take(800))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, // partial+final
+      p.take(800))
+  }
+}
