@@ -351,9 +351,12 @@ object Queries {
   val simCosineTopk: Q = (s, dir) =>
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
 
-  /** LSH-bucketed ANN top-10 (scale path) — rows-only check. */
+  /** LSH-bucketed ANN top-10 (scale path), multi-probe (own bucket +
+    * all Hamming-1 buckets) for recall — rows-only check.
+    */
   val simLshTopk: Q = (s, dir) =>
-    Similarity.lshTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
+    Similarity.lshTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      planes = 8, probes = 9)
 
   /** Token accounting: whitespace tokens + BPE-ish estimator. */
   val textTokenCount: Q = (s, dir) =>

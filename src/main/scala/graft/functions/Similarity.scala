@@ -109,24 +109,41 @@ object Similarity {
     * sign-bucket. With p planes the corpus splits into ≤2^p buckets —
     * the shuffle moves each vector once (by bucket), and each query
     * joins a ~N/2^p slice instead of N.
+    *
+    * `probes` > 1 enables multi-probe (Lv et al., VLDB'07 shape): the
+    * QUERY side additionally probes the buckets at Hamming distance 1
+    * (each single plane-bit flipped), so recall rises steeply while
+    * the candidate set grows only ×probes — and only the tiny
+    * broadcast query side is replicated, the corpus still shuffles
+    * once. `probes` ∈ [1, planes+1].
     */
   def lshTopK(
-      embeddings: DataFrame, queryIds: Seq[Long], k: Int, planes: Int = 8): DataFrame = {
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int, planes: Int = 8,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= planes + 1,
+      s"probes must be in [1, ${planes + 1}]")
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val sig = embeddings.select(
       col("vec_id"),
       quantized(col("embedding")).as("q"),
       lshSignature(col("embedding"), planes).as("bucket"),
     ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
+    val probeBuckets = array(
+      (col("bucket") +:
+        (0 until probes - 1).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b)))): _*)
     val queries = sig
       .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
       .select(col("vec_id").as("qid"), col("q").as("qv"),
-        col("nsq").as("qn"), col("bucket"))
+        col("nsq").as("qn"), explode(probeBuckets).as("bucket"))
     val scored = sig.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
+      // a neighbor can land in several probed buckets — dedupe before
+      // ranking or multi-probe would emit duplicate (qid, nid) rows
       .select(col("qid"), col("vec_id").as("nid"),
         cosineFromInts(call_function("graft_dot", col("q"), col("qv")),
           col("nsq"), col("qn")).as("cos"))
+      .distinct()
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

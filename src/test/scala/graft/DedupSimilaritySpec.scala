@@ -85,6 +85,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.count() > 0)
   }
 
+  test("multi-probe LSH: recall never below single-probe, no duplicate pairs") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Similarity.bruteForceTopK(embs, qids, 10)
+      .select($"qid", $"nid")
+    def recall(probes: Int): (Long, Long) = {
+      val lsh = Similarity.lshTopK(embs, qids, 10, planes = 8, probes = probes)
+      assert(lsh.groupBy("qid", "nid").count().filter($"count" > 1).count() == 0,
+        s"duplicate (qid,nid) pairs at probes=$probes")
+      (lsh.select("qid", "nid").join(brute, Seq("qid", "nid"), "left_semi").count(),
+        lsh.count())
+    }
+    val (hit1, n1) = recall(1)
+    val (hit9, n9) = recall(9) // own bucket + all 8 single-bit flips
+    assert(hit9 >= hit1, s"multi-probe lost recall: $hit9 < $hit1")
+    assert(n9 >= n1)    // candidate set can only widen
+    assert(hit9 > 0)
+  }
+
   test("cosineNearDupPairs is symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(embs, threshold = 0.8)
     assert(pairs.filter($"a_id" >= $"b_id").count() == 0)
