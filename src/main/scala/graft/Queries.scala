@@ -358,6 +358,12 @@ object Queries {
     Similarity.lshTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
       planes = 8, probes = 9)
 
+  /** IVF ANN top-10 (the data-adaptive scale path: k-means cells,
+    * nprobe=4 of nlist=16) — rows-only check.
+    */
+  val simIvfTopk: Q = (s, dir) =>
+    Similarity.ivfTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
+
   /** Token accounting: whitespace tokens + BPE-ish estimator. */
   val textTokenCount: Q = (s, dir) =>
     t(s, dir, "documents").select(

@@ -60,6 +60,7 @@ object SparkEntry {
     // -- extensions: similarity search
     "sim_cosine_topk" -> Queries.simCosineTopk,
     "sim_lsh_topk" -> Queries.simLshTopk,
+    "sim_ivf_topk" -> Queries.simIvfTopk,
     // -- extensions: text analysis
     "text_token_count" -> Queries.textTokenCount,
     "text_quality" -> Queries.textQuality,

@@ -150,6 +150,105 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
+  // ------------------------------------------------------------- IVF
+
+  /** Argmin-cell expression: the cell whose centroid minimizes
+    * ‖v−c‖² = ‖v‖² − 2·v·c + ‖c‖² (the ‖v‖² term is constant per row —
+    * dropped). One `graft_dot` kernel call per centroid inside codegen;
+    * ties break toward the lower cell id via struct ordering.
+    */
+  private def cellOf(q: Column, centroids: Array[Array[Long]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      val cNorm = c.map(x => x * x).sum
+      struct(
+        (lit(-2L) * call_function("graft_dot", q, cLit) + lit(cNorm)).as("d"),
+        lit(i).as("cell"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("cell")
+  }
+
+  /** The `nprobe` nearest cells (ascending distance) as an array. */
+  private def probeCellsOf(
+      q: Column, centroids: Array[Array[Long]], nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      val cNorm = c.map(x => x * x).sum
+      struct(
+        (lit(-2L) * call_function("graft_dot", q, cLit) + lit(cNorm)).as("d"),
+        lit(i).as("cell"))
+    }
+    slice(array_sort(array(scored.toIndexedSeq: _*)), 1, nprobe)
+      .getField("cell")
+  }
+
+  /** Deterministic k-means over the QUANTIZED vectors: init = the
+    * `nlist` vectors with the smallest `xxhash64(vec_id)` (reproducible
+    * pseudo-random sample), then `iters` assign/update rounds where the
+    * update is an exact integer sum per (cell, dim) — order-independent
+    * across partitions, so centroids are bit-identical run to run —
+    * re-quantized back to longs. Collected state is nlist×dim longs
+    * (driver-tiny at any corpus size).
+    */
+  private def kmeansCentroids(
+      quant: DataFrame, nlist: Int, iters: Int): Array[Array[Long]] = {
+    val init = quant
+      .withColumn("__h", xxhash64(col("vec_id")))
+      .orderBy(col("__h")).limit(nlist)
+      .select(col("q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    (1 to iters).foldLeft(init) { (centroids, _) =>
+      val assigned = quant.withColumn("__cell", cellOf(col("q"), centroids))
+      val sums = assigned
+        .select(col("__cell"), posexplode(col("q")).as(Seq("__pos", "__v")))
+        .groupBy(col("__cell"), col("__pos"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids.indices.map { cell =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r =>
+              math.round(r.getLong(2).toDouble / r.getLong(3))).toArray
+          case None => centroids(cell) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+  }
+
+  /** IVF ANN (the other scale path besides LSH): the corpus is
+    * partitioned into `nlist` Voronoi cells around k-means centroids;
+    * each query scores only the vectors in its `nprobe` nearest cells.
+    * Shuffle shape: the corpus moves once (by cell), the query side is
+    * tiny and broadcast — identical to the LSH path, but with
+    * data-adaptive buckets (recall degrades gracefully with nprobe
+    * instead of cliff-edging on hash sign boundaries).
+    */
+  def ivfTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val quant = embeddings.select(
+      col("vec_id"),
+      quantized(col("embedding")).as("q"),
+    ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
+    val centroids = kmeansCentroids(quant, nlist, iters)
+    val celled = quant.withColumn("cell", cellOf(col("q"), centroids))
+    val queries = celled
+      .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nsq").as("qn"),
+        explode(probeCellsOf(col("q"), centroids, nprobe)).as("cell"))
+    val scored = celled.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosineFromInts(call_function("graft_dot", col("q"), col("qv")),
+          col("nsq"), col("qn")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity
     * threshold, EXACT (all-pairs) — the correctness baseline the
     * LSH-bucketed [[cosineNearDupPairs]] trades recall against.

@@ -103,6 +103,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hit9 > 0)
   }
 
+  test("IVF top-k: exact scores, deterministic centroids, bounded candidates") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Similarity.bruteForceTopK(embs, qids, 10)
+      .select($"qid", $"nid", $"cos")
+    val ivf = Similarity.ivfTopK(embs, qids, 10)
+    // every IVF hit's cosine equals the brute-force cosine (scoring is
+    // exact — only the candidate set is approximate)
+    val mismatch = ivf.as("i").join(brute.as("b"), Seq("qid", "nid"), "left")
+      .filter($"b.cos".isNotNull && $"i.cos" =!= $"b.cos")
+    assert(mismatch.count() == 0)
+    assert(ivf.count() > 0)
+    assert(ivf.filter($"rank" > 10).count() == 0)
+    // exact-integer centroid sums → the whole pipeline is reproducible
+    val again = Similarity.ivfTopK(embs, qids, 10)
+    assert(ivf.exceptAll(again).isEmpty && again.exceptAll(ivf).isEmpty)
+    // wider probing can only improve recall
+    val wide = Similarity.ivfTopK(embs, qids, 10, nlist = 16, nprobe = 16)
+    val hitsNarrow = ivf.select("qid", "nid")
+      .join(brute.select($"qid", $"nid"), Seq("qid", "nid"), "left_semi").count()
+    val hitsWide = wide.select("qid", "nid")
+      .join(brute.select($"qid", $"nid"), Seq("qid", "nid"), "left_semi").count()
+    assert(hitsWide >= hitsNarrow)
+    assert(hitsWide == 50) // nprobe = nlist scans every cell → exact top-k
+  }
+
   test("cosineNearDupPairs is symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(embs, threshold = 0.8)
     assert(pairs.filter($"a_id" >= $"b_id").count() == 0)
