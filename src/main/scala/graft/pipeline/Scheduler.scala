@@ -100,9 +100,13 @@ final case class SchedulerStatus(
   * (R7, `index.js:166-206`).
   */
 final class EtlScheduler(run: () => Unit) {
-  private val exec = Executors.newSingleThreadScheduledExecutor(r => {
+  private def newExec() = Executors.newSingleThreadScheduledExecutor(r => {
     val t = new Thread(r, "graft-etl-scheduler"); t.setDaemon(true); t
   })
+  // recreated on start() if a force-stop ever shutdownNow'd it — a
+  // stopped scheduler must stay restartable (the reference creates a
+  // fresh node-cron task per start, `index.js:75`)
+  private var exec = newExec()
   private val running = new AtomicBoolean(false)
   private val scheduled = new AtomicReference[Option[ScheduledFuture[_]]](None)
   private val startTime = new AtomicReference[Option[Long]](None)
@@ -134,6 +138,7 @@ final class EtlScheduler(run: () => Unit) {
   def start(cronPattern: String): Unit = synchronized {
     require(Cron.isValid(cronPattern), s"invalid cron pattern: $cronPattern")
     require(scheduled.get().isEmpty, "already scheduled")
+    if (exec.isShutdown) exec = newExec()
     startTime.set(Some(System.currentTimeMillis()))
     scheduled.set(Some(exec.scheduleAtFixedRate(
       () => tickOnce(cronPattern),

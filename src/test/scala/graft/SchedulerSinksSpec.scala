@@ -102,6 +102,22 @@ class SchedulerSinksSpec extends SparkSpec {
     assert(!after.scheduled && !after.running)
   }
 
+  test("scheduler restarts after a force-stop killed its executor (R7)") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val sched = new EtlScheduler(() => { entered.countDown(); gate.await() })
+    val t = new Thread(() => { val _ = sched.runOnce() })
+    t.start(); entered.await()
+    // in-flight run outlives the grace window → shutdownNow path
+    val st = sched.stop(graceMs = 100)
+    assert(st.running) // run still in flight at force-kill
+    gate.countDown(); t.join()
+    // a fresh start must still work (executor is recreated)
+    sched.start("*/5 * * * *")
+    assert(sched.status.scheduled)
+    sched.stop()
+  }
+
   test("ensureTable creates declared-schema targets once (K4)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ddl").toString
     Sinks.ensureCatalogTable(spark, dir, "farmparcel")
