@@ -87,7 +87,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val ex = explodedShingles(docs, w)
+    // One kernel call builds the distinct-shingle array; its SIZE is
+    // the per-doc shingle count, carried through the explode — no
+    // window needed to recount it later.
+    GraftFunctions.register(docs.sparkSession)
+    val ex = docs
+      .select(col("doc_id"), nativeShingles(col("text"), w).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n_sh"),
+        explode(col("arr")).as("sh"))
     // Global rarity order: document frequency asc, shingle hash asc —
     // consistent across docs (required for prefix-filter exactness).
     // DF is a grouped count + join-back, NOT a window: the window form
@@ -100,9 +107,7 @@ object Dedup {
     val dfTable = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val withDf = ex.join(dfTable, Seq("sh"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-    val ranked = withDf
-      .withColumn("rk", row_number().over(byRarity))
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val ranked = withDf.withColumn("rk", row_number().over(byRarity))
     // Prefix length |S| − ⌈t·|S|⌉ + 1; the tiny epsilon keeps ceil from
     // rounding an exactly-integer t·|S| up on FP noise (which would
     // shorten the prefix and break exactness).
