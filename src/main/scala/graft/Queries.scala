@@ -602,8 +602,9 @@ object Queries {
     Similarity.cosineNearDupPairsExact(t(s, dir, "embeddings"), 0.4)
 
   /** Embedding-cosine near-dup pairs via LSH buckets — the scale path
-    * (recall traded by planes; tested against the exact baseline in
-    * DedupSimilaritySpec, rows-only here).
+    * (recall traded by planes; DedupSimilaritySpec asserts its output
+    * is a subset of the exact baseline with identical cosines;
+    * rows-only here).
     */
   val dedupCosineLsh: Q = (s, dir) =>
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.4)

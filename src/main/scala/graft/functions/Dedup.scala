@@ -90,7 +90,6 @@ object Dedup {
     // One kernel call builds the distinct-shingle array; its SIZE is
     // the per-doc shingle count, carried through the explode — no
     // window needed to recount it later.
-    GraftFunctions.register(docs.sparkSession)
     val ex = docs
       .select(col("doc_id"), nativeShingles(col("text"), w).as("arr"))
       .select(col("doc_id"), size(col("arr")).cast("long").as("n_sh"),

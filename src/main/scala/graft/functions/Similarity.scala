@@ -291,9 +291,14 @@ object Similarity {
       col("q").as("b_q"), col("nsq").as("b_n"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(cosineFromInts(call_function("graft_dot", col("a_q"), col("b_q")),
-          col("a_n"), col("b_n")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+      // threshold on the UNROUNDED cosine — same rule as the exact
+      // baseline and the DuckDB oracle, so the LSH arm's output is a
+      // strict subset of cosineNearDupPairsExact's (rounding is
+      // display only)
+      .withColumn("__c", cosineFromInts(
+        call_function("graft_dot", col("a_q"), col("b_q")),
+        col("a_n"), col("b_n")))
+      .filter(col("__c") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("__c"), 6).as("cos"))
   }
 }

@@ -48,8 +48,12 @@ object AsOfJoin {
     val lPayload = StructType(left.schema.fields)
     val rPayload = StructType(right.schema.fields)
     val tbType = right.schema(tieBreaker).dataType
+    // null-key right rows can never match under equi-join semantics
+    // (NULL = NULL is not true) — exclude them so the window's
+    // null-key partition contains only left rows, which then surface
+    // unmatched exactly like the join baseline.
     val r = right
-      .filter(col(rightTime).isNotNull)
+      .filter(col(rightTime).isNotNull && col(rightKey).isNotNull)
       .select(
         col(rightKey).as("__k"), col(rightTime).as("__t"),
         col(tieBreaker).as("__tb"), lit(1).as("__isR"),

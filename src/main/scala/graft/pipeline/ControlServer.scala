@@ -54,15 +54,21 @@ final class ControlServer(
       case c => c.toString
     } + "\""
 
+  /** Marks a string as ALREADY-rendered JSON (arrays/objects) so
+    * jfield embeds it verbatim instead of quoting it into a string.
+    */
+  private final case class RawJson(rendered: String)
+
   private def jfield(v: Any): String = v match {
     case null | None => "null"
     case Some(x) => jfield(x)
+    case RawJson(r) => r
     case s: String => jstr(s)
     case b: Boolean => b.toString
     case n: Long => n.toString
     case n: Int => n.toString
     case d: Double => d.toString
-    case raw => raw.toString // pre-rendered JSON
+    case other => jstr(other.toString)
   }
 
   private def json(kv: (String, Any)*): String =
@@ -101,10 +107,15 @@ final class ControlServer(
     val payload = s"event: $event\ndata: $data\n\n"
       .getBytes(StandardCharsets.UTF_8)
     sseClients.forEach { os =>
-      try { os.write(payload); os.flush() }
-      catch { case _: java.io.IOException =>
-        sseClients.remove(os)
-        try os.close() catch { case _: Exception => () }
+      // per-stream lock: the watcher thread (log events) and HTTP
+      // handler threads (clear events) both broadcast — interleaved
+      // partial writes would corrupt the SSE framing
+      os.synchronized {
+        try { os.write(payload); os.flush() }
+        catch { case _: java.io.IOException =>
+          sseClients.remove(os)
+          try os.close() catch { case _: Exception => () }
+        }
       }
     }
   }
@@ -121,7 +132,7 @@ final class ControlServer(
     else if (body.trim.isEmpty)
       respond(ex, 400, json(
         "message" -> "Request body is missing or invalid",
-        "example" -> json("schedule" -> "* * * * *")))
+        "example" -> RawJson(json("schedule" -> "* * * * *"))))
     else {
       val schedule = "\"schedule\"\\s*:\\s*\"([^\"]+)\"".r
         .findFirstMatchIn(body).map(_.group(1)).getOrElse("* * * * *")
@@ -190,13 +201,13 @@ final class ControlServer(
         Files.createDirectories(p.toAbsolutePath.getParent)
         Files.writeString(p, "")
         respond(ex, 200, json(
-          "message" -> "Created new log file", "logs" -> "[]", "count" -> 0))
+          "message" -> "Created new log file", "logs" -> RawJson("[]"), "count" -> 0))
       } else {
         val lines = Files.readString(p).split("\n")
           .filter(_.trim.nonEmpty).takeRight(100).reverse
         respond(ex, 200, json(
           "message" -> "Logs retrieved successfully",
-          "logs" -> lines.map(parseLine).mkString("[", ",", "]"),
+          "logs" -> RawJson(lines.map(parseLine).mkString("[", ",", "]")),
           "count" -> lines.length,
           "path" -> logPath))
       }
@@ -270,12 +281,21 @@ final class ControlServer(
 
   // --------------------------------------------------------------- wire
 
+  /** Lifecycle endpoints mutate state — POST only (the reference's
+    * Express routes are `app.post`; a GET from a prefetcher or prober
+    * must not start or stop anything).
+    */
+  private def postOnly(handler: HttpExchange => Unit)(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod == "POST") handler(ex)
+    else respond(ex, 405, json(
+      "message" -> s"${ex.getRequestMethod} not allowed; use POST"))
+
   server.createContext("/api/start-etl",
-    (ex: HttpExchange) => handleStart(ex))
+    (ex: HttpExchange) => postOnly(handleStart)(ex))
   server.createContext("/api/start-etl-force",
-    (ex: HttpExchange) => handleForce(ex))
+    (ex: HttpExchange) => postOnly(handleForce)(ex))
   server.createContext("/api/stop-etl",
-    (ex: HttpExchange) => handleStop(ex))
+    (ex: HttpExchange) => postOnly(handleStop)(ex))
   server.createContext("/api/logs",
     (ex: HttpExchange) => handleLogs(ex))
   server.createContext("/api/logs/stream",

@@ -118,10 +118,26 @@ final class EtlRun(
             .as("extracted"))
           .drop("__incoming")
         writeTarget(table, merged)
-        val extracted = obs.get("extracted") match {
-          case n: java.lang.Number => n.longValue()
-          case _ => 0L // sum over an empty merge result is SQL NULL
-        }
+        // The metric lands via the (async) listener bus shortly after
+        // the write job ends. A writeTarget that never executes the
+        // observed plan (a dry-run or test double) would make the
+        // blocking obs.get hang forever — so bound the wait and fall
+        // back to a direct count (correct, just the old two-pass cost)
+        // if no observation arrives.
+        val extracted =
+          try {
+            val got = scala.concurrent.Await.result(
+              scala.concurrent.Future(obs.get)(
+                scala.concurrent.ExecutionContext.global),
+              scala.concurrent.duration.Duration(10, "s"))
+            got.get("extracted") match {
+              case Some(n: java.lang.Number) => n.longValue()
+              case _ => 0L // sum over an empty merge result is SQL NULL
+            }
+          } catch {
+            case _: java.util.concurrent.TimeoutException =>
+              extractFor(cascaded, table).count()
+          }
         TableResult(table, extracted, extracted, None)
       } catch {
         case e: Exception => TableResult(table, 0, 0, Some(e.getMessage))

@@ -30,7 +30,8 @@ object Cron {
   private val cronRe = s"^$field $field $field $field $field$$".r
 
   def isValid(pattern: String): Boolean =
-    cronRe.pattern.matcher(pattern.trim).matches()
+    cronRe.pattern.matcher(pattern.trim).matches() &&
+      !pattern.contains("/0") // a zero step can never fire (division guard)
 
   /** Does a single cron field match a value? Supports star, steps
     * (`*&#47;n`, `a-b/n`, `n/m` = n..max/m, Vixie-style), fixed
@@ -42,6 +43,7 @@ object Cron {
   private def fieldMatches(
       field: String, value: Int, rangeMin: Int, rangeMax: Int): Boolean =
     field.split(",").exists { part =>
+      val hasStep = part.contains("/")
       val (body, step) = part.split("/", 2) match {
         case Array(b, s) => (b, s.toInt)
         case Array(b) => (b, 1)
@@ -50,10 +52,12 @@ object Cron {
         case "*" => (rangeMin, rangeMax)
         case r if r.contains("-") =>
           val Array(a, b) = r.split("-", 2); (a.toInt, b.toInt)
-        case n if step == 1 => (n.toInt, n.toInt)
-        case n => (n.toInt, rangeMax) // Vixie: "n/step" = n..max by step
+        // Vixie: ANY "n/step" (incl. step 1) means n..max by step —
+        // only a bare "n" is the single value n
+        case n if hasStep => (n.toInt, rangeMax)
+        case n => (n.toInt, n.toInt)
       }
-      value >= lo && value <= hi && (value - lo) % step == 0
+      step > 0 && value >= lo && value <= hi && (value - lo) % step == 0
     }
 
   /** Does the pattern fire at the given instant? All five fields are

@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Jdbc {
 
+  private def newConnection(
+      url: String, props: Map[String, String]): java.sql.Connection = {
+    val jprops = new java.util.Properties()
+    props.foreach { case (k, v) => jprops.setProperty(k, v) }
+    java.sql.DriverManager.getConnection(url, jprops)
+  }
+
   /** Read a remote table. Column pruning and filter pushdown reach the
     * generated SQL (`PushedFilters` in the scan; verified in
     * `JdbcSpec`).
@@ -83,16 +90,48 @@ object Jdbc {
     */
   def refresh(
       df: DataFrame, url: String, tableName: String, key: String,
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000,
+      connectionProperties: Map[String, String] = Map.empty): Unit = {
     val cols = df.columns
     val keyIdx = cols.indexOf(key)
     require(keyIdx >= 0, s"key column $key not in ${cols.mkString(",")}")
+    // Dialect-correct identifier quoting (backticks on MySQL, double
+    // quotes on Derby/ANSI) — the reference escapes reserved words like
+    // `long`/`group` by hand (`services/etlService.js:135-138`). Since
+    // quoting makes identifiers case-SENSITIVE while unquoted DDL is
+    // case-folded by the store, the STORED spellings are resolved from
+    // JDBC metadata first (same as Spark's own JDBC writer).
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val props = connectionProperties
+    val (qTable, storedCols) = {
+      val conn = newConnection(url, props)
+      try {
+        val meta = conn.getMetaData
+        val stored = Seq(tableName, tableName.toUpperCase, tableName.toLowerCase)
+          .distinct.find { cand =>
+            val rs = meta.getTables(null, null, cand, null)
+            try rs.next() finally rs.close()
+          }.getOrElse(tableName)
+        val colCase = {
+          val rs = meta.getColumns(null, null, stored, null)
+          val m = scala.collection.mutable.LinkedHashMap[String, String]()
+          try while (rs.next()) {
+            val c = rs.getString("COLUMN_NAME"); m(c.toLowerCase) = c
+          } finally rs.close()
+          m
+        }
+        (dialect.quoteIdentifier(stored),
+          cols.map(c => dialect.quoteIdentifier(
+            colCase.getOrElse(c.toLowerCase, c))))
+      } finally conn.close()
+    }
     val insertSql =
-      s"INSERT INTO $tableName (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
-    val deleteSql = s"DELETE FROM $tableName WHERE $key = ?"
+      s"INSERT INTO $qTable (${storedCols.mkString(", ")})" +
+        s" VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val deleteSql = s"DELETE FROM $qTable WHERE ${storedCols(keyIdx)} = ?"
     df.repartition(col(key)).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
-        val conn = java.sql.DriverManager.getConnection(url)
+        val conn = newConnection(url, props)
         try {
           conn.setAutoCommit(false)
           val del = conn.prepareStatement(deleteSql)

@@ -67,6 +67,11 @@ class ControlServerSpec extends AnyFunSuite {
       assert(stc == 200 && stb.contains("*/5 * * * *"))
       assert(call(p, "POST", "/api/stop-etl")._1 == 400) // not running
 
+      // lifecycle endpoints are POST-only: a GET must not mutate state
+      assert(call(p, "GET", "/api/start-etl-force")._1 == 405)
+      assert(call(p, "GET", "/api/stop-etl")._1 == 405)
+      assert(runs.get() == 0)
+
       // force now actually runs the wired function
       val (fc, fb) = call(p, "POST", "/api/start-etl-force")
       assert(fc == 200 && fb.contains("completed successfully"))
@@ -99,6 +104,8 @@ class ControlServerSpec extends AnyFunSuite {
       val (lc, lb) = call(p, "GET", "/api/logs")
       assert(lc == 200 && lb.contains("\"count\":2"))
       assert(lb.indexOf("second message") < lb.indexOf("first message")) // newest first
+      // logs must be a real JSON ARRAY of objects, not a quoted string
+      assert(lb.contains("\"logs\":[{\"timestamp\""), lb)
 
       // SSE: connect, then append → log event, truncate → clear event
       val con = URI.create(s"http://127.0.0.1:$p/api/logs/stream").toURL

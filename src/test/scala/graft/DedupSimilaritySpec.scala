@@ -128,10 +128,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hitsWide == 50) // nprobe = nlist scans every cell → exact top-k
   }
 
-  test("cosineNearDupPairs is symmetric-free (a<b) and thresholded") {
+  test("cosineNearDupPairs is symmetric-free, thresholded, ⊆ exact baseline") {
     val pairs = Similarity.cosineNearDupPairs(embs, threshold = 0.8)
     assert(pairs.filter($"a_id" >= $"b_id").count() == 0)
     assert(pairs.filter($"cos" < 0.8).count() == 0)
+    // at a findable threshold, every LSH pair must appear in the exact
+    // all-pairs baseline with the identical cosine (same unrounded
+    // threshold rule on both arms)
+    val t = 0.35
+    val lsh = Similarity.cosineNearDupPairs(embs, t)
+    val exact = Similarity.cosineNearDupPairsExact(embs, t)
+    assert(lsh.exceptAll(lsh.join(exact, Seq("a_id", "b_id", "cos"), "left_semi"))
+      .count() == 0, "LSH arm emitted a pair/cosine absent from the exact baseline")
   }
 
   test("text analysis edge cases: empty-ish and single-token docs") {

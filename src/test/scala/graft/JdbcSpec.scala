@@ -76,6 +76,17 @@ class JdbcSpec extends SparkSpec {
       ("R3", "poultry"), ("R4", "farming")))
   }
 
+  test("refresh quotes reserved-word identifiers (P9 over JDBC)") {
+    val url = freshDb()
+    // "year" is reserved in Derby — refresh must quote table + columns
+    exec(url,
+      "CREATE TABLE resv (rsbsa_no VARCHAR(20) NOT NULL, \"year\" INT NOT NULL)",
+      "INSERT INTO resv VALUES ('R1', 2020), ('R2', 2021)")
+    Jdbc.refresh(Seq(("R1", 2024)).toDF("rsbsa_no", "year"), url, "resv", "rsbsa_no")
+    val after = Jdbc.table(spark, url, "resv").as[(String, Int)].collect().toSet
+    assert(after == Set(("R1", 2024), ("R2", 2021)))
+  }
+
   test("reserved-word identifiers round-trip through the JDBC writer (P9)") {
     val url = freshDb()
     // "year" is reserved in Derby — Spark's JDBC writer must quote it.

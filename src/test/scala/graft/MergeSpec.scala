@@ -147,11 +147,16 @@ class MergeSpec extends SparkSpec {
     // union-window form sorts 2400. Results must be identical — with
     // and without tolerance — including duplicate right timestamps
     // (tiebreak), a cold key, and a left key with no right rows.
-    val left = ((1 to 400).map(i => (i.toLong, "HOT", (i * 7 % 3000).toLong))
-      ++ Seq((401L, "COLD", 100L), (402L, "NONE", 100L)))
+    // null keys on BOTH sides: equi-join semantics say they never
+    // match each other (NULL = NULL is not true) — the union-window
+    // form must agree with the join baseline here too
+    val left = ((1 to 400).map(i => (Some(i.toLong), Some("HOT"), (i * 7 % 3000).toLong))
+      ++ Seq((Some(401L), Some("COLD"), 100L), (Some(402L), Some("NONE"), 100L),
+        (Some(403L), Option.empty[String], 100L)))
       .toDF("trade_id", "key", "t_time")
-    val right = ((1 to 2000).map(j => ("HOT", j.toLong, (j * 3 % 3000).toLong))
-      ++ Seq(("COLD", 9001L, 50L), ("COLD", 9002L, 50L)))
+    val right = ((1 to 2000).map(j => (Some("HOT"), j.toLong, (j * 3 % 3000).toLong))
+      ++ Seq((Some("COLD"), 9001L, 50L), (Some("COLD"), 9002L, 50L),
+        (Option.empty[String], 9003L, 50L)))
       .toDF("q_key", "quote_id", "q_time")
     for (tol <- Seq(None, Some(lit(5L)))) {
       val fast = graft.operators.AsOfJoin.asOf(

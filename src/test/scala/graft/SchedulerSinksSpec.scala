@@ -15,6 +15,7 @@ class SchedulerSinksSpec extends SparkSpec {
     assert(!Cron.isValid("not a cron"))
     assert(!Cron.isValid("* * * *"))       // 4 fields
     assert(!Cron.isValid("61x * * * *"))
+    assert(!Cron.isValid("*/0 * * * *"))   // zero step can never fire
   }
 
   test("single-flight: overlapping runOnce is refused (R3)") {
@@ -69,6 +70,12 @@ class SchedulerSinksSpec extends SparkSpec {
     assert(Cron.matches("0 0 10 * 1", ms(8, 10, 0, 0)))  // Mon the 10th
     assert(!Cron.matches("0 0 10 * 0", ms(8, 10, 0, 0))) // Mon, not Sun
     assert(!Cron.matches("0 0 16 * 1", ms(8, 10, 0, 0))) // Mon, not 16th
+    // Vixie "n/step": n..max by step (NOT the single value n) —
+    // "5/1" fires minutes 5-59, "10/15" fires 10, 25, 40, 55.
+    assert(Cron.matches("5/1 * * * *", ms(8, 12, 3, 30)))
+    assert(!Cron.matches("5/1 * * * *", ms(8, 12, 3, 4)))
+    assert(Cron.matches("10/15 * * * *", ms(8, 12, 3, 40)))
+    assert(!Cron.matches("10/15 * * * *", ms(8, 12, 3, 30)))
   }
 
   test("scheduler tick survives a throwing run and reports lastError (R1)") {
