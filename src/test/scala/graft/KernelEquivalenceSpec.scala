@@ -108,6 +108,31 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(both.filter(not($"hof" <=> $"native")).count() == 0)
   }
 
+  test("fuzz: kernels ≡ column baselines on 200 seeded-random vectors") {
+    val rnd = new scala.util.Random(0xf00dL)
+    def rf(): Float = ((rnd.nextFloat() - 0.5f) * 4f)
+    val floats = (1 to 100).map(_ =>
+      Array.fill(rnd.nextInt(96) + 1)(rf())).toDF("embedding")
+    val doubles = (1 to 100).map(_ =>
+      Array.fill(rnd.nextInt(96) + 1)(rnd.nextDouble() * 4 - 2)).toDF("embedding")
+    for (df <- Seq(floats, doubles)) {
+      val q = df.select(
+        Similarity.quantizedHof($"embedding").as("hof"),
+        Similarity.quantized($"embedding").as("native"))
+      assert(q.filter(not($"hof" <=> $"native")).count() == 0)
+      val h = df.select(
+        Similarity.lshSignatureHof($"embedding", 10).as("hof"),
+        Similarity.lshSignature($"embedding", 10).as("native"))
+      assert(h.filter(not($"hof" <=> $"native")).count() == 0)
+    }
+    val longArrays = (1 to 200).map(_ =>
+      Array.fill(rnd.nextInt(64) + 1)(rnd.nextLong())).toDF("shingles")
+    val m = longArrays.select(
+      Dedup.minHashSignature($"shingles", 24).as("hof"),
+      call_function("graft_minhash", $"shingles", lit(24)).as("native"))
+    assert(m.filter(not($"hof" <=> $"native")).count() == 0)
+  }
+
   test("quantized/lshSignature/nativeShingles resolve on a fresh session") {
     // Regression for VERDICT r2 #1/#2: a brand-new session (empty
     // function registry) must be able to run the wrapper-based queries
