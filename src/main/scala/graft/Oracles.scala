@@ -139,6 +139,17 @@ object Oracles {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+
     "join_revenue_by_nation" ->
       """SELECT r_name, n_name,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

@@ -264,6 +264,26 @@ object Queries {
         count(lit(1)).as("count_order"))
   }
 
+  /** Flagship 5-way join profit rollup (TPC-H Q9 shape): lineitem ⋈
+    * part ⋈ supplier ⋈ orders ⋈ nation with a color-filtered part
+    * name; fact stays put, dims broadcast under AQE, decimal-exact
+    * amounts with one final DOUBLE cast.
+    */
+  val q9ProfitByNation: Q = (s, dir) => {
+    val one = lit(1).cast("decimal(3,2)")
+    val amount = col("l_extendedprice").cast("decimal(9,2)") *
+      (one - col("l_discount").cast("decimal(3,2)"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_name").contains("red")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("profit"))
+  }
+
   /** Broadcast-dim join chain + aggregate: revenue by nation/region
     * (customer ⋈ nation ⋈ region ⋈ orders, decimal-exact revenue).
     */
