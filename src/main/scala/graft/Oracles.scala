@@ -150,6 +150,17 @@ object Oracles {
         |JOIN nation ON n_nationkey = s_nationkey
         |GROUP BY n_name, year(o_orderdate)""".stripMargin,
 
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#1'
+        |JOIN (
+        |  SELECT l_partkey AS t_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 0.2 AS qty_thresh
+        |  FROM lineitem GROUP BY l_partkey
+        |) t ON t_partkey = l_partkey
+        |WHERE CAST(l_quantity AS DOUBLE) < qty_thresh""".stripMargin,
+
     "join_revenue_by_nation" ->
       """SELECT r_name, n_name,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

@@ -284,6 +284,27 @@ object Queries {
       .agg(sum(amount).cast("double").as("profit"))
   }
 
+  /** Correlated-aggregate filter (TPC-H Q17 shape): revenue of
+    * small-quantity orders — lineitems under 0.2× their part's average
+    * quantity, for one brand. The correlated scalar subquery becomes a
+    * per-part aggregate joined back to the fact (two passes over
+    * lineitem, both map-side combined; the brand filter prunes the
+    * probe side before the join). Threshold arithmetic is exact-sum ÷
+    * count in DOUBLE — identical bits in both engines.
+    */
+  val q17SmallQtyRevenue: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val qty18 = col("l_quantity").cast("decimal(18,2)")
+    val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(((sum(qty18).cast("double") / count(lit(1))) * 0.2).as("qty_thresh"))
+    li.join(t(s, dir, "part").filter(col("p_brand") === "Brand#1"),
+        col("l_partkey") === col("p_partkey"))
+      .join(thresholds, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity").cast("double") < col("qty_thresh"))
+      .agg((sum(col("l_extendedprice").cast("decimal(9,2)")).cast("double")
+        / 7.0).as("avg_yearly"))
+  }
+
   /** Broadcast-dim join chain + aggregate: revenue by nation/region
     * (customer ⋈ nation ⋈ region ⋈ orders, decimal-exact revenue).
     */

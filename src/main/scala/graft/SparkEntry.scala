@@ -47,6 +47,7 @@ object SparkEntry {
     "q1_pricing_summary" -> Queries.q1PricingSummary,
     "join_revenue_by_nation" -> Queries.joinRevenueByNation,
     "q9_profit_by_nation" -> Queries.q9ProfitByNation,
+    "q17_small_qty_revenue" -> Queries.q17SmallQtyRevenue,
     "q3_top_orders" -> Queries.q3TopOrders,
     "agg_percentiles" -> Queries.aggPercentiles,
     "skew_salted_agg" -> Queries.skewSaltedAgg,
