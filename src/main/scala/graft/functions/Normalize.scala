@@ -18,8 +18,11 @@ object Normalize {
     * or of non-string type pass through untouched.
     */
   def uppercase(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // case-insensitive name match, like Spark's own resolution — a
+    // JDBC source may fold identifier case (Derby: FIRST_NAME)
+    val wanted = cols.map(_.toLowerCase).toSet
     val stringCols = df.schema.fields
-      .filter(f => f.dataType == StringType && cols.contains(f.name))
+      .filter(f => f.dataType == StringType && wanted.contains(f.name.toLowerCase))
       .map(_.name).toSet
     // single select (not a withColumn fold) so Catalyst sees one Project
     val projected = df.columns.map { c =>

@@ -163,6 +163,30 @@ object EtlRun {
       valid.filter(col("table") === "farmparcelownership")
         .withColumn("table", lit("farmparcel")))
 
+  /** JDBC-backed runner — the reference's actual deployment shape
+    * (MySQL source pool in, MySQL target pool out,
+    * `config/db.js:5-35`): sources read through
+    * [[graft.sources.Jdbc.table]] (projection/filter pushdown into the
+    * remote SQL), merged state published with
+    * [[graft.sources.Jdbc.refresh]] (per-partition transactional
+    * delete-then-insert on the merge key). Target tables must exist
+    * (K4 ensure-schema is DDL on the target store).
+    */
+  def onJdbc(
+      spark: SparkSession, sourceUrl: String, targetUrl: String,
+      options: Map[String, String] = Map.empty): EtlRun =
+    new EtlRun(
+      spark,
+      readSource = name => graft.sources.Jdbc.table(spark, sourceUrl, name, options),
+      readTarget = name => graft.sources.Jdbc.table(spark, targetUrl, name, options),
+      writeTarget = (name, df) => {
+        val spec = Catalog.tables.getOrElse(name,
+          graft.schema.TableSpec(name, "rsbsa_no", Cardinality.OneToMany, Nil))
+        graft.sources.Jdbc.refresh(df, targetUrl, name, spec.key,
+          connectionProperties = options)
+      },
+    )
+
   /** Parquet-directory-backed runner (targets under `targetDir`,
     * sources under `sourceDir`), merges published atomically.
     */

@@ -93,7 +93,9 @@ object Jdbc {
       batchSize: Int = 1000,
       connectionProperties: Map[String, String] = Map.empty): Unit = {
     val cols = df.columns
-    val keyIdx = cols.indexOf(key)
+    // case-insensitive like Spark's own column resolution — a JDBC
+    // round-trip may legitimately fold the frame's column case
+    val keyIdx = cols.indexWhere(_.equalsIgnoreCase(key))
     require(keyIdx >= 0, s"key column $key not in ${cols.mkString(",")}")
     // Dialect-correct identifier quoting (backticks on MySQL, double
     // quotes on Derby/ANSI) — the reference escapes reserved words like
@@ -129,7 +131,7 @@ object Jdbc {
       s"INSERT INTO $qTable (${storedCols.mkString(", ")})" +
         s" VALUES (${cols.map(_ => "?").mkString(", ")})"
     val deleteSql = s"DELETE FROM $qTable WHERE ${storedCols(keyIdx)} = ?"
-    df.repartition(col(key)).foreachPartition { (rows: Iterator[Row]) =>
+    df.repartition(col(cols(keyIdx))).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val conn = newConnection(url, props)
         try {

@@ -87,6 +87,35 @@ class JdbcSpec extends SparkSpec {
     assert(after == Set(("R1", 2024), ("R2", 2021)))
   }
 
+  test("full ETL lifecycle against a live database (EtlRun.onJdbc, E1)") {
+    // The reference's deployment: relational source in, relational
+    // target out. Extract is keyed+pushed-down, merge is the standard
+    // DataFrame algebra, publish is the transactional refresh.
+    val url = freshDb()
+    exec(url,
+      "CREATE TABLE farmers_kyc1 (rsbsa_no VARCHAR(20) NOT NULL, first_name VARCHAR(50), surname VARCHAR(50))",
+      "INSERT INTO farmers_kyc1 VALUES ('R1','juan','cruz'), ('R2','maria','santos')",
+      "CREATE TABLE tgt_farmers_kyc1 (rsbsa_no VARCHAR(20) NOT NULL, first_name VARCHAR(50), surname VARCHAR(50))")
+    // target table name == source name in the runner; use one DB with
+    // pre-created identical tables (reference: same schema both pools)
+    exec(url,
+      "INSERT INTO tgt_farmers_kyc1 VALUES ('R9','old','row')") // pre-existing target row
+    val run = new graft.pipeline.EtlRun(
+      spark,
+      readSource = n => Jdbc.table(spark, url, n),
+      readTarget = n => Jdbc.table(spark, url, s"tgt_$n"),
+      writeTarget = (n, df) => Jdbc.refresh(df, url, s"tgt_$n", "rsbsa_no"),
+    )
+    val log = Seq((1L, "R1", "farmers_kyc1")).toDF("log_id", "rsbsa_no", "table")
+    val report = run.run(log)
+    assert(report.errors == 0, report.tables.map(_.error))
+    assert(report.tables.head.extracted == 1)
+    val after = Jdbc.table(spark, url, "tgt_farmers_kyc1")
+      .as[(String, String, String)].collect().toSet
+    // R1 merged in (normalized upper-case), pre-existing R9 retained
+    assert(after == Set(("R1", "JUAN", "CRUZ"), ("R9", "old", "row")))
+  }
+
   test("reserved-word identifiers round-trip through the JDBC writer (P9)") {
     val url = freshDb()
     // "year" is reserved in Derby — Spark's JDBC writer must quote it.
