@@ -80,6 +80,59 @@ object Jdbc {
       .mode(SaveMode.Append)
       .save()
 
+  /** K4 over JDBC — ensure-schema (`CREATE TABLE IF NOT EXISTS`,
+    * `services/etlService.js:203-242`): create the target table from a
+    * declared Spark schema when absent; no-op when present. Type
+    * mapping prefers the dialect's own (`getJDBCType`), falling back
+    * to ANSI-ish defaults for the catalog's types.
+    */
+  def ensureTable(
+      url: String, tableName: String,
+      schema: org.apache.spark.sql.types.StructType,
+      options: Map[String, String] = Map.empty): Unit = {
+    import org.apache.spark.sql.types._
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    def sqlType(dt: DataType): String =
+      dialect.getJDBCType(dt).map(_.databaseTypeDefinition).getOrElse(dt match {
+        case StringType => "VARCHAR(255)"
+        case IntegerType => "INTEGER"
+        case LongType => "BIGINT"
+        case DoubleType => "DOUBLE"
+        case FloatType => "REAL"
+        case BooleanType => "BOOLEAN"
+        case ByteType => "SMALLINT"
+        case ShortType => "SMALLINT"
+        case DateType => "DATE"
+        case TimestampType | TimestampNTZType => "TIMESTAMP"
+        case t: DecimalType => s"DECIMAL(${t.precision},${t.scale})"
+        case BinaryType => "BLOB"
+        case other =>
+          throw new IllegalArgumentException(s"no JDBC type for $other")
+      })
+    val conn = newConnection(url, options)
+    try {
+      val exists = Seq(tableName, tableName.toUpperCase, tableName.toLowerCase)
+        .distinct.exists { cand =>
+          val rs = conn.getMetaData.getTables(null, null, cand, null)
+          try rs.next() finally rs.close()
+        }
+      if (!exists) {
+        val cols = schema.fields.map { f =>
+          val nullability = if (f.nullable) "" else " NOT NULL"
+          s"${dialect.quoteIdentifier(f.name)} ${sqlType(f.dataType)}$nullability"
+        }.mkString(", ")
+        // table name stays UNQUOTED so the store folds it the same way
+        // every later unquoted read/write reference will (a quoted
+        // name would be case-sensitive and unreachable via table());
+        // column names are quoted — the catalog declares reserved
+        // words like `long` (P9)
+        val st = conn.createStatement()
+        try st.executeUpdate(s"CREATE TABLE $tableName ($cols)")
+        finally st.close()
+      }
+    } finally conn.close()
+  }
+
   /** K3 over JDBC — delete-then-insert refresh
     * (`services/etlService.js:85-115`): every target row whose key
     * appears in `df` is deleted, then the full incoming row set is

@@ -116,6 +116,19 @@ class JdbcSpec extends SparkSpec {
     assert(after == Set(("R1", "JUAN", "CRUZ"), ("R9", "old", "row")))
   }
 
+  test("ensureTable creates a declared-schema table once (K4 over JDBC)") {
+    val url = freshDb()
+    val schema = graft.schema.Schemas.byName("farmers_kyc1")
+    Jdbc.ensureTable(url, "farmers_kyc1", schema)
+    Jdbc.ensureTable(url, "farmers_kyc1", schema) // idempotent
+    assert(Jdbc.table(spark, url, "farmers_kyc1").count() == 0)
+    // reserved-word column in the catalog DDL round-trips (P9):
+    // farmparcel declares a `long` column
+    Jdbc.ensureTable(url, "farmparcel", graft.schema.Schemas.byName("farmparcel"))
+    assert(Jdbc.table(spark, url, "farmparcel").columns
+      .map(_.toLowerCase).contains("long"))
+  }
+
   test("reserved-word identifiers round-trip through the JDBC writer (P9)") {
     val url = freshDb()
     // "year" is reserved in Derby — Spark's JDBC writer must quote it.
