@@ -232,7 +232,13 @@ object Similarity {
       col("vec_id"),
       quantized(col("embedding")).as("q"),
     ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
-    val centroids = kmeansCentroids(quant, nlist, iters)
+    // the k-means loop scans quant iters+1 times — cache it for the
+    // centroid computation only, release before returning the plan
+    // (the returned query recomputes it once; no cache leaks across
+    // query invocations)
+    val centroids =
+      try { quant.persist(); kmeansCentroids(quant, nlist, iters) }
+      finally quant.unpersist()
     val celled = quant.withColumn("cell", cellOf(col("q"), centroids))
     val queries = celled
       .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
