@@ -74,8 +74,7 @@ object Merge {
     * the reference's default arm: one-to-many refresh on `rsbsa_no`.
     */
   def merge(table: String, target: DataFrame, incoming: DataFrame): DataFrame = {
-    val spec = Catalog.tables.getOrElse(table,
-      graft.schema.TableSpec(table, "rsbsa_no", Cardinality.OneToMany, Nil))
+    val spec = Catalog.specFor(table)
     spec.cardinality match {
       case Cardinality.OneToOne  => upsert(target, incoming, spec.key)
       case Cardinality.OneToMany => refresh(target, incoming, spec.key)

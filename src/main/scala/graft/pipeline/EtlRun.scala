@@ -53,6 +53,7 @@ final class EtlRun(
     readSource: String => DataFrame,
     readTarget: String => DataFrame,
     writeTarget: (String, DataFrame) => Unit,
+    incrementalWrite: Option[(String, DataFrame) => Unit] = None,
 ) {
 
   /** The extraction a table's plan runs on: keyed semi-extract, or —
@@ -61,8 +62,7 @@ final class EtlRun(
     * run report so counts describe the same rows that were merged.
     */
   def extractFor(log: DataFrame, table: String): DataFrame = {
-    val spec = Catalog.tables.getOrElse(table,
-      graft.schema.TableSpec(table, "rsbsa_no", Cardinality.OneToMany, Nil))
+    val spec = Catalog.specFor(table)
     if (table == "farmparcel")
       ChangeLog.twoHopExtract(
         far = readSource("farmparcel"),
@@ -109,15 +109,27 @@ final class EtlRun(
         // normalization and both merge strategies are row-preserving
         // on the incoming side); the tag is dropped before the write.
         val obs = org.apache.spark.sql.Observation()
-        val normalized = Normalize
-          .forTable(extractFor(cascaded, table), table)
-          .withColumn("__incoming", lit(true))
-        val target = readTarget(table).withColumn("__incoming", lit(false))
-        val merged = Merge.merge(table, target, normalized)
-          .observe(obs, sum(when(col("__incoming"), 1L).otherwise(0L))
-            .as("extracted"))
-          .drop("__incoming")
-        writeTarget(table, merged)
+        incrementalWrite match {
+          case Some(write) =>
+            // Target store merges in place (a transactional
+            // delete-then-insert by key IS the merge there): ship ONLY
+            // the normalized incoming rows — O(incoming), never
+            // O(target) — with the count riding the same job.
+            val incoming = Normalize
+              .forTable(extractFor(cascaded, table), table)
+              .observe(obs, count(lit(1)).as("extracted"))
+            write(table, incoming)
+          case None =>
+            val normalized = Normalize
+              .forTable(extractFor(cascaded, table), table)
+              .withColumn("__incoming", lit(true))
+            val target = readTarget(table).withColumn("__incoming", lit(false))
+            val merged = Merge.merge(table, target, normalized)
+              .observe(obs, sum(when(col("__incoming"), 1L).otherwise(0L))
+                .as("extracted"))
+              .drop("__incoming")
+            writeTarget(table, merged)
+        }
         // The metric lands via the (async) listener bus shortly after
         // the write job ends. A writeTarget that never executes the
         // observed plan (a dry-run or test double) would make the
@@ -167,10 +179,13 @@ object EtlRun {
     * (MySQL source pool in, MySQL target pool out,
     * `config/db.js:5-35`): sources read through
     * [[graft.sources.Jdbc.table]] (projection/filter pushdown into the
-    * remote SQL), merged state published with
-    * [[graft.sources.Jdbc.refresh]] (per-partition transactional
-    * delete-then-insert on the merge key). Target tables must exist
-    * (K4 ensure-schema is DDL on the target store).
+    * remote SQL). The target database merges IN PLACE: only the
+    * normalized incoming rows ship, through
+    * [[graft.sources.Jdbc.refresh]]'s per-partition transactional
+    * delete-then-insert on the merge key — O(incoming) per run, never
+    * an O(target) rewrite (exactly the reference's
+    * upsert/delete-then-insert statements). Target tables must exist
+    * (K4: [[graft.sources.Jdbc.ensureTable]]).
     */
   def onJdbc(
       spark: SparkSession, sourceUrl: String, targetUrl: String,
@@ -179,12 +194,10 @@ object EtlRun {
       spark,
       readSource = name => graft.sources.Jdbc.table(spark, sourceUrl, name, options),
       readTarget = name => graft.sources.Jdbc.table(spark, targetUrl, name, options),
-      writeTarget = (name, df) => {
-        val spec = Catalog.tables.getOrElse(name,
-          graft.schema.TableSpec(name, "rsbsa_no", Cardinality.OneToMany, Nil))
-        graft.sources.Jdbc.refresh(df, targetUrl, name, spec.key,
-          connectionProperties = options)
-      },
+      writeTarget = (_, _) => (), // unused: incremental path below
+      incrementalWrite = Some((name, df) =>
+        graft.sources.Jdbc.refresh(df, targetUrl, name, Catalog.specFor(name).key,
+          connectionProperties = options)),
     )
 
   /** Parquet-directory-backed runner (targets under `targetDir`,

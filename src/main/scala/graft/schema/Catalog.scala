@@ -57,6 +57,14 @@ object Catalog {
   ): (String, TableSpec) =
     name -> TableSpec(name, key, card, upper, Schemas.byName.get(name))
 
+  /** Spec lookup with the reference's default arm for unknown tables:
+    * one-to-many refresh on `rsbsa_no` (`services/etlService.js:47-51`).
+    * The single place that default is declared.
+    */
+  def specFor(name: String): TableSpec =
+    tables.getOrElse(name,
+      TableSpec(name, "rsbsa_no", Cardinality.OneToMany, Nil))
+
   /** The 12 target tables with merge class + normalization lists,
     * transcribed from `services/etlService.js:10-12,148-191,203-242`.
     */

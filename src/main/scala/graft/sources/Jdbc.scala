@@ -33,6 +33,34 @@ object Jdbc {
     java.sql.DriverManager.getConnection(url, jprops)
   }
 
+  /** Resolve the STORED spelling of a table name (unquoted DDL is
+    * case-folded differently per store), scoped to the connection's
+    * current catalog/schema — a null scope would scan every database
+    * on the server and a same-named table elsewhere would shadow the
+    * answer. Metadata name patterns treat `_`/`%` as LIKE wildcards,
+    * so the candidate is escaped first.
+    */
+  private def escapePattern(meta: java.sql.DatabaseMetaData, s: String): String = {
+    val esc = meta.getSearchStringEscape
+    s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+  }
+
+  private def currentScope(conn: java.sql.Connection): (String, String) = (
+    try conn.getCatalog catch { case _: Exception => null },
+    try conn.getSchema catch { case _: Exception => null },
+  )
+
+  private def storedTableName(
+      conn: java.sql.Connection, tableName: String): Option[String] = {
+    val meta = conn.getMetaData
+    val (catalog, schema) = currentScope(conn)
+    Seq(tableName, tableName.toUpperCase, tableName.toLowerCase)
+      .distinct.find { cand =>
+        val rs = meta.getTables(catalog, schema, escapePattern(meta, cand), null)
+        try rs.next() finally rs.close()
+      }
+  }
+
   /** Read a remote table. Column pruning and filter pushdown reach the
     * generated SQL (`PushedFilters` in the scan; verified in
     * `JdbcSpec`).
@@ -92,9 +120,14 @@ object Jdbc {
       options: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.types._
     val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
-    def sqlType(dt: DataType): String =
-      dialect.getJDBCType(dt).map(_.databaseTypeDefinition).getOrElse(dt match {
-        case StringType => "VARCHAR(255)"
+    def sqlType(dt: DataType): String = dt match {
+      // VARCHAR FIRST: dialects map StringType to CLOB (Derby) / TEXT
+      // (MySQL), which cannot be compared — so a dialect-typed key
+      // column would break every keyed DELETE/WHERE. The reference's
+      // own DDL uses VARCHAR (`services/etlService.js:203-242`).
+      case StringType => "VARCHAR(255)"
+      case other => dialect.getJDBCType(other)
+        .map(_.databaseTypeDefinition).getOrElse(other match {
         case IntegerType => "INTEGER"
         case LongType => "BIGINT"
         case DoubleType => "DOUBLE"
@@ -106,17 +139,13 @@ object Jdbc {
         case TimestampType | TimestampNTZType => "TIMESTAMP"
         case t: DecimalType => s"DECIMAL(${t.precision},${t.scale})"
         case BinaryType => "BLOB"
-        case other =>
-          throw new IllegalArgumentException(s"no JDBC type for $other")
+        case unsupported =>
+          throw new IllegalArgumentException(s"no JDBC type for $unsupported")
       })
+    }
     val conn = newConnection(url, options)
     try {
-      val exists = Seq(tableName, tableName.toUpperCase, tableName.toLowerCase)
-        .distinct.exists { cand =>
-          val rs = conn.getMetaData.getTables(null, null, cand, null)
-          try rs.next() finally rs.close()
-        }
-      if (!exists) {
+      if (storedTableName(conn, tableName).isEmpty) {
         val cols = schema.fields.map { f =>
           val nullability = if (f.nullable) "" else " NOT NULL"
           s"${dialect.quoteIdentifier(f.name)} ${sqlType(f.dataType)}$nullability"
@@ -128,6 +157,13 @@ object Jdbc {
         // words like `long` (P9)
         val st = conn.createStatement()
         try st.executeUpdate(s"CREATE TABLE $tableName ($cols)")
+        catch {
+          // check-then-create is racy: a concurrent ensure may have
+          // created it between the probe and here — that IS the
+          // documented IF NOT EXISTS outcome, not an error
+          case e: java.sql.SQLException
+              if storedTableName(conn, tableName).isDefined => ()
+        }
         finally st.close()
       }
     } finally conn.close()
@@ -162,13 +198,10 @@ object Jdbc {
       val conn = newConnection(url, props)
       try {
         val meta = conn.getMetaData
-        val stored = Seq(tableName, tableName.toUpperCase, tableName.toLowerCase)
-          .distinct.find { cand =>
-            val rs = meta.getTables(null, null, cand, null)
-            try rs.next() finally rs.close()
-          }.getOrElse(tableName)
+        val stored = storedTableName(conn, tableName).getOrElse(tableName)
         val colCase = {
-          val rs = meta.getColumns(null, null, stored, null)
+          val (catalog, sch) = currentScope(conn)
+          val rs = meta.getColumns(catalog, sch, escapePattern(meta, stored), null)
           val m = scala.collection.mutable.LinkedHashMap[String, String]()
           try while (rs.next()) {
             val c = rs.getString("COLUMN_NAME"); m(c.toLowerCase) = c

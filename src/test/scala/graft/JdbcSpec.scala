@@ -87,32 +87,27 @@ class JdbcSpec extends SparkSpec {
     assert(after == Set(("R1", 2024), ("R2", 2021)))
   }
 
-  test("full ETL lifecycle against a live database (EtlRun.onJdbc, E1)") {
-    // The reference's deployment: relational source in, relational
-    // target out. Extract is keyed+pushed-down, merge is the standard
-    // DataFrame algebra, publish is the transactional refresh.
-    val url = freshDb()
-    exec(url,
+  test("full ETL lifecycle against live databases (EtlRun.onJdbc, E1)") {
+    // The reference's deployment: relational source pool in, relational
+    // target pool out. Extract is keyed+pushed-down; the target merges
+    // IN PLACE — only incoming rows ship (never an O(target) rewrite).
+    val srcUrl = freshDb()
+    val tgtUrl = freshDb()
+    exec(srcUrl,
       "CREATE TABLE farmers_kyc1 (rsbsa_no VARCHAR(20) NOT NULL, first_name VARCHAR(50), surname VARCHAR(50))",
-      "INSERT INTO farmers_kyc1 VALUES ('R1','juan','cruz'), ('R2','maria','santos')",
-      "CREATE TABLE tgt_farmers_kyc1 (rsbsa_no VARCHAR(20) NOT NULL, first_name VARCHAR(50), surname VARCHAR(50))")
-    // target table name == source name in the runner; use one DB with
-    // pre-created identical tables (reference: same schema both pools)
-    exec(url,
-      "INSERT INTO tgt_farmers_kyc1 VALUES ('R9','old','row')") // pre-existing target row
-    val run = new graft.pipeline.EtlRun(
-      spark,
-      readSource = n => Jdbc.table(spark, url, n),
-      readTarget = n => Jdbc.table(spark, url, s"tgt_$n"),
-      writeTarget = (n, df) => Jdbc.refresh(df, url, s"tgt_$n", "rsbsa_no"),
-    )
+      "INSERT INTO farmers_kyc1 VALUES ('R1','juan','cruz'), ('R2','maria','santos')")
+    exec(tgtUrl,
+      "CREATE TABLE farmers_kyc1 (rsbsa_no VARCHAR(20) NOT NULL, first_name VARCHAR(50), surname VARCHAR(50))",
+      "INSERT INTO farmers_kyc1 VALUES ('R9','old','row'), ('R1','stale','state')")
+    val run = graft.pipeline.EtlRun.onJdbc(spark, srcUrl, tgtUrl)
     val log = Seq((1L, "R1", "farmers_kyc1")).toDF("log_id", "rsbsa_no", "table")
     val report = run.run(log)
     assert(report.errors == 0, report.tables.map(_.error))
     assert(report.tables.head.extracted == 1)
-    val after = Jdbc.table(spark, url, "tgt_farmers_kyc1")
+    val after = Jdbc.table(spark, tgtUrl, "farmers_kyc1")
       .as[(String, String, String)].collect().toSet
-    // R1 merged in (normalized upper-case), pre-existing R9 retained
+    // R1 refreshed in place (normalized upper-case, stale row gone);
+    // untouched pre-existing R9 retained
     assert(after == Set(("R1", "JUAN", "CRUZ"), ("R9", "old", "row")))
   }
 
@@ -122,6 +117,13 @@ class JdbcSpec extends SparkSpec {
     Jdbc.ensureTable(url, "farmers_kyc1", schema)
     Jdbc.ensureTable(url, "farmers_kyc1", schema) // idempotent
     assert(Jdbc.table(spark, url, "farmers_kyc1").count() == 0)
+    // the created table must be USABLE by the keyed refresh — i.e.
+    // string columns are comparable VARCHAR, not CLOB/TEXT (a
+    // dialect-typed key column would break every keyed DELETE)
+    Jdbc.refresh(
+      Seq(("R1", "x")).toDF("rsbsa_no", "first_name"),
+      url, "farmers_kyc1", "rsbsa_no")
+    assert(Jdbc.table(spark, url, "farmers_kyc1").count() == 1)
     // reserved-word column in the catalog DDL round-trips (P9):
     // farmparcel declares a `long` column
     Jdbc.ensureTable(url, "farmparcel", graft.schema.Schemas.byName("farmparcel"))
