@@ -485,6 +485,60 @@ object Oracles {
         |  max(meta_duration_ms) AS max_duration_ms
         |FROM m GROUP BY kind""".stripMargin,
 
+    // North-star composition: exact-dedup survivors minus near-dup
+    // losers, English-only, quality-thresholded — each stage the same
+    // SQL as its standalone oracle above.
+    "curate_corpus" ->
+      """WITH surv AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id IN (
+        |    SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |shg AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 3, 0) + 2),
+        |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2]))) AS shingles
+        |  FROM tok),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM shg),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5),
+        |losers AS (SELECT DISTINCT b_id AS doc_id FROM pairs),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('der','die','und','das','von','zu','mit','den'))) AS s_de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('the','of','and','to','in','is','that','for'))) AS s_en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('el','la','de','que','y','en','los','del'))) AS s_es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('le','la','de','et','les','des','un','une'))) AS s_fr
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM sc),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round((least(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) / 64.0, 1.0)
+        |         + least(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             t -> t IN ('the','of','and','to','in','is','that','for'))) AS DOUBLE) * 8
+        |             / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0)) / 2, 4) AS quality
+        |  FROM documents)
+        |SELECT s.doc_id, lang_pred, quality
+        |FROM surv s JOIN lang ON lang.doc_id = s.doc_id
+        |JOIN qual ON qual.doc_id = s.doc_id
+        |WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
+        |  AND lang_pred = 'en' AND quality >= 0.5""".stripMargin,
+
     "text_lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id,

@@ -650,6 +650,27 @@ object Queries {
   val dedupCosineLsh: Q = (s, dir) =>
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.4)
 
+  /** The north-star composition as ONE query: curate a training
+    * corpus — exact-dedup survivors, minus near-duplicate losers
+    * (higher doc_id of each verified Jaccard pair), language-filtered
+    * to English, quality-thresholded. Every stage is the same operator
+    * exposed individually ([[Dedup.exactSurvivors]],
+    * [[Dedup.ngramJaccardPairs]], [[TextAnalysis.langId]],
+    * [[TextAnalysis.qualityScore]]) — composition is plan-level, so
+    * Catalyst sees one DAG and shares the documents scan.
+    */
+  val curateCorpus: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val losers = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select(col("b_id").as("doc_id")).distinct()
+    Dedup.exactSurvivors(docs)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+  }
+
   /** Multimodal — columnar metadata profile (no payload decode). */
   val mediaProfile: Q = (s, dir) =>
     graft.functions.Multimodal.mediaProfile(

@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_simhash" -> Queries.dedupSimhash,
     "dedup_cosine_pairs" -> Queries.dedupCosinePairs,
     "dedup_cosine_lsh" -> Queries.dedupCosineLsh,
+    "curate_corpus" -> Queries.curateCorpus,
     // -- extensions: similarity search
     "sim_cosine_topk" -> Queries.simCosineTopk,
     "sim_lsh_topk" -> Queries.simLshTopk,
