@@ -194,7 +194,11 @@ object EtlRun {
       spark,
       readSource = name => graft.sources.Jdbc.table(spark, sourceUrl, name, options),
       readTarget = name => graft.sources.Jdbc.table(spark, targetUrl, name, options),
-      writeTarget = (_, _) => (), // unused: incremental path below
+      // unreachable while incrementalWrite is Some — loud, not a
+      // silent data-discarding stub, in case a future edit decouples
+      // the two channels
+      writeTarget = (name, _) => throw new IllegalStateException(
+        s"onJdbc merges in place; writeTarget must not be called (table $name)"),
       incrementalWrite = Some((name, df) =>
         graft.sources.Jdbc.refresh(df, targetUrl, name, Catalog.specFor(name).key,
           connectionProperties = options)),

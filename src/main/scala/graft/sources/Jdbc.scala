@@ -46,8 +46,10 @@ object Jdbc {
   }
 
   private def currentScope(conn: java.sql.Connection): (String, String) = (
-    try conn.getCatalog catch { case _: Exception => null },
-    try conn.getSchema catch { case _: Exception => null },
+    // LinkageError too: getSchema is JDBC 4.1 — a legacy driver throws
+    // AbstractMethodError, which must also degrade to the null scope
+    try conn.getCatalog catch { case _: Exception | _: LinkageError => null },
+    try conn.getSchema catch { case _: Exception | _: LinkageError => null },
   )
 
   private def storedTableName(
@@ -112,22 +114,28 @@ object Jdbc {
     * `services/etlService.js:203-242`): create the target table from a
     * declared Spark schema when absent; no-op when present. Type
     * mapping prefers the dialect's own (`getJDBCType`), falling back
-    * to ANSI-ish defaults for the catalog's types.
+    * to ANSI-ish defaults — EXCEPT the key column (defaulting to the
+    * catalog's merge key): dialects map StringType to CLOB (Derby) /
+    * TEXT (MySQL), which are not comparable, so a dialect-typed key
+    * would break every keyed DELETE/WHERE; keys get VARCHAR like the
+    * reference's own DDL. Non-key strings keep the dialect's unbounded
+    * type (the reference has TEXT attachment/remarks fields a
+    * VARCHAR(255) cap would truncate).
     */
   def ensureTable(
       url: String, tableName: String,
       schema: org.apache.spark.sql.types.StructType,
-      options: Map[String, String] = Map.empty): Unit = {
+      options: Map[String, String] = Map.empty,
+      keyColumn: Option[String] = None): Unit = {
     import org.apache.spark.sql.types._
     val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
-    def sqlType(dt: DataType): String = dt match {
-      // VARCHAR FIRST: dialects map StringType to CLOB (Derby) / TEXT
-      // (MySQL), which cannot be compared — so a dialect-typed key
-      // column would break every keyed DELETE/WHERE. The reference's
-      // own DDL uses VARCHAR (`services/etlService.js:203-242`).
-      case StringType => "VARCHAR(255)"
+    val key = keyColumn.getOrElse(
+      graft.schema.Catalog.specFor(tableName).key).toLowerCase
+    def sqlType(name: String, dt: DataType): String = dt match {
+      case StringType if name.toLowerCase == key => "VARCHAR(255)"
       case other => dialect.getJDBCType(other)
         .map(_.databaseTypeDefinition).getOrElse(other match {
+        case StringType => "VARCHAR(255)"
         case IntegerType => "INTEGER"
         case LongType => "BIGINT"
         case DoubleType => "DOUBLE"
@@ -148,7 +156,7 @@ object Jdbc {
       if (storedTableName(conn, tableName).isEmpty) {
         val cols = schema.fields.map { f =>
           val nullability = if (f.nullable) "" else " NOT NULL"
-          s"${dialect.quoteIdentifier(f.name)} ${sqlType(f.dataType)}$nullability"
+          s"${dialect.quoteIdentifier(f.name)} ${sqlType(f.name, f.dataType)}$nullability"
         }.mkString(", ")
         // table name stays UNQUOTED so the store folds it the same way
         // every later unquoted read/write reference will (a quoted

@@ -118,10 +118,12 @@ class JdbcSpec extends SparkSpec {
     Jdbc.ensureTable(url, "farmers_kyc1", schema) // idempotent
     assert(Jdbc.table(spark, url, "farmers_kyc1").count() == 0)
     // the created table must be USABLE by the keyed refresh — i.e.
-    // string columns are comparable VARCHAR, not CLOB/TEXT (a
-    // dialect-typed key column would break every keyed DELETE)
+    // the KEY column is comparable VARCHAR, not CLOB/TEXT (a
+    // dialect-typed key column would break every keyed DELETE) — while
+    // non-key strings keep the dialect's unbounded type (no
+    // VARCHAR(255) truncation of long text fields)
     Jdbc.refresh(
-      Seq(("R1", "x")).toDF("rsbsa_no", "first_name"),
+      Seq(("R1", "x" * 4000)).toDF("rsbsa_no", "first_name"),
       url, "farmers_kyc1", "rsbsa_no")
     assert(Jdbc.table(spark, url, "farmers_kyc1").count() == 1)
     // reserved-word column in the catalog DDL round-trips (P9):
