@@ -308,6 +308,25 @@ object Oracles {
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
 
+    // Winnowing: per-window min of md5 token hashes (rightmost tie-
+    // break via the negated position in the struct ordering), full
+    // windows only, distinct selections.
+    "text_winnow" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tok,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tokv,
+        |    CAST(generate_subscripts(string_split_regex(lower(text), '\s+'), 1) - 1 AS BIGINT) AS pos
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id, n_tok, pos,
+        |    min(struct_pack(h := md5(tokv), np := -pos)) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+        |  FROM tok)
+        |SELECT DISTINCT doc_id, s.h AS fp, -s.np AS fp_pos
+        |FROM sel WHERE pos <= n_tok - 4""".stripMargin,
+
     "s9_log_parse" ->
       s"""WITH lines AS (
          |  SELECT '[' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z] table='

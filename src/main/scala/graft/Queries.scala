@@ -405,6 +405,12 @@ object Queries {
   val simIvfTopk: Q = (s, dir) =>
     Similarity.ivfTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
 
+  /** Winnowing fingerprints (MOSS selective fingerprinting): the
+    * distinct per-window minimum token hashes per document.
+    */
+  val textWinnow: Q = (s, dir) =>
+    TextAnalysis.winnowFingerprints(t(s, dir, "documents"), 4)
+
   /** Token accounting: whitespace tokens + BPE-ish estimator. */
   val textTokenCount: Q = (s, dir) =>
     t(s, dir, "documents").select(

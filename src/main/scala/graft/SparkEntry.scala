@@ -68,6 +68,7 @@ object SparkEntry {
     "text_token_count" -> Queries.textTokenCount,
     "text_quality" -> Queries.textQuality,
     "text_fingerprint" -> Queries.textFingerprint,
+    "text_winnow" -> Queries.textWinnow,
     "text_lang_id" -> Queries.textLangId,
     // -- parity wave 2: log analytics, scalar fns, skip metrics
     "s9_log_parse" -> Queries.s9LogParse,

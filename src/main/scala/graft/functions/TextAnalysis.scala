@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -104,4 +105,34 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => pmod(acc * lit(31L) + c, lit(1073741789L)),
     )
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every token, slide a window of `w`
+    * consecutive hashes per document, select each window's MINIMUM
+    * (rightmost on ties), and keep the distinct (hash, position)
+    * selections. Guarantees any shared run of ≥ w tokens between two
+    * documents contributes at least one common fingerprint, with a
+    * sketch ~1/w the document size — the standard selective
+    * fingerprinting primitive for large-scale near-dup detection.
+    *
+    * Token "hashes" are md5 hex strings so ordering — and therefore
+    * the selected fingerprint set — is identical across engines (a
+    * DuckDB oracle reproduces it exactly); at 100 TB the plan is a
+    * narrow per-doc ordered window: one shuffle on doc_id, no joins.
+    */
+  def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
+    val tok = docs.select(
+      col("doc_id"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok"),
+      posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tokv")))
+      .select(col("doc_id"), col("n_tok"), col("pos").cast("long").as("pos"),
+        md5(col("tokv").cast("binary")).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    tok
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .filter(col("pos") <= col("n_tok") - w) // full windows only
+      .select(col("doc_id"), col("sel.h").as("fp"), (-col("sel.np")).as("fp_pos"))
+      .distinct()
+  }
 }

@@ -142,6 +142,29 @@ class DedupSimilaritySpec extends SparkSpec {
       .count() == 0, "LSH arm emitted a pair/cosine absent from the exact baseline")
   }
 
+  test("winnowing: shared ≥w-token runs share a fingerprint; sketch ≪ doc") {
+    val w = 4
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val d = Seq(
+      (1L, s"unique one two $shared tail tokens here"),
+      (2L, s"другой prefix $shared completely different suffix"),
+      (3L, "no overlap with anything else at all whatsoever"),
+    ).toDF("doc_id", "text")
+    val fps = graft.functions.TextAnalysis.winnowFingerprints(d, w)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    // guarantee: docs 1 and 2 share a 7-token run (> w) → at least one
+    // common fingerprint; doc 3 shares none with either
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // sketch is smaller than the token stream (roughly 2/(w+1) density)
+    val nTok = d.select(explode(split(lower($"text"), "\\s+"))).count()
+    assert(fps.count() < nTok)
+    // deterministic
+    val again = graft.functions.TextAnalysis.winnowFingerprints(d, w)
+    assert(fps.exceptAll(again).isEmpty && again.exceptAll(fps).isEmpty)
+  }
+
   test("text analysis edge cases: empty-ish and single-token docs") {
     val d = Seq((1L, "word"), (2L, "the the the"), (3L, "a b"))
       .toDF("doc_id", "text")
