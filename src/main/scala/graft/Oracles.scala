@@ -308,6 +308,12 @@ object Oracles {
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
 
+    "split_train_val" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM documents""".stripMargin,
+
     // Winnowing: per-window min of md5 token hashes (rightmost tie-
     // break via the negated position in the struct ordering), full
     // windows only, distinct selections.

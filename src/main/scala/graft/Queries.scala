@@ -411,6 +411,19 @@ object Queries {
   val textWinnow: Q = (s, dir) =>
     TextAnalysis.winnowFingerprints(t(s, dir, "documents"), 4)
 
+  /** Deterministic train/validation split — the holdout assignment a
+    * training pipeline needs to be REPRODUCIBLE and engine-portable:
+    * bucket by the md5 of the document id (uniform in hex space) and
+    * threshold lexicographically; "e6" ≈ 230/256 ≈ 90% train. No RNG
+    * state, stable under re-runs, subsets, and engine changes; narrow
+    * map-only plan.
+    */
+  val splitTrainVal: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "e6",
+        "train").otherwise("val").as("split"))
+
   /** Token accounting: whitespace tokens + BPE-ish estimator. */
   val textTokenCount: Q = (s, dir) =>
     t(s, dir, "documents").select(

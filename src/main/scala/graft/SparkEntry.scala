@@ -69,6 +69,7 @@ object SparkEntry {
     "text_quality" -> Queries.textQuality,
     "text_fingerprint" -> Queries.textFingerprint,
     "text_winnow" -> Queries.textWinnow,
+    "split_train_val" -> Queries.splitTrainVal,
     "text_lang_id" -> Queries.textLangId,
     // -- parity wave 2: log analytics, scalar fns, skip metrics
     "s9_log_parse" -> Queries.s9LogParse,
