@@ -117,10 +117,25 @@ object TextAnalysis {
     *
     * Token "hashes" are md5 hex strings so ordering — and therefore
     * the selected fingerprint set — is identical across engines (a
-    * DuckDB oracle reproduces it exactly); at 100 TB the plan is a
-    * narrow per-doc ordered window: one shuffle on doc_id, no joins.
+    * DuckDB oracle reproduces it exactly); the whole per-doc selection
+    * is ONE codegen'd kernel call ([[graft.plans.TextKernels.winnow]],
+    * monotonic deque) — no shuffle at all: the token stream never
+    * travels to a window exchange.
     */
   def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.registerActive()
+    docs.select(col("doc_id"),
+        explode(call_function("graft_winnow", col("text"), lit(w))).as("s"))
+      .select(col("doc_id"), col("s.fp").as("fp"), col("s.fp_pos").as("fp_pos"))
+  }
+
+  /** The relational window formulation of [[winnowFingerprints]] —
+    * kept as the semantic baseline the kernel is unit-tested against
+    * (posexplode → per-doc ordered window min → distinct; correct but
+    * shuffles the full token stream by doc_id).
+    */
+  private[graft] def winnowFingerprintsRelational(
+      docs: DataFrame, w: Int = 4): DataFrame = {
     val tok = docs.select(
       col("doc_id"),
       size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok"),

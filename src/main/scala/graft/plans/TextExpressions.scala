@@ -125,6 +125,59 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** Winnowing selections (Schleimer et al., SIGMOD'03): md5-hex token
+    * hashes, sliding window of `w`, per-window minimum with rightmost
+    * tie-break, distinct (fp, pos) selections in first-selection
+    * order. Monotonic-deque O(n); ≡ the relational window form
+    * ([[graft.functions.TextAnalysis.winnowFingerprintsRelational]],
+    * unit-tested equivalence) but with NO shuffle — the whole
+    * per-document selection happens in this one pass, so the token
+    * stream never travels to a window exchange.
+    */
+  def winnow(text: UTF8String, w: Int): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val n = toks.length
+    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < d.length) {
+        sb.append(Character.forDigit((d(j) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(d(j) & 0xf, 16))
+        j += 1
+      }
+      hs(i) = sb.toString
+      md.reset()
+      i += 1
+    }
+    // monotonic deque of positions; h strictly increasing front→back,
+    // equal hashes evicted so the NEWER (rightmost) position wins ties
+    val deque = new java.util.ArrayDeque[Integer]()
+    val seen = new java.util.LinkedHashSet[Long]() // packed selection ids
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < n) {
+      while (!deque.isEmpty && hs(deque.peekLast()).compareTo(hs(i)) >= 0)
+        deque.pollLast()
+      deque.addLast(i)
+      val start = i - w + 1
+      if (start >= 0) {
+        while (deque.peekFirst() < start) deque.pollFirst()
+        val sel = deque.peekFirst().intValue()
+        if (seen.add(sel.toLong)) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString(hs(sel)), sel.toLong)
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** 64-bit SimHash fingerprint from per-occurrence token hashes: per
     * bit, each token votes +1/−1 by its bit value; the fingerprint bit
     * is the sign of the vote sum. One tight pass over the token array —
@@ -246,6 +299,31 @@ case class TokenHashesExpr(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.tokenHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+}
+
+/** `graft_winnow(text, w)` — winnowing (fp, fp_pos) selections. */
+case class WinnowExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("fp", StringType, nullable = false),
+      StructField("fp_pos", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnow(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.winnow($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
     copy(child = newChild)
 }
 

@@ -108,6 +108,21 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(both.filter(not($"hof" <=> $"native")).count() == 0)
   }
 
+  test("graft_winnow ≡ relational window form on fixtures + edge cases") {
+    import graft.functions.TextAnalysis
+    val edge = Seq(
+      (1L, ""), (2L, "one two three"), // shorter than the window
+      (3L, "a a a a a a"),             // all-equal hashes: tie-breaks
+      (4L, "x y z x y z x y z"),       // repeating selections dedupe
+      (5L, "  leading and trailing  "),
+    ).toDF("doc_id", "text")
+    for (df <- Seq(docs.select($"doc_id", $"text"), edge)) {
+      val fast = TextAnalysis.winnowFingerprints(df, 4)
+      val base = TextAnalysis.winnowFingerprintsRelational(df, 4)
+      assert(fast.exceptAll(base).isEmpty && base.exceptAll(fast).isEmpty)
+    }
+  }
+
   test("fuzz: kernels ≡ column baselines on 200 seeded-random vectors") {
     val rnd = new scala.util.Random(0xf00dL)
     def rf(): Float = ((rnd.nextFloat() - 0.5f) * 4f)
