@@ -314,24 +314,29 @@ object Oracles {
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
 
-    // Winnowing: per-window min of md5 token hashes (rightmost tie-
+    // Winnowing: per-window min of md5 3-GRAM hashes (rightmost tie-
     // break via the negated position in the struct ordering), full
-    // windows only, distinct selections.
+    // windows only, distinct selections. Gram construction matches the
+    // ngram-dedup oracle (concat_ws skips the NULLs past a short doc's
+    // end → whole-text gram, same as the kernel's trim).
     "text_winnow" ->
       """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |gr AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tok,
-        |    unnest(string_split_regex(lower(text), '\s+')) AS tokv,
-        |    CAST(generate_subscripts(string_split_regex(lower(text), '\s+'), 1) - 1 AS BIGINT) AS pos
-        |  FROM documents),
+        |    CAST(greatest(len(toks) - 3, 0) + 1 AS BIGINT) AS n_gr,
+        |    unnest(list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+        |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2]))) AS gram,
+        |    CAST(unnest(range(1, greatest(len(toks) - 3, 0) + 2)) - 1 AS BIGINT) AS pos
+        |  FROM tok),
         |sel AS (
-        |  SELECT doc_id, n_tok, pos,
-        |    min(struct_pack(h := md5(tokv), np := -pos)) OVER (
+        |  SELECT doc_id, n_gr, pos,
+        |    min(struct_pack(h := md5(gram), np := -pos)) OVER (
         |      PARTITION BY doc_id ORDER BY pos
         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
-        |  FROM tok)
+        |  FROM gr)
         |SELECT DISTINCT doc_id, s.h AS fp, -s.np AS fp_pos
-        |FROM sel WHERE pos <= n_tok - 4""".stripMargin,
+        |FROM sel WHERE pos <= n_gr - 4""".stripMargin,
 
     "s9_log_parse" ->
       s"""WITH lines AS (

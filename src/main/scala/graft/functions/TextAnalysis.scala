@@ -107,46 +107,50 @@ object TextAnalysis {
     )
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
-    * the MOSS algorithm): hash every token, slide a window of `w`
-    * consecutive hashes per document, select each window's MINIMUM
-    * (rightmost on ties), and keep the distinct (hash, position)
-    * selections. Guarantees any shared run of ≥ w tokens between two
-    * documents contributes at least one common fingerprint, with a
-    * sketch ~1/w the document size — the standard selective
-    * fingerprinting primitive for large-scale near-dup detection.
+    * the MOSS algorithm): hash the K-GRAM at every token position,
+    * slide a window of `w` consecutive gram hashes per document,
+    * select each window's MINIMUM (rightmost on ties), and keep the
+    * distinct (hash, position) selections. Guarantees any shared run
+    * of ≥ w+k−1 tokens between two documents contributes at least one
+    * common fingerprint, while sharing a fingerprint witnesses a
+    * shared k-token run (grams, not unigrams — a single shared common
+    * word proves nothing); the sketch is ~2/(w+1) of the gram stream.
     *
-    * Token "hashes" are md5 hex strings so ordering — and therefore
-    * the selected fingerprint set — is identical across engines (a
-    * DuckDB oracle reproduces it exactly); the whole per-doc selection
-    * is ONE codegen'd kernel call ([[graft.plans.TextKernels.winnow]],
-    * monotonic deque) — no shuffle at all: the token stream never
+    * Gram "hashes" are md5 hex strings so ordering — and therefore the
+    * selected fingerprint set — is identical across engines (a DuckDB
+    * oracle reproduces it exactly); the whole per-doc selection is ONE
+    * codegen'd kernel call ([[graft.plans.TextKernels.winnow]],
+    * monotonic deque) — no shuffle at all: the gram stream never
     * travels to a window exchange.
     */
-  def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, w: Int = 4, k: Int = 3): DataFrame = {
     graft.plans.GraftFunctions.registerActive()
     docs.select(col("doc_id"),
-        explode(call_function("graft_winnow", col("text"), lit(w))).as("s"))
+        explode(call_function("graft_winnow", col("text"), lit(w), lit(k))).as("s"))
       .select(col("doc_id"), col("s.fp").as("fp"), col("s.fp_pos").as("fp_pos"))
   }
 
   /** The relational window formulation of [[winnowFingerprints]] —
     * kept as the semantic baseline the kernel is unit-tested against
-    * (posexplode → per-doc ordered window min → distinct; correct but
-    * shuffles the full token stream by doc_id).
+    * (positioned k-grams → per-doc ordered window min → distinct;
+    * correct but shuffles the full gram stream by doc_id).
     */
   private[graft] def winnowFingerprintsRelational(
-      docs: DataFrame, w: Int = 4): DataFrame = {
-    val tok = docs.select(
+      docs: DataFrame, w: Int = 4, k: Int = 3): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    val gramCount = greatest(size(toks) - k, lit(0)) + 1
+    val grams = docs.select(
       col("doc_id"),
-      size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok"),
-      posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tokv")))
-      .select(col("doc_id"), col("n_tok"), col("pos").cast("long").as("pos"),
-        md5(col("tokv").cast("binary")).as("h"))
+      gramCount.cast("long").as("n_gr"),
+      posexplode(transform(sequence(lit(0), gramCount - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n_gr"), col("pos").cast("long").as("pos"),
+        md5(col("gram").cast("binary")).as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    tok
+    grams
       .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
-      .filter(col("pos") <= col("n_tok") - w) // full windows only
+      .filter(col("pos") <= col("n_gr") - w) // full windows only
       .select(col("doc_id"), col("sel.h").as("fp"), (-col("sel.np")).as("fp_pos"))
       .distinct()
   }

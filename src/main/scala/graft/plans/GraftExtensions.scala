@@ -41,7 +41,7 @@ object GraftFunctions {
       (es: Seq[Expression]) => TokenHashesExpr(es.head)),
     ("graft_winnow",
       new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
-      (es: Seq[Expression]) => WinnowExpr(es(0), foldedInt(es(1)))),
+      (es: Seq[Expression]) => WinnowExpr(es(0), foldedInt(es(1)), foldedInt(es(2)))),
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (es: Seq[Expression]) => SimHash64Expr(es.head)),

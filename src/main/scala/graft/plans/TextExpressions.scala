@@ -125,42 +125,52 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
-  /** Winnowing selections (Schleimer et al., SIGMOD'03): md5-hex token
-    * hashes, sliding window of `w`, per-window minimum with rightmost
-    * tie-break, distinct (fp, pos) selections in first-selection
-    * order. Monotonic-deque O(n); ≡ the relational window form
+  /** Winnowing selections (Schleimer et al., SIGMOD'03 — the MOSS
+    * algorithm): md5-hex hashes of the K-GRAM at every token position
+    * (k-grams, not unigrams — a shared fingerprint then witnesses a
+    * shared k-token run, the discriminative property the algorithm
+    * exists for), sliding window of `w` consecutive gram hashes,
+    * per-window minimum with rightmost tie-break, distinct (fp, pos)
+    * selections. Monotonic-deque O(n); ≡ the relational window form
     * ([[graft.functions.TextAnalysis.winnowFingerprintsRelational]],
     * unit-tested equivalence) but with NO shuffle — the whole
-    * per-document selection happens in this one pass, so the token
-    * stream never travels to a window exchange.
+    * per-document selection happens in this one pass. Documents
+    * shorter than k tokens contribute one whole-text gram (same rule
+    * as [[shingleHashes]]); documents with fewer than w grams have no
+    * full window and yield no fingerprints.
     */
-  def winnow(text: UTF8String, w: Int): ArrayData = {
+  def winnow(text: UTF8String, w: Int, k: Int): ArrayData = {
     val toks = text.toLowerCase.toString.split("\\s+", -1)
     val n = toks.length
-    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hs = new Array[String](n)
+    val gramCount = math.max(n - k, 0) + 1
+    if (gramCount < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val hs = new Array[String](gramCount)
     var i = 0
-    while (i < n) {
-      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val sb = new java.lang.StringBuilder(32)
-      var j = 0
-      while (j < d.length) {
-        sb.append(Character.forDigit((d(j) >> 4) & 0xf, 16))
-        sb.append(Character.forDigit(d(j) & 0xf, 16))
+    while (i < gramCount) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
         j += 1
       }
-      hs(i) = sb.toString
-      md.reset()
+      // same md5-hex as Spark's md5() column function — parity with
+      // the relational baseline and the DuckDB oracle by construction
+      hs(i) = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       i += 1
     }
     // monotonic deque of positions; h strictly increasing front→back,
     // equal hashes evicted so the NEWER (rightmost) position wins ties
     val deque = new java.util.ArrayDeque[Integer]()
-    val seen = new java.util.LinkedHashSet[Long]() // packed selection ids
     val out = scala.collection.mutable.ArrayBuffer[Any]()
+    // the selected front index is non-decreasing across windows, so
+    // dedup is a single last-emitted comparison — no set needed
+    var lastSel = -1
     i = 0
-    while (i < n) {
+    while (i < gramCount) {
       while (!deque.isEmpty && hs(deque.peekLast()).compareTo(hs(i)) >= 0)
         deque.pollLast()
       deque.addLast(i)
@@ -168,9 +178,10 @@ object TextKernels {
       if (start >= 0) {
         while (deque.peekFirst() < start) deque.pollFirst()
         val sel = deque.peekFirst().intValue()
-        if (seen.add(sel.toLong)) {
+        if (sel != lastSel) {
           out += org.apache.spark.sql.catalyst.InternalRow(
             UTF8String.fromString(hs(sel)), sel.toLong)
+          lastSel = sel
         }
       }
       i += 1
@@ -302,8 +313,10 @@ case class TokenHashesExpr(child: Expression)
     copy(child = newChild)
 }
 
-/** `graft_winnow(text, w)` — winnowing (fp, fp_pos) selections. */
-case class WinnowExpr(child: Expression, w: Int)
+/** `graft_winnow(text, w, k)` — winnowing (fp, fp_pos) selections
+  * over k-gram hashes.
+  */
+case class WinnowExpr(child: Expression, w: Int, k: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(
@@ -313,15 +326,17 @@ case class WinnowExpr(child: Expression, w: Int)
     containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if w < 1 || k < 1 =>
+      TypeCheckResult.TypeCheckFailure(s"window/gram sizes must be >= 1, got w=$w k=$k")
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
   }
 
   override def nullSafeEval(input: Any): Any =
-    TextKernels.winnow(input.asInstanceOf[UTF8String], w)
+    TextKernels.winnow(input.asInstanceOf[UTF8String], w, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.winnow($c, $w)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.winnow($c, $w, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
     copy(child = newChild)

@@ -142,22 +142,25 @@ class DedupSimilaritySpec extends SparkSpec {
       .count() == 0, "LSH arm emitted a pair/cosine absent from the exact baseline")
   }
 
-  test("winnowing: shared ≥w-token runs share a fingerprint; sketch ≪ doc") {
-    val w = 4
+  test("winnowing: shared ≥w+k−1 runs share a fingerprint; single word doesn't") {
+    val w = 4 // window over k=3 grams → guarantee needs a ≥6-token run
     val shared = "alpha beta gamma delta epsilon zeta eta"
     val d = Seq(
       (1L, s"unique one two $shared tail tokens here"),
       (2L, s"другой prefix $shared completely different suffix"),
       (3L, "no overlap with anything else at all whatsoever"),
+      // shares ONLY the single word 'the' with doc 5 — k-gram hashing
+      // must NOT produce a common fingerprint from one common word
+      (4L, "the cat sat on a mat today quietly indoors"),
+      (5L, "the dog ran far away from home again yesterday"),
     ).toDF("doc_id", "text")
     val fps = graft.functions.TextAnalysis.winnowFingerprints(d, w)
     val byDoc = fps.collect().groupBy(_.getLong(0))
       .view.mapValues(_.map(_.getString(1)).toSet).toMap
-    // guarantee: docs 1 and 2 share a 7-token run (> w) → at least one
-    // common fingerprint; doc 3 shares none with either
-    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty) // 7-token shared run ≥ w+k−1
     assert((byDoc(1L) & byDoc(3L)).isEmpty)
-    // sketch is smaller than the token stream (roughly 2/(w+1) density)
+    assert((byDoc(4L) & byDoc(5L)).isEmpty)  // one shared word ≠ match
+    // sketch is smaller than the gram stream
     val nTok = d.select(explode(split(lower($"text"), "\\s+"))).count()
     assert(fps.count() < nTok)
     // deterministic
