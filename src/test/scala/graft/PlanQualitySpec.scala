@@ -57,6 +57,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(firstExchange < kernel, p.take(800))
   }
 
+  test("winnowing plans with no exchange at all (kernel + explode only)") {
+    val p = planOf("text_winnow")
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(p.contains("graft_winnow") || p.contains("winnow"), p.take(800))
+  }
+
   test("brute-force similarity broadcasts the query side") {
     val p = planOf("sim_cosine_topk")
     assert(p.contains("BroadcastExchange"), p.take(800))
