@@ -121,4 +121,63 @@ object Streams {
       }
       .filter(_._1 >= 0)
   }
+
+  /** Streaming near-duplicate filter — the incremental complement of
+    * [[graft.functions.Dedup.simHashDuplicates]] for an ingest
+    * pipeline: each micro-batch of documents is SimHash-fingerprinted
+    * (narrow kernel pass), candidate-matched against the accumulated
+    * fingerprint state AND earlier docs of the same batch via the
+    * 16-bit-chunk pigeonhole buckets, and only novel documents (no
+    * prior fingerprint within `maxHamming`) are emitted; survivors'
+    * fingerprints append to the state table. State is (doc_id, fp) —
+    * 16 bytes/doc, never the text — and the per-batch work is
+    * O(batch × bucket-collisions), exactly the batch operator's
+    * shape applied incrementally. Deterministic: earlier-arriving
+    * (lower-doc_id-within-batch) documents win.
+    */
+  def nearDupFreeStream(
+      docs: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      onSurvivors: DataFrame => Unit,
+      maxHamming: Int = 3,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fps = graft.functions.Dedup.simHashTable(batch)
+        val state =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(statePath)))
+            spark.read.parquet(statePath)
+          else fps.limit(0)
+        def chunked(df: DataFrame, side: String) =
+          df.select(col("doc_id").as(s"${side}_id"), col("fp").as(s"${side}_fp"),
+            explode(array((0 until 4).map(i =>
+              struct(lit(i).as("chunk"),
+                shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL)).as("ch"))): _*))
+              .as("c"))
+            .select(col(s"${side}_id"), col(s"${side}_fp"), col("c.chunk"), col("c.ch"))
+        val newSide = chunked(fps, "n")
+        // a doc is disqualified by ANY state row, or by an
+        // EARLIER-in-batch doc (lower doc_id) — so exactly the first
+        // of a within-batch dup cluster survives
+        val priorSide = chunked(state, "p").withColumn("from_state", lit(true))
+          .unionByName(chunked(fps, "p").withColumn("from_state", lit(false)))
+        val dupIds = newSide.join(priorSide, Seq("chunk", "ch"))
+          .filter(col("from_state") || col("p_id") < col("n_id"))
+          .filter(graft.plans.GraftFunctions.hamming64(
+            spark, col("n_fp"), col("p_fp")) <= maxHamming)
+          .select(col("n_id").as("doc_id")).distinct()
+        val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
+        onSurvivors(survivors)
+        // state accumulates EVERY seen fingerprint (dropped docs too):
+        // "any earlier-arriving doc disqualifies" — the same rule as
+        // the in-batch comparison, and it suppresses future members of
+        // an already-seen duplicate cluster even when their nearest
+        // neighbor was itself dropped
+        graft.operators.Merge.atomicOverwrite(state.unionByName(fps), statePath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

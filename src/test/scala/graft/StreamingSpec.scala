@@ -106,6 +106,45 @@ class StreamingSpec extends SparkSpec {
     assert(after2 == Map("R1" -> "v2", "R2" -> "v4", "R3" -> "v3"))
   }
 
+  test("streaming near-dup filter drops dups across and within micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nds").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nds-ck").toString
+    val state = s"$dir/state.parquet"
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    def docStream() = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      spark.readStream.schema(schema).parquet(s"$dir/in/*")
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit = {
+      val q = Streams.nearDupFreeStream(docStream(), state, ckpt,
+        survivors => out ++= survivors.select("doc_id")
+          .collect().map(_.getLong(0)))
+      q.awaitTermination(120000)
+    }
+    // batch 1: novel doc + its exact copy (within-batch dup) + novel
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    Seq((1L, base), (2L, base), (3L, "completely different content here with many original words"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in/b1.parquet")
+    run()
+    assert(out.sorted == Seq(1L, 3L), out)
+
+    // batch 2: near-dup of batch-1 doc (one word changed) is dropped
+    // ACROSS batches; a genuinely novel doc passes
+    out.clear()
+    Seq((4L, base.replace("dog", "cat")),
+        (5L, "nothing like anything processed before in any earlier batch at all"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in/b2.parquet")
+    run()
+    assert(out.sorted == Seq(5L), out)
+    // state holds every seen fingerprint
+    assert(spark.read.parquet(state).count() == 5)
+  }
+
   test("log tail stream parses [ts] message lines (R4/S10)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-logs").toString
     java.nio.file.Files.writeString(
