@@ -386,6 +386,15 @@ object Queries {
   val dedupSimhash: Q = (s, dir) =>
     Dedup.simHashDuplicates(t(s, dir, "documents"))
 
+  /** Duplicate clusters: connected components over the exact-Jaccard
+    * near-dup pairs (transitive closure — a~b, b~c groups a, b, c even
+    * when a~c was never emitted). Oracle: recursive CTE reachability.
+    */
+  val dedupComponents: Q = (s, dir) =>
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3, threshold = 0.5)
+        .select("a_id", "b_id"))
+
   /** Brute-force cosine top-10 for a fixed probe set (exact integer
     * dot products → deterministic ranks in both engines).
     */

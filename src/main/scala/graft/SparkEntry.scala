@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Queries.dedupNgramJaccard,
     "dedup_minhash_lsh" -> Queries.dedupMinhashLsh,
     "dedup_simhash" -> Queries.dedupSimhash,
+    "dedup_components" -> Queries.dedupComponents,
     "dedup_cosine_pairs" -> Queries.dedupCosinePairs,
     "dedup_cosine_lsh" -> Queries.dedupCosineLsh,
     "curate_corpus" -> Queries.curateCorpus,

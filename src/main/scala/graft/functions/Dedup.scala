@@ -316,6 +316,77 @@ object Dedup {
     * least one chunk identical, so bucket-join on chunks and verify
     * with bit_count(xor) — never all-pairs.
     */
+  // ------------------------------------------- connected components
+
+  /** Connected components over an undirected near-duplicate pair list:
+    * collapses transitive pairs into clusters so curation can keep one
+    * survivor per cluster. A raw pair list under-deletes: a~b and b~c
+    * must put a, b, c in one group even when a~c was never emitted
+    * (sketch dedup misses borderline pairs by design).
+    *
+    * Alternating large-star / small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14),
+    * converging to min-labelled stars in O(log² n) rounds — duplicate
+    * graphs are near-cliques, so 2–3 rounds in practice. Scale shape:
+    * every round is two `min`-aggregate + join shuffles over the EDGE
+    * list only; documents never move, no per-node neighbor list is ever
+    * collected (a hub's edges stay distributed — the min-neighbor
+    * reduction is map-side combined, and the 1-row-per-key build side
+    * broadcasts or AQE-splits the join). Lineage is truncated per round
+    * with localCheckpoint; a long-lived cluster job would point
+    * `setCheckpointDir` at durable storage and use `checkpoint` instead.
+    *
+    * Returns `(doc_id, component)` for every node appearing in `pairs`,
+    * where component = smallest doc_id in the connected component.
+    * Singleton docs (no pairs) are their own component by definition
+    * and are not emitted.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val ids = pairs.columns
+    // Invariant between steps: edges directed large→small (u > v).
+    var edges = pairs
+      .select(col(ids(0)).cast("long").as("a"), col(ids(1)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // Large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ {u}).
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(lmins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // m ≤ u < v: stays u > v
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // Small-star: each node re-points its smaller neighbors (and
+      // itself) at the minimum of them.
+      val smins = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(smins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // Stars (u→root, root = component min) are fixpoints of both
+      // steps, so one same-set check per round detects convergence:
+      // |A| = |B| ∧ A∖B = ∅ ⇒ A = B for distinct sets.
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    edges.select(col("u").as("doc_id"), col("v").as("component"))
+      .union(edges.select(col("v"), col("v")).distinct())
+  }
+
   def simHashDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fp = simHashTable(docs)
     val chunked = fp.select(col("doc_id"), col("fp"),

@@ -44,6 +44,28 @@ object Probe {
   }
 }
 /** Repeat-run a single query for timing variance. */
+/** Dev dump: write one named query's result to parquet for a local
+  * DuckDB-oracle comparison (the per-round driver runs all of Verify;
+  * this is the per-query dev loop).
+  */
+object DumpQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 2) args(2) else "/tmp/graft_dump"
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    println(s"dumped $outDir/$name")
+    spark.stop()
+  }
+}
+
 object ProbeQuery {
   def main(args: Array[String]): Unit = {
     val name = args(0)

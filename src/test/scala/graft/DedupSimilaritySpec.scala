@@ -32,6 +32,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact) // 128 perms / 32 bands at jaccard≥0.5 → full recall here
   }
 
+  test("connected components: chains, cliques, and random graphs vs union-find") {
+    // Chain 1-2-3-4 (needs transitive closure), pair 10-11, triangle
+    // 20-21-22, duplicate + reversed + self-loop edges.
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (1L, 2L), (7L, 7L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(got == want) // self-loop-only node 7 is a singleton: not emitted
+
+    // Seeded random graphs vs a reference union-find.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val es = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val wantR = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(x => x -> find(x.toInt).toLong).toMap
+      val gotR = Dedup.connectedComponents(es.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(gotR == wantR)
+    }
+  }
+
   test("minhash candidates are a superset of verified duplicates") {
     val cands = Dedup.minHashCandidates(docs, 3, 128, 32)
       .as[(Long, Long)].collect().toSet
