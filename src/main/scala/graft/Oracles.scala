@@ -335,6 +335,25 @@ object Oracles {
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
 
+    // Concat-and-chunk packing: the oracle uses the naive global
+    // running sum (fine at oracle scale); the engine computes the same
+    // offsets with a distributed two-phase prefix sum.
+    "pack_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t_start
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, t_start,
+        |  t_start // 2048 AS first_chunk,
+        |  (t_start + n_tokens - 1) // 2048 AS last_chunk,
+        |  t_start % 2048 AS chunk_offset
+        |FROM c""".stripMargin,
+
     "split_train_val" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'

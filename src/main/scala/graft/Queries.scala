@@ -433,6 +433,14 @@ object Queries {
       when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "e6",
         "train").otherwise("val").as("split"))
 
+  /** Concat-and-chunk sequence packing: where each document lands in
+    * the fixed-2048-token pretraining layout. Distributed prefix sum —
+    * the only unpartitioned window runs over bucket subtotals, never
+    * the corpus.
+    */
+  val packChunks: Q = (s, dir) =>
+    graft.functions.Packing.packChunks(t(s, dir, "documents"), seqLen = 2048)
+
   /** Token accounting: whitespace tokens + BPE-ish estimator. */
   val textTokenCount: Q = (s, dir) =>
     t(s, dir, "documents").select(

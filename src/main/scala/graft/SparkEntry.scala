@@ -71,6 +71,7 @@ object SparkEntry {
     "text_fingerprint" -> Queries.textFingerprint,
     "text_winnow" -> Queries.textWinnow,
     "split_train_val" -> Queries.splitTrainVal,
+    "pack_chunks" -> Queries.packChunks,
     "text_lang_id" -> Queries.textLangId,
     // -- parity wave 2: log analytics, scalar fns, skip metrics
     "s9_log_parse" -> Queries.s9LogParse,

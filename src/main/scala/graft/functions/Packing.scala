@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: the concat-and-chunk layout.
+  *
+  * Documents are tokenized, logically concatenated in `doc_id` order,
+  * and the token stream is cut into fixed `seqLen`-token training
+  * sequences. The output maps every document to its place in that
+  * layout: global token offset, first/last chunk ids, offset within its
+  * first chunk. (This is the standard GPT-style pretraining layout —
+  * documents may span chunk boundaries; packing without splitting is a
+  * bin-packing variant the reference pipeline has no analogue for.)
+  *
+  * Scale shape — the global running offset is a distributed prefix sum,
+  * NOT a global window: `Window.orderBy(doc_id)` with no partitioning
+  * would coalesce the whole corpus into one task. Instead:
+  *   1. docs get an order-preserving bucket (integer-exact `doc_id div
+  *      width`; no sampled range boundaries, so re-execution of the
+  *      plan is deterministic);
+  *   2. a within-bucket cumulative window runs in parallel per bucket;
+  *   3. bucket subtotals (one row per bucket) get a prefix-sum window —
+  *      the only unpartitioned window, over `buckets` rows, not the
+  *      corpus — and broadcast-join back.
+  * Total cost: one shuffle of (doc_id, n_tokens) pairs by bucket + a
+  * KB-scale side plan. The document text itself never shuffles.
+  */
+object Packing {
+
+  /** Pack `docs(idCol, textCol)` into `seqLen`-token chunks.
+    *
+    * Bucket width derives from `max(doc_id)`, so bucket sizes follow id
+    * density; ids are assumed non-negative and roughly dense (corpus
+    * export convention). Returns one row per document:
+    * `(doc_id, n_tokens, t_start, first_chunk, last_chunk,
+    * chunk_offset)`.
+    */
+  def packChunks(
+      docs: DataFrame,
+      seqLen: Int = 2048,
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val toks = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val maxId = toks.agg(max("doc_id")).head() match {
+      case r if r.isNullAt(0) => 0L // empty corpus
+      case r => r.getLong(0)
+    }
+    val width = math.max(1L, maxId / buckets + 1)
+    val bucketed = toks.withColumn("bucket", expr(s"doc_id div ${width}L"))
+
+    val inBucket = bucketed.withColumn(
+      "cum_in_bucket",
+      sum("n_tokens").over(Window.partitionBy("bucket").orderBy("doc_id")))
+
+    // One row per bucket; the unpartitioned window below runs over
+    // `buckets` rows only (KB-scale), then broadcasts.
+    val bucketTotals = bucketed.groupBy("bucket")
+      .agg(sum("n_tokens").as("btok"))
+    val bucketStarts = bucketTotals
+      .withColumn(
+        "bstart",
+        coalesce(
+          sum("btok").over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bucket", "bstart")
+
+    // Integer `div`, not floor(x / L): double division rounds above
+    // 2^53 tokens and this arithmetic must stay exact at any scale.
+    inBucket.join(broadcast(bucketStarts), "bucket")
+      .withColumn("t_end", col("bstart") + col("cum_in_bucket"))
+      .withColumn("t_start", col("t_end") - col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("t_start"),
+        expr(s"t_start div ${seqLen}L").as("first_chunk"),
+        expr(s"(t_end - 1) div ${seqLen}L").as("last_chunk"),
+        pmod(col("t_start"), lit(seqLen.toLong)).as("chunk_offset"))
+  }
+
+  /** Naive single-global-window form: the unit-test baseline for
+    * [[packChunks]] (identical output, single-task at scale — never use
+    * on a real corpus).
+    */
+  private[graft] def packChunksGlobalWindow(
+      docs: DataFrame,
+      seqLen: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn(
+        "t_start",
+        coalesce(
+          sum("n_tokens").over(Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("t_start"),
+        expr(s"t_start div ${seqLen}L").as("first_chunk"),
+        expr(s"(t_start + n_tokens - 1) div ${seqLen}L").as("last_chunk"),
+        pmod(col("t_start"), lit(seqLen.toLong)).as("chunk_offset"))
+  }
+}

@@ -67,6 +67,37 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pack_chunks: two-phase prefix sum equals the global-window form") {
+    import graft.functions.Packing
+    // Hand case, seqLen=10: token counts 3, 8, 4 → starts 0, 3, 11.
+    val d = Seq(
+      (0L, "a b c"),
+      (1L, "a b c d e f g h"),
+      (2L, "w x y z")).toDF("doc_id", "text")
+    val got = Packing.packChunks(d, seqLen = 10, buckets = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "t_start", "first_chunk", "last_chunk",
+        "chunk_offset")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 0L, 0L, 0L, 0L),
+      (1L, 8L, 3L, 0L, 1L, 3L), // spans the chunk boundary
+      (2L, 4L, 11L, 1L, 1L, 1L)))
+
+    // Sparse, non-dense ids: buckets are uneven but offsets still exact.
+    val sparse = Seq((5L, "a b"), (999983L, "c d e"), (123L, "f"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows(Packing.packChunks(sparse, 4, buckets = 8)) ==
+      rows(Packing.packChunksGlobalWindow(sparse, 4)))
+
+    // Fixture corpus: distributed form ≡ naive global window.
+    assert(rows(Packing.packChunks(docs, 2048, buckets = 16)) ==
+      rows(Packing.packChunksGlobalWindow(docs, 2048)))
+  }
+
   test("minhash candidates are a superset of verified duplicates") {
     val cands = Dedup.minHashCandidates(docs, 3, 128, 32)
       .as[(Long, Long)].collect().toSet
