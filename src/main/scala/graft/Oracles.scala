@@ -354,6 +354,25 @@ object Oracles {
         |  t_start % 2048 AS chunk_offset
         |FROM c""".stripMargin,
 
+    // PII redaction: same pattern order as TextAnalysis.piiPatterns,
+    // each stage counting on the previous stage's redacted text.
+    // Patterns are in the Java-regex ∩ RE2 common subset.
+    "text_pii_redact" ->
+      """WITH s0 AS (SELECT doc_id, text AS t0, CAST(0 AS BIGINT) AS n0 FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1,
+        |  n0 + len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1 FROM s0),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2,
+        |  n1 + len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n2 FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(t2, '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g') AS t3,
+        |  n2 + len(regexp_extract_all(t2, '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) AS n3 FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  regexp_replace(t3, '\+\d{7,15}\b', '<PHONE>', 'g') AS t4,
+        |  n3 + len(regexp_extract_all(t3, '\+\d{7,15}\b')) AS n4 FROM s3)
+        |SELECT doc_id, t4 AS clean_text, CAST(n4 AS BIGINT) AS n_pii FROM s4""".stripMargin,
+
     "split_train_val" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'

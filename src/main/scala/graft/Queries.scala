@@ -441,6 +441,17 @@ object Queries {
   val packChunks: Q = (s, dir) =>
     graft.functions.Packing.packChunks(t(s, dir, "documents"), seqLen = 2048)
 
+  /** PII redaction pass: emails, IPv4, phones → placeholder tokens,
+    * with the per-doc replacement count. Map-only fold of codegen'd
+    * regexp_replaces; the oracle proves the Java-regex and RE2 engines
+    * agree on these (deliberately common-subset) patterns.
+    */
+  val textPiiRedact: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.redactPii(col("text")).as("clean_text"),
+      TextAnalysis.piiHits(col("text")).as("n_pii"))
+
   /** Token accounting: whitespace tokens + BPE-ish estimator. */
   val textTokenCount: Q = (s, dir) =>
     t(s, dir, "documents").select(

@@ -92,6 +92,40 @@ object TextAnalysis {
     */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 
+  /** PII redaction patterns, ordered (earlier patterns consume first).
+    * Deliberately restricted to syntax valid AND equivalent in both
+    * Java regex (Spark codegen'd `regexp_replace`) and RE2 (the DuckDB
+    * oracle): character classes, bounded repetition, `\b` on a
+    * word-char side only — no lookaround, no backrefs.
+    * E.164 phones carry no leading `\b` ("+" is not a word char, so a
+    * boundary before it never matches after whitespace).
+    */
+  private[graft] val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b" -> "<PHONE>",
+    "\\+\\d{7,15}\\b" -> "<PHONE>")
+
+  /** Redact emails, IPv4 addresses, and phone numbers. A fold of
+    * codegen'd `regexp_replace`s — narrow, map-only, no UDF; the 100 TB
+    * cost is one streaming pass over the text bytes.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  /** Count of PII matches, same patterns in the same order: pattern i
+    * is counted on text already redacted by patterns < i, so the count
+    * is exactly the number of replacements [[redactPii]] makes (a phone
+    * embedded in an email is one email, not two hits).
+    */
+  def piiHits(text: Column): Column =
+    piiPatterns.foldLeft((text, lit(0L))) { case ((c, n), (pat, rep)) =>
+      (regexp_replace(c, pat, rep),
+        n + regexp_count(c, lit(pat)).cast("long"))
+    }._2
+
   /** Rolling polynomial (Karp–Rabin) fingerprint over the text:
     * f = Σ c_i · B^(n-1-i) mod P, B = 31, P a prime < 2^30 (keeps
     * `acc·B + c` < 2^36 — safe under Spark's default ANSI arithmetic,

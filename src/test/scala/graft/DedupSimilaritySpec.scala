@@ -67,6 +67,26 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PII redaction: emails, IPs, phones; counts match replacements") {
+    val cases = Seq(
+      ("mail john.doe+x@ex-ample.co.uk now", "mail <EMAIL> now", 1L),
+      ("server 192.168.0.1 and 8.8.8.8.", "server <IP> and <IP>.", 2L),
+      ("call 555-123-4567 or 555 123 4567", "call <PHONE> or <PHONE>", 2L),
+      ("intl +639171234567 ok", "intl <PHONE> ok", 1L),
+      // digits inside a consumed email are one email, not a phone too
+      ("x 555-123-4567@mail.com y", "x <EMAIL> y", 1L),
+      ("no pii here", "no pii here", 0L))
+    val got = cases.map(_._1).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("r"),
+        TextAnalysis.piiHits(col("text")).as("n"))
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    got.zip(cases).foreach { case ((_, r, n), (in, wantR, wantN)) =>
+      assert(r == wantR, s"redaction of '$in'")
+      assert(n == wantN, s"hit count of '$in'")
+    }
+  }
+
   test("pack_chunks: two-phase prefix sum equals the global-window form") {
     import graft.functions.Packing
     // Hand case, seqLen=10: token counts 3, 8, 4 → starts 0, 3, 11.
