@@ -354,6 +354,36 @@ object Oracles {
         |  t_start % 2048 AS chunk_offset
         |FROM c""".stripMargin,
 
+    // Gopher quality rules: identical int-exact numerators and double
+    // divisions both sides; keep flag thresholds the unrounded values.
+    "text_gopher_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |      / len(toks) AS mean_len,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+        |      / len(toks) AS sym,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |      / len(toks) AS alpha,
+        |    CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'be') AS INT)
+        |      + CAST(list_contains(toks, 'to') AS INT) + CAST(list_contains(toks, 'of') AS INT)
+        |      + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'that') AS INT)
+        |      + CAST(list_contains(toks, 'have') AS INT) + CAST(list_contains(toks, 'with') AS INT)
+        |      AS sd
+        |  FROM tok)
+        |SELECT doc_id, n_words,
+        |  round(mean_len, 4) AS mean_word_len,
+        |  round(sym, 4) AS symbol_ratio,
+        |  round(alpha, 4) AS alpha_word_ratio,
+        |  CAST(sd AS BIGINT) AS stop_distinct,
+        |  (n_words BETWEEN 50 AND 100000) AND mean_len >= 3 AND mean_len <= 10
+        |    AND sym <= 0.1 AND alpha > 0.8 AND sd >= 2 AS keep
+        |FROM s""".stripMargin,
+
     // PII redaction: same pattern order as TextAnalysis.piiPatterns,
     // each stage counting on the previous stage's redacted text.
     // Patterns are in the Java-regex ∩ RE2 common subset.

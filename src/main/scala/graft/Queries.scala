@@ -441,6 +441,12 @@ object Queries {
   val packChunks: Q = (s, dir) =>
     graft.functions.Packing.packChunks(t(s, dir, "documents"), seqLen = 2048)
 
+  /** Gopher-style quality filter (word-count/word-length/symbol/
+    * stopword rules): per-doc signals + keep flag.
+    */
+  val textGopherFilter: Q = (s, dir) =>
+    TextAnalysis.gopherSignals(t(s, dir, "documents"), col("text"))
+
   /** PII redaction pass: emails, IPv4, phones → placeholder tokens,
     * with the per-doc replacement count. Map-only fold of codegen'd
     * regexp_replaces; the oracle proves the Java-regex and RE2 engines

@@ -74,6 +74,7 @@ object SparkEntry {
     "pack_chunks" -> Queries.packChunks,
     "text_lang_id" -> Queries.textLangId,
     "text_pii_redact" -> Queries.textPiiRedact,
+    "text_gopher_filter" -> Queries.textGopherFilter,
     // -- parity wave 2: log analytics, scalar fns, skip metrics
     "s9_log_parse" -> Queries.s9LogParse,
     "f5_manila_iso" -> Queries.f5ManilaIso,

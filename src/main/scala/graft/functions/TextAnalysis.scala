@@ -87,6 +87,45 @@ object TextAnalysis {
     round((lengthScore + stopScore) / 2, 4)
   }
 
+  /** The Gopher repetition-free quality rules' stopword set (Rae et
+    * al. 2021, "Scaling Language Models", table A1): a doc must contain
+    * at least 2 distinct words of these 8 to count as prose.
+    */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality filter (Rae et al. 2021, appendix
+    * A1.1): word-count bounds, mean word length in [3,10], symbol
+    * (#/ellipsis) ratio ≤ 0.1, ≥80% words alphabetic, ≥2 distinct
+    * common stopwords. Emits the signals and the composite `keep` flag
+    * (thresholds applied to UNROUNDED values; rounding is display-only).
+    * Narrow map-only plan: one codegen'd pass per document, no UDFs,
+    * no shuffle — the right shape for a 100 TB pre-filter.
+    */
+  def gopherSignals(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(lower(text))
+    val n = size(toks).cast("long")
+    val nd = n.cast("double")
+    val meanLen = aggregate(toks, lit(0L),
+      (acc, w) => acc + length(w).cast("long")).cast("double") / nd
+    val symRatio = regexp_count(text, lit("#|\\.\\.\\.|…"))
+      .cast("double") / nd
+    val alphaRatio = size(filter(toks, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nd
+    val stopDistinct = gopherStops
+      .map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+    df.select(
+      col("doc_id"),
+      n.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symRatio, 4).as("symbol_ratio"),
+      round(alphaRatio, 4).as("alpha_word_ratio"),
+      stopDistinct.cast("long").as("stop_distinct"),
+      (n.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+        symRatio <= 0.1 && alphaRatio > 0.8 && stopDistinct >= 2)
+        .as("keep"))
+  }
+
   /** Exact content fingerprint: md5 of the normalized text. Used by
     * exact dedup; portable (identical in any engine).
     */

@@ -67,6 +67,23 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("gopher filter: each rule can independently reject") {
+    val prose = ("the cat and the dog have fun with all of that " * 6).trim
+    val cases = Seq(
+      (0L, prose, true),                        // 66 words, prose-like
+      (1L, "short the of doc", false),          // < 50 words
+      (2L, prose + " ##### ##### ##### ##### ##### ##### ##### #####",
+        false),                                 // symbol ratio > 0.1
+      (3L, ("12 34 56 " * 20).trim + " the of", false), // non-alpha words
+      (4L, ("lorem ipsum dolor sit amet " * 12).trim, false)) // no stopwords
+    val got = TextAnalysis.gopherSignals(
+        cases.map { case (i, t, _) => (i, t) }.toDF("doc_id", "text"),
+        col("text"))
+      .orderBy("doc_id").select("doc_id", "keep")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got == cases.map { case (i, _, k) => (i, k) })
+  }
+
   test("PII redaction: emails, IPs, phones; counts match replacements") {
     val cases = Seq(
       ("mail john.doe+x@ex-ample.co.uk now", "mail <EMAIL> now", 1L),
