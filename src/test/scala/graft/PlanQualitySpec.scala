@@ -68,6 +68,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(800))
   }
 
+  test("map-only text passes plan without any exchange") {
+    for (q <- Seq("text_pii_redact", "text_gopher_filter", "split_train_val")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n${p.take(800)}")
+    }
+  }
+
+  test("pack_chunks: corpus window is bucket-partitioned; only bucket totals go single-partition") {
+    val p = planOf("pack_chunks")
+    // the corpus-side cumulative window shuffles by bucket (parallel)...
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(bucket")), p.take(1200))
+    // ...and the only single-partition exchange is the bucket-subtotal
+    // prefix sum (KB-scale), never the corpus
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1,
+      p.take(1200))
+    val single = p.indexOf("Exchange SinglePartition")
+    val aggBefore = p.indexOf("HashAggregate", single)
+    assert(aggBefore >= 0, "single-partition input is not aggregated bucket totals:\n" +
+      p.take(1200))
+  }
+
+  test("dedup components round plans no neighbor-list collection (min-agg only)") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (3L, 2L)).toDF("a_id", "b_id")
+    val labels = graft.functions.Dedup.connectedComponents(pairs)
+    val p = labels.queryExecution.executedPlan.toString
+    assert(!p.contains("collect_list") && !p.contains("collect_set"), p.take(800))
+  }
+
   test("flagship aggregation is map-side combined inside codegen") {
     val p = planOf("q1_pricing_summary", execute = true)
     // "*(n)" marks whole-stage-codegen'd operators in the simple plan
