@@ -384,6 +384,27 @@ object Oracles {
         |    AND sym <= 0.1 AND alpha > 0.8 AND sd >= 2 AS keep
         |FROM s""".stripMargin,
 
+    // Repetition: bigram construction mirrors zip_with over adjacent
+    // token slices; docs with <2 tokens have no bigrams → share 0.
+    "text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+        |  FROM tok),
+        |gr AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      s -> concat_ws(' ', toks[s], toks[s+1]))) AS g
+        |  FROM tok),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g),
+        |gm AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot FROM gc GROUP BY doc_id)
+        |SELECT b.doc_id, b.n AS n_tokens,
+        |  round(1 - CAST(nd AS DOUBLE) / b.n, 4) AS dup_token_frac,
+        |  round(COALESCE(CAST(maxc AS DOUBLE) / tot, 0), 4) AS top_bigram_frac
+        |FROM base b LEFT JOIN gm ON b.doc_id = gm.doc_id""".stripMargin,
+
     // PII redaction: same pattern order as TextAnalysis.piiPatterns,
     // each stage counting on the previous stage's redacted text.
     // Patterns are in the Java-regex ∩ RE2 common subset.

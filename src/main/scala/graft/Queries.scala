@@ -447,6 +447,12 @@ object Queries {
   val textGopherFilter: Q = (s, dir) =>
     TextAnalysis.gopherSignals(t(s, dir, "documents"), col("text"))
 
+  /** Gopher-style repetition signals: duplicate-token fraction and
+    * most-common-bigram share per document.
+    */
+  val textRepetition: Q = (s, dir) =>
+    TextAnalysis.repetitionSignals(t(s, dir, "documents"))
+
   /** PII redaction pass: emails, IPv4, phones → placeholder tokens,
     * with the per-doc replacement count. Map-only fold of codegen'd
     * regexp_replaces; the oracle proves the Java-regex and RE2 engines

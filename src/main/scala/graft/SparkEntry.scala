@@ -75,6 +75,7 @@ object SparkEntry {
     "text_lang_id" -> Queries.textLangId,
     "text_pii_redact" -> Queries.textPiiRedact,
     "text_gopher_filter" -> Queries.textGopherFilter,
+    "text_repetition" -> Queries.textRepetition,
     // -- parity wave 2: log analytics, scalar fns, skip metrics
     "s9_log_parse" -> Queries.s9LogParse,
     "f5_manila_iso" -> Queries.f5ManilaIso,

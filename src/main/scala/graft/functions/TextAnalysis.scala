@@ -126,6 +126,43 @@ object TextAnalysis {
         .as("keep"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, A1.1 "repetition
+    * removal", count-based variant): per document, the duplicate-token
+    * fraction (1 − distinct/total) and the share of the most common
+    * bigram in the bigram stream. Highly repetitive machine-generated
+    * text scores near 1 on both.
+    *
+    * Scale shape: the bigram mode is relational — explode → count by
+    * (doc_id, bigram) → max per doc — so both shuffles are keyed by
+    * doc-local keys (cardinality ∝ corpus tokens, no global hot key;
+    * a pathologically repetitive doc collapses to FEW keys, not one
+    * giant one). The per-doc signals stay a narrow map.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      tokens(lower(col("text"))).as("toks"))
+    val base = tok.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n"),
+      size(array_distinct(col("toks"))).cast("long").as("nd"))
+    val grams = tok.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("g"))
+    val gm = grams.groupBy("doc_id", "g").count()
+      .groupBy("doc_id")
+      .agg(max("count").as("maxc"), sum("count").as("tot"))
+    base.join(gm, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        round(lit(1.0) - col("nd").cast("double") / col("n").cast("double"), 4)
+          .as("dup_token_frac"),
+        round(coalesce(col("maxc").cast("double") / col("tot").cast("double"),
+          lit(0.0)), 4).as("top_bigram_frac"))
+  }
+
   /** Exact content fingerprint: md5 of the normalized text. Used by
     * exact dedup; portable (identical in any engine).
     */

@@ -84,6 +84,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == cases.map { case (i, _, k) => (i, k) })
   }
 
+  test("repetition signals: repetitive text scores high, varied text low") {
+    val d = Seq(
+      (0L, "spam spam spam spam"),   // 4 tokens, 1 distinct, bigram "spam spam" ×3/3
+      (1L, "a b c d"),               // all distinct, every bigram unique
+      (2L, "one")).toDF("doc_id", "text") // single token: no bigrams
+    val got = TextAnalysis.repetitionSignals(d)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, 0.75, 1.0),
+      (1L, 4L, 0.0, 0.3333),
+      (2L, 1L, 0.0, 0.0)))
+  }
+
   test("PII redaction: emails, IPs, phones; counts match replacements") {
     val cases = Seq(
       ("mail john.doe+x@ex-ample.co.uk now", "mail <EMAIL> now", 1L),
