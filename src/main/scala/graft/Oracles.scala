@@ -244,6 +244,34 @@ object Oracles {
         |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
         |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
 
+    // Survivors after component collapse: everything except non-min
+    // members of each duplicate cluster.
+    "dedup_survivors_cc" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 3, 0) + 2),
+        |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2]))) AS shingles
+        |  FROM tok),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id != component)""".stripMargin,
+
     // MinHash+LSH is sketch-based, but at k=128/32 bands the miss
     // probability for the fixtures' duplicate pairs (all Jaccard ≥ 0.8)
     // is ≤ 5e-8 — the verified output equals the exact-Jaccard pair set,

@@ -395,6 +395,20 @@ object Queries {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3, threshold = 0.5)
         .select("a_id", "b_id"))
 
+  /** Corpus after component collapse: each duplicate CLUSTER keeps only
+    * its min doc_id (pairwise loser-removal under-deletes on transitive
+    * chains). Anti join against the non-min cluster members.
+    */
+  val dedupSurvivorsCc: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val comp = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, w = 3, threshold = 0.5)
+        .select("a_id", "b_id"))
+    docs.join(comp.filter(col("doc_id") =!= col("component")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+  }
+
   /** Brute-force cosine top-10 for a fixed probe set (exact integer
     * dot products → deterministic ranks in both engines).
     */

@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Queries.dedupMinhashLsh,
     "dedup_simhash" -> Queries.dedupSimhash,
     "dedup_components" -> Queries.dedupComponents,
+    "dedup_survivors_cc" -> Queries.dedupSurvivorsCc,
     "dedup_cosine_pairs" -> Queries.dedupCosinePairs,
     "dedup_cosine_lsh" -> Queries.dedupCosineLsh,
     "curate_corpus" -> Queries.curateCorpus,
