@@ -452,6 +452,13 @@ object Oracles {
         |  n3 + len(regexp_extract_all(t3, '\+\d{7,15}\b')) AS n4 FROM s3)
         |SELECT doc_id, t4 AS clean_text, CAST(n4 AS BIGINT) AS n_pii FROM s4""".stripMargin,
 
+    "corpus_reweight" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CASE
+        |  WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |  WHEN lang = 'es' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'
+        |  ELSE TRUE END""".stripMargin,
+
     "split_train_val" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'

@@ -467,6 +467,19 @@ object Queries {
   val textRepetition: Q = (s, dir) =>
     TextAnalysis.repetitionSignals(t(s, dir, "documents"))
 
+  /** Corpus-mix reweighting: deterministically downsample dominant
+    * languages (en→50%, es→75%, rest kept) by md5-hash rate — the
+    * map-only, skew-immune alternative to per-group quota windows.
+    */
+  val corpusReweight: Q = (s, dir) =>
+    t(s, dir, "documents").filter(
+        when(col("lang") === "en",
+          TextAnalysis.rateSampleKeep(col("doc_id"), 0.5))
+          .when(col("lang") === "es",
+            TextAnalysis.rateSampleKeep(col("doc_id"), 0.75))
+          .otherwise(lit(true)))
+      .select("doc_id", "lang", "source")
+
   /** PII redaction pass: emails, IPv4, phones → placeholder tokens,
     * with the per-doc replacement count. Map-only fold of codegen'd
     * regexp_replaces; the oracle proves the Java-regex and RE2 engines

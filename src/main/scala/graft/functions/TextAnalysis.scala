@@ -163,6 +163,24 @@ object TextAnalysis {
           lit(0.0)), 4).as("top_bigram_frac"))
   }
 
+  /** Deterministic keep-decision for rate-based downsampling: true for
+    * ~`rate` of ids, decided by the first 8 md5 hex chars (uniform in
+    * hex space) against a precomputed hex threshold. Engine-portable
+    * (pure string comparison — same convention as the train/val split),
+    * reproducible, and stable under subsets/re-runs, unlike RNG
+    * sampling. Map-only: the scalable way to reweight a corpus mix
+    * (e.g. cap a dominant language at 50%) — no per-group sort or
+    * window, so group skew is irrelevant.
+    */
+  def rateSampleKeep(id: Column, rate: Double): Column = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0,1]")
+    if (rate >= 1.0) lit(true)
+    else {
+      val threshold = f"${(rate * 4294967296.0).toLong}%08x"
+      substring(md5(id.cast("string").cast("binary")), 1, 8) < lit(threshold)
+    }
+  }
+
   /** Exact content fingerprint: md5 of the normalized text. Used by
     * exact dedup; portable (identical in any engine).
     */

@@ -84,6 +84,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == cases.map { case (i, _, k) => (i, k) })
   }
 
+  test("rate sampling: deterministic, subset-stable, near the target rate") {
+    val ids = spark.range(0, 10000).toDF("doc_id")
+    val kept = ids.filter(TextAnalysis.rateSampleKeep(col("doc_id"), 0.5))
+    val n = kept.count()
+    assert(math.abs(n - 5000) < 300, s"rate 0.5 kept $n of 10000")
+    // same decision again (determinism) and on a subset (stability)
+    assert(kept.count() == n)
+    val sub = ids.filter(col("doc_id") < 5000)
+      .filter(TextAnalysis.rateSampleKeep(col("doc_id"), 0.5))
+    assert(sub.intersect(kept.filter(col("doc_id") < 5000)).count() == sub.count())
+    // rate 1.0 keeps everything, rate 0 keeps nothing
+    assert(ids.filter(TextAnalysis.rateSampleKeep(col("doc_id"), 1.0)).count() == 10000)
+    assert(ids.filter(TextAnalysis.rateSampleKeep(col("doc_id"), 0.0)).count() == 0)
+  }
+
   test("repetition signals: repetitive text scores high, varied text low") {
     val d = Seq(
       (0L, "spam spam spam spam"),   // 4 tokens, 1 distinct, bigram "spam spam" ×3/3
