@@ -452,6 +452,12 @@ object Oracles {
         |  n3 + len(regexp_extract_all(t3, '\+\d{7,15}\b')) AS n4 FROM s3)
         |SELECT doc_id, t4 AS clean_text, CAST(n4 AS BIGINT) AS n_pii FROM s4""".stripMargin,
 
+    "text_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 500""".stripMargin,
+
     "corpus_reweight" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE CASE

@@ -467,6 +467,10 @@ object Queries {
   val textRepetition: Q = (s, dir) =>
     TextAnalysis.repetitionSignals(t(s, dir, "documents"))
 
+  /** Corpus vocabulary top-500 (map-combined counts + TakeOrdered). */
+  val textVocab: Q = (s, dir) =>
+    TextAnalysis.vocabulary(t(s, dir, "documents"), 500)
+
   /** Corpus-mix reweighting: deterministically downsample dominant
     * languages (en→50%, es→75%, rest kept) by md5-hash rate — the
     * map-only, skew-immune alternative to per-group quota windows.

@@ -78,6 +78,7 @@ object SparkEntry {
     "text_gopher_filter" -> Queries.textGopherFilter,
     "text_repetition" -> Queries.textRepetition,
     "corpus_reweight" -> Queries.corpusReweight,
+    "text_vocab" -> Queries.textVocab,
     // -- parity wave 2: log analytics, scalar fns, skip metrics
     "s9_log_parse" -> Queries.s9LogParse,
     "f5_manila_iso" -> Queries.f5ManilaIso,

@@ -183,8 +183,8 @@ object Dedup {
   def minHashSignature(shingles: Column, k: Int): Column = {
     val as = coeffs(k, 0x5eedL)
     val bs = coeffs(k, 0xca5cadeL)
-    val aArr = array(as.map(lit): _*)
-    val bArr = array(bs.map(lit): _*)
+    val aArr = array(as.toIndexedSeq.map(lit): _*)
+    val bArr = array(bs.toIndexedSeq.map(lit): _*)
     val folded = transform(shingles, h => pmod(h, lit(P)))
     transform(sequence(lit(0), lit(k - 1)), i =>
       array_min(transform(folded,

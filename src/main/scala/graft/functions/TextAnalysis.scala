@@ -126,6 +126,19 @@ object TextAnalysis {
         .as("keep"))
   }
 
+  /** Corpus vocabulary: token frequencies, most common first (ties
+    * broken by token for engine-portable determinism). Scale shape:
+    * map-side partial aggregation collapses each partition's token
+    * stream to per-key rows BEFORE the shuffle — stopword skew never
+    * concentrates raw occurrences on one reducer — and the top-K is
+    * TakeOrdered, not a global sort.
+    */
+  def vocabulary(docs: DataFrame, topK: Int = 500): DataFrame =
+    docs.select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topK)
+
   /** Gopher-style repetition signals (Rae et al. 2021, A1.1 "repetition
     * removal", count-based variant): per document, the duplicate-token
     * fraction (1 − distinct/total) and the share of the most common
