@@ -98,6 +98,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("collect_list") && !p.contains("collect_set"), p.take(800))
   }
 
+  test("vocabulary is map-side combined with TakeOrdered, no global sort") {
+    val p = planOf("text_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, // partial+final
+      p.take(800))
+    assert(!p.contains("Sort "), p.take(800)) // top-K must not global-sort
+  }
+
+  test("corpus reweighting is a pure filter (no exchange, no join)") {
+    val p = planOf("corpus_reweight")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(800))
+  }
+
   test("flagship aggregation is map-side combined inside codegen") {
     val p = planOf("q1_pricing_summary", execute = true)
     // "*(n)" marks whole-stage-codegen'd operators in the simple plan
