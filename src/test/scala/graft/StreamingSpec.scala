@@ -106,6 +106,27 @@ class StreamingSpec extends SparkSpec {
     assert(after2 == Map("R1" -> "v2", "R2" -> "v4", "R3" -> "v3"))
   }
 
+  test("gopher quality filter applies unchanged to a stream (stateless map)") {
+    // The filter is a narrow map, so the same Column expressions drive
+    // batch curation and streaming ingest gating identically.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batchSignals = graft.functions.TextAnalysis
+      .gopherSignals(docs, col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    docs.write.parquet(s"$dir/data.parquet")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/*")
+    val q = graft.functions.TextAnalysis.gopherSignals(stream, col("text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("gopher_out")
+    assert(streamed.count() == batchSignals.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batchSignals).isEmpty)
+    assert(batchSignals.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming near-dup filter drops dups across and within micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nds").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-nds-ck").toString
