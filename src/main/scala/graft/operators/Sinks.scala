@@ -55,6 +55,27 @@ object Sinks {
     ensureTable(spark, s"$dir/$table.parquet", schema)
   }
 
+  /** Layout: partition the files by a column so selective scans prune
+    * whole directories (the engine's stand-in for the reference's
+    * secondary indexes on filter keys, SURVEY.md §4) — a `lang = 'en'`
+    * scan over a lang-partitioned corpus never opens other languages'
+    * files.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** Layout: persist as a hash-bucketed, bucket-sorted managed table.
+    * Two tables bucketed on the same key with the same count join
+    * WITHOUT a shuffle — the pre-partitioning a 100 TB deployment uses
+    * for repeated fact⋈fact joins (the one-off broadcast semi joins of
+    * the ETL path don't need it). Managed-table only: bucketing
+    * metadata lives in the catalog.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** K5 — append-only run log with Manila-formatted timestamps
     * (`utils/logger.js:45-66`): driver-side, newline-framed
     * `[ts] message`, the format the log-analytics pipeline (S9/S10)

@@ -111,6 +111,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Join"), p.take(800))
   }
 
+  test("partitioned layout prunes directories at the scan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.operators.Sinks.writePartitioned(docs, dir, "lang")
+    val scan = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val p = scan.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang") && pf.contains("= en"), p.take(1200))
+    // and the non-matching partitions' rows are really gone
+    import spark.implicits._
+    val langs = scan.select("lang").distinct().as[String].collect().toSeq
+    assert(langs == Seq("en"))
+  }
+
+  test("same-key bucketed tables join with no shuffle exchange") {
+    import spark.implicits._
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    graft.operators.Sinks.writeBucketed(a, "bkt_a", "k", 8)
+    graft.operators.Sinks.writeBucketed(b, "bkt_b", "k", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(1200))
+      assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+      assert(j.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("flagship aggregation is map-side combined inside codegen") {
     val p = planOf("q1_pricing_summary", execute = true)
     // "*(n)" marks whole-stage-codegen'd operators in the simple plan
