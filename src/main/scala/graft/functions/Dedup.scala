@@ -342,6 +342,8 @@ object Dedup {
     * and are not emitted.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    require(pairs.columns.length >= 2,
+      "pairs must have the two id columns first")
     val ids = pairs.columns
     // Invariant between steps: edges directed large→small (u > v).
     var edges = pairs

@@ -44,6 +44,7 @@ object Packing {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
+    require(buckets > 0, "buckets must be positive")
     val toks = docs.select(
       col(idCol).cast("long").as("doc_id"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
