@@ -272,6 +272,58 @@ object Oracles {
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id != component)""".stripMargin,
 
+    // Corpus-prep flagship: component collapse + lang filter + 50%
+    // md5 reweight + PII redaction + concat-and-chunk packing, all
+    // from the already-verified per-operator oracles.
+    "prepare_pretraining" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 3, 0) + 2),
+        |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2]))) AS shingles
+        |  FROM tok),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |kept AS (
+        |  SELECT d.doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(d.text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g'),
+        |      '\+\d{7,15}\b', '<PHONE>', 'g') AS clean_text
+        |  FROM documents d
+        |  WHERE d.lang = 'en'
+        |    AND d.doc_id NOT IN (SELECT id FROM comp WHERE id != component)
+        |    AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < '80000000'),
+        |toks2 AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(clean_text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM kept),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t_start
+        |  FROM toks2)
+        |SELECT doc_id, n_tokens, t_start,
+        |  t_start // 2048 AS first_chunk,
+        |  (t_start + n_tokens - 1) // 2048 AS last_chunk,
+        |  t_start % 2048 AS chunk_offset
+        |FROM c""".stripMargin,
+
     // MinHash+LSH is sketch-based, but at k=128/32 bands the miss
     // probability for the fixtures' duplicate pairs (all Jaccard ≥ 0.8)
     // is ≤ 5e-8 — the verified output equals the exact-Jaccard pair set,

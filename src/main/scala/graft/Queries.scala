@@ -761,6 +761,27 @@ object Queries {
       .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
   }
 
+  /** Corpus-prep flagship: the full pretraining data path as ONE
+    * composed plan — duplicate-cluster collapse (keep each component's
+    * min), language filter, deterministic 50% reweight, PII redaction,
+    * concat-and-chunk packing. Every stage is an already-oracled
+    * operator; the composition itself is what a real pipeline ships.
+    */
+  val preparePretraining: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val comp = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, w = 3, threshold = 0.5)
+        .select("a_id", "b_id"))
+    val kept = docs
+      .join(comp.filter(col("doc_id") =!= col("component")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .filter(col("lang") === "en" &&
+        TextAnalysis.rateSampleKeep(col("doc_id"), 0.5))
+      .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("clean_text"))
+    graft.functions.Packing.packChunks(kept, seqLen = 2048,
+      textCol = "clean_text")
+  }
+
   /** Multimodal — columnar metadata profile (no payload decode). */
   val mediaProfile: Q = (s, dir) =>
     graft.functions.Multimodal.mediaProfile(

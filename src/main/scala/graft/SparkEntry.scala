@@ -62,6 +62,7 @@ object SparkEntry {
     "dedup_cosine_pairs" -> Queries.dedupCosinePairs,
     "dedup_cosine_lsh" -> Queries.dedupCosineLsh,
     "curate_corpus" -> Queries.curateCorpus,
+    "prepare_pretraining" -> Queries.preparePretraining,
     // -- extensions: similarity search
     "sim_cosine_topk" -> Queries.simCosineTopk,
     "sim_lsh_topk" -> Queries.simLshTopk,
