@@ -130,6 +130,18 @@ class PlanQualitySpec extends SparkSpec {
     import spark.implicits._
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    // a previous JVM's run leaves the warehouse dir behind while the
+    // in-memory catalog forgets the table — clear both
+    for (t <- Seq("bkt_a", "bkt_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     graft.operators.Sinks.writeBucketed(a, "bkt_a", "k", 8)
     graft.operators.Sinks.writeBucketed(b, "bkt_b", "k", 8)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
