@@ -26,6 +26,13 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *    `index.js:278-310`): `connected` on attach, `log` per appended
   *    line, `clear` on truncate.
   */
+/** Marks a string as ALREADY-rendered JSON (arrays/objects) so
+  * jfield embeds it verbatim instead of quoting it into a string.
+  * (Top-level: a nested case class's pattern match can't check the
+  * outer instance at runtime.)
+  */
+private[pipeline] final case class RawJson(rendered: String)
+
 final class ControlServer(
     scheduler: EtlScheduler,
     logPath: String,
@@ -53,11 +60,6 @@ final class ControlServer(
       case c if c < ' ' => " "
       case c => c.toString
     } + "\""
-
-  /** Marks a string as ALREADY-rendered JSON (arrays/objects) so
-    * jfield embeds it verbatim instead of quoting it into a string.
-    */
-  private final case class RawJson(rendered: String)
 
   private def jfield(v: Any): String = v match {
     case null | None => "null"
