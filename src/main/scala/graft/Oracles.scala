@@ -367,6 +367,33 @@ object Oracles {
         |      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
         |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4""".stripMargin,
 
+    // Components over the exact-cosine pair graph (same recursive-CTE
+    // reachability as dedup_components, embedding side).
+    "dedup_cosine_components" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_sum(list_transform(range(1, 65),
+        |        i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+        |      / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
+        |SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+
     "sim_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -732,6 +732,15 @@ object Queries {
   val dedupCosinePairs: Q = (s, dir) =>
     Similarity.cosineNearDupPairsExact(t(s, dir, "embeddings"), 0.4)
 
+  /** Embedding near-dup clusters: the same component collapse as the
+    * text side, over exact-cosine pairs (vec_id/component columns).
+    */
+  val dedupCosineComponents: Q = (s, dir) =>
+    Dedup.connectedComponents(
+      Similarity.cosineNearDupPairsExact(t(s, dir, "embeddings"), 0.4)
+        .select("a_id", "b_id"))
+      .withColumnRenamed("doc_id", "vec_id")
+
   /** Embedding-cosine near-dup pairs via LSH buckets — the scale path
     * (recall traded by planes; DedupSimilaritySpec asserts its output
     * is a subset of the exact baseline with identical cosines;

@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_survivors_cc" -> Queries.dedupSurvivorsCc,
     "dedup_cosine_pairs" -> Queries.dedupCosinePairs,
     "dedup_cosine_lsh" -> Queries.dedupCosineLsh,
+    "dedup_cosine_components" -> Queries.dedupCosineComponents,
     "curate_corpus" -> Queries.curateCorpus,
     "prepare_pretraining" -> Queries.preparePretraining,
     // -- extensions: similarity search
