@@ -442,6 +442,34 @@ object Oracles {
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
 
+    // No-split packing: next-fit is prefix-recursive, so the oracle
+    // steps one row per bucket per recursion round (bounded by the
+    // largest bucket's row count). Same bucket width rule as the
+    // engine: max(doc_id) div buckets + 1.
+    "pack_no_split" ->
+      """WITH RECURSIVE t0 AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT greatest(max(doc_id) // 16 + 1, 1) AS width FROM t0),
+        |t1 AS (SELECT doc_id, n_tokens,
+        |         doc_id // (SELECT width FROM w) AS bucket FROM t0),
+        |t2 AS (SELECT doc_id, n_tokens, bucket,
+        |         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        |       FROM t1),
+        |st(bucket, rn, doc_id, n_tokens, seq, fill) AS (
+        |  SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        |  FROM t2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+        |    CASE WHEN s.fill + t.n_tokens > 2048 THEN s.seq + 1 ELSE s.seq END,
+        |    CASE WHEN s.fill + t.n_tokens > 2048 THEN t.n_tokens
+        |         ELSE s.fill + t.n_tokens END
+        |  FROM st s JOIN t2 t ON t.bucket = s.bucket AND t.rn = s.rn + 1)
+        |SELECT doc_id, n_tokens, bucket, seq AS seq_in_bucket,
+        |  fill - n_tokens AS offset_in_seq
+        |FROM st""".stripMargin,
+
     // Concat-and-chunk packing: the oracle uses the naive global
     // running sum (fine at oracle scale); the engine computes the same
     // offsets with a distributed two-phase prefix sum.

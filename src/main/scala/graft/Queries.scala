@@ -495,6 +495,13 @@ object Queries {
       TextAnalysis.redactPii(col("text")).as("clean_text"),
       TextAnalysis.piiHits(col("text")).as("n_pii"))
 
+  /** No-split (SFT-style) packing: whole documents next-fit into
+    * per-bucket 2048-token sequences.
+    */
+  val packNoSplit: Q = (s, dir) =>
+    graft.functions.Packing.packNoSplit(t(s, dir, "documents"),
+      seqLen = 2048, buckets = 16)
+
   /** Token accounting: whitespace tokens + BPE-ish estimator. */
   val textTokenCount: Q = (s, dir) =>
     t(s, dir, "documents").select(

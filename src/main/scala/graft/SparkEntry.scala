@@ -75,6 +75,7 @@ object SparkEntry {
     "text_winnow" -> Queries.textWinnow,
     "split_train_val" -> Queries.splitTrainVal,
     "pack_chunks" -> Queries.packChunks,
+    "pack_no_split" -> Queries.packNoSplit,
     "text_lang_id" -> Queries.textLangId,
     "text_pii_redact" -> Queries.textPiiRedact,
     "text_gopher_filter" -> Queries.textGopherFilter,

@@ -86,6 +86,64 @@ object Packing {
         pmod(col("t_start"), lit(seqLen.toLong)).as("chunk_offset"))
   }
 
+  /** One document's slot under no-split packing ([[packNoSplit]]). */
+  final case class PackedDoc(
+      doc_id: Long, n_tokens: Long, bucket: Long,
+      seq_in_bucket: Long, offset_in_seq: Long)
+
+  /** No-split packing (SFT-style): documents are placed whole into
+    * `seqLen`-token sequences — next-fit in doc_id order, so a doc that
+    * doesn't fit the current sequence starts a new one, and an oversize
+    * doc (> seqLen tokens) sits alone in its own sequence. Sequences
+    * are scoped per bucket (`(bucket, seq_in_bucket)` is the sequence
+    * id), which is what makes the layout computable at scale: each
+    * bucket packs independently, so the inherently sequential next-fit
+    * state never crosses an executor.
+    *
+    * The per-bucket fold is a `mapPartitions` — justified here because
+    * next-fit is prefix-recursive (each placement depends on the
+    * running fill), which no window/aggregate expresses. The stream is
+    * `repartition(bucket)` + sort within partitions, so every bucket
+    * arrives contiguous and ordered; state resets on bucket change.
+    * Deterministic for a fixed (seqLen, buckets).
+    */
+  def packNoSplit(
+      docs: DataFrame,
+      seqLen: Int = 2048,
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val maxId = toks.agg(max("doc_id")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val width = math.max(1L, maxId / buckets + 1)
+    val L = seqLen.toLong
+    toks.withColumn("bucket", expr(s"doc_id div ${width}L"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "doc_id")
+      .select("doc_id", "n_tokens", "bucket").as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        var seq = 0L
+        var fill = 0L
+        it.map { case (id, n, b) =>
+          if (b != cur) { cur = b; seq = 0L; fill = n }
+          else if (fill + n > L) { seq += 1; fill = n }
+          else fill += n
+          PackedDoc(id, n, b, seq, fill - n)
+        }
+      }
+      .toDF()
+  }
+
   /** Naive single-global-window form: the unit-test baseline for
     * [[packChunks]] (identical output, single-task at scale — never use
     * on a real corpus).

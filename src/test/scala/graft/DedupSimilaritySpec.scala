@@ -133,6 +133,38 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pack_no_split: whole docs next-fit; oversize docs sit alone") {
+    import graft.functions.Packing
+    // seqLen=10, one bucket: 6+3 fit seq0; 4 starts seq1; 12 oversize
+    // alone in seq2; 5 starts seq3.
+    val d = Seq(
+      (0L, Seq.fill(6)("w").mkString(" ")),
+      (1L, Seq.fill(3)("w").mkString(" ")),
+      (2L, Seq.fill(4)("w").mkString(" ")),
+      (3L, Seq.fill(12)("w").mkString(" ")),
+      (4L, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.packNoSplit(d, seqLen = 10, buckets = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "bucket", "seq_in_bucket", "offset_in_seq")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 6L, 0L, 0L, 0L),
+      (1L, 3L, 0L, 0L, 6L),
+      (2L, 4L, 0L, 1L, 0L),
+      (3L, 12L, 0L, 2L, 0L),
+      (4L, 5L, 0L, 3L, 0L)))
+
+    // Invariants on the fixture: no doc spans; per-sequence fill ≤
+    // max(seqLen, its own size); offsets are gapless within a sequence.
+    val packed = Packing.packNoSplit(docs, seqLen = 512, buckets = 8)
+    val bySeq = packed.groupBy("bucket", "seq_in_bucket")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n"),
+        max(col("offset_in_seq") + col("n_tokens")).as("endmax"))
+    assert(bySeq.filter(col("n") > 1 && col("fill") > 512).count() == 0)
+    assert(bySeq.filter(col("fill") =!= col("endmax")).count() == 0)
+    assert(packed.count() == docs.count())
+  }
+
   test("pack_chunks: two-phase prefix sum equals the global-window form") {
     import graft.functions.Packing
     // Hand case, seqLen=10: token counts 3, 8, 4 → starts 0, 3, 11.
