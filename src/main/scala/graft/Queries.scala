@@ -794,8 +794,13 @@ object Queries {
       .filter(col("lang") === "en" &&
         TextAnalysis.rateSampleKeep(col("doc_id"), 0.5))
       .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("clean_text"))
-    graft.functions.Packing.packChunks(kept, seqLen = 2048,
-      textCol = "clean_text")
+    // Bucket-sizing bound from the RAW table (cheap single-column
+    // scan), not from `kept` — the hint overload keeps the dedup
+    // subplan from executing a second time just to size buckets;
+    // offsets are bucketing-invariant so any upper bound is exact.
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    graft.functions.Packing.packChunks(kept, 2048, 256, "doc_id",
+      "clean_text", maxId)
   }
 
   /** Multimodal — columnar metadata profile (no payload decode). */

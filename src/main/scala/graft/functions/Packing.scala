@@ -37,27 +37,51 @@ object Packing {
     * `(doc_id, n_tokens, t_start, first_chunk, last_chunk,
     * chunk_offset)`.
     */
+  /** Pack with an id upper bound the caller already knows. Offsets are
+    * bucketing-invariant (buckets respect doc_id order for any width),
+    * so ANY upper bound yields identical output — supplying one avoids
+    * the max(doc_id) action re-executing an expensive upstream plan
+    * (e.g. the flagship's dedup subplan) just to size buckets.
+    */
+  def packChunks(
+      docs: DataFrame, seqLen: Int, buckets: Int, idCol: String,
+      textCol: String, maxIdHint: Long): DataFrame =
+    packChunksImpl(docs, seqLen, buckets, idCol, textCol, Some(maxIdHint))
+
   def packChunks(
       docs: DataFrame,
       seqLen: Int = 2048,
       buckets: Int = 256,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    packChunksImpl(docs, seqLen, buckets, idCol, textCol, None)
+
+  private def packChunksImpl(
+      docs: DataFrame,
+      seqLen: Int,
+      buckets: Int,
+      idCol: String,
+      textCol: String,
+      maxIdHint: Option[Long]): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     require(buckets > 0, "buckets must be positive")
     val toks = docs.select(
       col(idCol).cast("long").as("doc_id"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val maxId = toks.agg(max("doc_id")).head() match {
+    val maxId = maxIdHint.getOrElse(toks.agg(max("doc_id")).head() match {
       case r if r.isNullAt(0) => 0L // empty corpus
       case r => r.getLong(0)
-    }
+    })
     val width = math.max(1L, maxId / buckets + 1)
     val bucketed = toks.withColumn("bucket", expr(s"doc_id div ${width}L"))
 
+    // Explicit ROWS frame: the default RANGE frame includes ORDER BY
+    // peers, which would overlap offsets if a caller ever passes
+    // duplicate ids — and must match the oracle's ROWS semantics.
     val inBucket = bucketed.withColumn(
       "cum_in_bucket",
-      sum("n_tokens").over(Window.partitionBy("bucket").orderBy("doc_id")))
+      sum("n_tokens").over(Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
     // One row per bucket; the unpartitioned window below runs over
     // `buckets` rows only (KB-scale), then broadcasts.

@@ -43,7 +43,18 @@ object Probe {
     spark.stop()
   }
 }
-/** Repeat-run a single query for timing variance. */
+private object DevSession {
+  /** One shared builder for the dev tools so their config can't drift
+    * from Verify/Bench (same nanosAsLong/UTC/UI settings).
+    */
+  def local(cores: Int): org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+}
+
 /** Dev dump: write one named query's result to parquet for a local
   * DuckDB-oracle comparison (the per-round driver runs all of Verify;
   * this is the per-query dev loop).
@@ -53,11 +64,7 @@ object DumpQuery {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 2) args(2) else "/tmp/graft_dump"
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = DevSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -66,16 +73,13 @@ object DumpQuery {
   }
 }
 
+/** Repeat-run a single query for timing variance. */
 object ProbeQuery {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = DevSession.local(32)
     spark.sparkContext.setLogLevel("ERROR")
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()

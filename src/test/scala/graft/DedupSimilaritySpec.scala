@@ -194,6 +194,19 @@ class DedupSimilaritySpec extends SparkSpec {
     // Fixture corpus: distributed form ≡ naive global window.
     assert(rows(Packing.packChunks(docs, 2048, buckets = 16)) ==
       rows(Packing.packChunksGlobalWindow(docs, 2048)))
+
+    // Duplicate ids must not overlap offsets (ROWS, not RANGE, frame):
+    // two id-7 docs of 4 tokens each get distinct 4-token spans.
+    val dup = Seq((7L, "a b c d"), (7L, "e f g h"), (9L, "i j"))
+      .toDF("doc_id", "text")
+    val spans = Packing.packChunks(dup, 10, buckets = 1)
+      .select("t_start", "n_tokens")
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(spans == Seq((0L, 4L), (4L, 4L), (8L, 2L)))
+
+    // maxIdHint overload: any upper bound gives identical output.
+    assert(rows(Packing.packChunks(sparse, 4, 8, "doc_id", "text", 99999999L))
+      == rows(Packing.packChunksGlobalWindow(sparse, 4)))
   }
 
   test("minhash candidates are a superset of verified duplicates") {
