@@ -84,9 +84,13 @@ object Packing {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
     // One row per bucket; the unpartitioned window below runs over
-    // `buckets` rows only (KB-scale), then broadcasts.
-    val bucketTotals = bucketed.groupBy("bucket")
-      .agg(sum("n_tokens").as("btok"))
+    // `buckets` rows only (KB-scale), then broadcasts. Totals are the
+    // per-bucket MAX of the inclusive cumsum (monotone, so max = last
+    // = total) taken from the window output — not a second aggregation
+    // of `bucketed` — so this branch reuses the window's exchange
+    // instead of re-scanning and re-shuffling the corpus.
+    val bucketTotals = inBucket.groupBy("bucket")
+      .agg(max("cum_in_bucket").as("btok"))
     val bucketStarts = bucketTotals
       .withColumn(
         "bstart",
