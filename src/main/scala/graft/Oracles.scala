@@ -244,6 +244,28 @@ object Oracles {
         |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
         |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
 
+    // Decontamination: 8-gram construction mirrors the shingle kernel's
+    // short-doc trim (greatest(len-8,0)+1 grams, whole text when
+    // shorter); counts are distinct-gram overlaps per test doc.
+    "decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 8, 0) + 2),
+        |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2], toks[s+3],
+        |                     toks[s+4], toks[s+5], toks[s+6], toks[s+7]))) AS shingles
+        |  FROM tok),
+        |ex AS (SELECT doc_id, source, unnest(shingles) AS sh FROM sh),
+        |tr AS (SELECT DISTINCT sh FROM ex
+        |       WHERE source IN ('src0', 'src1', 'src2')),
+        |te AS (SELECT doc_id, sh FROM ex
+        |       WHERE source NOT IN ('src0', 'src1', 'src2'))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM te JOIN tr USING (sh) GROUP BY doc_id""".stripMargin,
+
     // Survivors after component collapse: everything except non-min
     // members of each duplicate cluster.
     "dedup_survivors_cc" ->

@@ -777,6 +777,18 @@ object Queries {
       .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
   }
 
+  /** Eval decontamination: test-side docs (sources src3+) sharing any
+    * 8-gram with the train side (src0–src2), with shared-gram counts.
+    */
+  val decontaminate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val trainSrc = Seq("src0", "src1", "src2")
+    Dedup.contaminationOverlap(
+      docs.filter(col("source").isin(trainSrc: _*)),
+      docs.filter(!col("source").isin(trainSrc: _*)),
+      w = 8)
+  }
+
   /** Corpus-prep flagship: the full pretraining data path as ONE
     * composed plan — duplicate-cluster collapse (keep each component's
     * min), language filter, deterministic 50% reweight, PII redaction,

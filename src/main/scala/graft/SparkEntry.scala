@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_simhash" -> Queries.dedupSimhash,
     "dedup_components" -> Queries.dedupComponents,
     "dedup_survivors_cc" -> Queries.dedupSurvivorsCc,
+    "decontaminate" -> Queries.decontaminate,
     "dedup_cosine_pairs" -> Queries.dedupCosinePairs,
     "dedup_cosine_lsh" -> Queries.dedupCosineLsh,
     "dedup_cosine_components" -> Queries.dedupCosineComponents,

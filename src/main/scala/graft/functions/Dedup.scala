@@ -316,6 +316,27 @@ object Dedup {
     * least one chunk identical, so bucket-join on chunks and verify
     * with bit_count(xor) — never all-pairs.
     */
+  // ------------------------------------------- decontamination
+
+  /** Eval-set decontamination (the GPT-3/PaLM rule): a test document
+    * is contaminated when it shares any w-gram with the training
+    * corpus. Returns each contaminated test doc with its count of
+    * distinct shared grams (callers drop or flag them).
+    *
+    * Scale shape: train collapses to DISTINCT gram hashes (map-side
+    * combined — the corpus text never shuffles, only 8-byte hashes),
+    * then a gram-keyed inner join + per-doc count. Both per-doc gram
+    * sets come from the single-pass shingle kernel.
+    */
+  def contaminationOverlap(
+      train: DataFrame, test: DataFrame, w: Int = 8): DataFrame = {
+    val trainGrams = explodedShingles(train, w).select("sh").distinct()
+    explodedShingles(test, w)
+      .join(trainGrams, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   // ------------------------------------------- connected components
 
   /** Connected components over an undirected near-duplicate pair list:

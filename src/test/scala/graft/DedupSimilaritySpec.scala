@@ -32,6 +32,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact) // 128 perms / 32 bands at jaccard≥0.5 → full recall here
   }
 
+  test("decontamination: only w-gram-sharing test docs flagged, with counts") {
+    val train = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six")).toDF("doc_id", "text")
+    val test = Seq(
+      // contains train 3-grams "beta gamma delta", "gamma delta epsilon"
+      (0L, "x beta gamma delta epsilon y"),
+      (1L, "totally novel content here now"),    // clean
+      (2L, "one two three four five six")).toDF("doc_id", "text") // full copy
+    val got = Dedup.contaminationOverlap(train, test, w = 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // doc0: grams of "x beta gamma delta epsilon y" hitting train =
+    // {beta gamma delta, gamma delta epsilon} → 2; doc2: all 4 grams
+    assert(got == Seq((0L, 2L), (2L, 4L)))
+  }
+
   test("connected components: chains, cliques, and random graphs vs union-find") {
     // Chain 1-2-3-4 (needs transitive closure), pair 10-11, triangle
     // 20-21-22, duplicate + reversed + self-loop edges.
