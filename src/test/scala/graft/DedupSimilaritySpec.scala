@@ -181,6 +181,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(packed.count() == docs.count())
   }
 
+  test("packNoSplit matches a sequential reference on random corpora") {
+    import graft.functions.Packing
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 120
+      val rows = (0 until n).map { _ =>
+        (rnd.nextInt(10000).toLong, Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+      }.distinctBy(_._1)
+      val df = rows.toDF("doc_id", "text")
+      val buckets = 1 + rnd.nextInt(12)
+      val L = 16L
+      // driver-side reference next-fit
+      val width = math.max(1L, rows.map(_._1).max / buckets + 1)
+      val want = rows.map { case (id, t) => (id, t.split("\\s+").length.toLong) }
+        .sortBy(_._1).groupBy { case (id, _) => id / width }
+        .flatMap { case (b, ds) =>
+          var seq = 0L; var fill = 0L
+          ds.sortBy(_._1).map { case (id, nt) =>
+            if (fill == 0L) fill = nt
+            else if (fill + nt > L) { seq += 1; fill = nt }
+            else fill += nt
+            (id, nt, b, seq, fill - nt)
+          }
+        }.toSet
+      val got = Packing.packNoSplit(df, seqLen = 16, buckets = buckets)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"buckets=$buckets")
+    }
+  }
+
   test("pack_chunks: two-phase prefix sum equals the global-window form") {
     import graft.functions.Packing
     // Hand case, seqLen=10: token counts 3, 8, 4 → starts 0, 3, 11.
