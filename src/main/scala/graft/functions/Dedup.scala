@@ -373,6 +373,17 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint()
+    // Order-independent edge-set signature (count + xor of pair
+    // hashes): one cheap job per round instead of two counts + except.
+    // Equality of signatures only TRIGGERS the exact except-based
+    // confirmation, so convergence detection stays exact — a signature
+    // collision costs one extra job, never a wrong answer.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edgeSig = sig(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -396,11 +407,13 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       // Stars (u→root, root = component min) are fixpoints of both
-      // steps, so one same-set check per round detects convergence:
-      // |A| = |B| ∧ A∖B = ∅ ⇒ A = B for distinct sets.
-      converged = small.count() == edges.count() &&
-        small.except(edges).isEmpty
+      // steps, so a same-set check per round detects convergence:
+      // |A| = |B| ∧ A∖B = ∅ ⇒ A = B for distinct sets. The signature
+      // pre-filter skips the except on rounds that visibly changed.
+      val smallSig = sig(small)
+      converged = smallSig == edgeSig && small.except(edges).isEmpty
       edges = small
+      edgeSig = smallSig
       it += 1
     }
     if (!converged)
