@@ -156,6 +156,17 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("decontamination joins gram hashes, never documents or all-pairs") {
+    val p = planOf("decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // train-side distinct must partial-aggregate before its shuffle
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(800))
+    // the join key is the 8-byte gram hash, not text
+    val joinLine = p.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.contains("sh"), joinLine)
+  }
+
   test("flagship aggregation is map-side combined inside codegen") {
     val p = planOf("q1_pricing_summary", execute = true)
     // "*(n)" marks whole-stage-codegen'd operators in the simple plan
