@@ -255,6 +255,15 @@ class DedupSimilaritySpec extends SparkSpec {
       == rows(Packing.packChunksGlobalWindow(sparse, 4)))
   }
 
+  test("connected components converge on a 300-node path (worst-case diameter)") {
+    // A path is the adversarial case for star contraction (diameter =
+    // n); it must converge in O(log² n) rounds, well inside maxIter.
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect()
+    assert(got.length == 300 && got.forall(_._2 == 0L))
+  }
+
   test("minhash candidates are a superset of verified duplicates") {
     val cands = Dedup.minHashCandidates(docs, 3, 128, 32)
       .as[(Long, Long)].collect().toSet
