@@ -386,28 +386,35 @@ object Queries {
   val dedupSimhash: Q = (s, dir) =>
     Dedup.simHashDuplicates(t(s, dir, "documents"))
 
+  /** The text-side duplicate clusters (shared by the component queries
+    * and the flagship, so width/threshold/collapse-rule changes land
+    * everywhere at once).
+    */
+  private def componentsOf(docs: DataFrame): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, w = 3, threshold = 0.5)
+        .select("a_id", "b_id"))
+
+  /** Drops every non-min member of each duplicate cluster. */
+  private def collapseDuplicates(docs: DataFrame): DataFrame =
+    docs.join(
+      componentsOf(docs).filter(col("doc_id") =!= col("component"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** Duplicate clusters: connected components over the exact-Jaccard
     * near-dup pairs (transitive closure — a~b, b~c groups a, b, c even
     * when a~c was never emitted). Oracle: recursive CTE reachability.
     */
-  val dedupComponents: Q = (s, dir) =>
-    Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3, threshold = 0.5)
-        .select("a_id", "b_id"))
+  val dedupComponents: Q = (s, dir) => componentsOf(t(s, dir, "documents"))
 
   /** Corpus after component collapse: each duplicate CLUSTER keeps only
     * its min doc_id (pairwise loser-removal under-deletes on transitive
     * chains). Anti join against the non-min cluster members.
     */
-  val dedupSurvivorsCc: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    val comp = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(docs, w = 3, threshold = 0.5)
-        .select("a_id", "b_id"))
-    docs.join(comp.filter(col("doc_id") =!= col("component")).select("doc_id"),
-        Seq("doc_id"), "left_anti")
+  val dedupSurvivorsCc: Q = (s, dir) =>
+    collapseDuplicates(t(s, dir, "documents"))
       .select("doc_id", "lang", "source")
-  }
 
   /** Brute-force cosine top-10 for a fixed probe set (exact integer
     * dot products → deterministic ranks in both engines).
@@ -797,12 +804,7 @@ object Queries {
     */
   val preparePretraining: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val comp = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(docs, w = 3, threshold = 0.5)
-        .select("a_id", "b_id"))
-    val kept = docs
-      .join(comp.filter(col("doc_id") =!= col("component")).select("doc_id"),
-        Seq("doc_id"), "left_anti")
+    val kept = collapseDuplicates(docs)
       .filter(col("lang") === "en" &&
         TextAnalysis.rateSampleKeep(col("doc_id"), 0.5))
       .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("clean_text"))
@@ -810,7 +812,10 @@ object Queries {
     // scan), not from `kept` — the hint overload keeps the dedup
     // subplan from executing a second time just to size buckets;
     // offsets are bucketing-invariant so any upper bound is exact.
-    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val maxId = docs.agg(max("doc_id")).head() match {
+      case r if r.isNullAt(0) => 0L // empty corpus
+      case r => r.getLong(0)
+    }
     graft.functions.Packing.packChunks(kept, 2048, 256, "doc_id",
       "clean_text", maxId)
   }

@@ -366,6 +366,25 @@ object Dedup {
     require(pairs.columns.length >= 2,
       "pairs must have the two id columns first")
     val ids = pairs.columns
+    // localCheckpoint blocks are persisted RDDs (not CacheManager
+    // entries — Dataset.unpersist can't free them, and waiting on
+    // GC-driven ContextCleaner cleanup would let several full edge-set
+    // copies pile up over many rounds). Track the RDD ids each round's
+    // checkpoint persists and free the superseded round's explicitly.
+    // (Assumes no concurrent persists on this SparkContext between
+    // snapshots — query construction is single-threaded driver code.)
+    val sc = pairs.sparkSession.sparkContext
+    var knownIds = sc.getPersistentRDDs.keySet // pre-existing: never touch
+    var prevRoundIds = Set.empty[Int]
+    def trackRound(): Unit = { // call right after a checkpoint
+      val now = sc.getPersistentRDDs.keySet
+      prevRoundIds = (now -- knownIds).toSet
+      knownIds = now
+    }
+    def freePrevRound(): Unit =
+      prevRoundIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
     // Invariant between steps: edges directed large→small (u > v).
     var edges = pairs
       .select(col(ids(0)).cast("long").as("a"), col(ids(1)).cast("long").as("b"))
@@ -373,6 +392,7 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint()
+    trackRound()
     // Order-independent edge-set signature (count + xor of pair
     // hashes): one cheap job per round instead of two counts + except.
     // Equality of signatures only TRIGGERS the exact except-based
@@ -412,6 +432,11 @@ object Dedup {
       // pre-filter skips the except on rounds that visibly changed.
       val smallSig = sig(small)
       converged = smallSig == edgeSig && small.except(edges).isEmpty
+      // `edges` (the superseded round) was last read by the except
+      // above; its blocks are safe to drop now. The new round's ids
+      // take its place in the tracker.
+      freePrevRound()
+      trackRound()
       edges = small
       edgeSig = smallSig
       it += 1
