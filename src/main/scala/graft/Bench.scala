@@ -78,7 +78,14 @@ object Bench {
       else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // stdout capture can truncate long lines; persist the full record so
+    // the headline number survives independent of the console channel.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // file write is best-effort
     spark.stop()
   }
 }

@@ -337,8 +337,8 @@ object Oracles {
         |  FROM kept),
         |c AS (
         |  SELECT doc_id, n_tokens,
-        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t_start
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS t_start
         |  FROM toks2)
         |SELECT doc_id, n_tokens, t_start,
         |  t_start // 2048 AS first_chunk,
@@ -502,8 +502,8 @@ object Oracles {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,
-        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t_start
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS t_start
         |  FROM toks)
         |SELECT doc_id, n_tokens, t_start,
         |  t_start // 2048 AS first_chunk,
