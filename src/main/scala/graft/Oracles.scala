@@ -16,7 +16,140 @@ object Oracles {
   private val LOG =
     s"""SELECT event_id AS log_id, user_id AS rsbsa_no, event_type AS "table", ts, value, props FROM events WHERE $V"""
 
+  /** Brute-force cosine top-10 for the fixed probe set — shared by
+    * `sim_cosine_topk` and, at their full-recall settings, by the ANN
+    * queries: `sim_lsh_topk` runs 9-probe multi-probe (own + every
+    * Hamming-1 bucket) and `sim_ivf_topk` probes nprobe = nlist cells,
+    * so both provably/empirically return the exact brute-force top-k
+    * (SURVEY §8) — making the recall claim driver-visible instead of
+    * test-only.
+    */
+  private val BRUTE_TOPK =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+      |  FROM q),
+      |probes AS (SELECT vec_id AS qid, qv AS pv, nsq AS pn FROM n
+      |           WHERE vec_id IN (0, 1, 2, 3, 4)),
+      |scored AS (
+      |  SELECT p.qid, c.vec_id AS nid,
+      |    CAST(CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+      |        i -> c.qv[i] * p.pv[i])) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(p.pn AS DOUBLE))) AS cos
+      |  FROM n c, probes p WHERE c.vec_id != p.qid)
+      |SELECT qid, rank, nid, round(cos, 6) AS cos FROM (
+      |  SELECT qid, nid, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10""".stripMargin
+
+  /** SimHash fingerprint + Hamming-pair oracle, generated: token hashes
+    * are md5-portable (first 8 bytes signed — identical to the
+    * `graft_tokenhashes` kernel by construction), then 64 per-bit vote
+    * sums rebuild the fingerprint (bit b set iff strictly more set than
+    * unset votes — the kernel's `votes(b) > 0` rule), and the pair join
+    * is ALL-pairs `bit_count(xor) <= 3` — the complete form the
+    * engine's pigeonhole banding provably equals. HUGEINT assembles the
+    * unsigned fingerprint; the sign fold subtracts 2^64.
+    */
+  private val SIMHASH_PAIRS: String = {
+    val votes = (0 until 64).map(b =>
+      s"CASE WHEN 2 * sum((h >> $b) & 1) > count(*) THEN (1::HUGEINT << $b) ELSE 0::HUGEINT END")
+      .mkString("\n      + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT) AS uh
+       |  FROM tok),
+       |hs AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+       |      THEN CAST(uh AS HUGEINT) - 18446744073709551616::HUGEINT
+       |      ELSE CAST(uh AS HUGEINT) END AS BIGINT) AS h
+       |  FROM th),
+       |fpu AS (
+       |  SELECT doc_id,
+       |    ($votes) AS ufp
+       |  FROM hs GROUP BY doc_id),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN ufp >= 9223372036854775808::HUGEINT
+       |      THEN ufp - 18446744073709551616::HUGEINT
+       |      ELSE ufp END AS BIGINT) AS f
+       |  FROM fpu)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.f, b.f)) <= 3""".stripMargin
+  }
+
+  /** Banded cosine-LSH near-dup oracle, generated: rebuilds the 64-bit
+    * hyperplane signature from the md5-portable plane weights
+    * ([[graft.plans.TextKernels.planeWeight]]: first 4 bytes of
+    * `md5("p_i")` mod 2000, shifted to ±1), slices it into 8 bands of
+    * 8 bits, joins pairs colliding in ANY band, and verifies with the
+    * same quantized-integer cosine as `dedup_cosine_pairs`. This
+    * verifies the LSH CANDIDATE GENERATION itself bit-for-bit, not
+    * just that the output is some subset of the exact pairs. The
+    * weights CTE computes each md5 once (64 planes × 64 dims); the
+    * per-plane dot uses `list_transform` in ascending element order —
+    * the kernel's exact FP accumulation order.
+    */
+  private val COSINE_LSH_PAIRS: String =
+    """WITH w AS (
+      |  SELECT p.p,
+      |    list((CAST(CAST(concat('0x', substr(md5(concat(p.p, '_', i.i)), 1, 8)) AS UBIGINT) % 2000 AS BIGINT) - 1000) / 1000.0
+      |      ORDER BY i.i) AS wl
+      |  FROM range(0, 64) p(p), range(0, 64) i(i) GROUP BY p.p),
+      |dots AS (
+      |  SELECT e.vec_id, w.p,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> e.embedding[i] * w.wl[i])) AS dot
+      |  FROM embeddings e, w),
+      |sig AS (
+      |  SELECT vec_id,
+      |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+      |      THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS sg
+      |  FROM (SELECT vec_id,
+      |          sum(CASE WHEN dot > 0 THEN (1::HUGEINT << p) ELSE 0::HUGEINT END) AS s
+      |        FROM dots GROUP BY vec_id)),
+      |banded AS (
+      |  SELECT vec_id, b.band, (sg >> (b.band * 8)) & 255 AS bk
+      |  FROM sig, range(0, 8) b(band)),
+      |cands AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+      |  FROM q)
+      |SELECT c.a_id, c.b_id,
+      |  round(CAST(list_sum(list_transform(range(1, 65),
+      |      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))), 6) AS cos
+      |FROM cands c
+      |JOIN n a ON a.vec_id = c.a_id
+      |JOIN n b ON b.vec_id = c.b_id
+      |WHERE CAST(list_sum(list_transform(range(1, 65),
+      |      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "dedup_simhash" -> SIMHASH_PAIRS,
+    "dedup_cosine_lsh" -> COSINE_LSH_PAIRS,
     "s1_changelog_count" ->
       s"SELECT count(*) AS cnt FROM events WHERE $V",
 
@@ -416,29 +549,9 @@ object Oracles {
         |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
         |SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
 
-    "sim_cosine_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, qv,
-        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
-        |  FROM q),
-        |probes AS (SELECT vec_id AS qid, qv AS pv, nsq AS pn FROM n
-        |           WHERE vec_id IN (0, 1, 2, 3, 4)),
-        |scored AS (
-        |  SELECT p.qid, c.vec_id AS nid,
-        |    CAST(CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
-        |        i -> c.qv[i] * p.pv[i])) AS BIGINT) AS DOUBLE)
-        |      / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(p.pn AS DOUBLE))) AS cos
-        |  FROM n c, probes p WHERE c.vec_id != p.qid)
-        |SELECT qid, rank, nid, round(cos, 6) AS cos FROM (
-        |  SELECT qid, nid, cos,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-        |  FROM scored)
-        |WHERE rank <= 10""".stripMargin,
+    "sim_cosine_topk" -> BRUTE_TOPK,
+    "sim_lsh_topk" -> BRUTE_TOPK,
+    "sim_ivf_topk" -> BRUTE_TOPK,
 
     "text_token_count" ->
       """SELECT doc_id,

@@ -422,18 +422,26 @@ object Queries {
   val simCosineTopk: Q = (s, dir) =>
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
 
-  /** LSH-bucketed ANN top-10 (scale path), multi-probe (own bucket +
-    * all Hamming-1 buckets) for recall — rows-only check.
+  /** LSH-bucketed ANN top-10 (scale path). Registered probing the full
+    * Hamming ball (probes = 2^planes — the LSH analog of IVF's
+    * nprobe = nlist), so the output provably equals brute force and the
+    * row is oracle-backed: bucketing, multi-probe routing, dedup and
+    * ranking all driver-verified. Partial-probe recall trade-offs are
+    * exercised in `DedupSimilaritySpec`.
     */
   val simLshTopk: Q = (s, dir) =>
     Similarity.lshTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
-      planes = 8, probes = 9)
+      planes = 4, probes = 16)
 
-  /** IVF ANN top-10 (the data-adaptive scale path: k-means cells,
-    * nprobe=4 of nlist=16) — rows-only check.
+  /** IVF ANN top-10 (the data-adaptive scale path: k-means cells).
+    * Registered at nprobe = nlist: every cell is probed, so the output
+    * provably equals brute force — oracle-backed full-recall proof of
+    * the IVF machinery (cell assignment, probe routing, scoring). The
+    * nprobe < nlist trade-off is exercised in `DedupSimilaritySpec`.
     */
   val simIvfTopk: Q = (s, dir) =>
-    Similarity.ivfTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
+    Similarity.ivfTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      nlist = 16, nprobe = 16)
 
   /** Winnowing fingerprints (MOSS selective fingerprinting): the
     * distinct per-window minimum token hashes per document.

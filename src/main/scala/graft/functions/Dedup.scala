@@ -271,12 +271,26 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
+  /** Engine-portable 64-bit token hash — column-level reference form of
+    * the `graft_tokenhashes` kernel: first 8 bytes of md5 as a signed
+    * big-endian long. `conv` yields the unsigned decimal; the fold to
+    * signed long subtracts 2^64 above Long.MaxValue (exact DECIMAL
+    * arithmetic, no ANSI overflow).
+    */
+  private[graft] def portableTokenHash(t: Column): Column = {
+    val u = conv(substring(md5(t), 1, 16), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+    when(u > lit(new java.math.BigDecimal("9223372036854775807")),
+      (u - lit(new java.math.BigDecimal("18446744073709551616"))).cast("long"))
+      .otherwise(u.cast("long"))
+  }
+
   /** 64-bit SimHash over token hashes: per bit, vote +1/−1 by token
     * bit, sign of the vote becomes the fingerprint bit. Expressed with
     * nested array built-ins — narrow, codegen'd.
     */
   def simHash(text: Column): Column = {
-    val tokHashes = transform(split(lower(text), "\\s+"), t => xxhash64(t))
+    val tokHashes = transform(split(lower(text), "\\s+"), portableTokenHash(_))
     // Unrolled at plan-construction time: one popcount-style vote per
     // bit, each a single pass over the token-hash array.
     (0 until 64).foldLeft(lit(0L)) { (acc, bit) =>
@@ -289,8 +303,9 @@ object Dedup {
 
   /** Per-occurrence token hashes (duplicates kept — SimHash votes per
     * occurrence), native codegen'd kernel; same semantics as
-    * `transform(split(lower(text), "\\s+"), xxhash64)` (unit-tested
-    * equivalence). Self-registering.
+    * `transform(split(lower(text), "\\s+"), portableTokenHash)`
+    * (unit-tested equivalence; md5-derived so the DuckDB oracle
+    * reproduces it). Self-registering.
     */
   def nativeTokenHashes(text: Column): Column = {
     GraftFunctions.registerActive()
@@ -314,8 +329,31 @@ object Dedup {
   /** SimHash near-dup pairs within a Hamming radius. Pigeonhole
     * banding: split 64 bits into 4 16-bit chunks; hamming ≤ 3 ⇒ at
     * least one chunk identical, so bucket-join on chunks and verify
-    * with bit_count(xor) — never all-pairs.
+    * with bit_count(xor) — never all-pairs. Pigeonhole candidate
+    * generation is COMPLETE for hamming ≤ 3, so the output equals the
+    * all-pairs form — which is exactly what the DuckDB oracle computes
+    * (md5-portable token hashes make the fingerprints engine-identical).
     */
+  def simHashDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = simHashTable(docs)
+    val chunked = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL)).as("ch"))): _*))
+        .as("c"))
+      .select(col("doc_id"), col("fp"), col("c.chunk"), col("c.ch"))
+    val l = chunked.select(col("chunk"), col("ch"),
+      col("doc_id").as("a_id"), col("fp").as("a_fp"))
+    val rj = chunked.select(col("chunk"), col("ch"),
+      col("doc_id").as("b_id"), col("fp").as("b_fp"))
+    l.join(rj, Seq("chunk", "ch"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------- decontamination
 
   /** Eval-set decontamination (the GPT-3/PaLM rule): a test document
@@ -448,23 +486,4 @@ object Dedup {
       .union(edges.select(col("v"), col("v")).distinct())
   }
 
-  def simHashDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = simHashTable(docs)
-    val chunked = fp.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("chunk"),
-          shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL)).as("ch"))): _*))
-        .as("c"))
-      .select(col("doc_id"), col("fp"), col("c.chunk"), col("c.ch"))
-    val l = chunked.select(col("chunk"), col("ch"),
-      col("doc_id").as("a_id"), col("fp").as("a_fp"))
-    val rj = chunked.select(col("chunk"), col("ch"),
-      col("doc_id").as("b_id"), col("fp").as("b_fp"))
-    l.join(rj, Seq("chunk", "ch"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
 }

@@ -79,19 +79,22 @@ object Similarity {
 
   /** Random-hyperplane signature: p sign bits packed into a long. The
     * hyperplane components are deterministic pseudo-random ±[0,1)
-    * values derived by hashing (plane, dim) — reproducible across runs
-    * and engines, no RNG state. Narrow map-only transform (no shuffle).
+    * values derived from `md5("p_i")` (see
+    * [[graft.plans.TextKernels.planeWeight]]) — reproducible across
+    * runs AND engines (the DuckDB oracle rebuilds identical buckets),
+    * no RNG state. Narrow map-only transform (no shuffle).
     * Column-level reference form, interpreted — kept as the baseline
     * the native kernel is unit-tested against.
     */
   private[graft] def lshSignatureHof(embedding: Column, planes: Int): Column =
     (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
+      val u32 = (i: Column) =>
+        conv(substring(md5(concat(lit(s"${p}_"), i.cast("string"))), 1, 8), 16, 10)
+          .cast("long")
       val dot = aggregate(
         zip_with(embedding,
           sequence(lit(0), size(embedding) - 1),
-          (x, i) =>
-            x * ((pmod(xxhash64(lit(p.toLong * 7919) + i), lit(2000L))
-              .cast("double") - 1000.0) / 1000.0)),
+          (x, i) => x * ((u32(i) % 2000L - 1000L).cast("double") / 1000.0)),
         lit(0.0), (a, v) => a + v)
       acc.bitwiseOR(when(dot > 0, lit(1L << p)).otherwise(lit(0L)))
     }
@@ -111,27 +114,44 @@ object Similarity {
     * joins a ~N/2^p slice instead of N.
     *
     * `probes` > 1 enables multi-probe (Lv et al., VLDB'07 shape): the
-    * QUERY side additionally probes the buckets at Hamming distance 1
-    * (each single plane-bit flipped), so recall rises steeply while
-    * the candidate set grows only ×probes — and only the tiny
+    * QUERY side additionally probes the nearest other buckets by
+    * Hamming distance from its own signature, so recall rises steeply
+    * while the candidate set grows only ×probes — and only the tiny
     * broadcast query side is replicated, the corpus still shuffles
-    * once. `probes` ∈ [1, planes+1].
+    * once. `probes` ∈ [1, 2^planes]: up to planes+1 the probe set is
+    * own bucket + single-bit flips (cheap XOR generation); beyond that
+    * the full bucket space is enumerated and ranked by Hamming
+    * distance (ties toward the lower bucket id), so `probes = 2^planes`
+    * probes every bucket — the LSH analog of IVF's nprobe = nlist,
+    * PROVABLY equal to brute force (and the oracle-backed registration).
     */
   def lshTopK(
       embeddings: DataFrame, queryIds: Seq[Long], k: Int, planes: Int = 8,
       probes: Int = 1): DataFrame = {
-    require(probes >= 1 && probes <= planes + 1,
-      s"probes must be in [1, ${planes + 1}]")
+    require(planes >= 1 && planes <= 16, s"planes must be in [1, 16], got $planes")
+    require(probes >= 1 && probes <= (1 << planes),
+      s"probes must be in [1, ${1 << planes}]")
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val sig = embeddings.select(
       col("vec_id"),
       quantized(col("embedding")).as("q"),
       lshSignature(col("embedding"), planes).as("bucket"),
     ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
-    val probeBuckets = array(
-      (col("bucket") +:
-        (0 until probes - 1).map(b =>
-          col("bucket").bitwiseXOR(lit(1L << b)))): _*)
+    val probeBuckets =
+      if (probes <= planes + 1)
+        array((col("bucket") +:
+          (0 until probes - 1).map(b =>
+            col("bucket").bitwiseXOR(lit(1L << b)))): _*)
+      else {
+        // Hamming-ball enumeration: every bucket id, ranked by distance
+        // from the query's own signature. The 2^planes-element literal
+        // array is per-PLAN (a handful of KB at the [1,16] planes cap),
+        // not per-row state; only `probes` survive the slice.
+        val ranked = array_sort(transform(
+          array((0L until (1L << planes)).map(lit): _*),
+          b => struct(bit_count(col("bucket").bitwiseXOR(b)).as("d"), b.as("bk"))))
+        transform(slice(ranked, 1, probes), s => s.getField("bk"))
+      }
     val queries = sig
       .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
       .select(col("vec_id").as("qid"), col("q").as("qv"),
@@ -281,22 +301,52 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity
-    * threshold, via LSH buckets (scale path for embedding dedup).
+    * threshold, via BANDED LSH (scale path for embedding dedup — the
+    * cosine analog of MinHash-LSH banding): ONE `bands·bandPlanes`-bit
+    * hyperplane signature per vector (single kernel call), sliced into
+    * `bands` band keys of `bandPlanes` bits each; vectors colliding in
+    * ANY band become candidates (OR-amplification lifts recall the way
+    * a single must-match-everything signature cannot), then every
+    * candidate pair is verified with the exact quantized-integer
+    * cosine — so the output is always a sound subset of
+    * [[cosineNearDupPairsExact]], with recall tuned by (bands,
+    * bandPlanes), and the md5-portable plane weights make the whole
+    * candidate generation reproducible in the DuckDB oracle.
+    *
+    * Scale shape: the shuffle moves (band, key, vec_id) triples — never
+    * embeddings; each band partitions the corpus into 2^bandPlanes
+    * buckets, so candidates are bounded by bands·Σ(bucket²) and
+    * `bandPlanes` is the knob that keeps buckets small at scale.
     */
   def cosineNearDupPairs(
-      embeddings: DataFrame, threshold: Double, planes: Int = 8): DataFrame = {
+      embeddings: DataFrame, threshold: Double, bandPlanes: Int = 8,
+      bands: Int = 8): DataFrame = {
+    require(bandPlanes >= 1 && bands >= 1 && bandPlanes * bands <= 64,
+      s"bandPlanes * bands must fit one 64-bit signature, got $bandPlanes x $bands")
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val mask = (1L << bandPlanes) - 1
     val sig = embeddings.select(
       col("vec_id"),
       quantized(col("embedding")).as("q"),
-      lshSignature(col("embedding"), planes).as("bucket"),
+      lshSignature(col("embedding"), bandPlanes * bands).as("sig"),
     ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
-    val a = sig.select(col("bucket"), col("vec_id").as("a_id"),
-      col("q").as("a_q"), col("nsq").as("a_n"))
-    val b = sig.select(col("bucket"), col("vec_id").as("b_id"),
-      col("q").as("b_q"), col("nsq").as("b_n"))
-    a.join(b, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
+    val banded = sig.select(col("vec_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bandPlanes).bitwiseAND(lit(mask)).as("bk"))): _*))
+        .as("c"))
+      .select(col("vec_id"), col("c.band"), col("c.bk"))
+    val cands = banded
+      .join(banded.select(col("band"), col("bk"), col("vec_id").as("b_id")),
+        Seq("band", "bk"))
+      .filter(col("vec_id") < col("b_id"))
+      .select(col("vec_id").as("a_id"), col("b_id")).distinct()
+    val sk = sig.select(col("vec_id"), col("q"), col("nsq"))
+    cands
+      .join(sk.select(col("vec_id").as("a_id"), col("q").as("a_q"),
+        col("nsq").as("a_n")), Seq("a_id"))
+      .join(sk.select(col("vec_id").as("b_id"), col("q").as("b_q"),
+        col("nsq").as("b_n")), Seq("b_id"))
       // threshold on the UNROUNDED cosine — same rule as the exact
       // baseline and the DuckDB oracle, so the LSH arm's output is a
       // strict subset of cosineNearDupPairsExact's (rounding is

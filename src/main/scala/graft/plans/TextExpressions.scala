@@ -84,18 +84,36 @@ object TextKernels {
       if (m == count) out else java.util.Arrays.copyOf(out, m))
   }
 
-  /** xxhash64 of every whitespace token of the lowercased text, in
-    * order, duplicates kept — ≡ `transform(split(lower(text), "\\s+"),
-    * xxhash64)` (SimHash needs every occurrence to vote, so no
-    * distinct; `split` with its default -1 limit keeps leading/trailing
-    * empty tokens, and so does this).
+  /** 64-bit hash of every whitespace token of the lowercased text, in
+    * order, duplicates kept (SimHash needs every occurrence to vote, so
+    * no distinct; `split` with its default -1 limit keeps
+    * leading/trailing empty tokens, and so does this).
+    *
+    * The hash is the first 8 bytes of md5 read as a signed big-endian
+    * long — ENGINE-PORTABLE, like the winnowing kernel's md5 grams: the
+    * DuckDB oracle reproduces the identical value with
+    * `substr(md5(t), 1, 16)`, so the whole SimHash fingerprint (and the
+    * Hamming pair set) is oracle-verifiable, which Spark's private
+    * xxhash64 seeding would not be. ≡ the column form
+    * `conv(substring(md5(t), 1, 16), 16, 10)` sign-folded to long
+    * (unit-tested equivalence).
     */
+  private val md5Local = java.lang.ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   def tokenHashes(text: UTF8String): ArrayData = {
     val toks = text.toLowerCase.toString.split("\\s+", -1)
     val out = new Array[Long](toks.length)
+    val md = md5Local.get()
     var i = 0
     while (i < toks.length) {
-      out(i) = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), Seed)
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 digest bytes big-endian == parseUnsignedLong(hex[0:16], 16)
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = h
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
@@ -217,11 +235,30 @@ object TextKernels {
     fp
   }
 
+  /** Hyperplane component (p, i): first 4 bytes of `md5("p_i")` as an
+    * unsigned 32-bit value, mod 2000, shifted to ±[0, 1). md5-derived —
+    * ENGINE-PORTABLE like the winnow grams and token hashes, so the
+    * DuckDB oracle rebuilds identical signatures
+    * (`substr(md5(p || '_' || i), 1, 8)`) and the LSH bucketing itself
+    * is oracle-verifiable. Weights depend only on (p, i): memoized, so
+    * the per-row signature cost stays a pure multiply-add loop.
+    */
+  private val planeWeights =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Double]()
+
+  def planeWeight(p: Int, i: Int): Double =
+    planeWeights.computeIfAbsent((p.toLong << 32) | i, key => {
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        s"${p}_$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val u32 = java.lang.Integer.parseUnsignedInt(hex.substring(0, 8), 16) & 0xffffffffL
+      (u32 % 2000L - 1000L).toDouble / 1000.0
+    })
+
   /** Random-hyperplane sign signature: bit p of the result is set when
     * the dot product of the embedding with pseudo-random plane p is
-    * positive. Plane components are hash-derived (`xxhash64(p·7919 + i)
-    * mod 2000`, shifted to ±1), identical to the round-1 column form,
-    * and accumulation is in element order for bit-identical buckets.
+    * positive. Plane components come from [[planeWeight]] (md5-derived,
+    * engine-portable), and accumulation is in element order for
+    * bit-identical buckets across engines.
     */
   def hyperplaneSig(emb: ArrayData, planes: Int, isFloat: Boolean): Long = {
     val n = emb.numElements()
@@ -229,13 +266,10 @@ object TextKernels {
     var p = 0
     while (p < planes) {
       var dot = 0.0
-      val base = p.toLong * 7919
       var i = 0
       while (i < n) {
         val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
-        val h = XXH64.hashLong(base + i, Seed)
-        val wgt = (((h % 2000L) + 2000L) % 2000L - 1000L).toDouble / 1000.0
-        dot += x * wgt
+        dot += x * planeWeight(p, i)
         i += 1
       }
       if (dot > 0) sig |= (1L << p)

@@ -50,13 +50,14 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(both.filter(not($"hof" <=> $"native")).count() == 0)
   }
 
-  test("graft_tokenhashes ≡ transform(split(lower),xxhash64) incl. dup/empty tokens") {
+  test("graft_tokenhashes ≡ transform(split(lower),md5-portable) incl. dup/empty tokens") {
     val fixture = docs.select($"text")
     val edge = Seq("", " ", "a  b a", " leading", "trailing ", "UP low UP")
       .toDF("text")
     for (df <- Seq(fixture, edge)) {
       val both = df.select(
-        transform(split(lower($"text"), "\\s+"), t => xxhash64(t)).as("hof"),
+        transform(split(lower($"text"), "\\s+"),
+          t => Dedup.portableTokenHash(t)).as("hof"),
         Dedup.nativeTokenHashes($"text").as("native"))
       assert(both.filter(not($"hof" <=> $"native")).count() == 0)
     }

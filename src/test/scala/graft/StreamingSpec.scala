@@ -154,10 +154,11 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(out.sorted == Seq(1L, 3L), out)
 
-    // batch 2: near-dup of batch-1 doc (one word changed) is dropped
-    // ACROSS batches; a genuinely novel doc passes
+    // batch 2: near-dup of batch-1 doc (one word changed; hamming 1
+    // under the md5-portable token hashes) is dropped ACROSS batches;
+    // a genuinely novel doc passes
     out.clear()
-    Seq((4L, base.replace("dog", "cat")),
+    Seq((4L, base.replace("dog", "pup")),
         (5L, "nothing like anything processed before in any earlier batch at all"))
       .toDF("doc_id", "text").write.parquet(s"$dir/in/b2.parquet")
     run()
