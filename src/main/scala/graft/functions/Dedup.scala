@@ -399,6 +399,17 @@ object Dedup {
     * where component = smallest doc_id in the connected component.
     * Singleton docs (no pairs) are their own component by definition
     * and are not emitted.
+    *
+    * Block retention: the returned DataFrame's lineage roots at the
+    * FINAL round's localCheckpoint, so that one edge-set copy stays in
+    * executor storage while the caller can still recompute the result
+    * (every superseded round is freed eagerly inside the loop). Once
+    * the caller drops the DataFrame, Spark's ContextCleaner unpersists
+    * the blocks on the next driver GC — retention is bounded by the
+    * result's reachability, not the SparkContext's lifetime. Callers
+    * that materialize the result and want the storage back immediately
+    * can `result.rdd.unpersist()`-equivalent by snapshotting
+    * (`write`/`collect`) and dropping the reference.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     require(pairs.columns.length >= 2,

@@ -209,16 +209,33 @@ object Similarity {
     * across partitions, so centroids are bit-identical run to run —
     * re-quantized back to longs. Collected state is nlist×dim longs
     * (driver-tiny at any corpus size).
+    *
+    * TRAINING runs on a deterministic hash-sample capped at
+    * `sampleCap` rows (k-means centroid quality needs a representative
+    * sample, not the population — at 100 TB, iters full-corpus scans
+    * for centroid TRAINING would dominate the query; ASSIGNMENT, which
+    * must see every vector, stays full-corpus in [[ivfTopK]]). Below
+    * the cap the sample is the whole corpus, so fixture-scale output
+    * is unchanged. The sample predicate is `xxhash64(vec_id)`-bucketed:
+    * reproducible across runs, partitionings, and subsets.
     */
   private def kmeansCentroids(
-      quant: DataFrame, nlist: Int, iters: Int): Array[Array[Long]] = {
-    val init = quant
+      quant: DataFrame, nlist: Int, iters: Int,
+      sampleCap: Long = 262144): Array[Array[Long]] = {
+    val n = quant.count()
+    val train =
+      if (n <= sampleCap) quant
+      else {
+        val keep = math.max(1L, sampleCap * 1000000L / n)
+        quant.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < keep)
+      }
+    val init = train
       .withColumn("__h", xxhash64(col("vec_id")))
       .orderBy(col("__h")).limit(nlist)
       .select(col("q")).collect()
       .map(_.getSeq[Long](0).toArray)
     (1 to iters).foldLeft(init) { (centroids, _) =>
-      val assigned = quant.withColumn("__cell", cellOf(col("q"), centroids))
+      val assigned = train.withColumn("__cell", cellOf(col("q"), centroids))
       val sums = assigned
         .select(col("__cell"), posexplode(col("q")).as(Seq("__pos", "__v")))
         .groupBy(col("__cell"), col("__pos"))
@@ -246,18 +263,19 @@ object Similarity {
     */
   def ivfTopK(
       embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      trainSampleCap: Long = 262144): DataFrame = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val quant = embeddings.select(
       col("vec_id"),
       quantized(col("embedding")).as("q"),
     ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
-    // the k-means loop scans quant iters+1 times — cache it for the
-    // centroid computation only, release before returning the plan
-    // (the returned query recomputes it once; no cache leaks across
-    // query invocations)
+    // the k-means loop scans its training sample iters+1 times — cache
+    // for the centroid computation only, release before returning the
+    // plan (the returned query recomputes it once; no cache leaks
+    // across query invocations)
     val centroids =
-      try { quant.persist(); kmeansCentroids(quant, nlist, iters) }
+      try { quant.persist(); kmeansCentroids(quant, nlist, iters, trainSampleCap) }
       finally quant.unpersist()
     val celled = quant.withColumn("cell", cellOf(col("q"), centroids))
     val queries = celled

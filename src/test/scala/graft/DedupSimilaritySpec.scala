@@ -360,6 +360,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hitsWide == 50) // nprobe = nlist scans every cell → exact top-k
   }
 
+  test("IVF sample-trained centroids: assignment exact, full recall at nprobe=nlist") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Similarity.bruteForceTopK(embs, qids, 10)
+    // cap below the corpus size forces the hash-sampled training path;
+    // assignment still sees every vector, and probing every cell must
+    // recover the exact brute-force top-k REGARDLESS of centroid
+    // quality — the scale-path invariant
+    val sampled = Similarity.ivfTopK(embs, qids, 10,
+      nlist = 8, nprobe = 8, trainSampleCap = 16)
+    assert(sampled.exceptAll(brute).isEmpty && brute.exceptAll(sampled).isEmpty)
+    // sampling is hash-deterministic: identical output across runs
+    val again = Similarity.ivfTopK(embs, qids, 10,
+      nlist = 8, nprobe = 8, trainSampleCap = 16)
+    assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
+  }
+
   test("cosineNearDupPairs is symmetric-free, thresholded, ⊆ exact baseline") {
     val pairs = Similarity.cosineNearDupPairs(embs, threshold = 0.8)
     assert(pairs.filter($"a_id" >= $"b_id").count() == 0)

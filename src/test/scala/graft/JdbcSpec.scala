@@ -111,6 +111,42 @@ class JdbcSpec extends SparkSpec {
     assert(after == Set(("R1", "JUAN", "CRUZ"), ("R9", "old", "row")))
   }
 
+  test("JdbcReplay: offset-tracked ticks sync only rows that arrived in between (R1/R2)") {
+    val srcUrl = freshDb()
+    val tgtUrl = freshDb()
+    exec(srcUrl,
+      "CREATE TABLE farmers_kyc1 (rsbsa_no VARCHAR(20) NOT NULL, first_name VARCHAR(50), surname VARCHAR(50))",
+      "INSERT INTO farmers_kyc1 VALUES ('R1','juan','cruz'), ('R2','maria','santos')",
+      "CREATE TABLE etl_changelog (log_id BIGINT NOT NULL, rsbsa_no VARCHAR(20), \"table\" VARCHAR(60))",
+      "INSERT INTO etl_changelog VALUES (1, 'R1', 'farmers_kyc1')")
+    exec(tgtUrl,
+      "CREATE TABLE farmers_kyc1 (rsbsa_no VARCHAR(20) NOT NULL, first_name VARCHAR(50), surname VARCHAR(50))")
+    val etl = graft.pipeline.EtlRun.onJdbc(spark, srcUrl, tgtUrl)
+    val offsets = java.nio.file.Files
+      .createTempDirectory("graft-replay").resolve("offset").toString
+
+    // tick 1: only the logged key R1 syncs
+    val t1 = graft.pipeline.JdbcReplay.tick(spark, srcUrl, "etl_changelog", etl, offsets)
+    assert(t1.fromOffset == 0 && t1.toOffset == 1 && t1.advanced)
+    assert(t1.report.get.errors == 0)
+    def target() = Jdbc.table(spark, tgtUrl, "farmers_kyc1")
+      .as[(String, String, String)].collect().toSet
+    assert(target() == Set(("R1", "JUAN", "CRUZ")))
+
+    // between ticks: R2 gets logged; R1's SOURCE row changes WITHOUT a
+    // new log entry — tick 2 must sync R2 only and must not re-extract R1
+    exec(srcUrl,
+      "UPDATE farmers_kyc1 SET first_name='edited' WHERE rsbsa_no='R1'",
+      "INSERT INTO etl_changelog VALUES (2, 'R2', 'farmers_kyc1')")
+    val t2 = graft.pipeline.JdbcReplay.tick(spark, srcUrl, "etl_changelog", etl, offsets)
+    assert(t2.fromOffset == 1 && t2.toOffset == 2)
+    assert(target() == Set(("R1", "JUAN", "CRUZ"), ("R2", "MARIA", "SANTOS")))
+
+    // tick 3: nothing new — no run, offset stays
+    val t3 = graft.pipeline.JdbcReplay.tick(spark, srcUrl, "etl_changelog", etl, offsets)
+    assert(t3.report.isEmpty && !t3.advanced && t3.toOffset == 2)
+  }
+
   test("ensureTable creates a declared-schema table once (K4 over JDBC)") {
     val url = freshDb()
     val schema = graft.schema.Schemas.byName("farmers_kyc1")

@@ -72,6 +72,38 @@ class MergePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("∀ (keys × times × tolerance): as-of union-window ≡ range-join baseline incl. nulls") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // nullable keys and colliding nullable times — the edges the
+    // union-window rewrite has to get right: null-time left rows match
+    // nothing, null-key rows never join, equal-time ties break by max
+    // tieBreaker, tolerance invalidates stale matches
+    val nkey = Gen.frequency(9 -> Gen.oneOf((1 to 4).map(i => s"K$i")).map(Option(_)),
+      1 -> Gen.const(Option.empty[String]))
+    val ntime = Gen.frequency(9 -> Gen.choose(0L, 20L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]))
+    val leftGen = Gen.listOfN(15, Gen.zip(nkey, ntime))
+    val rightGen = Gen.listOfN(15, Gen.zip(nkey, ntime, Gen.choose(0, 999)))
+    val tolGen = Gen.oneOf(None, Some(0L), Some(2L), Some(50L))
+    for (((lRows, rRows), tol) <-
+        samples(Gen.zip(Gen.zip(leftGen, rightGen), tolGen), 8)) {
+      val left = lRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k.orNull, t.map(Long.box).orNull) }
+        .toDF("lid", "lk", "lt")
+      val right = rRows.zipWithIndex
+        .map { case ((k, t, v), i) =>
+          (k.orNull, t.map(Long.box).orNull, i.toLong, v) }
+        .toDF("rk", "rt", "tb", "rv")
+      val tolCol = tol.map(lit(_).cast("long"))
+      val fast = graft.operators.AsOfJoin.asOf(
+        left, right, "lid", "lk", "rk", "lt", "rt", "tb", tolCol)
+      val base = graft.operators.AsOfJoin.asOfViaRangeJoin(
+        left, right, "lid", "lk", "rk", "lt", "rt", "tb", tolCol)
+      assert(fast.exceptAll(base).isEmpty && base.exceptAll(fast).isEmpty,
+        s"as-of property mismatch (tolerance=$tol)")
+    }
+  }
+
   test("∀ strings: uppercase normalization is idempotent and null-preserving") {
     val strGen = Gen.listOfN(10,
       Gen.option(Gen.asciiPrintableStr.map(_.take(12))))
