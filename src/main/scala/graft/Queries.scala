@@ -833,23 +833,31 @@ object Queries {
     graft.functions.Multimodal.mediaProfile(
       graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
 
-  /** Multimodal — stubbed per-partition feature extraction
-    * (mapPartitions batch shape; deterministic fake decode) —
-    * rows-only check.
+  /** Multimodal — per-partition feature extraction: image payloads are
+    * REAL PNG rasters (deterministic synthetic fixtures) decoded with
+    * `javax.imageio`, so the emitted width/height/aspect columns come
+    * from actual decoded pixels; A/V payloads take the documented
+    * deterministic stub. Rows-only check (decode isn't
+    * SQL-expressible).
     */
   val mediaFeatures: Q = (s, dir) => {
     val feats = graft.functions.Multimodal.extractFeatures(
-      graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
+      graft.functions.Multimodal.withRealImages(
+        graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))))
     feats.toDF().select(col("media_id"), col("kind"), col("n_bytes"),
-      col("checksum"))
+      col("checksum"),
+      element_at(col("feature"), 1).as("feat_w"),
+      element_at(col("feature"), 2).as("feat_h"))
   }
 
-  /** Multimodal — frame-sampling plumbing over opaque payloads —
-    * rows-only check.
+  /** Multimodal — frame sampling: image payloads decode for real and
+    * emit PNG-encoded raster strips; A/V payloads keep the byte-window
+    * stub shape. Rows-only check.
     */
   val mediaFrames: Q = (s, dir) =>
     graft.functions.Multimodal.sampleFrames(
-      graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
+      graft.functions.Multimodal.withRealImages(
+        graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))),
       stride = 64, frameLen = 32)
       .select(col("media_id"), col("frame_no"),
         length(col("frame_bytes")).as("frame_len"))

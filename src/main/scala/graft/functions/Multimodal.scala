@@ -153,18 +153,86 @@ object Multimodal {
     }
   }
 
-  /** "Frame sampling" on the opaque payload: every `stride`-th byte
-    * window — the plumbing shape of video frame extraction (explode to
-    * one row per frame, payload sliced per frame).
+  /** Deterministic synthetic PNG: a `w`×`h` raster whose pixels come
+    * from a splitmix64 stream seeded by `seed`, encoded with the JDK's
+    * real PNG writer. Fixture-building only — it exists so the
+    * driver-visible media queries exercise the REAL decode path
+    * (`javax.imageio`) instead of falling back to the byte stub on
+    * undecodable text payloads.
     */
-  def sampleFrames(media: Dataset[MediaRecord], stride: Int, frameLen: Int)
-      : DataFrame = {
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var z = seed
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        z += 0x9e3779b97f4a7c15L
+        var s = z
+        s = (s ^ (s >>> 30)) * 0xbf58476d1ce4e5b9L
+        s = (s ^ (s >>> 27)) * 0x94d049bb133111ebL
+        img.setRGB(x, y, ((s ^ (s >>> 31)) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Replace image-kind payloads with REAL (synthetic, deterministic)
+    * PNG rasters sized from the media id, metadata updated to the true
+    * dimensions. A/V payloads pass through untouched (their codecs are
+    * the documented stub). Narrow map — the payload never shuffles.
+    */
+  def withRealImages(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.kind == "image") {
+        val w = (r.media_id % 24 + 8).toInt
+        val h = (r.media_id % 16 + 8).toInt
+        r.copy(payload = syntheticPng(r.media_id, w, h),
+          meta_width = w, meta_height = h)
+      } else r
+    }
+  }
+
+  /** Frame sampling. IMAGE payloads take the real path: decode the
+    * raster, slice it into up to `maxFrames` horizontal strips, and
+    * re-encode each strip as PNG — actual raster work per frame, the
+    * shape video frame-grabbing has once a codec exists. Non-image (or
+    * undecodable) payloads keep the byte-window stub: every
+    * `stride`-th `frameLen`-byte slice.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int, frameLen: Int,
+      maxFrames: Int = 16): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val n = math.max(0, (r.payload.length - frameLen) / stride + 1)
-      (0 until math.min(n, 16)).map { f =>
-        val off = f * stride
-        (r.media_id, f, r.payload.slice(off, off + frameLen))
+      val imageFrames =
+        if (r.kind != "image") None
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) None
+          else {
+            val strips = math.min(math.min(4, maxFrames), img.getHeight)
+            val hs = img.getHeight / strips
+            Some((0 until strips).map { f =>
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(
+                img.getSubimage(0, f * hs, img.getWidth, hs), "png", baos)
+              (r.media_id, f, baos.toByteArray)
+            })
+          }
+        } catch { case _: Exception => None }
+      imageFrames.getOrElse {
+        val n = math.max(0, (r.payload.length - frameLen) / stride + 1)
+        (0 until math.min(n, maxFrames)).map { f =>
+          val off = f * stride
+          (r.media_id, f, r.payload.slice(off, off + frameLen))
+        }
       }
     }.toDF("media_id", "frame_no", "frame_bytes")
   }

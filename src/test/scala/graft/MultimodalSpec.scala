@@ -87,4 +87,44 @@ class MultimodalSpec extends SparkSpec {
     assert(perDoc.filter($"count" > 16).count() == 0) // cap respected
     assert(frames.filter($"frame_no" < 0).count() == 0)
   }
+
+  test("withRealImages: image payloads become decodable PNGs; features carry true dims") {
+    val real = Multimodal.withRealImages(media.limit(30))
+    val imgs = real.filter($"kind" === "image").collect()
+    assert(imgs.nonEmpty)
+    for (r <- imgs) {
+      val (w, h, _) = Multimodal.decodeImage(r.payload)
+        .getOrElse(fail(s"image payload ${r.media_id} not decodable"))
+      assert((w, h) == (r.meta_width, r.meta_height))
+    }
+    // the feature vector's first two entries are the DECODED dims —
+    // proof the query path measures real raster work, not the stub
+    val feats = Multimodal.extractFeatures(real)
+      .filter($"kind" === "image").collect()
+    for (f <- feats) {
+      val rec = imgs.find(_.media_id == f.media_id).get
+      assert(f.feature(0) == rec.meta_width.toFloat
+        && f.feature(1) == rec.meta_height.toFloat)
+    }
+    // determinism: regeneration is bit-identical (checksums equal)
+    val again = Multimodal.extractFeatures(Multimodal.withRealImages(media.limit(30)))
+    assert(Multimodal.extractFeatures(real).select("media_id", "checksum")
+      .exceptAll(again.select("media_id", "checksum")).isEmpty)
+  }
+
+  test("sampleFrames on real images emits decodable raster strips") {
+    val real = Multimodal.withRealImages(media.limit(30))
+      .filter($"kind" === "image")
+    val frames = Multimodal.sampleFrames(real, stride = 64, frameLen = 32)
+      .collect()
+    assert(frames.nonEmpty)
+    val dims = real.collect().map(r => r.media_id -> r.meta_width).toMap
+    for (f <- frames) {
+      val (w, _, _) = Multimodal.decodeImage(f.getAs[Array[Byte]]("frame_bytes"))
+        .getOrElse(fail(s"frame of ${f.getLong(0)} not a decodable PNG strip"))
+      assert(w == dims(f.getLong(0))) // full-width horizontal strips
+    }
+    // at most 4 strips per image
+    assert(frames.groupBy(_.getLong(0)).forall(_._2.length <= 4))
+  }
 }

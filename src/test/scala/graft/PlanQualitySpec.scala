@@ -90,6 +90,26 @@ class PlanQualitySpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("banded cosine LSH: no all-pairs join; embeddings never enter the candidate shuffle") {
+    val p = planOf("dedup_cosine_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // the candidate self-join shuffles (band, bk, vec_id) triples only —
+    // any exchange carrying the quantized vector or the raw embedding
+    // would ship O(corpus × bands × dim) instead of O(corpus × bands)
+    val candidateExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(band"))
+    assert(candidateExchanges.forall(l => !l.contains("embedding") && !l.contains(", q")),
+      p.take(1200))
+  }
+
+  test("ANN LSH top-k: corpus shuffles by bucket; probe side broadcasts") {
+    val p = planOf("sim_lsh_topk")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
   test("dedup components round plans no neighbor-list collection (min-agg only)") {
     import spark.implicits._
     val pairs = Seq((2L, 1L), (3L, 2L)).toDF("a_id", "b_id")
