@@ -147,9 +147,78 @@ object Oracles {
       |      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
       |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4""".stripMargin
 
+  /** Shared CTE chain for the repeated-substring family: per-position
+    * md5 8-gram hashes (identical to `graft_gramhashes` by
+    * construction), corpus-wide counts, hot positions (count ≥ 2), and
+    * gaps-and-islands span merging. The island id is computed in two
+    * window stages (lag gap, then running sum) exactly like the
+    * engine's two projections.
+    */
+  private val HOT_SPAN_CTES: String =
+    """tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |gl AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(toks) - 8, 0) + 2),
+      |      s -> md5(array_to_string(toks[s : least(s + 7, len(toks))], ' '))) AS gs
+      |  FROM tok),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(gs) + 1),
+      |      p -> {'pos': p - 1, 'h': gs[p]})) AS u
+      |  FROM gl),
+      |g2 AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
+      |c AS (SELECT h, count(*) AS n FROM g2 GROUP BY h),
+      |hot AS (
+      |  SELECT g2.doc_id, g2.pos FROM g2 JOIN c USING (h) WHERE c.n >= 2),
+      |gaps AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+      |      THEN 1 ELSE 0 END AS gap
+      |  FROM hot),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(gap) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM gaps),
+      |spans AS (
+      |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |    CAST(max(pos) + 8 AS BIGINT) AS span_end,
+      |    count(*) AS n_hot_grams
+      |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_simhash" -> SIMHASH_PAIRS,
     "dedup_cosine_lsh" -> COSINE_LSH_PAIRS,
+
+    "dedup_hot_spans" ->
+      s"""WITH $HOT_SPAN_CTES
+         |SELECT doc_id, span_start, span_end, n_hot_grams FROM spans""".stripMargin,
+
+    "dedup_span_removal" ->
+      s"""WITH $HOT_SPAN_CTES,
+         |otok AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents),
+         |ot AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks) + 1),
+         |      p -> {'pos': p - 1, 'tok': toks[p]})) AS u
+         |  FROM otok),
+         |ot2 AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM ot),
+         |cover AS (
+         |  SELECT t.doc_id, t.pos, t.tok,
+         |    max(CASE WHEN s.doc_id IS NOT NULL
+         |      AND t.pos >= s.span_start AND t.pos < s.span_end
+         |      THEN 1 ELSE 0 END) AS covered
+         |  FROM ot2 t LEFT JOIN spans s ON s.doc_id = t.doc_id
+         |  GROUP BY t.doc_id, t.pos, t.tok)
+         |SELECT doc_id,
+         |  COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END, ' '
+         |    ORDER BY pos), '') AS clean_text,
+         |  CAST(sum(covered) AS BIGINT) AS n_removed_tokens
+         |FROM cover GROUP BY doc_id""".stripMargin,
     "s1_changelog_count" ->
       s"SELECT count(*) AS cnt FROM events WHERE $V",
 

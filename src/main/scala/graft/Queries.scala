@@ -771,6 +771,18 @@ object Queries {
   val dedupCosineLsh: Q = (s, dir) =>
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.4)
 
+  /** Exact repeated-substring spans (Lee et al. 2021): maximal merged
+    * runs of 8-gram positions whose gram occurs ≥ 2× corpus-wide.
+    */
+  val dedupHotSpans: Q = (s, dir) =>
+    Dedup.repeatedSpans(t(s, dir, "documents"), w = 8, minCount = 2)
+
+  /** Corpus rewrite with repeated spans removed (token-level cut +
+    * ordered reassembly).
+    */
+  val dedupSpanRemoval: Q = (s, dir) =>
+    Dedup.removeRepeatedSpans(t(s, dir, "documents"), w = 8, minCount = 2)
+
   /** The north-star composition as ONE query: curate a training
     * corpus — exact-dedup survivors, minus near-duplicate losers
     * (higher doc_id of each verified Jaccard pair), language-filtered

@@ -63,6 +63,8 @@ object SparkEntry {
     "dedup_cosine_pairs" -> Queries.dedupCosinePairs,
     "dedup_cosine_lsh" -> Queries.dedupCosineLsh,
     "dedup_cosine_components" -> Queries.dedupCosineComponents,
+    "dedup_hot_spans" -> Queries.dedupHotSpans,
+    "dedup_span_removal" -> Queries.dedupSpanRemoval,
     "curate_corpus" -> Queries.curateCorpus,
     "prepare_pretraining" -> Queries.preparePretraining,
     // -- extensions: similarity search

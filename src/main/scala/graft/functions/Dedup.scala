@@ -375,6 +375,99 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  // ------------------------------------- repeated-substring spans
+
+  /** Ordered per-position gram hashes, native kernel (md5-portable —
+    * the DuckDB oracle rebuilds identical values). Self-registering.
+    */
+  def nativeGramHashes(text: Column, w: Int): Column = {
+    GraftFunctions.registerActive()
+    call_function("graft_gramhashes", text, lit(w))
+  }
+
+  /** EXACT repeated-substring spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": training corpora are
+    * full of verbatim-repeated boilerplate — headers, licenses,
+    * templates — that survives document-level dedup because the HOST
+    * documents differ; the fix is substring-level).
+    *
+    * A token position is HOT when its w-gram occurs ≥ `minCount` times
+    * across the whole corpus (all occurrences count, including within
+    * one document). Overlapping/adjacent hot positions merge into
+    * maximal spans per document (gaps-and-islands over the position
+    * sequence). Returns `(doc_id, span_start, span_end, n_hot_grams)`
+    * with token-index bounds, `span_end` exclusive.
+    *
+    * Scale shape: the corpus text is read once, narrowly, by the gram
+    * kernel; only (8-byte hash, position) pairs shuffle. The gram
+    * count is a map-side-combined groupBy (≤1 row per distinct gram
+    * per task — hot grams are exactly the high-DF keys, and the count
+    * join-back is a 1-row-per-key build side, AQE-splittable like the
+    * ngram DF table). Span merging shuffles by doc_id — doc-local
+    * windows, no skew beyond document length.
+    */
+  def repeatedSpans(docs: DataFrame, w: Int = 8, minCount: Long = 2): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(col("doc_id"), posexplode(nativeGramHashes(col("text"), w))
+        .as(Seq("pos", "gh")))
+    val counts = grams.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+    val hot = grams
+      .join(counts.filter(col("n") >= minCount), Seq("gh"))
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands: positions ≤ w apart chain into one span (their
+    // grams overlap or touch)
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = hot
+      .withColumn("__gap",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) > w, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__gap")).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("doc_id"), col("__island"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + w).cast("long").as("span_end"),
+        count(lit(1)).as("n_hot_grams"))
+      .drop("__island")
+      .select("doc_id", "span_start", "span_end", "n_hot_grams")
+  }
+
+  /** Corpus rewrite dropping every repeated span: tokens whose index
+    * falls inside any [[repeatedSpans]] span are removed and the
+    * remainder re-joined. Returns `(doc_id, clean_text,
+    * n_removed_tokens)` for every document (documents with no hot
+    * spans pass through unchanged with 0 removed).
+    *
+    * Shape: tokens posexplode per doc, anti-match against the doc's
+    * spans (doc-keyed join, span list per doc is small), ordered
+    * reassembly via sort_array — no driver-side text handling.
+    */
+  def removeRepeatedSpans(
+      docs: DataFrame, w: Int = 8, minCount: Long = 2): DataFrame = {
+    val spans = repeatedSpans(docs, w, minCount)
+    // original-case tokens: lowercasing affects only gram HASHING, not
+    // tokenization, so positions line up with the span indices
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+    val kept = toks
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("__in_span",
+        col("span_start").isNotNull &&
+          col("pos") >= col("span_start") && col("pos") < col("span_end"))
+      // a token joins one row per span of its doc: it survives iff NO
+      // span covers it
+      .groupBy(col("doc_id"), col("pos"), col("tok"))
+      .agg(max(when(col("__in_span"), 1L).otherwise(0L)).as("__covered"))
+    kept.groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__covered") === 0,
+            struct(col("pos"), col("tok"))))),
+          s => s.getField("tok"))).as("clean_text"),
+        sum(col("__covered")).as("n_removed_tokens"))
+  }
+
   // ------------------------------------------- connected components
 
   /** Connected components over an undirected near-duplicate pair list:

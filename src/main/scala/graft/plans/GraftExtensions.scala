@@ -39,6 +39,9 @@ object GraftFunctions {
     ("graft_tokenhashes",
       new ExpressionInfo(classOf[TokenHashesExpr].getName, "graft_tokenhashes"),
       (es: Seq[Expression]) => TokenHashesExpr(es.head)),
+    ("graft_gramhashes",
+      new ExpressionInfo(classOf[GramHashesExpr].getName, "graft_gramhashes"),
+      (es: Seq[Expression]) => GramHashesExpr(es(0), foldedInt(es(1)))),
     ("graft_winnow",
       new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
       (es: Seq[Expression]) => WinnowExpr(es(0), foldedInt(es(1)), foldedInt(es(2)))),

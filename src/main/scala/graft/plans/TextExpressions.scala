@@ -119,6 +119,45 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** ORDERED per-position w-gram hashes of the lowercased,
+    * whitespace-tokenized text — one hash per gram START position,
+    * duplicates kept (position identity is the point: repeated-span
+    * detection needs to know WHERE each gram occurs, where
+    * [[shingleHashes]] deliberately dedups for set-similarity). Hashes
+    * are md5-portable (first 8 bytes signed, same construction as
+    * [[tokenHashes]]) so the DuckDB oracle rebuilds them:
+    * `md5(array_to_string(toks[i:i+w-1], ' '))`. Docs shorter than `w`
+    * tokens contribute one whole-text gram (same rule as
+    * [[shingleHashes]]).
+    */
+  def gramHashes(text: UTF8String, w: Int): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val n = toks.length
+    val count = math.max(n - w, 0) + 1
+    val out = new Array[Long](count)
+    val md = md5Local.get()
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      val end = math.min(i + w, n)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      out(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** k-permutation MinHash signature of a shingle-hash array. Null
     * elements are skipped (the column form's `transform` propagates
     * null through `pmod`, and `array_min` ignores nulls — same result).
@@ -344,6 +383,30 @@ case class TokenHashesExpr(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.tokenHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+}
+
+/** `graft_gramhashes(text, w)` — ordered per-position w-gram hashes
+  * (md5-portable; duplicates kept).
+  */
+case class GramHashesExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if w < 1 =>
+      TypeCheckResult.TypeCheckFailure(s"gram width must be >= 1, got $w")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.gramHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.gramHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
     copy(child = newChild)
 }
 

@@ -445,6 +445,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.count() == 2) // one whole-text shingle each
   }
 
+  test("repeatedSpans: cross-doc boilerplate and within-doc repeats become exact spans") {
+    // docs 1+2 share an 11-token header: its fully-interior 8-gram
+    // starts are positions 0..3, so the merged span is exactly [0, 11)
+    val header = "this dataset is licensed for research purposes only do not redistribute"
+    // doc 4 repeats an 8-token phrase around 5 middle tokens: spans
+    // [0,8) and [13,21), separate islands (gap 13 > w)
+    val phrase = "one two three four five six seven eight"
+    val d = Seq(
+      (1L, s"$header alpha beta gamma unique content one"),
+      (2L, s"$header totally different tail for doc two"),
+      (3L, "completely original text with no shared boilerplate at all whatsoever ten"),
+      (4L, s"$phrase middle filler words distinct here $phrase"),
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(d, w = 8, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set(
+      (1L, 0L, 11L, 4L), (2L, 0L, 11L, 4L),
+      (4L, 0L, 8L, 1L), (4L, 13L, 21L, 1L)))
+
+    val clean = Dedup.removeRepeatedSpans(d, w = 8, minCount = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(clean(1L) == ("alpha beta gamma unique content one", 11L))
+    assert(clean(2L) == ("totally different tail for doc two", 11L))
+    assert(clean(3L)._2 == 0L) // untouched doc: nothing removed
+    assert(clean(4L) == ("middle filler words distinct here", 16L))
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
       .toDF("doc_id", "text")

@@ -110,6 +110,16 @@ class PlanQualitySpec extends SparkSpec {
       p.take(800))
   }
 
+  test("repeated-span detection: gram kernel upstream of the first exchange, no all-pairs") {
+    val p = planOf("dedup_hot_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    val firstExchange = p.indexOf("Exchange")
+    val kernel = p.indexOf("gramhashes")
+    assert(kernel >= 0, "native gramhashes kernel not in plan")
+    assert(firstExchange < kernel, p.take(800)) // text read once, narrowly
+  }
+
   test("dedup components round plans no neighbor-list collection (min-agg only)") {
     import spark.implicits._
     val pairs = Seq((2L, 1L), (3L, 2L)).toDF("a_id", "b_id")
