@@ -154,10 +154,12 @@ object Oracles {
     * window stages (lag gap, then running sum) exactly like the
     * engine's two projections.
     */
-  private val HOT_SPAN_CTES: String =
-    """tok AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-      |  FROM documents),
+  private def hotSpanCtes(rel: String): String =
+    // NB: the s-interpolator processes escapes even in triple quotes —
+    // \\s here reaches the SQL as \s
+    s"""tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      |  FROM $rel),
       |gl AS (
       |  SELECT doc_id,
       |    list_transform(range(1, greatest(len(toks) - 8, 0) + 2),
@@ -188,37 +190,130 @@ object Oracles {
       |    count(*) AS n_hot_grams
       |  FROM isl GROUP BY doc_id, island)""".stripMargin
 
+  /** [[hotSpanCtes]] plus the token-cut rewrite, ending in
+    * `removal(doc_id, clean_text, n_removed_tokens)`.
+    */
+  private def spanRemovalCtes(rel: String): String =
+    s"""${hotSpanCtes(rel)},
+       |otok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |  FROM $rel),
+       |ot AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks) + 1),
+       |      p -> {'pos': p - 1, 'tok': toks[p]})) AS u
+       |  FROM otok),
+       |ot2 AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM ot),
+       |cover AS (
+       |  SELECT t.doc_id, t.pos, t.tok,
+       |    max(CASE WHEN s.doc_id IS NOT NULL
+       |      AND t.pos >= s.span_start AND t.pos < s.span_end
+       |      THEN 1 ELSE 0 END) AS covered
+       |  FROM ot2 t LEFT JOIN spans s ON s.doc_id = t.doc_id
+       |  GROUP BY t.doc_id, t.pos, t.tok),
+       |removal AS (
+       |  SELECT doc_id,
+       |    COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END, ' '
+       |      ORDER BY pos), '') AS clean_text,
+       |    CAST(sum(covered) AS BIGINT) AS n_removed_tokens
+       |  FROM cover GROUP BY doc_id)""".stripMargin
+
+  /** Bigram-LM cross-entropy CTE chain over `rel(doc_id, text)`,
+    * ending in `lmscore(doc_id, n_bigrams, xent)` — see
+    * `text_lm_score` for the determinism rules.
+    */
+  private def lmCtes(rel: String): String =
+    s"""lmtok AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM $rel),
+       |uni AS (
+       |  SELECT t AS w1, count(*) AS c1
+       |  FROM (SELECT unnest(toks) AS t FROM lmtok) GROUP BY t),
+       |v AS (SELECT count(*) AS vv FROM uni),
+       |bgl AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(toks)),
+       |      i -> {'pos': i - 1, 'w1': toks[i], 'w2': toks[i + 1]}) AS bl
+       |  FROM lmtok WHERE len(toks) >= 2),
+       |bg AS (SELECT doc_id, unnest(bl) AS u FROM bgl),
+       |bg2 AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM bg),
+       |bi AS (SELECT w1, w2, count(*) AS c2 FROM bg2 GROUP BY w1, w2),
+       |lp AS (
+       |  SELECT bg2.doc_id, bg2.pos,
+       |    ln(CAST(uni.c1 AS DOUBLE) + CAST(v.vv AS DOUBLE))
+       |      - ln(CAST(bi.c2 AS DOUBLE) + 1.0) AS lp
+       |  FROM bg2
+       |  JOIN uni ON uni.w1 = bg2.w1
+       |  JOIN bi ON bi.w1 = bg2.w1 AND bi.w2 = bg2.w2
+       |  CROSS JOIN v),
+       |lmscore AS (
+       |  SELECT doc_id,
+       |    count(*) AS n_bigrams,
+       |    round(list_sum(list(lp ORDER BY pos)) / count(*), 4) AS xent
+       |  FROM lp GROUP BY doc_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_simhash" -> SIMHASH_PAIRS,
     "dedup_cosine_lsh" -> COSINE_LSH_PAIRS,
 
+    // Per-source cap: same md5-hex ordering as the Spark window; the
+    // doc_id tiebreaker is unreachable (md5 collisions) but mirrored.
+    "corpus_cap_source" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(concat('cap:', CAST(doc_id AS VARCHAR))), 1, 16),
+        |        doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
+
+    // Bigram-LM cross-entropy: identical count joins; the per-doc mean
+    // sums lp in POSITION order on both engines (ordered list fold) and
+    // rounds once at the end, so libm last-ulp differences in ln()
+    // cannot reorder-accumulate into the hash.
+    "text_lm_score" ->
+      s"""WITH ${lmCtes("documents")}
+         |SELECT doc_id, n_bigrams, xent FROM lmscore""".stripMargin,
+
+    // Round-4 flagship: cap → exact dedup → span removal → LM scoring
+    // of the CLEANED text → length + relative-xent filter → split tag.
+    // Each stage is the same CTE chain its standalone oracle uses,
+    // re-rooted on the previous stage's output.
+    "prepare_pretraining_full" ->
+      s"""WITH capped AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY substr(md5(concat('cap:', CAST(doc_id AS VARCHAR))), 1, 16),
+         |          doc_id) AS rn
+         |    FROM documents) WHERE rn <= 15),
+         |winners AS (
+         |  SELECT min(doc_id) AS doc_id FROM capped GROUP BY md5(text)),
+         |deduped AS (
+         |  SELECT c2.doc_id, c2.text FROM capped c2 JOIN winners USING (doc_id)),
+         |${spanRemovalCtes("deduped")},
+         |cleandocs AS (
+         |  SELECT doc_id, clean_text AS text FROM removal),
+         |${lmCtes("cleandocs")}
+         |SELECT rm.doc_id,
+         |  CAST(len(string_split_regex(rm.clean_text, '\\s+')) AS BIGINT) AS n_tokens,
+         |  rm.n_removed_tokens,
+         |  m.xent,
+         |  CASE WHEN substr(md5(CAST(rm.doc_id AS VARCHAR)), 1, 2) < 'e6'
+         |       THEN 'train' ELSE 'val' END AS split
+         |FROM removal rm
+         |JOIN lmscore m USING (doc_id)
+         |CROSS JOIN (SELECT min(xent) AS fl FROM lmscore) f
+         |WHERE len(string_split_regex(rm.clean_text, '\\s+')) >= 10
+         |  AND m.xent <= f.fl + 0.3""".stripMargin,
+
     "dedup_hot_spans" ->
-      s"""WITH $HOT_SPAN_CTES
+      s"""WITH ${hotSpanCtes("documents")}
          |SELECT doc_id, span_start, span_end, n_hot_grams FROM spans""".stripMargin,
 
     "dedup_span_removal" ->
-      s"""WITH $HOT_SPAN_CTES,
-         |otok AS (
-         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-         |  FROM documents),
-         |ot AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, len(toks) + 1),
-         |      p -> {'pos': p - 1, 'tok': toks[p]})) AS u
-         |  FROM otok),
-         |ot2 AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM ot),
-         |cover AS (
-         |  SELECT t.doc_id, t.pos, t.tok,
-         |    max(CASE WHEN s.doc_id IS NOT NULL
-         |      AND t.pos >= s.span_start AND t.pos < s.span_end
-         |      THEN 1 ELSE 0 END) AS covered
-         |  FROM ot2 t LEFT JOIN spans s ON s.doc_id = t.doc_id
-         |  GROUP BY t.doc_id, t.pos, t.tok)
-         |SELECT doc_id,
-         |  COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END, ' '
-         |    ORDER BY pos), '') AS clean_text,
-         |  CAST(sum(covered) AS BIGINT) AS n_removed_tokens
-         |FROM cover GROUP BY doc_id""".stripMargin,
+      s"""WITH ${spanRemovalCtes("documents")}
+         |SELECT doc_id, clean_text, n_removed_tokens FROM removal""".stripMargin,
     "s1_changelog_count" ->
       s"SELECT count(*) AS cnt FROM events WHERE $V",
 

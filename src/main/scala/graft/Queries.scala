@@ -771,6 +771,56 @@ object Queries {
   val dedupCosineLsh: Q = (s, dir) =>
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.4)
 
+  /** The round-4 flagship: every NEW curation operator composed into
+    * ONE logical plan — per-source cap → exact-dedup survivors →
+    * repeated-span removal (hot-gram stats computed on the SURVIVING
+    * corpus, as a real pipeline would) → corpus-bigram LM scoring of
+    * the CLEANED text → length + cross-entropy filters →
+    * deterministic train/val tag. Catalyst sees one DAG; the document
+    * scan is shared across stages. The DuckDB oracle mirrors the whole
+    * chain CTE-for-stage.
+    */
+  val preparePretrainingFull: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val capped = docs
+      .withColumn("__keep", TextAnalysis.capPerSource(15, col("source")))
+      .filter(col("__keep")).drop("__keep")
+    val deduped = Dedup.exactSurvivors(capped)
+    val cleaned = Dedup.removeRepeatedSpans(deduped, w = 8, minCount = 2)
+    val lm = TextAnalysis.lmCrossEntropy(
+      cleaned.select(col("doc_id"), col("clean_text").as("text")))
+    // Relative cross-entropy cut: keep docs within 0.3 nats of the
+    // corpus minimum — SF-adaptive, and deterministic because min over
+    // the (already-rounded) per-doc scores has no FP accumulation
+    val floor = lm.agg(min(col("xent")).as("__floor"))
+    cleaned.join(lm, Seq("doc_id"))
+      .crossJoin(broadcast(floor))
+      .withColumn("n_tokens",
+        size(split(col("clean_text"), "\\s+")).cast("long"))
+      .filter(col("n_tokens") >= 10 && col("xent") <= col("__floor") + 0.3)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed_tokens"),
+        col("xent"),
+        when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "e6",
+          "train").otherwise("val").as("split"))
+  }
+
+  /** Per-source cap (the web-pipeline per-domain cap): at most 10
+    * docs per source, deterministic smallest-md5 selection (binding at
+    * every SF: the fixture has 25+ docs per source).
+    */
+  val corpusCapSource: Q = (s, dir) =>
+    t(s, dir, "documents")
+      // window predicates can't live in a WHERE — materialize the flag
+      .withColumn("__keep", TextAnalysis.capPerSource(10, col("source")))
+      .filter(col("__keep"))
+      .select("doc_id", "source")
+
+  /** Corpus-bigram-LM cross-entropy per document (CCNet-style quality
+    * signal; add-one smoothing, ordered-fold determinism).
+    */
+  val textLmScore: Q = (s, dir) =>
+    TextAnalysis.lmCrossEntropy(t(s, dir, "documents"))
+
   /** Exact repeated-substring spans (Lee et al. 2021): maximal merged
     * runs of 8-gram positions whose gram occurs ≥ 2× corpus-wide.
     */

@@ -65,6 +65,9 @@ object SparkEntry {
     "dedup_cosine_components" -> Queries.dedupCosineComponents,
     "dedup_hot_spans" -> Queries.dedupHotSpans,
     "dedup_span_removal" -> Queries.dedupSpanRemoval,
+    "corpus_cap_source" -> Queries.corpusCapSource,
+    "text_lm_score" -> Queries.textLmScore,
+    "prepare_pretraining_full" -> Queries.preparePretrainingFull,
     "curate_corpus" -> Queries.curateCorpus,
     "prepare_pretraining" -> Queries.preparePretraining,
     // -- extensions: similarity search

@@ -199,6 +199,90 @@ object TextAnalysis {
     */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 
+  /** Per-source document cap (the per-domain cap of web-corpus
+    * pipelines: a handful of boilerplate-heavy domains otherwise
+    * dominate the mix): keep at most `cap` documents per `source`,
+    * selected deterministically — smallest `md5(doc_id)` first (the
+    * same engine-portable uniform order as [[rateSampleKeep]] and the
+    * train/val split), so the kept set is reproducible and stable
+    * under re-runs and engine changes, unlike RNG top-N.
+    *
+    * Shape: one rank window per source. Group skew is bounded by the
+    * hottest source's row count; a pathologically dominant source can
+    * be pre-thinned with [[rateSampleKeep]] at ~2×cap/|source| before
+    * the exact window — composition, not a special case.
+    *
+    * The ordering hash is SALTED ("cap:" prefix): every deterministic
+    * decision in a pipeline (cap selection, train/val split, rate
+    * sampling) draws from the same uniform md5 space, and two
+    * decisions on the UNSALTED id hash are perfectly correlated — the
+    * flagship caught exactly that (cap survivors were the low-hash
+    * docs, so the later split tagged all of them 'train'). Distinct
+    * salts make the decisions independent.
+    */
+  def capPerSource(cap: Int, source: Column): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val order = substring(
+      md5(concat(lit("cap:"), col("doc_id").cast("string")).cast("binary")), 1, 16)
+    row_number().over(Window.partitionBy(source)
+      .orderBy(order, col("doc_id"))) <= cap
+  }
+
+  /** Corpus-level bigram language-model cross-entropy per document
+    * (the CCNet-style quality signal: documents whose token
+    * transitions are improbable under the corpus's own statistics are
+    * boilerplate/garbled/outlier text). Add-one-smoothed bigram MLE:
+    * for each in-document bigram (w1, w2),
+    * `lp = ln(c(w1) + V) − ln(c(w1,w2) + 1)`; the document score is
+    * the mean lp over its bigrams (natural-log cross-entropy, lower =
+    * more typical). Emits `(doc_id, n_bigrams, xent)` for every
+    * document with ≥ 1 bigram.
+    *
+    * Determinism across engines: per-bigram lp values join back to the
+    * document and are summed as an ORDERED fold over the position-
+    * sorted array (both engines add the same IEEE doubles in the same
+    * order), and the mean is rounded once at the end — the DuckDB
+    * oracle mirrors the whole chain.
+    *
+    * Shape: unigram/bigram counts are map-side-combined groupBys of
+    * (8-to-16-byte) token keys; the count join-backs are
+    * 1-row-per-key build sides (hot stopword bigrams AQE-split); the
+    * per-doc fold shuffles (doc_id, pos, lp) triples only.
+    */
+  def lmCrossEntropy(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("toks"))
+    // sequence(0, n-2) would run DESCENDING for single-token docs
+    // (start > stop) — filter them out before building bigrams
+    val bg = toks
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+          .as(Seq("pos", "b")))
+      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val lp = bg
+      .join(uni, Seq("w1"))
+      .join(bi, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        (log(col("c1").cast("double") + col("__v").cast("double"))
+          - log(col("c2").cast("double") + lit(1.0))).as("lp"))
+    lp.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(
+          aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+              s => s.getField("lp")),
+            lit(0.0), (acc, x) => acc + x) / count(lit(1)).cast("double"),
+          4).as("xent"))
+  }
+
   /** PII redaction patterns, ordered (earlier patterns consume first).
     * Deliberately restricted to syntax valid AND equivalent in both
     * Java regex (Spark codegen'd `regexp_replace`) and RE2 (the DuckDB

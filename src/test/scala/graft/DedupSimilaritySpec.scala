@@ -473,6 +473,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(clean(4L) == ("middle filler words distinct here", 16L))
   }
 
+  test("capPerSource keeps a deterministic <=cap subset per source") {
+    import graft.functions.TextAnalysis
+    val d = (1L to 60L).map(i => (i, s"src${i % 3}", s"text $i")).toDF("doc_id", "source", "text")
+    def kept() = d
+      .withColumn("__keep", TextAnalysis.capPerSource(5, $"source"))
+      .filter($"__keep").select("doc_id", "source")
+    val k1 = kept().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(k1.groupBy(_._2).forall(_._2.size == 5)) // cap binds: 20 per source
+    assert(kept().collect().map(r => (r.getLong(0), r.getString(1))).toSet == k1)
+    // raising the cap only ADDS documents (prefix property of the
+    // md5 order — a changed cap must not reshuffle the kept set)
+    val k2 = d.withColumn("__keep", TextAnalysis.capPerSource(7, $"source"))
+      .filter($"__keep").select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(k1.subsetOf(k2) && k2.size == 21)
+  }
+
+  test("lmCrossEntropy: typical text scores lower than out-of-distribution text") {
+    import graft.functions.TextAnalysis
+    // corpus dominated by one sentence pattern; doc 9 is garbled
+    val common = "the farmer plants rice in the field every morning"
+    val d = ((1L to 8L).map(i => (i, common + s" season $i")) :+
+      (9L, "zxqv jkwp mbrt ylnd qofg hscx")).toDF("doc_id", "text")
+    val scores = TextAnalysis.lmCrossEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(scores.size == 9)
+    assert(scores(1L)._1 == 10L) // 11 tokens -> 10 bigrams
+    val typical = (1L to 8L).map(scores(_)._2).max
+    assert(scores(9L)._2 > typical,
+      s"garbled doc should score higher: ${scores(9L)._2} vs $typical")
+    // deterministic re-run
+    val again = TextAnalysis.lmCrossEntropy(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert((1L to 9L).forall(i => again(i) == scores(i)._2))
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
       .toDF("doc_id", "text")
