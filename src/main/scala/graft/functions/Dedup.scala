@@ -396,7 +396,13 @@ object Dedup {
     * one document). Overlapping/adjacent hot positions merge into
     * maximal spans per document (gaps-and-islands over the position
     * sequence). Returns `(doc_id, span_start, span_end, n_hot_grams)`
-    * with token-index bounds, `span_end` exclusive.
+    * with token-index bounds, `span_end` exclusive. NB `span_end` is
+    * `last hot gram start + w` and may EXCEED the document's token
+    * count for documents shorter than w tokens (the kernel emits one
+    * whole-text gram for sub-w docs, so a hot sub-w doc reports
+    * `span_end = w > n_tokens`): consumers must treat `span_end` as an
+    * exclusive upper BOUND on covered positions, not a length claim —
+    * [[removeRepeatedSpans]] and the DuckDB oracle both do.
     *
     * Scale shape: the corpus text is read once, narrowly, by the gram
     * kernel; only (8-byte hash, position) pairs shuffle. The gram
@@ -439,9 +445,23 @@ object Dedup {
     * n_removed_tokens)` for every document (documents with no hot
     * spans pass through unchanged with 0 removed).
     *
-    * Shape: tokens posexplode per doc, anti-match against the doc's
-    * spans (doc-keyed join, span list per doc is small), ordered
-    * reassembly via sort_array — no driver-side text handling.
+    * Coverage is a BOUNDARY-EVENT SWEEP, not a token×span join: each
+    * span contributes a `+1` event at `span_start` and a `−1` event at
+    * `span_end` (exclusive); events union with the token positions and
+    * ONE per-doc cumulative sum over `(pos, kind)` — events sort before
+    * tokens at equal positions, so end-exclusive semantics fall out of
+    * the ordering — yields the running span depth at every token. A
+    * token is covered iff its depth is > 0. O(tokens + spans) per
+    * document: the worst-case doc for this operator (a highly
+    * repetitive page whose hot grams split into hundreds of disjoint
+    * islands) costs hundreds of extra EVENT ROWS, where a doc-keyed
+    * join would materialize tokens×spans rows inside a single
+    * un-splittable key.
+    *
+    * Shape: tokens posexplode per doc, union with boundary events,
+    * one doc-partitioned window (the same shuffle the reassembly needs
+    * anyway), ordered reassembly via sort_array — no join between the
+    * token stream and the span set, no driver-side text handling.
     */
   def removeRepeatedSpans(
       docs: DataFrame, w: Int = 8, minCount: Long = 2): DataFrame = {
@@ -450,13 +470,50 @@ object Dedup {
     // tokenization, so positions line up with the span indices
     val toks = docs.select(col("doc_id"),
       posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+    // kind 0 = boundary event (applies before any token at the same
+    // pos: a −1 at exclusive span_end uncovers that position; a +1 at
+    // span_start covers it); kind 1 = token
+    val events = spans.select(col("doc_id"), explode(array(
+        struct(col("span_start").cast("int").as("pos"), lit(1L).as("delta")),
+        struct(col("span_end").cast("int").as("pos"), lit(-1L).as("delta"))))
+        .as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"),
+        lit(null).cast("string").as("tok"), col("e.delta").as("delta"),
+        lit(0).as("kind"))
+    val swept = toks
+      .select(col("doc_id"), col("pos"), col("tok"),
+        lit(0L).as("delta"), lit(1).as("kind"))
+      .unionByName(events)
+      .withColumn("__depth", sum(col("delta")).over(
+        Window.partitionBy("doc_id").orderBy(col("pos"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    swept.filter(col("kind") === 1)
+      .withColumn("__covered", when(col("__depth") > 0, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__covered") === 0,
+            struct(col("pos"), col("tok"))))),
+          s => s.getField("tok"))).as("clean_text"),
+        sum(col("__covered")).as("n_removed_tokens"))
+  }
+
+  /** The pre-sweep join formulation of [[removeRepeatedSpans]] — kept
+    * as the equivalence-test baseline ONLY (DedupSimilaritySpec checks
+    * the sweep against it, including a pathological many-span doc). Do
+    * not use at scale: a doc's tokens join to ALL of its spans before
+    * re-grouping, quadratic inside one un-splittable doc_id key.
+    */
+  private[graft] def removeRepeatedSpansViaJoin(
+      docs: DataFrame, w: Int = 8, minCount: Long = 2): DataFrame = {
+    val spans = repeatedSpans(docs, w, minCount)
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
     val kept = toks
       .join(spans, Seq("doc_id"), "left")
       .withColumn("__in_span",
         col("span_start").isNotNull &&
           col("pos") >= col("span_start") && col("pos") < col("span_end"))
-      // a token joins one row per span of its doc: it survives iff NO
-      // span covers it
       .groupBy(col("doc_id"), col("pos"), col("tok"))
       .agg(max(when(col("__in_span"), 1L).otherwise(0L)).as("__covered"))
     kept.groupBy(col("doc_id"))

@@ -473,6 +473,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(clean(4L) == ("middle filler words distinct here", 16L))
   }
 
+  test("removeRepeatedSpans sweep ≡ join baseline, incl. a pathological many-span doc") {
+    // doc 1: 500 occurrences of one hot 8-gram, each separated by 9
+    // unique tokens — 500 DISJOINT spans (gap 9 > w would be 17 > 8).
+    // The retired join formulation materializes tokens×spans ≈ 4.2M
+    // rows inside this single doc_id key; the sweep adds 1000 event
+    // rows. Both must produce identical output.
+    val phrase = (0 until 8).map(i => s"r$i").mkString(" ")
+    val body = (0 until 500).flatMap { k =>
+      phrase.split(" ").toSeq ++ (0 until 9).map(j => s"u${k}_$j")
+    }.mkString(" ")
+    val d = Seq(
+      (1L, body),
+      (2L, s"$phrase then a distinct tail follows here"),
+      (3L, "a doc with no repeats whatsoever anywhere inside it at all"),
+    ).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(d, w = 8, minCount = 2)
+      .filter($"doc_id" === 1L).count() == 500L)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val sweep = asMap(Dedup.removeRepeatedSpans(d, w = 8, minCount = 2))
+    val base = asMap(Dedup.removeRepeatedSpansViaJoin(d, w = 8, minCount = 2))
+    assert(sweep == base)
+    assert(sweep(1L)._2 == 4000L) // 500 spans × 8 tokens removed
+    assert(sweep(3L)._2 == 0L)
+  }
+
   test("capPerSource keeps a deterministic <=cap subset per source") {
     import graft.functions.TextAnalysis
     val d = (1L to 60L).map(i => (i, s"src${i % 3}", s"text $i")).toDF("doc_id", "source", "text")

@@ -120,6 +120,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(firstExchange < kernel, p.take(800)) // text read once, narrowly
   }
 
+  test("span removal sweeps coverage with a window — no token-to-span join") {
+    val p = planOf("dedup_span_removal")
+    // the only join the plan may contain is repeatedSpans' gram-count
+    // join-back (keyed by the gram hash); a join keyed by doc_id is
+    // the old tokens×spans fan-out — quadratic inside one doc key
+    for (l <- p.linesIterator if l.contains("Join"))
+      assert(!l.contains("doc_id"), s"token-to-span join resurfaced: $l")
+    assert(!p.contains("LeftOuter"), p.take(800))
+    assert(p.contains("Window"), p.take(800)) // the sweep's running depth
+  }
+
   test("dedup components round plans no neighbor-list collection (min-agg only)") {
     import spark.implicits._
     val pairs = Seq((2L, 1L), (3L, 2L)).toDF("a_id", "b_id")

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+import graft.functions.Dedup
+
+/** Property-based invariants for the repeated-substring span family
+  * (Lee et al. 2021 substring dedup): ∀ random corpora of corpus-wide
+  * UNIQUE filler tokens with a hot phrase planted at random slots —
+  *
+  *  (a) completeness: no w-gram occurring ≥ minCount corpus-wide
+  *      survives in any `clean_text` (with unique fillers the hot
+  *      grams are exactly the phrase-internal ones, and no splice can
+  *      recreate them);
+  *  (b) idempotence: removal on the cleaned corpus removes nothing;
+  *  (c) conservation: `n_removed_tokens` + surviving tokens = original
+  *      token count, per document.
+  *
+  * Same fixed-seed sampling as MergePropertiesSpec (no scalatestplus
+  * bridge in the offline dependency set).
+  */
+class SpanPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 4
+  private val phrase = Seq("p0", "p1", "p2", "p3", "p4") // 5 tokens > w
+
+  /** One doc: n unique fillers with k planted phrase copies spliced at
+    * random slots (fillers are unique per doc AND per corpus, so every
+    * plant is surrounded by tokens that occur exactly once).
+    */
+  private def docGen(docId: Long): Gen[(Long, String)] =
+    for {
+      n <- Gen.choose(10, 30)
+      k <- Gen.frequency(2 -> Gen.const(0), 3 -> Gen.const(1), 2 -> Gen.const(2))
+      slots <- Gen.listOfN(k, Gen.choose(0, n))
+    } yield {
+      val fillers = (0 until n).map(i => s"f${docId}_$i")
+      val withPlants = slots.sorted.reverse
+        .foldLeft(fillers.toVector)((acc, s) => acc.patch(s, phrase, 0))
+      (docId, withPlants.mkString(" "))
+    }
+
+  private def corpusGen: Gen[Seq[(Long, String)]] =
+    Gen.sequence[Seq[(Long, String)], (Long, String)]((1L to 8L).map(docGen))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1042L + i)))
+
+  test("∀ corpora with planted repeats: removal is complete, idempotent, conserving") {
+    for (corpus <- samples(corpusGen, 5)) {
+      val d = corpus.toDF("doc_id", "text")
+      val plants = corpus.map(_._2.split(" ")
+        .sliding(phrase.size).count(_.sameElements(phrase))).sum
+      val cleaned = Dedup.removeRepeatedSpans(d, w = W, minCount = 2)
+      val rows = cleaned.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+      // (a) completeness: if the phrase is hot (≥2 occurrences
+      // corpus-wide), no cleaned doc may contain any phrase w-gram
+      if (plants >= 2)
+        for ((id, (clean, _)) <- rows)
+          assert(!s" $clean ".contains(" " + phrase.take(W).mkString(" ") + " "),
+            s"hot gram survived in doc $id: $clean")
+      else // nothing hot: removal must be the identity
+        assert(rows.values.forall(_._2 == 0L))
+
+      // (c) conservation per doc: removed + surviving = original
+      for ((id, text) <- corpus) {
+        val (clean, removed) = rows(id)
+        val surviving = if (clean.isEmpty) 0 else clean.split(" ").length
+        assert(removed + surviving == text.split(" ").length,
+          s"doc $id: removed=$removed surviving=$surviving")
+      }
+
+      // (b) idempotence: a second pass over the cleaned corpus is a
+      // no-op (nothing is hot anymore — unique fillers can't splice
+      // into a repeated gram)
+      val again = Dedup.removeRepeatedSpans(
+        cleaned.select($"doc_id", $"clean_text".as("text")),
+        w = W, minCount = 2)
+      assert(again.agg(sum($"n_removed_tokens")).head().getLong(0) == 0L)
+      val reclean = again.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(reclean == rows.map { case (k, v) => k -> v._1 })
+    }
+  }
+
+  test("∀ corpora: every reported span is hot and spans never overlap within a doc") {
+    for (corpus <- samples(corpusGen, 3)) {
+      val d = corpus.toDF("doc_id", "text")
+      val spans = Dedup.repeatedSpans(d, w = W, minCount = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // disjoint and ordered per doc, each at least w wide
+      for ((_, ss) <- spans.groupBy(_._1)) {
+        val sorted = ss.sortBy(_._2)
+        assert(sorted.forall { case (_, s, e, n) => e >= s + W && n >= 1 })
+        assert(sorted.sliding(2).forall {
+          case Array((_, _, e1, _), (_, s2, _, _)) => s2 > e1
+          case _ => true
+        })
+      }
+    }
+  }
+}
