@@ -13,6 +13,16 @@ import org.apache.spark.sql.SparkSession
   *    them, so one allocation-heavy query's collection debt isn't
   *    billed to its alphabetical neighbors (a 140 s phantom was once
   *    recorded for a query that reruns standalone in 3 s);
+  *  - leftover persistent RDDs are unpersisted between queries:
+  *    iterative operators (connected components) localCheckpoint per
+  *    round, and the FINAL round's blocks are freed only by the async
+  *    ContextCleaner after a driver GC — without the explicit sweep
+  *    those blocks pile up across the suite and tax later queries'
+  *    executor memory (the suspected cause of a 2x phantom on
+  *    prepare_pretraining in round 4 that never reproduced standalone);
+  *  - coverage is asserted: a registered query that somehow produced
+  *    no timing entry is reported in "errors" instead of silently
+  *    shrinking the suite;
   *  - each query is timed at least twice and the BEST time is reported;
   *    if the two samples disagree by more than 2x a third is taken.
   *    Min-of-N is the stable estimator on a noisy shared host — the
@@ -22,6 +32,13 @@ import org.apache.spark.sql.SparkSession
   *    of being silently swallowed.
   */
 object Bench {
+
+  /** Registered queries that lack a timing entry — must be empty; the
+    * only guard against a refactor silently dropping suite coverage.
+    */
+  def missingCoverage(timedNames: Set[String]): Set[String] =
+    SparkEntry.queries.keySet -- timedNames
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,6 +54,10 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // deterministic isolation: free the previous query's leftover
+      // checkpoint blocks NOW, not whenever the async cleaner runs
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       def run(): Either[String, Double] = {
         val t0 = System.nanoTime()
@@ -63,6 +84,9 @@ object Bench {
       }
       name -> timed
     }
+
+    for (name <- missingCoverage(results.map(_._1).toSet).toSeq.sorted)
+      errors(name) = "no timing entry recorded for registered query"
 
     def jstr(s: String): String =
       "\"" + s.flatMap {

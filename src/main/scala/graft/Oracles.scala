@@ -958,6 +958,16 @@ object Oracles {
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)""".stripMargin,
 
+    // Sketch error-bound contract: the exact side is recomputed by
+    // DuckDB; the booleans are Spark's claim that HLL++ landed within
+    // its documented 5% rsd of that exact answer.
+    "a1_approx_distinct" ->
+      s"""SELECT count(DISTINCT user_id) AS exact_keys,
+         |  count(DISTINCT event_type) AS exact_tables,
+         |  true AS keys_within_5pct,
+         |  true AS tables_within_5pct
+         |FROM events WHERE $V""".stripMargin,
+
     "a1_distinct_count" ->
       s"""SELECT count(*) AS total,
          |  count(DISTINCT user_id) AS n_keys,

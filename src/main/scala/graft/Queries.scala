@@ -626,13 +626,23 @@ object Queries {
       countDistinct(col("rsbsa_no")).as("n_keys"),
       countDistinct(col("table")).as("n_tables"))
 
-  /** Registry-cardinality sketch (extension): approx_count_distinct —
-    * sketch differs from DuckDB's, rows-only check; exact twin above.
+  /** Registry-cardinality sketch (extension): approx_count_distinct
+    * (HLL++). The raw sketch estimate is engine-specific, so the
+    * DRIVER-VISIBLE claim is the sketch's documented error bound: the
+    * query emits the exact distinct counts alongside booleans
+    * asserting |approx − exact| ≤ 5%·exact (HLL++ at default rsd 0.05)
+    * — DuckDB mirrors the exact side and the literal `true`s, so a
+    * sketch drifting out of tolerance turns the row red instead of
+    * hiding behind a rows-only check.
     */
   val a1ApproxDistinct: Q = (s, dir) =>
     Readers.validChangeLog(s, dir).agg(
-      approx_count_distinct(col("rsbsa_no")).as("approx_keys"),
-      approx_count_distinct(col("table")).as("approx_tables"))
+      countDistinct(col("rsbsa_no")).as("exact_keys"),
+      countDistinct(col("table")).as("exact_tables"),
+      (abs(approx_count_distinct(col("rsbsa_no")) - countDistinct(col("rsbsa_no")))
+        <= countDistinct(col("rsbsa_no")) * lit(0.05)).as("keys_within_5pct"),
+      (abs(approx_count_distinct(col("table")) - countDistinct(col("table")))
+        <= countDistinct(col("table")) * lit(0.05)).as("tables_within_5pct"))
 
   /** T3 — union of per-table results into run totals. */
   val t3UnionTotals: Q = (s, dir) => {

@@ -28,17 +28,40 @@ import org.apache.spark.sql.functions._
   *      delete-then-insert ([[graft.sources.Jdbc.refresh]]), so
   *      replaying a batch is idempotent (same keys, same final rows).
   *
+  * Visibility assumption: advancing the mark to `max(log_id)` is
+  * exactly correct only when log_id VISIBILITY is monotonic with
+  * commit order. With concurrent writers and auto-increment ids, a
+  * writer can allocate `log_id = hi − 1`, then commit AFTER another
+  * writer's `hi` was scanned — once the mark passes `hi`, that
+  * straggler is never scanned again. Deployments with concurrent
+  * log writers should pass `rescanLag > 0`: every tick then re-scans
+  * `(last − rescanLag, last]` in addition to the new window, and the
+  * idempotent merge makes the re-processing harmless. Size the lag to
+  * cover the log writer's max transaction age (ids are allocated at
+  * INSERT time, so a straggler's id is at most
+  * ids-allocated-during-its-transaction below the scanned hi).
+  *
   * Single-flight/cron composition: schedule `tick(...)` with
   * [[Scheduler]] (R1/R3) exactly like any other job — the tick itself
   * is synchronous and stateless apart from the offset file.
   */
 object JdbcReplay {
 
-  /** One tick's outcome: the offset window it covered and the run
-    * report (None = nothing new).
+  /** One tick's outcome: the offset window it covered, the run report
+    * (None = nothing new), and whether the window was durably
+    * CONSUMED. `committed = false` means the run reported errors: the
+    * offset file did NOT advance and the same rows replay next tick —
+    * `toOffset` still reports the scanned upper bound so callers can
+    * log the attempted window, but they must not treat it as progress
+    * ([[advanced]] is false).
     */
-  final case class Tick(fromOffset: Long, toOffset: Long, report: Option[RunReport]) {
-    def advanced: Boolean = toOffset > fromOffset
+  final case class Tick(
+      fromOffset: Long, toOffset: Long, report: Option[RunReport],
+      committed: Boolean = true) {
+    /** True only when new rows were processed AND the mark durably
+      * advanced past them.
+      */
+    def advanced: Boolean = committed && toOffset > fromOffset
   }
 
   /** The durable high-water mark; 0 before the first tick. */
@@ -66,21 +89,27 @@ object JdbcReplay {
     * @param logTable   change-log table (log_id BIGINT, rsbsa_no, table, …)
     * @param etl        the runner the batch drives (e.g. [[EtlRun.onJdbc]])
     * @param offsetPath durable high-water-mark file
+    * @param rescanLag  re-scan this many ids BEHIND the mark each tick
+    *                   (0 = trust monotonic log_id visibility; see the
+    *                   object docs for when that assumption breaks)
     */
   def tick(
       spark: SparkSession, logUrl: String, logTable: String,
       etl: EtlRun, offsetPath: String,
-      options: Map[String, String] = Map.empty): Tick = {
+      options: Map[String, String] = Map.empty,
+      rescanLag: Long = 0L): Tick = {
     val last = readOffset(offsetPath)
     val fresh = graft.sources.Jdbc.table(spark, logUrl, logTable, options)
-      .filter(col("log_id") > last)
+      .filter(col("log_id") > math.max(0L, last - rescanLag))
     val mx = fresh.agg(max(col("log_id"))).head()
     if (mx.isNullAt(0)) Tick(last, last, None)
     else {
       val hi = mx.getLong(0)
       val report = etl.run(fresh.filter(col("log_id") <= hi))
-      if (report.errors == 0) writeOffset(offsetPath, hi)
-      Tick(last, hi, Some(report))
+      val ok = report.errors == 0
+      // the mark only moves FORWARD (a lag-window-only batch keeps it)
+      if (ok && hi > last) writeOffset(offsetPath, hi)
+      Tick(last, math.max(last, hi), Some(report), committed = ok)
     }
   }
 }

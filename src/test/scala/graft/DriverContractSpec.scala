@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the driver contract itself (SparkEntry / Bench):
+  * cheap structural checks that keep the 86-query registry honest as
+  * it grows — a silent drop from the bench suite or an oracle keyed to
+  * a nonexistent query should fail HERE, not as an eyeball diff of a
+  * driver artifact three rounds later.
+  */
+class DriverContractSpec extends AnyFunSuite {
+
+  test("bench coverage: every registered query gets a timing entry; a drop is named") {
+    assert(Bench.missingCoverage(SparkEntry.queries.keySet).isEmpty)
+    val dropped = SparkEntry.queries.keySet.min
+    assert(Bench.missingCoverage(SparkEntry.queries.keySet - dropped) == Set(dropped))
+  }
+
+  test("every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("oracle SQL never reuses a lateral alias within one SELECT stage") {
+    // DuckDB resolves lateral column aliases: reusing a source column's
+    // name inside the same SELECT silently rebinds later references (a
+    // real hash-mismatch we hit) — cheap lint: no `x AS x` self-alias
+    // where x also feeds another expression is detectable only
+    // semantically, but `AS` names duplicated WITHIN one SELECT line
+    // are always a bug.
+    for ((name, sql) <- SparkEntry.oracleSql; line <- sql.linesIterator) {
+      val sqlTypes = Set("bigint", "ubigint", "hugeint", "int", "integer",
+        "smallint", "tinyint", "double", "float", "real", "decimal",
+        "numeric", "varchar", "text", "boolean", "bool", "date",
+        "timestamp", "interval", "blob") // CAST(x AS type)
+      val aliases = "(?i)\\bAS\\s+\"?([a-z_][a-z0-9_]*)\"?".r
+        .findAllMatchIn(line).map(_.group(1).toLowerCase).toSeq
+        .filterNot(sqlTypes)
+      assert(aliases.distinct.size == aliases.size,
+        s"$name repeats an alias in: $line")
+    }
+  }
+}

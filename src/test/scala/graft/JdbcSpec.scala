@@ -147,6 +147,73 @@ class JdbcSpec extends SparkSpec {
     assert(t3.report.isEmpty && !t3.advanced && t3.toOffset == 2)
   }
 
+  test("JdbcReplay: failed tick keeps the offset; retry re-syncs the same batch exactly once") {
+    val srcUrl = freshDb()
+    val tgtUrl = freshDb()
+    exec(srcUrl,
+      "CREATE TABLE farmers_kyc1 (rsbsa_no VARCHAR(20) NOT NULL, first_name VARCHAR(50), surname VARCHAR(50))",
+      "INSERT INTO farmers_kyc1 VALUES ('R1','juan','cruz'), ('R2','maria','santos')",
+      "CREATE TABLE etl_changelog (log_id BIGINT NOT NULL, rsbsa_no VARCHAR(20), \"table\" VARCHAR(60))",
+      "INSERT INTO etl_changelog VALUES (1, 'R1', 'farmers_kyc1'), (2, 'R2', 'farmers_kyc1')")
+    // the TARGET table does not exist yet: the merge write must throw
+    val etl = graft.pipeline.EtlRun.onJdbc(spark, srcUrl, tgtUrl)
+    val offsets = java.nio.file.Files
+      .createTempDirectory("graft-replay-fail").resolve("offset").toString
+
+    val t1 = graft.pipeline.JdbcReplay.tick(spark, srcUrl, "etl_changelog", etl, offsets)
+    assert(t1.report.get.errors == 1)
+    assert(!t1.committed && !t1.advanced, t1)
+    assert(t1.toOffset == 2) // the attempted window is still reported
+    // the contract under test: a failed batch is NOT durably consumed
+    assert(graft.pipeline.JdbcReplay.readOffset(offsets) == 0)
+
+    // operator fixes the environment; the SAME window replays, and the
+    // idempotent merge lands each key exactly once
+    exec(tgtUrl,
+      "CREATE TABLE farmers_kyc1 (rsbsa_no VARCHAR(20) NOT NULL, first_name VARCHAR(50), surname VARCHAR(50))")
+    val t2 = graft.pipeline.JdbcReplay.tick(spark, srcUrl, "etl_changelog", etl, offsets)
+    assert(t2.fromOffset == 0 && t2.toOffset == 2 && t2.committed && t2.advanced)
+    assert(t2.report.get.errors == 0)
+    val rows = Jdbc.table(spark, tgtUrl, "farmers_kyc1")
+      .as[(String, String, String)].collect()
+    assert(rows.length == 2) // no duplicates from the replay
+    assert(rows.toSet == Set(("R1", "JUAN", "CRUZ"), ("R2", "MARIA", "SANTOS")))
+    assert(graft.pipeline.JdbcReplay.readOffset(offsets) == 2)
+  }
+
+  test("JdbcReplay: rescanLag picks up a log row that committed late below the mark") {
+    val srcUrl = freshDb()
+    val tgtUrl = freshDb()
+    exec(srcUrl,
+      "CREATE TABLE farmers_kyc1 (rsbsa_no VARCHAR(20) NOT NULL, first_name VARCHAR(50), surname VARCHAR(50))",
+      "INSERT INTO farmers_kyc1 VALUES ('R1','juan','cruz'), ('R2','maria','santos')",
+      "CREATE TABLE etl_changelog (log_id BIGINT NOT NULL, rsbsa_no VARCHAR(20), \"table\" VARCHAR(60))",
+      // ids 1 and 3 are visible; id 2's writer has not committed yet
+      "INSERT INTO etl_changelog VALUES (1, 'R1', 'farmers_kyc1'), (3, 'R1', 'farmers_kyc1')")
+    exec(tgtUrl,
+      "CREATE TABLE farmers_kyc1 (rsbsa_no VARCHAR(20) NOT NULL, first_name VARCHAR(50), surname VARCHAR(50))")
+    val etl = graft.pipeline.EtlRun.onJdbc(spark, srcUrl, tgtUrl)
+    val offsets = java.nio.file.Files
+      .createTempDirectory("graft-replay-lag").resolve("offset").toString
+
+    val t1 = graft.pipeline.JdbcReplay.tick(spark, srcUrl, "etl_changelog", etl, offsets,
+      rescanLag = 2L)
+    assert(t1.advanced && t1.toOffset == 3)
+    def target() = Jdbc.table(spark, tgtUrl, "farmers_kyc1")
+      .as[(String, String, String)].collect().toSet
+    assert(target() == Set(("R1", "JUAN", "CRUZ")))
+
+    // the straggler commits with an id BELOW the mark — an unlagged
+    // tick would skip R2 forever; the lag window replays it
+    exec(srcUrl, "INSERT INTO etl_changelog VALUES (2, 'R2', 'farmers_kyc1')")
+    val t2 = graft.pipeline.JdbcReplay.tick(spark, srcUrl, "etl_changelog", etl, offsets,
+      rescanLag = 2L)
+    assert(t2.committed && !t2.advanced && t2.toOffset == 3) // mark never regresses
+    assert(t2.report.get.errors == 0)
+    assert(target() == Set(("R1", "JUAN", "CRUZ"), ("R2", "MARIA", "SANTOS")))
+    assert(graft.pipeline.JdbcReplay.readOffset(offsets) == 3)
+  }
+
   test("ensureTable creates a declared-schema table once (K4 over JDBC)") {
     val url = freshDb()
     val schema = graft.schema.Schemas.byName("farmers_kyc1")
