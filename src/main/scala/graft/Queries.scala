@@ -792,9 +792,7 @@ object Queries {
     */
   val preparePretrainingFull: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val capped = docs
-      .withColumn("__keep", TextAnalysis.capPerSource(15, col("source")))
-      .filter(col("__keep")).drop("__keep")
+    val capped = TextAnalysis.capBySource(docs, 15).select("doc_id", "text")
     val deduped = Dedup.exactSurvivors(capped)
     val cleaned = Dedup.removeRepeatedSpans(deduped, w = 8, minCount = 2)
     val lm = TextAnalysis.lmCrossEntropy(
@@ -819,10 +817,7 @@ object Queries {
     * every SF: the fixture has 25+ docs per source).
     */
   val corpusCapSource: Q = (s, dir) =>
-    t(s, dir, "documents")
-      // window predicates can't live in a WHERE — materialize the flag
-      .withColumn("__keep", TextAnalysis.capPerSource(10, col("source")))
-      .filter(col("__keep"))
+    TextAnalysis.capBySource(t(s, dir, "documents"), 10)
       .select("doc_id", "source")
 
   /** Corpus-bigram-LM cross-entropy per document (CCNet-style quality

@@ -200,11 +200,13 @@ object Multimodal {
   }
 
   /** Frame sampling. IMAGE payloads take the real path: decode the
-    * raster, slice it into up to `maxFrames` horizontal strips, and
+    * raster, slice it into up to `maxFrames` horizontal strips (capped
+    * by the image height — a strip is at least one pixel row), and
     * re-encode each strip as PNG — actual raster work per frame, the
-    * shape video frame-grabbing has once a codec exists. Non-image (or
-    * undecodable) payloads keep the byte-window stub: every
-    * `stride`-th `frameLen`-byte slice.
+    * shape video frame-grabbing has once a codec exists. `stride` and
+    * `frameLen` do not apply on the image path (strips are geometry-,
+    * not byte-, addressed). Non-image (or undecodable) payloads keep
+    * the byte-window stub: every `stride`-th `frameLen`-byte slice.
     */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int, frameLen: Int,
       maxFrames: Int = 16): DataFrame = {
@@ -217,7 +219,7 @@ object Multimodal {
             new java.io.ByteArrayInputStream(r.payload))
           if (img == null) None
           else {
-            val strips = math.min(math.min(4, maxFrames), img.getHeight)
+            val strips = math.min(maxFrames, img.getHeight)
             val hs = img.getHeight / strips
             Some((0 until strips).map { f =>
               val baos = new java.io.ByteArrayOutputStream()

@@ -228,6 +228,45 @@ object TextAnalysis {
       .orderBy(order, col("doc_id"))) <= cap
   }
 
+  /** Skew-proof [[capPerSource]]: the same deterministic smallest-
+    * `md5("cap:" + doc_id)` selection, computed as a TWO-PHASE top-N so
+    * no single reducer ever sees a dominant source's full row set.
+    *
+    * Phase 1 pre-caps per (source, input partition): each partition
+    * contributes at most `cap` candidates per source
+    * (`slice(array_sort(collect_list(ord, doc_id)), 1, cap)` — the
+    * global top-cap is always contained in the union of per-partition
+    * top-caps). The group key includes `spark_partition_id()`, so a
+    * dominant source spreads over as many groups as it has input
+    * partitions, and a group's aggregation buffer is bounded by
+    * PARTITION size, never source size. Phase 2 runs the exact
+    * row_number window over ≤ partitions×cap survivors per source —
+    * driver-book-keeping-sized input no matter how skewed the corpus.
+    * Phase 3 keeps the winners' full rows with a broadcast semi join
+    * (winners ≤ sources×cap rows).
+    *
+    * Returns `docs` filtered to the kept rows — identical selection to
+    * filtering on [[capPerSource]], structurally immune to the hot-
+    * source skew the Column variant's scaladoc could only document.
+    */
+  def capBySource(docs: DataFrame, cap: Int, source: String = "source"): DataFrame = {
+    val ord = substring(
+      md5(concat(lit("cap:"), col("doc_id").cast("string")).cast("binary")), 1, 16)
+    val perPart = docs
+      .select(col(source).as("__src"),
+        struct(ord.as("__ord"), col("doc_id").as("doc_id")).as("__cand"))
+      .groupBy(col("__src"), spark_partition_id().as("__pid"))
+      .agg(slice(array_sort(collect_list(col("__cand"))), 1, cap).as("__top"))
+    val winners = perPart
+      .select(col("__src"), explode(col("__top")).as("__c"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__src")
+          .orderBy(col("__c.__ord"), col("__c.doc_id"))))
+      .filter(col("__rn") <= cap)
+      .select(col("__c.doc_id").as("doc_id"))
+    docs.join(broadcast(winners), Seq("doc_id"), "left_semi")
+  }
+
   /** Corpus-level bigram language-model cross-entropy per document
     * (the CCNet-style quality signal: documents whose token
     * transitions are improbable under the corpus's own statistics are

@@ -514,6 +514,12 @@ class DedupSimilaritySpec extends SparkSpec {
       .filter($"__keep").select("doc_id", "source")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(k1.subsetOf(k2) && k2.size == 21)
+    // the two-phase skew-proof variant selects the identical set (and
+    // returns the FULL original rows, not just the keys)
+    val k3 = TextAnalysis.capBySource(d.repartition(7), 5)
+    assert(k3.columns.toSeq == Seq("doc_id", "source", "text"))
+    assert(k3.select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == k1)
   }
 
   test("lmCrossEntropy: typical text scores lower than out-of-distribution text") {

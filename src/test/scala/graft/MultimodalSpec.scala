@@ -124,7 +124,29 @@ class MultimodalSpec extends SparkSpec {
         .getOrElse(fail(s"frame of ${f.getLong(0)} not a decodable PNG strip"))
       assert(w == dims(f.getLong(0))) // full-width horizontal strips
     }
-    // at most 4 strips per image
-    assert(frames.groupBy(_.getLong(0)).forall(_._2.length <= 4))
+    // strip count = min(maxFrames=16 default, image height), exactly
+    val heights = real.collect().map(r => r.media_id -> r.meta_height).toMap
+    for ((id, fs) <- frames.groupBy(_.getLong(0)))
+      assert(fs.length == math.min(16, heights(id)))
+  }
+
+  test("sampleFrames golden: fixed synthetic PNG yields byte-stable strips") {
+    // Pins the whole decode→slice→re-encode path: any change to the
+    // synthetic raster generator, the strip geometry, or the PNG
+    // encoder configuration shows up as a digest mismatch here (the
+    // oracle cannot see frame BYTES — media_frames is rows-only).
+    val rec = Multimodal.MediaRecord(7L, "image",
+      Multimodal.syntheticPng(7L, 10, 9), 10, 9, 0L)
+    val frames = Multimodal
+      .sampleFrames(Seq(rec).toDS(), stride = 64, frameLen = 32, maxFrames = 4)
+      .orderBy("frame_no").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    def digest(b: Array[Byte]): String = java.security.MessageDigest
+      .getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+    val got = frames.map(f => digest(f.getAs[Array[Byte]]("frame_bytes"))).toSeq
+    val expected = Seq(
+      "da55b6f989f1c4bafabc63e359a779e7", "97b14c6f408b1ebea6b53fa05ae064e1",
+      "940ec80eda64cdaaeb8a5a87d1c93ddd", "4680f522d37ffb47a195fe9d5f093918")
+    assert(got == expected, s"golden frame digests drifted: $got")
   }
 }

@@ -131,6 +131,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), p.take(800)) // the sweep's running depth
   }
 
+  test("per-source cap: exact window input is pre-capped per partition; winners broadcast") {
+    val p = planOf("corpus_cap_source")
+    // top-down plan: the Window must sit ABOVE (earlier in the print
+    // than) the per-(source, partition) top-cap aggregate — i.e. the
+    // exact rank runs over ≤ partitions×cap candidates, never over a
+    // dominant source's full row set
+    val win = p.indexOf("Window")
+    val agg = p.indexOf("ObjectHashAggregate")
+    assert(win >= 0 && agg >= 0 && win < agg, p.take(1200))
+    assert(p.toUpperCase.contains("SPARK_PARTITION_ID"), p.take(1200))
+    // winners rejoin the corpus as a broadcast semi join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1200))
+  }
+
   test("dedup components round plans no neighbor-list collection (min-agg only)") {
     import spark.implicits._
     val pairs = Seq((2L, 1L), (3L, 2L)).toDF("a_id", "b_id")
