@@ -218,6 +218,22 @@ object Oracles {
        |    CAST(sum(covered) AS BIGINT) AS n_removed_tokens
        |  FROM cover GROUP BY doc_id)""".stripMargin
 
+  /** One BM25 term's contribution — the EXACT expression tree
+    * `TextAnalysis.bm25TopK` builds (idf × tf·(k1+1) / (tf + k1·norm)),
+    * k1 = 1.2, b = 0.75, literals cast to DOUBLE so DuckDB's DECIMAL
+    * literal arithmetic cannot fold differently from Spark's Scala
+    * doubles.
+    */
+  private def bm25Term(t: String, df: String): String =
+    s"""ln((CAST(n_docs AS DOUBLE) - CAST($df AS DOUBLE) + 0.5)
+       |        / (CAST($df AS DOUBLE) + 0.5) + 1.0)
+       |      * (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+       |        * (CAST(1.2 AS DOUBLE) + 1.0))
+       |      / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+       |        + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75)
+       |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+       |            * CAST(n_docs AS DOUBLE) / CAST(total_dl AS DOUBLE)))""".stripMargin
+
   /** Bigram-LM cross-entropy CTE chain over `rel(doc_id, text)`,
     * ending in `lmscore(doc_id, n_bigrams, xent)` — see
     * `text_lm_score` for the determinism rules.
@@ -274,6 +290,59 @@ object Oracles {
     "text_lm_score" ->
       s"""WITH ${lmCtes("documents")}
          |SELECT doc_id, n_bigrams, xent FROM lmscore""".stripMargin,
+
+    // BM25 top-20: every corpus statistic is an exact integer; the
+    // per-doc double arithmetic is the SAME expression tree the engine
+    // builds (term contributions added in declared order, literals
+    // cast to DOUBLE so DuckDB's DECIMAL literal folding can't drift),
+    // rounded once before the (score desc, doc_id) tiebreak.
+    "text_bm25" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+         |  FROM documents),
+         |tl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+         |st AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl,
+         |    ${Seq("spark", "window", "shuffle").zipWithIndex.map { case (t, i) =>
+                s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$i"
+              }.mkString(",\n    ")}
+         |  FROM tl),
+         |sc AS (
+         |  SELECT doc_id, round(
+         |    ${Seq("spark", "window", "shuffle").zipWithIndex.map { case (t, i) =>
+                bm25Term(t, s"df_$i")
+              }.mkString("\n    + ")}, 4) AS score
+         |  FROM tl CROSS JOIN st)
+         |SELECT doc_id, score FROM sc WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Posting-list heads: exact df over distinct (doc, token) pairs;
+    // the head is the 20 smallest doc_ids, string-joined on both
+    // engines to keep the hashed column scalar.
+    "text_postings" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '\s+')) AS token
+        |    FROM documents)),
+        |p AS (
+        |  SELECT token, count(*) AS df,
+        |    array_to_string(
+        |      list_transform(list_sort(list(doc_id))[1:20],
+        |        x -> CAST(x AS VARCHAR)), ',') AS postings
+        |  FROM tok GROUP BY token)
+        |SELECT token, CAST(df AS BIGINT) AS df, postings
+        |FROM p WHERE df >= 300""".stripMargin,
+
+    "corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 2)
+        |    AS avg_chars,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |    AS total_tokens
+        |FROM documents GROUP BY source""".stripMargin,
 
     // Round-4 flagship: cap → exact dedup → span removal → LM scoring
     // of the CLEANED text → length + relative-xent filter → split tag.

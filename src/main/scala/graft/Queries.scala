@@ -838,6 +838,38 @@ object Queries {
   val dedupSpanRemoval: Q = (s, dir) =>
     Dedup.removeRepeatedSpans(t(s, dir, "documents"), w = 8, minCount = 2)
 
+  /** BM25 top-20 retrieval for a fixed query over the corpus
+    * ([[TextAnalysis.bm25TopK]]): mixed-df terms so the idf spread is
+    * exercised ("shuffle" is absent from the synthetic vocabulary —
+    * its df=0 arm must not poison the score).
+    */
+  val textBm25: Q = (s, dir) =>
+    TextAnalysis.bm25TopK(t(s, dir, "documents"),
+      Seq("spark", "window", "shuffle"), 20)
+
+  /** Capped inverted-index posting heads for corpus-dominant tokens
+    * ([[TextAnalysis.invertedPostings]]): exact df + the 20 smallest
+    * doc_ids per token with df ≥ 300 (binds at sf0.01: core synthetic
+    * vocabulary sits at df≈380–400 of 500 docs).
+    */
+  val textPostings: Q = (s, dir) =>
+    TextAnalysis.invertedPostings(t(s, dir, "documents"), minDf = 300L, cap = 20)
+
+  /** Corpus profile (ANALYZE-style data-quality snapshot) per source:
+    * doc counts, language spread, char-length extrema/mean, exact
+    * token totals. One map-side-combined aggregate; single division +
+    * single round for the mean (oracle-parity rule).
+    */
+  val corpusStats: Q = (s, dir) =>
+    t(s, dir, "documents").groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      round(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"), 2)
+        .as("avg_chars"),
+      sum(size(split(col("text"), "\\s+")).cast("long")).as("total_tokens"))
+
   /** The north-star composition as ONE query: curate a training
     * corpus — exact-dedup survivors, minus near-duplicate losers
     * (higher doc_id of each verified Jaccard pair), language-filtered

@@ -88,6 +88,9 @@ object SparkEntry {
     "text_repetition" -> Queries.textRepetition,
     "corpus_reweight" -> Queries.corpusReweight,
     "text_vocab" -> Queries.textVocab,
+    "text_bm25" -> Queries.textBm25,
+    "text_postings" -> Queries.textPostings,
+    "corpus_stats" -> Queries.corpusStats,
     // -- parity wave 2: log analytics, scalar fns, skip metrics
     "s9_log_parse" -> Queries.s9LogParse,
     "f5_manila_iso" -> Queries.f5ManilaIso,

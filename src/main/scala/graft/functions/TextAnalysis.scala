@@ -418,4 +418,88 @@ object TextAnalysis {
       .select(col("doc_id"), col("sel.h").as("fp"), (-col("sel.np")).as("fp_pos"))
       .distinct()
   }
+
+  /** BM25 top-k retrieval (Robertson/Spärck Jones; the BM25+ idf
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` that Lucene uses, so scores
+    * are never negative for corpus-dominant terms): score every
+    * document against a fixed bag of query `terms` and keep the best
+    * `k` by `(score desc, doc_id)`.
+    *
+    * Determinism across engines (same discipline as [[lmCrossEntropy]]):
+    * every corpus statistic is an exact integer (N, Σdl, per-term df),
+    * the double arithmetic per document is ONE fixed expression tree
+    * evaluated identically by Spark and the DuckDB oracle (term
+    * contributions added in declared term order, divisions written
+    * identically), and the score is rounded once at the end, before
+    * the ordering tiebreak.
+    *
+    * Shape: one pass computes N/Σdl/df as a single map-side-combined
+    * aggregate (terms are a tiny fixed set — df per term is a
+    * conditional sum, no per-token explode); the 1-row stats broadcast
+    * back; scoring is a narrow map over (doc_id, toks, dl); top-k is
+    * TakeOrdered — no global sort, no shuffle of the corpus.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val statAggs =
+      count(lit(1)).as("n_docs") +: sum(col("dl")).as("total_dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+            .as(s"df_$i")
+        }
+    val stats = toks.agg(statAggs.head, statAggs.tail: _*)
+    val scored = toks.crossJoin(broadcast(stats))
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+      val idf = log(
+        (col("n_docs").cast("double") - col(s"df_$i").cast("double") + lit(0.5))
+          / (col(s"df_$i").cast("double") + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double")
+          * col("n_docs").cast("double") / col("total_dl").cast("double")))
+    }.reduceLeft(_ + _)
+    scored
+      .select(col("doc_id"), round(score, 4).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Capped inverted-index posting lists: for every token with
+    * document frequency ≥ `minDf`, the exact df and the `cap` SMALLEST
+    * doc_ids containing it (the deterministic head of the posting
+    * list), serialized as a comma-joined string. The seed of a
+    * distributed retrieval index; the df threshold doubles as the
+    * stopword/hapax cut.
+    *
+    * Skew shape (same two-phase discipline as [[capBySource]]): tokens
+    * are first set-aggregated per (token, input partition) — a
+    * stopword's buffer is bounded by PARTITION size, and per-partition
+    * heads are pre-capped to `cap` before the per-token merge, so the
+    * final per-token row merges ≤ partitions×cap ids no matter how hot
+    * the token. df stays exact: a document lives in exactly one input
+    * partition, so per-partition distinct counts add up.
+    */
+  def invertedPostings(docs: DataFrame, minDf: Long, cap: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(
+        split(lower(col("text")), "\\s+"))).as("token"))
+    val perPart = tok
+      .groupBy(col("token"), spark_partition_id().as("__pid"))
+      .agg(collect_set(col("doc_id")).as("__ids"))
+      .select(col("token"),
+        size(col("__ids")).cast("long").as("__df"),
+        slice(array_sort(col("__ids")), 1, cap).as("__head"))
+    perPart.groupBy(col("token"))
+      .agg(
+        sum(col("__df")).as("df"),
+        array_join(transform(
+          slice(array_sort(flatten(collect_list(col("__head")))), 1, cap),
+          x => x.cast("string")), ",").as("postings"))
+      .filter(col("df") >= minDf)
+  }
 }

@@ -522,6 +522,47 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet == k1)
   }
 
+  test("bm25TopK: term-bearing docs outrank term-free docs; absent terms contribute zero") {
+    import graft.functions.TextAnalysis
+    val d = Seq(
+      (1L, "spark spark spark runs the shuffle"),        // high tf
+      (2L, "spark appears once in this longer document here"), // tf 1, longer dl
+      (3L, "no query words at all in this text"),
+      (4L, "window window spark"),                       // two terms
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.bm25TopK(d, Seq("spark", "window", "zzz_absent"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ranked = top.map(_._1).toSeq
+    assert(!ranked.contains(3L))              // score 0 filtered out
+    assert(top.forall(_._2 > 0))
+    // doc 4 holds two distinct terms incl. rarer "window" → top rank;
+    // among single-term docs the higher-tf shorter doc 1 beats doc 2
+    assert(ranked.head == 4L)
+    assert(ranked.indexOf(1L) < ranked.indexOf(2L))
+    // determinism: identical scores on re-run (fixed expression tree)
+    val again = TextAnalysis.bm25TopK(d, Seq("spark", "window", "zzz_absent"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.toSeq == again.toSeq)
+  }
+
+  test("invertedPostings: exact df and smallest-id heads, partition-count invariant") {
+    import graft.functions.TextAnalysis
+    val d = (1L to 40L).map { i =>
+      val common = "alpha beta"                 // df 40 each
+      val rare = if (i <= 3) " gamma" else ""   // df 3
+      (i, s"$common$rare tail$i")
+    }.toDF("doc_id", "text")
+    def run(parts: Int) = TextAnalysis
+      .invertedPostings(d.repartition(parts), minDf = 3L, cap = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val one = run(1)
+    assert(one == run(7)) // pre-cap merge is partition-layout independent
+    assert(one.find(_._1 == "alpha").get._2 == 40L)
+    assert(one.find(_._1 == "alpha").get._3 == "1,2,3,4,5") // smallest 5 ids
+    assert(one.find(_._1 == "gamma").get == (("gamma", 3L, "1,2,3")))
+    assert(!one.exists(_._1.startsWith("tail"))) // hapax cut by minDf
+  }
+
   test("lmCrossEntropy: typical text scores lower than out-of-distribution text") {
     import graft.functions.TextAnalysis
     // corpus dominated by one sentence pattern; doc 9 is garbled

@@ -145,6 +145,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1200))
   }
 
+  test("bm25: stats broadcast back as one row; top-k is TakeOrdered, no global sort") {
+    val p = planOf("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200)) // 1-row stats join the corpus via broadcast
+  }
+
+  test("posting lists: per-partition pre-cap before the per-token merge") {
+    val p = planOf("text_postings")
+    assert(p.toUpperCase.contains("SPARK_PARTITION_ID"), p.take(1200))
+    // two-stage: (token, pid) set-agg below the (token) merge-agg
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      p.take(1200))
+  }
+
   test("dedup components round plans no neighbor-list collection (min-agg only)") {
     import spark.implicits._
     val pairs = Seq((2L, 1L), (3L, 2L)).toDF("a_id", "b_id")
