@@ -559,6 +559,17 @@ object Oracles {
         |  max(l_quantity) AS qmax
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    // Quantile-sketch error-bound contract: exact side recomputed;
+    // booleans are Spark's claim the KLL-style sketch stayed inside
+    // its documented rank-error envelope.
+    "agg_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS exact_p50,
+        |  quantile_cont(l_quantity, 0.9) AS exact_p90,
+        |  true AS p50_in_envelope,
+        |  true AS p90_in_envelope
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
@@ -1052,6 +1063,25 @@ object Oracles {
          |  event_type AS "table", count(*) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          |FROM events WHERE $V GROUP BY 1, 2""".stripMargin,
+
+    // Hourly resample + forward fill: same grid (generate_series per
+    // key over its occupied-bucket span), same IGNORE NULLS running
+    // last; the hourly totals are exact DECIMAL sums cast once.
+    "ts_gapfill" ->
+      s"""WITH e AS (
+         |  SELECT event_type AS tbl, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         |    CAST(value AS DECIMAL(18,2)) AS dv
+         |  FROM events WHERE $V),
+         |h AS (SELECT tbl, bucket, CAST(sum(dv) AS DOUBLE) AS v
+         |  FROM e GROUP BY tbl, bucket),
+         |b AS (SELECT tbl, min(bucket) AS h0, max(bucket) AS h1 FROM h GROUP BY tbl),
+         |g AS (SELECT tbl, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket FROM b),
+         |j AS (SELECT g.tbl, g.bucket, h.v
+         |  FROM g LEFT JOIN h ON h.tbl = g.tbl AND h.bucket = g.bucket)
+         |SELECT tbl AS "table", bucket AS w_start, v IS NULL AS is_gap,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY tbl ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+         |FROM j""".stripMargin,
 
     "session_windows" ->
       s"""WITH e AS (SELECT user_id AS rsbsa_no, ts FROM events WHERE $V),

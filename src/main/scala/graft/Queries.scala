@@ -362,6 +362,29 @@ object Queries {
         min(col("l_quantity")).as("qmin"),
         max(col("l_quantity")).as("qmax"))
 
+  /** Quantile-sketch error-bound contract (the same driver-visible
+    * pattern as `a1_approx_distinct`): `percentile_approx` at accuracy
+    * A has rank error ≤ 1/A, so each estimate must lie inside the
+    * exact-quantile envelope `[percentile(p−ε), percentile(p+ε)]` with
+    * ε = 0.01 at A = 1000 (10× margin). DuckDB recomputes the exact
+    * side and the literal `true`s — a sketch drifting out of its
+    * documented bound turns the row red.
+    */
+  val aggApproxPercentiles: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("exact_p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("exact_p90"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+          .between(
+            percentile(col("l_quantity"), lit(0.49)),
+            percentile(col("l_quantity"), lit(0.51))).as("p50_in_envelope"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(1000))
+          .between(
+            percentile(col("l_quantity"), lit(0.89)),
+            percentile(col("l_quantity"), lit(0.91))).as("p90_in_envelope"))
+
   // ============================================================ extensions
 
   /** Exact dedup groups: md5 fingerprint → keeper id + copy count. */
@@ -664,6 +687,18 @@ object Queries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("w_start"), col("table"), col("n"),
         col("total_value"))
+
+  /** Extension — hourly resample + forward fill per table
+    * ([[graft.operators.TimeSeries.gapFillHourly]]): quiet hours exist
+    * on the grid, flagged `is_gap`, carrying the last observed hourly
+    * total (exact decimal sum, cast to double once).
+    */
+  val tsGapfill: Q = (s, dir) =>
+    graft.operators.TimeSeries.gapFillHourly(
+      Readers.validChangeLog(s, dir), "table", "ts",
+      sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .select(col("table"), col("bucket").as("w_start"),
+        col("is_gap"), col("v_filled"))
 
   /** Extension — gap-based sessionization (batch form of the
     * streaming `session_window`; the oracle reproduces the same

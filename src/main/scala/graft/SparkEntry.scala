@@ -50,6 +50,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> Queries.q17SmallQtyRevenue,
     "q3_top_orders" -> Queries.q3TopOrders,
     "agg_percentiles" -> Queries.aggPercentiles,
+    "agg_approx_percentiles" -> Queries.aggApproxPercentiles,
     "skew_salted_agg" -> Queries.skewSaltedAgg,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
@@ -106,6 +107,7 @@ object SparkEntry {
     // -- extensions: windows, grouping sets, embeddings, multimodal
     "window_tumbling" -> Queries.windowTumbling,
     "session_windows" -> Queries.sessionWindows,
+    "ts_gapfill" -> Queries.tsGapfill,
     "text_quality_score" -> Queries.textQualityScore,
     "asof_join" -> Queries.asofJoin,
     "pivot_counts" -> Queries.pivotCounts,
