@@ -84,3 +84,17 @@ object ProbeQuery {
     spark.stop()
   }
 }
+
+/** Dev explain: print one named query's formatted physical plan (the
+  * plan-iteration loop the scale review runs on every operator).
+  */
+object ExplainQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = DevSession.local(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}

@@ -87,6 +87,29 @@ class SpanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("∀ corpora: bm25 ranks a doc strictly higher when its tf rises, all else equal") {
+    import graft.functions.TextAnalysis
+    // pairs of docs with identical length, differing only in how many
+    // filler slots the query term occupies — the higher-tf twin must
+    // score strictly higher (BM25 tf gain is monotone, saturating)
+    val gen = for {
+      n <- Gen.choose(12, 24)
+      t1 <- Gen.choose(1, 5)
+      t2 <- Gen.choose(6, 11)
+    } yield (n, t1, t2)
+    for (((n, lo, hi), idx) <- samples(gen, 5).zipWithIndex) {
+      def doc(id: Long, tf: Int) =
+        (id, ((0 until tf).map(_ => "term") ++
+          (tf until n).map(j => s"x${idx}_${id}_$j")).mkString(" "))
+      val d = Seq(doc(1L, lo), doc(2L, hi), (3L, "term anchor " +
+        (0 until n).map(j => s"y$j").mkString(" "))).toDF("doc_id", "text")
+      val scores = TextAnalysis.bm25TopK(d, Seq("term"), 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(scores(2L) > scores(1L),
+        s"tf=$hi should outscore tf=$lo: $scores")
+    }
+  }
+
   test("∀ corpora: every reported span is hot and spans never overlap within a doc") {
     for (corpus <- samples(corpusGen, 3)) {
       val d = corpus.toDF("doc_id", "text")

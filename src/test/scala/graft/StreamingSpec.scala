@@ -37,6 +37,32 @@ class StreamingSpec extends SparkSpec {
     assert(seen2.get() == 1) // only the new entry — true incrementality
   }
 
+  test("resident replay paces micro-batches with a ProcessingTime trigger (R5)") {
+    // the reference throttles its replay loop with a 100 ms sleep
+    // between batches (etlService.js:734); the Spark-native form is a
+    // resident ProcessingTime trigger — same pacing contract, engine-
+    // managed. The AvailableNow tests cover the cron-tick arm; this
+    // covers the resident arm.
+    val dir = java.nio.file.Files.createTempDirectory("graft-resident").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-resident-ckpt").toString
+    Seq((1L, "R1", "t1"), (2L, "R2", "t2")).toDF("log_id", "rsbsa_no", "table")
+      .write.parquet(s"$dir/batch1.parquet")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = Streams.replay(
+      Streams.changeLogStream(spark, s"$dir/*"),
+      onBatch = (batch, _) => seen.addAndGet(batch.count()),
+      checkpoint = ckpt, availableNow = false, interval = "100 milliseconds")
+    try {
+      q.processAllAvailable()
+      assert(seen.get() == 2)
+      assert(q.isActive) // resident: keeps ticking after draining, unlike AvailableNow
+      Seq((3L, "R3", "t1")).toDF("log_id", "rsbsa_no", "table")
+        .write.parquet(s"$dir/batch2.parquet")
+      q.processAllAvailable()
+      assert(seen.get() == 3) // picked up by a later paced tick, exactly once
+    } finally q.stop()
+  }
+
   test("windowed activity: streaming result equals batch computation") {
     val events = sources.Readers.validChangeLog(spark, sfDir)
       .select("log_id", "rsbsa_no", "table", "ts", "value")
