@@ -584,25 +584,30 @@ object Dedup {
       prevRoundIds.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
+    // Order-independent edge-set signature (count + xor of pair
+    // hashes), collected as an `observe` metric DURING the checkpoint
+    // materialization — zero extra jobs per round (it used to be a
+    // separate agg job). Equality of signatures only TRIGGERS the
+    // exact except-based confirmation, so convergence detection stays
+    // exact — a signature collision costs one extra job, never a
+    // wrong answer.
+    def checkpointWithSig(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs,
+        count(lit(1)).as("n"),
+        bit_xor(xxhash64(col("u"), col("v"))).as("x")).localCheckpoint()
+      val m = obs.get
+      (ck, (m("n").asInstanceOf[Long],
+        Option(m("x")).map(_.asInstanceOf[Long]).getOrElse(0L)))
+    }
+
     // Invariant between steps: edges directed large→small (u > v).
-    var edges = pairs
+    var (edges, edgeSig) = checkpointWithSig(pairs
       .select(col(ids(0)).cast("long").as("a"), col(ids(1)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     trackRound()
-    // Order-independent edge-set signature (count + xor of pair
-    // hashes): one cheap job per round instead of two counts + except.
-    // Equality of signatures only TRIGGERS the exact except-based
-    // confirmation, so convergence detection stays exact — a signature
-    // collision costs one extra job, never a wrong answer.
-    def sig(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        bit_xor(xxhash64(col("u"), col("v")))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var edgeSig = sig(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -619,17 +624,15 @@ object Dedup {
       // Small-star: each node re-points its smaller neighbors (and
       // itself) at the minimum of them.
       val smins = large.groupBy("u").agg(min("v").as("m"))
-      val small = large.join(smins, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(smins.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint()
       // Stars (u→root, root = component min) are fixpoints of both
       // steps, so a same-set check per round detects convergence:
       // |A| = |B| ∧ A∖B = ∅ ⇒ A = B for distinct sets. The signature
       // pre-filter skips the except on rounds that visibly changed.
-      val smallSig = sig(small)
+      val (small, smallSig) = checkpointWithSig(large.join(smins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct())
       converged = smallSig == edgeSig && small.except(edges).isEmpty
       // `edges` (the superseded round) was last read by the except
       // above; its blocks are safe to drop now. The new round's ids
