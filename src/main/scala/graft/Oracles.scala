@@ -376,6 +376,25 @@ object Oracles {
          |WHERE len(string_split_regex(rm.clean_text, '\\s+')) >= 10
          |  AND m.xent <= f.fl + 0.3""".stripMargin,
 
+    // Sliding-window chunking: same chunk-count formula, 1-based
+    // inclusive list slices mirror Spark's (start, length) slices.
+    "chunk_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |nn AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+        |cc AS (SELECT doc_id, toks, n,
+        |  CASE WHEN n <= 64 THEN 1
+        |       ELSE CAST(ceil(CAST(n - 64 AS DOUBLE) / 48) AS INT) + 1 END AS nchunks
+        |  FROM nn),
+        |x AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, nchunks), i ->
+        |    {'cn': i, 'ch': toks[i * 48 + 1 : least(i * 48 + 64, n)]})) AS u
+        |  FROM cc)
+        |SELECT doc_id, CAST(u.cn AS BIGINT) AS chunk_no,
+        |  CAST(len(u.ch) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(u.ch, ' ') AS chunk_text
+        |FROM x""".stripMargin,
+
     "dedup_hot_spans" ->
       s"""WITH ${hotSpanCtes("documents")}
          |SELECT doc_id, span_start, span_end, n_hot_grams FROM spans""".stripMargin,

@@ -905,6 +905,15 @@ object Queries {
         .as("avg_chars"),
       sum(size(split(col("text"), "\\s+")).cast("long")).as("total_tokens"))
 
+  /** Sliding-window chunking with overlap (RAG / long-context
+    * pre-chunking; [[Packing.chunkWithOverlap]]): 64-token windows
+    * advancing by 48, so adjacent chunks share 16 tokens of context.
+    * Pure narrow map — the plan guard pins zero exchanges.
+    */
+  val chunkOverlap: Q = (s, dir) =>
+    graft.functions.Packing.chunkWithOverlap(
+      t(s, dir, "documents"), chunkSize = 64, stride = 48)
+
   /** The north-star composition as ONE query: curate a training
     * corpus — exact-dedup survivors, minus near-duplicate losers
     * (higher doc_id of each verified Jaccard pair), language-filtered

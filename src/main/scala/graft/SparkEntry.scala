@@ -83,6 +83,7 @@ object SparkEntry {
     "split_train_val" -> Queries.splitTrainVal,
     "pack_chunks" -> Queries.packChunks,
     "pack_no_split" -> Queries.packNoSplit,
+    "chunk_overlap" -> Queries.chunkOverlap,
     "text_lang_id" -> Queries.textLangId,
     "text_pii_redact" -> Queries.textPiiRedact,
     "text_gopher_filter" -> Queries.textGopherFilter,

@@ -198,4 +198,41 @@ object Packing {
         expr(s"(t_start + n_tokens - 1) div ${seqLen}L").as("last_chunk"),
         pmod(col("t_start"), lit(seqLen.toLong)).as("chunk_offset"))
   }
+
+  /** Sliding-window chunking with overlap (the RAG / long-context
+    * pre-chunking layout, vs the concat-and-chunk pretraining layout
+    * above): each document is cut independently into windows of
+    * `chunkSize` tokens advancing by `stride` (< chunkSize ⇒ adjacent
+    * chunks share `chunkSize − stride` tokens of context). A document
+    * of n tokens yields `1 + max(0, ceil((n − chunkSize)/stride))`
+    * chunks; the last chunk may be short; sub-`chunkSize` documents
+    * yield exactly one chunk. Returns
+    * `(doc_id, chunk_no, n_chunk_tokens, chunk_text)`.
+    *
+    * Scale shape: pure narrow map — tokenize, build the chunk index
+    * range, explode, slice; no shuffle at all, no state across
+    * documents. The per-row fan-out is n/stride chunks whose combined
+    * size is (chunkSize/stride)× the input text — bounded by the
+    * overlap factor the caller chose.
+    */
+  def chunkWithOverlap(
+      docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      "need 1 <= stride <= chunkSize")
+    val toks = split(col("text"), "\\s+")
+    docs
+      .select(col("doc_id"), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__nchunks",
+        when(col("__n") <= chunkSize, lit(1)).otherwise(
+          ceil((col("__n") - lit(chunkSize)).cast("double") / lit(stride))
+            .cast("int") + lit(1)))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("__nchunks") - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(chunkSize))))
+          .as(Seq("chunk_no", "__chunk")))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
 }

@@ -522,6 +522,26 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet == k1)
   }
 
+  test("chunkWithOverlap: window geometry, shared context, short-doc passthrough") {
+    import graft.functions.Packing
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 3 chunks at (4,3)
+      (2L, "only three tokens"),                      // sub-size: 1 whole chunk
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkWithOverlap(d, chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10")) // 1-token overlap at stride 3
+    assert(d1.forall(_._3 == 4L))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "only three tokens")))
+    // conservation: with stride == chunkSize (no overlap), chunks
+    // partition the token stream exactly
+    val flat = Packing.chunkWithOverlap(d, chunkSize = 4, stride = 4)
+      .agg(sum($"n_chunk_tokens")).head().getLong(0)
+    assert(flat == 13L)
+  }
+
   test("bm25TopK: term-bearing docs outrank term-free docs; absent terms contribute zero") {
     import graft.functions.TextAnalysis
     val d = Seq(
