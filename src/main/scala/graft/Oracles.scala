@@ -970,6 +970,23 @@ object Oracles {
         |  WHEN lang = 'es' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'
         |  ELSE TRUE END""".stripMargin,
 
+    // Target-mix resampling: per-lang rates from exact integer counts
+    // (single fixed double expression, DOUBLE-cast literals), hex
+    // threshold recomputed per row — identical tree to the engine's.
+    "corpus_mix_target" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |t AS (SELECT count(*) AS total FROM documents),
+        |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+        |    CASE lang WHEN 'en' THEN CAST(0.3 AS DOUBLE)
+        |              WHEN 'zh' THEN CAST(0.2 AS DOUBLE)
+        |              WHEN 'es' THEN CAST(0.1 AS DOUBLE) ELSE NULL END
+        |      * CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) AS rate
+        |  FROM c CROSS JOIN t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE r.rate IS NULL OR r.rate >= 1.0
+        |  OR substr(md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 8)
+        |     < lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')""".stripMargin,
+
     "split_train_val" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'

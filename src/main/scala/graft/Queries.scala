@@ -522,6 +522,16 @@ object Queries {
           .otherwise(lit(true)))
       .select("doc_id", "lang", "source")
 
+  /** Target-mix resampling ([[TextAnalysis.resampleToMix]]): en→30%,
+    * es→10% downsample toward the mix; zh→20% is ABOVE its current
+    * share so its computed rate clamps to 1 (keep-all arm exercised);
+    * de/fr untargeted (keep-all). Kept (doc_id, lang) rows.
+    */
+  val corpusMixTarget: Q = (s, dir) =>
+    TextAnalysis.resampleToMix(t(s, dir, "documents"),
+      Map("en" -> 0.3, "zh" -> 0.2, "es" -> 0.1))
+      .select("doc_id", "lang")
+
   /** PII redaction pass: emails, IPv4, phones → placeholder tokens,
     * with the per-doc replacement count. Map-only fold of codegen'd
     * regexp_replaces; the oracle proves the Java-regex and RE2 engines

@@ -89,6 +89,7 @@ object SparkEntry {
     "text_gopher_filter" -> Queries.textGopherFilter,
     "text_repetition" -> Queries.textRepetition,
     "corpus_reweight" -> Queries.corpusReweight,
+    "corpus_mix_target" -> Queries.corpusMixTarget,
     "text_vocab" -> Queries.textVocab,
     "text_bm25" -> Queries.textBm25,
     "text_postings" -> Queries.textPostings,

@@ -199,6 +199,46 @@ object TextAnalysis {
     */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 
+  /** Target-mix resampling (the static form of corpus-mixture tuning:
+    * "make English 30% of the corpus"): per-`group` keep rates are
+    * DERIVED FROM THE DATA — `rate_g = min(1, target_g · total /
+    * count_g)` — then applied with the same deterministic salted-md5
+    * uniform filter as [[rateSampleKeep]] (salt "mix:", so the
+    * decision is independent of the cap/split decisions). Groups
+    * absent from `targets` and groups already below their target keep
+    * everything — this operator only ever downsamples toward the mix,
+    * it never upsamples.
+    *
+    * Shape: one map-combined count per group + a 1-row total, both
+    * broadcast back; the filter itself is a narrow map. Rates are a
+    * single fixed double expression over exact integer counts (the
+    * [[bm25TopK]] determinism discipline), and the hex threshold is
+    * recomputed per row from the broadcast rate — engine-portable, no
+    * driver round-trip.
+    */
+  def resampleToMix(docs: DataFrame, targets: Map[String, Double],
+      group: String = "lang"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(v => v > 0 && v <= 1),
+      "target shares must be in (0, 1]")
+    val counts = docs.groupBy(col(group)).agg(count(lit(1)).as("__cnt"))
+    val total = docs.agg(count(lit(1)).as("__total"))
+    val targetShare = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, v)) => when(col(group) === k, lit(v)).otherwise(acc)
+    } // disjoint conditions: fold order is irrelevant
+    val rates = counts.crossJoin(broadcast(total))
+      // least() skips the NULL of untargeted groups → rate 1.0
+      .withColumn("__rate", least(lit(1.0),
+        targetShare * col("__total").cast("double") / col("__cnt").cast("double")))
+      .select(col(group), col("__rate"))
+    docs.join(broadcast(rates), Seq(group), "left")
+      .filter(col("__rate").isNull || col("__rate") >= 1.0 ||
+        substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 8) <
+          lpad(lower(hex(floor(col("__rate") * lit(4294967296.0)).cast("long"))),
+            8, "0"))
+      .drop("__rate")
+  }
+
   /** Per-source document cap (the per-domain cap of web-corpus
     * pipelines: a handful of boilerplate-heavy domains otherwise
     * dominate the mix): keep at most `cap` documents per `source`,
@@ -242,14 +282,20 @@ object TextAnalysis {
     * PARTITION size, never source size. Phase 2 runs the exact
     * row_number window over ≤ partitions×cap survivors per source —
     * driver-book-keeping-sized input no matter how skewed the corpus.
-    * Phase 3 keeps the winners' full rows with a broadcast semi join
-    * (winners ≤ sources×cap rows).
+    * Phase 3 keeps the winners' full rows with a semi join — BROADCAST
+    * by default (winners ≤ sources×cap rows, and broadcasting avoids
+    * shuffling the corpus), but a per-DOMAIN cap over a web corpus can
+    * have millions of sources: when |sources|×cap outgrows the
+    * executor broadcast budget, pass `broadcastWinners = false` and
+    * the semi join shuffles by doc_id instead (corpus-sized but
+    * key-uniform — never skewed).
     *
     * Returns `docs` filtered to the kept rows — identical selection to
     * filtering on [[capPerSource]], structurally immune to the hot-
     * source skew the Column variant's scaladoc could only document.
     */
-  def capBySource(docs: DataFrame, cap: Int, source: String = "source"): DataFrame = {
+  def capBySource(docs: DataFrame, cap: Int, source: String = "source",
+      broadcastWinners: Boolean = true): DataFrame = {
     val ord = substring(
       md5(concat(lit("cap:"), col("doc_id").cast("string")).cast("binary")), 1, 16)
     val perPart = docs
@@ -264,7 +310,8 @@ object TextAnalysis {
           .orderBy(col("__c.__ord"), col("__c.doc_id"))))
       .filter(col("__rn") <= cap)
       .select(col("__c.doc_id").as("doc_id"))
-    docs.join(broadcast(winners), Seq("doc_id"), "left_semi")
+    docs.join(if (broadcastWinners) broadcast(winners) else winners,
+      Seq("doc_id"), "left_semi")
   }
 
   /** Corpus-level bigram language-model cross-entropy per document

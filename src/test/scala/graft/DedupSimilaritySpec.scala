@@ -583,6 +583,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!one.exists(_._1.startsWith("tail"))) // hapax cut by minDf
   }
 
+  test("resampleToMix: over-share groups thin toward target, others pass whole") {
+    import graft.functions.TextAnalysis
+    val d = ((1L to 200L).map(i => (i, "en")) ++ (201L to 240L).map(i => (i, "zh")) ++
+      (241L to 260L).map(i => (i, "de")))
+      .toDF("doc_id", "lang").withColumn("text", lit("x"))
+    // en: 200/260 ≈ 77% share, target 25% → rate = 0.25·260/200 = 0.325
+    // zh: 40/260 ≈ 15%, target 50% → rate clamps to 1 (never upsample)
+    // de: untargeted → keep all
+    def kept() = TextAnalysis.resampleToMix(d, Map("en" -> 0.25, "zh" -> 0.5))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = kept()
+    assert(k("zh") == 40L && k("de") == 20L)
+    assert(k("en") < 200L && math.abs(k("en") - 65L) < 25L) // ≈ rate·count, md5 noise
+    assert(kept() == k) // deterministic
+    // kept rows are a SUBSET of the corpus (pure filter, no rewrite)
+    val sub = TextAnalysis.resampleToMix(d, Map("en" -> 0.25))
+    assert(sub.exceptAll(d.select(sub.columns.map(col): _*)).isEmpty)
+  }
+
   test("lmCrossEntropy: typical text scores lower than out-of-distribution text") {
     import graft.functions.TextAnalysis
     // corpus dominated by one sentence pattern; doc 9 is garbled
