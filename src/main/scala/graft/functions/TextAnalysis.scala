@@ -295,23 +295,39 @@ object TextAnalysis {
     * source skew the Column variant's scaladoc could only document.
     */
   def capBySource(docs: DataFrame, cap: Int, source: String = "source",
-      broadcastWinners: Boolean = true): DataFrame = {
-    val ord = substring(
-      md5(concat(lit("cap:"), col("doc_id").cast("string")).cast("binary")), 1, 16)
+      broadcastWinners: Boolean = true): DataFrame =
+    topKPerGroup(docs, cap, source,
+      substring(md5(concat(lit("cap:"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 16),
+      col("doc_id"), broadcastWinners)
+
+  /** The two-phase top-N engine behind [[capBySource]], generalized to
+    * ANY group column, order expression, and unique row id — "the k
+    * best documents per domain by quality score" is
+    * `topKPerGroup(docs, k, "source", col("quality"), col("doc_id"))`.
+    * Selection: the k smallest `(order, id)` pairs per group (negate /
+    * invert `order` for descending). Same scale shape as the cap:
+    * per-(group, input-partition) sorted-slice pre-cap bounded by
+    * partition size, exact rank window over ≤ partitions×k survivors,
+    * semi join back (broadcast by default; see [[capBySource]] on when
+    * to disable).
+    */
+  def topKPerGroup(docs: DataFrame, k: Int, group: String, order: Column,
+      id: Column, broadcastWinners: Boolean = true): DataFrame = {
     val perPart = docs
-      .select(col(source).as("__src"),
-        struct(ord.as("__ord"), col("doc_id").as("doc_id")).as("__cand"))
-      .groupBy(col("__src"), spark_partition_id().as("__pid"))
-      .agg(slice(array_sort(collect_list(col("__cand"))), 1, cap).as("__top"))
+      .select(col(group).as("__grp"),
+        struct(order.as("__ord"), id.as("__id")).as("__cand"))
+      .groupBy(col("__grp"), spark_partition_id().as("__pid"))
+      .agg(slice(array_sort(collect_list(col("__cand"))), 1, k).as("__top"))
     val winners = perPart
-      .select(col("__src"), explode(col("__top")).as("__c"))
+      .select(col("__grp"), explode(col("__top")).as("__c"))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy("__src")
-          .orderBy(col("__c.__ord"), col("__c.doc_id"))))
-      .filter(col("__rn") <= cap)
-      .select(col("__c.doc_id").as("doc_id"))
+        Window.partitionBy("__grp")
+          .orderBy(col("__c.__ord"), col("__c.__id"))))
+      .filter(col("__rn") <= k)
+      .select(col("__c.__id").as("__winner_id"))
     docs.join(if (broadcastWinners) broadcast(winners) else winners,
-      Seq("doc_id"), "left_semi")
+      id === col("__winner_id"), "left_semi")
   }
 
   /** Corpus-level bigram language-model cross-entropy per document

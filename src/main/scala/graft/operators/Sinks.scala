@@ -76,6 +76,30 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
+  /** Operational: small-file compaction. Incremental appends (K1
+    * ticks) accumulate row-group-sized files; a table read through
+    * thousands of tiny files loses columnar scan efficiency and floods
+    * the driver with listing/footer work. Rewrites the directory into
+    * `ceil(rows / targetRowsPerFile)` evenly-sized files and publishes
+    * atomically (staged write + swap, [[Merge.atomicOverwrite]] — the
+    * same transaction discipline as the merge path). Returns the new
+    * file count.
+    *
+    * Whole-directory form; a 100 TB deployment runs it per partition
+    * directory (e.g. each `lang=…` of [[writePartitioned]] output)
+    * after each ingest wave, so the rewrite is O(new partition), never
+    * O(table).
+    */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles =
+      math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    Merge.atomicOverwrite(df.repartition(nFiles), path)
+    nFiles
+  }
+
   /** K5 — append-only run log with Manila-formatted timestamps
     * (`utils/logger.js:45-66`): driver-side, newline-framed
     * `[ts] message`, the format the log-analytics pipeline (S9/S10)

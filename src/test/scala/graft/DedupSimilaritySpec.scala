@@ -583,6 +583,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!one.exists(_._1.startsWith("tail"))) // hapax cut by minDf
   }
 
+  test("topKPerGroup: generic order column, descending via negation, full rows kept") {
+    import graft.functions.TextAnalysis
+    val d = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.7), (4L, "a", 0.2),
+      (5L, "b", 0.4), (6L, "b", 0.8),
+    ).toDF("doc_id", "grp", "quality")
+    // top-2 per group by HIGHEST quality: order by -quality
+    val top = TextAnalysis.topKPerGroup(d.repartition(5), 2, "grp",
+        -col("quality"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(top == Set((1L, "a", 0.9), (3L, "a", 0.7), (5L, "b", 0.4), (6L, "b", 0.8)))
+  }
+
   test("resampleToMix: over-share groups thin toward target, others pass whole") {
     import graft.functions.TextAnalysis
     val d = ((1L to 200L).map(i => (i, "en")) ++ (201L to 240L).map(i => (i, "zh")) ++

@@ -125,6 +125,24 @@ class SchedulerSinksSpec extends SparkSpec {
     sched.stop()
   }
 
+  test("compact rewrites a fragmented directory into evenly-sized files, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .resolve("t.parquet").toString
+    val d = (1L to 900L).map(i => (i, s"v$i")).toDF("id", "v")
+    d.repartition(30).write.parquet(dir) // fragmented: 30 tiny files
+    def parquetFiles() = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    assert(parquetFiles() == 30)
+    val n = Sinks.compact(spark, dir, targetRowsPerFile = 300)
+    assert(n == 3 && parquetFiles() == 3)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 900)
+    assert(after.exceptAll(d).isEmpty && d.exceptAll(after).isEmpty)
+    // sub-target tables collapse to a single file, never zero
+    assert(Sinks.compact(spark, dir, targetRowsPerFile = 10000) == 1)
+    assert(parquetFiles() == 1)
+  }
+
   test("ensureTable creates declared-schema targets once (K4)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ddl").toString
     Sinks.ensureCatalogTable(spark, dir, "farmparcel")
