@@ -839,7 +839,13 @@ object Queries {
     val docs = t(s, dir, "documents")
     val capped = TextAnalysis.capBySource(docs, 15).select("doc_id", "text")
     val deduped = Dedup.exactSurvivors(capped)
+    // Materialization barrier: `cleaned` feeds THREE consumers (the LM
+    // count tables, the per-doc join, and the corpus-floor aggregate) —
+    // without it the whole cap→dedup→sweep chain re-executes per
+    // consumer. A 100 TB run checkpoints this curated intermediate to
+    // durable storage for the same reason (and to restart from it).
     val cleaned = Dedup.removeRepeatedSpans(deduped, w = 8, minCount = 2)
+      .localCheckpoint()
     val lm = TextAnalysis.lmCrossEntropy(
       cleaned.select(col("doc_id"), col("clean_text").as("text")))
     // Relative cross-entropy cut: keep docs within 0.3 nats of the
@@ -987,15 +993,16 @@ object Queries {
       graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
 
   /** Multimodal — per-partition feature extraction: image payloads are
-    * REAL PNG rasters (deterministic synthetic fixtures) decoded with
-    * `javax.imageio`, so the emitted width/height/aspect columns come
-    * from actual decoded pixels; A/V payloads take the documented
-    * deterministic stub. Rows-only check (decode isn't
-    * SQL-expressible).
+    * REAL PNG rasters decoded with `javax.imageio`, audio payloads are
+    * REAL PCM WAVs decoded with `javax.sound.sampled` (both JDK
+    * decoders — deterministic synthetic fixtures), so the emitted
+    * feature columns come from actual decoded pixels/samples; video
+    * payloads take the documented deterministic stub (the JDK ships no
+    * video codec). Rows-only check (decode isn't SQL-expressible).
     */
   val mediaFeatures: Q = (s, dir) => {
     val feats = graft.functions.Multimodal.extractFeatures(
-      graft.functions.Multimodal.withRealImages(
+      graft.functions.Multimodal.withRealMedia(
         graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))))
     feats.toDF().select(col("media_id"), col("kind"), col("n_bytes"),
       col("checksum"),
@@ -1009,7 +1016,7 @@ object Queries {
     */
   val mediaFrames: Q = (s, dir) =>
     graft.functions.Multimodal.sampleFrames(
-      graft.functions.Multimodal.withRealImages(
+      graft.functions.Multimodal.withRealMedia(
         graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))),
       stride = 64, frameLen = 32)
       .select(col("media_id"), col("frame_no"),

@@ -105,9 +105,56 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU PCM
+    * decoders ship with the JDK — no container codecs needed): returns
+    * (sampleRateHz, nFrames, 8-dim feature vector) for 16-bit mono PCM
+    * payloads, None otherwise. Features: sample rate (kHz), duration
+    * (s), RMS amplitude and zero-crossing rate (the classic cheap
+    * audio descriptors), and coarse 4-quarter energy envelope — all
+    * deterministic functions of the decoded samples.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Float, Long, Array[Float])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian) None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        if (n == 0) None
+        else {
+          var sumSq = 0.0
+          var zc = 0L
+          var prev = 0
+          val quarters = new Array[Double](4)
+          var i = 0
+          while (i < n) {
+            val v = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+            sumSq += v.toDouble * v
+            if (i > 0 && ((v >= 0) != (prev >= 0))) zc += 1
+            quarters(math.min(3, i * 4 / n)) += math.abs(v.toDouble)
+            prev = v
+            i += 1
+          }
+          val rate = fmt.getSampleRate
+          val totalAbs = math.max(1.0, quarters.sum)
+          Some((rate, n.toLong, Array(
+            rate / 1000f,
+            n.toFloat / rate,
+            (math.sqrt(sumSq / n) / 32768.0).toFloat,
+            zc.toFloat / n,
+            (quarters(0) / totalAbs).toFloat, (quarters(1) / totalAbs).toFloat,
+            (quarters(2) / totalAbs).toFloat, (quarters(3) / totalAbs).toFloat)))
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** STUB decode — deterministic fake standing in for the codecs this
-    * container lacks (audio/video): features are a hash-derived vector
-    * of the payload. Image payloads take the real [[decodeImage]] path.
+    * container lacks (video only, now that image AND audio take real
+    * JDK decode paths): features are a hash-derived vector of the
+    * payload.
     */
   def decodeStub(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     var h = 1125899906842597L // FNV-ish rolling
@@ -140,6 +187,8 @@ object Multimodal {
       rows.map { r =>
         val feat =
           if (r.kind == "image") decodeImage(r.payload).map(_._3)
+            .getOrElse(decodeStub(r.payload))
+          else if (r.kind == "audio") decodeAudio(r.payload).map(_._3)
             .getOrElse(decodeStub(r.payload))
           else decodeStub(r.payload)
         MediaFeatures(
@@ -182,10 +231,44 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic synthetic WAV: 16-bit mono PCM at 8 kHz — a
+    * seed-keyed tone plus splitmix noise, written through the JDK's
+    * real WAV encoder. Fixture-building only, same role as
+    * [[syntheticPng]]: it exists so the audio queries exercise the
+    * REAL decode path (`javax.sound.sampled`).
+    */
+  def syntheticWav(seed: Long, ms: Int): Array[Byte] = {
+    val rate = 8000f
+    val n = math.max(1, (rate * ms / 1000).toInt)
+    val freq = 220.0 + (seed % 7) * 110.0
+    val samples = new Array[Byte](n * 2)
+    var z = seed
+    var i = 0
+    while (i < n) {
+      z += 0x9e3779b97f4a7c15L
+      var s = z
+      s = (s ^ (s >>> 30)) * 0xbf58476d1ce4e5b9L
+      s = (s ^ (s >>> 27)) * 0x94d049bb133111ebL
+      val noise = ((s ^ (s >>> 31)) % 6000L).toInt
+      val tone = (StrictMath.sin(2 * math.Pi * freq * i / rate) * 12000).toInt
+      val v = math.max(-32768, math.min(32767, tone + noise))
+      samples(2 * i) = (v & 0xff).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   /** Replace image-kind payloads with REAL (synthetic, deterministic)
     * PNG rasters sized from the media id, metadata updated to the true
-    * dimensions. A/V payloads pass through untouched (their codecs are
-    * the documented stub). Narrow map — the payload never shuffles.
+    * dimensions. Other payloads pass through untouched. Narrow map —
+    * the payload never shuffles.
     */
   def withRealImages(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
@@ -198,6 +281,27 @@ object Multimodal {
       } else r
     }
   }
+
+  /** Replace audio-kind payloads with REAL (synthetic, deterministic)
+    * PCM WAVs timed from the media id, metadata updated to the true
+    * duration. Narrow map.
+    */
+  def withRealAudio(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.kind == "audio") {
+        val ms = (r.media_id % 400 + 100).toInt
+        r.copy(payload = syntheticWav(r.media_id, ms),
+          meta_duration_ms = ms.toLong)
+      } else r
+    }
+  }
+
+  /** Both real-payload rewrites: image rasters + PCM audio. Video is
+    * the one remaining documented stub (the JDK ships no video codec).
+    */
+  def withRealMedia(media: Dataset[MediaRecord]): Dataset[MediaRecord] =
+    withRealAudio(withRealImages(media))
 
   /** Frame sampling. IMAGE payloads take the real path: decode the
     * raster, slice it into up to `maxFrames` horizontal strips (capped

@@ -130,6 +130,36 @@ class MultimodalSpec extends SparkSpec {
       assert(fs.length == math.min(16, heights(id)))
   }
 
+  test("real audio decode: rate, frame count, and descriptors from an actual WAV") {
+    val wav = Multimodal.syntheticWav(seed = 11L, ms = 250)
+    val (rate, frames, feat) = Multimodal.decodeAudio(wav)
+      .getOrElse(fail("synthetic WAV not decodable"))
+    assert(rate == 8000f)
+    assert(frames == 2000L) // 250 ms at 8 kHz
+    assert(feat(0) == 8f && math.abs(feat(1) - 0.25f) < 1e-6) // kHz + duration s
+    assert(feat(2) > 0.1f && feat(2) < 0.9f) // tone+noise RMS, sane range
+    assert(feat(3) > 0f && feat(3) < 1f)     // zero-crossing rate
+    assert(math.abs(feat.slice(4, 8).sum - 1f) < 1e-3) // energy quarters sum to 1
+    // determinism: regeneration decodes to identical features
+    assert(Multimodal.decodeAudio(Multimodal.syntheticWav(11L, 250))
+      .get._3.toSeq == feat.toSeq)
+    // non-audio bytes refuse cleanly
+    assert(Multimodal.decodeAudio("not a wav".getBytes).isEmpty)
+  }
+
+  test("extractFeatures takes the real decode path for audio payloads") {
+    val real = Multimodal.withRealMedia(media.limit(30))
+    val auds = real.filter($"kind" === "audio").collect()
+    assert(auds.nonEmpty)
+    val feats = Multimodal.extractFeatures(real)
+      .filter($"kind" === "audio").collect()
+    for (f <- feats) {
+      val rec = auds.find(_.media_id == f.media_id).get
+      assert(f.feature(0) == 8f) // decoded sample rate, not a byte hash
+      assert(math.abs(f.feature(1) - rec.meta_duration_ms / 1000f) < 1e-3)
+    }
+  }
+
   test("sampleFrames golden: fixed synthetic PNG yields byte-stable strips") {
     // Pins the whole decode→slice→re-encode path: any change to the
     // synthetic raster generator, the strip geometry, or the PNG
