@@ -343,25 +343,72 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_bytes")
   }
 
+  /** REAL audio downsample: decode PCM, keep every `factor`-th sample
+    * (decimation — the honest "resize" of the audio domain; a
+    * production pipeline would low-pass first), re-encode as WAV at
+    * `rate / factor`. Duration is preserved; returns the new payload
+    * and sample rate, or None for non-PCM payloads.
+    */
+  def resampleAudio(payload: Array[Byte], factor: Int): Option[(Array[Byte], Float)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian) None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val keep = (n + factor - 1) / factor
+        if (keep == 0) None
+        else {
+          val out = new Array[Byte](keep * 2)
+          var i = 0
+          while (i < keep) {
+            out(2 * i) = bytes(2 * i * factor)
+            out(2 * i + 1) = bytes(2 * i * factor + 1)
+            i += 1
+          }
+          val newRate = fmt.getSampleRate / factor
+          val ofmt = new javax.sound.sampled.AudioFormat(newRate, 16, 1, true, false)
+          val oais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(out), ofmt, keep.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(oais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          Some((baos.toByteArray, newRate))
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** Narrow per-row resize: image payloads go through the REAL
     * [[resizeImage]] (decode → bilinear scale → PNG re-encode, metadata
-    * updated to the actual output raster); non-image payloads fall back
-    * to the byte-domain stub downsample.
+    * updated to the actual output raster); audio payloads through the
+    * REAL [[resampleAudio]] (decode → decimate → WAV re-encode,
+    * duration preserved); remaining payloads (video) fall back to the
+    * byte-domain stub downsample.
     */
   def resize(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.map { r =>
-      (if (r.kind == "image") resizeImage(r.payload, factor) else None) match {
-        case Some((bytes, w, h)) =>
-          r.copy(payload = bytes, meta_width = w, meta_height = h)
-        case None =>
-          val down = r.payload.zipWithIndex.collect {
-            case (b, i) if i % factor == 0 => b
+      val real =
+        if (r.kind == "image")
+          resizeImage(r.payload, factor).map { case (bytes, w, h) =>
+            r.copy(payload = bytes, meta_width = w, meta_height = h)
           }
-          r.copy(
-            payload = down,
-            meta_width = math.max(1, r.meta_width / factor),
-            meta_height = math.max(1, r.meta_height / factor))
+        else if (r.kind == "audio")
+          resampleAudio(r.payload, factor).map { case (bytes, _) =>
+            r.copy(payload = bytes) // duration unchanged: fewer samples, lower rate
+          }
+        else None
+      real.getOrElse {
+        val down = r.payload.zipWithIndex.collect {
+          case (b, i) if i % factor == 0 => b
+        }
+        r.copy(
+          payload = down,
+          meta_width = math.max(1, r.meta_width / factor),
+          meta_height = math.max(1, r.meta_height / factor))
       }
     }
   }

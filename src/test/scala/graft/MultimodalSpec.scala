@@ -160,6 +160,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize really resamples audio payloads (decode of output confirms)") {
+    val wav = Multimodal.syntheticWav(seed = 5L, ms = 200) // 1600 frames @ 8 kHz
+    val (resampled, newRate) = Multimodal.resampleAudio(wav, 2)
+      .getOrElse(fail("resample refused a synthetic WAV"))
+    assert(newRate == 4000f)
+    val (rate, frames, feat) = Multimodal.decodeAudio(resampled)
+      .getOrElse(fail("resampled output not decodable"))
+    assert(rate == 4000f && frames == 800L)
+    assert(math.abs(feat(1) - 0.2f) < 1e-3) // duration preserved: 200 ms
+    // via the Dataset surface: audio rows keep their duration metadata
+    val rec = Multimodal.MediaRecord(3L, "audio", wav, 0, 0, 200L)
+    val out = Multimodal.resize(Seq(rec).toDS(), 2).head()
+    assert(out.meta_duration_ms == 200L)
+    assert(Multimodal.decodeAudio(out.payload).get._1 == 4000f)
+  }
+
   test("sampleFrames golden: fixed synthetic PNG yields byte-stable strips") {
     // Pins the whole decode→slice→re-encode path: any change to the
     // synthetic raster generator, the strip geometry, or the PNG
