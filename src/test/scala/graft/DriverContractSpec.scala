@@ -32,6 +32,14 @@ class DriverContractSpec extends AnyFunSuite {
       s"queries missing from SURVEY.md: ${undocumented.toSeq.sorted}")
   }
 
+  test("only the decode queries may lack an oracle") {
+    // every other query MUST ship DuckDB-checkable; a new query landing
+    // without its oracle shows up here, not as a silent rows-only row
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("media_features", "media_frames"),
+      s"unexpected oracle-less queries: ${noOracle.toSeq.sorted}")
+  }
+
   test("oracle SQL never reuses a lateral alias within one SELECT stage") {
     // DuckDB resolves lateral column aliases: reusing a source column's
     // name inside the same SELECT silently rebinds later references (a
