@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Sink surfaces (SURVEY.md §2.1 K1–K5).
@@ -75,6 +76,50 @@ object Sinks {
       df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** Morton/Z-value of two non-negative ints: interleave the low
+    * `bits` bits (a in even positions, b in odd). Pure codegen'd
+    * bit expression — 2·bits shift/mask terms.
+    */
+  private[graft] def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Layout: Z-ORDER the files on TWO columns so range/point filters
+    * on EITHER column skip most files (parquet min/max footer pruning —
+    * the multi-dimensional counterpart of [[writeBucketed]]'s same-key
+    * join locality and [[writePartitioned]]'s directory pruning). Each
+    * column is linearly normalized to `bits` bits via its global
+    * min/max (two scalars — a bounded driver read), the Morton
+    * interleave [[zValue]] gives the curve position, and
+    * `repartitionByRange` over it makes every output file a compact
+    * z-range — so per-file min/max envelopes stay narrow on BOTH
+    * dimensions at once, which a single-column sort can only give the
+    * leading dimension.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int, bits: Int = 12): Unit = {
+    val mm = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    val (loA, hiA, loB, hiB) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    val top = (1L << bits) - 1
+    // double-domain scaling: (v−lo)·top can overflow 64-bit for wide
+    // value ranges (ANSI would throw); the result stays ≤ top exactly
+    def norm(c: String, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else floor((col(c).cast("long") - lit(lo)).cast("double")
+        * lit(top.toDouble) / lit((hi - lo).toDouble)).cast("long")
+    df.withColumn("__z",
+        zValue(norm(colA, loA, hiA), norm(colB, loB, hiB), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Operational: small-file compaction. Incremental appends (K1
     * ticks) accumulate row-group-sized files; a table read through

@@ -125,6 +125,49 @@ class SchedulerSinksSpec extends SparkSpec {
     sched.stop()
   }
 
+  test("z-ordered layout skips files on BOTH dimensions; single-sort only on one") {
+    // two independent uniform dims — the adversarial case for
+    // single-column sorting
+    val d = (0L until 4096L).map(i => (i % 64, (i / 64) % 64)).toDF("a", "b")
+    def envelopes(dir: String): Seq[((Long, Long), (Long, Long))] = {
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+      files.map { f =>
+        import org.apache.spark.sql.functions.{max, min}
+        val r = spark.read.parquet(f)
+          .agg(min($"a"), max($"a"), min($"b"), max($"b")).head()
+        ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))
+      }
+    }
+    // fraction of files a point filter must read, averaged over values
+    def readFraction(env: Seq[((Long, Long), (Long, Long))],
+        pick: (((Long, Long), (Long, Long))) => (Long, Long)): Double =
+      (0L until 64L).map(v =>
+        env.count(e => pick(e)._1 <= v && v <= pick(e)._2).toDouble / env.size)
+        .sum / 64.0
+
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z")
+      .resolve("z.parquet").toString
+    graft.operators.Sinks.writeZOrdered(d, zDir, "a", "b", numFiles = 16, bits = 6)
+    val zEnv = envelopes(zDir)
+    assert(zEnv.size == 16)
+
+    val sDir = java.nio.file.Files.createTempDirectory("graft-s")
+      .resolve("s.parquet").toString
+    d.repartitionByRange(16, $"a").sortWithinPartitions("a")
+      .write.parquet(sDir)
+    val sEnv = envelopes(sDir)
+
+    // leading dim: both layouts skip well
+    assert(readFraction(sEnv, _._1) < 0.2)
+    assert(readFraction(zEnv, _._1) < 0.5)
+    // trailing dim: the sort layout reads EVERY file; z-order skips
+    assert(readFraction(sEnv, _._2) > 0.9)
+    assert(readFraction(zEnv, _._2) < 0.5)
+    // no data loss through the curve
+    assert(spark.read.parquet(zDir).count() == 4096)
+  }
+
   test("compact rewrites a fragmented directory into evenly-sized files, data intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")
       .resolve("t.parquet").toString
