@@ -63,6 +63,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late events from finalized windows (append mode)") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-late-ckpt").toString
+    def ts(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+    val schema = Seq((ts("10:30:00"), "t1", 1.0)).toDF("ts", "table", "value").schema
+    // one RESIDENT query: the watermark advances between micro-batches
+    // within the run (restart watermark recovery is a separate concern)
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val q = Streams.windowedActivity(stream, watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // batch 1: an event in the 10:00 window + a 12:30 event that
+      // advances the watermark past that window's end
+      Seq((ts("10:30:00"), "t1", 1.0), (ts("12:30:00"), "t1", 1.0))
+        .toDF("ts", "table", "value").write.parquet(s"$dir/b1.parquet")
+      q.processAllAvailable()
+      // batch 2: one LATE event inside the closed 10:00 window and one
+      // on-time event — the late one must be dropped, not resurrected
+      Seq((ts("10:15:00"), "t1", 99.0), (ts("12:45:00"), "t1", 1.0))
+        .toDF("ts", "table", "value").write.parquet(s"$dir/b2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_out")
+      .select($"w_start", $"n", $"total_value").collect()
+      .map(r => (r.getTimestamp(0).toString.substring(11, 13), r.getLong(1), r.getDouble(2)))
+    val w10 = out.filter(_._1 == "10")
+    // the finalized 10:00 window was emitted exactly once, WITHOUT the
+    // late 99.0 event (append mode re-emits nothing)
+    assert(w10.toSeq == Seq(("10", 1L, 1.0)), out.toSeq.toString)
+  }
+
   test("windowed activity: streaming result equals batch computation") {
     val events = sources.Readers.validChangeLog(spark, sfDir)
       .select("log_id", "rsbsa_no", "table", "ts", "value")
