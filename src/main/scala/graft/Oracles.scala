@@ -234,6 +234,34 @@ object Oracles {
        |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
        |            * CAST(n_docs AS DOUBLE) / CAST(total_dl AS DOUBLE)))""".stripMargin
 
+  /** Recursive-CTE connected components over the exact-Jaccard
+    * near-dup pairs of `documents`, ending in
+    * `comp(doc_id, component)`. Callers prepend `WITH RECURSIVE`.
+    */
+  private def componentCtes: String =
+    """tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(toks) - 3, 0) + 2),
+      |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2]))) AS shingles
+      |  FROM tok),
+      |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+      |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5),
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+      |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
+
   /** Bigram-LM cross-entropy CTE chain over `rel(doc_id, text)`,
     * ending in `lmscore(doc_id, n_bigrams, xent)` — see
     * `text_lm_score` for the determinism rules.
@@ -613,11 +641,11 @@ object Oracles {
         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
         |HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5""".stripMargin,
 
-    // Components of the near-dup pair graph, oracled by brute-force
-    // recursive-CTE reachability over the same exact-Jaccard pair set
-    // (component label = min reachable doc_id).
-    "dedup_components" ->
-      """WITH RECURSIVE tok AS (
+    // Directional containment: brute-force shared-shingle group-count,
+    // thresholded on |∩|/|inner| — single DOUBLE division, mirrored in
+    // the Spark filter (unrounded threshold, display-only round).
+    "dedup_containment" ->
+      """WITH tok AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
         |sh AS (
         |  SELECT doc_id,
@@ -625,20 +653,33 @@ object Oracles {
         |      range(1, greatest(len(toks) - 3, 0) + 2),
         |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2]))) AS shingles
         |  FROM tok),
-        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-        |  HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5),
-        |edges AS (
-        |  SELECT a_id AS u, b_id AS v FROM pairs
-        |  UNION SELECT b_id, a_id FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT DISTINCT u, u FROM edges
-        |  UNION
-        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
-        |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh)
+        |SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS inter,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(a.n_sh AS DOUBLE), 4) AS containment
+        |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.n_sh
+        |HAVING CAST(count(*) AS DOUBLE) / CAST(a.n_sh AS DOUBLE)
+        |  >= CAST(0.8 AS DOUBLE)""".stripMargin,
+
+    // Components of the near-dup pair graph, oracled by brute-force
+    // recursive-CTE reachability over the same exact-Jaccard pair set
+    // (component label = min reachable doc_id).
+    "dedup_components" ->
+      s"""WITH RECURSIVE $componentCtes
+         |SELECT doc_id, component FROM comp""".stripMargin,
+
+    // Leakage-safe split: near-duplicate CLUSTERS split as one unit —
+    // the split hash keys on the cluster's canonical id (component
+    // min; singletons are their own unit), so a near-dup of a train
+    // doc cannot land in val. Singleton assignments coincide with
+    // split_train_val by construction (same unsalted rule on the id).
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $componentCtes
+         |SELECT d.doc_id,
+         |  coalesce(c.component, d.doc_id) AS unit,
+         |  CASE WHEN substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 2) < 'e6'
+         |       THEN 'train' ELSE 'val' END AS split
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
 
     // Decontamination: 8-gram construction mirrors the shingle kernel's
     // short-doc trim (greatest(len-8,0)+1 grams, whole text when

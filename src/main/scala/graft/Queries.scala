@@ -399,6 +399,14 @@ object Queries {
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3, threshold = 0.5)
       .select("a_id", "b_id", "inter", "jaccard")
 
+  /** Directional shingle-containment pairs ≥ 0.8: documents
+    * substantially CONTAINED in another (quotes, boilerplate-wrapped
+    * mirrors) that symmetric Jaccard misses when the outer doc is much
+    * larger.
+    */
+  val dedupContainment: Q = (s, dir) =>
+    Dedup.containmentPairs(t(s, dir, "documents"), w = 3, threshold = 0.8)
+
   /** MinHash+LSH near-dup pairs (verified ≥ 0.5) — not SQL-expressible;
     * rows-only check, unit-tested against [[dedupNgramJaccard]].
     */
@@ -484,6 +492,24 @@ object Queries {
       col("doc_id"),
       when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "e6",
         "train").otherwise("val").as("split"))
+
+  /** Leakage-safe train/val split: near-duplicate CLUSTERS move as one
+    * unit — the split hash keys on `coalesce(component, doc_id)` (the
+    * cluster's canonical min id; singletons are their own unit), so a
+    * near-duplicate of a train document can never leak into val and
+    * contaminate evaluation. Uses the SAME rule as [[splitTrainVal]],
+    * so singleton assignments coincide — the two splits differ exactly
+    * on clustered documents.
+    */
+  val splitLeakageSafe: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val unit = coalesce(col("component"), col("doc_id"))
+    docs
+      .join(componentsOf(docs), Seq("doc_id"), "left")
+      .select(col("doc_id"), unit.as("unit"),
+        when(substring(md5(unit.cast("string").cast("binary")), 1, 2) < "e6",
+          "train").otherwise("val").as("split"))
+  }
 
   /** Concat-and-chunk sequence packing: where each document lands in
     * the fixed-2048-token pretraining layout. Distributed prefix sum —

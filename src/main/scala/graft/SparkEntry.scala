@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_exact" -> Queries.dedupExact,
     "dedup_exact_survivors" -> Queries.dedupExactSurvivors,
     "dedup_ngram_jaccard" -> Queries.dedupNgramJaccard,
+    "dedup_containment" -> Queries.dedupContainment,
     "dedup_minhash_lsh" -> Queries.dedupMinhashLsh,
     "dedup_simhash" -> Queries.dedupSimhash,
     "dedup_components" -> Queries.dedupComponents,
@@ -81,6 +82,7 @@ object SparkEntry {
     "text_fingerprint" -> Queries.textFingerprint,
     "text_winnow" -> Queries.textWinnow,
     "split_train_val" -> Queries.splitTrainVal,
+    "split_leakage_safe" -> Queries.splitLeakageSafe,
     "pack_chunks" -> Queries.packChunks,
     "pack_no_split" -> Queries.packNoSplit,
     "chunk_overlap" -> Queries.chunkOverlap,
