@@ -154,6 +154,68 @@ object Dedup {
       .drop("__j")
   }
 
+  // ------------------------------------------------- shingle containment
+
+  /** Asymmetric near-dup detection: shingle **containment**
+    * C(inner→outer) = |S_inner ∩ S_outer| / |S_inner| ≥ t flags a
+    * document substantially contained in another — quoted bodies,
+    * boilerplate-wrapped mirrors, syndicated articles inside portal
+    * pages — exactly the reuse symmetric Jaccard misses when the outer
+    * document is much larger (there J ≈ |A|/|B| → 0 however complete
+    * the copy). Output is directional: one `(inner_id, outer_id,
+    * inter, containment)` row per contained→containing pair; mutual
+    * containment (near-identical docs) emits both directions.
+    *
+    * Scale shape: the inner side reuses [[ngramJaccardPairs]]'s
+    * rarity-ordered prefix filter — C ≥ t forces ≥ ⌈t·|A|⌉ shared
+    * shingles, so under the global document-frequency order A's first
+    * |A| − ⌈t·|A|⌉ + 1 rarest shingles must hit the outer index.
+    * Containment bounds nothing on the OUTER side's size ratio, so no
+    * symmetric prefix exists: the outer side indexes all its shingles
+    * and only |B| ≥ ⌈t·|A|⌉ prunes (a bigger candidate join than the
+    * Jaccard path by construction, still shingle-keyed — never
+    * all-pairs, and AQE-splittable on hot shingles). Exact
+    * `array_intersect` verification keeps output identical to the
+    * naive form (DuckDB oracle `dedup_containment`).
+    */
+  def containmentPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.8): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val ex = docs
+      .select(col("doc_id"), nativeShingles(col("text"), w).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n_sh"),
+        explode(col("arr")).as("sh"))
+    // Same grouped-count document frequency as the Jaccard path (two-
+    // phase by construction; join-back AQE-skew-splittable).
+    val dfTable = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = ex.join(dfTable, Seq("sh"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col("doc_id").as("inner_id"), col("sh"), col("n_sh").as("inner_n"))
+    val index = ex.select(col("doc_id").as("outer_id"), col("sh"), col("n_sh").as("outer_n"))
+    val cands = prefix.join(index, Seq("sh"))
+      .filter(col("inner_id") =!= col("outer_id"))
+      // |S_inner ∩ S_outer| ≤ |S_outer|, so C ≥ t needs |B| ≥ t·|A|.
+      .filter(col("outer_n").cast("double")
+        >= lit(threshold) * col("inner_n").cast("double") - lit(1e-9))
+      .select("inner_id", "outer_id").distinct()
+    val arrs = docs.select(col("doc_id"), nativeShingles(col("text"), w).as("shingles"))
+    cands
+      .join(arrs.select(col("doc_id").as("inner_id"), col("shingles").as("in_sh")),
+        Seq("inner_id"))
+      .join(arrs.select(col("doc_id").as("outer_id"), col("shingles").as("out_sh")),
+        Seq("outer_id"))
+      .select(col("inner_id"), col("outer_id"),
+        size(array_intersect(col("in_sh"), col("out_sh"))).cast("long").as("inter"),
+        size(col("in_sh")).cast("long").as("inner_n"))
+      // Unrounded threshold for the same candidate/filter-agreement
+      // reason documented at [[verifyPairs]]; rounding is display only.
+      .withColumn("__c", col("inter").cast("double") / col("inner_n").cast("double"))
+      .filter(col("__c") >= threshold)
+      .withColumn("containment", round(col("__c"), 4))
+      .select("inner_id", "outer_id", "inter", "containment")
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** Universal-hash coefficients for the k MinHash permutations,

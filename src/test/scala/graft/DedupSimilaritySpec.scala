@@ -32,6 +32,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact) // 128 perms / 32 bands at jaccard≥0.5 → full recall here
   }
 
+  test("containment: quoted doc found inside a larger doc that Jaccard misses") {
+    val body = (0 until 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 until 20).map(i => s"w$i").mkString(" ") // contiguous slice
+    val d = Seq((1L, quote), (2L, body),
+      (3L, "unrelated text entirely different here")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, w = 3, threshold = 0.8)
+      .select("inner_id", "outer_id").as[(Long, Long)].collect().toSet
+    // directional: the quote is contained in the body, never the reverse
+    assert(got == Set((1L, 2L)))
+    // the symmetric Jaccard pass misses the same pair: J = 8/38 ≈ 0.21
+    assert(Dedup.ngramJaccardPairs(d, 3, 0.5).isEmpty)
+  }
+
+  test("containment matches brute force on the fixture corpus") {
+    val t = 0.8
+    val arrs = docs.select($"doc_id", Dedup.nativeShingles($"text", 3).as("sh"))
+    val brute = arrs.as("a").crossJoin(arrs.as("b"))
+      .filter($"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("inner_id"), $"b.doc_id".as("outer_id"),
+        size(array_intersect($"a.sh", $"b.sh")).cast("double").as("inter"),
+        size($"a.sh").cast("double").as("n"))
+      .filter($"inter" / $"n" >= t)
+      .select("inner_id", "outer_id").as[(Long, Long)].collect().toSet
+    val got = Dedup.containmentPairs(docs, 3, t)
+      .select("inner_id", "outer_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain contained docs")
+    assert(got == brute)
+  }
+
   test("decontamination: only w-gram-sharing test docs flagged, with counts") {
     val train = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
