@@ -1160,6 +1160,57 @@ object Oracles {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
          |FROM j""".stripMargin,
 
+    // Rolling z-score: sums on exact DECIMAL(18,2) (order-independent,
+    // so the segment-tree window here and Spark's running frame agree
+    // bit-for-bit); the FP steps after are the same expression tree as
+    // the Spark side, rounded once. Flag thresholds on the UNROUNDED z.
+    "ts_zscore" ->
+      s"""WITH e AS (
+         |  SELECT event_id AS log_id, user_id AS rsbsa_no, ts, value,
+         |    CAST(value AS DECIMAL(18,2)) AS dv
+         |  FROM events WHERE $V AND value IS NOT NULL),
+         |w AS (
+         |  SELECT log_id, rsbsa_no, ts, value,
+         |    count(dv) OVER fr AS n_base,
+         |    CAST(sum(dv) OVER fr AS DOUBLE) AS s,
+         |    CAST(sum(dv * dv) OVER fr AS DOUBLE) AS ss
+         |  FROM e
+         |  WINDOW fr AS (PARTITION BY rsbsa_no ORDER BY ts, log_id
+         |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         |z AS (
+         |  SELECT log_id, rsbsa_no, ts, value, n_base,
+         |    (value - s / CAST(n_base AS DOUBLE))
+         |      / sqrt((ss - s * s / CAST(n_base AS DOUBLE))
+         |             / (CAST(n_base AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS zr,
+         |    (ss - s * s / CAST(n_base AS DOUBLE))
+         |      / (CAST(n_base AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS vr
+         |  FROM w)
+         |SELECT log_id, rsbsa_no, ts, value, n_base,
+         |  round(zr, 4) AS z, abs(zr) > CAST(3.0 AS DOUBLE) AS is_anomaly
+         |FROM z WHERE n_base >= 10 AND vr > CAST(0.0 AS DOUBLE)""".stripMargin,
+
+    // Hourly OHLC: first/last made deterministic via row_number over
+    // the (ts, log_id) total order, mirrored exactly.
+    "ts_ohlc" ->
+      s"""WITH e AS (
+         |  SELECT event_type AS tbl, date_trunc('hour', ts) AS bucket,
+         |    ts, event_id AS log_id, value
+         |  FROM events WHERE $V AND value IS NOT NULL),
+         |r AS (
+         |  SELECT tbl, bucket, value,
+         |    row_number() OVER (PARTITION BY tbl, bucket
+         |      ORDER BY ts ASC, log_id ASC) AS rna,
+         |    row_number() OVER (PARTITION BY tbl, bucket
+         |      ORDER BY ts DESC, log_id DESC) AS rnd
+         |  FROM e)
+         |SELECT tbl AS "table", bucket,
+         |  max(CASE WHEN rna = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rnd = 1 THEN value END) AS close,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM r GROUP BY tbl, bucket""".stripMargin,
+
     "session_windows" ->
       s"""WITH e AS (SELECT user_id AS rsbsa_no, ts FROM events WHERE $V),
          |m AS (SELECT rsbsa_no, ts,
@@ -1237,6 +1288,18 @@ object Oracles {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "cube_revenue" ->
+      """SELECT r_name, o_orderpriority,
+        |  CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, o_orderpriority)""".stripMargin,
 
     "emb_norm_stats" ->
       """WITH q AS (

@@ -736,6 +736,25 @@ object Queries {
       .select(col("table"), col("bucket").as("w_start"),
         col("is_gap"), col("v_filled"))
 
+  /** Extension — rolling z-score anomaly detection per key: each event
+    * scored against its 20 preceding observations (self excluded);
+    * thin-baseline and zero-variance rows dropped. Exact decimal
+    * window sums + one fixed FP expression tree = bit-identical to the
+    * DuckDB oracle.
+    */
+  val tsZscore: Q = (s, dir) =>
+    graft.operators.TimeSeries.rollingZScore(
+      Readers.validChangeLog(s, dir),
+      key = "rsbsa_no", ts = "ts", tieBreak = "log_id", value = "value")
+
+  /** Extension — hourly OHLC candles per event table: deterministic
+    * first/last via the (ts, log_id) total order.
+    */
+  val tsOhlc: Q = (s, dir) =>
+    graft.operators.TimeSeries.ohlcHourly(
+      Readers.validChangeLog(s, dir),
+      key = "table", ts = "ts", tieBreak = "log_id", value = "value")
+
   /** Extension — gap-based sessionization (batch form of the
     * streaming `session_window`; the oracle reproduces the same
     * half-open semantics with lag + cumulative-sum session ids).
@@ -812,6 +831,28 @@ object Queries {
       .rollup(col("r_name"), col("n_name"))
       .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
         .as("revenue"))
+  }
+
+  /** Extension — full CUBE over (region, order priority) with explicit
+    * per-column grouping flags (portable across engines, unlike the
+    * bit-packed grouping_id): every marginal in one pass, shuffled
+    * once on the grouping-set key.
+    */
+  val cubeRevenue: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("o_orderpriority"))
+      .agg(
+        grouping(col("r_name")).cast("int").as("g_region"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("revenue"))
   }
 
   /** Extension — per-label embedding norm statistics (exact integer

@@ -118,6 +118,9 @@ object SparkEntry {
     "unpivot_counts" -> Queries.unpivotCounts,
     "f_string_funcs" -> Queries.fStringFuncs,
     "rollup_revenue" -> Queries.rollupRevenue,
+    "cube_revenue" -> Queries.cubeRevenue,
+    "ts_zscore" -> Queries.tsZscore,
+    "ts_ohlc" -> Queries.tsOhlc,
     "emb_norm_stats" -> Queries.embNormStats,
     "media_profile" -> Queries.mediaProfile,
     "media_features" -> Queries.mediaFeatures,

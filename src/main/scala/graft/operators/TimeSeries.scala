@@ -50,4 +50,81 @@ object TimeSeries {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("v")
   }
+
+  /** Rolling z-score anomaly detection: each observation scored against
+    * the mean/stddev of its key's `lookback` PRECEDING observations
+    * (current row excluded — an outlier must not dilute its own
+    * baseline). Rows with fewer than `minBaseline` priors or a
+    * degenerate (zero-variance) baseline are dropped: no score is
+    * honest there.
+    *
+    * Numeric contract (DuckDB oracle parity): the window sums run on
+    * exact DECIMAL(18,2) — order-independent, so Spark's running frame
+    * and DuckDB's segment tree agree bit-for-bit — and every floating
+    * step after them is ONE fixed expression tree evaluated identically
+    * on both engines (mean = s/n, var = (ss − s²/n)/(n−1), z =
+    * (v − mean)/√var), rounded once for display.
+    *
+    * Scale shape: one shuffle (hash by key for the window); the frame
+    * is a bounded `lookback` rows, so per-row cost is O(lookback) and
+    * per-key state is bounded regardless of key skew — a hot key costs
+    * one long sorted run, not a blow-up.
+    */
+  def rollingZScore(
+      events: DataFrame, key: String, ts: String, tieBreak: String,
+      value: String, lookback: Int = 20, minBaseline: Int = 10,
+      zThreshold: Double = 3.0): DataFrame = {
+    val fr = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+      .rowsBetween(-lookback, -1)
+    val dv = col(value).cast("decimal(18,2)")
+    val scored = events
+      .filter(col(value).isNotNull)
+      .select(col(tieBreak), col(key), col(ts), col(value),
+        count(dv).over(fr).as("n_base"),
+        sum(dv).over(fr).cast("double").as("__s"),
+        sum(dv * dv).over(fr).cast("double").as("__ss"))
+    val nd = col("n_base").cast("double")
+    val mean = col("__s") / nd
+    val variance = (col("__ss") - col("__s") * col("__s") / nd) / (nd - lit(1.0))
+    scored
+      .withColumn("__z", (col(value) - mean) / sqrt(variance))
+      .filter(col("n_base") >= minBaseline && variance > lit(0.0))
+      .select(col(tieBreak), col(key), col(ts), col(value), col("n_base"),
+        round(col("__z"), 4).as("z"),
+        (abs(col("__z")) > lit(zThreshold)).as("is_anomaly"))
+  }
+
+  /** OHLC downsampling: per key per hour, the open (first), high, low,
+    * close (last) of `value`, with event count and exact-decimal total
+    * — the standard lossy compaction from tick-level telemetry to
+    * chartable hourly candles. First/last are made deterministic by
+    * the `(ts, tieBreak)` total order, not arrival order.
+    *
+    * Scale shape: both row_number windows share one hash partitioning
+    * on (key, bucket) — a single shuffle, two in-partition sorts —
+    * and the final aggregation is map-side combinable on the same
+    * keys. Partitions are hour-bounded: skew caps at one key-hour.
+    */
+  def ohlcHourly(
+      events: DataFrame, key: String, ts: String, tieBreak: String,
+      value: String): DataFrame = {
+    val bucketed = events
+      .filter(col(value).isNotNull)
+      .withColumn("bucket", date_trunc("hour", col(ts)))
+    val asc = Window.partitionBy(col(key), col("bucket"))
+      .orderBy(col(ts).asc, col(tieBreak).asc)
+    val desc = Window.partitionBy(col(key), col("bucket"))
+      .orderBy(col(ts).desc, col(tieBreak).desc)
+    bucketed
+      .withColumn("__rna", row_number().over(asc))
+      .withColumn("__rnd", row_number().over(desc))
+      .groupBy(col(key), col("bucket"))
+      .agg(
+        max(when(col("__rna") === 1, col(value))).as("open"),
+        max(col(value)).as("high"),
+        min(col(value)).as("low"),
+        max(when(col("__rnd") === 1, col(value))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col(value).cast("decimal(18,2)")).cast("double").as("total"))
+  }
 }

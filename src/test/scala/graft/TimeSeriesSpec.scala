@@ -38,4 +38,54 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.count() == 2) // neither key inherits the other's span
     assert(out.filter(col("is_gap")).count() == 0)
   }
+
+  private def tsm(m: Int) = Timestamp.valueOf(f"2026-01-01 01:$m%02d:00")
+
+  test("rollingZScore flags a planted spike; baseline excludes the row itself") {
+    // 12 calm observations (alternating 10/12) then a spike of 100.
+    val calm = (0 until 12).map(i =>
+      (i.toLong, "A", tsm(i), if (i % 2 == 0) 10.0 else 12.0))
+    val e = (calm :+ (12L, "A", tsm(12), 100.0))
+      .toDF("id", "k", "t", "value")
+    val out = TimeSeries.rollingZScore(e, "k", "t", "id", "value",
+        lookback = 20, minBaseline = 10, zThreshold = 3.0)
+      .orderBy("id")
+      .select("id", "n_base", "is_anomaly")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // ids 0-9 have < 10 priors → dropped; 10, 11 calm; 12 is the spike
+    assert(out.map(_._1) == Seq(10L, 11L, 12L))
+    assert(out.map(_._3) == Seq(false, false, true))
+    // the spike's baseline is the 12 calm priors, itself excluded
+    assert(out.last._2 == 12L)
+    // calm series → z magnitudes ≈ 1; the spike is way out
+    val z = TimeSeries.rollingZScore(e, "k", "t", "id", "value")
+      .orderBy("id").select("z").as[Double].collect()
+    assert(math.abs(z(0)) < 1.5 && math.abs(z(1)) < 1.5 && z(2) > 10)
+  }
+
+  test("rollingZScore drops zero-variance baselines instead of dividing by zero") {
+    val e = ((0 until 11).map(i => (i.toLong, "A", tsm(i), 5.0))
+      :+ (11L, "A", tsm(11), 9.0)).toDF("id", "k", "t", "value")
+    // rows 10 (constant baseline) and 11 (constant baseline, jumped
+    // value) both sit on zero variance → both dropped
+    assert(TimeSeries.rollingZScore(e, "k", "t", "id", "value").isEmpty)
+  }
+
+  test("ohlcHourly: deterministic open/close under same-timestamp ties") {
+    val e = Seq(
+      // hour 1: ties on t resolved by id — open is id 0, close is id 3
+      (0L, "A", tsm(0), 4.0), (1L, "A", tsm(0), 9.0),
+      (2L, "A", tsm(30), 1.0), (3L, "A", tsm(30), 6.0),
+      // hour 2, key B: single event — open=high=low=close
+      (4L, "B", Timestamp.valueOf("2026-01-01 02:15:00"), 7.0))
+      .toDF("id", "k", "t", "value")
+    val out = TimeSeries.ohlcHourly(e, "k", "t", "id", "value")
+      .orderBy("k")
+      .select("k", "open", "high", "low", "close", "n_events", "total")
+      .as[(String, Double, Double, Double, Double, Long, Double)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("A", 4.0, 9.0, 1.0, 6.0, 4L, 20.0),
+      ("B", 7.0, 7.0, 7.0, 7.0, 1L, 7.0)))
+  }
 }
