@@ -1234,6 +1234,20 @@ object Oracles {
         |           / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0)) / 2, 4) AS quality
         |FROM documents""".stripMargin,
 
+    // Interval-join attribution: plain equi-join + half-open time band
+    // — the brute form of the watermarked stream-stream join.
+    "j6_click_attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, ts
+         |  FROM events WHERE $V),
+         |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+         |  FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+         |  FROM e WHERE event_type = 'click')
+         |SELECT v.user_id AS rsbsa_no, view_id, view_ts, click_id, click_ts
+         |FROM v JOIN c ON v.user_id = c.user_id
+         |  AND c.click_ts > v.view_ts
+         |  AND c.click_ts <= v.view_ts + INTERVAL 15 MINUTE""".stripMargin,
+
     "asof_join" ->
       s"""WITH j AS (
          |  SELECT e.event_id AS log_id, e.user_id AS rsbsa_no,

@@ -773,6 +773,26 @@ object Queries {
       col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
 
+  /** Extension — interval-join attribution: each view paired with the
+    * same user's clicks within the following 15 minutes. The batch
+    * face of [[graft.streaming.Streams.correlatedEvents]] — the SAME
+    * operator runs as a watermarked stream-stream join (watermarks
+    * no-op in batch), so the oracle here certifies both shapes'
+    * semantics.
+    */
+  val j6ClickAttribution: Q = (s, dir) => {
+    val ev = Readers.validChangeLog(s, dir)
+    graft.streaming.Streams.correlatedEvents(
+      ev.filter(col("table") === "view"),
+      ev.filter(col("table") === "click"),
+      maxDelay = "15 minutes")
+      .select(col("key").as("rsbsa_no"),
+        col("l_id").as("view_id"),
+        col("l_ts").cast("timestamp_ntz").as("view_ts"),
+        col("r_id").as("click_id"),
+        col("r_ts").cast("timestamp_ntz").as("click_ts"))
+  }
+
   /** Extension — as-of join: each change-log event aligned to the
     * latest order the same key placed at-or-before the event time.
     */

@@ -114,6 +114,7 @@ object SparkEntry {
     "ts_gapfill" -> Queries.tsGapfill,
     "text_quality_score" -> Queries.textQualityScore,
     "asof_join" -> Queries.asofJoin,
+    "j6_click_attribution" -> Queries.j6ClickAttribution,
     "pivot_counts" -> Queries.pivotCounts,
     "unpivot_counts" -> Queries.unpivotCounts,
     "f_string_funcs" -> Queries.fStringFuncs,

@@ -92,6 +92,44 @@ object Streams {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("rsbsa_no"), col("n_events"))
 
+  /** Watermarked stream-stream interval join (extension): pair each
+    * left event with the right-stream events for the same key landing
+    * in `(l_ts, l_ts + maxDelay]` — cause→effect correlation (an
+    * update followed by an error, an impression followed by a click)
+    * computed incrementally. Both sides carry watermarks and the join
+    * condition carries a closed time bound, so the state store is
+    * self-expiring: a buffered left row ages out once the right
+    * watermark passes `l_ts + maxDelay`, a right row once the left
+    * watermark passes its own join window. Without the bound the join
+    * state would grow forever — the time condition IS the retention
+    * policy, which is what makes this runnable as a resident query.
+    *
+    * `leftOuter = true` additionally emits unmatched left events (null
+    * right columns) once their match window is watermark-closed —
+    * "updates that never errored" — exactly-once, no resurrection.
+    */
+  def correlatedEvents(
+      left: DataFrame, right: DataFrame,
+      key: String = "rsbsa_no", maxDelay: String = "15 minutes",
+      watermark: String = "30 minutes", leftOuter: Boolean = false): DataFrame = {
+    val l = left
+      .withColumn("l_ts", col("ts").cast("timestamp"))
+      .withWatermark("l_ts", watermark)
+      .select(col(key).as("key"), col("l_ts"),
+        col("log_id").as("l_id"), col("table").as("l_table"))
+    val r = right
+      .withColumn("r_ts", col("ts").cast("timestamp"))
+      .withWatermark("r_ts", watermark)
+      .select(col(key).as("r_key"), col("r_ts"),
+        col("log_id").as("r_id"), col("table").as("r_table"))
+    l.join(r,
+      col("key") === col("r_key") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"),
+      if (leftOuter) "leftOuter" else "inner")
+      .drop("r_key")
+  }
+
   /** Log-file tail (R4/S10): parsed `[ts] message` stream; see
     * [[graft.sources.Readers.logStream]]. Convenience re-export.
     */

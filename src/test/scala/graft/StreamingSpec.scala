@@ -125,6 +125,45 @@ class StreamingSpec extends SparkSpec {
     assert(batchResult.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval join pairs across micro-batches; batch face agrees") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+    val dirV = java.nio.file.Files.createTempDirectory("graft-ssj-v").toString
+    val dirC = java.nio.file.Files.createTempDirectory("graft-ssj-c").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssj-ckpt").toString
+    def df(rows: Seq[(Long, Long, String, Timestamp)]) =
+      rows.toDF("log_id", "rsbsa_no", "table", "ts")
+    val schema = df(Seq((0L, 0L, "x", ts("00:00:00")))).schema
+    val views = spark.readStream.schema(schema).parquet(s"$dirV/*")
+    val clicks = spark.readStream.schema(schema).parquet(s"$dirC/*")
+    val q = Streams.correlatedEvents(views, clicks, maxDelay = "15 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val b1v = Seq((1L, 7L, "view", ts("10:00:00")))
+    val b1c = Seq((2L, 7L, "click", ts("10:05:00")),  // in-band match
+      (3L, 8L, "click", ts("10:05:00")))              // no view for user 8
+    val b2c = Seq((4L, 7L, "click", ts("10:10:00")),  // matches ACROSS batches
+      (5L, 7L, "click", ts("11:00:00")))              // outside the 15-min band
+    try {
+      df(b1v).write.parquet(s"$dirV/b1.parquet")
+      df(b1c).write.parquet(s"$dirC/b1.parquet")
+      q.processAllAvailable()
+      df(b2c).write.parquet(s"$dirC/b2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_out")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    // the buffered view from batch 1 still matches batch 2's click
+    assert(got == Set((1L, 2L), (1L, 4L)))
+    // the batch face — same operator, watermark no-ops — agrees exactly
+    val batch = Streams.correlatedEvents(
+        df(b1v), df(b1c ++ b2c), maxDelay = "15 minutes")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(batch == got)
+  }
+
   test("streaming replay drives an incremental merge (R2 end-to-end)") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-r2src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-r2ckpt").toString
