@@ -319,6 +319,26 @@ object Oracles {
       s"""WITH ${lmCtes("documents")}
          |SELECT doc_id, n_bigrams, xent FROM lmscore""".stripMargin,
 
+    // Quality banding: fixed xent cutoffs (DOUBLE-cast literals), then
+    // the salted ("qb:") hex-threshold keep rule per band — mirrors
+    // TextAnalysis.rateSampleKeep exactly (0.5 → 80000000, 0.1 →
+    // 19999999; head keeps all).
+    "corpus_quality_buckets" ->
+      s"""WITH ${lmCtes("documents")},
+         |b AS (
+         |  SELECT doc_id, xent,
+         |    CASE WHEN xent < CAST(3.39 AS DOUBLE) THEN 'head'
+         |         WHEN xent < CAST(3.42 AS DOUBLE) THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM lmscore)
+         |SELECT doc_id, xent, bucket,
+         |  CASE WHEN bucket = 'head' THEN TRUE
+         |       WHEN bucket = 'middle'
+         |         THEN substr(md5('qb:' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+         |       ELSE substr(md5('qb:' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+         |  END AS kept
+         |FROM b""".stripMargin,
+
     // BM25 top-20: every corpus statistic is an exact integer; the
     // per-doc double arithmetic is the SAME expression tree the engine
     // builds (term contributions added in declared order, literals

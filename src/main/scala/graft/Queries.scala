@@ -964,6 +964,15 @@ object Queries {
   val textLmScore: Q = (s, dir) =>
     TextAnalysis.lmCrossEntropy(t(s, dir, "documents"))
 
+  /** Extension — CCNet-style head/middle/tail quality banding with
+    * per-band sample rates (head 1.0, middle 0.5, tail 0.1); fixed
+    * band thresholds, salted hash sampling.
+    */
+  val corpusQualityBuckets: Q = (s, dir) =>
+    TextAnalysis.qualityBands(
+      TextAnalysis.lmCrossEntropy(t(s, dir, "documents")),
+      headMax = 3.39, middleMax = 3.42)
+
   /** Exact repeated-substring spans (Lee et al. 2021): maximal merged
     * runs of 8-gram positions whose gram occurs ≥ 2× corpus-wide.
     */

@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_span_removal" -> Queries.dedupSpanRemoval,
     "corpus_cap_source" -> Queries.corpusCapSource,
     "text_lm_score" -> Queries.textLmScore,
+    "corpus_quality_buckets" -> Queries.corpusQualityBuckets,
     "prepare_pretraining_full" -> Queries.preparePretrainingFull,
     "curate_corpus" -> Queries.curateCorpus,
     "prepare_pretraining" -> Queries.preparePretraining,

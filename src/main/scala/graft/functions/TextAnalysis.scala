@@ -385,6 +385,30 @@ object TextAnalysis {
           4).as("xent"))
   }
 
+  /** CCNet-style quality banding + per-band sampling over
+    * [[lmCrossEntropy]] scores: head/middle/tail by FIXED cross-entropy
+    * thresholds (the production CCNet shape — band cutoffs are
+    * precomputed constants from a reference distribution; banding by
+    * corpus quantiles instead would demand a global exact percentile,
+    * i.e. unbounded single-reduce state at 100 TB), then each band
+    * downsampled at its own rate via the salted ("qb:") deterministic
+    * hash rule, independent of the split/cap/mix decisions. Everything
+    * after the score is map-only — zero additional shuffles.
+    */
+  def qualityBands(
+      scored: DataFrame, headMax: Double, middleMax: Double,
+      headRate: Double = 1.0, middleRate: Double = 0.5,
+      tailRate: Double = 0.1): DataFrame = {
+    val bucket = when(col("xent") < headMax, "head")
+      .when(col("xent") < middleMax, "middle")
+      .otherwise("tail")
+    val salted = concat(lit("qb:"), col("doc_id").cast("string"))
+    scored.select(col("doc_id"), col("xent"), bucket.as("bucket"),
+      when(bucket === "head", rateSampleKeep(salted, headRate))
+        .when(bucket === "middle", rateSampleKeep(salted, middleRate))
+        .otherwise(rateSampleKeep(salted, tailRate)).as("kept"))
+  }
+
   /** PII redaction patterns, ordered (earlier patterns consume first).
     * Deliberately restricted to syntax valid AND equivalent in both
     * Java regex (Spark codegen'd `regexp_replace`) and RE2 (the DuckDB

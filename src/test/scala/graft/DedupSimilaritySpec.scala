@@ -663,6 +663,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((1L to 9L).forall(i => again(i) == scores(i)._2))
   }
 
+  test("qualityBands: fixed cutoffs band correctly; rates apply per band") {
+    import graft.functions.TextAnalysis
+    val scored = spark.range(0, 3000).toDF("doc_id")
+      .withColumn("xent",
+        when(col("doc_id") < 1000, 3.0)        // head
+          .when(col("doc_id") < 2000, 3.4)     // middle
+          .otherwise(5.0))                     // tail
+    val out = TextAnalysis.qualityBands(scored, headMax = 3.39, middleMax = 3.42)
+    val perBand = out.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("kept").cast("long")).as("k"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(perBand.keySet == Set("head", "middle", "tail"))
+    assert(perBand("head") == (1000L, 1000L))            // rate 1.0: all kept
+    assert(math.abs(perBand("middle")._2 - 500L) < 100)  // rate 0.5
+    assert(math.abs(perBand("tail")._2 - 100L) < 60)     // rate 0.1
+    // decisions are independent of the un-salted split/reweight rule
+    val plain = scored.filter(TextAnalysis.rateSampleKeep(col("doc_id"), 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    val mid = out.filter(col("bucket") === "middle" && col("kept"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(mid != plain.filter(id => id >= 1000 && id < 2000))
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
       .toDF("doc_id", "text")
