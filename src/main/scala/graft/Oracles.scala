@@ -319,6 +319,16 @@ object Oracles {
       s"""WITH ${lmCtes("documents")}
          |SELECT doc_id, n_bigrams, xent FROM lmscore""".stripMargin,
 
+    // Stratified sample: per-lang rank over the salted hash order.
+    "sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 16),
+        |               doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM r WHERE rn <= 50""".stripMargin,
+
     // Quality banding: fixed xent cutoffs (DOUBLE-cast literals), then
     // the salted ("qb:") hex-threshold keep rule per band — mirrors
     // TextAnalysis.rateSampleKeep exactly (0.5 → 80000000, 0.1 →

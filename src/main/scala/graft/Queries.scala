@@ -964,6 +964,21 @@ object Queries {
   val textLmScore: Q = (s, dir) =>
     TextAnalysis.lmCrossEntropy(t(s, dir, "documents"))
 
+  /** Extension — exact stratified sampling: 50 documents per language,
+    * selected by the salted ("strat:") deterministic hash order —
+    * balanced eval-set construction that is reproducible, subset-
+    * stable, and decorrelated from the split/cap/mix/band decisions.
+    * Rides the two-phase [[TextAnalysis.topKPerGroup]] engine: a
+    * dominant language pre-caps per partition, so the exact rank
+    * never sees a full stratum.
+    */
+  val sampleStratified: Q = (s, dir) =>
+    TextAnalysis.topKPerGroup(t(s, dir, "documents"), k = 50, group = "lang",
+      order = substring(md5(concat(lit("strat:"),
+        col("doc_id").cast("string")).cast("binary")), 1, 16),
+      id = col("doc_id"))
+      .select("doc_id", "lang", "source")
+
   /** Extension — CCNet-style head/middle/tail quality banding with
     * per-band sample rates (head 1.0, middle 0.5, tail 0.1); fixed
     * band thresholds, salted hash sampling.

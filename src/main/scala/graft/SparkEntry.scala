@@ -70,6 +70,7 @@ object SparkEntry {
     "corpus_cap_source" -> Queries.corpusCapSource,
     "text_lm_score" -> Queries.textLmScore,
     "corpus_quality_buckets" -> Queries.corpusQualityBuckets,
+    "sample_stratified" -> Queries.sampleStratified,
     "prepare_pretraining_full" -> Queries.preparePretrainingFull,
     "curate_corpus" -> Queries.curateCorpus,
     "prepare_pretraining" -> Queries.preparePretraining,

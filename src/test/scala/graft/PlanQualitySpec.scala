@@ -112,6 +112,23 @@ class PlanQualitySpec extends SparkSpec {
       p.take(800))
   }
 
+  test("interval join is key-partitioned with the time band as condition, never all-pairs") {
+    val p = planOf("j6_click_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("stratified sample rides the two-phase pre-cap (no full-stratum exact rank)") {
+    val p = planOf("sample_stratified")
+    assert(p.toUpperCase.contains("SPARK_PARTITION_ID"), p.take(1200))
+    val win = p.indexOf("Window")
+    val agg = p.indexOf("ObjectHashAggregate")
+    assert(win >= 0 && agg >= 0 && win < agg, p.take(1200))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1200))
+  }
+
   test("repeated-span detection: gram kernel upstream of the first exchange, no all-pairs") {
     val p = planOf("dedup_hot_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
