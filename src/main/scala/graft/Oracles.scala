@@ -628,6 +628,21 @@ object Oracles {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    // The salted join's oracle IS the plain join: salt changes reducer
+    // placement, never semantics.
+    "skew_salted_join" ->
+      s"""SELECT e.event_id AS log_id, e.user_id AS rsbsa_no,
+         |  e.event_type AS "table", c.c_name, c.c_mktsegment
+         |FROM (SELECT * FROM events WHERE $V) e
+         |JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    "w6_lag_delta" ->
+      s"""SELECT event_id AS log_id, user_id AS rsbsa_no, ts, value,
+         |  value - lag(value) OVER w AS value_delta,
+         |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS micros_since_prev
+         |FROM events WHERE $V AND value IS NOT NULL
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
     "agg_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50,

@@ -352,6 +352,37 @@ object Queries {
         col("total").cast("double").as("total_qty"))
   }
 
+  /** Extension — salted fact⋈dim equi-join for a skewed fact key:
+    * [[graft.operators.Skew.saltedJoin]] spreads each hot key over
+    * `factor` reducers by salting the fact and replicating the dim.
+    * Result is identical to the plain join (the oracle IS the plain
+    * join) — the salt changes placement, never semantics.
+    */
+  val skewSaltedJoin: Q = (s, dir) => {
+    val ev = Readers.validChangeLog(s, dir)
+      .select(col("log_id"), col("rsbsa_no"), col("table"))
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .withColumnRenamed("c_custkey", "rsbsa_no")
+    graft.operators.Skew.saltedJoin(ev, dim, "rsbsa_no", factor = 8)
+      .select("log_id", "rsbsa_no", "table", "c_name", "c_mktsegment")
+  }
+
+  /** Extension — per-key lead/lag telemetry deltas: value change and
+    * exact epoch-microsecond gap since the key's previous event (first
+    * event per key: nulls). Integer micros subtraction — no truncation
+    * semantics to disagree on across engines.
+    */
+  val w6LagDelta: Q = (s, dir) => {
+    val w = Window.partitionBy(col("rsbsa_no")).orderBy(col("ts"), col("log_id"))
+    val us = unix_micros(col("ts").cast("timestamp"))
+    Readers.validChangeLog(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("log_id"), col("rsbsa_no"), col("ts"), col("value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("value_delta"),
+        (us - lag(us, 1).over(w)).as("micros_since_prev"))
+  }
+
   /** Exact interpolated percentiles per group (statistical surface). */
   val aggPercentiles: Q = (s, dir) =>
     t(s, dir, "lineitem")

@@ -52,6 +52,8 @@ object SparkEntry {
     "agg_percentiles" -> Queries.aggPercentiles,
     "agg_approx_percentiles" -> Queries.aggApproxPercentiles,
     "skew_salted_agg" -> Queries.skewSaltedAgg,
+    "skew_salted_join" -> Queries.skewSaltedJoin,
+    "w6_lag_delta" -> Queries.w6LagDelta,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
     "dedup_exact_survivors" -> Queries.dedupExactSurvivors,
