@@ -1279,6 +1279,40 @@ object Oracles {
         |           / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0)) / 2, 4) AS quality
         |FROM documents""".stripMargin,
 
+    // Ordered funnel: each stage anchored strictly after the previous
+    // stage's first occurrence.
+    "funnel_conversion" ->
+      s"""WITH e AS (SELECT user_id, event_type, ts FROM events WHERE $V),
+         |v AS (SELECT user_id, min(ts) AS v_ts FROM e
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(ts) AS c_ts
+         |  FROM e JOIN v ON e.user_id = v.user_id
+         |  WHERE event_type = 'click' AND ts > v_ts GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(ts) AS p_ts
+         |  FROM e JOIN c ON e.user_id = c.user_id
+         |  WHERE event_type = 'purchase' AND ts > c_ts GROUP BY e.user_id)
+         |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+         |UNION ALL SELECT '2_click_after_view', count(*) FROM c
+         |UNION ALL SELECT '3_purchase_after_click', count(*) FROM p""".stripMargin,
+
+    // Weekly cohorts: exact integer week offsets from epoch-micros of
+    // week-truncated timestamps.
+    "cohort_retention" ->
+      s"""WITH e AS (SELECT user_id, event_type, ts FROM events WHERE $V),
+         |-- DuckDB date_trunc('week') yields DATE; cast back to match
+         |-- the engine's TIMESTAMP output
+         |coh AS (SELECT user_id,
+         |    CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+         |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+         |act AS (SELECT DISTINCT user_id,
+         |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week FROM e)
+         |SELECT cohort_week,
+         |  (epoch_us(act_week) - epoch_us(cohort_week)) // 604800000000 AS weeks_since,
+         |  count(*) AS n_active_users
+         |FROM act JOIN coh ON act.user_id = coh.user_id
+         |WHERE act_week >= cohort_week
+         |GROUP BY 1, 2""".stripMargin,
+
     // Interval-join attribution: plain equi-join + half-open time band
     // — the brute form of the watermarked stream-stream join.
     "j6_click_attribution" ->

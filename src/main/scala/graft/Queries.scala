@@ -804,6 +804,53 @@ object Queries {
       col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
 
+  /** Extension — ordered funnel conversion (view → click-after-view →
+    * purchase-after-click): stage k counts users whose stage-k event
+    * strictly follows their stage-(k−1) anchor, not merely coexists.
+    * Three keyed aggregates + two keyed joins — per-user state is one
+    * timestamp per stage, never an event list.
+    */
+  val funnelConversion: Q = (s, dir) => {
+    val ev = Readers.validChangeLog(s, dir)
+      .select(col("rsbsa_no"), col("table"), col("ts"))
+    val v = ev.filter(col("table") === "view")
+      .groupBy("rsbsa_no").agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("table") === "click").join(v, Seq("rsbsa_no"))
+      .filter(col("ts") > col("v_ts"))
+      .groupBy("rsbsa_no").agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("table") === "purchase").join(c, Seq("rsbsa_no"))
+      .filter(col("ts") > col("c_ts"))
+      .groupBy("rsbsa_no").agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click_after_view").as("stage"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase_after_click").as("stage"), col("n_users")))
+  }
+
+  /** Extension — weekly cohort retention: users bucketed by the week
+    * of their first signup; cell (cohort_week, weeks_since) counts
+    * distinct cohort members active that week. The week offset is an
+    * exact integer division of epoch-micros deltas between
+    * week-truncated timestamps — no cross-engine week-diff semantics.
+    */
+  val cohortRetention: Q = (s, dir) => {
+    val ev = Readers.validChangeLog(s, dir)
+    val cohort = ev.filter(col("table") === "signup")
+      .groupBy(col("rsbsa_no"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val weekUs = 604800000000L // 7 * 86400 * 1e6
+    ev.select(col("rsbsa_no"), date_trunc("week", col("ts")).as("act_week"))
+      .distinct()
+      .join(cohort, Seq("rsbsa_no"))
+      .filter(col("act_week") >= col("cohort_week"))
+      .withColumn("weeks_since",
+        expr(s"(unix_micros(CAST(act_week AS TIMESTAMP)) " +
+          s"- unix_micros(CAST(cohort_week AS TIMESTAMP))) div $weekUs"))
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(count(lit(1)).as("n_active_users"))
+  }
+
   /** Extension — interval-join attribution: each view paired with the
     * same user's clicks within the following 15 minutes. The batch
     * face of [[graft.streaming.Streams.correlatedEvents]] — the SAME

@@ -119,6 +119,8 @@ object SparkEntry {
     "text_quality_score" -> Queries.textQualityScore,
     "asof_join" -> Queries.asofJoin,
     "j6_click_attribution" -> Queries.j6ClickAttribution,
+    "funnel_conversion" -> Queries.funnelConversion,
+    "cohort_retention" -> Queries.cohortRetention,
     "pivot_counts" -> Queries.pivotCounts,
     "unpivot_counts" -> Queries.unpivotCounts,
     "f_string_funcs" -> Queries.fStringFuncs,
