@@ -901,6 +901,9 @@ object Oracles {
     "sim_cosine_topk" -> BRUTE_TOPK,
     "sim_lsh_topk" -> BRUTE_TOPK,
     "sim_ivf_topk" -> BRUTE_TOPK,
+    // Registered at candidates ≥ corpus (screening passes everything)
+    // → provably brute-equal; partial budgets are spec-tested.
+    "sim_rerank_topk" -> BRUTE_TOPK,
 
     "text_token_count" ->
       """SELECT doc_id,

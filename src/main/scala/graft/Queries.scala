@@ -1057,6 +1057,19 @@ object Queries {
       id = col("doc_id"))
       .select("doc_id", "lang", "source")
 
+  /** Extension — two-stage prefix-dimension rerank top-10. Registered
+    * with the candidate budget ≥ corpus so screening provably passes
+    * every vector and the output equals brute force (the same
+    * register-at-exact-settings convention as `sim_lsh_topk` /
+    * `sim_ivf_topk`); realistic partial-budget recall is pinned in
+    * `DedupSimilaritySpec` instead. NB these fixture embeddings are
+    * isotropic — real Matryoshka-trained embeddings front-load
+    * information, where a 16-of-64 screen recalls far better.
+    */
+  val simRerankTopk: Q = (s, dir) =>
+    Similarity.rerankTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
+      k = 10, prefixDims = 16, candidates = 1 << 20)
+
   /** Extension — CCNet-style head/middle/tail quality banding with
     * per-band sample rates (head 1.0, middle 0.5, tail 0.1); fixed
     * band thresholds, salted hash sampling.

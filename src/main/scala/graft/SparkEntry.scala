@@ -73,6 +73,7 @@ object SparkEntry {
     "text_lm_score" -> Queries.textLmScore,
     "corpus_quality_buckets" -> Queries.corpusQualityBuckets,
     "sample_stratified" -> Queries.sampleStratified,
+    "sim_rerank_topk" -> Queries.simRerankTopk,
     "prepare_pretraining_full" -> Queries.preparePretrainingFull,
     "curate_corpus" -> Queries.curateCorpus,
     "prepare_pretraining" -> Queries.preparePretraining,

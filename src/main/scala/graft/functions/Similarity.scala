@@ -77,6 +77,54 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Two-stage prefix-dimension rerank (Matryoshka-style screening):
+    * stage 1 scores the whole corpus against each query on only the
+    * first `prefixDims` components — a dot product dims/prefixDims×
+    * cheaper on the pass that actually reads the corpus — and keeps
+    * the `candidates` best per query by exact integer prefix dot
+    * (ties broken by id); stage 2 re-reads ONLY the candidate rows
+    * (semi-join back on id — the full vectors never ride the stage-1
+    * shuffle) and reranks them with the exact full-dimension cosine.
+    * Exact top-k iff the true winners survive screening; recall is a
+    * measured contract (`sim_rerank_contract`), not a guess.
+    */
+  def rerankTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      prefixDims: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, "screening must keep at least k candidates")
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val quant = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"))
+    val prefixed = quant.select(col("vec_id"),
+      slice(col("q"), 1, prefixDims).as("p"))
+    val queries = quant
+      .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        call_function("graft_norm_sq", col("q")).as("qn"),
+        slice(col("q"), 1, prefixDims).as("qp"))
+    val screenW = Window.partitionBy(col("qid"))
+      .orderBy(col("pdot").desc, col("nid"))
+    val cands = prefixed.crossJoin(broadcast(queries.select("qid", "qp")))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        call_function("graft_dot", col("p"), col("qp")).as("pdot"))
+      .withColumn("__srk", row_number().over(screenW))
+      .filter(col("__srk") <= candidates)
+      .select("qid", "nid")
+    val rerankW = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    cands
+      .join(quant.select(col("vec_id").as("nid"), col("q"),
+        call_function("graft_norm_sq", col("q")).as("nsq")), Seq("nid"))
+      .join(broadcast(queries.select("qid", "qv", "qn")), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        cosineFromInts(call_function("graft_dot", col("q"), col("qv")),
+          col("nsq"), col("qn")).as("cos"))
+      .withColumn("rank", row_number().over(rerankW))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Random-hyperplane signature: p sign bits packed into a long. The
     * hyperplane components are deterministic pseudo-random ±[0,1)
     * values derived from `md5("p_i")` (see

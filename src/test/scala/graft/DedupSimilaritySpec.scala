@@ -334,6 +334,31 @@ class DedupSimilaritySpec extends SparkSpec {
       .sameElements(Array(1, 2, 3, 4, 5)))
   }
 
+  test("prefix-dim rerank: full candidate budget equals brute force; recall grows with budget") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Similarity.bruteForceTopK(embs, qids, 10)
+    // candidates ≥ corpus → screening passes everything → brute-equal
+    val full = Similarity.rerankTopK(embs, qids, 10,
+      prefixDims = 16, candidates = 1 << 20)
+    assert(full.exceptAll(brute).isEmpty && brute.exceptAll(full).isEmpty)
+    // partial budgets: recall monotone in candidate budget, and any
+    // emitted cosine must equal the brute cosine for that pair (the
+    // rerank stage is exact — only screening can lose neighbors)
+    def hits(cand: Int): Long = {
+      val rr = Similarity.rerankTopK(embs, qids, 10, prefixDims = 16,
+        candidates = cand)
+      val wrong = rr.as("r")
+        .join(brute.as("b"), Seq("qid", "nid"), "left")
+        .filter($"b.cos".isNotNull && $"r.cos" =!= $"b.cos")
+      assert(wrong.count() == 0)
+      rr.select("qid", "nid").join(brute.select("qid", "nid"),
+        Seq("qid", "nid"), "left_semi").count()
+    }
+    val (h20, h80) = (hits(20), hits(80))
+    assert(h20 <= h80, s"recall fell with a larger budget: $h20 > $h80")
+    assert(h80 > 25, s"80-candidate screen should recall most of top-10: $h80/50")
+  }
+
   test("LSH top-k returns true neighbors from the same bucket (precision vs brute force)") {
     val brute = Similarity.bruteForceTopK(embs, Seq(0L, 1L, 2L, 3L, 4L), 10)
       .select("qid", "nid", "cos")
