@@ -1282,6 +1282,48 @@ object Oracles {
         |           / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0)) / 2, 4) AS quality
         |FROM documents""".stripMargin,
 
+    // SCD2: one lead() per (key, table) version chain.
+    "scd2_history" ->
+      s"""SELECT user_id AS rsbsa_no, event_type AS "table",
+         |  event_id AS version_id, ts AS valid_from,
+         |  lead(ts) OVER w AS valid_to,
+         |  lead(ts) OVER w IS NULL AS is_current
+         |FROM events WHERE $V
+         |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin,
+
+    // Reconciliation: full-outer key audit, presence flags → status.
+    "reconcile_sources" ->
+      s"""WITH e AS (SELECT DISTINCT user_id AS k FROM events WHERE $V),
+         |c AS (SELECT DISTINCT c_custkey AS k FROM customer)
+         |SELECT CASE WHEN e.k IS NOT NULL AND c.k IS NOT NULL THEN 'both'
+         |            WHEN e.k IS NOT NULL THEN 'events_only'
+         |            ELSE 'dim_only' END AS status,
+         |  count(*) AS n_keys
+         |FROM e FULL OUTER JOIN c ON e.k = c.k
+         |GROUP BY 1""".stripMargin,
+
+    // DQ profile: per-column counts; UNION ALL of four single-row
+    // aggregates (DuckDB reads the 10k-row fixture four times where
+    // the engine scans once — the oracle is brute, not the shape).
+    "dq_profile" ->
+      s"""WITH e AS (SELECT event_id AS log_id, user_id AS rsbsa_no,
+         |    event_type AS "table", value FROM events WHERE $V)
+         |SELECT 'log_id' AS "column", count(*) AS n_rows,
+         |  count(CASE WHEN log_id IS NULL THEN 1 END) AS n_null,
+         |  count(DISTINCT log_id) AS n_distinct FROM e
+         |UNION ALL
+         |SELECT 'rsbsa_no', count(*),
+         |  count(CASE WHEN rsbsa_no IS NULL THEN 1 END),
+         |  count(DISTINCT rsbsa_no) FROM e
+         |UNION ALL
+         |SELECT 'table', count(*),
+         |  count(CASE WHEN "table" IS NULL THEN 1 END),
+         |  count(DISTINCT "table") FROM e
+         |UNION ALL
+         |SELECT 'value', count(*),
+         |  count(CASE WHEN value IS NULL THEN 1 END),
+         |  count(DISTINCT value) FROM e""".stripMargin,
+
     // Ordered funnel: each stage anchored strictly after the previous
     // stage's first occurrence.
     "funnel_conversion" ->

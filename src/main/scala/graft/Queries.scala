@@ -804,6 +804,49 @@ object Queries {
       col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
 
+  /** Extension — SCD Type-2 dimension history from the change-log:
+    * each change becomes a version row with `[valid_from, valid_to)`
+    * bounds via one lead() per key (`valid_to` null = current). The
+    * standard warehouse shape for "what did this row look like on
+    * date X" — one key shuffle, no self-join.
+    */
+  val scd2History: Q = (s, dir) => {
+    val w = Window.partitionBy(col("rsbsa_no"), col("table"))
+      .orderBy(col("ts"), col("log_id"))
+    Readers.validChangeLog(s, dir).select(
+      col("rsbsa_no"), col("table"), col("log_id").as("version_id"),
+      col("ts").as("valid_from"),
+      lead(col("ts"), 1).over(w).as("valid_to"),
+      lead(col("ts"), 1).over(w).isNull.as("is_current"))
+  }
+
+  /** Extension — snapshot reconciliation: full-outer key audit between
+    * the change-log's users and the customer dimension — the
+    * every-nightly "did anything fall through the pipe" check.
+    */
+  val reconcileSources: Q = (s, dir) => {
+    val ev = Readers.validChangeLog(s, dir)
+      .select(col("rsbsa_no")).distinct().withColumn("in_events", lit(true))
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("rsbsa_no")).distinct()
+      .withColumn("in_dim", lit(true))
+    ev.join(dim, Seq("rsbsa_no"), "full_outer")
+      .select(
+        when(col("in_events").isNotNull && col("in_dim").isNotNull, "both")
+          .when(col("in_events").isNotNull, "events_only")
+          .otherwise("dim_only").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** Extension — single-pass data-quality profile of the change-log's
+    * queryable columns: row/null/distinct counts per column in ONE
+    * scan ([[graft.operators.Profile.profile]]).
+    */
+  val dqProfile: Q = (s, dir) =>
+    graft.operators.Profile.profile(
+      Readers.validChangeLog(s, dir),
+      Seq("log_id", "rsbsa_no", "table", "value"))
+
   /** Extension — ordered funnel conversion (view → click-after-view →
     * purchase-after-click): stage k counts users whose stage-k event
     * strictly follows their stage-(k−1) anchor, not merely coexists.

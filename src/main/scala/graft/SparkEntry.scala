@@ -121,6 +121,9 @@ object SparkEntry {
     "asof_join" -> Queries.asofJoin,
     "j6_click_attribution" -> Queries.j6ClickAttribution,
     "funnel_conversion" -> Queries.funnelConversion,
+    "scd2_history" -> Queries.scd2History,
+    "reconcile_sources" -> Queries.reconcileSources,
+    "dq_profile" -> Queries.dqProfile,
     "cohort_retention" -> Queries.cohortRetention,
     "pivot_counts" -> Queries.pivotCounts,
     "unpivot_counts" -> Queries.unpivotCounts,
