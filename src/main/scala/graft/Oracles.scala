@@ -234,6 +234,33 @@ object Oracles {
        |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
        |            * CAST(n_docs AS DOUBLE) / CAST(total_dl AS DOUBLE)))""".stripMargin
 
+  /** Rolling z-score CTE chain over `events`, ending in
+    * `z(log_id, rsbsa_no, ts, value, n_base, zr, vr)` — exact
+    * DECIMAL(18,2) window sums, one fixed FP tree (see `ts_zscore`).
+    * Callers prepend `WITH`.
+    */
+  private def zscoreCtes: String =
+    s"""e AS (
+       |  SELECT event_id AS log_id, user_id AS rsbsa_no, ts, value,
+       |    CAST(value AS DECIMAL(18,2)) AS dv
+       |  FROM events WHERE $V AND value IS NOT NULL),
+       |w AS (
+       |  SELECT log_id, rsbsa_no, ts, value,
+       |    count(dv) OVER fr AS n_base,
+       |    CAST(sum(dv) OVER fr AS DOUBLE) AS s,
+       |    CAST(sum(dv * dv) OVER fr AS DOUBLE) AS ss
+       |  FROM e
+       |  WINDOW fr AS (PARTITION BY rsbsa_no ORDER BY ts, log_id
+       |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+       |z AS (
+       |  SELECT log_id, rsbsa_no, ts, value, n_base,
+       |    (value - s / CAST(n_base AS DOUBLE))
+       |      / sqrt((ss - s * s / CAST(n_base AS DOUBLE))
+       |             / (CAST(n_base AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS zr,
+       |    (ss - s * s / CAST(n_base AS DOUBLE))
+       |      / (CAST(n_base AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS vr
+       |  FROM w)""".stripMargin
+
   /** Recursive-CTE connected components over the exact-Jaccard
     * near-dup pairs of `documents`, ending in
     * `comp(doc_id, component)`. Callers prepend `WITH RECURSIVE`.
@@ -1213,29 +1240,48 @@ object Oracles {
     // bit-for-bit); the FP steps after are the same expression tree as
     // the Spark side, rounded once. Flag thresholds on the UNROUNDED z.
     "ts_zscore" ->
-      s"""WITH e AS (
-         |  SELECT event_id AS log_id, user_id AS rsbsa_no, ts, value,
-         |    CAST(value AS DECIMAL(18,2)) AS dv
-         |  FROM events WHERE $V AND value IS NOT NULL),
-         |w AS (
-         |  SELECT log_id, rsbsa_no, ts, value,
-         |    count(dv) OVER fr AS n_base,
-         |    CAST(sum(dv) OVER fr AS DOUBLE) AS s,
-         |    CAST(sum(dv * dv) OVER fr AS DOUBLE) AS ss
-         |  FROM e
-         |  WINDOW fr AS (PARTITION BY rsbsa_no ORDER BY ts, log_id
-         |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
-         |z AS (
-         |  SELECT log_id, rsbsa_no, ts, value, n_base,
-         |    (value - s / CAST(n_base AS DOUBLE))
-         |      / sqrt((ss - s * s / CAST(n_base AS DOUBLE))
-         |             / (CAST(n_base AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS zr,
-         |    (ss - s * s / CAST(n_base AS DOUBLE))
-         |      / (CAST(n_base AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS vr
-         |  FROM w)
+      s"""WITH $zscoreCtes
          |SELECT log_id, rsbsa_no, ts, value, n_base,
          |  round(zr, 4) AS z, abs(zr) > CAST(3.0 AS DOUBLE) AS is_anomaly
          |FROM z WHERE n_base >= 10 AND vr > CAST(0.0 AS DOUBLE)""".stripMargin,
+
+    // Sliding 1h/30m windows: each event lands in exactly the two
+    // half-hour-aligned window starts covering it.
+    "window_sliding" ->
+      s"""WITH e AS (SELECT event_type AS tbl, ts, value FROM events WHERE $V),
+         |x AS (SELECT tbl, value,
+         |  unnest([time_bucket(INTERVAL '30 minutes', ts),
+         |          time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+         |    AS w_start
+         |  FROM e)
+         |SELECT w_start, w_start + INTERVAL 60 MINUTE AS w_end, tbl AS "table",
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM x GROUP BY tbl, w_start""".stripMargin,
+
+    // Analytics flagship: base rollup + anomaly counts (shared z-score
+    // chain), day kept DATE for the join, cast to TIMESTAMP once.
+    "daily_ops_report" ->
+      s"""WITH $zscoreCtes,
+         |an AS (
+         |  SELECT e2.event_type AS tbl, date_trunc('day', e2.ts) AS day,
+         |    count(*) AS n_anomalies
+         |  FROM (SELECT log_id FROM z
+         |        WHERE n_base >= 10 AND vr > CAST(0.0 AS DOUBLE)
+         |          AND abs(zr) > CAST(3.0 AS DOUBLE)) a
+         |  JOIN (SELECT event_id, event_type, ts FROM events WHERE $V) e2
+         |    ON e2.event_id = a.log_id
+         |  GROUP BY 1, 2),
+         |base AS (
+         |  SELECT event_type AS tbl, date_trunc('day', ts) AS day,
+         |    count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |    quantile_cont(value, 0.95) AS p95_value
+         |  FROM events WHERE $V GROUP BY 1, 2)
+         |SELECT base.tbl AS "table", CAST(base.day AS TIMESTAMP) AS day,
+         |  n_events, n_users, total_value, p95_value,
+         |  coalesce(n_anomalies, 0) AS n_anomalies
+         |FROM base LEFT JOIN an ON an.tbl = base.tbl AND an.day = base.day""".stripMargin,
 
     // Hourly OHLC: first/last made deterministic via row_number over
     // the (ts, log_id) total order, mirrored exactly.

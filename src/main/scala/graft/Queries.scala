@@ -767,6 +767,18 @@ object Queries {
       .select(col("table"), col("bucket").as("w_start"),
         col("is_gap"), col("v_filled"))
 
+  /** Extension — sliding (hopping) event-time windows: 1-hour windows
+    * every 30 minutes, so each event lands in exactly two overlapping
+    * windows — trend smoothing the tumbling face can't express.
+    */
+  val windowSliding: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("table"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("table"), col("n"), col("total_value"))
+
   /** Extension — rolling z-score anomaly detection per key: each event
     * scored against its 20 preceding observations (self excluded);
     * thin-baseline and zero-variance rows dropped. Exact decimal
@@ -803,6 +815,34 @@ object Queries {
     t(s, dir, "documents").select(
       col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  /** Extension — analytics flagship: per-(table, day) operations
+    * report composing counts, distinct users, exact-decimal totals,
+    * interpolated p95, and the day's anomaly count from
+    * [[graft.operators.TimeSeries.rollingZScore]] (anomalous events
+    * re-keyed to their table via log_id) — one composed plan.
+    */
+  val dailyOpsReport: Q = (s, dir) => {
+    val ev = Readers.validChangeLog(s, dir)
+    val base = ev
+      .groupBy(col("table"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("rsbsa_no")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        percentile(col("value"), lit(0.95)).as("p95_value"))
+    val anom = graft.operators.TimeSeries
+      .rollingZScore(ev, "rsbsa_no", "ts", "log_id", "value")
+      .filter(col("is_anomaly"))
+      .select(col("log_id"))
+      .join(ev.select(col("log_id"), col("table"), col("ts")), Seq("log_id"))
+      .groupBy(col("table"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_anomalies"))
+    base.join(anom, Seq("table", "day"), "left")
+      .select(col("table"), col("day"), col("n_events"), col("n_users"),
+        col("total_value"), col("p95_value"),
+        coalesce(col("n_anomalies"), lit(0L)).as("n_anomalies"))
+  }
 
   /** Extension — SCD Type-2 dimension history from the change-log:
     * each change becomes a version row with `[valid_from, valid_to)`

@@ -122,6 +122,8 @@ object SparkEntry {
     "j6_click_attribution" -> Queries.j6ClickAttribution,
     "funnel_conversion" -> Queries.funnelConversion,
     "scd2_history" -> Queries.scd2History,
+    "window_sliding" -> Queries.windowSliding,
+    "daily_ops_report" -> Queries.dailyOpsReport,
     "reconcile_sources" -> Queries.reconcileSources,
     "dq_profile" -> Queries.dqProfile,
     "cohort_retention" -> Queries.cohortRetention,
