@@ -160,6 +160,69 @@ object Streams {
       .filter(_._1 >= 0)
   }
 
+  /** Streaming rolling z-score — the incremental face of
+    * [[graft.operators.TimeSeries.rollingZScore]]: per key, a ring
+    * buffer of the last `lookback` observations (state = ≤ lookback
+    * longs of exact cents per key, never the events) scores each new
+    * observation against its priors, self excluded. Within a
+    * micro-batch rows are processed in (ts, log_id) order; across
+    * batches the contract is arrival order — a late event is scored
+    * against the state as it stands, not retro-inserted into history
+    * (the batch operator is the replayable source of truth for
+    * out-of-order data).
+    *
+    * Numeric parity with the batch operator is exact for in-order
+    * arrival: values are held as integer cents (the DECIMAL(18,2)
+    * cast's exact form), sums divided once by 100/10000 — IEEE
+    * division of an exact integer is the same correctly-rounded
+    * double as Spark's DECIMAL→DOUBLE cast — and the z expression
+    * tree is the batch operator's, rounded identically
+    * (`StreamingSpec` proves output equality on a chronological
+    * replay).
+    */
+  def anomalyStream(
+      log: DataFrame, lookback: Int = 20, minBaseline: Int = 10,
+      zThreshold: Double = 3.0)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double, Double, Boolean)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = log.sparkSession
+    import spark.implicits._
+    log
+      .filter(col("value").isNotNull)
+      .select(col("log_id").cast("long"), col("rsbsa_no").cast("long"),
+        unix_micros(col("ts").cast("timestamp")), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], (Long, Long, Double, Double, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[List[Long]]) =>
+          var ring = state.getOption.getOrElse(Nil) // oldest → newest cents
+          val out = rows.toSeq.sortBy(r => (r._3, r._1)).flatMap {
+            case (id, _, _, v) =>
+              val n = ring.size
+              val res =
+                if (n < minBaseline) None
+                else {
+                  val s = ring.sum.toDouble / 100.0
+                  val ss = ring.map(c => c * c).sum.toDouble / 10000.0
+                  val nd = n.toDouble
+                  val mean = s / nd
+                  val vr = (ss - s * s / nd) / (nd - 1.0)
+                  if (vr > 0.0) {
+                    val z = (v - mean) / math.sqrt(vr)
+                    val zr = BigDecimal(z)
+                      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                    Some((id, key, v, zr, math.abs(z) > zThreshold))
+                  } else None
+                }
+              ring = (ring :+ math.round(v * 100.0)).takeRight(lookback)
+              res
+          }
+          state.update(ring)
+          out.iterator
+      }
+  }
+
   /** Streaming near-duplicate filter — the incremental complement of
     * [[graft.functions.Dedup.simHashDuplicates]] for an ingest
     * pipeline: each micro-batch of documents is SimHash-fingerprinted

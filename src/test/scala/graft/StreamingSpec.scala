@@ -164,6 +164,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming z-score equals the batch operator on a chronological replay") {
+    import java.sql.Timestamp
+    def tsm(m: Int) = Timestamp.valueOf(f"2026-01-01 ${1 + m / 60}%02d:${m % 60}%02d:00")
+    // two keys: key 7 calm-then-spike, key 8 noisy ramp — enough rows
+    // that batches 1 and 2 both carry scored observations
+    val rows = (0 until 15).map(i =>
+      (i.toLong, 7L, "t", tsm(i), if (i == 14) 99.0 else if (i % 2 == 0) 10.0 else 12.3)) ++
+      (0 until 14).map(i => (100L + i, 8L, "t", tsm(i), 1.0 + i * 0.07))
+    val df = rows.toDF("log_id", "rsbsa_no", "table", "ts", "value")
+    val batch = graft.operators.TimeSeries
+      .rollingZScore(df, "rsbsa_no", "ts", "log_id", "value",
+        lookback = 8, minBaseline = 5)
+      .select("log_id", "z", "is_anomaly")
+      .as[(Long, Double, Boolean)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-zs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-zs-ckpt").toString
+    val stream = spark.readStream.schema(df.schema).parquet(s"$dir/*")
+    val q = Streams.anomalyStream(stream, lookback = 8, minBaseline = 5)
+      .toDF("log_id", "rsbsa_no", "value", "z", "is_anomaly")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("zs_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // chronological split: each key's earlier half, then the rest
+      val (b1, b2) = rows.partition(_._4.getTime < tsm(8).getTime)
+      b1.toDF("log_id", "rsbsa_no", "table", "ts", "value")
+        .write.parquet(s"$dir/b1.parquet")
+      q.processAllAvailable()
+      b2.toDF("log_id", "rsbsa_no", "table", "ts", "value")
+        .write.parquet(s"$dir/b2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("zs_out")
+      .select("log_id", "z", "is_anomaly")
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(streamed == batch, // bit-identical z, ring state carried across batches
+      s"stream=${streamed.toSeq.sortBy(_._1)}\nbatch=${batch.toSeq.sortBy(_._1)}")
+    assert(batch.exists(_._3), "fixture should contain an anomaly")
+  }
+
   test("streaming replay drives an incremental merge (R2 end-to-end)") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-r2src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-r2ckpt").toString
