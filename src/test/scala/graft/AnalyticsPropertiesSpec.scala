@@ -1,0 +1,139 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+import graft.functions.Dedup
+import graft.operators.TimeSeries
+
+/** Property-based invariants for the analytics/time-series family and
+  * the containment dedup, each cross-checked against an independent
+  * in-memory reference implementation on random inputs (same
+  * fixed-seed sampling convention as SpanPropertiesSpec).
+  */
+class AnalyticsPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7331L + i)))
+
+  // (id, key, minuteOffset, cents) — duplicate minutes exercise the
+  // (ts, id) tie-break; cents keep values exactly 2-decimal like the
+  // fixture's `value`.
+  private def seriesGen: Gen[Seq[(Long, Long, Int, Long)]] =
+    Gen.sequence[Seq[(Long, Long, Int, Long)], (Long, Long, Int, Long)](
+      (0 until 60).map { i =>
+        for {
+          key <- Gen.choose(1L, 3L)
+          m <- Gen.choose(0, 25)
+          cents <- Gen.choose(0L, 5000L)
+        } yield (i.toLong, key, m, cents)
+      })
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 01:$m%02d:00")
+
+  test("∀ random series: rollingZScore equals an O(n·lookback) reference") {
+    val (lookback, minBase) = (8, 4)
+    for (rows <- samples(seriesGen, 4)) {
+      val df = rows.map { case (id, k, m, c) => (id, k, ts(m), c / 100.0) }
+        .toDF("id", "k", "t", "value")
+      val got = TimeSeries.rollingZScore(df, "k", "t", "id", "value",
+          lookback = lookback, minBaseline = minBase)
+        .select("id", "n_base", "z", "is_anomaly")
+        .as[(Long, Long, Double, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+      // reference: per key in (ts, id) order, score vs previous ≤
+      // lookback cents; exact-cents sums ÷ 100 reproduce the
+      // DECIMAL→DOUBLE cast (proven equivalent in StreamingSpec)
+      val want = rows.groupBy(_._2).values.flatMap { g =>
+        val ordered = g.sortBy(r => (r._3, r._1))
+        ordered.zipWithIndex.flatMap { case ((id, _, _, c), i) =>
+          val base = ordered.slice(math.max(0, i - lookback), i).map(_._4)
+          val n = base.size
+          if (n < minBase) None
+          else {
+            val s = base.sum.toDouble / 100.0
+            val ss = base.map(x => x * x).sum.toDouble / 10000.0
+            val nd = n.toDouble
+            val mean = s / nd
+            val vr = (ss - s * s / nd) / (nd - 1.0)
+            if (vr > 0.0) {
+              val z = (c / 100.0 - mean) / math.sqrt(vr)
+              Some(id -> ((n.toLong,
+                BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble,
+                math.abs(z) > 3.0)))
+            } else None
+          }
+        }
+      }.toMap
+      assert(got == want)
+    }
+  }
+
+  test("∀ random series: ohlcHourly equals a per-bucket reference") {
+    for (rows <- samples(seriesGen, 4)) {
+      // spread minutes over two hours so buckets split
+      val df = rows.map { case (id, k, m, c) =>
+        (id, k, Timestamp.valueOf(f"2026-01-01 ${1 + m % 2}%02d:${m / 2}%02d:00"),
+          c / 100.0)
+      }.toDF("id", "k", "t", "value")
+      val got = TimeSeries.ohlcHourly(df, "k", "t", "id", "value")
+        .select("k", "bucket", "open", "high", "low", "close", "n_events")
+        .as[(Long, Timestamp, Double, Double, Double, Double, Long)]
+        .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+      val want = rows.map { case (id, k, m, c) =>
+        (id, k, 1 + m % 2, m / 2, c / 100.0)
+      }.groupBy { case (_, k, h, _, _) => (k, h) }.map { case ((k, h), g) =>
+        val ordered = g.sortBy { case (id, _, _, mi, _) => (mi, id) }
+        val vs = g.map(_._5)
+        (k, Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")) ->
+          ((ordered.head._5, vs.max, vs.min, ordered.last._5, g.size.toLong))
+      }
+      assert(got == want)
+    }
+  }
+
+  // Random corpora of per-doc-unique fillers with quote docs that are
+  // contiguous slices of a host doc: containment must find exactly the
+  // planted (quote → host) pairs — fillers are globally unique, so no
+  // other doc pair shares a shingle, and the host never reaches the
+  // threshold in the reverse direction (hosts are ≥ 3× longer).
+  private def quoteCorpusGen: Gen[Seq[(Long, String, Option[Long])]] =
+    Gen.sequence[Seq[(Long, String, Option[String])], (Long, String, Option[String])](
+      (0L until 6L).map { hostId =>
+        for {
+          n <- Gen.choose(24, 40)
+          quote <- Gen.oneOf(true, false)
+          start <- Gen.choose(0, 16)
+          len <- Gen.choose(5, 8)
+        } yield {
+          val toks = (0 until n).map(i => s"h${hostId}_$i")
+          val q = if (quote) Some(toks.slice(start, start + len)) else None
+          (hostId, toks.mkString(" "), q.map(_.mkString(" ")))
+        }
+      }).map { hosts =>
+      // hosts keep their full text; each quoted host also spawns a
+      // quote doc (id 100+host) whose text IS the slice, tagged with
+      // its source for the expected-pairs set
+      hosts.map { case (id, text, _) => (id, text, None: Option[Long]) } ++
+        hosts.collect { case (id, _, Some(q)) =>
+          (100L + id, q, Some(id): Option[Long])
+        }
+    }
+
+  test("∀ corpora with planted quotes: containment finds exactly the planted pairs") {
+    for (corpus <- samples(quoteCorpusGen, 4)) {
+      val docs = corpus.map { case (id, text, _) => (id, text) }
+        .toDF("doc_id", "text")
+      val want = corpus.collect { case (id, _, Some(host)) => (id, host) }.toSet
+      val got = Dedup.containmentPairs(docs, w = 3, threshold = 0.8)
+        .select("inner_id", "outer_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"want=$want got=$got")
+    }
+  }
+}
