@@ -733,6 +733,27 @@ object Oracles {
         |HAVING CAST(count(*) AS DOUBLE) / CAST(a.n_sh AS DOUBLE)
         |  >= CAST(0.8 AS DOUBLE)""".stripMargin,
 
+    // Containment pruning: survivors = docs never ≥ t-contained in
+    // another (same brute pair derivation, anti-joined).
+    "dedup_containment_survivors" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 3, 0) + 2),
+        |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2]))) AS shingles
+        |  FROM tok),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+        |contained AS (
+        |  SELECT a.doc_id
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh
+        |  HAVING CAST(count(*) AS DOUBLE) / CAST(a.n_sh AS DOUBLE)
+        |    >= CAST(0.8 AS DOUBLE))
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contained)""".stripMargin,
+
     // Components of the near-dup pair graph, oracled by brute-force
     // recursive-CTE reachability over the same exact-Jaccard pair set
     // (component label = min reachable doc_id).

@@ -438,6 +438,20 @@ object Queries {
   val dedupContainment: Q = (s, dir) =>
     Dedup.containmentPairs(t(s, dir, "documents"), w = 3, threshold = 0.8)
 
+  /** Extension — containment pruning: the corpus minus every document
+    * ≥ 0.8-contained in some other document (quotes and wrapped
+    * mirrors drop, their hosts survive). One anti join against the
+    * inner side of [[dedupContainment]].
+    */
+  val dedupContainmentSurvivors: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    docs.join(
+        Dedup.containmentPairs(docs, w = 3, threshold = 0.8)
+          .select(col("inner_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+  }
+
   /** MinHash+LSH near-dup pairs (verified ≥ 0.5) — not SQL-expressible;
     * rows-only check, unit-tested against [[dedupNgramJaccard]].
     */

@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_exact_survivors" -> Queries.dedupExactSurvivors,
     "dedup_ngram_jaccard" -> Queries.dedupNgramJaccard,
     "dedup_containment" -> Queries.dedupContainment,
+    "dedup_containment_survivors" -> Queries.dedupContainmentSurvivors,
     "dedup_minhash_lsh" -> Queries.dedupMinhashLsh,
     "dedup_simhash" -> Queries.dedupSimhash,
     "dedup_components" -> Queries.dedupComponents,
