@@ -206,6 +206,53 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_._3), "fixture should contain an anomaly")
   }
 
+  test("streaming z-score ring state survives a query restart (checkpoint recovery)") {
+    import java.sql.Timestamp
+    def tsm(m: Int) = Timestamp.valueOf(f"2026-01-01 01:$m%02d:00")
+    val rows = (0 until 12).map(i =>
+      (i.toLong, 7L, "t", tsm(i), if (i == 11) 77.0 else 5.0 + (i % 2)))
+    val df = rows.toDF("log_id", "rsbsa_no", "table", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zsr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-zsr-ckpt").toString
+    // memory sinks cannot recover a checkpoint — a restart test needs a
+    // durable (file) sink
+    val outDir = java.nio.file.Files.createTempDirectory("graft-zsr-out").toString
+    def start() = Streams.anomalyStream(
+        spark.readStream.schema(df.schema).parquet(s"$dir/*"),
+        lookback = 8, minBaseline = 5)
+      .toDF("log_id", "rsbsa_no", "value", "z", "is_anomaly")
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try {
+      rows.take(8).toDF("log_id", "rsbsa_no", "table", "ts", "value")
+        .write.parquet(s"$dir/b1.parquet")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // new query instance, same checkpoint: the ring (last 8 of batch 1)
+    // must be recovered, so batch 2's spike is scored against it
+    val q2 = start()
+    try {
+      rows.drop(8).toDF("log_id", "rsbsa_no", "table", "ts", "value")
+        .write.parquet(s"$dir/b2.parquet")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .select("log_id", "z", "is_anomaly")
+      .as[(Long, Double, Boolean)].collect().toSet
+    val batch = graft.operators.TimeSeries
+      .rollingZScore(df, "rsbsa_no", "ts", "log_id", "value",
+        lookback = 8, minBaseline = 5)
+      .select("log_id", "z", "is_anomaly")
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(got == batch,
+      s"restart lost ring state:\nstream=${got.toSeq.sortBy(_._1)}" +
+        s"\nbatch=${batch.toSeq.sortBy(_._1)}")
+    assert(got.exists(_._3), "the post-restart spike should flag")
+  }
+
   test("streaming replay drives an incremental merge (R2 end-to-end)") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-r2src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-r2ckpt").toString
