@@ -179,6 +179,19 @@ class PlanQualitySpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("scd2 history is one window pass — no self-join") {
+    val p = planOf("scd2_history")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("Window"), p.take(800))
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) == 1, p.take(800))
+  }
+
+  test("dq profile reads the table exactly once") {
+    val p = planOf("dq_profile")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p.take(1200))
+  }
+
   test("dedup components round plans no neighbor-list collection (min-agg only)") {
     import spark.implicits._
     val pairs = Seq((2L, 1L), (3L, 2L)).toDF("a_id", "b_id")
