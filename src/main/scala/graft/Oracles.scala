@@ -1349,6 +1349,20 @@ object Oracles {
         |           / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0)) / 2, 4) AS quality
         |FROM documents""".stripMargin,
 
+    // Left-outer interval join face: views with no in-band click.
+    "j6_unconverted_views" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, ts
+         |  FROM events WHERE $V),
+         |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+         |  FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id, ts AS click_ts
+         |  FROM e WHERE event_type = 'click')
+         |SELECT v.user_id AS rsbsa_no, view_id, view_ts
+         |FROM v LEFT JOIN c ON v.user_id = c.user_id
+         |  AND c.click_ts > v.view_ts
+         |  AND c.click_ts <= v.view_ts + INTERVAL 15 MINUTE
+         |WHERE c.click_ts IS NULL""".stripMargin,
+
     // SCD2: one lead() per (key, table) version chain.
     "scd2_history" ->
       s"""SELECT user_id AS rsbsa_no, event_type AS "table",

@@ -968,6 +968,22 @@ object Queries {
         col("r_ts").cast("timestamp_ntz").as("click_ts"))
   }
 
+  /** Extension — the interval join's left-outer face: views with NO
+    * same-user click in the following 15 minutes ("unconverted
+    * impressions" — in streaming these emit exactly-once as the
+    * watermark closes each view's match window).
+    */
+  val j6UnconvertedViews: Q = (s, dir) => {
+    val ev = Readers.validChangeLog(s, dir)
+    graft.streaming.Streams.correlatedEvents(
+      ev.filter(col("table") === "view"),
+      ev.filter(col("table") === "click"),
+      maxDelay = "15 minutes", leftOuter = true)
+      .filter(col("r_id").isNull)
+      .select(col("key").as("rsbsa_no"), col("l_id").as("view_id"),
+        col("l_ts").cast("timestamp_ntz").as("view_ts"))
+  }
+
   /** Extension — as-of join: each change-log event aligned to the
     * latest order the same key placed at-or-before the event time.
     */

@@ -121,6 +121,7 @@ object SparkEntry {
     "text_quality_score" -> Queries.textQualityScore,
     "asof_join" -> Queries.asofJoin,
     "j6_click_attribution" -> Queries.j6ClickAttribution,
+    "j6_unconverted_views" -> Queries.j6UnconvertedViews,
     "funnel_conversion" -> Queries.funnelConversion,
     "scd2_history" -> Queries.scd2History,
     "window_sliding" -> Queries.windowSliding,

@@ -189,13 +189,16 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .start()
     try {
-      // chronological split: each key's earlier half, then the rest
+      // chronological split: each key's earlier half, then the rest.
+      // coalesce(1) keeps each batch dir a single atomic rename — a
+      // live source listing must never see a half-committed batch
+      // (the z-score contract is arrival-order).
       val (b1, b2) = rows.partition(_._4.getTime < tsm(8).getTime)
       b1.toDF("log_id", "rsbsa_no", "table", "ts", "value")
-        .write.parquet(s"$dir/b1.parquet")
+        .coalesce(1).write.parquet(s"$dir/b1.parquet")
       q.processAllAvailable()
       b2.toDF("log_id", "rsbsa_no", "table", "ts", "value")
-        .write.parquet(s"$dir/b2.parquet")
+        .coalesce(1).write.parquet(s"$dir/b2.parquet")
       q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("zs_out")
@@ -227,18 +230,18 @@ class StreamingSpec extends SparkSpec {
       .start()
     val q1 = start()
     try {
+      // coalesce(1): one part file per batch dir, so a concurrent
+      // source listing can never see a half-committed batch
       rows.take(8).toDF("log_id", "rsbsa_no", "table", "ts", "value")
-        .write.parquet(s"$dir/b1.parquet")
+        .coalesce(1).write.parquet(s"$dir/b1.parquet")
       q1.processAllAvailable()
     } finally q1.stop()
-    // new query instance, same checkpoint: the ring (last 8 of batch 1)
-    // must be recovered, so batch 2's spike is scored against it
+    // batch 2 lands while NO query runs; the restarted query must
+    // recover the ring (last 8 of batch 1) to score it correctly
+    rows.drop(8).toDF("log_id", "rsbsa_no", "table", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/b2.parquet")
     val q2 = start()
-    try {
-      rows.drop(8).toDF("log_id", "rsbsa_no", "table", "ts", "value")
-        .write.parquet(s"$dir/b2.parquet")
-      q2.processAllAvailable()
-    } finally q2.stop()
+    try q2.processAllAvailable() finally q2.stop()
     val got = spark.read.parquet(outDir)
       .select("log_id", "z", "is_anomaly")
       .as[(Long, Double, Boolean)].collect().toSet
