@@ -356,6 +356,39 @@ object Oracles {
         |  FROM documents)
         |SELECT doc_id, lang, source FROM r WHERE rn <= 50""".stripMargin,
 
+    // PMI collocations: exact integer counts, ONE ratio inside ln
+    // (single division), unrounded (pmi, w1, w2) total order for the
+    // LIMIT — bit-exact against the engine.
+    "text_collocations" ->
+      """WITH tok AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |bg AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks)),
+        |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |    FROM tok WHERE len(toks) >= 2)),
+        |uni AS (
+        |  SELECT t AS w, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
+        |pairs AS (
+        |  SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY w1, w2
+        |  HAVING count(*) >= 5),
+        |tot AS (
+        |  SELECT (SELECT sum(c) FROM uni) AS n_tokens,
+        |         (SELECT count(*) FROM bg) AS n_bigrams),
+        |scored AS (
+        |  SELECT p.w1, p.w2, p.n_pair,
+        |    ln(CAST(p.n_pair AS DOUBLE) * CAST(t.n_tokens AS DOUBLE)
+        |       * CAST(t.n_tokens AS DOUBLE)
+        |       / (CAST(t.n_bigrams AS DOUBLE) * CAST(u1.c AS DOUBLE)
+        |          * CAST(u2.c AS DOUBLE))) AS pmi_raw
+        |  FROM pairs p
+        |  JOIN uni u1 ON u1.w = p.w1
+        |  JOIN uni u2 ON u2.w = p.w2
+        |  CROSS JOIN tot t)
+        |SELECT w1, w2, n_pair, round(pmi_raw, 4) AS pmi
+        |FROM scored ORDER BY pmi_raw DESC, w1, w2 LIMIT 20""".stripMargin,
+
     // Quality banding: fixed xent cutoffs (DOUBLE-cast literals), then
     // the salted ("qb:") hex-threshold keep rule per band — mirrors
     // TextAnalysis.rateSampleKeep exactly (0.5 → 80000000, 0.1 →

@@ -1155,6 +1155,10 @@ object Queries {
   val textLmScore: Q = (s, dir) =>
     TextAnalysis.lmCrossEntropy(t(s, dir, "documents"))
 
+  /** Extension — top-20 two-word collocations by PMI (pairs ≥ 5). */
+  val textCollocations: Q = (s, dir) =>
+    TextAnalysis.collocations(t(s, dir, "documents"), k = 20, minCount = 5)
+
   /** Extension — exact stratified sampling: 50 documents per language,
     * selected by the salted ("strat:") deterministic hash order —
     * balanced eval-set construction that is reproducible, subset-

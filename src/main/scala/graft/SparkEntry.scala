@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_span_removal" -> Queries.dedupSpanRemoval,
     "corpus_cap_source" -> Queries.corpusCapSource,
     "text_lm_score" -> Queries.textLmScore,
+    "text_collocations" -> Queries.textCollocations,
     "corpus_quality_buckets" -> Queries.corpusQualityBuckets,
     "sample_stratified" -> Queries.sampleStratified,
     "sim_rerank_topk" -> Queries.simRerankTopk,

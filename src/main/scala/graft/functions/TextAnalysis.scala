@@ -385,6 +385,52 @@ object TextAnalysis {
           4).as("xent"))
   }
 
+  /** PMI collocation extraction: the corpus's top-k two-word
+    * expressions by pointwise mutual information,
+    * `pmi = ln(p(w1,w2) / (p(w1)·p(w2)))` with `p(w1,w2)` over the
+    * bigram space and unigram probabilities over the token space —
+    * all counts exact integers, the log evaluated on one fixed ratio
+    * expression (single division), so the DuckDB oracle matches
+    * bit-for-bit. Rare-pair noise is cut by `minCount` BEFORE any
+    * join (PMI's classic failure mode: a hapax pair of two hapax
+    * words scores arbitrarily high — and pre-filtering also keeps
+    * the join input small at scale).
+    *
+    * Scale shape: bigram/unigram counts are map-side-combined
+    * groupBys; the surviving (≥ minCount) pairs join two 1-row-per-
+    * word count tables; totals ride in as a broadcast 1-row cross
+    * join; top-k is TakeOrdered under the deterministic
+    * (pmi desc, w1, w2) order — no global sort.
+    */
+  def collocations(docs: DataFrame, k: Int = 20, minCount: Int = 5): DataFrame = {
+    val toks = docs.select(split(lower(col("text")), "\\s+").as("toks"))
+    val bg = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val totals = uni.agg(sum(col("c")).as("n_tokens"))
+      .crossJoin(bg.agg(count(lit(1)).as("n_bigrams")))
+    val pmi = log(
+      col("n_pair").cast("double") * col("n_tokens").cast("double")
+        * col("n_tokens").cast("double")
+        / (col("n_bigrams").cast("double") * col("c1").cast("double")
+          * col("c2").cast("double")))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__pmi", pmi)
+      .orderBy(col("__pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(col("__pmi"), 4).as("pmi"))
+  }
+
   /** CCNet-style quality banding + per-band sampling over
     * [[lmCrossEntropy]] scores: head/middle/tail by FIXED cross-entropy
     * thresholds (the production CCNet shape — band cutoffs are
