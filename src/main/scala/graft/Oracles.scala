@@ -696,6 +696,16 @@ object Oracles {
          |FROM (SELECT * FROM events WHERE $V) e
          |JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
+    "w7_daily_share" ->
+      s"""WITH d AS (
+         |  SELECT event_type AS tbl,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+         |  FROM events WHERE $V GROUP BY 1, 2)
+         |SELECT tbl AS "table", day, n,
+         |  round(CAST(n AS DOUBLE)
+         |    / CAST(sum(n) OVER (PARTITION BY day) AS DOUBLE), 4) AS share
+         |FROM d""".stripMargin,
+
     "w6_lag_delta" ->
       s"""SELECT event_id AS log_id, user_id AS rsbsa_no, ts, value,
          |  value - lag(value) OVER w AS value_delta,
@@ -793,6 +803,13 @@ object Oracles {
     "dedup_components" ->
       s"""WITH RECURSIVE $componentCtes
          |SELECT doc_id, component FROM comp""".stripMargin,
+
+    // Cluster-size histogram over the same recursive-CTE components.
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $componentCtes,
+         |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY sz""".stripMargin,
 
     // Leakage-safe split: near-duplicate CLUSTERS split as one unit —
     // the split hash keys on the cluster's canonical id (component

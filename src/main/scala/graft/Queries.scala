@@ -368,6 +368,19 @@ object Queries {
       .select("log_id", "rsbsa_no", "table", "c_name", "c_mktsegment")
   }
 
+  /** Extension — percent-of-total window share: each table's share of
+    * its day's event volume (exact integer counts, one double
+    * division).
+    */
+  val w7DailyShare: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir)
+      .groupBy(col("table"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(
+        col("n").cast("double")
+          / sum(col("n")).over(Window.partitionBy(col("day"))).cast("double"),
+        4))
+
   /** Extension — per-key lead/lag telemetry deltas: value change and
     * exact epoch-microsecond gap since the key's previous event (first
     * event per key: nulls). Integer micros subtraction — no truncation
@@ -437,6 +450,17 @@ object Queries {
     */
   val dedupContainment: Q = (s, dir) =>
     Dedup.containmentPairs(t(s, dir, "documents"), w = 3, threshold = 0.8)
+
+  /** Extension — duplicate-cluster size histogram: how much of the
+    * near-dup graph is pairs vs pathological mega-clusters (the
+    * number that decides whether cluster collapse is safe to run
+    * blindly). Composes [[dedupComponents]]; singletons excluded.
+    */
+  val dedupClusterSizes: Q = (s, dir) =>
+    componentsOf(t(s, dir, "documents"))
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
 
   /** Extension — containment pruning: the corpus minus every document
     * ≥ 0.8-contained in some other document (quotes and wrapped

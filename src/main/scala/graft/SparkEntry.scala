@@ -54,12 +54,14 @@ object SparkEntry {
     "skew_salted_agg" -> Queries.skewSaltedAgg,
     "skew_salted_join" -> Queries.skewSaltedJoin,
     "w6_lag_delta" -> Queries.w6LagDelta,
+    "w7_daily_share" -> Queries.w7DailyShare,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
     "dedup_exact_survivors" -> Queries.dedupExactSurvivors,
     "dedup_ngram_jaccard" -> Queries.dedupNgramJaccard,
     "dedup_containment" -> Queries.dedupContainment,
     "dedup_containment_survivors" -> Queries.dedupContainmentSurvivors,
+    "dedup_cluster_sizes" -> Queries.dedupClusterSizes,
     "dedup_minhash_lsh" -> Queries.dedupMinhashLsh,
     "dedup_simhash" -> Queries.dedupSimhash,
     "dedup_components" -> Queries.dedupComponents,
