@@ -126,6 +126,48 @@ class AnalyticsPropertiesSpec extends SparkSpec {
         }
     }
 
+  // (id, key, minute, stage) random event streams for the funnel
+  private def funnelGen: Gen[Seq[(Long, Long, Int, String)]] =
+    Gen.sequence[Seq[(Long, Long, Int, String)], (Long, Long, Int, String)](
+      (0 until 80).map { i =>
+        for {
+          key <- Gen.choose(1L, 8L)
+          m <- Gen.choose(0, 50)
+          stage <- Gen.oneOf("view", "click", "purchase", "error")
+        } yield (i.toLong, key, m, stage)
+      })
+
+  test("∀ random event streams: funnel stage counts match an ordered reference") {
+    for (events <- samples(funnelGen, 4)) {
+      val df = events.map { case (id, k, m, st) => (id, k, st, ts(m), 1.0) }
+        .toDF("log_id", "rsbsa_no", "table", "ts", "value")
+      // the same three-aggregate plan shape as Queries.funnelConversion
+      // (which the oracle pins on the fixture); the property checks
+      // that this SHAPE implements the ordered-stage state machine
+      val v = df.filter($"table" === "view").groupBy("rsbsa_no")
+        .agg(min($"ts").as("v_ts"))
+      val c = df.filter($"table" === "click").join(v, Seq("rsbsa_no"))
+        .filter($"ts" > $"v_ts").groupBy("rsbsa_no").agg(min($"ts").as("c_ts"))
+      val p = df.filter($"table" === "purchase").join(c, Seq("rsbsa_no"))
+        .filter($"ts" > $"c_ts").groupBy("rsbsa_no").agg(min($"ts").as("p_ts"))
+      val got = (v.count(), c.count(), p.count())
+
+      // reference: per key, scan the (minute, id)-sorted stream with a
+      // 3-stage state machine anchored on strictly-later timestamps
+      val want = events.groupBy(_._2).values.map { g =>
+        val ordered = g.sortBy(r => (r._3, r._1))
+        val vT = ordered.collectFirst { case (_, _, m, "view") => m }
+        val cT = vT.flatMap(t0 =>
+          ordered.collectFirst { case (_, _, m, "click") if m > t0 => m })
+        val pT = cT.flatMap(t1 =>
+          ordered.collectFirst { case (_, _, m, "purchase") if m > t1 => m })
+        (vT.isDefined, cT.isDefined, pT.isDefined)
+      }.toSeq
+      assert(got == ((want.count(_._1).toLong, want.count(_._2).toLong,
+        want.count(_._3).toLong)))
+    }
+  }
+
   test("∀ corpora with planted quotes: containment finds exactly the planted pairs") {
     for (corpus <- samples(quoteCorpusGen, 4)) {
       val docs = corpus.map { case (id, text, _) => (id, text) }

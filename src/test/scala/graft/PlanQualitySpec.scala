@@ -179,6 +179,14 @@ class PlanQualitySpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("collocations: totals broadcast; top-k is TakeOrdered, no global sort") {
+    val p = planOf("text_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("scd2 history is one window pass — no self-join") {
     val p = planOf("scd2_history")
     assert(!p.contains("Join"), p.take(800))
