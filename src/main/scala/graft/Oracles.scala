@@ -696,6 +696,15 @@ object Oracles {
          |FROM (SELECT * FROM events WHERE $V) e
          |JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
+    // Behavior sequences: DuckDB's ordered list() mirrors the sorted
+    // collect; slice to the first 10 (ts, log_id)-ordered events.
+    "user_event_sequence" ->
+      s"""SELECT user_id AS rsbsa_no,
+         |  (list(event_type ORDER BY ts, event_id))[1:10] AS event_seq,
+         |  least(count(*), 10) AS seq_len
+         |FROM events WHERE $V
+         |GROUP BY user_id""".stripMargin,
+
     "w7_daily_share" ->
       s"""WITH d AS (
          |  SELECT event_type AS tbl,

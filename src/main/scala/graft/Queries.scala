@@ -368,6 +368,21 @@ object Queries {
       .select("log_id", "rsbsa_no", "table", "c_name", "c_mktsegment")
   }
 
+  /** Extension — behavior-sequence extraction: each user's first 10
+    * events as an ordered type array (the classic sequence feature fed
+    * to recommendation/embedding models). One map-side-combinable
+    * collect per user; the struct sort makes arrival order
+    * irrelevant — (ts, log_id) is the order, everywhere.
+    */
+  val userEventSequence: Q = (s, dir) =>
+    Readers.validChangeLog(s, dir)
+      .groupBy(col("rsbsa_no"))
+      .agg(slice(array_sort(collect_list(
+          struct(col("ts"), col("log_id"), col("table")))), 1, 10).as("__ev"))
+      .select(col("rsbsa_no"),
+        expr("transform(__ev, e -> e.table)").as("event_seq"),
+        size(col("__ev")).cast("long").as("seq_len"))
+
   /** Extension — percent-of-total window share: each table's share of
     * its day's event volume (exact integer counts, one double
     * division).

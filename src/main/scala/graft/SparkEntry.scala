@@ -55,6 +55,7 @@ object SparkEntry {
     "skew_salted_join" -> Queries.skewSaltedJoin,
     "w6_lag_delta" -> Queries.w6LagDelta,
     "w7_daily_share" -> Queries.w7DailyShare,
+    "user_event_sequence" -> Queries.userEventSequence,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
     "dedup_exact_survivors" -> Queries.dedupExactSurvivors,
