@@ -234,6 +234,22 @@ object Oracles {
        |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
        |            * CAST(n_docs AS DOUBLE) / CAST(total_dl AS DOUBLE)))""".stripMargin
 
+  /** Gap-based (30 min) sessionization CTE chain over `events`,
+    * ending in `s(rsbsa_no, ts, sid)`. Callers prepend `WITH` and
+    * aggregate per (rsbsa_no, sid).
+    */
+  private def sessionCtes: String =
+    s"""e AS (SELECT user_id AS rsbsa_no, ts FROM events WHERE $V),
+       |m AS (SELECT rsbsa_no, ts,
+       |  CASE WHEN lag(ts) OVER w IS NULL
+       |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+       |       ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY rsbsa_no ORDER BY ts)),
+       |s AS (SELECT rsbsa_no, ts,
+       |  sum(new_s) OVER (PARTITION BY rsbsa_no ORDER BY ts
+       |                   ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m)""".stripMargin
+
   /** Rolling z-score CTE chain over `events`, ending in
     * `z(log_id, rsbsa_no, ts, value, n_base, zr, vr)` — exact
     * DECIMAL(18,2) window sums, one fixed FP tree (see `ts_zscore`).
@@ -1386,19 +1402,25 @@ object Oracles {
          |FROM r GROUP BY tbl, bucket""".stripMargin,
 
     "session_windows" ->
-      s"""WITH e AS (SELECT user_id AS rsbsa_no, ts FROM events WHERE $V),
-         |m AS (SELECT rsbsa_no, ts,
-         |  CASE WHEN lag(ts) OVER w IS NULL
-         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
-         |       ELSE 0 END AS new_s
-         |  FROM e WINDOW w AS (PARTITION BY rsbsa_no ORDER BY ts)),
-         |s AS (SELECT rsbsa_no, ts,
-         |  sum(new_s) OVER (PARTITION BY rsbsa_no ORDER BY ts
-         |                   ROWS UNBOUNDED PRECEDING) AS sid
-         |  FROM m)
+      s"""WITH $sessionCtes
          |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
          |       rsbsa_no, count(*) AS n_events
          |FROM s GROUP BY rsbsa_no, sid""".stripMargin,
+
+    // Concurrent sessions: brute overlap left-join over the same
+    // session derivation (half-open [s_start, s_end) overlap, self
+    // excluded by the composite session id).
+    "concurrent_sessions" ->
+      s"""WITH $sessionCtes,
+         |sess AS (
+         |  SELECT rsbsa_no, min(ts) AS s_start,
+         |         max(ts) + INTERVAL 30 MINUTE AS s_end
+         |  FROM s GROUP BY rsbsa_no, sid)
+         |SELECT a.rsbsa_no, a.s_start, count(b.rsbsa_no) AS n_concurrent
+         |FROM sess a LEFT JOIN sess b
+         |  ON (b.rsbsa_no <> a.rsbsa_no OR b.s_start <> a.s_start)
+         |  AND a.s_start < b.s_end AND b.s_start < a.s_end
+         |GROUP BY a.rsbsa_no, a.s_start""".stripMargin,
 
     "text_quality_score" ->
       """SELECT doc_id,

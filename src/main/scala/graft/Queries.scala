@@ -863,6 +863,22 @@ object Queries {
         col("session_window.end").as("s_end"),
         col("rsbsa_no"), col("n_events"))
 
+  /** Extension — session concurrency: for each session, how many
+    * other sessions (any user) overlapped it in time — load analysis
+    * over the sessionized stream. Overlap detection is the binned
+    * interval join ([[graft.operators.IntervalJoin.overlapCount]]),
+    * never a nested-loop over all session pairs.
+    */
+  val concurrentSessions: Q = (s, dir) => {
+    val sess = Readers.validChangeLog(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("rsbsa_no"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("rsbsa_no"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"))
+    graft.operators.IntervalJoin.overlapCount(
+      sess, Seq("rsbsa_no", "s_start"), "s_start", "s_end")
+  }
+
   /** Extension — composite document quality score in [0,1]. */
   val textQualityScore: Q = (s, dir) =>
     t(s, dir, "documents").select(

@@ -121,6 +121,7 @@ object SparkEntry {
     // -- extensions: windows, grouping sets, embeddings, multimodal
     "window_tumbling" -> Queries.windowTumbling,
     "session_windows" -> Queries.sessionWindows,
+    "concurrent_sessions" -> Queries.concurrentSessions,
     "ts_gapfill" -> Queries.tsGapfill,
     "text_quality_score" -> Queries.textQualityScore,
     "asof_join" -> Queries.asofJoin,

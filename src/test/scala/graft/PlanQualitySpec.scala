@@ -179,6 +179,12 @@ class PlanQualitySpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("interval overlap join bins to an equi-join — no nested-loop over pairs") {
+    val p = planOf("concurrent_sessions")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
   test("collocations: totals broadcast; top-k is TakeOrdered, no global sort") {
     val p = planOf("text_collocations")
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))

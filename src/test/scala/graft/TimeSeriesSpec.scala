@@ -71,6 +71,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.rollingZScore(e, "k", "t", "id", "value").isEmpty)
   }
 
+  test("overlapCount: half-open overlap semantics, cross-bucket dedup, loners at zero") {
+    import graft.operators.IntervalJoin
+    def t(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+    val iv = Seq(
+      // A overlaps B (long interval spans many buckets — must count B once)
+      ("A", t("01:00:00"), t("05:00:00")),
+      ("B", t("02:30:00"), t("03:10:00")),
+      // C touches A end-to-start exactly: half-open => NOT overlapping
+      ("C", t("05:00:00"), t("06:00:00")),
+      // D is a loner
+      ("D", t("20:00:00"), t("20:30:00")))
+      .toDF("k", "s", "e")
+    val got = IntervalJoin.overlapCount(iv, Seq("k"), "s", "e")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 1L, "B" -> 1L, "C" -> 0L, "D" -> 0L))
+  }
+
   test("ohlcHourly: deterministic open/close under same-timestamp ties") {
     val e = Seq(
       // hour 1: ties on t resolved by id — open is id 0, close is id 3
