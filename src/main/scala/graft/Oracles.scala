@@ -372,6 +372,26 @@ object Oracles {
         |  FROM documents)
         |SELECT doc_id, lang, source FROM r WHERE rn <= 50""".stripMargin,
 
+    // Novelty: same string-shingle derivation as the Jaccard oracles;
+    // df over distinct per-doc grams, unique = df 1.
+    "text_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 3, 0) + 2),
+        |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2]))) AS shingles
+        |  FROM tok),
+        |ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        |df AS (SELECT g, count(*) AS c FROM ex GROUP BY g)
+        |SELECT ex.doc_id, count(*) AS n_grams,
+        |  count(CASE WHEN df.c = 1 THEN 1 END) AS n_unique,
+        |  round(CAST(count(CASE WHEN df.c = 1 THEN 1 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS novelty
+        |FROM ex JOIN df ON df.g = ex.g
+        |GROUP BY ex.doc_id""".stripMargin,
+
     // PMI collocations: exact integer counts, ONE ratio inside ln
     // (single division), unrounded (pmi, w1, w2) total order for the
     // LIMIT — bit-exact against the engine.

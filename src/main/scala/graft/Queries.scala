@@ -1210,6 +1210,28 @@ object Queries {
   val textLmScore: Q = (s, dir) =>
     TextAnalysis.lmCrossEntropy(t(s, dir, "documents"))
 
+  /** Extension — n-gram novelty: the fraction of each document's
+    * distinct 3-gram shingles that occur nowhere else in the corpus —
+    * high novelty flags original content, low novelty flags
+    * boilerplate/near-copies (the per-doc complement of the
+    * corpus-level hot-span view). One map-combined gram-count shuffle
+    * + an AQE-splittable join-back, the Jaccard path's df shape.
+    */
+  val textNovelty: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.plans.GraftFunctions.register(s)
+    val ex = docs.select(col("doc_id"),
+      explode(Dedup.nativeShingles(col("text"), 3)).as("sh"))
+    val df = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    ex.join(df, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") === 1).cast("long")).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_grams").cast("double"), 4)
+          .as("novelty"))
+  }
+
   /** Extension — top-20 two-word collocations by PMI (pairs ≥ 5). */
   val textCollocations: Q = (s, dir) =>
     TextAnalysis.collocations(t(s, dir, "documents"), k = 20, minCount = 5)

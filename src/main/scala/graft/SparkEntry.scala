@@ -76,6 +76,7 @@ object SparkEntry {
     "corpus_cap_source" -> Queries.corpusCapSource,
     "text_lm_score" -> Queries.textLmScore,
     "text_collocations" -> Queries.textCollocations,
+    "text_novelty" -> Queries.textNovelty,
     "corpus_quality_buckets" -> Queries.corpusQualityBuckets,
     "sample_stratified" -> Queries.sampleStratified,
     "sim_rerank_topk" -> Queries.simRerankTopk,
