@@ -392,6 +392,30 @@ object Oracles {
         |FROM ex JOIN df ON df.g = ex.g
         |GROUP BY ex.doc_id""".stripMargin,
 
+    // TF-IDF keywords: integer tf/df/N feed one division + one ln +
+    // one multiply (the PMI FP-parity pattern); rank on the UNROUNDED
+    // score with a term tiebreak; round once for display.
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      (ln((CAST(n.n_docs AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+        |          (CAST(dfc.df AS DOUBLE) + CAST(1.0 AS DOUBLE))) + CAST(1.0 AS DOUBLE))
+        |      AS score
+        |  FROM tf JOIN dfc USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, rn AS rnk, term, tf, df, round(score, 4) AS tfidf
+        |FROM r WHERE rn <= 5""".stripMargin,
+
     // PMI collocations: exact integer counts, ONE ratio inside ln
     // (single division), unrounded (pmi, w1, w2) total order for the
     // LIMIT — bit-exact against the engine.

@@ -1232,6 +1232,11 @@ object Queries {
           .as("novelty"))
   }
 
+  /** Extension — TF-IDF top-5 keywords per document (smooth idf,
+    * tf·idf ranking with term tiebreak). */
+  val textTfIdf: Q = (s, dir) =>
+    TextAnalysis.tfIdfKeywords(t(s, dir, "documents"), k = 5)
+
   /** Extension — top-20 two-word collocations by PMI (pairs ≥ 5). */
   val textCollocations: Q = (s, dir) =>
     TextAnalysis.collocations(t(s, dir, "documents"), k = 20, minCount = 5)

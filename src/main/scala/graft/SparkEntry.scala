@@ -77,6 +77,7 @@ object SparkEntry {
     "text_lm_score" -> Queries.textLmScore,
     "text_collocations" -> Queries.textCollocations,
     "text_novelty" -> Queries.textNovelty,
+    "text_tfidf" -> Queries.textTfIdf,
     "corpus_quality_buckets" -> Queries.corpusQualityBuckets,
     "sample_stratified" -> Queries.sampleStratified,
     "sim_rerank_topk" -> Queries.simRerankTopk,

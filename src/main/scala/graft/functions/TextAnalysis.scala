@@ -139,6 +139,44 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(topK)
 
+  /** TF-IDF keyword extraction: the k most characteristic terms per
+    * document. Smooth idf = ln((N+1)/(df+1)) + 1 (sklearn's
+    * `smooth_idf` convention — never divides by zero, floors at 1 so
+    * corpus-universal terms still rank by tf), score = tf · idf.
+    *
+    * Determinism across engines: the score is ONE fixed expression
+    * tree per (doc, term) — integer tf/df/N feed one division, one
+    * `ln`, one multiply (the PMI-collocation FP-parity pattern) — and
+    * ranking uses the UNROUNDED score with a term tiebreak; rounding
+    * is display-only.
+    *
+    * Scale shape: tf is a map-combined (doc_id, term) count; df is a
+    * map-combined recount of tf's keys; the df join-back is
+    * 1-row-per-term build side (hot stopwords AQE-split); N arrives
+    * via a broadcast 1-row aggregate, not a driver `count()`. The
+    * per-doc top-k is a doc-local window — Spark 4 inserts
+    * WindowGroupLimit, so each partition pre-filters to k before the
+    * shuffle and a million-term document never materializes its full
+    * ranked term list on one reducer.
+    */
+  def tfIdfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfc, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") *
+        (log((col("n_docs").cast("double") + lit(1.0)) /
+          (col("df").cast("double") + lit(1.0))) + lit(1.0)))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("tf"), col("df"), round(col("score"), 4).as("tfidf"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, A1.1 "repetition
     * removal", count-based variant): per document, the duplicate-token
     * fraction (1 − distinct/total) and the share of the most common

@@ -482,6 +482,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lang(1L) == "und") // no stopword hits
   }
 
+  test("tfIdfKeywords: distinctive terms outrank universal ones; k and idf floor hold") {
+    // 'zebra' appears only in doc 1; 'common' in every doc (idf floors
+    // at 1, so it ranks purely by tf and loses to the rarer term).
+    val d = Seq(
+      (1L, "common zebra common zebra zebra"),
+      (2L, "common alpha common alpha"),
+      (3L, "common beta beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfKeywords(d, k = 2)
+      .select($"doc_id", $"rnk", $"term", $"tf", $"df", $"tfidf")
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+    assert(out.length == 6) // 2 per doc
+    val top = out.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    assert(top == Map(1L -> "zebra", 2L -> "alpha", 3L -> "beta"))
+    // universal term: df = N → idf = ln(4/4) + 1 = 1 → score == tf
+    val common = out.find(r => r._1 == 3L && r._3 == "common").get
+    assert(common._4 == 1L && common._5 == 3L && common._6 == 1.0)
+    // per-doc ranks are dense starting at 1
+    assert(out.groupBy(_._1).values.forall(
+      _.map(_._2).sorted.sameElements(Seq(1L, 2L))))
+  }
+
   test("relational explodedShingles matches the column-level shingleHashes API") {
     import org.apache.spark.sql.functions.{col, explode}
     val d = docs.limit(100)
