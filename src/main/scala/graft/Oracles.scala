@@ -765,6 +765,24 @@ object Oracles {
          |FROM events WHERE $V
          |GROUP BY user_id""".stripMargin,
 
+    // Markov transitions: exact counts; window sum cast to BIGINT
+    // before the single double division (DuckDB window sums go
+    // HUGEINT).
+    "seq_transitions" ->
+      s"""WITH nxt AS (
+         |  SELECT event_type AS from_state,
+         |    lead(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+         |  FROM events WHERE $V),
+         |c AS (
+         |  SELECT from_state, to_state, count(*) AS n FROM nxt
+         |  WHERE to_state IS NOT NULL GROUP BY from_state, to_state)
+         |SELECT from_state, to_state, n,
+         |  round(CAST(n AS DOUBLE) /
+         |    CAST(CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT)
+         |      AS DOUBLE), 4) AS prob
+         |FROM c""".stripMargin,
+
     "w7_daily_share" ->
       s"""WITH d AS (
          |  SELECT event_type AS tbl,

@@ -383,6 +383,15 @@ object Queries {
         expr("transform(__ev, e -> e.table)").as("event_seq"),
         size(col("__ev")).cast("long").as("seq_len"))
 
+  /** Extension — first-order Markov transition matrix over each
+    * user's event-type sequence: counts + row-normalized
+    * probabilities for every observed (state → next state) step.
+    */
+  val seqTransitions: Q = (s, dir) =>
+    graft.operators.TimeSeries.transitionMatrix(
+      Readers.validChangeLog(s, dir),
+      key = "rsbsa_no", ts = "ts", id = "log_id", state = "table")
+
   /** Extension — percent-of-total window share: each table's share of
     * its day's event volume (exact integer counts, one double
     * division).

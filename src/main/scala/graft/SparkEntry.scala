@@ -56,6 +56,7 @@ object SparkEntry {
     "w6_lag_delta" -> Queries.w6LagDelta,
     "w7_daily_share" -> Queries.w7DailyShare,
     "user_event_sequence" -> Queries.userEventSequence,
+    "seq_transitions" -> Queries.seqTransitions,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
     "dedup_exact_survivors" -> Queries.dedupExactSurvivors,

@@ -18,6 +18,37 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** First-order Markov transition matrix over per-key event
+    * sequences: for every observed (state → next-state) step, the
+    * count and the row-normalized transition probability
+    * `P(to | from) = n / Σ_to n`. The standard summary fed to
+    * next-action models, anomaly scoring (improbable transitions),
+    * and funnel diagnostics.
+    *
+    * Determinism: counts are exact integers; the probability is ONE
+    * double division, rounded once for display.
+    *
+    * Scale shape: the `lead` window shuffles the stream once by key
+    * (key-local ordering, no global sort); the (from, to) count is
+    * map-side-combined onto |states|² keys, and the per-from
+    * normalizing sum is a window over those same few rows — nothing
+    * downstream of the first shuffle exceeds |states|² rows.
+    */
+  def transitionMatrix(
+      df: DataFrame, key: String, ts: String, id: String,
+      state: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    df.select(col(state).as("from_state"),
+        lead(col(state), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob", round(
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_state")))
+            .cast("double"), 4))
+  }
+
   /** Hourly grid per `key` over `[min(bucket), max(bucket)]` of that
     * key, `valueAgg` aggregated per occupied bucket, empty buckets
     * marked `is_gap` and forward-filled from the most recent occupied

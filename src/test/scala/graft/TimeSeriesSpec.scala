@@ -41,6 +41,25 @@ class TimeSeriesSpec extends SparkSpec {
 
   private def tsm(m: Int) = Timestamp.valueOf(f"2026-01-01 01:$m%02d:00")
 
+  test("transitionMatrix: per-key ordered steps, row-normalized probabilities") {
+    // user 1: a→b→a→b  (a→b ×2, b→a ×1); user 2: a→a→c (a→a, a→c)
+    val e = Seq(
+      (1L, 1L, ts(1), "a"), (1L, 2L, ts(2), "b"),
+      (1L, 3L, ts(3), "a"), (1L, 4L, ts(4), "b"),
+      (2L, 5L, ts(1), "a"), (2L, 6L, ts(2), "a"), (2L, 7L, ts(3), "c"),
+    ).toDF("k", "id", "t", "state")
+    val out = TimeSeries.transitionMatrix(e, "k", "t", "id", "state")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out == Map(
+      ("a", "b") -> (2L, 0.5), ("a", "a") -> (1L, 0.25),
+      ("a", "c") -> (1L, 0.25), ("b", "a") -> (1L, 1.0)))
+    // probabilities sum to 1 within each from_state
+    val sums = out.toSeq.groupBy(_._1._1)
+      .map { case (f, rs) => f -> rs.map(_._2._2).sum }
+    assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
   test("rollingZScore flags a planted spike; baseline excludes the row itself") {
     // 12 calm observations (alternating 10/12) then a spike of 100.
     val calm = (0 until 12).map(i =>
