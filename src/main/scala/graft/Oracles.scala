@@ -765,6 +765,24 @@ object Oracles {
          |FROM events WHERE $V
          |GROUP BY user_id""".stripMargin,
 
+    // Co-purchase: the capped sorted-prefix basket (rn <= 32) mirrors
+    // the engine's slice(array_sort(collect_set), 1, cap) exactly;
+    // (n DESC, pa, pb) is a unique total order for the LIMIT.
+    "graph_copurchase" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |r AS (SELECT l_orderkey, l_partkey, row_number() OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_partkey) AS rn FROM d),
+        |c AS (SELECT l_orderkey, l_partkey FROM r WHERE rn <= 32),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM c a
+        |  JOIN c b ON a.l_orderkey = b.l_orderkey
+        |          AND a.l_partkey < b.l_partkey),
+        |g AS (SELECT pa, pb, count(*) AS n FROM p GROUP BY pa, pb),
+        |t AS (SELECT * FROM g ORDER BY n DESC, pa, pb LIMIT 50)
+        |SELECT t.pa AS part_a, t.pb AS part_b,
+        |  na.p_name AS name_a, nb.p_name AS name_b, t.n
+        |FROM t JOIN part na ON na.p_partkey = t.pa
+        |       JOIN part nb ON nb.p_partkey = t.pb""".stripMargin,
+
     // Markov transitions: exact counts; window sum cast to BIGINT
     // before the single double division (DuckDB window sums go
     // HUGEINT).

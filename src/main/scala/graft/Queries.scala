@@ -383,6 +383,27 @@ object Queries {
         expr("transform(__ev, e -> e.table)").as("event_seq"),
         size(col("__ev")).cast("long").as("seq_len"))
 
+  /** Extension — market-basket co-purchase: top-50 part pairs by
+    * number of orders containing both, with part names. Baskets are
+    * capped (sorted prefix, cap=32 ≫ the fixture's max basket, so the
+    * cap is exact here) BEFORE pair expansion — the expansion is
+    * basket-local, never a self-join — and the name lookup joins the
+    * 50-row winners as the broadcast side against the big dimension.
+    */
+  val graphCopurchase: Q = (s, dir) => {
+    val top = graft.operators.Cooccur.pairCounts(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
+      .orderBy(col("n").desc, col("item_a"), col("item_b"))
+      .limit(50)
+    val part = t(s, dir, "part").select("p_partkey", "p_name")
+    val withA = part.join(broadcast(top), col("p_partkey") === col("item_a"))
+      .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+        col("p_name").as("name_a"), col("n"))
+    part.join(broadcast(withA), col("p_partkey") === col("part_b"))
+      .select(col("part_a"), col("part_b"), col("name_a"),
+        col("p_name").as("name_b"), col("n"))
+  }
+
   /** Extension — first-order Markov transition matrix over each
     * user's event-type sequence: counts + row-normalized
     * probabilities for every observed (state → next state) step.

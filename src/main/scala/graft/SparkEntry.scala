@@ -57,6 +57,7 @@ object SparkEntry {
     "w7_daily_share" -> Queries.w7DailyShare,
     "user_event_sequence" -> Queries.userEventSequence,
     "seq_transitions" -> Queries.seqTransitions,
+    "graph_copurchase" -> Queries.graphCopurchase,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
     "dedup_exact_survivors" -> Queries.dedupExactSurvivors,

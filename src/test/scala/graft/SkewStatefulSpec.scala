@@ -2,12 +2,32 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Skew
+import graft.operators.{Cooccur, Skew}
 import graft.streaming.Streams
 
 /** Skew utilities and stateful streaming dedup. */
 class SkewStatefulSpec extends SparkSpec {
   import spark.implicits._
+
+  test("Cooccur.pairCounts: exact pairs, dup-items collapse, cap bounds the hot basket") {
+    val rows = Seq(
+      (1L, 30L), (1L, 10L), (1L, 20L), (1L, 10L), // basket 1: {10,20,30}
+      (2L, 10L), (2L, 20L),                       // basket 2: {10,20}
+      (3L, 99L),                                  // loner: no pairs
+    ).toDF("b", "item")
+    val got = Cooccur.pairCounts(rows, $"b", $"item", cap = 32)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((10L, 20L) -> 2L, (10L, 30L) -> 1L, (20L, 30L) -> 1L))
+
+    // pathological basket: 100 items capped to 5 → C(5,2) = 10 pairs,
+    // and the kept prefix is the 5 SMALLEST items (sorted, deterministic)
+    val hot = (1 to 100).map(i => (7L, i.toLong)).toDF("b", "item")
+    val capped = Cooccur.pairCounts(hot, $"b", $"item", cap = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.length == 10)
+    assert(capped.flatMap(r => Seq(r._1, r._2)).toSet == (1L to 5L).toSet)
+  }
 
   test("saltedJoin equals plain join on skewed data (inner + left)") {
     // hot key: 5k rows on one key, trickle on others
