@@ -765,6 +765,40 @@ object Oracles {
          |FROM events WHERE $V
          |GROUP BY user_id""".stripMargin,
 
+    // RFM: integer recency (epoch µs) / frequency, DECIMAL-summed
+    // monetary cast to DOUBLE once; quantile_cont mirrors Spark
+    // percentile (the agg_percentiles parity pattern); scores compare
+    // against the same three cut points.
+    "rfm_segments" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m,
+        |    CAST(epoch_us(max(o_orderdate)) AS DOUBLE) AS rec
+        |  FROM orders GROUP BY o_custkey),
+        |q AS (
+        |  SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS rq,
+        |    quantile_cont(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS fq,
+        |    quantile_cont(m, [0.25, 0.5, 0.75]) AS mq
+        |  FROM base),
+        |s AS (
+        |  SELECT b.custkey, b.last_order, b.frequency, b.m,
+        |    1 + CAST(b.rec > q.rq[1] AS INTEGER)
+        |      + CAST(b.rec > q.rq[2] AS INTEGER)
+        |      + CAST(b.rec > q.rq[3] AS INTEGER) AS r_score,
+        |    1 + CAST(CAST(b.frequency AS DOUBLE) > q.fq[1] AS INTEGER)
+        |      + CAST(CAST(b.frequency AS DOUBLE) > q.fq[2] AS INTEGER)
+        |      + CAST(CAST(b.frequency AS DOUBLE) > q.fq[3] AS INTEGER) AS f_score,
+        |    1 + CAST(b.m > q.mq[1] AS INTEGER)
+        |      + CAST(b.m > q.mq[2] AS INTEGER)
+        |      + CAST(b.m > q.mq[3] AS INTEGER) AS m_score
+        |  FROM base b CROSS JOIN q)
+        |SELECT custkey, last_order, frequency, round(m, 2) AS monetary,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS segment
+        |FROM s""".stripMargin,
+
     // Co-purchase: the capped sorted-prefix basket (rn <= 32) mirrors
     // the engine's slice(array_sort(collect_set), 1, cap) exactly;
     // (n DESC, pa, pb) is a unique total order for the LIMIT.

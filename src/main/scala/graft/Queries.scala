@@ -383,6 +383,15 @@ object Queries {
         expr("transform(__ev, e -> e.table)").as("event_seq"),
         size(col("__ev")).cast("long").as("seq_len"))
 
+  /** Extension — RFM customer segmentation over orders: exact-quartile
+    * threshold scoring (broadcast 1-row cut points, no global ntile
+    * sort), DECIMAL-summed monetary, integer recency/frequency.
+    */
+  val rfmSegments: Q = (s, dir) =>
+    graft.operators.Profile.rfmSegments(
+      t(s, dir, "orders"), key = "o_custkey", ts = "o_orderdate",
+      amount = "o_totalprice")
+
   /** Extension — market-basket co-purchase: top-50 part pairs by
     * number of orders containing both, with part names. Baskets are
     * capped (sorted prefix, cap=32 ≫ the fixture's max basket, so the

@@ -58,6 +58,7 @@ object SparkEntry {
     "user_event_sequence" -> Queries.userEventSequence,
     "seq_transitions" -> Queries.seqTransitions,
     "graph_copurchase" -> Queries.graphCopurchase,
+    "rfm_segments" -> Queries.rfmSegments,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
     "dedup_exact_survivors" -> Queries.dedupExactSurvivors,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling: per-column row/null/distinct counts, the
@@ -9,6 +9,55 @@ import org.apache.spark.sql.functions._
   * queries around `services/etlService.js` extracts).
   */
 object Profile {
+
+  /** RFM (recency / frequency / monetary) customer segmentation: per
+    * key, the classic three behavioral metrics, each scored 1–4 by
+    * which exact quartile of the population the value falls in
+    * (higher = better), plus the concatenated segment code
+    * ("444" = champion).
+    *
+    * Scoring is THRESHOLD-based, not `ntile`: quartile cut points
+    * come from one exact-percentile aggregate (a 1-row broadcast) and
+    * each row scores itself by comparison — map-only after the per-key
+    * aggregate. A global `ntile` window would funnel every customer
+    * through ONE unpartitioned sort at 100 TB; thresholds scale
+    * freely (the semantic difference: ties straddling a cut land in
+    * the same bucket rather than being split arbitrarily — the better
+    * behavior anyway).
+    *
+    * Determinism: recency is integer epoch-micros; frequency is an
+    * integer count; monetary is summed in DECIMAL(18,2) (order-
+    * independent) and cast to double ONCE; quartile interpolation and
+    * the >-comparisons are the same IEEE arithmetic in any engine
+    * (the `agg_percentiles` parity pattern). Rounding is display-only.
+    */
+  def rfmSegments(df: DataFrame, key: String, ts: String,
+      amount: String): DataFrame = {
+    val base = df.groupBy(col(key).as("custkey"))
+      .agg(max(col(ts)).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col(amount).cast("decimal(18,2)")).as("__mdec"))
+      .select(col("custkey"), col("last_order"), col("frequency"),
+        col("__mdec").cast("double").as("__monetary"),
+        unix_micros(col("last_order").cast("timestamp")).as("__rec_us"))
+    val th = base.agg(
+      expr("percentile(__rec_us, array(0.25D, 0.5D, 0.75D))").as("__rq"),
+      expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").as("__fq"),
+      expr("percentile(__monetary, array(0.25D, 0.5D, 0.75D))").as("__mq"))
+    def score(v: Column, q: Column): Column =
+      (lit(1) + (v > element_at(q, 1)).cast("int")
+        + (v > element_at(q, 2)).cast("int")
+        + (v > element_at(q, 3)).cast("int"))
+    base.crossJoin(broadcast(th))
+      .withColumn("r_score", score(col("__rec_us").cast("double"), col("__rq")))
+      .withColumn("f_score", score(col("frequency").cast("double"), col("__fq")))
+      .withColumn("m_score", score(col("__monetary"), col("__mq")))
+      .select(col("custkey"), col("last_order"), col("frequency"),
+        round(col("__monetary"), 2).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+  }
 
   /** Profile `cols` of `df` in ONE scan: a single aggregate computes
     * every column's counts side by side, then an inline explode

@@ -21,6 +21,36 @@ class ProfileSpec extends SparkSpec {
       "s" -> ((4L, 1L, 2L))))
   }
 
+  test("rfmSegments: quartile thresholds score 1-4, ties share a bucket, decimal-exact monetary") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 00:00:00")
+    // 4 customers with strictly increasing recency/frequency/monetary
+    // → scores 1,2,3,4 on every axis; customer 5 ties customer 4's
+    // monetary exactly (same bucket, not an arbitrary ntile split).
+    val orders = (
+      (1 to 1).map(_ => (1L, ts(1), 10.0)) ++
+      (1 to 2).map(_ => (2L, ts(2), 20.0)) ++
+      (1 to 3).map(_ => (3L, ts(3), 30.0)) ++
+      (1 to 4).map(_ => (4L, ts(4), 40.0)) ++
+      (1 to 4).map(_ => (5L, ts(4), 40.0))
+    ).toDF("k", "t", "amt").withColumn("t", $"t".cast("timestamp_ntz"))
+    val got = Profile.rfmSegments(orders, "k", "t", "amt")
+      .as[(Long, Timestamp, Long, Double, Int, Int, Int, String)]
+      .collect().map(r => r._1 -> r).toMap
+    // thresholds over (1,2,3,4,4) are (2,3,4): a value ON a cut stays
+    // in the lower bucket (strict >), so c2 scores 1, c3 2, c4/c5 3
+    assert(got(1L)._8 == "111" && got(2L)._8 == "111")
+    assert(got(3L)._8 == "222" && got(4L)._8 == "333")
+    assert(got(4L)._8 == got(5L)._8) // exact ties → same segment
+    assert(got(4L)._3 == 4L && got(4L)._4 == 160.0)
+    // monotone: each axis score is non-decreasing in its metric
+    for (axis <- Seq(5, 6, 7)) {
+      val scores = Seq(1L, 2L, 3L, 4L).map(k =>
+        got(k).productElement(axis - 1).asInstanceOf[Int])
+      assert(scores == scores.sorted, s"axis $axis not monotone: $scores")
+    }
+  }
+
   test("profile of an empty frame yields zero rows per column, not no rows") {
     val d = Seq.empty[(Option[Int], Option[String])].toDF("x", "s")
     val got = Profile.profile(d, Seq("x", "s"))
