@@ -835,6 +835,23 @@ object Oracles {
          |      AS DOUBLE), 4) AS prob
          |FROM c""".stripMargin,
 
+    // EWMA: list() over the same 20-row frame, list_reduce left-fold
+    // seeded with the first element — identical IEEE multiply-add
+    // chain as the engine's ordered aggregate(); (1-α) is the SAME
+    // double subtraction both sides.
+    "ts_ewma" ->
+      s"""WITH v AS (
+         |  SELECT event_id, user_id, ts, value,
+         |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+         |  FROM events WHERE $V AND value IS NOT NULL)
+         |SELECT event_id AS log_id, user_id AS rsbsa_no, ts, value,
+         |  len(vals) AS n_obs,
+         |  round(list_reduce(vals, (acc, x) ->
+         |    CAST(0.3 AS DOUBLE) * x +
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * acc), 4) AS ewma
+         |FROM v""".stripMargin,
+
     "w7_daily_share" ->
       s"""WITH d AS (
          |  SELECT event_type AS tbl,

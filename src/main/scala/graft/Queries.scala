@@ -383,6 +383,15 @@ object Queries {
         expr("transform(__ev, e -> e.table)").as("event_seq"),
         size(col("__ev")).cast("long").as("seq_len"))
 
+  /** Extension — per-user EWMA smoothing of event values (α = 0.3,
+    * 20-row trailing window; bit-exact ordered fold both engines).
+    */
+  val tsEwma: Q = (s, dir) =>
+    graft.operators.TimeSeries.ewma(
+      Readers.validChangeLog(s, dir).filter(col("value").isNotNull),
+      key = "rsbsa_no", ts = "ts", id = "log_id", value = "value")
+      .select("log_id", "rsbsa_no", "ts", "value", "n_obs", "ewma")
+
   /** Extension — RFM customer segmentation over orders: exact-quartile
     * threshold scoring (broadcast 1-row cut points, no global ntile
     * sort), DECIMAL-summed monetary, integer recency/frequency.

@@ -59,6 +59,7 @@ object SparkEntry {
     "seq_transitions" -> Queries.seqTransitions,
     "graph_copurchase" -> Queries.graphCopurchase,
     "rfm_segments" -> Queries.rfmSegments,
+    "ts_ewma" -> Queries.tsEwma,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
     "dedup_exact_survivors" -> Queries.dedupExactSurvivors,

@@ -18,6 +18,40 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Exponentially weighted moving average per key:
+    * `s_i = α·v_i + (1−α)·s_{i−1}`, seeded with the first observation,
+    * over a bounded trailing window of `lookback` rows (the tail
+    * beyond the window contributes < (1−α)^lookback ≈ 0.08% at the
+    * defaults — the price of bounded per-row state). The classic
+    * smoothing pass ahead of anomaly scoring and trend features.
+    *
+    * Determinism across engines: the fold is a LEFT fold in (ts, id)
+    * window-frame order — both engines apply the identical IEEE
+    * multiply-add chain, with (1−α) computed by the same double
+    * subtraction — so results are bit-exact (the ordered-fold pattern
+    * of `lmCrossEntropy`). Rounding is display-only.
+    *
+    * Scale shape: one shuffle by key for the window; the per-row
+    * state is a `lookback`-bounded array (an UNBOUNDED PRECEDING
+    * collect would be O(n²) memory per key) — skew-safe because the
+    * frame, not the key's history, bounds the row.
+    */
+  def ewma(df: DataFrame, key: String, ts: String, id: String,
+      value: String, alpha: Double = 0.3, lookback: Int = 20): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0,1]")
+    require(lookback >= 1, "lookback must be >= 1")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    val beta = 1.0 - alpha
+    df.withColumn("__vals", collect_list(col(value).cast("double")).over(w))
+      .withColumn("n_obs", size(col("__vals")).cast("long"))
+      .withColumn("ewma", round(aggregate(
+        slice(col("__vals"), lit(2), greatest(size(col("__vals")) - 1, lit(0))),
+        element_at(col("__vals"), 1),
+        (acc, x) => lit(alpha) * x + lit(beta) * acc), 4))
+      .drop("__vals")
+  }
+
   /** First-order Markov transition matrix over per-key event
     * sequences: for every observed (state → next-state) step, the
     * count and the row-normalized transition probability

@@ -41,6 +41,26 @@ class TimeSeriesSpec extends SparkSpec {
 
   private def tsm(m: Int) = Timestamp.valueOf(f"2026-01-01 01:$m%02d:00")
 
+  test("ewma: seeded recursion matches an in-memory fold; lookback truncates the tail") {
+    val vals = Seq(10.0, 20.0, 5.0, 40.0, 15.0, 30.0)
+    val e = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, ts(i + 1), v) }
+      .toDF("k", "id", "t", "v")
+    val full = TimeSeries.ewma(e, "k", "t", "id", "v", alpha = 0.3, lookback = 20)
+      .orderBy("id").select("n_obs", "ewma")
+      .as[(Long, Double)].collect()
+    // reference: s_0 = v_0; s_i = 0.3 v_i + 0.7 s_{i-1}, rounded at read
+    val ref = vals.tail.scanLeft(vals.head)((acc, x) => 0.3 * x + 0.7 * acc)
+    assert(full.map(_._2).toSeq ==
+      ref.map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(full.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // lookback=3: row 5 folds only rows 3..5, seeded with row 3's value
+    val short = TimeSeries.ewma(e, "k", "t", "id", "v", alpha = 0.3, lookback = 3)
+      .orderBy("id").select("n_obs", "ewma").as[(Long, Double)].collect()
+    val refShort = Seq(40.0, 15.0).foldLeft(5.0)((acc, x) => 0.3 * x + 0.7 * acc)
+    assert(short(4)._1 == 3L && short(4)._2 ==
+      BigDecimal(refShort).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("transitionMatrix: per-key ordered steps, row-normalized probabilities") {
     // user 1: a→b→a→b  (a→b ×2, b→a ×1); user 2: a→a→c (a→a, a→c)
     val e = Seq(
