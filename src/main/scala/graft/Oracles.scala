@@ -892,6 +892,19 @@ object Oracles {
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
+    // Bag fingerprint: sorted token multiset, md5 over the
+    // space-rejoined bag; window count is BIGINT in both engines.
+    "dedup_bag" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(
+        |      list_sort(string_split_regex(lower(text), '\s+')), ' ')) AS bag_hash
+        |  FROM documents)
+        |SELECT doc_id, bag_hash,
+        |  count(*) OVER (PARTITION BY bag_hash) AS n_same_bag,
+        |  count(*) OVER (PARTITION BY bag_hash) > 1 AS is_dup
+        |FROM b""".stripMargin,
+
     "dedup_exact_survivors" ->
       """SELECT doc_id, text FROM documents WHERE doc_id IN (
         |  SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,

@@ -497,6 +497,10 @@ object Queries {
   /** Exact dedup groups: md5 fingerprint → keeper id + copy count. */
   val dedupExact: Q = (s, dir) => Dedup.exact(t(s, dir, "documents"))
 
+  /** Extension — order-insensitive bag-of-words fingerprint profile:
+    * catches reordered copies plain exact dedup misses. */
+  val dedupBag: Q = (s, dir) => Dedup.bagFingerprints(t(s, dir, "documents"))
+
   /** Exact-dedup survivors (the kept corpus rows). */
   val dedupExactSurvivors: Q = (s, dir) =>
     Dedup.exactSurvivors(t(s, dir, "documents")).select("doc_id", "text")

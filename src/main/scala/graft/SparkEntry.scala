@@ -62,6 +62,7 @@ object SparkEntry {
     "ts_ewma" -> Queries.tsEwma,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
+    "dedup_bag" -> Queries.dedupBag,
     "dedup_exact_survivors" -> Queries.dedupExactSurvivors,
     "dedup_ngram_jaccard" -> Queries.dedupNgramJaccard,
     "dedup_containment" -> Queries.dedupContainment,

@@ -34,6 +34,29 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Order-insensitive exact dedup: fingerprint the sorted token
+    * MULTISET (duplicate tokens retained), so documents that differ
+    * only by token order — shuffled list pages, re-serialized JSON
+    * fields, bullet reorderings — share a fingerprint that plain
+    * [[exact]] would miss. Emits every document with its bag hash,
+    * bag-group size, and a dup flag (the per-doc profile face; group
+    * sizes are 1 when the corpus has no reordered copies).
+    *
+    * Scale shape: the fingerprint is one codegen'd map pass
+    * (split → sort → concat → md5, all doc-local); only
+    * (doc_id, 16-byte digest) pairs reach the group-size window,
+    * which shuffles by the digest — uniformly distributed by
+    * construction, skew-free.
+    */
+  def bagFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        md5(concat_ws(" ",
+          array_sort(split(lower(col("text")), "\\s+"))).cast("binary"))
+          .as("bag_hash"))
+      .withColumn("n_same_bag",
+        count(lit(1)).over(Window.partitionBy(col("bag_hash"))))
+      .withColumn("is_dup", col("n_same_bag") > 1)
+
   /** Exact-dedup'd corpus: the winner rows themselves. */
   def exactSurvivors(docs: DataFrame): DataFrame =
     docs.join(

@@ -23,6 +23,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.exactSurvivors(d).count() == 2)
   }
 
+  test("bag dedup: reordered copies share a fingerprint, multisets differ") {
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma alpha beta"),      // reorder of 1 — same bag
+      (3L, "alpha alpha beta gamma"), // extra token — different multiset
+      (4L, "alpha beta delta")).toDF("doc_id", "text")
+    val bags = Dedup.bagFingerprints(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("bag_hash"), r.getAs[Long]("n_same_bag"),
+         r.getAs[Boolean]("is_dup"))).toMap
+    assert(bags(1L)._1 == bags(2L)._1 && bags(1L)._3 && bags(2L)._3)
+    assert(bags(1L)._2 == 2L)
+    assert(bags(3L)._1 != bags(1L)._1 && !bags(3L)._3 && bags(3L)._2 == 1L)
+    assert(bags(4L)._1 != bags(1L)._1 && !bags(4L)._3)
+    // plain exact dedup misses the reordered pair
+    assert(Dedup.exact(d).filter($"n_copies" > 1).isEmpty)
+  }
+
   test("minhash-LSH finds every exact-Jaccard pair at fixture scale (recall)") {
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
