@@ -817,6 +817,37 @@ object Oracles {
         |FROM t JOIN part na ON na.p_partkey = t.pa
         |       JOIN part nb ON nb.p_partkey = t.pb""".stripMargin,
 
+    // Blocked fuzzy ER: DuckDB's unbounded levenshtein mirrors the
+    // bounded-kernel-then-filter Spark side exactly on emitted rows
+    // (rows above the bound are filtered either way).
+    "er_fuzzy_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS nm,
+        |    c_nationkey AS nk, c_mktsegment AS seg FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id, a.nm AS a_val, b.nm AS b_val,
+        |  levenshtein(a.nm, b.nm) AS dist
+        |FROM c a JOIN c b ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
+        |WHERE levenshtein(a.nm, b.nm) <= 2""".stripMargin,
+
+    // ER entities: recursive-CTE transitive closure over the same
+    // blocked pair set; entity id = component min.
+    "er_entities" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS nm,
+        |    c_nationkey AS nk, c_mktsegment AS seg FROM customer),
+        |p AS (
+        |  SELECT a.id AS a_id, b.id AS b_id
+        |  FROM c a JOIN c b ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
+        |  WHERE levenshtein(a.nm, b.nm) <= 2),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM p
+        |  UNION SELECT b_id, a_id FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT id AS rec_id, min(r) AS entity_id FROM reach GROUP BY id)
+        |SELECT rec_id, entity_id,
+        |  count(*) OVER (PARTITION BY entity_id) AS n_recs
+        |FROM comp""".stripMargin,
+
     // Markov transitions: exact counts; window sum cast to BIGINT
     // before the single double division (DuckDB window sums go
     // HUGEINT).

@@ -422,6 +422,25 @@ object Queries {
         col("p_name").as("name_b"), col("n"))
   }
 
+  /** Extension — blocked fuzzy entity-resolution candidates: customer
+    * records sharing a (nation, segment) block whose names are within
+    * edit distance 2. Blocking keeps the compare within-block — the
+    * ER pattern that avoids the O(n²) all-pairs levenshtein.
+    */
+  val erFuzzyPairs: Q = (s, dir) =>
+    graft.operators.Linkage.blockedPairs(t(s, dir, "customer"),
+      col("c_custkey"), col("c_name"),
+      struct(col("c_nationkey"), col("c_mktsegment")), maxDist = 2)
+
+  /** Extension — full ER pipeline: blocked match pairs → connected
+    * components → canonical entity id + entity size per record
+    * (transitive closure groups chains the pairwise threshold alone
+    * would split). */
+  val erEntities: Q = (s, dir) =>
+    graft.operators.Linkage.resolveEntities(t(s, dir, "customer"),
+      col("c_custkey"), col("c_name"),
+      struct(col("c_nationkey"), col("c_mktsegment")), maxDist = 2)
+
   /** Extension — first-order Markov transition matrix over each
     * user's event-type sequence: counts + row-normalized
     * probabilities for every observed (state → next state) step.

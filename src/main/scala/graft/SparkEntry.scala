@@ -58,6 +58,8 @@ object SparkEntry {
     "user_event_sequence" -> Queries.userEventSequence,
     "seq_transitions" -> Queries.seqTransitions,
     "graph_copurchase" -> Queries.graphCopurchase,
+    "er_fuzzy_pairs" -> Queries.erFuzzyPairs,
+    "er_entities" -> Queries.erEntities,
     "rfm_segments" -> Queries.rfmSegments,
     "ts_ewma" -> Queries.tsEwma,
     // -- extensions: dedup family

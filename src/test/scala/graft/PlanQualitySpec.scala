@@ -39,6 +39,12 @@ class PlanQualitySpec extends SparkSpec {
       l.contains("Exchange hashpartitioning")) == 1, p.take(800))
   }
 
+  test("blocked ER compares within blocks via an equi-join, never all-pairs") {
+    val p = planOf("er_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked ER plans an all-pairs compare:\n${p.take(800)}")
+  }
+
   test("sketch dedups never plan a cartesian/nested-loop candidate join") {
     for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
         "dedup_containment")) {
