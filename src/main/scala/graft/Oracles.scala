@@ -817,6 +817,17 @@ object Oracles {
         |FROM t JOIN part na ON na.p_partkey = t.pa
         |       JOIN part nb ON nb.p_partkey = t.pb""".stripMargin,
 
+    // Incremental agg maintenance: the oracle is the ONE-SHOT group
+    // by — the Spark side must reach the identical result via
+    // base+delta state merge (decimal sums are fold-order-free).
+    "inc_agg_merge" ->
+      s"""SELECT user_id AS rsbsa_no, count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events
+         |WHERE $V AND value IS NOT NULL
+         |GROUP BY user_id""".stripMargin,
+
     // Blocked fuzzy ER: DuckDB's unbounded levenshtein mirrors the
     // bounded-kernel-then-filter Spark side exactly on emitted rows
     // (rows above the bound are filtered either way).

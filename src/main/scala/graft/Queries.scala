@@ -422,6 +422,24 @@ object Queries {
         col("p_name").as("name_b"), col("n"))
   }
 
+  /** Extension — incremental aggregate maintenance: per-user totals
+    * computed as base-state (history before the split date) MERGED
+    * with a delta-state (rows after it), never a full rescan. The
+    * result is provably identical to the one-shot GROUP BY (the
+    * oracle computes exactly that): decimal sums make the fold
+    * order-independent.
+    */
+  val incAggMerge: Q = (s, dir) => {
+    import graft.operators.Incremental
+    val ev = Readers.validChangeLog(s, dir)
+    val split = lit("2024-01-16").cast("timestamp_ntz")
+    val base = Incremental.aggState(
+      ev.filter(col("ts") < split), col("rsbsa_no"), col("value"))
+    val delta = Incremental.aggState(
+      ev.filter(col("ts") >= split), col("rsbsa_no"), col("value"))
+    Incremental.finalize(Incremental.mergeStates(Seq(base, delta)), "rsbsa_no")
+  }
+
   /** Extension — blocked fuzzy entity-resolution candidates: customer
     * records sharing a (nation, segment) block whose names are within
     * edit distance 2. Blocking keeps the compare within-block — the

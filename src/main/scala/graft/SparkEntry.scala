@@ -58,6 +58,7 @@ object SparkEntry {
     "user_event_sequence" -> Queries.userEventSequence,
     "seq_transitions" -> Queries.seqTransitions,
     "graph_copurchase" -> Queries.graphCopurchase,
+    "inc_agg_merge" -> Queries.incAggMerge,
     "er_fuzzy_pairs" -> Queries.erFuzzyPairs,
     "er_entities" -> Queries.erEntities,
     "rfm_segments" -> Queries.rfmSegments,

@@ -24,6 +24,25 @@ class MergePropertiesSpec extends SparkSpec {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("∀ batch splits: incremental state fold == one-shot aggregate") {
+    import graft.operators.Incremental
+    val valGen = Gen.zip(keyGen, Gen.choose(-9999, 9999).map(_ / 100.0),
+      Gen.choose(0, 3)) // (key, 2-decimal value, batch id)
+    for (rows <- samples(Gen.listOfN(60, valGen), 5)) {
+      val df = rows.toDF("k", "v", "b")
+      val oneShot = Incremental.finalize(
+        Incremental.aggState(df, $"k", $"v"), "k")
+      val batches = (0 to 3).map(i =>
+        Incremental.aggState(df.filter($"b" === i), $"k", $"v"))
+      // fold in a scrambled order — merge must be order-independent
+      val folded = Incremental.finalize(
+        Incremental.mergeStates(Seq(batches(2), batches(0), batches(3),
+          batches(1))), "k")
+      assert(folded.exceptAll(oneShot).isEmpty &&
+        oneShot.exceptAll(folded).isEmpty)
+    }
+  }
+
   test("∀ states: upsert keeps ≤1 row per key when incoming is deduped") {
     for ((t, inc) <- samples(Gen.zip(rowsGen, rowsGen), 6)) {
       val target = t.toDF("rsbsa_no", "name", "v").dropDuplicates("rsbsa_no")
