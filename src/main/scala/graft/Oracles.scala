@@ -817,6 +817,33 @@ object Oracles {
         |FROM t JOIN part na ON na.p_partkey = t.pa
         |       JOIN part nb ON nb.p_partkey = t.pb""".stripMargin,
 
+    // Integer PageRank, 3 unrolled iterations. DuckDB sum(BIGINT)
+    // goes HUGEINT — cast each iteration's rank back to BIGINT; `//`
+    // is floor division (all operands positive → identical to
+    // Spark's `div`).
+    "graph_pagerank" -> {
+      def iter(prev: String, out: String): String =
+        s"$out AS (SELECT e.dst AS node, " +
+          s"CAST(150000000 + (85 * sum(p.r // dg.deg)) // 100 AS BIGINT) AS r " +
+          s"FROM edges e JOIN $prev p ON p.node = e.src " +
+          s"JOIN deg dg ON dg.src = e.src GROUP BY e.dst)"
+      s"""WITH d AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS su
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, su AS dst FROM d
+         |  UNION ALL SELECT su, c FROM d),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT DISTINCT src AS node,
+         |  CAST(1000000000 AS BIGINT) AS r FROM edges),
+         |${iter("r0", "i1")},
+         |${iter("i1", "i2")},
+         |${iter("i2", "i3")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS kind,
+         |  node // 2 AS id, r AS rank
+         |FROM i3""".stripMargin
+    },
+
     // Incremental agg maintenance: the oracle is the ONE-SHOT group
     // by — the Spark side must reach the identical result via
     // base+delta state merge (decimal sums are fold-order-free).

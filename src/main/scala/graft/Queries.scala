@@ -422,6 +422,28 @@ object Queries {
         col("p_name").as("name_b"), col("n"))
   }
 
+  /** Extension — integer PageRank over the bipartite customer↔supplier
+    * trade graph (who ordered from whom, both directions so every
+    * node has out-degree ≥ 1). Node ids are disjoint by parity:
+    * customers at 2k, suppliers at 2k+1. Exact integer arithmetic —
+    * see [[graft.operators.Graphs.pageRank]] — so the unrolled DuckDB
+    * oracle matches bit-for-bit.
+    */
+  val graphPagerank: Q = (s, dir) => {
+    val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("su")).distinct()
+    val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
+      .union(pairs.select(col("su").as("src"), col("c").as("dst")))
+    graft.operators.Graphs.pageRank(edges, iters = 3)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        expr("node div 2").as("id"), col("r").as("rank"))
+  }
+
   /** Extension — incremental aggregate maintenance: per-user totals
     * computed as base-state (history before the split date) MERGED
     * with a delta-state (rows after it), never a full rescan. The

@@ -59,6 +59,7 @@ object SparkEntry {
     "seq_transitions" -> Queries.seqTransitions,
     "graph_copurchase" -> Queries.graphCopurchase,
     "inc_agg_merge" -> Queries.incAggMerge,
+    "graph_pagerank" -> Queries.graphPagerank,
     "er_fuzzy_pairs" -> Queries.erFuzzyPairs,
     "er_entities" -> Queries.erEntities,
     "rfm_segments" -> Queries.rfmSegments,

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Graphs
+
+/** Integer PageRank: exact hand-computed fixtures (the whole point of
+  * integer arithmetic is that these are bit-exact, not approximate).
+  */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graphs.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("2-cycle is a fixpoint: ranks stay exactly r0") {
+    // contribution r0/1 each way: 0.15·r0 + 0.85·r0 = r0 exactly
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), iters = 3)
+    assert(r == Map(1L -> 1000000000L, 2L -> 1000000000L))
+  }
+
+  test("undirected path 1-2-3: exact ranks after 3 iterations") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    // hand-unrolled: i1 = (575e6, 1.85e9, 575e6),
+    // i2 = (936.25e6, 1.1275e9, 936.25e6), i3 below
+    val r = ranks(edges, iters = 3)
+    assert(r(2L) == 1741625000L)
+    assert(r(1L) == 629187500L && r(3L) == 629187500L)
+    // the middle node outranks the endpoints at every depth
+    assert(r(2L) > r(1L))
+  }
+
+  test("rank order reflects in-degree on a star") {
+    // hub 1 ↔ leaves 2..5 (both directions)
+    val edges = (2L to 5L).flatMap(l => Seq((1L, l), (l, 1L)))
+    val r = ranks(edges, iters = 3)
+    assert((2L to 5L).forall(l => r(1L) > r(l)))
+    assert((2L to 5L).map(r).distinct.size == 1) // leaves are symmetric
+  }
+}

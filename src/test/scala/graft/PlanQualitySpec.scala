@@ -39,6 +39,12 @@ class PlanQualitySpec extends SparkSpec {
       l.contains("Exchange hashpartitioning")) == 1, p.take(800))
   }
 
+  test("pagerank iterations are equi-joins on src, never all-pairs") {
+    val p = planOf("graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank plans an all-pairs join:\n${p.take(800)}")
+  }
+
   test("blocked ER compares within blocks via an equi-join, never all-pairs") {
     val p = planOf("er_fuzzy_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
