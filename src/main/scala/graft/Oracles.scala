@@ -817,6 +817,44 @@ object Oracles {
         |FROM t JOIN part na ON na.p_partkey = t.pa
         |       JOIN part nb ON nb.p_partkey = t.pb""".stripMargin,
 
+    // Pairwise correlation: exact decimal moments, each cast to
+    // DOUBLE once, correlation as the identical fixed FP tree
+    // (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)). Pair rows
+    // union in the Spark explode's order.
+    "stat_corr" -> {
+      val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+        "l_discount" -> "d")
+      val moments = cols.map { case (c, a) =>
+        s"sum(CAST($c AS DECIMAL(18,2))) AS s_$a,\n" +
+          s"    sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS ss_$a"
+      }.mkString(",\n    ")
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      val crosses = pairs.map { case ((ca, a), (cb, b)) =>
+        s"sum(CAST($ca AS DECIMAL(18,2)) * CAST($cb AS DECIMAL(18,2))) AS sx_$a$b"
+      }.mkString(",\n    ")
+      val arms = pairs.map { case ((ca, a), (cb, b)) =>
+        val n = "CAST(n AS DOUBLE)"
+        val num = s"$n * CAST(sx_$a$b AS DOUBLE) - " +
+          s"CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)"
+        val den = s"sqrt($n * CAST(ss_$a AS DOUBLE) - " +
+          s"CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * " +
+          s"sqrt($n * CAST(ss_$b AS DOUBLE) - " +
+          s"CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+        s"""SELECT grp AS l_returnflag, '$ca' AS col_a, '$cb' AS col_b,
+           |  n AS n_rows,
+           |  CASE WHEN $den <> 0 THEN ($num) / ($den) END AS corr
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m AS (
+         |  SELECT l_returnflag AS grp, count(*) AS n,
+         |    $moments,
+         |    $crosses
+         |  FROM lineitem GROUP BY l_returnflag)
+         |$arms""".stripMargin
+    },
+
     // Integer PageRank, 3 unrolled iterations. DuckDB sum(BIGINT)
     // goes HUGEINT — cast each iteration's rank back to BIGINT; `//`
     // is floor division (all operands positive → identical to

@@ -422,6 +422,17 @@ object Queries {
         col("p_name").as("name_b"), col("n"))
   }
 
+  /** Extension — pairwise correlation matrix (long format) of the
+    * lineitem measures per return flag: one scan, exact decimal
+    * moments, one fixed FP tree per pair (built-in `corr()` is
+    * order-sensitive — see [[graft.operators.Profile.pairwiseCorr]]).
+    */
+  val statCorr: Q = (s, dir) =>
+    graft.operators.Profile.pairwiseCorr(t(s, dir, "lineitem"),
+        col("l_returnflag"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .withColumnRenamed("grp", "l_returnflag")
+
   /** Extension — integer PageRank over the bipartite customer↔supplier
     * trade graph (who ordered from whom, both directions so every
     * node has out-degree ≥ 1). Node ids are disjoint by parity:

@@ -60,6 +60,7 @@ object SparkEntry {
     "graph_copurchase" -> Queries.graphCopurchase,
     "inc_agg_merge" -> Queries.incAggMerge,
     "graph_pagerank" -> Queries.graphPagerank,
+    "stat_corr" -> Queries.statCorr,
     "er_fuzzy_pairs" -> Queries.erFuzzyPairs,
     "er_entities" -> Queries.erEntities,
     "rfm_segments" -> Queries.rfmSegments,

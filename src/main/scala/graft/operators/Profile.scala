@@ -59,6 +59,56 @@ object Profile {
           col("m_score").cast("string")).as("segment"))
   }
 
+  /** Pairwise Pearson correlation of `cols` within each `group`, in
+    * ONE scan: a single aggregate computes every column's decimal
+    * sum/sum-of-squares and every pair's cross-product sum side by
+    * side; an inline explode then unpivots to one row per (group,
+    * col_a, col_b). Long format because a correlation MATRIX of c
+    * columns is c²/2 numbers — rows scale, result schemas shouldn't.
+    *
+    * Determinism (the `ts_zscore` discipline): every moment is an
+    * exact DECIMAL sum of 2-decimal inputs — order-independent, so
+    * shuffle/partitioning can't change it — each stat is cast to
+    * DOUBLE once, and the correlation is ONE fixed FP expression
+    * `(n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²))`, identical
+    * in the oracle. Built-in `corr()` is a running-update aggregate
+    * whose result depends on row order — unusable for parity, and a
+    * reproducibility hazard at scale generally.
+    *
+    * Degenerate groups (zero variance in either column) yield NULL
+    * (division by zero under non-ANSI semantics is avoided by
+    * nullif).
+    */
+  def pairwiseCorr(df: DataFrame, group: Column, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dec = (c: String) => col(c).cast("decimal(18,2)")
+    val sums = cols.flatMap { c =>
+      Seq(sum(dec(c)).as(s"__s_$c"),
+        sum(dec(c) * dec(c)).as(s"__ss_$c"))
+    }
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val crosses = pairs.map { case (a, b) =>
+      sum(dec(a) * dec(b)).as(s"__sx_${a}_$b")
+    }
+    val agg = df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("__n"), (sums ++ crosses): _*)
+    def d(name: String): Column = col(name).cast("double")
+    val entries = pairs.map { case (a, b) =>
+      val n = col("__n").cast("double")
+      val num = n * d(s"__sx_${a}_$b") - d(s"__s_$a") * d(s"__s_$b")
+      val den = sqrt(n * d(s"__ss_$a") - d(s"__s_$a") * d(s"__s_$a")) *
+        sqrt(n * d(s"__ss_$b") - d(s"__s_$b") * d(s"__s_$b"))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").as("n_rows"),
+        when(den =!= lit(0.0), num / den).as("corr"))
+    }
+    agg.select(col("grp"), explode(array(entries: _*)).as("e"))
+      .select(col("grp"), col("e.col_a"), col("e.col_b"),
+        col("e.n_rows"), col("e.corr"))
+  }
+
   /** Profile `cols` of `df` in ONE scan: a single aggregate computes
     * every column's counts side by side, then an inline explode
     * unpivots the 1-row result into one row per column — the table is

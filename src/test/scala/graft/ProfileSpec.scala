@@ -51,6 +51,23 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("pairwiseCorr: exact ±1 on linear columns, NULL on zero variance") {
+    val d = Seq(
+      ("g", 1.0, 2.0, -1.0, 5.0),
+      ("g", 2.0, 4.0, -2.0, 5.0),
+      ("g", 3.0, 6.0, -3.0, 5.0)).toDF("g", "x", "y", "z", "c")
+    val got = Profile.pairwiseCorr(d, $"g", Seq("x", "y", "z", "c"))
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // √ of the variance product isn't exactly representable — allow
+    // one ulp-scale slack around ±1 (the VALUE is deterministic; the
+    // oracle hash-match is what pins it bit-for-bit)
+    assert(math.abs(got(("x", "y")).get - 1.0) < 1e-12)  // y = 2x
+    assert(math.abs(got(("x", "z")).get + 1.0) < 1e-12)  // z = -x
+    assert(got(("x", "c")) == None)       // constant → zero variance
+    assert(got.size == 6)                 // all 4·3/2 pairs emitted
+  }
+
   test("profile of an empty frame yields zero rows per column, not no rows") {
     val d = Seq.empty[(Option[Int], Option[String])].toDF("x", "s")
     val got = Profile.profile(d, Seq("x", "s"))
