@@ -817,6 +817,29 @@ object Oracles {
         |FROM t JOIN part na ON na.p_partkey = t.pa
         |       JOIN part nb ON nb.p_partkey = t.pb""".stripMargin,
 
+    // Triangle census: same capped co-purchase pair derivation as
+    // graph_copurchase; the oracle counts id-ordered (a<b<c) 3-way
+    // join closures — orientation-free but triangle-equivalent to the
+    // degree-ordered Spark count (each triangle counted once either
+    // way).
+    "graph_triangles" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |r AS (SELECT l_orderkey, l_partkey, row_number() OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_partkey) AS rn FROM d),
+        |c AS (SELECT l_orderkey, l_partkey FROM r WHERE rn <= 32),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM c a
+        |  JOIN c b ON a.l_orderkey = b.l_orderkey
+        |          AND a.l_partkey < b.l_partkey),
+        |g AS (SELECT pa, pb, count(*) AS n FROM p GROUP BY pa, pb),
+        |e AS (SELECT pa, pb FROM g WHERE n >= 2),
+        |nn AS (SELECT count(DISTINCT x) AS n_nodes FROM
+        |  (SELECT pa AS x FROM e UNION ALL SELECT pb FROM e)),
+        |ne AS (SELECT count(*) AS n_edges FROM e),
+        |t AS (SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        |SELECT nn.n_nodes, ne.n_edges, t.n_triangles FROM nn, ne, t""".stripMargin,
+
     // Pairwise correlation: exact decimal moments, each cast to
     // DOUBLE once, correlation as the identical fixed FP tree
     // (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)). Pair rows

@@ -422,6 +422,17 @@ object Queries {
         col("p_name").as("name_b"), col("n"))
   }
 
+  /** Extension — triangle census of the repeat co-purchase graph
+    * (parts co-ordered in ≥ 2 baskets): degree-ordered orientation
+    * bounds the wedge fan-out by arboricity — the hub-proof triangle
+    * count (see [[graft.operators.Graphs.triangleCount]]).
+    */
+  val graphTriangles: Q = (s, dir) =>
+    graft.operators.Graphs.triangleCount(
+      graft.operators.Cooccur.pairCounts(
+          t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
+        .filter(col("n") >= 2).select("item_a", "item_b"))
+
   /** Extension — pairwise correlation matrix (long format) of the
     * lineitem measures per return flag: one scan, exact decimal
     * moments, one fixed FP tree per pair (built-in `corr()` is

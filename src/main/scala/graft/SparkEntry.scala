@@ -61,6 +61,7 @@ object SparkEntry {
     "inc_agg_merge" -> Queries.incAggMerge,
     "graph_pagerank" -> Queries.graphPagerank,
     "stat_corr" -> Queries.statCorr,
+    "graph_triangles" -> Queries.graphTriangles,
     "er_fuzzy_pairs" -> Queries.erFuzzyPairs,
     "er_entities" -> Queries.erEntities,
     "rfm_segments" -> Queries.rfmSegments,

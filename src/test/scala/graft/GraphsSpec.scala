@@ -29,6 +29,38 @@ class GraphsSpec extends SparkSpec {
     assert(r(2L) > r(1L))
   }
 
+  test("triangleCount: K4 has 4 triangles; a star has none") {
+    val k4 = (1L to 4L).combinations(2).map(p => (p(0), p(1))).toSeq
+    val got = Graphs.triangleCount(k4.toDF("u", "v"))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((4L, 6L, 4L)))
+    val star = (2L to 6L).map(l => (1L, l))
+    assert(Graphs.triangleCount(star.toDF("u", "v"))
+      .as[(Long, Long, Long)].head() == ((6L, 5L, 0L)))
+  }
+
+  test("triangleCount: normalization — reversed/duplicate/self edges don't double-count") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (2L, 2L), (1L, 2L))
+    val got = Graphs.triangleCount(messy.toDF("u", "v"))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((3L, 3L, 1L)))
+  }
+
+  test("triangleCount matches brute-force enumeration on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(40)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter { case (a, b) => a != b }
+    val adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val nodes = adj.map(_._1).toSeq.sorted
+    val brute = nodes.combinations(3).count { t =>
+      adj((t(0), t(1))) && adj((t(1), t(2))) && adj((t(0), t(2)))
+    }
+    val got = Graphs.triangleCount(edges.toDF("u", "v"))
+      .as[(Long, Long, Long)].head()
+    assert(got._3 == brute.toLong, s"expected $brute triangles, got $got")
+  }
+
   test("rank order reflects in-degree on a star") {
     // hub 1 ↔ leaves 2..5 (both directions)
     val edges = (2L to 5L).flatMap(l => Seq((1L, l), (l, 1L)))
