@@ -927,6 +927,18 @@ object Oracles {
         |FROM c a JOIN c b ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
         |WHERE levenshtein(a.nm, b.nm) <= 2""".stripMargin,
 
+    // Sorted-neighborhood matching: the oracle's single row_number
+    // over the total (name, id) order equals the Spark side's
+    // two-phase range-partitioned index by construction.
+    "er_sorted_neighbors" ->
+      """WITH s AS (SELECT c_custkey AS id, c_name AS nm,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) AS idx
+        |  FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id, a.nm AS a_val, b.nm AS b_val,
+        |  levenshtein(a.nm, b.nm) AS dist
+        |FROM s a JOIN s b ON b.idx - a.idx BETWEEN 1 AND 9
+        |WHERE levenshtein(a.nm, b.nm) <= 1""".stripMargin,
+
     // ER entities: recursive-CTE transitive closure over the same
     // blocked pair set; entity id = component min.
     "er_entities" ->

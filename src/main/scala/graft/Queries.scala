@@ -494,6 +494,16 @@ object Queries {
       col("c_custkey"), col("c_name"),
       struct(col("c_nationkey"), col("c_mktsegment")), maxDist = 2)
 
+  /** Extension — sorted-neighborhood matching: fixed compare budget
+    * ((window−1)·n) over the name sort order; the complement of
+    * blocking when value clustering is unknown. Two-phase global
+    * index — no unpartitioned sort anywhere.
+    */
+  val erSortedNeighbors: Q = (s, dir) =>
+    graft.operators.Linkage.sortedNeighborPairs(t(s, dir, "customer"),
+      col("c_custkey"), col("c_name"), col("c_name"),
+      window = 10, maxDist = 1)
+
   /** Extension — full ER pipeline: blocked match pairs → connected
     * components → canonical entity id + entity size per record
     * (transitive closure groups chains the pairwise threshold alone

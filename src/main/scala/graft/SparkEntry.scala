@@ -63,6 +63,7 @@ object SparkEntry {
     "stat_corr" -> Queries.statCorr,
     "graph_triangles" -> Queries.graphTriangles,
     "er_fuzzy_pairs" -> Queries.erFuzzyPairs,
+    "er_sorted_neighbors" -> Queries.erSortedNeighbors,
     "er_entities" -> Queries.erEntities,
     "rfm_segments" -> Queries.rfmSegments,
     "ts_ewma" -> Queries.tsEwma,

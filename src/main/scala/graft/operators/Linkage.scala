@@ -58,6 +58,57 @@ object Linkage {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
+  /** Sorted-neighborhood matching (Hernández & Stolfo 1995): order
+    * records by a sort key, compare each record only with the next
+    * `window − 1` records in that order. The classic complement to
+    * [[blockedPairs]] — blocking fixes the compare SET, SNM fixes the
+    * compare BUDGET (exactly (window−1)·n comparisons regardless of
+    * how values cluster, so a degenerate mega-block cannot blow up).
+    *
+    * Scale shape — the textbook formulation sorts globally and slides
+    * a window, which in naive Spark is ONE unpartitioned sort task.
+    * Here the global index is computed scalably in two phases:
+    * `repartitionByRange` on the sort key (parallel range sort), a
+    * per-partition `row_number` (windows partitioned by partition id
+    * — parallel), and per-partition counts prefix-summed into offsets
+    * (one window over #partitions rows — driver-scale metadata, not
+    * data). Neighbor pairs then come from an EQUI-join: each record
+    * emits `window − 1` index probes (`idx+1 … idx+window−1`) and
+    * joins them against the index — bounded fan-out, hash-partitioned,
+    * AQE-splittable; no sliding state anywhere.
+    *
+    * Emits `(a_id, b_id, a_val, b_val, dist)` like [[blockedPairs]]
+    * (a before b in sort order, each pair once).
+    */
+  def sortedNeighborPairs(df: DataFrame, id: Column, attr: Column,
+      sortKey: Column, window: Int, maxDist: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val rec = df.select(id.cast("long").as("__id"), attr.as("__v"),
+      sortKey.as("__k"))
+    val ranked = rec.repartitionByRange(parts, col("__k"), col("__id"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        w.partitionBy(col("__pid")).orderBy(col("__k"), col("__id"))))
+    val offs = ranked.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        w.orderBy(col("__pid")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val idx = ranked.join(broadcast(offs), "__pid")
+      .select(col("__id"), col("__v"), (col("__off") + col("__rn")).as("__idx"))
+    val probes = idx.select(col("__id").as("a_id"), col("__v").as("a_val"),
+      explode(sequence(col("__idx") + 1, col("__idx") + (window - 1)))
+        .as("__idx2"))
+    probes.join(idx.select(col("__id").as("b_id"), col("__v").as("b_val"),
+        col("__idx").as("__idx2")), "__idx2")
+      .select(col("a_id"), col("b_id"), col("a_val"), col("b_val"),
+        levenshtein(col("a_val"), col("b_val"), maxDist)
+          .cast("long").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
   /** Full ER pipeline face: match-pairs → connected components →
     * canonical entity per record. Emits one row per record that
     * belongs to a multi-record entity: `(rec_id, entity_id, n_recs)`

@@ -41,6 +41,40 @@ class LinkageSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
   }
 
+  test("sortedNeighborPairs matches brute-force windowed compare") {
+    val vals = Seq("aaaa", "aaab", "aabb", "abbb", "bbbb", "bbbc", "cccc")
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "name")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val sorted = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }.sorted
+    val brute = (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + 3, sorted.size)
+      if lev(sorted(i)._1, sorted(j)._1) <= 1
+    } yield (sorted(i)._2, sorted(j)._2,
+      lev(sorted(i)._1, sorted(j)._1).toLong)).toSet
+    val got = Linkage.sortedNeighborPairs(df, $"id", $"name", $"name",
+        window = 3, maxDist = 1)
+      .select($"a_id", $"b_id", $"dist").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == brute)
+  }
+
+  test("sortedNeighborPairs: compare budget is fixed even on a degenerate cluster") {
+    // 20 identical values: blocking would compare all 190 pairs; SNM
+    // compares exactly (w−1)·n − (w−1)w/2 = 70 at w=5
+    val df = (0L until 20L).map(i => (i, "same")).toDF("id", "name")
+    val n = Linkage.sortedNeighborPairs(df, $"id", $"name", $"name", 5, 0)
+      .count()
+    assert(n == 70L)
+  }
+
   test("complementary block keys compose by union (recall recovery)") {
     // name-block union state-block: 2~5 (same name, different state)
     // is recovered by blocking on the name's first token

@@ -51,6 +51,12 @@ class PlanQualitySpec extends SparkSpec {
       s"blocked ER plans an all-pairs compare:\n${p.take(800)}")
   }
 
+  test("sorted-neighborhood ER joins index probes, never a range self-join") {
+    val p = planOf("er_sorted_neighbors")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"SNM plans a non-equi self-join:\n${p.take(800)}")
+  }
+
   test("sketch dedups never plan a cartesian/nested-loop candidate join") {
     for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
         "dedup_containment")) {
