@@ -817,6 +817,25 @@ object Oracles {
         |FROM t JOIN part na ON na.p_partkey = t.pa
         |       JOIN part nb ON nb.p_partkey = t.pb""".stripMargin,
 
+    // Bounded BFS from customer node 0: recursive CTE carries
+    // (node, d) pairs with UNION-dedup; min(d) per node = hop
+    // distance. Depth guard keeps recursion finite.
+    "graph_khop" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS su
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, su AS dst FROM d
+        |  UNION ALL SELECT su, c FROM d),
+        |r(node, dd) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.dst, r.dd + 1 FROM r JOIN edges e ON e.src = r.node
+        |  WHERE r.dd < 4)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS kind,
+        |  node // 2 AS id, min(dd) AS dist
+        |FROM r GROUP BY node""".stripMargin,
+
     // Triangle census: same capped co-purchase pair derivation as
     // graph_copurchase; the oracle counts id-ordered (a<b<c) 3-way
     // join closures — orientation-free but triangle-equivalent to the

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -451,19 +451,36 @@ object Queries {
     * see [[graft.operators.Graphs.pageRank]] — so the unrolled DuckDB
     * oracle matches bit-for-bit.
     */
-  val graphPagerank: Q = (s, dir) => {
+  /** The bipartite customer↔supplier trade graph, both directions,
+    * parity-disjoint node ids (customers 2k, suppliers 2k+1). */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("su")).distinct()
-    val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
+    pairs.select(col("c").as("src"), col("su").as("dst"))
       .union(pairs.select(col("su").as("src"), col("c").as("dst")))
-    graft.operators.Graphs.pageRank(edges, iters = 3)
-      .select(
-        when(col("node") % 2 === 0, lit("customer"))
-          .otherwise(lit("supplier")).as("kind"),
-        expr("node div 2").as("id"), col("r").as("rank"))
+  }
+
+  /** Decode a parity-packed trade-graph node id to (kind, id). */
+  private def decodeNode(rest: Column*): Seq[Column] =
+    Seq(when(col("node") % 2 === 0, lit("customer"))
+      .otherwise(lit("supplier")).as("kind"),
+      expr("node div 2").as("id")) ++ rest
+
+  val graphPagerank: Q = (s, dir) =>
+    graft.operators.Graphs.pageRank(tradeEdges(s, dir), iters = 3)
+      .select(decodeNode(col("r").as("rank")): _*)
+
+  /** Extension — bounded BFS: exact hop distance from customer 0 to
+    * every node of the trade graph within 4 hops (frontier-at-a-time;
+    * see [[graft.operators.Graphs.kHopDistances]]).
+    */
+  val graphKhop: Q = (s, dir) => {
+    val src = s.range(1).select(lit(0L).as("node"))
+    graft.operators.Graphs.kHopDistances(tradeEdges(s, dir), src, maxHops = 4)
+      .select(decodeNode(col("dist")): _*)
   }
 
   /** Extension — incremental aggregate maintenance: per-user totals

@@ -62,6 +62,7 @@ object SparkEntry {
     "graph_pagerank" -> Queries.graphPagerank,
     "stat_corr" -> Queries.statCorr,
     "graph_triangles" -> Queries.graphTriangles,
+    "graph_khop" -> Queries.graphKhop,
     "er_fuzzy_pairs" -> Queries.erFuzzyPairs,
     "er_sorted_neighbors" -> Queries.erSortedNeighbors,
     "er_entities" -> Queries.erEntities,

@@ -72,6 +72,42 @@ object Graphs {
     ranks
   }
 
+  /** Bounded-depth BFS: exact hop distance (0…maxHops) from a source
+    * set to every reachable node. Frontier-at-a-time — the textbook
+    * distributed BFS: round i joins only the PREVIOUS frontier (nodes
+    * first reached at i−1) against the edge list, anti-joins the
+    * visited set, and unions the survivors in at distance i. Cost per
+    * round is O(frontier·avg-degree + visited), not O(nodes²); hop
+    * distances are integers so the result is exactly reproducible
+    * (and recursive-CTE-oracle-able). Visited-set lineage is
+    * truncated every round (`localCheckpoint`) — BFS state is the
+    * canonical quadratic-lineage trap.
+    *
+    * Returns `(node, dist)`; unreachable-within-maxHops nodes are
+    * absent.
+    */
+  def kHopDistances(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col(edges.columns(0)).as("src"),
+      col(edges.columns(1)).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col(sources.columns(0)).as("node"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var i = 1
+    while (i <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(i.toLong))
+      frontier = next.localCheckpoint()
+      dist = dist.union(frontier).localCheckpoint()
+      i += 1
+    }
+    dist
+  }
+
   /** Exact triangle count of an undirected graph, by degree-ordered
     * edge orientation (Ortmann & Brandes 2014 lineage; the classic
     * compact-forward scheme). Input: a 2-column edge list in either

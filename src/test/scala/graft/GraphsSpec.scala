@@ -29,6 +29,22 @@ class GraphsSpec extends SparkSpec {
     assert(r(2L) > r(1L))
   }
 
+  test("kHopDistances: exact hops on a path, cutoff honored, islands absent") {
+    // path 1-2-3-4-5 (undirected), island 9-10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val got = Graphs.kHopDistances(edges, src, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4,5 beyond cutoff
+    // BFS keeps the MIN distance when paths of different length exist
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val g2 = Graphs.kHopDistances(tri, src, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(g2 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("triangleCount: K4 has 4 triangles; a star has none") {
     val k4 = (1L to 4L).combinations(2).map(p => (p(0), p(1))).toSeq
     val got = Graphs.triangleCount(k4.toDF("u", "v"))
