@@ -859,6 +859,20 @@ object Oracles {
         |    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
         |SELECT nn.n_nodes, ne.n_edges, t.n_triangles FROM nn, ne, t""".stripMargin,
 
+    // Integer-cents histogram: all-integer binning (round→BIGINT
+    // cents, ceil width, floor-div bin) — bit-exact in both engines.
+    "stat_histogram" ->
+      s"""WITH c AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE $V AND value IS NOT NULL),
+         |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+         |w AS (SELECT lo, greatest((hi - lo + 20) // 20, 1) AS wd FROM b)
+         |SELECT (cents - lo) // wd AS bin,
+         |  lo + ((cents - lo) // wd) * wd AS lo_cents,
+         |  lo + ((cents - lo) // wd + 1) * wd - 1 AS hi_cents,
+         |  count(*) AS n
+         |FROM c, w GROUP BY 1, 2, 3""".stripMargin,
+
     // Pairwise correlation: exact decimal moments, each cast to
     // DOUBLE once, correlation as the identical fixed FP tree
     // (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)). Pair rows

@@ -433,6 +433,13 @@ object Queries {
           t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
         .filter(col("n") >= 2).select("item_a", "item_b"))
 
+  /** Extension — exact equi-width histogram of event amounts in
+    * integer cents (20 bins): FP-proof binning, see
+    * [[graft.operators.Profile.histogram]]. */
+  val statHistogram: Q = (s, dir) =>
+    graft.operators.Profile.histogram(
+      Readers.validChangeLog(s, dir), col("value"), bins = 20)
+
   /** Extension — pairwise correlation matrix (long format) of the
     * lineitem measures per return flag: one scan, exact decimal
     * moments, one fixed FP tree per pair (built-in `corr()` is

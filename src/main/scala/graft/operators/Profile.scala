@@ -59,6 +59,35 @@ object Profile {
           col("m_score").cast("string")).as("segment"))
   }
 
+  /** Equi-width histogram of a 2-decimal money column, in EXACT
+    * integer cents: values scale to `round(v·100)` (2-decimal inputs
+    * land within 1e-10 of an integer, so the round is exact in any
+    * engine), bounds and bin width are integer arithmetic
+    * (`width = ceil((hi−lo+1)/bins)`, floor-div binning) — no FP
+    * boundary can ever flip a row's bin, which is what makes a
+    * histogram reproducible across engines/partitionings at all.
+    * Empty bins are absent (no gap-fill).
+    *
+    * Scale shape: one 1-row min/max aggregate broadcast back, then a
+    * map-side-combined count per bin — two passes over the column,
+    * zero wide shuffles (≤ `bins` groups).
+    */
+  def histogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val c = df.filter(value.isNotNull)
+      .select(round(value * 100).cast("long").as("__c"))
+    val bounds = c.agg(min(col("__c")).as("__lo"), max(col("__c")).as("__hi"))
+    c.crossJoin(broadcast(bounds))
+      .withColumn("__w", greatest(
+        expr(s"(__hi - __lo + $bins) div $bins"), lit(1L)))
+      .withColumn("bin", expr("(__c - __lo) div __w"))
+      .groupBy(col("bin"),
+        (col("__lo") + col("bin") * col("__w")).as("lo_cents"),
+        (col("__lo") + (col("bin") + 1) * col("__w") - 1).as("hi_cents"))
+      .agg(count(lit(1)).as("n"))
+      .select("bin", "lo_cents", "hi_cents", "n")
+  }
+
   /** Pairwise Pearson correlation of `cols` within each `group`, in
     * ONE scan: a single aggregate computes every column's decimal
     * sum/sum-of-squares and every pair's cross-product sum side by

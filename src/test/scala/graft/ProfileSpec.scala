@@ -68,6 +68,23 @@ class ProfileSpec extends SparkSpec {
     assert(got.size == 6)                 // all 4·3/2 pairs emitted
   }
 
+  test("histogram: integer-cents bins are exact, width clamps on constants") {
+    // cents 100..499 → lo=100, hi=499, width=ceil(400/4)=100
+    val d = Seq(1.00, 1.99, 2.00, 3.50, 4.99).toDF("v")
+    val got = Profile.histogram(d, $"v", bins = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 100L, 199L, 2L),  // 1.00, 1.99 — boundary 1.99 stays low
+      (1L, 200L, 299L, 1L),  // 2.00 flips up exactly at the boundary
+      (2L, 300L, 399L, 1L),
+      (3L, 400L, 499L, 1L)))
+    // all-identical values: width clamps to 1, single bin 0
+    val const = Seq(7.77, 7.77, 7.77).toDF("v")
+    assert(Profile.histogram(const, $"v", 5)
+      .as[(Long, Long, Long, Long)].collect().toSet ==
+      Set((0L, 777L, 777L, 3L)))
+  }
+
   test("profile of an empty frame yields zero rows per column, not no rows") {
     val d = Seq.empty[(Option[Int], Option[String])].toDF("x", "s")
     val got = Profile.profile(d, Seq("x", "s"))
