@@ -48,14 +48,19 @@ object Linkage {
       block.as("__blk"))
     val a = rec.as("a")
     val b = rec.as("b")
+    // Join-condition economics (this runs once per CANDIDATE pair,
+    // i.e. block² times): the id< dedup test goes FIRST so the And
+    // short-circuits half the candidates before any string work, and
+    // the distance test is ONE bounded-kernel call — `-1 iff > max`
+    // makes `>= 0` the complete predicate. The surviving pairs (tiny)
+    // recompute the distance once in the projection.
     a.join(b, col("a.__blk") === col("b.__blk") &&
-        col("a.__id") < col("b.__id"))
+        col("a.__id") < col("b.__id") &&
+        levenshtein(col("a.__v"), col("b.__v"), maxDist) >= 0)
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
         col("a.__v").as("a_val"), col("b.__v").as("b_val"),
-        // bounded kernel: -1 when the distance exceeds maxDist
         levenshtein(col("a.__v"), col("b.__v"), maxDist)
           .cast("long").as("dist"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
   /** Sorted-neighborhood matching (Hernández & Stolfo 1995): order
