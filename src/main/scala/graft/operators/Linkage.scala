@@ -106,12 +106,18 @@ object Linkage {
     val probes = idx.select(col("__id").as("a_id"), col("__v").as("a_val"),
       explode(sequence(col("__idx") + 1, col("__idx") + (window - 1)))
         .as("__idx2"))
-    probes.join(idx.select(col("__id").as("b_id"), col("__v").as("b_val"),
-        col("__idx").as("__idx2")), "__idx2")
+    // Same join-condition economics as [[blockedPairs]]: the bounded
+    // kernel's `-1 iff > max` contract makes `>= 0` the complete
+    // distance predicate, evaluated ONCE per window pair as the hash
+    // join's residual condition; the few survivors recompute it in
+    // the projection.
+    val b = idx.select(col("__id").as("b_id"), col("__v").as("b_val"),
+      col("__idx").as("__idx2"))
+    probes.join(b, probes("__idx2") === b("__idx2") &&
+        levenshtein(col("a_val"), col("b_val"), maxDist) >= 0)
       .select(col("a_id"), col("b_id"), col("a_val"), col("b_val"),
         levenshtein(col("a_val"), col("b_val"), maxDist)
           .cast("long").as("dist"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
   /** Full ER pipeline face: match-pairs → connected components →
