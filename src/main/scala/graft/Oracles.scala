@@ -1340,6 +1340,82 @@ object Oracles {
         |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
         |SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
 
+    // K-means assignment with the deterministic seed centroid set (the
+    // 8 lowest vec_ids): argmin over -2·q·c + |c|² (ties to the lowest
+    // cell), true squared L2 = nsq + d. All-integer arithmetic — exact
+    // in both engines.
+    "emb_kmeans_assign" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+        |    qv AS cv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS cnorm
+        |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+        |scored AS (
+        |  SELECT n.vec_id, n.nsq, c.cell,
+        |    -2 * CAST(list_sum(list_transform(range(1, 65),
+        |      i -> n.qv[i] * c.cv[i])) AS BIGINT) + c.cnorm AS d
+        |  FROM n CROSS JOIN cent c),
+        |best AS (
+        |  SELECT vec_id, nsq, cell, d,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |  FROM scored)
+        |SELECT vec_id, cell, nsq + d AS l2sq FROM best WHERE rn = 1""".stripMargin,
+
+    // SemDeDup: same seed-centroid assignment, near-dup pairs only
+    // WITHIN a cell (exact quantized cosine on the unrounded value),
+    // then the recursive-CTE component collapse.
+    "dedup_semantic" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+        |    qv AS cv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS cnorm
+        |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+        |scored AS (
+        |  SELECT n.vec_id, n.qv, n.nsq, c.cell,
+        |    -2 * CAST(list_sum(list_transform(range(1, 65),
+        |      i -> n.qv[i] * c.cv[i])) AS BIGINT) + c.cnorm AS d
+        |  FROM n CROSS JOIN cent c),
+        |ranked AS (
+        |  SELECT vec_id, qv, nsq, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |  FROM scored),
+        |assign AS (SELECT vec_id, qv, nsq, cell FROM ranked WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM assign a JOIN assign b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE CAST(list_sum(list_transform(range(1, 65),
+        |        i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+        |      / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT c.id AS vec_id, a.cell, c.component
+        |FROM comp c JOIN assign a ON a.vec_id = c.id""".stripMargin,
+
     "sim_cosine_topk" -> BRUTE_TOPK,
     "sim_lsh_topk" -> BRUTE_TOPK,
     "sim_ivf_topk" -> BRUTE_TOPK,

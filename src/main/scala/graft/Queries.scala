@@ -1318,6 +1318,27 @@ object Queries {
         .select("a_id", "b_id"))
       .withColumnRenamed("doc_id", "vec_id")
 
+  /** Extension — k-means document clustering: every vector assigned
+    * to its nearest centroid with the exact integer squared-L2
+    * distance. Registered with the deterministic SEED centroid set
+    * (oracle rebuilds it exactly); the trained-codebook path is
+    * spec-exercised.
+    */
+  val embKmeansAssign: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.kmeansAssign(emb, Similarity.seedCentroids(emb, 8))
+  }
+
+  /** Extension — SemDeDup (Abbas et al. 2023): k-means clusters as
+    * the blocking scheme, exact within-cluster cosine verification,
+    * connected-component collapse. Same seed-centroid convention as
+    * `emb_kmeans_assign`.
+    */
+  val dedupSemantic: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.semanticDedup(emb, 0.4, Similarity.seedCentroids(emb, 8))
+  }
+
   /** Embedding-cosine near-dup pairs via LSH buckets — the scale path
     * (recall traded by planes; DedupSimilaritySpec asserts its output
     * is a subset of the exact baseline with identical cosines;

@@ -85,6 +85,8 @@ object SparkEntry {
     "dedup_cosine_pairs" -> Queries.dedupCosinePairs,
     "dedup_cosine_lsh" -> Queries.dedupCosineLsh,
     "dedup_cosine_components" -> Queries.dedupCosineComponents,
+    "emb_kmeans_assign" -> Queries.embKmeansAssign,
+    "dedup_semantic" -> Queries.dedupSemantic,
     "dedup_hot_spans" -> Queries.dedupHotSpans,
     "dedup_span_removal" -> Queries.dedupSpanRemoval,
     "corpus_cap_source" -> Queries.corpusCapSource,

@@ -423,4 +423,108 @@ object Similarity {
       .filter(col("__c") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("__c"), 6).as("cos"))
   }
+
+  /** Trained centroid set for [[kmeansAssign]]/[[semanticDedup]]:
+    * sample-capped deterministic k-means (see [[kmeansCentroids]]).
+    */
+  def trainedCentroids(embeddings: DataFrame, nlist: Int, iters: Int = 3,
+      sampleCap: Long = 262144): Array[Array[Long]] = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val quant = embeddings
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    try { quant.persist(); kmeansCentroids(quant, nlist, iters, sampleCap) }
+    finally quant.unpersist()
+  }
+
+  /** Deterministic SEED centroid set: the quantized vectors of the
+    * `nlist` lowest `vec_id`s. Not a trained codebook — a reproducible
+    * anchor set that an external oracle can rebuild exactly (the
+    * trained path is [[trainedCentroids]], spec-exercised). Collected
+    * state is nlist×dim longs — driver-tiny at any corpus size.
+    */
+  def seedCentroids(embeddings: DataFrame, nlist: Int): Array[Array[Long]] = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    embeddings
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .orderBy(col("vec_id")).limit(nlist)
+      .select(col("q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+  }
+
+  /** K-means cluster assignment (document clustering face): each
+    * vector to its nearest centroid by exact integer arithmetic.
+    * Emits `(vec_id, cell, l2sq)` with `l2sq` the exact squared L2
+    * distance (`|q|² − 2·q·c + |c|²`, all 64-bit integer terms); ties
+    * break to the lowest cell index.
+    *
+    * Scale shape: the centroid table (nlist×dim longs) rides inside
+    * literal expressions — assignment is MAP-ONLY over one corpus
+    * scan, zero exchange, whole-stage codegen'd.
+    */
+  def kmeansAssign(
+      embeddings: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    // One scored (d, cell) struct per centroid, min once; each dot is
+    // computed exactly once per (row, centroid). d = |c|² − 2·q·c, so
+    // the true squared L2 distance is nsq + d.
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      val cNorm = c.map(x => x * x).sum
+      struct(
+        (lit(-2L) * call_function("graft_dot", col("q"), cLit) + lit(cNorm))
+          .as("d"),
+        lit(i).as("cell"))
+    }
+    embeddings.select(
+      col("vec_id"),
+      quantized(col("embedding")).as("q"),
+    ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
+      .withColumn("__best", array_min(array(scored.toIndexedSeq: _*)))
+      .select(col("vec_id"), col("__best.cell").cast("long").as("cell"),
+        (col("nsq") + col("__best.d")).as("l2sq"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication with k-means clustering as the BLOCKING scheme.
+    * Vectors are assigned to their nearest centroid; candidate
+    * near-dup pairs exist only WITHIN a cluster; each candidate is
+    * verified with the exact quantized-integer cosine; verified pairs
+    * collapse to duplicate groups via connected components (components
+    * never span clusters because edges don't). Emits one row per
+    * vector belonging to a multi-member group:
+    * `(vec_id, cell, component)` with `component` the group minimum
+    * (the SemDeDup survivor).
+    *
+    * Scale shape: assignment is map-only (centroids broadcast as
+    * literals); the pair join is an EQUI-join on the cell id —
+    * hash-partitioned, AQE-splittable, never cartesian — so compare
+    * cost is Σ|cell|² instead of N². The cosine threshold runs as the
+    * join's residual predicate (one kernel evaluation per candidate);
+    * survivors recompute it in the projection. Skew caveat: a
+    * degenerate centroid set concentrates mass in one cell — the
+    * trained-codebook path keeps cells balanced in practice.
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+      centroids: Array[Array[Long]]): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val quant = embeddings.select(
+      col("vec_id"),
+      quantized(col("embedding")).as("q"),
+    ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
+      .withColumn("cell", cellOf(col("q"), centroids))
+    val a = quant.select(col("cell"), col("vec_id").as("a_id"),
+      col("q").as("a_q"), col("nsq").as("a_n"))
+    val b = quant.select(col("cell").as("b_cell"), col("vec_id").as("b_id"),
+      col("q").as("b_q"), col("nsq").as("b_n"))
+    val pairs = a.join(b, col("cell") === col("b_cell") &&
+        col("a_id") < col("b_id") &&
+        cosineFromInts(call_function("graft_dot", col("a_q"), col("b_q")),
+          col("a_n"), col("b_n")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+    Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("component"))
+      .join(quant.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("component"))
+  }
 }

@@ -750,6 +750,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mid != plain.filter(id => id >= 1000 && id < 2000))
   }
 
+  test("kmeans assignment matches driver-side argmin over the seed centroids") {
+    val seed = Similarity.seedCentroids(embs, 8)
+    val q = embs.select($"vec_id", Similarity.quantized($"embedding").as("q"))
+      .as[(Long, Seq[Long])].collect()
+    val assign = Similarity.kmeansAssign(embs, seed)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for ((id, v) <- q) {
+      val best = seed.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (ci, vi) =>
+          val diff = vi - ci; diff * diff
+        }.sum, i.toLong)
+      }.min
+      assert(assign(id) == (best._2, best._1), s"vec $id")
+    }
+  }
+
+  test("semantic dedup members are a subset of the global exact components") {
+    val seed = Similarity.seedCentroids(embs, 8)
+    val sem = Similarity.semanticDedup(embs, 0.4, seed)
+    val semIds = sem.select("vec_id").as[Long].collect().toSet
+    val globalIds = Dedup.connectedComponents(
+      Similarity.cosineNearDupPairsExact(embs, 0.4).select("a_id", "b_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(semIds.nonEmpty, "fixture should contain within-cluster near-dups")
+    assert(semIds.subsetOf(globalIds),
+      "cluster blocking must not invent pairs the exact baseline lacks")
+  }
+
+  test("semantic dedup with trained centroids: groups are multi-member and cell-local") {
+    val trained = Similarity.trainedCentroids(embs, nlist = 8, iters = 2)
+    val sem = Similarity.semanticDedup(embs, 0.4, trained)
+    val sizes = sem.groupBy("component").count().as[(Long, Long)].collect()
+    assert(sizes.nonEmpty && sizes.forall(_._2 >= 2),
+      "every emitted component has at least two members")
+    val cells = sem.groupBy("component")
+      .agg(countDistinct($"cell").as("nc")).as[(Long, Long)].collect()
+    assert(cells.forall(_._2 == 1),
+      "components never span clusters (edges are cell-local)")
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
       .toDF("doc_id", "text")

@@ -87,6 +87,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(800))
   }
 
+  test("kmeans assignment is map-only: centroids ride as literals, no exchange") {
+    val p = planOf("emb_kmeans_assign")
+    assert(!p.contains("Exchange"), p.take(800))
+  }
+
+  test("semantic dedup compares within cells via an equi-join, never all-pairs") {
+    val p = planOf("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
   test("map-only text passes plan without any exchange") {
     for (q <- Seq("text_pii_redact", "text_gopher_filter", "split_train_val",
         "chunk_overlap")) {
