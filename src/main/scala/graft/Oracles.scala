@@ -743,6 +743,19 @@ object Oracles {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
+    // The Bloom pre-filter's oracle IS the plain semi-join: the filter
+    // admits (matches + false positives) map-side; the exact semi-join
+    // behind it removes the false positives, so Bloom parameters trade
+    // only shuffle volume, never results.
+    "j7_bloom_semi" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_custkey IN (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
     "skew_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty

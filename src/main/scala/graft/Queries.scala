@@ -339,6 +339,27 @@ object Queries {
       .limit(10)
   }
 
+  /** Extension — Bloom-pruned semi-join: line items of orders placed
+    * by BUILDING-segment customers, with the big side pruned map-side
+    * by a Bloom filter over the qualifying order keys BEFORE its
+    * shuffle. The exact semi-join behind it removes false positives,
+    * so the oracle is the plain nested-IN semi-join.
+    */
+  val j7BloomSemi: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val orders = t(s, dir, "orders")
+    val qualifying = orders.join(cust,
+      orders("o_custkey") === cust("c_custkey"), "left_semi")
+    graft.operators.BloomJoin.bloomSemiJoin(
+      t(s, dir, "lineitem"), qualifying,
+      col("l_orderkey"), col("o_orderkey"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"))
+  }
+
   /** Skew path — two-phase salted aggregation equals direct grouping
     * (decimal-exact, so the re-aggregation is lossless and
     * oracle-checkable against plain GROUP BY).

@@ -49,6 +49,7 @@ object SparkEntry {
     "q9_profit_by_nation" -> Queries.q9ProfitByNation,
     "q17_small_qty_revenue" -> Queries.q17SmallQtyRevenue,
     "q3_top_orders" -> Queries.q3TopOrders,
+    "j7_bloom_semi" -> Queries.j7BloomSemi,
     "agg_percentiles" -> Queries.aggPercentiles,
     "agg_approx_percentiles" -> Queries.aggApproxPercentiles,
     "skew_salted_agg" -> Queries.skewSaltedAgg,

@@ -87,6 +87,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(800))
   }
 
+  test("bloom semi-join: the word-test filter runs upstream of the first exchange") {
+    val p = planOf("j7_bloom_semi")
+    val firstExchange = p.indexOf("Exchange")
+    val bloomTest = p.indexOf("element_at")
+    assert(bloomTest >= 0, p.take(800))
+    assert(firstExchange >= 0 && firstExchange < bloomTest,
+      "bloom filter must prune map-side, before any shuffle of the big side")
+  }
+
   test("kmeans assignment is map-only: centroids ride as literals, no exchange") {
     val p = planOf("emb_kmeans_assign")
     assert(!p.contains("Exchange"), p.take(800))
