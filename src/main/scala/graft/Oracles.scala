@@ -372,6 +372,24 @@ object Oracles {
         |  FROM documents)
         |SELECT doc_id, lang, source FROM r WHERE rn <= 50""".stripMargin,
 
+    // Token-budget systematic sampling: integer positions on the
+    // cumulative token axis (window sum cast to BIGINT; `//` is exact
+    // integer division, mirroring Spark's `div`).
+    "sample_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  (cum_end // 500) - ((cum_end - n_tokens) // 500) AS n_hits
+        |FROM c
+        |WHERE (cum_end // 500) - ((cum_end - n_tokens) // 500) >= 1""".stripMargin,
+
     // Novelty: same string-shingle derivation as the Jaccard oracles;
     // df over distinct per-doc grams, unique = df 1.
     "text_novelty" ->
@@ -1703,6 +1721,14 @@ object Oracles {
          |  true AS keys_within_5pct,
          |  true AS tables_within_5pct
          |FROM events WHERE $V""".stripMargin,
+
+    // Same sketch contract, grouped: per-source exact distinct plus
+    // Spark's claim the HLL estimate landed within 5%.
+    "agg_grouped_distinct" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS exact_texts,
+        |  true AS texts_within_5pct
+        |FROM documents GROUP BY source""".stripMargin,
 
     "a1_distinct_count" ->
       s"""SELECT count(*) AS total,

@@ -975,6 +975,22 @@ object Queries {
       (abs(approx_count_distinct(col("table")) - countDistinct(col("table")))
         <= countDistinct(col("table")) * lit(0.05)).as("tables_within_5pct"))
 
+  /** Extension — per-group approx-distinct under the sketch contract
+    * (exact arm + documented-error-bound booleans, same pattern as
+    * `a1_approx_distinct`). The scale face is the HLL sketch: fixed
+    * KB-size partial state per (partition, group) merged map-side, so
+    * the shuffle carries sketches, not distinct keys; the exact arm
+    * is the verification face the oracle certifies.
+    */
+  val aggGroupedDistinct: Q = (s, dir) => {
+    val fp = md5(col("text").cast("binary"))
+    t(s, dir, "documents").groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(fp).as("exact_texts"),
+      (abs(approx_count_distinct(fp) - countDistinct(fp))
+        <= countDistinct(fp) * lit(0.05)).as("texts_within_5pct"))
+  }
+
   /** T3 — union of per-table results into run totals. */
   val t3UnionTotals: Q = (s, dir) => {
     val per = Readers.validChangeLog(s, dir)
@@ -1464,6 +1480,14 @@ object Queries {
         col("doc_id").cast("string")).cast("binary")), 1, 16),
       id = col("doc_id"))
       .select("doc_id", "lang", "source")
+
+  /** Extension — token-budget systematic sampling: documents selected
+    * proportional to token count via exact integer positions on the
+    * cumulative token axis (`sum(n_hits) = ⌊total/step⌋`, realized
+    * not expected).
+    */
+  val sampleTokenBudget: Q = (s, dir) =>
+    TextAnalysis.sampleTokenBudget(t(s, dir, "documents"), step = 500)
 
   /** Extension — two-stage prefix-dimension rerank top-10. Registered
     * with the candidate budget ≥ corpus so screening provably passes

@@ -97,6 +97,7 @@ object SparkEntry {
     "text_tfidf" -> Queries.textTfIdf,
     "corpus_quality_buckets" -> Queries.corpusQualityBuckets,
     "sample_stratified" -> Queries.sampleStratified,
+    "sample_token_budget" -> Queries.sampleTokenBudget,
     "sim_rerank_topk" -> Queries.simRerankTopk,
     "prepare_pretraining_full" -> Queries.preparePretrainingFull,
     "curate_corpus" -> Queries.curateCorpus,
@@ -136,6 +137,7 @@ object SparkEntry {
     "w5_running_sum" -> Queries.w5RunningSum,
     "a1_distinct_count" -> Queries.a1DistinctCount,
     "a1_approx_distinct" -> Queries.a1ApproxDistinct,
+    "agg_grouped_distinct" -> Queries.aggGroupedDistinct,
     "t3_union_totals" -> Queries.t3UnionTotals,
     // -- extensions: windows, grouping sets, embeddings, multimodal
     "window_tumbling" -> Queries.windowTumbling,

@@ -237,6 +237,57 @@ object TextAnalysis {
     */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 
+  /** Token-budget systematic sampling: select documents proportional
+    * to their TOKEN COUNT (the weight that matters when filling a
+    * training-token budget), deterministically and with EXACT integer
+    * arithmetic — the engine-portable alternative to priority
+    * sampling, whose `u^(1/w)` keys are floating-point and
+    * tie-fragile across engines. Documents are laid on the cumulative
+    * token axis in `doc_id` order; a document is selected iff its
+    * token interval `(cum_start, cum_end]` contains a multiple of
+    * `step`, and `n_hits` (how many multiples — its systematic
+    * multiplicity) is exactly `⌊cum_end/step⌋ − ⌊cum_start/step⌋`, so
+    * `sum(n_hits) = ⌊total_tokens/step⌋` — the realized sample size
+    * is exact, not expected. Emits `(doc_id, n_tokens, n_hits)` for
+    * selected documents.
+    *
+    * Scale shape: the global prefix sum is the same two-phase
+    * bucketed form as sequence packing — a per-bucket ROWS-frame
+    * cumsum (parallel) plus one window over `buckets` rows of totals
+    * (KB-scale, broadcast back). Integer `div` throughout: exact past
+    * 2^53 tokens.
+    */
+  def sampleTokenBudget(docs: DataFrame, step: Long, buckets: Int = 256,
+      maxIdHint: Option[Long] = None): DataFrame = {
+    require(step > 0, "step must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+    val maxId = maxIdHint.getOrElse(toks.agg(max("doc_id")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    })
+    val width = math.max(1L, maxId / buckets + 1)
+    val inBucket = toks
+      .withColumn("bucket", expr(s"doc_id div ${width}L"))
+      .withColumn("cum_in_bucket",
+        sum("n_tokens").over(Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bucketStarts = inBucket.groupBy("bucket")
+      .agg(max("cum_in_bucket").as("btok"))
+      .withColumn("bstart",
+        coalesce(sum("btok").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "bstart")
+    inBucket.join(broadcast(bucketStarts), "bucket")
+      .withColumn("cum_end", col("bstart") + col("cum_in_bucket"))
+      .withColumn("n_hits",
+        expr(s"cum_end div ${step}L") -
+          expr(s"(cum_end - n_tokens) div ${step}L"))
+      .filter(col("n_hits") >= 1)
+      .select("doc_id", "n_tokens", "n_hits")
+  }
+
   /** Target-mix resampling (the static form of corpus-mixture tuning:
     * "make English 30% of the corpus"): per-`group` keep rates are
     * DERIVED FROM THE DATA — `rate_g = min(1, target_g · total /

@@ -790,6 +790,30 @@ class DedupSimilaritySpec extends SparkSpec {
       "components never span clusters (edges are cell-local)")
   }
 
+  test("token-budget sample: realized size is exact and weight-proportional") {
+    val step = 100L
+    val sel = TextAnalysis.sampleTokenBudget(docs, step)
+      .as[(Long, Long, Long)].collect()
+    val total = docs.select(TextAnalysis.tokenCount($"text").cast("long"))
+      .as[Long].collect().sum
+    assert(sel.map(_._3).sum == total / step,
+      "sum of multiplicities must equal the exact budget count")
+    // a document spanning >= step tokens can never be skipped, and a
+    // doc's multiplicity is bounded by its token span
+    assert(sel.forall { case (_, n, h) => h >= 1 && h <= n / step + 1 })
+    val ids = docs.filter(TextAnalysis.tokenCount($"text") >= step)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(sel.map(_._1).toSet))
+  }
+
+  test("token-budget sample: bucketed two-phase prefix sum equals one bucket") {
+    val a = TextAnalysis.sampleTokenBudget(docs, 250, buckets = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = TextAnalysis.sampleTokenBudget(docs, 250, buckets = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
       .toDF("doc_id", "text")
