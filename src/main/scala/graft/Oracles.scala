@@ -147,6 +147,60 @@ object Oracles {
       |      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
       |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4""".stripMargin
 
+  /** KNN-graph oracle, generated: the same banded-signature rebuild as
+    * [[COSINE_LSH_PAIRS]], but candidates flow BOTH directions
+    * (qid ≠ nid) and the tail is a per-qid ranking window instead of a
+    * threshold — verifying the graph semantics (top-k OF THE CANDIDATE
+    * SET) bit-for-bit, candidates included.
+    */
+  private val KNN_GRAPH: String =
+    """WITH w AS (
+      |  SELECT p.p,
+      |    list((CAST(CAST(concat('0x', substr(md5(concat(p.p, '_', i.i)), 1, 8)) AS UBIGINT) % 2000 AS BIGINT) - 1000) / 1000.0
+      |      ORDER BY i.i) AS wl
+      |  FROM range(0, 64) p(p), range(0, 64) i(i) GROUP BY p.p),
+      |dots AS (
+      |  SELECT e.vec_id, w.p,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> e.embedding[i] * w.wl[i])) AS dot
+      |  FROM embeddings e, w),
+      |sig AS (
+      |  SELECT vec_id,
+      |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+      |      THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS sg
+      |  FROM (SELECT vec_id,
+      |          sum(CASE WHEN dot > 0 THEN (1::HUGEINT << p) ELSE 0::HUGEINT END) AS s
+      |        FROM dots GROUP BY vec_id)),
+      |banded AS (
+      |  SELECT vec_id, b.band, (sg >> (b.band * 8)) & 255 AS bk
+      |  FROM sig, range(0, 8) b(band)),
+      |cands AS (
+      |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+      |  FROM q),
+      |scored AS (
+      |  SELECT c.qid, c.nid,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |        i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |      / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cs
+      |  FROM cands c
+      |  JOIN n a ON a.vec_id = c.qid
+      |  JOIN n b ON b.vec_id = c.nid)
+      |SELECT qid, rank, nid, round(cs, 6) AS cos FROM (
+      |  SELECT qid, nid, cs,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3""".stripMargin
+
   /** Shared CTE chain for the repeated-substring family: per-position
     * md5 8-gram hashes (identical to `graft_gramhashes` by
     * construction), corpus-wide counts, hot positions (count ≥ 2), and
@@ -342,6 +396,7 @@ object Oracles {
   val sql: Map[String, String] = Map(
     "dedup_simhash" -> SIMHASH_PAIRS,
     "dedup_cosine_lsh" -> COSINE_LSH_PAIRS,
+    "sim_knn_graph" -> KNN_GRAPH,
 
     // Per-source cap: same md5-hex ordering as the Spark window; the
     // doc_id tiebreaker is unreachable (md5 collisions) but mirrored.

@@ -1384,6 +1384,13 @@ object Queries {
   val dedupCosineLsh: Q = (s, dir) =>
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.4)
 
+  /** Extension — KNN graph (top-3 neighbors of EVERY vector) over the
+    * banded-LSH candidate set; the generated oracle rebuilds the
+    * candidates bit-for-bit, so the graph semantics are exact.
+    */
+  val simKnnGraph: Q = (s, dir) =>
+    Similarity.knnGraph(t(s, dir, "embeddings"), k = 3)
+
   /** The round-4 flagship: every NEW curation operator composed into
     * ONE logical plan — per-source cap → exact-dedup survivors →
     * repeated-span removal (hot-gram stats computed on the SURVIVING

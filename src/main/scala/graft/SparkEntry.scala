@@ -87,6 +87,7 @@ object SparkEntry {
     "dedup_cosine_lsh" -> Queries.dedupCosineLsh,
     "dedup_cosine_components" -> Queries.dedupCosineComponents,
     "emb_kmeans_assign" -> Queries.embKmeansAssign,
+    "sim_knn_graph" -> Queries.simKnnGraph,
     "dedup_semantic" -> Queries.dedupSemantic,
     "dedup_hot_spans" -> Queries.dedupHotSpans,
     "dedup_span_removal" -> Queries.dedupSpanRemoval,

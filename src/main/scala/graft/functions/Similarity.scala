@@ -424,6 +424,61 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("__c"), 6).as("cos"))
   }
 
+  /** KNN graph: the top-`k` nearest neighbors of EVERY vector (a KNN
+    * join — distinct from the probe-set top-k of [[bruteForceTopK]]/
+    * [[lshTopK]], where only a handful of query vectors score against
+    * the corpus). All-pairs is O(N²) and unrunnable at 100 TB, so the
+    * candidate set is the banded-LSH collision graph (same 8×8-bit
+    * signature banding as [[cosineNearDupPairs]], both directions),
+    * each candidate verified with the exact quantized-integer cosine,
+    * then one ranking window per vector — Spark 4 inserts
+    * WindowGroupLimit, so only k rows per vector survive each
+    * partition before the final sort. Emits `(qid, rank, nid, cos)`.
+    *
+    * Recall caveat (inherent, documented not hidden): a true neighbor
+    * sharing NO band with its query is never a candidate — the
+    * banding trades recall for the Σ|bucket|² candidate bound exactly
+    * as in the near-dup operator. The oracle rebuilds the banded
+    * candidate set bit-for-bit, so the GRAPH SEMANTICS (top-k of the
+    * candidate set) are exact.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int, bandPlanes: Int = 8,
+      bands: Int = 8): DataFrame = {
+    require(bandPlanes >= 1 && bands >= 1 && bandPlanes * bands <= 64,
+      s"bandPlanes * bands must fit one 64-bit signature, got $bandPlanes x $bands")
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val mask = (1L << bandPlanes) - 1
+    val sig = embeddings.select(
+      col("vec_id"),
+      quantized(col("embedding")).as("q"),
+      lshSignature(col("embedding"), bandPlanes * bands).as("sig"),
+    ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
+    val banded = sig.select(col("vec_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bandPlanes).bitwiseAND(lit(mask)).as("bk"))): _*))
+        .as("c"))
+      .select(col("vec_id"), col("c.band"), col("c.bk"))
+    val cands = banded
+      .join(banded.select(col("band"), col("bk"), col("vec_id").as("nid")),
+        Seq("band", "bk"))
+      .filter(col("vec_id") =!= col("nid"))
+      .select(col("vec_id").as("qid"), col("nid")).distinct()
+    val sk = sig.select(col("vec_id"), col("q"), col("nsq"))
+    val scored = cands
+      .join(sk.select(col("vec_id").as("qid"), col("q").as("a_q"),
+        col("nsq").as("a_n")), Seq("qid"))
+      .join(sk.select(col("vec_id").as("nid"), col("q").as("b_q"),
+        col("nsq").as("b_n")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        cosineFromInts(call_function("graft_dot", col("a_q"), col("b_q")),
+          col("a_n"), col("b_n")).as("cs"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cs"), 6).as("cos"))
+  }
+
   /** Trained centroid set for [[kmeansAssign]]/[[semanticDedup]]:
     * sample-capped deterministic k-means (see [[kmeansCentroids]]).
     */

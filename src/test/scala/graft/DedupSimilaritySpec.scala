@@ -790,6 +790,31 @@ class DedupSimilaritySpec extends SparkSpec {
       "components never span clusters (edges are cell-local)")
   }
 
+  test("knn graph: dense ranks, no self edges, descending cosines per vector") {
+    val g = Similarity.knnGraph(embs, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(g.nonEmpty)
+    assert(g.forall { case (q, _, n, _) => q != n })
+    val byQ = g.groupBy(_._1)
+    for ((_, rows) <- byQ) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length),
+        "ranks are dense from 1")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq,
+        "cosine non-increasing with rank")
+    }
+  }
+
+  test("knn graph cosines agree with the exact brute-force score") {
+    val g = Similarity.knnGraph(embs, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    val brute = Similarity.cosineNearDupPairsExact(embs, -1.0)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, c) => Seq((a, b) -> c, (b, a) -> c) }.toMap
+    assert(g.forall { case (q, _, n, c) => brute((q, n)) == c },
+      "every emitted edge carries the exact pairwise cosine")
+  }
+
   test("token-budget sample: realized size is exact and weight-proportional") {
     val step = 100L
     val sel = TextAnalysis.sampleTokenBudget(docs, step)

@@ -59,7 +59,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("sketch dedups never plan a cartesian/nested-loop candidate join") {
     for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "dedup_containment")) {
+        "dedup_containment", "sim_knn_graph")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q plans an all-pairs join:\n${p.take(800)}")
