@@ -393,10 +393,79 @@ object Oracles {
        |    round(list_sum(list(lp ORDER BY pos)) / count(*), 4) AS xent
        |  FROM lp GROUP BY doc_id)""".stripMargin
 
+  /** Shared CTE chain for the DSIR family (mirrors
+    * `Selection.weightsRaw` exactly): hashed-bigram features
+    * (md5-derived bucket mod 1024 — portable), one-pass raw/target
+    * bucket counts, per-feature log ratios joined back, ordered-fold
+    * per-doc sum plus the folded-normalizer term. `dsw` ends with the
+    * UNROUNDED `logw_raw` so the sample oracle can rank on it.
+    */
+  private val DSIR_CTES: String =
+    """dstok AS (
+      |  SELECT doc_id, (lang = 'en') AS t,
+      |    string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |dsbg AS (
+      |  SELECT doc_id, t,
+      |    list_transform(range(1, len(toks)),
+      |      i -> {'pos': i - 1, 'g': concat(toks[i], ' ', toks[i + 1])}) AS bl
+      |  FROM dstok WHERE len(toks) >= 2),
+      |dsf0 AS (SELECT doc_id, t, unnest(bl) AS u FROM dsbg),
+      |dsf AS (
+      |  SELECT doc_id, t, u.pos AS pos,
+      |    CAST(CAST(concat('0x', substr(md5(u.g), 1, 16)) AS UBIGINT)
+      |      % 1024 AS BIGINT) AS b
+      |  FROM dsf0),
+      |dscnt AS (
+      |  SELECT b, count(*) AS cr,
+      |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+      |  FROM dsf GROUP BY b),
+      |dstot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM dscnt),
+      |dslp AS (
+      |  SELECT f.doc_id, f.pos,
+      |    ln(CAST(c.ct AS DOUBLE) + 1.0) - ln(CAST(c.cr AS DOUBLE) + 1.0) AS lp
+      |  FROM dsf f JOIN dscnt c ON c.b = f.b),
+      |dsws AS (
+      |  SELECT doc_id, count(*) AS n_feats,
+      |    list_sum(list(lp ORDER BY pos)) AS s
+      |  FROM dslp GROUP BY doc_id),
+      |dsw AS (
+      |  SELECT doc_id, n_feats,
+      |    s + CAST(n_feats AS DOUBLE)
+      |      * (ln(CAST(nr AS DOUBLE) + 1024.0) - ln(CAST(nt AS DOUBLE) + 1024.0))
+      |      AS logw_raw
+      |  FROM dsws CROSS JOIN dstot)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_simhash" -> SIMHASH_PAIRS,
     "dedup_cosine_lsh" -> COSINE_LSH_PAIRS,
     "sim_knn_graph" -> KNN_GRAPH,
+
+    // DSIR weights: every corpus statistic an exact integer; lp values
+    // summed in position order; normalizer folded in as one fixed
+    // expression; rounded once.
+    "corpus_dsir_weights" ->
+      s"""WITH $DSIR_CTES
+         |SELECT doc_id, n_feats, round(logw_raw, 4) AS logw FROM dsw""".stripMargin,
+
+    // DSIR Gumbel top-k: rank on the UNROUNDED key (logw + gumbel),
+    // noise from the same md5-uniform u both engines compute.
+    "corpus_dsir_sample" ->
+      s"""WITH $DSIR_CTES,
+         |dsg AS (
+         |  SELECT doc_id, logw_raw,
+         |    logw_raw - ln(-ln(
+         |      (CAST(CAST(concat('0x', substr(md5(concat('dsir:',
+         |         CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) AS DOUBLE)
+         |        + 0.5) / 4294967296.0)) AS skey_raw
+         |  FROM dsw),
+         |dsr AS (
+         |  SELECT doc_id, logw_raw, skey_raw,
+         |    row_number() OVER (ORDER BY skey_raw DESC, doc_id) AS rank
+         |  FROM dsg)
+         |SELECT doc_id, rank, round(logw_raw, 4) AS logw,
+         |  round(skey_raw, 4) AS skey
+         |FROM dsr WHERE rank <= 100""".stripMargin,
 
     // Per-source cap: same md5-hex ordering as the Spark window; the
     // doc_id tiebreaker is unreachable (md5 collisions) but mirrored.

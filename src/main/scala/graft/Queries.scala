@@ -828,6 +828,23 @@ object Queries {
   val corpusMixTarget: Q = (s, dir) =>
     TextAnalysis.resampleToMix(t(s, dir, "documents"),
       Map("en" -> 0.3, "zh" -> 0.2, "es" -> 0.1))
+
+  /** DSIR importance weights (Xie et al. 2023) toward the English
+    * subset as the target distribution: hashed-bigram multinomial
+    * log-likelihood ratios, md5-portable buckets, ordered-fold FP
+    * determinism (the `text_lm_score` discipline).
+    */
+  val corpusDsirWeights: Q = (s, dir) =>
+    graft.functions.Selection.dsirWeights(
+      t(s, dir, "documents"), col("lang") === "en")
+
+  /** DSIR Gumbel top-k resample: 100 documents drawn without
+    * replacement ∝ softmax(logw) with deterministic md5-uniform
+    * Gumbel noise — reproducible, engine-portable selection.
+    */
+  val corpusDsirSample: Q = (s, dir) =>
+    graft.functions.Selection.dsirSample(
+      t(s, dir, "documents"), col("lang") === "en", k = 100)
       .select("doc_id", "lang")
 
   /** PII redaction pass: emails, IPv4, phones → placeholder tokens,

@@ -123,6 +123,8 @@ object SparkEntry {
     "text_repetition" -> Queries.textRepetition,
     "corpus_reweight" -> Queries.corpusReweight,
     "corpus_mix_target" -> Queries.corpusMixTarget,
+    "corpus_dsir_weights" -> Queries.corpusDsirWeights,
+    "corpus_dsir_sample" -> Queries.corpusDsirSample,
     "text_vocab" -> Queries.textVocab,
     "text_bm25" -> Queries.textBm25,
     "text_postings" -> Queries.textPostings,

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** DSIR-style data selection (Xie et al., "Data Selection for Language
+  * Models via Importance Resampling", NeurIPS 2023): pick raw-pool
+  * documents whose hashed n-gram feature distribution resembles a
+  * small high-quality TARGET corpus. The classic use at 100 TB is
+  * curating a web crawl toward a Wikipedia/books target before
+  * pretraining — the selection signal a pure quality classifier
+  * misses (DSIR matches the target DISTRIBUTION, not a threshold).
+  *
+  * Method, faithfully simplified: features are hashed bigrams (bucket
+  * = md5-derived 64-bit hash mod `buckets` — engine-portable, so the
+  * DuckDB oracle rebuilds every bucket exactly); bag-of-features
+  * add-one-smoothed multinomials for the target and raw corpora; the
+  * per-document log importance weight is
+  *
+  *   log w(d) = Σ_f [ ln(c_t(f)+1) − ln(c_r(f)+1) ]
+  *              + n_d · [ ln(N_r+B) − ln(N_t+B) ]
+  *
+  * (the second term folds the two normalizers; n_d = feature count of
+  * d). Resampling is Gumbel top-k — rank by `logw + g` where the
+  * Gumbel noise `g = −ln(−ln(u))` uses a deterministic md5-uniform
+  * `u` per doc, so the draw is reproducible, engine-portable, and
+  * equivalent to sampling without replacement ∝ softmax(logw)
+  * (Vieira 2014, "Gumbel-max trick").
+  *
+  * Determinism across engines (the `text_lm_score` discipline): all
+  * corpus statistics are exact integers; per-feature lp values are
+  * summed as an ORDERED fold over the position-sorted list; the
+  * normalizer term is ONE fixed expression appended after the fold;
+  * rounding happens once at the end.
+  *
+  * Scale shape: bucket counts for BOTH corpora come from one
+  * map-side-combined groupBy over (doc_id, pos, bucket) triples (the
+  * target indicator rides along — no second scan); the count
+  * join-back is a 1-row-per-bucket build side (≤ `buckets` rows —
+  * broadcastable); totals ride in as a broadcast 1-row cross join;
+  * the per-doc fold shuffles (doc_id, pos, lp) triples only. The
+  * top-k is sort-and-limit (TakeOrdered — no global window over the
+  * corpus); ranks are assigned on the k survivors.
+  */
+object Selection {
+
+  /** Engine-portable feature bucket in [0, buckets): first 8 md5
+    * bytes as an unsigned integer, mod the bucket count. Exact
+    * DECIMAL(20,0) arithmetic — no ANSI overflow, no sign fold
+    * needed (the modulus of the unsigned value is taken directly,
+    * matching DuckDB's `UBIGINT % buckets`).
+    */
+  private def featureBucket(g: Column, buckets: Int): Column =
+    (conv(substring(md5(g.cast("binary")), 1, 16), 16, 10)
+      .cast(DecimalType(20, 0)) % buckets).cast("long")
+
+  /** Per-document hashed-bigram positions: `(doc_id, __t, pos, b)`.
+    * Documents with < 2 tokens carry no features and are excluded
+    * (mirrored by the oracle).
+    */
+  private def features(docs: DataFrame, isTarget: Column,
+      buckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"), isTarget.cast("boolean").as("__t"),
+        split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("__t"),
+        posexplode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("__t"), col("pos"),
+        featureBucket(col("g"), buckets).as("b"))
+
+  /** Internal: `(doc_id, n_feats, logw_raw)` with the UNROUNDED
+    * weight (the sampling key must not rank on display rounding).
+    */
+  private def weightsRaw(docs: DataFrame, isTarget: Column,
+      buckets: Int): DataFrame = {
+    val feats = features(docs, isTarget, buckets)
+    // One pass counts both corpora: cr = raw occurrences (every row),
+    // ct = target occurrences (indicator sum). ≤ `buckets` rows out.
+    val counts = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lp = feats
+      .join(broadcast(counts), Seq("b"))
+      .select(col("doc_id"), col("pos"),
+        (log(col("ct").cast("double") + lit(1.0))
+          - log(col("cr").cast("double") + lit(1.0))).as("lp"))
+    lp.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_feats"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+            s => s.getField("lp")),
+          lit(0.0), (acc, x) => acc + x).as("__s"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_feats"),
+        (col("__s") + col("n_feats").cast("double")
+          * (log(col("nr").cast("double") + lit(buckets.toDouble))
+            - log(col("nt").cast("double") + lit(buckets.toDouble))))
+          .as("logw_raw"))
+  }
+
+  /** DSIR log importance weights: `(doc_id, n_feats, logw)` for every
+    * document with ≥ 1 bigram feature. Higher = more target-like.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 1024): DataFrame =
+    weightsRaw(docs, isTarget, buckets)
+      .select(col("doc_id"), col("n_feats"),
+        round(col("logw_raw"), 4).as("logw"))
+
+  /** DSIR Gumbel top-k resample: the `k` documents selected without
+    * replacement with probability ∝ softmax(log w), drawn with
+    * deterministic md5-uniform Gumbel noise. Emits
+    * `(doc_id, rank, logw, skey)`, rank 1 = first draw.
+    */
+  def dsirSample(docs: DataFrame, isTarget: Column, k: Int,
+      buckets: Int = 1024): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // u = (h + 0.5) / 2^32 with h the first 4 md5 bytes of the salted
+    // doc id — u ∈ (0, 1) strictly, so −ln(−ln(u)) is finite.
+    val h = conv(substring(
+      md5(concat(lit("dsir:"), col("doc_id").cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val keyed = weightsRaw(docs, isTarget, buckets)
+      .withColumn("__u", (h.cast("double") + lit(0.5)) / lit(4294967296.0))
+      .withColumn("__key", col("logw_raw") - log(-log(col("__u"))))
+    // TakeOrdered top-k; ranks assigned on the k survivors only (a
+    // single-partition window over k rows, not the corpus).
+    val top = keyed.orderBy(col("__key").desc, col("doc_id")).limit(k)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("__key").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"), round(col("logw_raw"), 4).as("logw"),
+        round(col("__key"), 4).as("skey"))
+  }
+}
