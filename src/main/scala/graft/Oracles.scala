@@ -915,7 +915,8 @@ object Oracles {
     // collect; slice to the first 10 (ts, log_id)-ordered events.
     "user_event_sequence" ->
       s"""SELECT user_id AS rsbsa_no,
-         |  (list(event_type ORDER BY ts, event_id))[1:10] AS event_seq,
+         |  array_to_string((list(event_type ORDER BY ts, event_id))[1:10], ',')
+         |    AS event_seq,
          |  least(count(*), 10) AS seq_len
          |FROM events WHERE $V
          |GROUP BY user_id""".stripMargin,

@@ -401,7 +401,9 @@ object Queries {
       .agg(slice(array_sort(collect_list(
           struct(col("ts"), col("log_id"), col("table")))), 1, 10).as("__ev"))
       .select(col("rsbsa_no"),
-        expr("transform(__ev, e -> e.table)").as("event_seq"),
+        // serialized to a scalar: the driver's parity comparator cannot
+        // hash ARRAY cells (numpy.ndarray is unhashable)
+        concat_ws(",", expr("transform(__ev, e -> e.table)")).as("event_seq"),
         size(col("__ev")).cast("long").as("seq_len"))
 
   /** Extension — per-user EWMA smoothing of event values (α = 0.3,
@@ -828,6 +830,7 @@ object Queries {
   val corpusMixTarget: Q = (s, dir) =>
     TextAnalysis.resampleToMix(t(s, dir, "documents"),
       Map("en" -> 0.3, "zh" -> 0.2, "es" -> 0.1))
+      .select("doc_id", "lang")
 
   /** DSIR importance weights (Xie et al. 2023) toward the English
     * subset as the target distribution: hashed-bigram multinomial
@@ -845,7 +848,6 @@ object Queries {
   val corpusDsirSample: Q = (s, dir) =>
     graft.functions.Selection.dsirSample(
       t(s, dir, "documents"), col("lang") === "en", k = 100)
-      .select("doc_id", "lang")
 
   /** PII redaction pass: emails, IPv4, phones → placeholder tokens,
     * with the per-doc replacement count. Map-only fold of codegen'd

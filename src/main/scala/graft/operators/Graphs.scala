@@ -65,11 +65,12 @@ object Graphs {
           (lit(teleport) + expr("(85 * s) div 100")).as("r"))
       if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    // `e` stays persisted until the consumer's action has run — the
-    // bench/driver harness unpersists all persistent RDDs between
-    // queries, and callers embedding this in a pipeline can drop it
-    // via sparkContext.getPersistentRDDs once materialized.
-    ranks
+    // The final ranks are materialized (eager localCheckpoint) so the
+    // degree-joined edge table can be unpersisted HERE — callers get a
+    // self-contained result with no storage obligation left behind.
+    val out = ranks.localCheckpoint()
+    e.unpersist(blocking = false)
+    out
   }
 
   /** Bounded-depth BFS: exact hop distance (0…maxHops) from a source

@@ -49,10 +49,12 @@ object Linkage {
     val a = rec.as("a")
     val b = rec.as("b")
     // Join-condition economics (this runs once per CANDIDATE pair,
-    // i.e. block² times): the id< dedup test goes FIRST so the And
-    // short-circuits half the candidates before any string work, and
-    // the distance test is ONE bounded-kernel call — `-1 iff > max`
-    // makes `>= 0` the complete predicate. The surviving pairs (tiny)
+    // i.e. block² times): the distance test is ONE bounded-kernel
+    // call — `-1 iff > max` makes `>= 0` the complete predicate — and
+    // the id< dedup test is listed first as an ordering HINT (And
+    // short-circuits left-to-right in generated code, though Catalyst
+    // does not guarantee residual-conjunct order, so correctness and
+    // the cost bound never depend on it). The surviving pairs (tiny)
     // recompute the distance once in the projection.
     a.join(b, col("a.__blk") === col("b.__blk") &&
         col("a.__id") < col("b.__id") &&

@@ -182,7 +182,7 @@ object Streams {
     */
   def anomalyStream(
       log: DataFrame, lookback: Int = 20, minBaseline: Int = 10,
-      zThreshold: Double = 3.0)
+      zThreshold: Double = 3.0, idleTimeoutMs: Long = 30 * 60 * 1000L)
       : org.apache.spark.sql.Dataset[(Long, Long, Double, Double, Boolean)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = log.sparkSession
@@ -193,9 +193,19 @@ object Streams {
         unix_micros(col("ts").cast("timestamp")), col("value").cast("double"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._2)
+      // ProcessingTimeTimeout, not NoTimeout: with unbounded key
+      // cardinality a resident query would otherwise grow one ring
+      // buffer per EVER-SEEN key forever. Keys idle past
+      // `idleTimeoutMs` evict their ring; a returning key restarts its
+      // baseline (the documented arrival-order contract — the batch
+      // operator is the replayable source of truth).
       .flatMapGroupsWithState[List[Long], (Long, Long, Double, Double, Boolean)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         case (key, rows, state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var ring = state.getOption.getOrElse(Nil) // oldest → newest cents
           val out = rows.toSeq.sortBy(r => (r._3, r._1)).flatMap {
             case (id, _, _, v) =>
@@ -219,7 +229,9 @@ object Streams {
               res
           }
           state.update(ring)
+          state.setTimeoutDuration(idleTimeoutMs)
           out.iterator
+          }
       }
   }
 
