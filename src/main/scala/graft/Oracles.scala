@@ -1579,6 +1579,62 @@ object Oracles {
     // → provably brute-equal; partial budgets are spec-tested.
     "sim_rerank_topk" -> BRUTE_TOPK,
 
+    // PQ ADC top-k: the oracle rebuilds the WHOLE product-quantization
+    // computation bit-for-bit (seed codebooks from the 16 lowest
+    // vec_ids, per-subspace integer argmin encode, query distance
+    // tables, code-lookup sums) — `adist` is an exact integer, no FP
+    // anywhere. m=8 subspaces × 8 dims; slice bounds are 1-based
+    // inclusive in DuckDB list syntax.
+    "sim_pq_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |seed AS (
+        |  SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+        |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16)),
+        |cw AS (
+        |  SELECT seed.c, CAST(r.j AS INT) AS j,
+        |    qv[(r.j * 8 + 1):(r.j * 8 + 8)] AS w
+        |  FROM seed CROSS JOIN range(0, 8) r(j)),
+        |cwn AS (
+        |  SELECT c, j, w,
+        |    CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS wn
+        |  FROM cw),
+        |sub AS (
+        |  SELECT vec_id, CAST(r.j AS INT) AS j,
+        |    qv[(r.j * 8 + 1):(r.j * 8 + 8)] AS s
+        |  FROM q CROSS JOIN range(0, 8) r(j)),
+        |enc0 AS (
+        |  SELECT s.vec_id, s.j, w.c,
+        |    w.wn - 2 * CAST(list_sum(list_transform(range(1, 9),
+        |      i -> s.s[i] * w.w[i])) AS BIGINT) AS d
+        |  FROM sub s JOIN cwn w ON w.j = s.j),
+        |enc AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        |    FROM enc0) WHERE rn = 1),
+        |qsub AS (
+        |  SELECT vec_id AS qid, j, s FROM sub WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |dt AS (
+        |  SELECT qs.qid, qs.j, w.c,
+        |    CAST(list_sum(list_transform(qs.s, x -> x * x)) AS BIGINT) + w.wn
+        |      - 2 * CAST(list_sum(list_transform(range(1, 9),
+        |        i -> qs.s[i] * w.w[i])) AS BIGINT) AS d
+        |  FROM qsub qs JOIN cwn w ON w.j = qs.j),
+        |ad AS (
+        |  SELECT dt.qid, e.vec_id AS nid, CAST(sum(dt.d) AS BIGINT) AS adist
+        |  FROM enc e JOIN dt ON dt.j = e.j AND dt.c = e.c
+        |  WHERE e.vec_id <> dt.qid
+        |  GROUP BY dt.qid, e.vec_id),
+        |r AS (
+        |  SELECT qid, nid, adist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+        |  FROM ad)
+        |SELECT qid, rank, nid, adist FROM r WHERE rank <= 10""".stripMargin,
+
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,

@@ -748,6 +748,18 @@ object Queries {
     Similarity.ivfTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
       nlist = 16, nprobe = 16)
 
+  /** Product-quantization ADC top-10 (Jégou+ TPAMI'11): 8 subspaces ×
+    * 16 seed codewords, exact-integer distance tables — the memory-
+    * bound ANN scale path (the scored scan reads m codes per vector,
+    * not the vector). `adist` is integer-exact, so the oracle mirrors
+    * the whole PQ computation bit-for-bit (the `dedup_cosine_lsh`
+    * convention); rank-vs-exact recall is spec-pinned, and the m=1
+    * exactness escape hatch is spec-proven equal to true squared L2.
+    */
+  val simPqTopk: Q = (s, dir) =>
+    Similarity.pqTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      m = 8, ksub = 16)
+
   /** Winnowing fingerprints (MOSS selective fingerprinting): the
     * distinct per-window minimum token hashes per document.
     */

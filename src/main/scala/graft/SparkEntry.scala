@@ -107,6 +107,7 @@ object SparkEntry {
     "sim_cosine_topk" -> Queries.simCosineTopk,
     "sim_lsh_topk" -> Queries.simLshTopk,
     "sim_ivf_topk" -> Queries.simIvfTopk,
+    "sim_pq_topk" -> Queries.simPqTopk,
     // -- extensions: text analysis
     "text_token_count" -> Queries.textTokenCount,
     "text_quality" -> Queries.textQuality,

@@ -582,4 +582,103 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("component"))
   }
+
+  // -------------------------------------------------- product quantization
+
+  /** Deterministic SEED sub-quantizer codebooks for [[pqTopK]]: the
+    * quantized vectors of the `ksub` lowest `vec_id`s, each split into
+    * `m` contiguous sub-vectors — codebook `(j)(c)` is seed vector `c`
+    * restricted to subspace `j`. Not a trained codebook (the trained
+    * path would run [[kmeansCentroids]] per subspace); a reproducible
+    * anchor set an external oracle rebuilds exactly. Driver state is
+    * ksub×dims longs — tiny at any corpus size.
+    */
+  def seedPqCodebooks(
+      embeddings: DataFrame, m: Int, ksub: Int): Array[Array[Array[Long]]] = {
+    val seeds = seedCentroids(embeddings, ksub)
+    require(seeds.nonEmpty && seeds.head.length % m == 0,
+      s"dims ${seeds.headOption.fold(0)(_.length)} must divide by m=$m")
+    val dsub = seeds.head.length / m
+    Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+  }
+
+  /** Product-quantization ADC top-k (Jégou, Douze, Schmid: "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011). The
+    * vector space splits into `m` orthogonal subspaces; each corpus
+    * vector is ENCODED as m small codes (nearest codeword per
+    * subspace, exact integer argmin, ties to the lowest code); each
+    * query precomputes an m×ksub DISTANCE TABLE of exact integer
+    * sub-distances to every codeword; the approximate distance of a
+    * corpus vector is then m table lookups + a sum — the scan never
+    * touches the original vector again. Emits `(qid, rank, nid,
+    * adist)` with `adist` the exact INTEGER ADC squared-L2 estimate
+    * (quantized units) — bit-identical in any engine, so the row is
+    * fully oracle-backed even though the ESTIMATE is approximate
+    * (the oracle mirrors the PQ computation itself, the
+    * `dedup_cosine_lsh` convention).
+    *
+    * Scale shape: encoding is MAP-ONLY (codebooks ride as literal
+    * expressions — m×ksub sub-dots per row, whole-stage codegen'd);
+    * the scored scan reads only `(vec_id, codes)` — m bytes-scale
+    * state per vector instead of dims floats (the 8×-compression that
+    * makes PQ the memory-bound-ANN workhorse); query distance tables
+    * are computed once per QUERY row on the tiny broadcast side; the
+    * per-query top-k bounds window state to k rows/query/partition.
+    * Exactness escape hatch (spec-exercised): with m = 1 and
+    * ksub ≥ N every vector is its own nearest codeword, so `adist`
+    * IS the exact squared L2 distance.
+    */
+  def pqTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val cb = seedPqCodebooks(embeddings, m, ksub)
+    val dsub = cb(0)(0).length
+    val cbNorm = cb.map(_.map(w => w.map(x => x * x).sum))
+    val quant = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"))
+
+    // codes[j] = argmin_c ‖sub_j − cw_{j,c}‖²; the ‖sub_j‖² term is
+    // constant per (row, subspace) — dropped from the argmin.
+    val codes = array((0 until m).map { j =>
+      val sub = slice(col("q"), j * dsub + 1, dsub)
+      val scored = cb(j).zipWithIndex.map { case (w, c) =>
+        val wLit = array(w.map(lit).toIndexedSeq: _*)
+        struct(
+          (lit(cbNorm(j)(c)) - lit(2L) * call_function("graft_dot", sub, wLit))
+            .as("d"),
+          lit(c).as("c"))
+      }
+      array_min(array(scored.toIndexedSeq: _*)).getField("c")
+    }: _*)
+    val encoded = quant.select(col("vec_id"), codes.as("codes"))
+
+    // Query-side table: dt[j][c] = exact ‖qsub_j − cw_{j,c}‖². Built
+    // once per query row (broadcast side), m×ksub longs each.
+    val dt = array((0 until m).map { j =>
+      val qsub = slice(col("q"), j * dsub + 1, dsub)
+      array(cb(j).zipWithIndex.map { case (w, c) =>
+        val wLit = array(w.map(lit).toIndexedSeq: _*)
+        call_function("graft_norm_sq", qsub) + lit(cbNorm(j)(c)) -
+          lit(2L) * call_function("graft_dot", qsub, wLit)
+      }.toIndexedSeq: _*)
+    }: _*)
+    val queries = quant
+      .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), dt.as("dt"))
+
+    // ADC scan: m lookups + sum per (corpus row, query).
+    val adist = aggregate(
+      zip_with(col("dt"), col("codes"),
+        (t, c) => element_at(t, c.cast("int") + 1)),
+      lit(0L), (acc, v) => acc + v)
+    val scored = encoded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), adist.as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adist"))
+  }
 }

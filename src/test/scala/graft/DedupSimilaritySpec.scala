@@ -448,6 +448,58 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
   }
 
+  /** Exact quantized squared-L2 top-k baseline for the PQ tests:
+    * ‖a‖² + ‖b‖² − 2·a·b over the integer-quantized vectors — the
+    * quantity PQ's `adist` approximates.
+    */
+  private def exactL2TopK(corpus: org.apache.spark.sql.DataFrame,
+      qids: Seq[Long], k: Int): org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val q = corpus.select($"vec_id",
+      Similarity.quantized($"embedding").as("q"))
+      .withColumn("nsq", call_function("graft_norm_sq", $"q"))
+    val queries = q.filter($"vec_id".isin(qids.map(Long.box): _*))
+      .select($"vec_id".as("qid"), $"q".as("qq"), $"nsq".as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"d2", $"nid")
+    q.crossJoin(broadcast(queries)).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        ($"qn" + $"nsq" - lit(2L) * call_function("graft_dot", $"q", $"qq"))
+          .as("d2"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+  }
+
+  test("PQ ADC: m=1 with every vector a codeword is EXACT squared-L2 top-k") {
+    // 32-vector sub-corpus, ksub = N: each vector is its own nearest
+    // codeword (sub-distance 0), so adist collapses to the true
+    // quantized squared L2 — the documented exactness escape hatch.
+    val sub = embs.orderBy($"vec_id").limit(32)
+    val qids = Seq(0L, 1L, 2L)
+    val pq = Similarity.pqTopK(sub, qids, 5, m = 1, ksub = 32)
+    val exact = exactL2TopK(sub, qids, 5)
+      .select($"qid", $"rank", $"nid", $"d2".as("adist"))
+    assert(pq.exceptAll(exact).isEmpty && exact.exceptAll(pq).isEmpty)
+  }
+
+  test("PQ ADC top-k: shape, determinism, and recall vs exact L2") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val pq = Similarity.pqTopK(embs, qids, 10, m = 8, ksub = 16)
+    val rows = pq.collect()
+    assert(rows.length == 50)                        // k rows per query
+    assert(rows.forall(r => r.getLong(2) != r.getLong(0))) // no self
+    assert(pq.filter($"qid" === 0L).select("rank").as[Int].collect().sorted
+      .sameElements(1 to 10))
+    // seed codebooks are deterministic → identical output across runs
+    val again = Similarity.pqTopK(embs, qids, 10, m = 8, ksub = 16)
+    assert(pq.exceptAll(again).isEmpty && again.exceptAll(pq).isEmpty)
+    // untrained 16-codeword seeds are a coarse quantizer; still, the
+    // ADC order must stay correlated with the true L2 order
+    val exact = exactL2TopK(embs, qids, 10).select($"qid", $"nid")
+    val hits = pq.select($"qid", $"nid")
+      .join(exact, Seq("qid", "nid"), "left_semi").count()
+    assert(hits >= 10, s"PQ recall collapsed: $hits/50 exact-L2 hits")
+  }
+
   test("cosineNearDupPairs is symmetric-free, thresholded, ⊆ exact baseline") {
     val pairs = Similarity.cosineNearDupPairs(embs, threshold = 0.8)
     assert(pairs.filter($"a_id" >= $"b_id").count() == 0)
