@@ -436,6 +436,54 @@ object Oracles {
       |      AS logw_raw
       |  FROM dsws CROSS JOIN dstot)""".stripMargin
 
+  /** Shared PQ CTEs (`sim_pq_topk` / `sim_ivfpq_topk`): rebuild the
+    * WHOLE product-quantization computation bit-for-bit — quantized
+    * vectors, seed codebooks from the 16 lowest vec_ids, per-subspace
+    * integer argmin encode, per-query distance tables. All exact
+    * integers; m=8 subspaces × 8 dims; slice bounds are 1-based
+    * inclusive in DuckDB list syntax. Leaves CTEs `q` (quantized),
+    * `enc` (codes), `dt` (query tables) in scope.
+    */
+  private val PQ_CTES: String =
+    """q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |seed AS (
+      |  SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+      |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16)),
+      |cw AS (
+      |  SELECT seed.c, CAST(r.j AS INT) AS j,
+      |    qv[(r.j * 8 + 1):(r.j * 8 + 8)] AS w
+      |  FROM seed CROSS JOIN range(0, 8) r(j)),
+      |cwn AS (
+      |  SELECT c, j, w,
+      |    CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS wn
+      |  FROM cw),
+      |sub AS (
+      |  SELECT vec_id, CAST(r.j AS INT) AS j,
+      |    qv[(r.j * 8 + 1):(r.j * 8 + 8)] AS s
+      |  FROM q CROSS JOIN range(0, 8) r(j)),
+      |enc0 AS (
+      |  SELECT s.vec_id, s.j, w.c,
+      |    w.wn - 2 * CAST(list_sum(list_transform(range(1, 9),
+      |      i -> s.s[i] * w.w[i])) AS BIGINT) AS d
+      |  FROM sub s JOIN cwn w ON w.j = s.j),
+      |enc AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM enc0) WHERE rn = 1),
+      |qsub AS (
+      |  SELECT vec_id AS qid, j, s FROM sub WHERE vec_id IN (0, 1, 2, 3, 4)),
+      |dt AS (
+      |  SELECT qs.qid, qs.j, w.c,
+      |    CAST(list_sum(list_transform(qs.s, x -> x * x)) AS BIGINT) + w.wn
+      |      - 2 * CAST(list_sum(list_transform(range(1, 9),
+      |        i -> qs.s[i] * w.w[i])) AS BIGINT) AS d
+      |  FROM qsub qs JOIN cwn w ON w.j = qs.j)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_simhash" -> SIMHASH_PAIRS,
     "dedup_cosine_lsh" -> COSINE_LSH_PAIRS,
@@ -1579,55 +1627,58 @@ object Oracles {
     // → provably brute-equal; partial budgets are spec-tested.
     "sim_rerank_topk" -> BRUTE_TOPK,
 
-    // PQ ADC top-k: the oracle rebuilds the WHOLE product-quantization
-    // computation bit-for-bit (seed codebooks from the 16 lowest
-    // vec_ids, per-subspace integer argmin encode, query distance
-    // tables, code-lookup sums) — `adist` is an exact integer, no FP
-    // anywhere. m=8 subspaces × 8 dims; slice bounds are 1-based
-    // inclusive in DuckDB list syntax.
+    // PQ ADC top-k over the shared PQ_CTES — `adist` is an exact
+    // integer, no FP anywhere.
     "sim_pq_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |seed AS (
-        |  SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
-        |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16)),
-        |cw AS (
-        |  SELECT seed.c, CAST(r.j AS INT) AS j,
-        |    qv[(r.j * 8 + 1):(r.j * 8 + 8)] AS w
-        |  FROM seed CROSS JOIN range(0, 8) r(j)),
-        |cwn AS (
-        |  SELECT c, j, w,
-        |    CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS wn
-        |  FROM cw),
-        |sub AS (
-        |  SELECT vec_id, CAST(r.j AS INT) AS j,
-        |    qv[(r.j * 8 + 1):(r.j * 8 + 8)] AS s
-        |  FROM q CROSS JOIN range(0, 8) r(j)),
-        |enc0 AS (
-        |  SELECT s.vec_id, s.j, w.c,
-        |    w.wn - 2 * CAST(list_sum(list_transform(range(1, 9),
-        |      i -> s.s[i] * w.w[i])) AS BIGINT) AS d
-        |  FROM sub s JOIN cwn w ON w.j = s.j),
-        |enc AS (
-        |  SELECT vec_id, j, c FROM (
-        |    SELECT vec_id, j, c,
-        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
-        |    FROM enc0) WHERE rn = 1),
-        |qsub AS (
-        |  SELECT vec_id AS qid, j, s FROM sub WHERE vec_id IN (0, 1, 2, 3, 4)),
-        |dt AS (
-        |  SELECT qs.qid, qs.j, w.c,
-        |    CAST(list_sum(list_transform(qs.s, x -> x * x)) AS BIGINT) + w.wn
-        |      - 2 * CAST(list_sum(list_transform(range(1, 9),
-        |        i -> qs.s[i] * w.w[i])) AS BIGINT) AS d
-        |  FROM qsub qs JOIN cwn w ON w.j = qs.j),
+      s"""WITH $PQ_CTES,
         |ad AS (
         |  SELECT dt.qid, e.vec_id AS nid, CAST(sum(dt.d) AS BIGINT) AS adist
         |  FROM enc e JOIN dt ON dt.j = e.j AND dt.c = e.c
         |  WHERE e.vec_id <> dt.qid
+        |  GROUP BY dt.qid, e.vec_id),
+        |r AS (
+        |  SELECT qid, nid, adist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+        |  FROM ad)
+        |SELECT qid, rank, nid, adist FROM r WHERE rank <= 10""".stripMargin,
+
+    // IVF+PQ: the shared PQ_CTES plus a coarse quantizer — cells from
+    // the 8 lowest vec_ids, exact-integer argmin assignment (tie →
+    // lowest cell), each query probing its 2 nearest cells. The cell
+    // prune is itself exact-integer, so PARTIAL-probe output is
+    // bit-reproducible (unlike IVF-flat's nprobe=nlist-only oracle).
+    "sim_ivfpq_topk" ->
+      s"""WITH $PQ_CTES,
+        |cseed AS (
+        |  SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |    AS cell
+        |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+        |cseedn AS (
+        |  SELECT cell, qv AS cv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS cn
+        |  FROM cseed),
+        |cdist AS (
+        |  SELECT q.vec_id, s.cell,
+        |    s.cn - 2 * CAST(list_sum(list_transform(range(1, 65),
+        |      i -> q.qv[i] * s.cv[i])) AS BIGINT) AS d
+        |  FROM q CROSS JOIN cseedn s),
+        |cellasg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
+        |ad AS (
+        |  SELECT dt.qid, e.vec_id AS nid, CAST(sum(dt.d) AS BIGINT) AS adist
+        |  FROM enc e
+        |  JOIN cellasg ca ON ca.vec_id = e.vec_id
+        |  JOIN probes p ON p.cell = ca.cell
+        |  JOIN dt ON dt.qid = p.qid AND dt.j = e.j AND dt.c = e.c
+        |  WHERE e.vec_id <> p.qid
         |  GROUP BY dt.qid, e.vec_id),
         |r AS (
         |  SELECT qid, nid, adist,

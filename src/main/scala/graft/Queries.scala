@@ -760,6 +760,16 @@ object Queries {
     Similarity.pqTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
       m = 8, ksub = 16)
 
+  /** IVF+PQ ANN (FAISS IVFPQ shape): seed-centroid coarse prune to 2
+    * of 8 cells, then PQ-code ADC within the probed cells. Both
+    * stages exact-integer → the PARTIAL-probe output is itself
+    * oracle-backed; recall-vs-probe and the nprobe=nlist ≡ pqTopK
+    * identity are spec-pinned.
+    */
+  val simIvfPqTopk: Q = (s, dir) =>
+    Similarity.ivfPqTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      nlist = 8, nprobe = 2, m = 8, ksub = 16)
+
   /** Winnowing fingerprints (MOSS selective fingerprinting): the
     * distinct per-window minimum token hashes per document.
     */

@@ -108,6 +108,7 @@ object SparkEntry {
     "sim_lsh_topk" -> Queries.simLshTopk,
     "sim_ivf_topk" -> Queries.simIvfTopk,
     "sim_pq_topk" -> Queries.simPqTopk,
+    "sim_ivfpq_topk" -> Queries.simIvfPqTopk,
     // -- extensions: text analysis
     "text_token_count" -> Queries.textTokenCount,
     "text_quality" -> Queries.textQuality,

@@ -634,51 +634,105 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val cb = seedPqCodebooks(embeddings, m, ksub)
-    val dsub = cb(0)(0).length
-    val cbNorm = cb.map(_.map(w => w.map(x => x * x).sum))
     val quant = embeddings.select(
       col("vec_id"), quantized(col("embedding")).as("q"))
-
-    // codes[j] = argmin_c ‖sub_j − cw_{j,c}‖²; the ‖sub_j‖² term is
-    // constant per (row, subspace) — dropped from the argmin.
-    val codes = array((0 until m).map { j =>
-      val sub = slice(col("q"), j * dsub + 1, dsub)
-      val scored = cb(j).zipWithIndex.map { case (w, c) =>
-        val wLit = array(w.map(lit).toIndexedSeq: _*)
-        struct(
-          (lit(cbNorm(j)(c)) - lit(2L) * call_function("graft_dot", sub, wLit))
-            .as("d"),
-          lit(c).as("c"))
-      }
-      array_min(array(scored.toIndexedSeq: _*)).getField("c")
-    }: _*)
-    val encoded = quant.select(col("vec_id"), codes.as("codes"))
-
-    // Query-side table: dt[j][c] = exact ‖qsub_j − cw_{j,c}‖². Built
-    // once per query row (broadcast side), m×ksub longs each.
-    val dt = array((0 until m).map { j =>
-      val qsub = slice(col("q"), j * dsub + 1, dsub)
-      array(cb(j).zipWithIndex.map { case (w, c) =>
-        val wLit = array(w.map(lit).toIndexedSeq: _*)
-        call_function("graft_norm_sq", qsub) + lit(cbNorm(j)(c)) -
-          lit(2L) * call_function("graft_dot", qsub, wLit)
-      }.toIndexedSeq: _*)
-    }: _*)
+    val encoded = quant.select(col("vec_id"), pqCodesCol(col("q"), cb).as("codes"))
     val queries = quant
       .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
-      .select(col("vec_id").as("qid"), dt.as("dt"))
-
-    // ADC scan: m lookups + sum per (corpus row, query).
-    val adist = aggregate(
-      zip_with(col("dt"), col("codes"),
-        (t, c) => element_at(t, c.cast("int") + 1)),
-      lit(0L), (acc, v) => acc + v)
+      .select(col("vec_id").as("qid"), pqDistTableCol(col("q"), cb).as("dt"))
     val scored = encoded.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), adist.as("adist"))
+      .select(col("qid"), col("vec_id").as("nid"), pqAdcCol().as("adist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("adist"))
   }
+
+  /** IVF + PQ composition (FAISS's IVFPQ shape, global codebooks): the
+    * coarse quantizer prunes the scan to the query's `nprobe` nearest
+    * seed-centroid cells; within the probed cells distances come from
+    * PQ codes (ADC — the vector itself is never read after encoding).
+    * The genuinely-100-TB ANN architecture: the per-query work is
+    * (corpus/nlist)·nprobe code lookups, the shuffled state is
+    * (vec_id, cell, m codes) per vector, and both prune AND scan stay
+    * exact-integer → bit-identical in any engine, so partial-probe
+    * output is itself oracle-backed (unlike IVF-flat, whose oracle
+    * needed nprobe = nlist). Simplification vs FAISS, documented:
+    * codes quantize the VECTOR, not the residual (vector − centroid) —
+    * residual PQ needs per-cell distance tables (nlist×m×ksub per
+    * query) for better recall at equal bits; the plumbing is identical.
+    * At nprobe = nlist the cell prune passes everything → exactly
+    * [[pqTopK]] (spec-asserted).
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 8, nprobe: Int = 2, m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && nprobe <= nlist,
+      "need k >= 1 and 1 <= nprobe <= nlist")
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val coarse = seedCentroids(embeddings, nlist)
+    val cb = seedPqCodebooks(embeddings, m, ksub)
+    val quant = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"))
+    val encoded = quant.select(col("vec_id"),
+      cellOf(col("q"), coarse).as("cell"), pqCodesCol(col("q"), cb).as("codes"))
+    // Query side: one row per (query, probed cell) — tiny, broadcast;
+    // the cell equi-join replaces pqTopK's full-corpus cross join.
+    val queries = quant
+      .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), pqDistTableCol(col("q"), cb).as("dt"),
+        explode(probeCellsOf(col("q"), coarse, nprobe)).as("cell"))
+    val scored = encoded.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), pqAdcCol().as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adist"))
+  }
+
+  /** codes[j] = argmin_c ‖sub_j − cw_{j,c}‖² over codebook `cb`; the
+    * ‖sub_j‖² term is constant per (row, subspace) — dropped from the
+    * argmin. Ties break to the lowest code. Map-only (codebooks are
+    * literal expressions), whole-stage codegen'd.
+    */
+  private def pqCodesCol(q: Column, cb: Array[Array[Array[Long]]]): Column = {
+    val dsub = cb(0)(0).length
+    array(cb.indices.map { j =>
+      val sub = slice(q, j * dsub + 1, dsub)
+      val scored = cb(j).zipWithIndex.map { case (w, c) =>
+        val wLit = array(w.map(lit).toIndexedSeq: _*)
+        struct(
+          (lit(w.map(x => x * x).sum) -
+            lit(2L) * call_function("graft_dot", sub, wLit)).as("d"),
+          lit(c).as("c"))
+      }
+      array_min(array(scored.toIndexedSeq: _*)).getField("c")
+    }: _*)
+  }
+
+  /** dt[j][c] = exact ‖qsub_j − cw_{j,c}‖² — the per-query ADC lookup
+    * table (m×ksub longs), built once per query row on the broadcast
+    * side.
+    */
+  private def pqDistTableCol(q: Column, cb: Array[Array[Array[Long]]]): Column = {
+    val dsub = cb(0)(0).length
+    array(cb.indices.map { j =>
+      val qsub = slice(q, j * dsub + 1, dsub)
+      array(cb(j).zipWithIndex.map { case (w, c) =>
+        val wLit = array(w.map(lit).toIndexedSeq: _*)
+        call_function("graft_norm_sq", qsub) + lit(w.map(x => x * x).sum) -
+          lit(2L) * call_function("graft_dot", qsub, wLit)
+      }.toIndexedSeq: _*)
+    }: _*)
+  }
+
+  /** ADC distance of the row's `codes` against the row's `dt`:
+    * m table lookups + a sum.
+    */
+  private def pqAdcCol(): Column = aggregate(
+    zip_with(col("dt"), col("codes"),
+      (t, c) => element_at(t, c.cast("int") + 1)),
+    lit(0L), (acc, v) => acc + v)
 }

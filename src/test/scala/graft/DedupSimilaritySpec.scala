@@ -500,6 +500,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits >= 10, s"PQ recall collapsed: $hits/50 exact-L2 hits")
   }
 
+  test("IVF-PQ: nprobe=nlist is exactly pqTopK; recall monotone in nprobe") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val pq = Similarity.pqTopK(embs, qids, 10, m = 8, ksub = 16)
+    // probing every cell disables the coarse prune → identical to PQ
+    val full = Similarity.ivfPqTopK(embs, qids, 10,
+      nlist = 8, nprobe = 8, m = 8, ksub = 16)
+    assert(full.exceptAll(pq).isEmpty && pq.exceptAll(full).isEmpty)
+    // partial probes: every emitted adist must equal the PQ adist for
+    // that pair (the prune loses candidates, never changes scores),
+    // and recall vs the full-probe set is monotone in nprobe
+    val pqPairs = pq.select($"qid", $"nid", $"adist")
+    def run(np: Int) = Similarity.ivfPqTopK(embs, qids, 10,
+      nlist = 8, nprobe = np, m = 8, ksub = 16)
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("qid", "nid").join(pq.select("qid", "nid"),
+        Seq("qid", "nid"), "left_semi").count()
+    val (p1, p4) = (run(1), run(4))
+    val wrong = p1.as("a").join(pqPairs.as("b"), Seq("qid", "nid"), "left")
+      .filter($"b.adist".isNotNull && $"a.adist" =!= $"b.adist")
+    assert(wrong.count() == 0)
+    assert(hits(p1) <= hits(p4), "recall fell with more probes")
+    // deterministic across runs
+    val again = run(2)
+    val first = run(2)
+    assert(again.exceptAll(first).isEmpty && first.exceptAll(again).isEmpty)
+  }
+
   test("cosineNearDupPairs is symmetric-free, thresholded, ⊆ exact baseline") {
     val pairs = Similarity.cosineNearDupPairs(embs, threshold = 0.8)
     assert(pairs.filter($"a_id" >= $"b_id").count() == 0)
