@@ -1857,6 +1857,58 @@ object Oracles {
         |  OR substr(md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 8)
         |     < lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')""".stripMargin,
 
+    // Temperature mix: rate = round(pow(cnt/min, alpha-1), 6) — the
+    // 6-decimal round (both engines) absorbs last-ulp libm pow skew
+    // before the 2^32 keep threshold.
+    "corpus_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT min(cnt) AS minc FROM c),
+        |r AS (SELECT lang,
+        |    round(pow(CAST(cnt AS DOUBLE) / CAST(minc AS DOUBLE),
+        |      CAST(-0.7 AS DOUBLE)), 6) AS rate
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE r.rate >= 1.0
+        |  OR substr(md5(concat('temp:', CAST(d.doc_id AS VARCHAR))), 1, 8)
+        |     < lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')""".stripMargin,
+
+    // Shard manifest: 60-bit md5 prefixes (shard key and content
+    // checksum), bit_xor is order-independent on both engines; sums
+    // cast back to BIGINT (DuckDB widens to HUGEINT).
+    "shard_manifest" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(concat('0x', substr(md5(concat('shard:',
+        |        CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) % 32 AS BIGINT)
+        |      AS shard,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok,
+        |    CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT)
+        |      AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  bit_xor(h) AS checksum
+        |FROM d GROUP BY shard""".stripMargin,
+
+    // Directed exact-cosine screen (decontamination): same quantized
+    // cosine as dedup_cosine_pairs, corpus ≥ 25 vs eval < 25.
+    "decon_semantic" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q)
+        |SELECT a.vec_id, b.vec_id AS eval_id,
+        |  round(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+        |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))), 6) AS cos
+        |FROM n a JOIN n b ON b.vec_id < 25 AND a.vec_id >= 25
+        |WHERE CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+        |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.35""".stripMargin,
+
     "split_train_val" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'

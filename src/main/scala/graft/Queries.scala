@@ -854,6 +854,32 @@ object Queries {
       Map("en" -> 0.3, "zh" -> 0.2, "es" -> 0.1))
       .select("doc_id", "lang")
 
+  /** Semantic decontamination: corpus vectors (vec_id ≥ 25) flagged
+    * against the eval set (vec_id < 25) at cosine ≥ 0.35 — exact
+    * brute-force over a broadcast eval side (the honest plan while
+    * eval sets stay broadcast-size).
+    */
+  val deconSemantic: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.decontaminateSemantic(
+      emb.filter(col("vec_id") >= 25), emb.filter(col("vec_id") < 25), 0.35)
+  }
+
+  /** Temperature-flattened corpus mix (mT5 α = 0.3): keep rates
+    * (cnt/cnt_min)^(α−1) per language — the smallest language keeps
+    * all, dominant ones thin toward share^α.
+    */
+  val corpusTemperatureMix: Q = (s, dir) =>
+    TextAnalysis.temperatureResample(t(s, dir, "documents"), alpha = 0.3)
+      .select("doc_id", "lang")
+
+  /** Training-shard manifest: salted-md5 doc→shard over 32 shards with
+    * per-shard doc/token counts and an order-independent xor content
+    * checksum.
+    */
+  val shardManifest: Q = (s, dir) =>
+    graft.functions.Packing.shardManifest(t(s, dir, "documents"), 32)
+
   /** DSIR importance weights (Xie et al. 2023) toward the English
     * subset as the target distribution: hashed-bigram multinomial
     * log-likelihood ratios, md5-portable buckets, ordered-fold FP

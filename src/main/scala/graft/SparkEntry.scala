@@ -125,6 +125,9 @@ object SparkEntry {
     "text_repetition" -> Queries.textRepetition,
     "corpus_reweight" -> Queries.corpusReweight,
     "corpus_mix_target" -> Queries.corpusMixTarget,
+    "corpus_temperature_mix" -> Queries.corpusTemperatureMix,
+    "shard_manifest" -> Queries.shardManifest,
+    "decon_semantic" -> Queries.deconSemantic,
     "corpus_dsir_weights" -> Queries.corpusDsirWeights,
     "corpus_dsir_sample" -> Queries.corpusDsirSample,
     "text_vocab" -> Queries.textVocab,

@@ -235,4 +235,33 @@ object Packing {
         size(col("__chunk")).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
+
+  /** Training-shard manifest: deterministic doc→shard assignment
+    * (salted-md5 hash mod `nshards` — stable under re-runs, engine
+    * changes, and corpus subsets, unlike round-robin or RNG) with the
+    * per-shard bookkeeping a sharded-output writer publishes: doc
+    * count, whitespace-token count, and an order-independent content
+    * checksum (`bit_xor` of per-doc 60-bit md5 prefixes — commutative,
+    * so partitioning and arrival order never change it).
+    *
+    * Shape: one map-combined aggregation over nshards keys; the hash
+    * spreads docs uniformly, so shard sizes concentrate tightly
+    * (±√(N/nshards)) — no skew handling needed at any scale. Returns
+    * `(shard, n_docs, n_tokens, checksum)`.
+    */
+  def shardManifest(docs: DataFrame, nshards: Int): DataFrame = {
+    require(nshards >= 1, "nshards must be >= 1")
+    val shard = pmod(
+      conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 15), 16, 10).cast("long"),
+      lit(nshards.toLong))
+    docs
+      .select(shard.as("shard"),
+        size(split(col("text"), "\\s+")).cast("long").as("__tok"),
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"),
+        bit_xor(col("__h")).as("checksum"))
+  }
 }

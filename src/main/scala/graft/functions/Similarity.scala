@@ -583,6 +583,37 @@ object Similarity {
         col("component"))
   }
 
+  /** Semantic decontamination: flag every corpus vector whose cosine
+    * against ANY eval-set vector reaches `threshold` — the embedding
+    * analogue of n-gram [[Dedup.decontaminate]] (GPT-3 appendix C
+    * dedups eval overlap lexically; semantic overlap catches
+    * paraphrases n-grams miss). Emits `(vec_id, eval_id, cos)`, one
+    * row per flagged (corpus, eval) pair.
+    *
+    * Scale shape: eval sets are small (10³–10⁵ benchmark rows), so the
+    * honest 100-TB plan is exact brute force — corpus × BROADCAST
+    * eval, map-only, zero shuffle, no recall loss; each corpus row
+    * pays |eval| codegen'd integer dots. Only if the eval side
+    * outgrows broadcast does the banded-LSH screen
+    * ([[cosineNearDupPairs]]) become the right tool — composition,
+    * not a replacement. Exact quantized-integer cosine, same
+    * convention as `dedup_cosine_pairs` → fully oracle-backed.
+    */
+  def decontaminateSemantic(
+      corpus: DataFrame, evalSet: DataFrame, threshold: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    def q(df: DataFrame) = df.select(
+      col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("nsq", call_function("graft_norm_sq", col("q")))
+    val ev = q(evalSet).select(col("vec_id").as("eval_id"),
+      col("q").as("eq"), col("nsq").as("en"))
+    q(corpus).crossJoin(broadcast(ev))
+      .withColumn("__c", cosineFromInts(
+        call_function("graft_dot", col("q"), col("eq")), col("nsq"), col("en")))
+      .filter(col("__c") >= threshold)
+      .select(col("vec_id"), col("eval_id"), round(col("__c"), 6).as("cos"))
+  }
+
   // -------------------------------------------------- product quantization
 
   /** Deterministic SEED sub-quantizer codebooks for [[pqTopK]]: the

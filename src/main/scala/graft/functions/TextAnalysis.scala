@@ -328,6 +328,40 @@ object TextAnalysis {
       .drop("__rate")
   }
 
+  /** Temperature-based mix resampling (the mT5/multilingual-T5 rule:
+    * sample groups ∝ share^α, α < 1 flattening the head): per-doc
+    * keep rate r_g = (cnt_g / cnt_min)^(α−1), so the SMALLEST group
+    * keeps everything and a group 100× larger keeps 100^(α−1) of its
+    * docs — expected output shares ∝ p^α without any fixed target
+    * list (the difference from [[resampleToMix]], which needs explicit
+    * per-group targets).
+    *
+    * Shape: one map-combined count per group + a 1-row min, broadcast
+    * back; the keep decision is the salted-md5 rate rule of
+    * [[rateSampleKeep]] — map-only, skew-immune. FP discipline: the
+    * rate is one division + one pow, ROUNDED to 6 decimals before the
+    * 2³² threshold floor, so a last-ulp libm pow difference cannot
+    * flip a keep decision (the `text_lm_score` convention).
+    */
+  def temperatureResample(docs: DataFrame, alpha: Double,
+      group: String = "lang"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = docs.groupBy(col(group)).agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min(col("__cnt")).as("__minc"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .withColumn("__rate", round(
+        pow(col("__cnt").cast("double") / col("__minc").cast("double"),
+          alpha - 1.0), 6))
+      .select(col(group), col("__rate"))
+    docs.join(broadcast(rates), Seq(group), "left")
+      .filter(col("__rate") >= 1.0 ||
+        substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 8) <
+          lpad(lower(hex(floor(col("__rate") * lit(4294967296.0)).cast("long"))),
+            8, "0"))
+      .drop("__rate")
+  }
+
   /** Per-source document cap (the per-domain cap of web-corpus
     * pipelines: a handful of boilerplate-heavy domains otherwise
     * dominate the mix): keep at most `cap` documents per `source`,

@@ -787,6 +787,54 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sub.exceptAll(d.select(sub.columns.map(col): _*)).isEmpty)
   }
 
+  test("temperatureResample: smallest group kept whole, larger groups thin by share^(α−1)") {
+    import graft.functions.TextAnalysis
+    val d = ((1L to 400L).map(i => (i, "en")) ++ (401L to 500L).map(i => (i, "zh")) ++
+      (501L to 520L).map(i => (i, "de")))
+      .toDF("doc_id", "lang").withColumn("text", lit("x"))
+    // α = 0.5: rates = (cnt/20)^-0.5 → en (400/20)^-0.5 ≈ 0.2236,
+    // zh (100/20)^-0.5 ≈ 0.4472, de = 1.0
+    def kept() = TextAnalysis.temperatureResample(d, alpha = 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = kept()
+    assert(k("de") == 20L)                                   // smallest: all kept
+    assert(math.abs(k("en") - 89L) < 40L, s"en kept ${k("en")}, expect ≈ 89")
+    assert(math.abs(k("zh") - 45L) < 25L, s"zh kept ${k("zh")}, expect ≈ 45")
+    assert(kept() == k)                                      // deterministic
+    // a kept set is a pure subset of the corpus
+    val out = TextAnalysis.temperatureResample(d, alpha = 0.5)
+    assert(out.exceptAll(d.select(out.columns.map(col): _*)).isEmpty)
+    // α = 1 is the identity (rate = ratio^0 = 1 for every group)
+    assert(TextAnalysis.temperatureResample(d, alpha = 1.0).count() == 520L)
+  }
+
+  test("shardManifest: totals reconcile, shard ids bounded, checksum order-independent") {
+    import graft.functions.Packing
+    val man = Packing.shardManifest(docs, 32)
+    val rows = man.collect()
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 32))
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val tokTotal = docs.select(sum(size(split($"text", "\\s+")).cast("long")))
+      .as[Long].head()
+    assert(rows.map(_.getLong(2)).sum == tokTotal)
+    // checksum and every count invariant under physical layout
+    val re = Packing.shardManifest(docs.repartition(17), 32)
+    assert(man.exceptAll(re).isEmpty && re.exceptAll(man).isEmpty)
+  }
+
+  test("decontaminateSemantic: flagged pairs = exact directed threshold join") {
+    val evalSet = embs.filter($"vec_id" < 25)
+    val corpus = embs.filter($"vec_id" >= 25)
+    val flagged = Similarity.decontaminateSemantic(corpus, evalSet, 0.3)
+    // mirror via the exact symmetric all-pairs baseline, directed
+    val exact = Similarity.cosineNearDupPairsExact(embs, 0.3)
+      .filter($"a_id" < 25 && $"b_id" >= 25)
+      .select($"b_id".as("vec_id"), $"a_id".as("eval_id"), $"cos")
+    assert(flagged.exceptAll(exact).isEmpty && exact.exceptAll(flagged).isEmpty)
+    assert(flagged.filter($"cos" < 0.3).count() == 0)
+    assert(flagged.count() > 0, "fixture should produce flagged pairs at 0.3")
+  }
+
   test("lmCrossEntropy: typical text scores lower than out-of-distribution text") {
     import graft.functions.TextAnalysis
     // corpus dominated by one sentence pattern; doc 9 is garbled
