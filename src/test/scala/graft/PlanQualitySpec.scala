@@ -150,6 +150,51 @@ class PlanQualitySpec extends SparkSpec {
       p.take(800))
   }
 
+  test("PQ ADC: the scored shuffle carries codes, never the vector") {
+    val p = planOf("sim_pq_topk")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    // after encoding, only (qid, nid, adist) reaches the top-k window
+    // shuffle — a vector or embedding column there would ship
+    // dims×8 bytes/row instead of the m codes ADC exists to avoid
+    val topkExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(qid"))
+    assert(topkExchanges.nonEmpty &&
+      topkExchanges.forall(l => !l.contains("embedding") && !l.contains("q#")),
+      p.take(1200))
+  }
+
+  test("IVF-PQ: cell prune is an equi-join on the broadcast probe side, never all-pairs") {
+    val p = planOf("sim_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    val topkExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(qid"))
+    assert(topkExchanges.nonEmpty &&
+      topkExchanges.forall(l => !l.contains("embedding") && !l.contains("q#")),
+      p.take(1200))
+  }
+
+  test("semantic decontamination is map-only over a broadcast eval side (zero shuffle)") {
+    val p = planOf("decon_semantic")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.linesIterator.exists(_.contains("Exchange hashpartitioning")),
+      p.take(1200))
+  }
+
+  test("shard manifest is one map-combined aggregation (single shuffle on shard)") {
+    val p = planOf("shard_manifest")
+    assert(p.contains("HashAggregate"), p.take(800))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      p.take(1200))
+  }
+
+  test("temperature mix: rates join back via broadcast; corpus pass stays narrow") {
+    val p = planOf("corpus_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("interval join is key-partitioned with the time band as condition, never all-pairs") {
     val p = planOf("j6_click_attribution")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
