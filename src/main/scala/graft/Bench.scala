@@ -30,6 +30,16 @@ import org.apache.spark.sql.SparkSession
   *  - failures are never folded into timings: a failing query reports
   *    -1 with the exception recorded in an "errors" JSON field instead
   *    of being silently swallowed.
+  *
+  * Residual noise floor (measured, round 6): this VM shares a host,
+  * and multi-minute host-side events can inflate EVERY sample of the
+  * queries that fall inside the window by 2-6x — min-of-N cannot
+  * defend when the whole window is slow (a 16.9 s full-suite reading
+  * for dedup_cosine_components re-ran at 3.3 s standalone minutes
+  * later, with identical code and heap). Cross-round comparisons
+  * should therefore bisect suspicious per-query jumps with
+  * [[BenchOne]] (same isolation sweep, standalone JVM) before
+  * treating them as regressions.
   */
 object Bench {
 

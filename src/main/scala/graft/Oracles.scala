@@ -1888,6 +1888,25 @@ object Oracles {
         |  bit_xor(h) AS checksum
         |FROM d GROUP BY shard""".stripMargin,
 
+    // JL ±1 projection: sign(r,i) = parity of the first 4 md5 bytes of
+    // 'rp:r_i' (the Scala driver builds the identical matrix); comps
+    // are exact integer sums.
+    "emb_rp_project" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT CAST(r.r AS BIGINT) AS dim, CAST(i.i AS INT) AS i,
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat('rp:', r.r, '_', i.i)),
+        |        1, 8)) AS UBIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM range(0, 16) r(r), range(0, 64) i(i))
+        |SELECT q.vec_id, s.dim,
+        |  CAST(sum(s.sgn * q.qv[s.i + 1]) AS BIGINT) AS comp
+        |FROM q CROSS JOIN s
+        |GROUP BY q.vec_id, s.dim""".stripMargin,
+
     // Directed exact-cosine screen (decontamination): same quantized
     // cosine as dedup_cosine_pairs, corpus ≥ 25 vs eval < 25.
     "decon_semantic" ->

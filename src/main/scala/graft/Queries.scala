@@ -770,6 +770,13 @@ object Queries {
     Similarity.ivfPqTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
       nlist = 8, nprobe = 2, m = 8, ksub = 16)
 
+  /** JL ±1 random projection (Achlioptas 2003) of the 64-dim
+    * embeddings to 16 components — exact integer sums, long-form
+    * (vec_id, dim, comp) output.
+    */
+  val embRpProject: Q = (s, dir) =>
+    Similarity.randomProjection(t(s, dir, "embeddings"), outDims = 16)
+
   /** Winnowing fingerprints (MOSS selective fingerprinting): the
     * distinct per-window minimum token hashes per document.
     */

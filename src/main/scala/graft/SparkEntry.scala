@@ -171,6 +171,7 @@ object SparkEntry {
     "ts_zscore" -> Queries.tsZscore,
     "ts_ohlc" -> Queries.tsOhlc,
     "emb_norm_stats" -> Queries.embNormStats,
+    "emb_rp_project" -> Queries.embRpProject,
     "media_profile" -> Queries.mediaProfile,
     "media_features" -> Queries.mediaFeatures,
     "media_frames" -> Queries.mediaFrames,

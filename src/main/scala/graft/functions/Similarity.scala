@@ -614,6 +614,55 @@ object Similarity {
       .select(col("vec_id"), col("eval_id"), round(col("__c"), 6).as("cos"))
   }
 
+  /** ±1 sign matrix for [[randomProjection]]: sign(r, i) is the parity
+    * of the first 4 md5 bytes of `"rp:r_i"` — engine-portable (an
+    * external oracle recomputes the same md5 of the same ASCII
+    * string), driver-tiny (outDims×inDims bytes), and independent of
+    * the data.
+    */
+  def rpSigns(outDims: Int, inDims: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDims) { r =>
+      Array.tabulate(inDims) { i =>
+        val h = md.digest(s"rp:${r}_$i".getBytes("UTF-8"))
+        val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        if (v % 2 == 0) 1L else -1L
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection with ±1 signs (Achlioptas
+    * 2003: database-friendly random projections — sign matrices
+    * preserve pairwise distances in expectation like Gaussians, with
+    * integer arithmetic). Projects each quantized vector to `outDims`
+    * components, `comp_r = Σ_i sign(r,i)·q_i` — EXACT integers, so the
+    * whole operator is oracle-backed (no FP anywhere). Emits long-form
+    * `(vec_id, dim, comp)` rows.
+    *
+    * Scale shape: map-only — the sign matrix rides as literal arrays
+    * into `outDims` codegen'd integer dot kernels; zero exchange, no
+    * state. The standard preprocessing step before brute/LSH ANN when
+    * dims is large: a 64→16 projection cuts every downstream dot and
+    * shuffle byte count 4× while keeping relative distances within
+    * the JL bound.
+    */
+  def randomProjection(
+      embeddings: DataFrame, outDims: Int, inDims: Int = 64): DataFrame = {
+    require(outDims >= 1 && inDims >= 1, "dims must be >= 1")
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val signs = rpSigns(outDims, inDims)
+    val comps = (0 until outDims).map { r =>
+      struct(lit(r.toLong).as("dim"),
+        call_function("graft_dot", col("q"),
+          array(signs(r).map(lit).toIndexedSeq: _*)).as("comp"))
+    }
+    embeddings
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .select(col("vec_id"), explode(array(comps.toIndexedSeq: _*)).as("pc"))
+      .select(col("vec_id"), col("pc.dim").as("dim"), col("pc.comp").as("comp"))
+  }
+
   // -------------------------------------------------- product quantization
 
   /** Deterministic SEED sub-quantizer codebooks for [[pqTopK]]: the

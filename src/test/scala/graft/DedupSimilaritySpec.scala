@@ -835,6 +835,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(flagged.count() > 0, "fixture should produce flagged pairs at 0.3")
   }
 
+  test("randomProjection: exact ±1 integer sums, 16 components per vector") {
+    val rp = Similarity.randomProjection(embs, 16)
+    assert(rp.count() == embs.count() * 16)
+    // driver-side recomputation for one vector from the same sign
+    // matrix and the same quantized input
+    val q0 = embs.filter($"vec_id" === 0L)
+      .select(Similarity.quantized($"embedding")).as[Seq[Long]].head()
+    val signs = Similarity.rpSigns(16, 64)
+    val expected = (0 until 16).map(r =>
+      (0 until 64).map(i => signs(r)(i) * q0(i)).sum)
+    val got = rp.filter($"vec_id" === 0L).orderBy($"dim")
+      .select("comp").as[Long].collect()
+    assert(got.toSeq == expected)
+    // the sign matrix is balanced enough to be a real projection
+    // (degenerate all-+1 rows would make comps collinear with norms)
+    assert(signs.forall(row => row.count(_ == 1L) > 16 && row.count(_ == -1L) > 16))
+  }
+
   test("lmCrossEntropy: typical text scores lower than out-of-distribution text") {
     import graft.functions.TextAnalysis
     // corpus dominated by one sentence pattern; doc 9 is garbled

@@ -175,6 +175,11 @@ class PlanQualitySpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("random projection plans with zero exchange (pure map + explode)") {
+    val p = planOf("emb_rp_project")
+    assert(!p.contains("Exchange"), p.take(800))
+  }
+
   test("semantic decontamination is map-only over a broadcast eval side (zero shuffle)") {
     val p = planOf("decon_semantic")
     assert(p.contains("BroadcastExchange"), p.take(800))
