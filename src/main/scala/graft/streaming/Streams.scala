@@ -182,25 +182,36 @@ object Streams {
     */
   def anomalyStream(
       log: DataFrame, lookback: Int = 20, minBaseline: Int = 10,
-      zThreshold: Double = 3.0, idleTimeoutMs: Long = 30 * 60 * 1000L)
+      zThreshold: Double = 3.0, idleTimeoutMs: Long = 0L)
       : org.apache.spark.sql.Dataset[(Long, Long, Double, Double, Boolean)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = log.sparkSession
     import spark.implicits._
+    // State eviction is OPT-IN (`idleTimeoutMs` > 0): a RESIDENT query
+    // over unbounded key cardinality should evict idle keys' rings —
+    // one ring per EVER-SEEN key otherwise grows forever — and a
+    // returning key restarts its baseline (the documented
+    // arrival-order contract; the batch operator is the replayable
+    // source of truth). The default stays NoTimeout because of a
+    // structural Spark behavior, not a preference: with
+    // ProcessingTimeTimeout, FlatMapGroupsWithStateExec reports
+    // shouldRunAnotherBatch = true on EVERY trigger (processing time
+    // always advances), so the engine schedules no-data micro-batches
+    // continuously and `processAllAvailable()` NEVER settles — any
+    // drain-and-assert consumer (tests, backfills) would hang. Evicting
+    // deployments must therefore pace triggers
+    // (`Trigger.ProcessingTime`) and poll the sink instead of draining.
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     log
       .filter(col("value").isNotNull)
       .select(col("log_id").cast("long"), col("rsbsa_no").cast("long"),
         unix_micros(col("ts").cast("timestamp")), col("value").cast("double"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._2)
-      // ProcessingTimeTimeout, not NoTimeout: with unbounded key
-      // cardinality a resident query would otherwise grow one ring
-      // buffer per EVER-SEEN key forever. Keys idle past
-      // `idleTimeoutMs` evict their ring; a returning key restarts its
-      // baseline (the documented arrival-order contract — the batch
-      // operator is the replayable source of truth).
       .flatMapGroupsWithState[List[Long], (Long, Long, Double, Double, Boolean)](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (key, rows, state: GroupState[List[Long]]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -229,7 +240,7 @@ object Streams {
               res
           }
           state.update(ring)
-          state.setTimeoutDuration(idleTimeoutMs)
+          if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
           out.iterator
           }
       }

@@ -256,6 +256,55 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._3), "the post-restart spike should flag")
   }
 
+  test("anomaly stream idle-timeout eviction: an evicted key restarts its baseline") {
+    import java.sql.Timestamp
+    def tsm(m: Int) = Timestamp.valueOf(f"2026-01-01 01:$m%02d:00")
+    val schema = Seq((0L, 0L, "t", tsm(0), 0.0))
+      .toDF("log_id", "rsbsa_no", "table", "ts", "value").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-evict").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-evict-ckpt").toString
+    // opt-in eviction: ProcessingTimeTimeout keeps the engine running
+    // no-data batches continuously, so processAllAvailable would never
+    // settle — this test POLLS the sink instead (the documented
+    // consumption pattern for evicting deployments)
+    val q = Streams.anomalyStream(
+        spark.readStream.schema(schema).parquet(s"$dir/*"),
+        lookback = 8, minBaseline = 3, idleTimeoutMs = 300L)
+      .toDF("log_id", "rsbsa_no", "value", "z", "is_anomaly")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("evict_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    def outRows() = spark.table("evict_out")
+      .select("log_id", "rsbsa_no").as[(Long, Long)].collect().toSet
+    def awaitRow(p: ((Long, Long)) => Boolean, what: String): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!outRows().exists(p)) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      // batch 1: key 7 builds a ≥3-row baseline and scores rows 4-6
+      (0 until 6).map(i => (i.toLong, 7L, "t", tsm(i), 5.0 + (i % 2)))
+        .toDF("log_id", "rsbsa_no", "table", "ts", "value")
+        .coalesce(1).write.parquet(s"$dir/b1.parquet")
+      awaitRow(_._2 == 7L, "batch-1 key-7 scores")
+      Thread.sleep(1500) // >> idleTimeoutMs: no-data batches evict key 7
+      // batch 2: two key-7 rows (scored ONLY if the old ring survived)
+      // plus a fresh key-9 baseline whose score is the processed-sentinel
+      ((0 until 5).map(i => (200L + i, 9L, "t", tsm(10 + i), 5.0 + (i % 2))) ++
+        Seq((100L, 7L, "t", tsm(10), 5.0), (101L, 7L, "t", tsm(11), 6.0)))
+        .toDF("log_id", "rsbsa_no", "table", "ts", "value")
+        .coalesce(1).write.parquet(s"$dir/b2.parquet")
+      awaitRow(r => r._2 == 9L && r._1 >= 200L, "batch-2 key-9 sentinel")
+      // the evicted key saw only 2 rows since restart (< minBaseline=3):
+      // a score for log_id 100/101 means the ring was NOT evicted
+      assert(!outRows().exists(r => r._1 == 100L || r._1 == 101L),
+        "key 7 scored after eviction — ring state survived the idle timeout")
+    } finally q.stop()
+  }
+
   test("streaming replay drives an incremental merge (R2 end-to-end)") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-r2src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-r2ckpt").toString
