@@ -1907,6 +1907,35 @@ object Oracles {
         |FROM q CROSS JOIN s
         |GROUP BY q.vec_id, s.dim""".stripMargin,
 
+    // Shard-publication flagship: temperature mix → exact-dedup
+    // survivors → shard manifest, each stage the already-verified CTE.
+    "publish_shards" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT min(cnt) AS minc FROM c),
+        |r AS (SELECT lang,
+        |    round(pow(CAST(cnt AS DOUBLE) / CAST(minc AS DOUBLE),
+        |      CAST(-0.7 AS DOUBLE)), 6) AS rate
+        |  FROM c CROSS JOIN m),
+        |kept AS (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN r USING (lang)
+        |  WHERE r.rate >= 1.0
+        |    OR substr(md5(concat('temp:', CAST(d.doc_id AS VARCHAR))), 1, 8)
+        |       < lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')),
+        |surv AS (
+        |  SELECT doc_id, text FROM kept WHERE doc_id IN (
+        |    SELECT min(doc_id) FROM kept GROUP BY md5(text))),
+        |sh AS (
+        |  SELECT CAST(CAST(concat('0x', substr(md5(concat('shard:',
+        |        CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) % 32 AS BIGINT)
+        |      AS shard,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok,
+        |    CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT)
+        |      AS BIGINT) AS h
+        |  FROM surv)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  bit_xor(h) AS checksum
+        |FROM sh GROUP BY shard""".stripMargin,
+
     // Directed exact-cosine screen (decontamination): same quantized
     // cosine as dedup_cosine_pairs, corpus ≥ 25 vs eval < 25.
     "decon_semantic" ->

@@ -887,6 +887,19 @@ object Queries {
   val shardManifest: Q = (s, dir) =>
     graft.functions.Packing.shardManifest(t(s, dir, "documents"), 32)
 
+  /** Shard-publication flagship: temperature-flattened mix (α = 0.3)
+    * → exact-dedup survivors → 32-shard manifest, ONE composed plan —
+    * the write-side tail of a curation pipeline (what actually ships
+    * to the trainer, with the bookkeeping a reader can verify against
+    * the manifest). Every stage is the already-oracle-backed operator;
+    * the composition is the claim under test.
+    */
+  val publishShards: Q = (s, dir) => {
+    val kept = TextAnalysis.temperatureResample(
+      t(s, dir, "documents"), alpha = 0.3)
+    graft.functions.Packing.shardManifest(Dedup.exactSurvivors(kept), 32)
+  }
+
   /** DSIR importance weights (Xie et al. 2023) toward the English
     * subset as the target distribution: hashed-bigram multinomial
     * log-likelihood ratios, md5-portable buckets, ordered-fold FP

@@ -128,6 +128,7 @@ object SparkEntry {
     "corpus_temperature_mix" -> Queries.corpusTemperatureMix,
     "shard_manifest" -> Queries.shardManifest,
     "decon_semantic" -> Queries.deconSemantic,
+    "publish_shards" -> Queries.publishShards,
     "corpus_dsir_weights" -> Queries.corpusDsirWeights,
     "corpus_dsir_sample" -> Queries.corpusDsirSample,
     "text_vocab" -> Queries.textVocab,
