@@ -722,7 +722,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), pqDistTableCol(col("q"), cb).as("dt"))
     val scored = encoded.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), pqAdcCol().as("adist"))
+      .select(col("qid"), col("vec_id").as("nid"), pqAdcCol(ksub).as("adist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -765,19 +765,46 @@ object Similarity {
         explode(probeCellsOf(col("q"), coarse, nprobe)).as("cell"))
     val scored = encoded.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), pqAdcCol().as("adist"))
+      .select(col("qid"), col("vec_id").as("nid"), pqAdcCol(ksub).as("adist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("adist"))
   }
 
-  /** codes[j] = argmin_c ‖sub_j − cw_{j,c}‖² over codebook `cb`; the
-    * ‖sub_j‖² term is constant per (row, subspace) — dropped from the
-    * argmin. Ties break to the lowest code. Map-only (codebooks are
-    * literal expressions), whole-stage codegen'd.
+  /** codes[j] = argmin_c ‖sub_j − cw_{j,c}‖² over codebook `cb` (ties
+    * → lowest code) — ONE `graft_pq_encode` kernel call per row; the
+    * codebook rides flat as a single literal folded into a task-level
+    * reference object (the m×ksub-struct expression-tree formulation
+    * is kept as [[pqCodesColHof]], the spec baseline — its codegen
+    * alone cost more than the whole scan).
     */
-  private def pqCodesCol(q: Column, cb: Array[Array[Array[Long]]]): Column = {
+  private def pqCodesCol(q: Column, cb: Array[Array[Array[Long]]]): Column =
+    call_function("graft_pq_encode", q, flatCbLit(cb),
+      lit(cb.length), lit(cb(0).length))
+
+  /** Flat dt[j*ksub + c] = exact ‖qsub_j − cw_{j,c}‖² — the per-query
+    * ADC lookup table (m×ksub longs), one `graft_pq_dt` kernel call
+    * per query row on the broadcast side.
+    */
+  private def pqDistTableCol(q: Column, cb: Array[Array[Array[Long]]]): Column =
+    call_function("graft_pq_dt", q, flatCbLit(cb),
+      lit(cb.length), lit(cb(0).length))
+
+  /** ADC distance of the row's `codes` against the row's flat `dt`:
+    * m table lookups + a sum in one kernel call.
+    */
+  private def pqAdcCol(ksub: Int): Column =
+    call_function("graft_pq_adc", col("dt"), col("codes"), lit(ksub))
+
+  /** Codebook flattened (j, c, d) row-major into one array literal. */
+  private def flatCbLit(cb: Array[Array[Array[Long]]]): Column =
+    array(cb.flatten.flatten.map(lit).toIndexedSeq: _*)
+
+  // Expression-tree PQ baselines (spec-only): semantics the kernels
+  // must reproduce bit-for-bit, in composed-builtin form.
+  private[graft] def pqCodesColHof(
+      q: Column, cb: Array[Array[Array[Long]]]): Column = {
     val dsub = cb(0)(0).length
     array(cb.indices.map { j =>
       val sub = slice(q, j * dsub + 1, dsub)
@@ -788,31 +815,20 @@ object Similarity {
             lit(2L) * call_function("graft_dot", sub, wLit)).as("d"),
           lit(c).as("c"))
       }
-      array_min(array(scored.toIndexedSeq: _*)).getField("c")
+      array_min(array(scored.toIndexedSeq: _*)).getField("c").cast("long")
     }: _*)
   }
 
-  /** dt[j][c] = exact ‖qsub_j − cw_{j,c}‖² — the per-query ADC lookup
-    * table (m×ksub longs), built once per query row on the broadcast
-    * side.
-    */
-  private def pqDistTableCol(q: Column, cb: Array[Array[Array[Long]]]): Column = {
+  private[graft] def pqDistTableColHof(
+      q: Column, cb: Array[Array[Array[Long]]]): Column = {
     val dsub = cb(0)(0).length
-    array(cb.indices.map { j =>
+    flatten(array(cb.indices.map { j =>
       val qsub = slice(q, j * dsub + 1, dsub)
-      array(cb(j).zipWithIndex.map { case (w, c) =>
+      array(cb(j).zipWithIndex.map { case (w, _) =>
         val wLit = array(w.map(lit).toIndexedSeq: _*)
         call_function("graft_norm_sq", qsub) + lit(w.map(x => x * x).sum) -
           lit(2L) * call_function("graft_dot", qsub, wLit)
       }.toIndexedSeq: _*)
-    }: _*)
+    }: _*))
   }
-
-  /** ADC distance of the row's `codes` against the row's `dt`:
-    * m table lookups + a sum.
-    */
-  private def pqAdcCol(): Column = aggregate(
-    zip_with(col("dt"), col("codes"),
-      (t, c) => element_at(t, c.cast("int") + 1)),
-    lit(0L), (acc, v) => acc + v)
 }

@@ -57,11 +57,30 @@ object GraftFunctions {
     ("graft_quantize",
       new ExpressionInfo(classOf[QuantizeExpr].getName, "graft_quantize"),
       (es: Seq[Expression]) => QuantizeExpr(es(0), foldedInt(es(1)))),
+    // PQ kernels: codebook + shape are foldable literals, folded once
+    // at construction — only the vector is per-row.
+    ("graft_pq_encode",
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
+      (es: Seq[Expression]) => PqEncodeExpr(es(0), foldedLongArray(es(1)),
+        foldedInt(es(2)), foldedInt(es(3)))),
+    ("graft_pq_dt",
+      new ExpressionInfo(classOf[PqDistTableExpr].getName, "graft_pq_dt"),
+      (es: Seq[Expression]) => PqDistTableExpr(es(0), foldedLongArray(es(1)),
+        foldedInt(es(2)), foldedInt(es(3)))),
+    ("graft_pq_adc",
+      new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
+      (es: Seq[Expression]) => PqAdcExpr(es(0), es(1), foldedInt(es(2)))),
   )
 
   private def foldedInt(e: Expression): Int = {
     require(e.foldable, s"expected a foldable integer literal, got $e")
     e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def foldedLongArray(e: Expression): IndexedSeq[Long] = {
+    require(e.foldable, s"expected a foldable array literal, got $e")
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toIndexedSeq
   }
 
   /** Idempotent imperative registration on a live session. */

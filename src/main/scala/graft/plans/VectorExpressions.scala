@@ -104,6 +104,185 @@ case class ArrayNormSq(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Static PQ kernels (called from both interpreted eval and generated
+  * code). The codebook is a FLAT long[] in (j, c, d) row-major layout —
+  * `cb[(j*ksub + c)*dsub + d]` — materialized ONCE per task as a
+  * reference object, not rebuilt per row.
+  */
+object PqKernels {
+
+  /** codes[j] = argmin_c ‖sub_j − cw_{j,c}‖² (ties → lowest c). The
+    * ‖sub_j‖² term is constant within a (row, subspace) argmin and is
+    * dropped; the comparison key is ‖cw‖² − 2·sub·cw, exact integers.
+    */
+  def encode(vec: ArrayData, cb: Array[Long], m: Int, ksub: Int): ArrayData = {
+    val dsub = vec.numElements() / m
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var bestD = Long.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var wn = 0L
+        var dot = 0L
+        var d = 0
+        while (d < dsub) {
+          val w = cb(base + d)
+          wn += w * w
+          dot += vec.getLong(j * dsub + d) * w
+          d += 1
+        }
+        val dist = wn - 2L * dot
+        if (dist < bestD) { bestD = dist; bestC = c }
+        c += 1
+      }
+      out(j) = bestC.toLong
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Flat distance table dt[j*ksub + c] = exact ‖sub_j − cw_{j,c}‖². */
+  def distTable(vec: ArrayData, cb: Array[Long], m: Int, ksub: Int): ArrayData = {
+    val dsub = vec.numElements() / m
+    val out = new Array[Long](m * ksub)
+    var j = 0
+    while (j < m) {
+      var qn = 0L
+      var d = 0
+      while (d < dsub) {
+        val x = vec.getLong(j * dsub + d)
+        qn += x * x
+        d += 1
+      }
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var wn = 0L
+        var dot = 0L
+        var dd = 0
+        while (dd < dsub) {
+          val w = cb(base + dd)
+          wn += w * w
+          dot += vec.getLong(j * dsub + dd) * w
+          dd += 1
+        }
+        out(j * ksub + c) = qn + wn - 2L * dot
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC distance: Σ_j dt[j*ksub + codes[j]]. */
+  def adc(dt: ArrayData, codes: ArrayData, ksub: Int): Long = {
+    var acc = 0L
+    var j = 0
+    val m = codes.numElements()
+    while (j < m) {
+      acc += dt.getLong(j * ksub + codes.getLong(j).toInt)
+      j += 1
+    }
+    acc
+  }
+}
+
+/** `graft_pq_encode(vec, codebook, m, ksub)` — PQ codes per vector.
+  * The codebook/m/ksub arguments are foldable literals, folded at
+  * construction; only the vector is per-row.
+  */
+case class PqEncodeExpr(child: Expression, codebook: IndexedSeq[Long],
+    m: Int, ksub: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"expected array<bigint>, got $other")
+    }
+
+  private lazy val cbArr: Array[Long] = codebook.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.encode(v.asInstanceOf[ArrayData], cbArr, m, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.PqKernels.encode($c, $cbRef, $m, $ksub)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `graft_pq_dt(vec, codebook, m, ksub)` — flat m×ksub ADC distance
+  * table for a query vector.
+  */
+case class PqDistTableExpr(child: Expression, codebook: IndexedSeq[Long],
+    m: Int, ksub: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"expected array<bigint>, got $other")
+    }
+
+  private lazy val cbArr: Array[Long] = codebook.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.distTable(v.asInstanceOf[ArrayData], cbArr, m, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.PqKernels.distTable($c, $cbRef, $m, $ksub)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDistTableExpr =
+    copy(child = newChild)
+}
+
+/** `graft_pq_adc(dt, codes, ksub)` — ADC lookup-sum. */
+case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"expected (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(dt: Any, codes: Any): Any =
+    PqKernels.adc(dt.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (dt, codes) =>
+      s"${ev.value} = graft.plans.PqKernels.adc($dt, $codes, $ksub);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Hamming distance between two 64-bit fingerprints (popcount of xor) —
   * SimHash verification.
   */

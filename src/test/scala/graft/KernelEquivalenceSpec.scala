@@ -109,6 +109,27 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(both.filter(not($"hof" <=> $"native")).count() == 0)
   }
 
+  test("graft_pq_encode / graft_pq_dt / graft_pq_adc ≡ expression-tree baselines") {
+    graft.plans.GraftFunctions.register(spark)
+    val cb = Similarity.seedPqCodebooks(embs, m = 8, ksub = 16)
+    val flat = array(cb.flatten.flatten.map(lit).toIndexedSeq: _*)
+    val q = embs.select($"vec_id", Similarity.quantized($"embedding").as("q"))
+    val both = q.select(
+      call_function("graft_pq_encode", $"q", flat, lit(8), lit(16)).as("kc"),
+      Similarity.pqCodesColHof($"q", cb).as("hc"),
+      call_function("graft_pq_dt", $"q", flat, lit(8), lit(16)).as("kt"),
+      Similarity.pqDistTableColHof($"q", cb).as("ht"))
+    assert(both.filter(not($"kc" <=> $"hc") || not($"kt" <=> $"ht")).count() == 0)
+    // ADC kernel vs the zip_with/element_at fold over the same inputs
+    val adcBoth = both.select(
+      call_function("graft_pq_adc", $"kt", $"kc", lit(16)).as("k"),
+      aggregate(
+        zip_with(expr("transform(sequence(0, 7), j -> slice(kt, j * 16 + 1, 16))"),
+          $"kc", (t, c) => element_at(t, c.cast("int") + 1)),
+        lit(0L), (acc, v) => acc + v).as("h"))
+    assert(adcBoth.filter(not($"k" <=> $"h")).count() == 0)
+  }
+
   test("graft_winnow ≡ relational window form on fixtures + edge cases") {
     import graft.functions.TextAnalysis
     val edge = Seq(
