@@ -1,0 +1,95 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+/** Property-based invariants for the PQ/ADC family: ∀ random embedding
+  * corpora —
+  *
+  *  (a) kernel ≡ independent driver-side reference: `pqTopK`'s full
+  *      output (codes → distance tables → ADC sums → ranked top-k)
+  *      equals a plain-Scala recomputation from the same quantized
+  *      vectors and seed codebooks (a third implementation path,
+  *      independent of both the kernels and the Column baseline the
+  *      KernelEquivalenceSpec uses);
+  *  (b) exactness escape hatch: with m = 1 and ksub ≥ N every vector
+  *      is its own nearest codeword, so adist IS the exact squared L2
+  *      distance — for ANY corpus, not just the fixture.
+  *
+  * Same fixed-seed sampling as MergePropertiesSpec / SpanPropertiesSpec
+  * (no scalatestplus bridge in the offline dependency set).
+  */
+class PqPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dims = 16
+
+  private def corpusGen(n: Int): Gen[Seq[(Long, Array[Float])]] =
+    Gen.sequence[Seq[(Long, Array[Float])], (Long, Array[Float])](
+      (0L until n.toLong).map { id =>
+        Gen.listOfN(Dims, Gen.chooseNum(-1.0f, 1.0f)).map(v => (id, v.toArray))
+      })
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(733L + i)))
+
+  /** Driver-side PQ reference over the engine-quantized vectors. */
+  private def refTopK(quant: Map[Long, Array[Long]], qids: Seq[Long], k: Int,
+      m: Int, ksub: Int): Set[(Long, Int, Long, Long)] = {
+    val dsub = Dims / m
+    val seeds = quant.toSeq.sortBy(_._1).take(ksub).map(_._2)
+    def sub(v: Array[Long], j: Int) = v.slice(j * dsub, (j + 1) * dsub)
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val codes = quant.map { case (id, v) =>
+      id -> (0 until m).map { j =>
+        seeds.indices.minBy(c => (d2(sub(v, j), sub(seeds(c), j)), c))
+      }
+    }
+    qids.flatMap { qid =>
+      val qv = quant(qid)
+      val scored = quant.keys.filter(_ != qid).map { nid =>
+        val adist = (0 until m).map(j =>
+          d2(sub(qv, j), sub(seeds(codes(nid)(j)), j))).sum
+        (nid, adist)
+      }.toSeq.sortBy { case (nid, a) => (a, nid) }.take(k)
+      scored.zipWithIndex.map { case ((nid, a), r) => (qid, r + 1, nid, a) }
+    }.toSet
+  }
+
+  test("∀ corpora: pqTopK equals an independent driver-side PQ recomputation") {
+    for ((corpus, i) <- samples(corpusGen(18), 4).zipWithIndex) {
+      val df = corpus.toDF("vec_id", "embedding")
+      val quant = df
+        .select($"vec_id", Similarity.quantized($"embedding").as("q"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      val qids = Seq(0L, 1L)
+      for (m <- Seq(1, 2, 4); ksub <- Seq(4, 18)) {
+        val got = Similarity.pqTopK(df, qids, 5, m = m, ksub = ksub)
+          .collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+        val want = refTopK(quant, qids, 5, m, ksub)
+        assert(got == want, s"sample $i m=$m ksub=$ksub:\n got=$got\nwant=$want")
+      }
+    }
+  }
+
+  test("∀ corpora: m=1 with every vector a codeword is exact squared L2") {
+    for (corpus <- samples(corpusGen(14), 3)) {
+      val df = corpus.toDF("vec_id", "embedding")
+      val quant = df
+        .select($"vec_id", Similarity.quantized($"embedding").as("q"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      val got = Similarity.pqTopK(df, Seq(0L), 5, m = 1, ksub = 14)
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toMap
+      val qv = quant(0L)
+      for ((nid, adist) <- got) {
+        val exact = quant(nid).zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum
+        assert(adist == exact, s"nid=$nid adist=$adist exact=$exact")
+      }
+    }
+  }
+}
