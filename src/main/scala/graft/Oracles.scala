@@ -1872,6 +1872,23 @@ object Oracles {
         |  OR substr(md5(concat('temp:', CAST(d.doc_id AS VARCHAR))), 1, 8)
         |     < lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')""".stripMargin,
 
+    // Length buckets: the same integer CASE ladder (no FP log2); sums
+    // cast back to BIGINT (DuckDB widens to HUGEINT).
+    "pack_length_buckets" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT n, CASE
+        |    WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+        |    WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+        |    WHEN n <= 512 THEN 512 ELSE 1024 END AS bucket
+        |  FROM d)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bucket - least(n, bucket)) AS BIGINT) AS n_padding
+        |FROM b GROUP BY bucket""".stripMargin,
+
     // Shard manifest: 60-bit md5 prefixes (shard key and content
     // checksum), bit_xor is order-independent on both engines; sums
     // cast back to BIGINT (DuckDB widens to HUGEINT).

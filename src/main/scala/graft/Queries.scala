@@ -770,6 +770,13 @@ object Queries {
     Similarity.ivfPqTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
       nlist = 8, nprobe = 2, m = 8, ksub = 16)
 
+  /** Power-of-two length-bucket analysis over [16, 1024]: per-bucket
+    * doc/token totals and the padding waste a fixed-shape batcher
+    * would pay (integer-only bucket ladder, engine-portable).
+    */
+  val packLengthBuckets: Q = (s, dir) =>
+    graft.functions.Packing.lengthBuckets(t(s, dir, "documents"))
+
   /** JL ±1 random projection (Achlioptas 2003) of the 64-dim
     * embeddings to 16 components — exact integer sums, long-form
     * (vec_id, dim, comp) output.

@@ -119,6 +119,7 @@ object SparkEntry {
     "pack_chunks" -> Queries.packChunks,
     "pack_no_split" -> Queries.packNoSplit,
     "chunk_overlap" -> Queries.chunkOverlap,
+    "pack_length_buckets" -> Queries.packLengthBuckets,
     "text_lang_id" -> Queries.textLangId,
     "text_pii_redact" -> Queries.textPiiRedact,
     "text_gopher_filter" -> Queries.textGopherFilter,

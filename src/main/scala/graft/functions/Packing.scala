@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -234,6 +234,39 @@ object Packing {
       .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
         size(col("__chunk")).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
+  /** Length-bucket batching analysis: each document assigned to the
+    * smallest power-of-two token bucket ≥ its whitespace token count
+    * (clamped to [minBucket, maxBucket] — the bucket ladder dynamic-
+    * padding batchers use), with per-bucket doc/token totals and the
+    * padding waste `Σ (bucket − min(n, bucket))` a fixed-shape batcher
+    * would pay. The standard pre-training question "is bucketed
+    * batching worth it" answered from the data.
+    *
+    * The bucket is a chain of INTEGER comparisons over the explicit
+    * ladder — never `ceil(log2(n))`, whose FP rounding at exact powers
+    * of two can differ between engines and flip a bucket. Map-only +
+    * one map-combined aggregation over ≤ log2(max/min)+1 keys.
+    * Returns `(bucket, n_docs, n_tokens, n_padding)`.
+    */
+  def lengthBuckets(
+      docs: DataFrame, minBucket: Int = 16, maxBucket: Int = 1024): DataFrame = {
+    require(minBucket >= 1 && maxBucket >= minBucket &&
+      Integer.bitCount(minBucket) == 1 && Integer.bitCount(maxBucket) == 1,
+      "minBucket/maxBucket must be powers of two with min <= max")
+    val ladder = Iterator.iterate(minBucket.toLong)(_ * 2)
+      .takeWhile(_ <= maxBucket.toLong).toSeq
+    val n = size(split(col("text"), "\\s+")).cast("long")
+    val top: Column = lit(ladder.last)
+    val bucket = ladder.init.foldRight(top) {
+      (b, acc) => when(n <= b, lit(b)).otherwise(acc)
+    }
+    docs
+      .select(bucket.as("bucket"), n.as("__n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"),
+        sum(col("bucket") - least(col("__n"), col("bucket"))).as("n_padding"))
   }
 
   /** Training-shard manifest: deterministic doc→shard assignment

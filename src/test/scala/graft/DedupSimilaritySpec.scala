@@ -808,6 +808,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(TextAnalysis.temperatureResample(d, alpha = 1.0).count() == 520L)
   }
 
+  test("lengthBuckets: exact power-of-two edges, totals reconcile, waste formula") {
+    import graft.functions.Packing
+    // 16 tokens must land in bucket 16, 17 in 32 (the FP-log2 trap),
+    // and an over-max doc clamps to the top bucket with zero waste
+    val d = Seq(
+      (1L, Seq.fill(16)("t").mkString(" ")),
+      (2L, Seq.fill(17)("t").mkString(" ")),
+      (3L, Seq.fill(3)("t").mkString(" ")),
+      (4L, Seq.fill(2000)("t").mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.lengthBuckets(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(16L) == (2L, 19L, 13L))   // docs 1+3: waste 0 + 13
+    assert(got(32L) == (1L, 17L, 15L))   // doc 2: waste 32-17
+    assert(got(1024L) == (1L, 2000L, 0L)) // clamped, no padding counted
+    // fixture reconciliation: totals match the corpus
+    val m = Packing.lengthBuckets(docs).collect()
+    assert(m.map(_.getLong(1)).sum == docs.count())
+    val tokTotal = docs.select(sum(size(split($"text", "\\s+")).cast("long")))
+      .as[Long].head()
+    assert(m.map(_.getLong(2)).sum == tokTotal)
+    assert(m.forall(r => Set(16L, 32L, 64L, 128L, 256L, 512L, 1024L)(r.getLong(0))))
+  }
+
   test("shardManifest: totals reconcile, shard ids bounded, checksum order-independent") {
     import graft.functions.Packing
     val man = Packing.shardManifest(docs, 32)
