@@ -658,7 +658,15 @@ object Similarity {
           array(signs(r).map(lit).toIndexedSeq: _*)).as("comp"))
     }
     embeddings
-      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      // fail LOUDLY on a dims mismatch: the sign-dot kernel iterates
+      // min(len) components, so a short/long embedding would otherwise
+      // silently project a truncated prefix that disagrees with the
+      // fixed-dims oracle
+      .select(col("vec_id"),
+        when(size(col("embedding")) === inDims, quantized(col("embedding")))
+          .otherwise(raise_error(concat(
+            lit(s"randomProjection: embedding dims != $inDims for vec_id="),
+            col("vec_id").cast("string")))).as("q"))
       .select(col("vec_id"), explode(array(comps.toIndexedSeq: _*)).as("pc"))
       .select(col("vec_id"), col("pc.dim").as("dim"), col("pc.comp").as("comp"))
   }
@@ -722,7 +730,13 @@ object Similarity {
       .select(col("vec_id").as("qid"), pqDistTableCol(col("q"), cb).as("dt"))
     val scored = encoded.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), pqAdcCol(ksub).as("adist"))
+      // ADC stride = the EFFECTIVE codebook size cb(0).length, which is
+      // min(ksub, N): on a corpus smaller than the declared ksub the
+      // seed LIMIT returns fewer codewords, and an m>1 lookup with the
+      // declared stride would silently read across subspace boundaries
+      // (UnsafeArrayData.getLong is not bounds-checked)
+      .select(col("qid"), col("vec_id").as("nid"),
+        pqAdcCol(cb(0).length).as("adist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -765,7 +779,9 @@ object Similarity {
         explode(probeCellsOf(col("q"), coarse, nprobe)).as("cell"))
     val scored = encoded.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), pqAdcCol(ksub).as("adist"))
+      // effective-ksub stride, same rationale as in pqTopK
+      .select(col("qid"), col("vec_id").as("nid"),
+        pqAdcCol(cb(0).length).as("adist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -203,7 +203,20 @@ object Streams {
     // (`Trigger.ProcessingTime`) and poll the sink instead of draining.
     val timeoutConf =
       if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
+      else {
+        // the r6 default flip (30 min → NoTimeout) means resident
+        // deployments on defaults accumulate one ring per EVER-SEEN
+        // key — correct for drain-and-assert consumers, a leak for
+        // unbounded key cardinality; surface it instead of silently
+        // growing
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "anomalyStream: idleTimeoutMs=0 (NoTimeout) — per-key ring state " +
+            "is never evicted; resident deployments over unbounded key " +
+            "cardinality should pass idleTimeoutMs > 0 and pace triggers " +
+            "(see scaladoc: ProcessingTimeTimeout never settles under " +
+            "processAllAvailable)")
+        GroupStateTimeout.NoTimeout()
+      }
     log
       .filter(col("value").isNotNull)
       .select(col("log_id").cast("long"), col("rsbsa_no").cast("long"),

@@ -876,6 +876,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(signs.forall(row => row.count(_ == 1L) > 16 && row.count(_ == -1L) > 16))
   }
 
+  test("randomProjection: a dims-mismatched embedding fails loudly, not truncated") {
+    val bad = Seq((0L, Array.fill(64)(0.5f)), (1L, Array.fill(32)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProjection(bad, 4, inDims = 64).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("dims != 64")), s"got: $e")
+  }
+
   test("lmCrossEntropy: typical text scores lower than out-of-distribution text") {
     import graft.functions.TextAnalysis
     // corpus dominated by one sentence pattern; doc 9 is garbled

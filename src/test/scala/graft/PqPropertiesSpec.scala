@@ -67,7 +67,11 @@ class PqPropertiesSpec extends SparkSpec {
         .select($"vec_id", Similarity.quantized($"embedding").as("q"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
       val qids = Seq(0L, 1L)
-      for (m <- Seq(1, 2, 4); ksub <- Seq(4, 18)) {
+      // ksub = 25 > N = 18 exercises the undersized-corpus stride: the
+      // seed LIMIT yields only N codewords, and the ADC lookup must use
+      // the EFFECTIVE codebook size (a declared-ksub stride with m > 1
+      // reads across subspace boundaries unchecked — silent garbage)
+      for (m <- Seq(1, 2, 4); ksub <- Seq(4, 18, 25)) {
         val got = Similarity.pqTopK(df, qids, 5, m = m, ksub = ksub)
           .collect().map(r =>
             (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
