@@ -49,6 +49,37 @@ object Bench {
   def missingCoverage(timedNames: Set[String]): Set[String] =
     SparkEntry.queries.keySet -- timedNames
 
+  /** Constant-work noise canary: a fixed CPU-bound in-memory probe (no
+    * I/O, no data shuffle — 2B xxhash64 rows folded to one bit_xor)
+    * timed FIRST and LAST around the suite with the same warm-up +
+    * min-of-N protocol as the queries. Its cost depends only on host
+    * CPU availability, so a round-over-round inflation of the canary
+    * is host noise, not a code regression — per-query times are also
+    * reported normalized (raw / mean canary), making cross-round
+    * totals comparable without a standalone BenchOne bisect (the r6
+    * artifact inflated 1.36x uniformly and needed manual adjudication).
+    */
+  def canary(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+    def work(): Unit = {
+      spark.range(0L, 2000000000L, 1L, 64)
+        .select(xxhash64(col("id")).as("h"))
+        .agg(bit_xor(col("h"))).collect(); ()
+    }
+    // deeper warm-up than the queries get: the canary's generated code
+    // must reach C2 steady state or the FIRST reading bakes JIT tiering
+    // into what should be a pure host-contention signal (a cold first
+    // canary measured 2.1x its post-suite twin with identical host load)
+    work(); work()
+    val samples = scala.collection.mutable.ArrayBuffer[Double]()
+    while (samples.size < 4) {
+      val t0 = System.nanoTime()
+      work()
+      samples += (System.nanoTime() - t0) / 1e9
+    }
+    samples.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,6 +93,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    val canaryFirst = canary(spark)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // deterministic isolation: free the previous query's leftover
@@ -95,6 +128,8 @@ object Bench {
       name -> timed
     }
 
+    val canaryLast = canary(spark)
+
     for (name <- missingCoverage(results.map(_._1).toSet).toSeq.sorted)
       errors(name) = "no timing entry recorded for registered query"
 
@@ -112,7 +147,20 @@ object Bench {
       else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    // normalized view: raw seconds / mean canary seconds — per-query
+    // cost in CANARY UNITS, comparable across rounds regardless of
+    // host-side contention windows (canary fields ride EARLY in the
+    // line so they survive the driver's tail truncation)
+    val canaryMean = (canaryFirst + canaryLast) / 2.0
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    val qsNorm = results.map { case (k, v) =>
+      jstr(k) + ":" + (if (v >= 0) r3(v / canaryMean) else -1.0)
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""canary_s":{"first":${r3(canaryFirst)},"last":${r3(canaryLast)}},""" +
+      s""""value_norm":${r3(total / canaryMean)},"sf":"$sfDir",""" +
+      s""""queries":$qs,"queries_norm":$qsNorm$errJson}"""
     println(line)
     // stdout capture can truncate long lines; persist the full record so
     // the headline number survives independent of the console channel.

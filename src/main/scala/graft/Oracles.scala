@@ -1642,13 +1642,21 @@ object Oracles {
         |  FROM ad)
         |SELECT qid, rank, nid, adist FROM r WHERE rank <= 10""".stripMargin,
 
-    // IVF+PQ: the shared PQ_CTES plus a coarse quantizer — cells from
-    // the 8 lowest vec_ids, exact-integer argmin assignment (tie →
-    // lowest cell), each query probing its 2 nearest cells. The cell
-    // prune is itself exact-integer, so PARTIAL-probe output is
-    // bit-reproducible (unlike IVF-flat's nprobe=nlist-only oracle).
+    // IVF+PQ, RESIDUAL encoding (the actual FAISS IVFPQ): a coarse
+    // quantizer — cells from the 8 lowest vec_ids, exact-integer
+    // argmin assignment (tie → lowest cell) — then PQ over the
+    // RESIDUAL (vector − its cell centroid); residual seed codebooks
+    // from the residuals of the 16 lowest vec_ids; each query probes
+    // its 2 nearest cells with a PER-(query, cell) distance table
+    // built from the query's residual against THAT cell. Every stage
+    // exact-integer, so PARTIAL-probe output is bit-reproducible
+    // (unlike IVF-flat's nprobe=nlist-only oracle).
     "sim_ivfpq_topk" ->
-      s"""WITH $PQ_CTES,
+      s"""WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
         |cseed AS (
         |  SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
         |    AS cell
@@ -1672,14 +1680,60 @@ object Oracles {
         |    SELECT vec_id, cell,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
         |    FROM cdist WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
+        |res AS (
+        |  SELECT q.vec_id, ca.cell,
+        |    list_transform(range(1, 65), i -> q.qv[i] - c.cv[i]) AS rv
+        |  FROM q
+        |  JOIN cellasg ca ON ca.vec_id = q.vec_id
+        |  JOIN cseedn c ON c.cell = ca.cell),
+        |rseed AS (
+        |  SELECT rv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+        |  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT 16)),
+        |rcw AS (
+        |  SELECT rseed.c, CAST(r.j AS INT) AS j,
+        |    rv[(r.j * 8 + 1):(r.j * 8 + 8)] AS w
+        |  FROM rseed CROSS JOIN range(0, 8) r(j)),
+        |rcwn AS (
+        |  SELECT c, j, w,
+        |    CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS wn
+        |  FROM rcw),
+        |rsub AS (
+        |  SELECT vec_id, CAST(r.j AS INT) AS j,
+        |    rv[(r.j * 8 + 1):(r.j * 8 + 8)] AS s
+        |  FROM res CROSS JOIN range(0, 8) r(j)),
+        |enc0 AS (
+        |  SELECT s.vec_id, s.j, w.c,
+        |    w.wn - 2 * CAST(list_sum(list_transform(range(1, 9),
+        |      i -> s.s[i] * w.w[i])) AS BIGINT) AS d
+        |  FROM rsub s JOIN rcwn w ON w.j = s.j),
+        |enc AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        |    FROM enc0) WHERE rn = 1),
+        |qres AS (
+        |  SELECT p.qid, p.cell,
+        |    list_transform(range(1, 65), i -> q.qv[i] - c.cv[i]) AS rv
+        |  FROM probes p
+        |  JOIN q ON q.vec_id = p.qid
+        |  JOIN cseedn c ON c.cell = p.cell),
+        |qsub AS (
+        |  SELECT qid, cell, CAST(r.j AS INT) AS j,
+        |    rv[(r.j * 8 + 1):(r.j * 8 + 8)] AS s
+        |  FROM qres CROSS JOIN range(0, 8) r(j)),
+        |dtr AS (
+        |  SELECT qs.qid, qs.cell, qs.j, w.c,
+        |    CAST(list_sum(list_transform(qs.s, x -> x * x)) AS BIGINT) + w.wn
+        |      - 2 * CAST(list_sum(list_transform(range(1, 9),
+        |        i -> qs.s[i] * w.w[i])) AS BIGINT) AS d
+        |  FROM qsub qs JOIN rcwn w ON w.j = qs.j),
         |ad AS (
-        |  SELECT dt.qid, e.vec_id AS nid, CAST(sum(dt.d) AS BIGINT) AS adist
+        |  SELECT dtr.qid, e.vec_id AS nid, CAST(sum(dtr.d) AS BIGINT) AS adist
         |  FROM enc e
         |  JOIN cellasg ca ON ca.vec_id = e.vec_id
-        |  JOIN probes p ON p.cell = ca.cell
-        |  JOIN dt ON dt.qid = p.qid AND dt.j = e.j AND dt.c = e.c
-        |  WHERE e.vec_id <> p.qid
-        |  GROUP BY dt.qid, e.vec_id),
+        |  JOIN dtr ON dtr.cell = ca.cell AND dtr.j = e.j AND dtr.c = e.c
+        |  WHERE e.vec_id <> dtr.qid
+        |  GROUP BY dtr.qid, e.vec_id),
         |r AS (
         |  SELECT qid, nid, adist,
         |    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank

@@ -760,15 +760,17 @@ object Queries {
     Similarity.pqTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
       m = 8, ksub = 16)
 
-  /** IVF+PQ ANN (FAISS IVFPQ shape): seed-centroid coarse prune to 2
-    * of 8 cells, then PQ-code ADC within the probed cells. Both
-    * stages exact-integer → the PARTIAL-probe output is itself
-    * oracle-backed; recall-vs-probe and the nprobe=nlist ≡ pqTopK
-    * identity are spec-pinned.
+  /** IVF+PQ ANN with RESIDUAL encoding (the actual FAISS IVFPQ):
+    * seed-centroid coarse prune to 2 of 8 cells, then ADC over codes
+    * that quantize `vector − cell_centroid` with per-(query, cell)
+    * distance tables. Both stages exact-integer → the PARTIAL-probe
+    * output is itself oracle-backed; the residual m=1 exactness
+    * identity, the global-arm nprobe=nlist ≡ pqTopK identity, and
+    * trained-vs-seeded recall are spec-pinned.
     */
   val simIvfPqTopk: Q = (s, dir) =>
     Similarity.ivfPqTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
-      nlist = 8, nprobe = 2, m = 8, ksub = 16)
+      nlist = 8, nprobe = 2, m = 8, ksub = 16, residual = true)
 
   /** Power-of-two length-bucket analysis over [16, 1024]: per-bucket
     * doc/token totals and the padding waste a fixed-shape batcher
