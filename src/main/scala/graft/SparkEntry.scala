@@ -184,4 +184,23 @@ object SparkEntry {
     * (MinHash/SimHash/LSH — xxhash64-based; rows-only check).
     */
   def oracleSql: Map[String, String] = Oracles.sql
+
+  /** Registered queries that are CORRECTNESS BASELINES, not 100-TB
+    * paths — deliberately O(N²)/full-scan implementations kept so the
+    * approximate scale operators have an exact, oracle-backed
+    * reference to be verified against. Machine-readable so a reader
+    * (or the driver) can tell baselines from production paths; each
+    * maps to its registered SCALE TWIN — the query that computes the
+    * same relationship with a bounded candidate set
+    * (`DriverContractSpec` asserts both sides stay registered and no
+    * twin is itself a baseline).
+    */
+  val baselineOnly: Map[String, String] = Map(
+    // exact all-pairs cosine (a.join(b, a_id < b_id)) — the soundness
+    // reference the banded-LSH arm is spec-proven a subset of
+    "dedup_cosine_pairs" -> "dedup_cosine_lsh",
+    // brute-force full-corpus top-k scan per query — the recall
+    // ground truth for the bucketed ANN family
+    "sim_cosine_topk" -> "sim_lsh_topk",
+  )
 }

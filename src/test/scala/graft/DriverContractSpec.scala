@@ -40,6 +40,27 @@ class DriverContractSpec extends AnyFunSuite {
       s"unexpected oracle-less queries: ${noOracle.toSeq.sorted}")
   }
 
+  test("every baseline-only query has a registered, non-baseline scale twin") {
+    // dedup_cosine_pairs and friends are exact O(N²) references kept
+    // for oracle soundness — the tag keeps them distinguishable from
+    // 100-TB paths, and this contract keeps the tag honest: both
+    // sides registered, twins are real scale paths (not baselines
+    // themselves), and a baseline is never its own twin
+    for ((baseline, twin) <- SparkEntry.baselineOnly) {
+      assert(SparkEntry.queries.contains(baseline),
+        s"baseline-only tag names unregistered query $baseline")
+      assert(SparkEntry.queries.contains(twin),
+        s"scale twin $twin of $baseline is not registered")
+      assert(baseline != twin, s"$baseline lists itself as its scale twin")
+      assert(!SparkEntry.baselineOnly.contains(twin),
+        s"scale twin $twin of $baseline is itself tagged baseline-only")
+    }
+    // the known quadratic baselines must carry the tag — adding a new
+    // exact-baseline query without tagging it should fail here
+    assert(SparkEntry.baselineOnly.keySet ==
+      Set("dedup_cosine_pairs", "sim_cosine_topk"))
+  }
+
   test("oracle SQL never reuses a lateral alias within one SELECT stage") {
     // DuckDB resolves lateral column aliases: reusing a source column's
     // name inside the same SELECT silently rebinds later references (a
