@@ -178,4 +178,56 @@ class AnalyticsPropertiesSpec extends SparkSpec {
       assert(got == want, s"want=$want got=$got")
     }
   }
+
+  // random (doc_id, text) corpora: sparse ids, variable-length word
+  // texts — the shapes that would expose order- or layout-dependent
+  // state in the manifest aggregation
+  private def manifestCorpusGen: Gen[Seq[(Long, String)]] =
+    Gen.sequence[Seq[(Long, String)], (Long, String)](
+      (0 until 80).map { i =>
+        for {
+          idGap <- Gen.choose(1L, 1000L)
+          nWords <- Gen.choose(1, 30)
+          words <- Gen.listOfN(nWords, Gen.identifier.map(_.take(8)))
+        } yield (i.toLong * 1000L + idGap, words.mkString(" "))
+      })
+
+  test("∀ random corpora: shardManifest is a pure function of content — " +
+      "identical under repartition(1)/repartition(64)/sorted input, and " +
+      "equal to a driver-side reference") {
+    // the operator a trainer trusts for data integrity: its checksum
+    // must be a LAW of the corpus content, never of physical layout,
+    // partition count, or arrival order
+    import graft.functions.Packing
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    for ((corpus, i) <- samples(manifestCorpusGen, 3).zipWithIndex) {
+      val nshards = 8
+      // independent driver-side reference: salted-md5 shard, token
+      // count, xor-folded 60-bit content digests
+      val want = corpus.groupBy { case (id, _) => h60(s"shard:$id") % nshards }
+        .map { case (shard, ds) =>
+          (shard,
+           ds.size.toLong,
+           ds.map(_._2.split("\\s+").length.toLong).sum,
+           ds.map(d => h60(d._2)).reduce(_ ^ _))
+        }.toSet
+      val base = corpus.toDF("doc_id", "text")
+      val layouts = Seq(
+        base.repartition(1),
+        base.repartition(64),
+        base.orderBy($"doc_id"),
+        base.orderBy($"doc_id".desc))
+      for (df <- layouts) {
+        val got = Packing.shardManifest(df, nshards).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(got == want, s"sample $i: manifest diverged from reference")
+      }
+    }
+  }
 }

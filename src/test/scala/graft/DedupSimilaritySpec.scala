@@ -592,6 +592,61 @@ class DedupSimilaritySpec extends SparkSpec {
       s"trained residual IVF-PQ recall $trainedRes/500 below seeded global $seeded/500")
   }
 
+  test("IVF under adversarial cell skew: correct top-k, no exchange blow-up") {
+    // 90% of the corpus in ONE Voronoi cell — the documented skew
+    // caveat ("a degenerate centroid set concentrates mass in one
+    // cell") exercised instead of just documented: correctness must
+    // hold and the plan must not degrade to replication/cartesian.
+    // Deterministic fixture: 4 far-apart corner vectors become the
+    // nlist=4 seed centroids; ids 4-183 cluster tightly around corner
+    // 0; ids 184-199 scatter across the other corners.
+    val skewed = (0L until 200L).map { id =>
+      val v = Array.fill(16)(0.0f)
+      if (id < 4L) v(id.toInt) = 10f
+      else if (id < 184L) {
+        v(0) = 10f
+        v((id % 12 + 4).toInt) = 0.001f * (id % 97)
+      } else {
+        v((id % 4).toInt) = 10f
+        v((id % 11 + 5).toInt) = 0.002f * (id % 89)
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    // the skew is real: ≥ 90% of vectors land in cell 0
+    val coarse = Similarity.seedCentroids(skewed, 4)
+    val cells = Similarity.kmeansAssign(skewed, coarse)
+    val fat = cells.filter($"cell" === 0L).count()
+    assert(fat >= 180, s"fixture lost its skew: $fat/200 in cell 0")
+    // IVF-flat at full probe ≡ brute force, unchanged by the skew
+    val qids = Seq(0L, 10L, 190L)
+    val brute = Similarity.bruteForceTopK(skewed, qids, 5)
+    val ivf = Similarity.ivfTopK(skewed, qids, 5, nlist = 4, nprobe = 4,
+      iters = 0)
+    assert(ivf.exceptAll(brute).isEmpty && brute.exceptAll(ivf).isEmpty)
+    // residual IVF-PQ exactness holds inside the fat cell too: m=1 +
+    // all-codewords + partial probe returns TRUE squared L2 for every
+    // emitted pair, and full probe is the exact L2 top-k
+    val full = Similarity.ivfPqTopK(skewed, qids, 5,
+      nlist = 4, nprobe = 4, m = 1, ksub = 200, residual = true)
+    val exact = exactL2TopK(skewed, qids, 5)
+      .select($"qid", $"rank", $"nid", $"d2".as("adist"))
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+    val p1 = Similarity.ivfPqTopK(skewed, qids, 5,
+      nlist = 4, nprobe = 1, m = 1, ksub = 200, residual = true)
+    val truth = exactL2TopK(skewed, qids, 200).select($"qid", $"nid", $"d2")
+    assert(p1.join(truth, Seq("qid", "nid")).filter($"adist" =!= $"d2")
+      .count() == 0)
+    // plan shape: the fat cell never triggers replication — the probe
+    // side stays broadcast, the corpus side hash-joins on cell, no
+    // cartesian/nested-loop anywhere
+    val plan = Similarity.ivfPqTopK(skewed, qids, 5,
+      nlist = 4, nprobe = 2, m = 4, ksub = 16, residual = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("cosineNearDupPairs is symmetric-free, thresholded, ⊆ exact baseline") {
     val pairs = Similarity.cosineNearDupPairs(embs, threshold = 0.8)
     assert(pairs.filter($"a_id" >= $"b_id").count() == 0)
