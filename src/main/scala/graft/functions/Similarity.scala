@@ -225,7 +225,7 @@ object Similarity {
     * dropped). One `graft_dot` kernel call per centroid inside codegen;
     * ties break toward the lower cell id via struct ordering.
     */
-  private def cellOf(q: Column, centroids: Array[Array[Long]]): Column = {
+  private[graft] def cellOf(q: Column, centroids: Array[Array[Long]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit).toIndexedSeq: _*)
       val cNorm = c.map(x => x * x).sum

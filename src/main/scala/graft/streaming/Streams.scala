@@ -317,4 +317,77 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming semantic dedup — the embedding-side complement of
+    * [[nearDupFreeStream]] and the incremental face of
+    * [[graft.functions.Similarity.semanticDedup]] (SemDeDup, Abbas et
+    * al. 2023): each micro-batch of `(vec_id, embedding)` rows is
+    * k-means-assigned to its nearest cell of the FIXED `centroids`
+    * (map-only, centroids ride as literals), candidate-matched by
+    * exact quantized-integer cosine against the accumulated state AND
+    * earlier rows of the same batch — candidates exist only WITHIN a
+    * cell, the same blocking scheme as the batch operator — and only
+    * semantically novel vectors are emitted. Every seen vector's
+    * quantized form appends to the state table (dropped ones too), so
+    * future members of an already-seen cluster are suppressed even
+    * when their nearest neighbor was itself dropped.
+    *
+    * Dedup rule is greedy earlier-wins (lower `vec_id` within a batch,
+    * arrival order across batches). Relation to the batch operator's
+    * connected-components survivors on the same chronological corpus:
+    * the streamed DROP set is always a SUBSET of the batch flagged set
+    * (a vector with an earlier similar neighbor is never its
+    * component's minimum), and the two are EQUAL whenever each
+    * duplicate group is pairwise-similar — the tight-cluster regime
+    * SemDeDup targets. Chains (A~B~C, A≁C) can keep one more survivor
+    * here than batch CC; spec-asserted both ways.
+    *
+    * Centroids must be stable across batches (train once — e.g.
+    * [[graft.functions.Similarity.trainedCentroids]] on a bootstrap
+    * sample — then pin); re-training mid-stream would silently change
+    * the blocking and lose cross-batch candidates. State is
+    * `(vec_id, cell, q, nsq)` — dim×8 bytes per vector, never raw
+    * text/media — and per-batch compare cost is Σ_cell |batch∩cell| ×
+    * |seen∩cell| via a hash equi-join on the cell id, never batch×N.
+    */
+  def semanticDedupStream(
+      embeddings: DataFrame,
+      centroids: Array[Array[Long]],
+      threshold: Double,
+      statePath: String,
+      checkpoint: String,
+      onSurvivors: DataFrame => Unit,
+  ): StreamingQuery =
+    embeddings.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.plans.GraftFunctions.register(spark)
+        import graft.functions.Similarity
+        val quant = batch.select(
+          col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
+          .withColumn("nsq", call_function("graft_norm_sq", col("q")))
+          .withColumn("cell", Similarity.cellOf(col("q"), centroids))
+          .select("vec_id", "cell", "q", "nsq")
+        val state =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(statePath)))
+            spark.read.parquet(statePath)
+          else quant.limit(0)
+        def side(df: DataFrame, s: String) = df.select(
+          col("cell"), col("vec_id").as(s"${s}_id"),
+          col("q").as(s"${s}_q"), col("nsq").as(s"${s}_n"))
+        val prior = side(state, "p").withColumn("from_state", lit(true))
+          .unionByName(side(quant, "p").withColumn("from_state", lit(false)))
+        val dupIds = side(quant, "n").join(prior, Seq("cell"))
+          .filter(col("from_state") || col("p_id") < col("n_id"))
+          .filter(Similarity.cosineFromInts(
+            call_function("graft_dot", col("n_q"), col("p_q")),
+            col("n_n"), col("p_n")) >= threshold)
+          .select(col("n_id").as("vec_id")).distinct()
+        onSurvivors(batch.join(dupIds, Seq("vec_id"), "left_anti"))
+        graft.operators.Merge.atomicOverwrite(
+          state.unionByName(quant), statePath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

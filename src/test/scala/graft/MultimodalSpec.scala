@@ -195,4 +195,35 @@ class MultimodalSpec extends SparkSpec {
       "940ec80eda64cdaaeb8a5a87d1c93ddd", "4680f522d37ffb47a195fe9d5f093918")
     assert(got == expected, s"golden frame digests drifted: $got")
   }
+
+  test("audio golden: fixed synthetic WAV yields byte-stable container and PCM") {
+    // The PCM symmetric twin of the PNG golden above: pins the WAV
+    // generator, the RIFF container encoder, the AudioSystem decode
+    // path, and the decimating resampler at the BYTE level — the
+    // strongest check available where the oracle cannot run
+    // (media_features/media_frames are rows-only for audio payloads).
+    def digest(b: Array[Byte]): String = java.security.MessageDigest
+      .getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+    val wav = Multimodal.syntheticWav(seed = 11L, ms = 250)
+    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav)).readAllBytes()
+    val (resampled, _) = Multimodal.resampleAudio(wav, 2).get
+    val got = Seq(digest(wav), digest(pcm), digest(resampled))
+    val expected = Seq(
+      "b8f684ffa6c70a83b331b3930793f7d3", "f467d584d2155fe115cdcada0746a32f",
+      "df460317f41f78fb5fc6b1336bfdac96")
+    assert(got == expected, s"golden audio digests drifted: $got")
+    // the container round-trips: PCM re-wrapped at the same format is
+    // byte-identical to the generator's own output
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val rewrapped = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2L),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    assert(digest(rewrapped) == got.head)
+  }
 }

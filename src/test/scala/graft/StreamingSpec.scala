@@ -442,4 +442,92 @@ class StreamingSpec extends SparkSpec {
     assert(got.head.getString(1) == "run 150")
     assert(got.last.getString(1) == "run 51")
   }
+
+  test("streaming semantic dedup equals batch SemDeDup on tight-cluster replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sds").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sds-ck").toString
+    val state = s"$dir/state.parquet"
+    def v(xs: Float*) = xs.toArray
+    // two tight clusters (pairwise-similar within each) + two singletons
+    val all = Seq(
+      1L -> v(1f, 0f, 0f, 0f), 2L -> v(0.99f, 0.01f, 0f, 0f), // cluster A
+      3L -> v(0f, 0f, 1f, 0f),                                // singleton
+      4L -> v(0.98f, 0.02f, 0f, 0f),                          // A, batch 2
+      5L -> v(0f, 1f, 0f, 0f), 6L -> v(0.01f, 0.99f, 0f, 0f), // cluster B
+      7L -> v(0f, 0f, 0f, 1f))                                // singleton
+    val centroids = Array(Array(1000L, 0L, 0L, 0L), Array(0L, 1000L, 0L, 0L))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit = {
+      val q = Streams.semanticDedupStream(
+        spark.readStream.schema(schema).parquet(s"$dir/in/*"),
+        centroids, threshold = 0.95, state, ckpt,
+        survivors => out ++= survivors.select("vec_id")
+          .collect().map(_.getLong(0)))
+      q.awaitTermination(120000)
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    all.take(3).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/in/b1.parquet")
+    run()
+    assert(out.sorted == Seq(1L, 3L), out) // within-batch A-dup dropped
+    all.drop(3).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/in/b2.parquet")
+    run()
+    // 4 dropped ACROSS batches (cluster A seen in b1); 6 within-batch
+    assert(out.sorted == Seq(1L, 3L, 5L, 7L), out)
+    // batch ≡ stream: survivors equal the batch operator's component
+    // minima plus its untouched singletons on the full corpus
+    val batchDf = all.toDF("vec_id", "embedding")
+    val flagged = functions.Similarity.semanticDedup(batchDf, 0.95, centroids)
+      .select($"vec_id", $"component").as[(Long, Long)].collect()
+    val batchSurvivors = (all.map(_._1).toSet -- flagged.map(_._1)) ++
+      flagged.map(_._2)
+    assert(out.toSet == batchSurvivors)
+    // state holds every seen quantized vector, never raw payloads
+    val st = spark.read.parquet(state)
+    assert(st.count() == 7 &&
+      st.columns.sorted.toSeq == Seq("cell", "nsq", "q", "vec_id"))
+  }
+
+  test("streaming semantic dedup chain divergence is exactly the documented one") {
+    // edges A~C and B~C only (order A,B,C): batch CC drops {B,C} — the
+    // greedy earlier-wins stream keeps B (no EARLIER similar neighbor)
+    // and drops C. Pins the scaladoc'd subset relation as behavior.
+    val dir = java.nio.file.Files.createTempDirectory("graft-sds2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sds2-ck").toString
+    val r2 = (1.0 / math.sqrt(2.0)).toFloat
+    val all = Seq(
+      1L -> Array(1f, 0f), 2L -> Array(0f, 1f), 3L -> Array(r2, r2))
+    val centroids = Array(Array(0L, 0L)) // one cell — no blocking effect
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    all.toDF("vec_id", "embedding").write.parquet(s"$dir/in/b1.parquet")
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = Streams.semanticDedupStream(
+      spark.readStream.schema(schema).parquet(s"$dir/in/*"),
+      centroids, threshold = 0.7, s"$dir/state.parquet", ckpt,
+      survivors => out ++= survivors.select("vec_id")
+        .collect().map(_.getLong(0)))
+    q.awaitTermination(120000)
+    assert(out.sorted == Seq(1L, 2L), out) // stream keeps B
+    val batchDropped = functions.Similarity
+      .semanticDedup(all.toDF("vec_id", "embedding"), 0.7, centroids)
+      .filter($"vec_id" =!= $"component")
+      .select("vec_id").as[Long].collect().toSet
+    assert(batchDropped == Set(2L, 3L)) // batch CC also drops B
+    // the invariant that DOES hold universally: stream-drop ⊆ batch-drop
+    val streamDropped = all.map(_._1).toSet -- out
+    assert(streamDropped.subsetOf(batchDropped))
+  }
 }
