@@ -1746,6 +1746,165 @@ object Oracles {
         |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
 
+    // BPE round-1 pair statistics: word counts → char symbolization
+    // (+ `</w>`) → corpus-weighted adjacent-pair counts. DuckDB's
+    // 1-indexed lists step positions with range(1, len) — the same
+    // (a,b) pair table whose argmax is the first learned merge.
+    "tok_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents),
+        |wc AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM words
+        |  WHERE length(word) > 0 GROUP BY word
+        |  ORDER BY n DESC, word LIMIT 65536),
+        |sym AS (
+        |  SELECT list_append(string_split(word, ''), '</w>') AS s, n FROM wc),
+        |pairs AS (
+        |  SELECT n, unnest(list_transform(range(1, len(s)), i -> {'a': s[i], 'b': s[i+1]})) AS p
+        |  FROM sym WHERE len(s) >= 2)
+        |SELECT p.a AS a, p.b AS b, CAST(SUM(n) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY p.a, p.b""".stripMargin,
+
+    // BPE encode under the fixed rank-ordered fixture merges. Each
+    // merge (x,y)→xy is applied to the space-joined, space-padded
+    // symbol string as TWO chained `replace(' x y ', ' xy ')` passes:
+    // pass 1's leftmost scan consumes the shared delimiter of
+    // back-to-back occurrences (…x y x y…), so exactly the starved
+    // occurrences remain — never adjacent — and pass 2 fuses them in
+    // place. For x ≠ y (all fixture merges; adjacencies can't overlap
+    // on a symbol) this provably equals the engine's leftmost
+    // non-overlapping fold. An x == y merge (run-ambiguous) would NOT
+    // be faithful here — the engine fold handles it, this SQL doesn't.
+    "tok_bpe_encode" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS words
+        |  FROM documents WHERE doc_id < 50),
+        |enc AS (
+        |  SELECT doc_id, array_to_string(list_transform(words, w ->
+        |    trim(
+        |      replace(replace(
+        |        replace(replace(
+        |          replace(replace(
+        |            replace(replace(
+        |              ' ' || array_to_string(list_append(string_split(w, ''), '</w>'), ' ') || ' ',
+        |              ' a </w> ', ' a</w> '), ' a </w> ', ' a</w> '),
+        |            ' e </w> ', ' e</w> '), ' e </w> ', ' e</w> '),
+        |          ' t a ', ' ta '), ' t a ', ' ta '),
+        |        ' s c ', ' sc '), ' s c ', ' sc ')
+        |    )), ' ') AS toks
+        |  FROM base)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN toks = '' THEN 0 ELSE len(string_split(toks, ' ')) END AS BIGINT) AS n_tokens,
+        |  toks
+        |FROM enc""".stripMargin,
+
+    // Tokenizer-publication flagship: the tok_bpe_encode two-pass
+    // replace chain yields per-doc subword counts, the pack_no_split
+    // recursive CTE replays next-fit over them, and the manifest tail
+    // groups per packed sequence with the shard_manifest checksum
+    // idiom (0x-prefixed md5 window → UBIGINT → BIGINT, bit_xor).
+    "tokenize_publish" ->
+      """WITH RECURSIVE enc AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0), w ->
+        |    trim(
+        |      replace(replace(
+        |        replace(replace(
+        |          replace(replace(
+        |            replace(replace(
+        |              ' ' || array_to_string(list_append(string_split(w, ''), '</w>'), ' ') || ' ',
+        |              ' a </w> ', ' a</w> '), ' a </w> ', ' a</w> '),
+        |            ' e </w> ', ' e</w> '), ' e </w> ', ' e</w> '),
+        |          ' t a ', ' ta '), ' t a ', ' ta '),
+        |        ' s c ', ' sc '), ' s c ', ' sc ')
+        |    )), ' ') AS toks
+        |  FROM documents),
+        |t0 AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN toks = '' THEN 0 ELSE len(string_split(toks, ' ')) END AS BIGINT) AS n_tokens
+        |  FROM enc),
+        |w AS (SELECT greatest(max(doc_id) // 16 + 1, 1) AS width FROM t0),
+        |t1 AS (SELECT doc_id, n_tokens,
+        |         doc_id // (SELECT width FROM w) AS bucket FROM t0),
+        |t2 AS (SELECT doc_id, n_tokens, bucket,
+        |         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        |       FROM t1),
+        |st(bucket, rn, doc_id, n_tokens, seq, fill) AS (
+        |  SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        |  FROM t2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+        |    CASE WHEN s.fill + t.n_tokens > 2048 THEN s.seq + 1 ELSE s.seq END,
+        |    CASE WHEN s.fill + t.n_tokens > 2048 THEN t.n_tokens
+        |         ELSE s.fill + t.n_tokens END
+        |  FROM st s JOIN t2 t ON t.bucket = s.bucket AND t.rn = s.rn + 1)
+        |SELECT bucket, seq AS seq_in_bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_seq_tokens,
+        |  bit_xor(CAST(CAST(concat('0x', substr(md5(concat('doc:',
+        |    CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)) AS checksum
+        |FROM st GROUP BY bucket, seq""".stripMargin,
+
+    // The BPE training LOOP, unrolled three rounds: each round is
+    // pair-count → argmax (cnt desc, then (a,b) — the engine's
+    // tie-break) → the two-pass delimiter-replace apply (valid while
+    // every learned merge has a≠b, which this corpus's do; the apply
+    // is data-dependent — the pattern comes from the previous round's
+    // argmax scalar subquery).
+    "tok_bpe_merges" ->
+      """WITH wc AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word
+        |  ORDER BY n DESC, word LIMIT 65536),
+        |v0 AS (
+        |  SELECT ' ' || array_to_string(list_append(string_split(word, ''), '</w>'), ' ') || ' ' AS s, n
+        |  FROM wc),
+        |pc0 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v0) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m0 AS (SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
+        |v1 AS (
+        |  SELECT replace(replace(s,
+        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
+        |      ' ' || (SELECT a FROM m0) || (SELECT b FROM m0) || ' '),
+        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
+        |      ' ' || (SELECT a FROM m0) || (SELECT b FROM m0) || ' ') AS s, n
+        |  FROM v0),
+        |pc1 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v1) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT a, b FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |v2 AS (
+        |  SELECT replace(replace(s,
+        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+        |      ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' '),
+        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+        |      ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ') AS s, n
+        |  FROM v1),
+        |pc2 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v2) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT a, b FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1)
+        |SELECT CAST(0 AS BIGINT) AS rank, a, b FROM m0
+        |UNION ALL SELECT CAST(1 AS BIGINT), a, b FROM m1
+        |UNION ALL SELECT CAST(2 AS BIGINT), a, b FROM m2""".stripMargin,
+
+    // BPE invertibility from outside the tokenizer: the oracle builds
+    // the decode(encode(x)) fixed point straight from the raw text —
+    // lowercased words joined by single spaces — without modeling a
+    // single merge (merges only concatenate, so they cancel).
+    "tok_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
+        |    w -> length(w) > 0), ' ') AS rebuilt
+        |FROM documents""".stripMargin,
+
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,

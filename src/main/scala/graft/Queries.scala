@@ -909,6 +909,30 @@ object Queries {
     graft.functions.Packing.shardManifest(Dedup.exactSurvivors(kept), 32)
   }
 
+  /** Tokenizer-side publication flagship: BPE-encode the corpus under
+    * the fixture merges (map-only — text is dropped after one narrow
+    * projection), next-fit-pack whole documents into 2048-SUBWORD
+    * sequences (per-bucket sequential state, never cross-executor),
+    * then one manifest row per packed sequence: doc count, subword
+    * total, order-independent doc-id checksum. The chain a trainer
+    * consumes: text → subwords → packed sequences → integrity
+    * manifest.
+    */
+  val tokenizePublish: Q = (s, dir) => {
+    val bpe = graft.functions.Bpe
+    val toks = t(s, dir, "documents").select(
+      col("doc_id"),
+      size(bpe.encode(col("text"), bpe.fixtureMerges)).cast("long").as("n_tokens"))
+    graft.functions.Packing.packNoSplitCounts(toks, seqLen = 2048, buckets = 16)
+      .groupBy(col("bucket"), col("seq_in_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_seq_tokens"),
+        bit_xor(conv(substring(md5(concat(lit("doc:"),
+            col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+          .cast("long")).as("checksum"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023) toward the English
     * subset as the target distribution: hashed-bigram multinomial
     * log-likelihood ratios, md5-portable buckets, ordered-fold FP
@@ -950,6 +974,66 @@ object Queries {
       col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
       TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe_tokens"))
+
+  /** BPE training round-1 statistics (Sennrich+ 2016): corpus-weighted
+    * adjacent symbol-pair counts over the frequency-capped word table —
+    * the table whose argmax IS the first learned merge. One
+    * map-combined word count (the only corpus-scale pass) + one
+    * map-combined pair count over ≤65536 vocab rows.
+    */
+  val tokBpePairs: Q = (s, dir) => {
+    val vocab = graft.functions.Bpe.wordCounts(t(s, dir, "documents"))
+      .select(graft.functions.Bpe.initialSymbols(col("word")).as("symbols"),
+        col("n"))
+    graft.functions.Bpe.pairCounts(vocab)
+  }
+
+  /** BPE encoding under a FIXED rank-ordered merge list (the trained
+    * path learns the list — spec-equivalence-tested against an
+    * in-memory reference; fixing it here keeps the full fold semantics
+    * oracle-expressible as a recursive CTE). Map-only: 4 chained
+    * codegen'd `aggregate` folds per word, zero exchange. Token arrays
+    * serialize via `concat_ws` for hash-stable comparison.
+    */
+  val tokBpeEncode: Q = (s, dir) => {
+    val merges = graft.functions.Bpe.fixtureMerges
+    t(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        graft.functions.Bpe.encode(col("text"), merges).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__toks")).as("toks"))
+  }
+
+  /** The first 3 BPE merges LEARNED from the corpus — the training
+    * LOOP itself as an oracle-backed query, not just its round-1
+    * statistics: the oracle unrolls the same three rounds in SQL
+    * (pair-count → argmax with the (cnt desc, a, b) tie-break →
+    * two-pass delimiter-replace apply). Driver state is 3 collected
+    * argmax rows; the word count stays the only corpus-scale pass.
+    * (The SQL apply step is a≠b-only; all merges this corpus learns
+    * are, and `BpeSpec` covers the general fold.)
+    */
+  val tokBpeMerges: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.Bpe.trainBpe(t(s, dir, "documents"), numMerges = 3)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "a", "b")
+  }
+
+  /** BPE invertibility, oracle-checked from the OUTSIDE: the engine
+    * round-trips every document through encode→decode under the
+    * fixture merges; the oracle computes the expected fixed point
+    * (lowercased words re-joined by single spaces) from the RAW text,
+    * never seeing the tokenizer. A merge rule that dropped or
+    * reordered a symbol would hash-mismatch here. Map-only.
+    */
+  val tokBpeRoundtrip: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.functions.Bpe.decode(
+        graft.functions.Bpe.encode(col("text"), graft.functions.Bpe.fixtureMerges))
+        .as("rebuilt"))
 
   /** Quality signals per document. */
   val textQuality: Q = (s, dir) =>

@@ -111,6 +111,11 @@ object SparkEntry {
     "sim_ivfpq_topk" -> Queries.simIvfPqTopk,
     // -- extensions: text analysis
     "text_token_count" -> Queries.textTokenCount,
+    "tok_bpe_pairs" -> Queries.tokBpePairs,
+    "tok_bpe_encode" -> Queries.tokBpeEncode,
+    "tok_bpe_roundtrip" -> Queries.tokBpeRoundtrip,
+    "tok_bpe_merges" -> Queries.tokBpeMerges,
+    "tokenize_publish" -> Queries.tokenizePublish,
     "text_quality" -> Queries.textQuality,
     "text_fingerprint" -> Queries.textFingerprint,
     "text_winnow" -> Queries.textWinnow,

@@ -140,14 +140,27 @@ object Packing {
       seqLen: Int = 2048,
       buckets: Int = 256,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    packNoSplitCounts(
+      docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      seqLen, buckets)
+
+  /** The tokenizer-agnostic core of [[packNoSplit]]: next-fit packing
+    * over PRECOMPUTED per-doc token counts `(doc_id: long, n_tokens:
+    * long)` — so the layout can be driven by whitespace counts,
+    * trained-BPE subword counts ([[Bpe.tokenCounts]]), or anything
+    * else, without re-deriving the text column.
+    */
+  def packNoSplitCounts(
+      toks: DataFrame,
+      seqLen: Int = 2048,
+      buckets: Int = 256): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     require(buckets > 0, "buckets must be positive")
-    val spark = docs.sparkSession
+    val spark = toks.sparkSession
     import spark.implicits._
-    val toks = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val maxId = toks.agg(max("doc_id")).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)

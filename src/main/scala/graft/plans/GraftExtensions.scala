@@ -45,6 +45,9 @@ object GraftFunctions {
     ("graft_winnow",
       new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
       (es: Seq[Expression]) => WinnowExpr(es(0), foldedInt(es(1)), foldedInt(es(2)))),
+    ("graft_bpe_encode",
+      new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
+      (es: Seq[Expression]) => BpeEncodeExpr(es(0), foldedStringArray(es(1)))),
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (es: Seq[Expression]) => SimHash64Expr(es.head)),
@@ -75,6 +78,14 @@ object GraftFunctions {
   private def foldedInt(e: Expression): Int = {
     require(e.foldable, s"expected a foldable integer literal, got $e")
     e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def foldedStringArray(e: Expression): IndexedSeq[String] = {
+    require(e.foldable, s"expected a foldable string-array literal, got $e")
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      .toIndexedSeq
   }
 
   private def foldedLongArray(e: Expression): IndexedSeq[Long] = {

@@ -344,6 +344,53 @@ object TextKernels {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** Full BPE encode under a rank-ordered merge list (`merges` is the
+    * flattened pair list [a0,b0,a1,b1,…]): lowercase, whitespace-
+    * tokenize, symbolize each word (code points + `</w>`), then apply
+    * every merge as a greedy leftmost non-overlapping fusion — the
+    * exact semantics of [[graft.functions.Bpe.mergeOnce]]'s fold
+    * (including a==b run handling), in one tight loop per row instead
+    * of k interpreted higher-order `aggregate` passes.
+    * Spec-equivalent to the fold form (`BpeSpec`).
+    */
+  def bpeEncode(text: UTF8String, merges: Array[String]): ArrayData = {
+    val words = text.toLowerCase.toString.split("\\s+")
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var syms = new java.util.ArrayList[String](w.length + 1)
+        var ci = 0
+        while (ci < w.length) {
+          val n = Character.charCount(w.codePointAt(ci))
+          syms.add(w.substring(ci, ci + n))
+          ci += n
+        }
+        syms.add("</w>")
+        var mi = 0
+        while (mi + 1 < merges.length) {
+          val a = merges(mi); val b = merges(mi + 1)
+          val next = new java.util.ArrayList[String](syms.size)
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms.get(i) == a && syms.get(i + 1) == b) {
+              next.add(a + b); i += 2
+            } else { next.add(syms.get(i)); i += 1 }
+          }
+          syms = next
+          mi += 2
+        }
+        var si = 0
+        while (si < syms.size) {
+          out += UTF8String.fromString(syms.get(si)); si += 1
+        }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** `graft_shingles(text, w)` — distinct w-token shingle hashes. */
@@ -436,6 +483,38 @@ case class WinnowExpr(child: Expression, w: Int, k: Int)
     defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.winnow($c, $w, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
+/** `graft_bpe_encode(text, merges_flat)` — BPE encode under a
+  * rank-ordered merge list passed as a flattened foldable string array
+  * [a0,b0,a1,b1,…] (folded once at construction; only the text is
+  * per-row).
+  */
+case class BpeEncodeExpr(child: Expression, merges: IndexedSeq[String])
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_bpe_encode"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if merges.length % 2 != 0 =>
+      TypeCheckResult.TypeCheckFailure(
+        s"merge list must be flattened (a,b) pairs, got ${merges.length} entries")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  private lazy val mArr: Array[String] = merges.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeEncode(input.asInstanceOf[UTF8String], mArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeMerges", mArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.bpeEncode($c, $mRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
     copy(child = newChild)
 }
 

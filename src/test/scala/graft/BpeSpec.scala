@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bpe
+
+/** BPE training/encoding vs an independent in-memory implementation of
+  * Sennrich+ 2016 Algorithm 1 — the engine's relational formulation
+  * (pair table + argmax + fold-merge) must agree with the direct
+  * imperative one on merges learned, encodings produced, and the
+  * adversarial merge cases (runs, alternations) where a wrong fold
+  * would silently diverge.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- in-memory reference (Sennrich+ 2016, Algorithm 1) ----
+
+  private def refSymbolize(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ Bpe.EndOfWord
+
+  /** Greedy leftmost non-overlapping single-merge pass. */
+  private def refMergeOnce(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refPairCounts(vocab: Map[Vector[String], Long]): Map[(String, String), Long] =
+    vocab.toSeq
+      .flatMap { case (s, n) => s.zip(s.tail).map(p => (p, n)) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+
+  /** Train k merges; argmax by count, ties to lexicographically
+    * smallest (a,b) — the engine's orderBy(cnt desc, a, b) rule.
+    */
+  private def refTrain(wordFreq: Map[String, Long], k: Int): Seq[(String, String)] = {
+    var vocab = wordFreq.map { case (w, n) => refSymbolize(w) -> n }
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      val pc = refPairCounts(vocab)
+      if (pc.isEmpty) done = true
+      else {
+        val max = pc.values.max
+        val pair = pc.collect { case (p, n) if n == max => p }.min
+        merges += pair
+        vocab = vocab.map { case (s, n) => refMergeOnce(s, pair._1, pair._2) -> n }
+      }
+      i += 1
+    }
+    merges.result()
+  }
+
+  private def refEncode(text: String, merges: Seq[(String, String)]): Seq[String] =
+    text.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { w =>
+      merges.foldLeft(refSymbolize(w)) { case (s, (a, b)) => refMergeOnce(s, a, b) }
+    }
+
+  /** The paper's worked vocabulary: low×5 lower×2 newest×6 widest×3,
+    * shaped as a documents table (one doc per word occurrence).
+    */
+  private val sennrichFreq =
+    Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  private def sennrichDocs = {
+    val rows = sennrichFreq.toSeq.sortBy(_._1).flatMap { case (w, n) =>
+      Seq.fill(n.toInt)(w)
+    }.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("trainBpe matches the in-memory reference on the Sennrich fixture") {
+    val got = Bpe.trainBpe(sennrichDocs, numMerges = 6)
+    val want = refTrain(sennrichFreq, 6)
+    assert(got == want, s"engine $got vs reference $want")
+    // paper sanity anchor: (e,s) is the first merge (count 9, lexical
+    // winner of the 9-way tie with (s,t) and (t,</w>))
+    assert(got.head == (("e", "s")))
+  }
+
+  test("trainBpe stops when no adjacent pairs remain") {
+    // single-char words collapse to one fused symbol after one merge
+    // each; asking for more merges than exist must terminate
+    val docs = Seq((0L, "a a b"), (1L, "b a")).toDF("doc_id", "text")
+    val got = Bpe.trainBpe(docs, numMerges = 50)
+    val want = refTrain(Map("a" -> 3L, "b" -> 2L), 50)
+    assert(got == want)
+    assert(got.size < 50)
+  }
+
+  test("mergeOnce equals the greedy leftmost scan on adversarial and random arrays") {
+    val adversarial: Seq[(Vector[String], (String, String))] = Seq(
+      // run of the pair's own symbol: greedy takes (0,1),(2,3) leaving
+      // the LAST b single — order matters, [bb,b,bb] would be wrong
+      (Vector("b", "b", "b", "b", "b"), ("b", "b")),
+      (Vector("b", "b", "b"), ("b", "b")),
+      // alternation: every (a,b) adjacency is disjoint, all fuse
+      (Vector("a", "b", "a", "b", "a", "b"), ("a", "b")),
+      (Vector("a", "b", "a", "b", "a"), ("a", "b")),
+      // fusion must not chain into the next element
+      (Vector("a", "b", "b"), ("a", "b")),
+      (Vector("a", "a", "b"), ("a", "b")),
+      (Vector("a"), ("a", "b")),
+      (Vector(), ("a", "b")))
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c", Bpe.EndOfWord)
+    val random = (1 to 120).map { _ =>
+      val syms = Vector.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size)))
+      val pair = (alphabet(rnd.nextInt(3)), alphabet(rnd.nextInt(3)))
+      (syms, pair)
+    }
+    for (((syms, (a, b)), i) <- (adversarial ++ random).zipWithIndex) {
+      val got = Seq(Tuple1(syms)).toDF("s")
+        .select(Bpe.mergeOnce(col("s"), a, b).as("m"))
+        .as[Seq[String]].head()
+      val want = refMergeOnce(syms, a, b)
+      assert(got == want, s"case $i: merge ($a,$b) on $syms: engine $got vs reference $want")
+    }
+  }
+
+  test("encode matches the reference under the registered fixture merges on real docs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 30).select("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Bpe.encode(col("text"), Bpe.fixtureMerges).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val texts = docs.as[(Long, String)].collect().toMap
+    for ((id, text) <- texts) {
+      val want = refEncode(text, Bpe.fixtureMerges)
+      assert(got(id) == want, s"doc $id")
+    }
+  }
+
+  test("kernel encode ≡ fold encode on real docs, trained, arbitrary and a==b merges") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+    val trained = Bpe.trainBpe(docs, numMerges = 6)
+    val cases = Seq(
+      Bpe.fixtureMerges,
+      trained,
+      // a==b run merges and merges-of-merges — the semantics the SQL
+      // oracle can't express but the kernel and fold both must
+      Seq(("e", "e"), ("ee", "e"), ("t", "h"), ("th", "e")),
+      Seq.empty[(String, String)])
+    for (merges <- cases) {
+      val bad = docs.select(
+          Bpe.encode(col("text"), merges).as("kernel"),
+          Bpe.encodeFold(col("text"), merges).as("fold"))
+        .filter(col("kernel") =!= col("fold"))
+        .collect()
+      assert(bad.isEmpty, s"kernel/fold diverge under $merges: ${bad.headOption}")
+    }
+  }
+
+  test("decode∘encode is the identity on normalized text for trained AND arbitrary merges") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 40).select("doc_id", "text")
+    val trained = Bpe.trainBpe(docs, numMerges = 10)
+    // arbitrary list incl. an a==b merge and a merge-of-a-merge
+    val arbitrary = Seq(("e", "e"), ("t", "h"), ("th", "e"), ("a", Bpe.EndOfWord))
+    for (merges <- Seq(Bpe.fixtureMerges, trained, arbitrary, Seq.empty)) {
+      val bad = docs.select(col("doc_id"),
+          Bpe.decode(Bpe.encode(col("text"), merges)).as("rebuilt"),
+          concat_ws(" ", filter(split(lower(col("text")), "\\s+"),
+            w => length(w) > 0)).as("want"))
+        .filter(col("rebuilt") =!= col("want"))
+        .collect()
+      assert(bad.isEmpty, s"roundtrip broke under $merges: ${bad.headOption}")
+    }
+  }
+
+  test("trained merges compress: tokenCounts under trained BPE ≤ char count, equals reference") {
+    val merges = Bpe.trainBpe(sennrichDocs, numMerges = 8)
+    val got = Bpe.tokenCounts(sennrichDocs, merges)
+      .as[(Long, Int)].collect().toMap
+    val texts = sennrichDocs.as[(Long, String)].collect().toMap
+    for ((id, text) <- texts) {
+      val want = refEncode(text, merges).size
+      assert(got(id) == want, s"doc $id")
+      assert(got(id) <= text.length + 1)
+    }
+    // 8 merges on this vocab fully fuse the paper words: "newest"
+    // encodes to one token
+    assert(refEncode("newest", merges).size == 1)
+  }
+}

@@ -101,6 +101,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(800))
   }
 
+  test("BPE encode and roundtrip are map-only: merges ride as literal folds, no exchange") {
+    for (q <- Seq("tok_bpe_encode", "tok_bpe_roundtrip")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n${p.take(800)}")
+    }
+  }
+
+  test("tokenize_publish: text is consumed upstream of the pack shuffle; two exchanges total") {
+    val p = planOf("tokenize_publish")
+    // the BPE subword count is a narrow kernel projection BELOW the
+    // bucket repartition — only (doc_id, n_tokens) ride any shuffle
+    val ex = p.indexOf("Exchange hashpartitioning(bucket")
+    val enc = p.indexOf("graft_bpe_encode")
+    assert(ex >= 0 && enc > ex, p.take(1500))
+    // pack repartition + manifest agg — nothing else shuffles
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      p.take(1500))
+  }
+
+  test("BPE pair stats: one corpus shuffle; vocab cap is a top-k, not a global sort") {
+    val p = planOf("tok_bpe_pairs")
+    // the word count is the ONLY corpus-scale shuffle; the pair agg
+    // runs over the capped (single-partition) vocab with no exchange
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    // projection pruning: the scan reads text only
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("struct<text:string>"), readSchema)
+  }
+
   test("semantic dedup compares within cells via an equi-join, never all-pairs") {
     val p = planOf("dedup_semantic")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
