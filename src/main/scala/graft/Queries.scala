@@ -1022,6 +1022,22 @@ object Queries {
       .toDF("rank", "a", "b")
   }
 
+  /** WordPiece (BERT-family) encoding under the fixture vocabulary:
+    * greedy longest-match-first with whole-word [UNK] collapse (the
+    * vocab omits q/x/z so the collapse fires on real corpus words).
+    * One map-only kernel call per row; token arrays serialize via
+    * `concat_ws` for hash-stable comparison.
+    */
+  val tokWordpiece: Q = (s, dir) => {
+    val wp = graft.functions.WordPiece
+    t(s, dir, "documents").select(col("doc_id"),
+        wp.encode(col("text"), wp.fixtureVocab).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(filter(col("__toks"), tk => tk === wp.Unk)).cast("long").as("n_unk"),
+        concat_ws(" ", col("__toks")).as("toks"))
+  }
+
   /** BPE invertibility, oracle-checked from the OUTSIDE: the engine
     * round-trips every document through encode→decode under the
     * fixture merges; the oracle computes the expected fixed point

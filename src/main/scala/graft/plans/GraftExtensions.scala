@@ -48,6 +48,9 @@ object GraftFunctions {
     ("graft_bpe_encode",
       new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
       (es: Seq[Expression]) => BpeEncodeExpr(es(0), foldedStringArray(es(1)))),
+    ("graft_wordpiece",
+      new ExpressionInfo(classOf[WordPieceExpr].getName, "graft_wordpiece"),
+      (es: Seq[Expression]) => WordPieceExpr(es(0), foldedStringArray(es(1)))),
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (es: Seq[Expression]) => SimHash64Expr(es.head)),

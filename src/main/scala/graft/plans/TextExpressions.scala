@@ -391,6 +391,62 @@ object TextKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
+
+  /** WordPiece encode (Wu+ 2016 / BERT): lowercase, whitespace-
+    * tokenize, then greedy LONGEST-MATCH-FIRST segmentation of each
+    * word against `vocab` — continuation positions match pieces
+    * carrying the `##` prefix; a position with no match collapses the
+    * WHOLE word to one `[UNK]` (classic BertTokenizer semantics).
+    * Longest-match is a length-descending probe of a hash set, bounded
+    * by the longest vocab piece — O(word·maxPiece) per word.
+    */
+  def wordPiece(text: UTF8String, vocab: Array[String]): ArrayData = {
+    val pieces = new java.util.HashSet[String]()
+    var maxLen = 1
+    var vi = 0
+    while (vi < vocab.length) {
+      val p = vocab(vi)
+      pieces.add(p)
+      val eff = if (p.startsWith("##")) p.length - 2 else p.length
+      if (eff > maxLen) maxLen = eff
+      vi += 1
+    }
+    val words = text.toLowerCase.toString.split("\\s+")
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        val toks = new java.util.ArrayList[String]()
+        var pos = 0
+        var dead = false
+        while (pos < w.length && !dead) {
+          var len = math.min(maxLen, w.length - pos)
+          var hit: String = null
+          while (len >= 1 && hit == null) {
+            val sub = w.substring(pos, pos + len)
+            val cand = if (pos == 0) sub else "##" + sub
+            if (pieces.contains(cand)) hit = cand
+            len -= 1
+          }
+          if (hit == null) dead = true
+          else {
+            toks.add(hit)
+            pos += (if (pos == 0) hit.length else hit.length - 2)
+          }
+        }
+        if (dead) out += UTF8String.fromString("[UNK]")
+        else {
+          var ti = 0
+          while (ti < toks.size) {
+            out += UTF8String.fromString(toks.get(ti)); ti += 1
+          }
+        }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** `graft_shingles(text, w)` — distinct w-token shingle hashes. */
@@ -515,6 +571,34 @@ case class BpeEncodeExpr(child: Expression, merges: IndexedSeq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `graft_wordpiece(text, vocab)` — WordPiece greedy longest-match
+  * encode against a foldable vocabulary array (folded once at
+  * construction; only the text is per-row).
+  */
+case class WordPieceExpr(child: Expression, vocab: IndexedSeq[String])
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_wordpiece"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  private lazy val vArr: Array[String] = vocab.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordPiece(input.asInstanceOf[UTF8String], vArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("wpVocab", vArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.wordPiece($c, $vRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceExpr =
     copy(child = newChild)
 }
 
