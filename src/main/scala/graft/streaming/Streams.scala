@@ -259,6 +259,51 @@ object Streams {
       }
   }
 
+  /** Streaming next-fit packing — the incremental face of
+    * [[graft.functions.Packing.packNoSplitCounts]] for an ingest
+    * pipeline: documents arrive as (doc_id, n_tokens), key by
+    * `bucket = doc_id div width`, and each bucket's (seq, fill)
+    * cursor lives in keyed state — TWO longs per bucket, never the
+    * documents — so placement is identical to the batch layout on
+    * chronological (doc_id-ordered) replay; out-of-order arrival
+    * follows the arrival-order contract and the batch operator stays
+    * the replayable source of truth (same discipline as
+    * [[anomalyStream]]). Within a micro-batch rows are processed in
+    * doc_id order.
+    *
+    * `width` is pinned by the caller (the batch rule is
+    * `max(doc_id) div buckets + 1`, which a stream cannot know) — a
+    * publisher fixes the id space up front, which also keeps the
+    * state bounded: at most `idSpace/width` bucket cursors, ever.
+    */
+  def packStream(toks: DataFrame, seqLen: Int, width: Long)
+      : org.apache.spark.sql.Dataset[graft.functions.Packing.PackedDoc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(seqLen > 0, "seqLen must be positive")
+    require(width > 0, "width must be positive")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val L = seqLen.toLong
+    toks.select(col("doc_id").cast("long"), col("n_tokens").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1 / width)
+      .flatMapGroupsWithState[(Long, Long), graft.functions.Packing.PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (bucket, rows, state: GroupState[(Long, Long)]) =>
+          var cur = state.getOption // (seq_in_bucket, fill)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, n) =>
+            val (seq, fill) = cur match {
+              case None => (0L, n) // first doc opens seq 0 even oversize
+              case Some((s, f)) => if (f + n > L) (s + 1, n) else (s, f + n)
+            }
+            cur = Some((seq, fill))
+            graft.functions.Packing.PackedDoc(id, n, bucket, seq, fill - n)
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming near-duplicate filter — the incremental complement of
     * [[graft.functions.Dedup.simHashDuplicates]] for an ingest
     * pipeline: each micro-batch of documents is SimHash-fingerprinted

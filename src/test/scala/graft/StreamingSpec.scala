@@ -530,4 +530,51 @@ class StreamingSpec extends SparkSpec {
     val streamDropped = all.map(_._1).toSet -- out
     assert(streamDropped.subsetOf(batchDropped))
   }
+
+  test("streaming next-fit packing equals the batch layout across restart (chronological replay)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pack-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-pack-out").toString
+    // token counts that exercise: exact fit, overflow, an OVERSIZE doc
+    // (> seqLen opens its own sequence), and a bucket boundary
+    val rows = (0L until 40L).map(i =>
+      (i, Seq(300L, 700L, 1100L, 2500L, 100L)(i.toInt % 5)))
+    val toksDf = rows.toDF("doc_id", "n_tokens")
+    val buckets = 4
+    val width = math.max(1L, rows.map(_._1).max / buckets + 1)
+    val schema = toksDf.schema
+    def start() = Streams.packStream(
+        spark.readStream.schema(schema).parquet(s"$dir/*"),
+        seqLen = 2048, width = width)
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    // batch 1: first 25 docs; then a restart; batch 2: the rest — the
+    // (seq, fill) cursors must survive the restart or every bucket
+    // restarts at seq 0 and offsets collapse
+    val q1 = start()
+    try {
+      rows.take(25).toDF("doc_id", "n_tokens")
+        .coalesce(1).write.parquet(s"$dir/b1.parquet")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    rows.drop(25).toDF("doc_id", "n_tokens")
+      .coalesce(1).write.parquet(s"$dir/b2.parquet")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .as[graft.functions.Packing.PackedDoc].collect().toSet
+    val batch = graft.functions.Packing
+      .packNoSplitCounts(toksDf, seqLen = 2048, buckets = buckets)
+      .as[graft.functions.Packing.PackedDoc].collect().toSet
+    assert(got == batch,
+      s"stream layout diverged:\nstream=${got.toSeq.sortBy(_.doc_id)}" +
+        s"\nbatch=${batch.toSeq.sortBy(_.doc_id)}")
+    // the fixture really exercised multi-sequence buckets and oversize docs
+    assert(batch.exists(_.seq_in_bucket >= 2))
+    assert(batch.exists(p => p.n_tokens > 2048 && p.offset_in_seq == 0))
+  }
 }
