@@ -1895,6 +1895,29 @@ object Oracles {
         |UNION ALL SELECT CAST(1 AS BIGINT), a, b FROM m1
         |UNION ALL SELECT CAST(2 AS BIGINT), a, b FROM m2""".stripMargin,
 
+    // Z-order layout stats: exact-integer quantization (integer //,
+    // never a double), Morton interleave as a per-bit shift/mask sum
+    // (all terms ≤ 2^23, exact), fixed-z-space file slabs.
+    "layout_zorder" ->
+      """WITH k AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS x, CAST(l_partkey AS BIGINT) AS y FROM lineitem),
+        |mm AS (
+        |  SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax FROM k),
+        |q AS (
+        |  SELECT x, y,
+        |    ((x - mm.xmin) * 4096) // (mm.xmax - mm.xmin + 1) AS qx,
+        |    ((y - mm.ymin) * 4096) // (mm.ymax - mm.ymin + 1) AS qy
+        |  FROM k, mm),
+        |z AS (
+        |  SELECT x, y,
+        |    (SELECT CAST(sum((((qx >> CAST(i AS INT)) & 1) << CAST(2 * i AS INT))
+        |               + (((qy >> CAST(i AS INT)) & 1) << CAST(2 * i + 1 AS INT))) AS BIGINT)
+        |     FROM range(0, 12) t(i)) AS zv
+        |  FROM q)
+        |SELECT zv // 262144 AS file_id, count(*) AS n_rows,
+        |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+        |FROM z GROUP BY 1""".stripMargin,
+
     // WordPiece greedy longest-match as a recursive CTE over DISTINCT
     // words: each step LATERAL-probes the vocab for the longest piece
     // matching at the cursor (## continuations past position 1); a

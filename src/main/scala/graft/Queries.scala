@@ -1022,6 +1022,17 @@ object Queries {
       .toDF("rank", "a", "b")
   }
 
+  /** Z-order layout statistics over lineitem's (orderkey, partkey):
+    * per-target-file row counts + min/max of BOTH keys under a
+    * Morton-curve layout — every file covers a narrow range of each
+    * dimension, so a predicate on either key prunes files. One 1-row
+    * min/max broadcast + a narrow codegen'd projection + one final
+    * group-by; no global sort (file slabs divide the fixed z-space).
+    */
+  val layoutZorder: Q = (s, dir) =>
+    graft.operators.Layout.zOrderStats(
+      t(s, dir, "lineitem"), "l_orderkey", "l_partkey", bits = 12, nfiles = 64)
+
   /** WordPiece (BERT-family) encoding under the fixture vocabulary:
     * greedy longest-match-first with whole-word [UNK] collapse (the
     * vocab omits q/x/z so the collapse fires on real corpus words).

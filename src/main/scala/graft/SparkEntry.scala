@@ -116,6 +116,7 @@ object SparkEntry {
     "tok_bpe_roundtrip" -> Queries.tokBpeRoundtrip,
     "tok_bpe_merges" -> Queries.tokBpeMerges,
     "tok_wordpiece" -> Queries.tokWordpiece,
+    "layout_zorder" -> Queries.layoutZorder,
     "tokenize_publish" -> Queries.tokenizePublish,
     "text_quality" -> Queries.textQuality,
     "text_fingerprint" -> Queries.textFingerprint,

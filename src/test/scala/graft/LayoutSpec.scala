@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Z-order layout: Morton interleave vs an in-memory reference, and
+  * the claim the operator exists for — under a z-order layout every
+  * target file covers a NARROW range of BOTH keys, where a
+  * single-key-sorted layout leaves the other key's per-file range at
+  * full width (no pruning on that dimension).
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refMorton(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("interleaveBits equals the reference Morton code on random keys") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), ((1L << 12) - 1, (1L << 12) - 1)) ++
+      Seq.fill(200)((rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+    val got = rows.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.interleaveBits(col("x"), col("y"), 12).as("z"))
+      .as[(Long, Long, Long)].collect()
+    for ((x, y, z) <- got)
+      assert(z == refMorton(x, y, 12), s"($x,$y)")
+  }
+
+  test("z-order files cover narrow ranges of BOTH keys; x-sorted leaves y full-width") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val stats = Layout.zOrderStats(li, "l_orderkey", "l_partkey",
+        bits = 12, nfiles = 64)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(stats.map(_._2).sum == li.count(), "files must partition the rows")
+
+    val keys = li.select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .as[(Long, Long)].collect()
+    val (yLo, yHi) = (keys.map(_._2).min, keys.map(_._2).max)
+    def avg(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    val zYRange = avg(stats.toSeq.map(s => s._6 - s._5))
+
+    // baseline: the same rows x-SORTED into 64 equal files
+    val sorted = keys.sortBy(_._1).grouped(math.ceil(keys.length / 64.0).toInt).toSeq
+    val sortedYRange = avg(sorted.map(f => f.map(_._2).max - f.map(_._2).min))
+
+    // x-sorted files see essentially the whole y domain; z-order files
+    // must see a small fraction of it — the pruning benefit
+    assert(sortedYRange > 0.8 * (yHi - yLo), s"baseline degenerate: $sortedYRange")
+    assert(zYRange < 0.25 * sortedYRange,
+      s"z-order y-range $zYRange not narrow vs x-sorted $sortedYRange")
+    // and x stays prunable too (each file ≤ ~1/4 of the x domain)
+    val (xLo, xHi) = (keys.map(_._1).min, keys.map(_._1).max)
+    val zXRange = avg(stats.toSeq.map(s => s._4 - s._3))
+    assert(zXRange < 0.25 * (xHi - xLo), s"x-range $zXRange not narrow")
+  }
+}

@@ -108,6 +108,17 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("z-order stats: no global sort; one shuffle; min/max rides a 1-row broadcast") {
+    val p = planOf("layout_zorder")
+    // file slabs divide the fixed z-space — a Sort anywhere means the
+    // layout regressed to a global-ordering assignment
+    assert(!p.contains("Sort "), p.take(1200))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      p.take(1200))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("tokenize_publish: text is consumed upstream of the pack shuffle; two exchanges total") {
     val p = planOf("tokenize_publish")
     // the BPE subword count is a narrow kernel projection BELOW the
