@@ -1895,6 +1895,49 @@ object Oracles {
         |UNION ALL SELECT CAST(1 AS BIGINT), a, b FROM m1
         |UNION ALL SELECT CAST(2 AS BIGINT), a, b FROM m2""".stripMargin,
 
+    // Expectations: one scalar-subquery pair per rule (NULL predicate
+    // = FAIL via NOT COALESCE(p, false), mirroring the engine's
+    // conservative convention); uniqueness as surplus-over-distinct;
+    // FK as null-extended-join orphan count.
+    "dq_expectations" ->
+      """WITH tot AS (SELECT count(*) AS n FROM orders)
+        |SELECT 'not_null:o_custkey' AS rule, tot.n AS n_rows,
+        |  (SELECT count(*) FROM orders WHERE NOT COALESCE(o_custkey IS NOT NULL, false)) AS n_fail,
+        |  (SELECT count(*) FROM orders WHERE NOT COALESCE(o_custkey IS NOT NULL, false)) = 0 AS passed
+        |FROM tot
+        |UNION ALL
+        |SELECT 'range:o_totalprice', tot.n,
+        |  (SELECT count(*) FROM orders WHERE NOT COALESCE(o_totalprice >= 0 AND o_totalprice <= 400000, false)),
+        |  (SELECT count(*) FROM orders WHERE NOT COALESCE(o_totalprice >= 0 AND o_totalprice <= 400000, false)) = 0
+        |FROM tot
+        |UNION ALL
+        |SELECT 'in_set:o_orderstatus', tot.n,
+        |  (SELECT count(*) FROM orders WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), false)),
+        |  (SELECT count(*) FROM orders WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), false)) = 0
+        |FROM tot
+        |UNION ALL
+        |SELECT 'pattern:o_orderpriority', tot.n,
+        |  (SELECT count(*) FROM orders WHERE NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), false)),
+        |  (SELECT count(*) FROM orders WHERE NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), false)) = 0
+        |FROM tot
+        |UNION ALL
+        |SELECT 'date_max:o_orderdate', tot.n,
+        |  (SELECT count(*) FROM orders WHERE NOT COALESCE(o_orderdate < TIMESTAMP '2001-01-01', false)),
+        |  (SELECT count(*) FROM orders WHERE NOT COALESCE(o_orderdate < TIMESTAMP '2001-01-01', false)) = 0
+        |FROM tot
+        |UNION ALL
+        |SELECT 'unique:o_orderkey', tot.n,
+        |  tot.n - (SELECT count(DISTINCT o_orderkey) FROM orders),
+        |  tot.n - (SELECT count(DISTINCT o_orderkey) FROM orders) = 0
+        |FROM tot
+        |UNION ALL
+        |SELECT 'fk:o_custkey->customer.c_custkey', tot.n,
+        |  (SELECT count(*) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+        |  (SELECT count(*) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
+        |FROM tot""".stripMargin,
+
     // Z-order layout stats: exact-integer quantization (integer //,
     // never a double), Morton interleave as a per-bit shift/mask sum
     // (all terms ≤ 2^23, exact), fixed-z-space file slabs.

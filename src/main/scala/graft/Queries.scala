@@ -1022,6 +1022,29 @@ object Queries {
       .toDF("rank", "a", "b")
   }
 
+  /** Data-quality expectations over orders: five row-local rules in
+    * ONE scan (not-null, range, set, pattern, date ceiling — the
+    * range and date rules FAIL on real rows, so live failure counts
+    * are part of the fixture), plus the uniqueness and
+    * referential-integrity arms. NULL predicates count as failures.
+    */
+  val dqExpectations: Q = (s, dir) => {
+    import graft.operators.Profile
+    val o = t(s, dir, "orders")
+    val rowRules = Seq(
+      "not_null:o_custkey" -> col("o_custkey").isNotNull,
+      "range:o_totalprice" ->
+        (col("o_totalprice") >= 0 && col("o_totalprice") <= 400000),
+      "in_set:o_orderstatus" -> col("o_orderstatus").isin("O", "F", "P"),
+      "pattern:o_orderpriority" -> col("o_orderpriority").rlike("^[1-5]-"),
+      "date_max:o_orderdate" ->
+        (col("o_orderdate") < lit("2001-01-01").cast("timestamp")))
+    Profile.expectations(o, rowRules)
+      .unionByName(Profile.expectUnique(o, "o_orderkey"))
+      .unionByName(Profile.expectForeignKey(
+        o, "o_custkey", t(s, dir, "customer"), "c_custkey", "customer"))
+  }
+
   /** Z-order layout statistics over lineitem's (orderkey, partkey):
     * per-target-file row counts + min/max of BOTH keys under a
     * Morton-curve layout — every file covers a narrow range of each

@@ -117,6 +117,7 @@ object SparkEntry {
     "tok_bpe_merges" -> Queries.tokBpeMerges,
     "tok_wordpiece" -> Queries.tokWordpiece,
     "layout_zorder" -> Queries.layoutZorder,
+    "dq_expectations" -> Queries.dqExpectations,
     "tokenize_publish" -> Queries.tokenizePublish,
     "text_quality" -> Queries.textQuality,
     "text_fingerprint" -> Queries.textFingerprint,

@@ -166,4 +166,57 @@ object Profile {
     }
     one.select(explode(array(entries: _*)).as("e")).select("e.*")
   }
+
+  /** Declarative data-quality expectations (the Great-Expectations /
+    * dbt-test shape): every ROW-LOCAL rule — not-null, range, set
+    * membership, pattern — is a boolean `Column` evaluated in ONE
+    * map-combined scan (one failure counter per rule side by side,
+    * 1-row result exploded into one row per rule). A NULL predicate
+    * counts as FAIL — the conservative reading: a row you can't prove
+    * healthy isn't. Output: (rule, n_rows, n_fail, passed).
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one expectation rule")
+    val aggs = rules.map { case (n, p) =>
+      sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(s"__f_$n")
+    }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(rules.map { case (n, _) =>
+        struct(lit(n).as("rule"), col("__n").as("n_rows"),
+          col(s"__f_$n").as("n_fail"))
+      }: _*)).as("r"))
+      .select("r.*")
+      .withColumn("passed", col("n_fail") === 0L)
+  }
+
+  /** Uniqueness expectation: `n_fail` = surplus rows beyond the
+    * distinct count of `key` (0 ⟺ key is unique; nulls are not
+    * counted as distinct values, so any null key rows surface as
+    * failures too). Same output contract as [[expectations]].
+    */
+  def expectUnique(df: DataFrame, key: String): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"), countDistinct(col(key)).as("__nd"))
+      .select(lit(s"unique:$key").as("rule"), col("n_rows"),
+        (col("n_rows") - col("__nd")).as("n_fail"))
+      .withColumn("passed", col("n_fail") === 0L)
+
+  /** Referential-integrity expectation: rows of `child` whose `key`
+    * has no match in `parent.pkey` (NULL keys count as orphans — they
+    * reference nothing). The parent key set rides a broadcast for
+    * dimension-sized parents; for a huge parent drop the hint and let
+    * AQE pick the join side. Same output contract as [[expectations]].
+    */
+  def expectForeignKey(
+      child: DataFrame, key: String,
+      parent: DataFrame, pkey: String, parentName: String): DataFrame =
+    child.select(col(key))
+      .join(
+        broadcast(parent.select(col(pkey).as(key)).distinct()
+          .withColumn("__hit", lit(1))),
+        Seq(key), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_fail"))
+      .select(lit(s"fk:$key->$parentName.$pkey").as("rule"),
+        col("n_rows"), col("n_fail"))
+      .withColumn("passed", col("n_fail") === 0L)
 }

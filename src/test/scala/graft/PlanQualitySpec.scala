@@ -108,6 +108,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("dq_expectations: 5 row rules share ONE orders scan (3 scans total for 7 rules)") {
+    val p = planOf("dq_expectations")
+    // row-local rules aggregate side by side — arms: row rules (1 scan),
+    // uniqueness (1), FK child side (1); a per-rule scan would show 7
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet"))
+    assert(scans == 3, s"expected 3 orders scans, saw $scans:\n${p.take(1500)}")
+  }
+
   test("z-order stats: no global sort; one shuffle; min/max rides a 1-row broadcast") {
     val p = planOf("layout_zorder")
     // file slabs divide the fixed z-space — a Sort anywhere means the

@@ -91,4 +91,36 @@ class ProfileSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(got == Set(("x", 0L, 0L, 0L), ("s", 0L, 0L, 0L)))
   }
+
+  test("expectations: NULL predicates count as failures (conservative convention)") {
+    import org.apache.spark.sql.functions._
+    val d = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, null))
+      .toDF("x", "s")
+    val got = Profile.expectations(d, Seq(
+        // x > 0 is NULL on the null row → must count as a failure
+        "pos:x" -> (col("x") > 0),
+        "set:s" -> col("s").isin("a", "b")))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("pos:x") == ((3L, 1L, false)))
+    assert(got("set:s") == ((3L, 1L, false)))
+  }
+
+  test("expectUnique surplus and expectForeignKey orphans (null key = orphan)") {
+    import org.apache.spark.sql.functions._
+    val child = Seq[(java.lang.Long, String)]((1L, "r1"), (1L, "r2"), (2L, "r3"),
+      (9L, "r4"), (null, "r5")).toDF("k", "v")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val uniq = Profile.expectUnique(child, "v")
+      .as[(String, Long, Long, Boolean)].head()
+    assert(uniq == (("unique:v", 5L, 0L, true)))
+    val dupk = Profile.expectUnique(child, "k")
+      .as[(String, Long, Long, Boolean)].head()
+    // 5 rows, 3 distinct non-null keys → surplus 2 (the dup 1 AND the null)
+    assert(dupk == (("unique:k", 5L, 2L, false)))
+    val fk = Profile.expectForeignKey(child, "k", parent, "pk", "parent")
+      .as[(String, Long, Long, Boolean)].head()
+    // 9L unmatched + null key → 2 orphans
+    assert(fk == (("fk:k->parent.pk", 5L, 2L, false)))
+  }
 }
