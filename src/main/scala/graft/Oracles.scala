@@ -1895,6 +1895,68 @@ object Oracles {
         |UNION ALL SELECT CAST(1 AS BIGINT), a, b FROM m1
         |UNION ALL SELECT CAST(2 AS BIGINT), a, b FROM m2""".stripMargin,
 
+    // WordPiece ids: the SAME recursive-CTE pieces as tok_wordpiece,
+    // then ids = 1-based position in the ORDERED vocab list (built to
+    // mirror WordPiece.fixtureVocab element order exactly: filtered
+    // a–z, digits, ## forms of both, multi pieces), 0 for [UNK]/miss.
+    // vl rides a CROSS JOIN because DuckDB lambdas cannot contain
+    // subqueries — the list must arrive as a plain column.
+    "tok_wordpiece_ids" ->
+      """WITH RECURSIVE vocab(piece) AS (
+        |  SELECT chr(CAST(x AS INT)) FROM range(97, 123) t1(x)
+        |    WHERE chr(CAST(x AS INT)) NOT IN ('q', 'x', 'z')
+        |  UNION ALL SELECT chr(CAST(x AS INT)) FROM range(48, 58) t2(x)
+        |  UNION ALL SELECT '##' || chr(CAST(x AS INT)) FROM range(97, 123) t3(x)
+        |    WHERE chr(CAST(x AS INT)) NOT IN ('q', 'x', 'z')
+        |  UNION ALL SELECT '##' || chr(CAST(x AS INT)) FROM range(48, 58) t4(x)
+        |  UNION ALL SELECT * FROM (VALUES ('the'),('ta'),('tab'),('##le'),('##er'),('##st'),
+        |    ('##ing'),('##ed'),('##es'),('##al'),('##ow'),('##an'),('##on')) vm(vp)),
+        |vl AS (SELECT
+        |  (SELECT list(chr(CAST(x AS INT)) ORDER BY x) FROM range(97,123) t5(x)
+        |     WHERE chr(CAST(x AS INT)) NOT IN ('q','x','z'))
+        |  || (SELECT list(chr(CAST(x AS INT)) ORDER BY x) FROM range(48,58) t6(x))
+        |  || (SELECT list('##' || chr(CAST(x AS INT)) ORDER BY x) FROM range(97,123) t7(x)
+        |     WHERE chr(CAST(x AS INT)) NOT IN ('q','x','z'))
+        |  || (SELECT list('##' || chr(CAST(x AS INT)) ORDER BY x) FROM range(48,58) t8(x))
+        |  || ['the','ta','tab','##le','##er','##st','##ing','##ed','##es','##al','##ow','##an','##on'] AS v),
+        |base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS words
+        |  FROM documents WHERE doc_id < 100),
+        |dw AS (SELECT DISTINCT unnest(words) AS word FROM base),
+        |st(word, pos, toks, dead) AS (
+        |  SELECT word, 1, CAST([] AS VARCHAR[]), false FROM dw
+        |  UNION ALL
+        |  SELECT s.word,
+        |    CASE WHEN m.mlen IS NULL THEN len(s.word) + 1 ELSE s.pos + m.mlen END,
+        |    CASE WHEN m.mlen IS NULL THEN s.toks ELSE list_append(s.toks, m.piece) END,
+        |    m.mlen IS NULL
+        |  FROM st s LEFT JOIN LATERAL (
+        |    SELECT v.piece,
+        |      len(CASE WHEN s.pos > 1 THEN substr(v.piece, 3) ELSE v.piece END) AS mlen
+        |    FROM vocab v
+        |    WHERE (s.pos = 1 AND v.piece NOT LIKE '##%'
+        |           AND substr(s.word, s.pos, len(v.piece)) = v.piece)
+        |       OR (s.pos > 1 AND v.piece LIKE '##%'
+        |           AND len(v.piece) > 2
+        |           AND substr(s.word, s.pos, len(v.piece) - 2) = substr(v.piece, 3))
+        |    ORDER BY mlen DESC, v.piece LIMIT 1) m ON true
+        |  WHERE s.pos <= len(s.word) AND NOT s.dead),
+        |wp AS (
+        |  SELECT word, CASE WHEN dead THEN ['[UNK]'] ELSE toks END AS wtoks
+        |  FROM st WHERE dead OR pos = len(word) + 1),
+        |docw AS (
+        |  SELECT doc_id, unnest(words) AS word, generate_subscripts(words, 1) AS ord
+        |  FROM base),
+        |agg AS (
+        |  SELECT d.doc_id, flatten(list(w.wtoks ORDER BY d.ord)) AS flat
+        |  FROM docw d JOIN wp w ON w.word = d.word
+        |  GROUP BY d.doc_id)
+        |SELECT b.doc_id,
+        |  CAST(COALESCE(len(a.flat), 0) AS BIGINT) AS n_tokens,
+        |  COALESCE(array_to_string(list_transform(a.flat,
+        |    tk -> CAST(COALESCE(list_position(vl.v, tk), 0) AS BIGINT)), ' '), '') AS ids
+        |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id CROSS JOIN vl""".stripMargin,
+
     // Expectations: one scalar-subquery pair per rule (NULL predicate
     // = FAIL via NOT COALESCE(p, false), mirroring the engine's
     // conservative convention); uniqueness as surplus-over-distinct;

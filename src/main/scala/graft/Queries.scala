@@ -1022,6 +1022,22 @@ object Queries {
       .toDF("rank", "a", "b")
   }
 
+  /** WordPiece pieces mapped to integer ids (1-based vocab position;
+    * 0 = [UNK]/off-vocab — `array_position`'s miss value makes the
+    * convention free). The trainer-facing text → ids tail; the oracle
+    * re-derives the ids from the SAME recursive-CTE pieces with
+    * `list_position`, so the id table itself is cross-checked.
+    */
+  val tokWordpieceIds: Q = (s, dir) => {
+    val wp = graft.functions.WordPiece
+    t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        wp.toIds(wp.encode(col("text"), wp.fixtureVocab), wp.fixtureVocab).as("__ids"))
+      .select(col("doc_id"),
+        size(col("__ids")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__ids").cast("array<string>")).as("ids"))
+  }
+
   /** Data-quality expectations over orders: five row-local rules in
     * ONE scan (not-null, range, set, pattern, date ceiling — the
     * range and date rules FAIL on real rows, so live failure counts

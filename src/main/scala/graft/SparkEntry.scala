@@ -116,6 +116,7 @@ object SparkEntry {
     "tok_bpe_roundtrip" -> Queries.tokBpeRoundtrip,
     "tok_bpe_merges" -> Queries.tokBpeMerges,
     "tok_wordpiece" -> Queries.tokWordpiece,
+    "tok_wordpiece_ids" -> Queries.tokWordpieceIds,
     "layout_zorder" -> Queries.layoutZorder,
     "dq_expectations" -> Queries.dqExpectations,
     "tokenize_publish" -> Queries.tokenizePublish,

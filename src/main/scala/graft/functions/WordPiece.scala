@@ -50,4 +50,17 @@ object WordPiece {
       else array(vocab.map(lit): _*)
     call_function("graft_wordpiece", text, vocabLit)
   }
+
+  /** Map encoded pieces to integer ids — the 1-based position in the
+    * vocabulary, with 0 reserved for [[Unk]] (and anything else off
+    * vocabulary): `array_position`'s miss value IS 0, so the [UNK]
+    * convention falls out of the lookup. The trainer-facing tail of
+    * the tokenizer: text → pieces → ids. Map-only.
+    */
+  def toIds(pieces: Column, vocab: Seq[String]): Column = {
+    val vocabLit =
+      if (vocab.isEmpty) array().cast("array<string>")
+      else array(vocab.map(lit): _*)
+    transform(pieces, p => array_position(vocabLit, p))
+  }
 }

@@ -81,6 +81,18 @@ class WordPieceSpec extends SparkSpec {
     assert(encodeOne("   ", WordPiece.fixtureVocab) == Seq.empty)
   }
 
+  test("toIds: 1-based vocab positions, 0 reserved for [UNK]") {
+    val v = WordPiece.fixtureVocab
+    val got = Seq(Tuple1("the query table")).toDF("text")
+      .select(WordPiece.toIds(WordPiece.encode(col("text"), v), v).as("ids"))
+      .as[Seq[Long]].head()
+    val pieces = Seq("the", WordPiece.Unk, "tab", "##le")
+    assert(got.length == pieces.length)
+    assert(got(1) == 0L, "[UNK] must map to the reserved id 0")
+    for ((id, p) <- got.zip(pieces) if id > 0)
+      assert(v(id.toInt - 1) == p, s"id $id should name $p")
+  }
+
   test("random vocab subsets: kernel == reference on fuzzed words") {
     val rnd = new scala.util.Random(7)
     val alphabet = "abcdeq"
