@@ -1642,6 +1642,39 @@ object Oracles {
         |  FROM ad)
         |SELECT qid, rank, nid, adist FROM r WHERE rank <= 10""".stripMargin,
 
+    // SQ8 asymmetric top-k: per-dim (min, width) trained from the
+    // quantized corpus, one-byte codes, bucket-midpoint
+    // reconstruction — every stage exact NONNEGATIVE integers, where
+    // DuckDB //, Spark div and JVM / coincide.
+    "sim_sq_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT CAST(r.d AS INT) AS d,
+        |    min(qv[CAST(r.d AS INT) + 1]) AS lo,
+        |    max(qv[CAST(r.d AS INT) + 1]) - min(qv[CAST(r.d AS INT) + 1]) + 1 AS w
+        |  FROM q CROSS JOIN range(0, 64) r(d)
+        |  GROUP BY 1),
+        |enc AS (
+        |  SELECT q.vec_id, s.d, s.lo, s.w,
+        |    greatest(0, least(255, ((qv[s.d + 1] - s.lo) * 256) // s.w)) AS code
+        |  FROM q CROSS JOIN st s),
+        |qq AS (SELECT vec_id AS qid, qv FROM q WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |ad AS (
+        |  SELECT qq.qid, e.vec_id AS nid,
+        |    CAST(sum((qq.qv[e.d + 1] - (e.lo + ((2 * e.code + 1) * e.w) // 512))
+        |           * (qq.qv[e.d + 1] - (e.lo + ((2 * e.code + 1) * e.w) // 512))) AS BIGINT) AS adist
+        |  FROM enc e JOIN qq ON qq.qid <> e.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT qid, nid, adist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+        |  FROM ad)
+        |SELECT qid, rank, nid, adist FROM r WHERE rank <= 10""".stripMargin,
+
     // IVF+PQ, RESIDUAL encoding (the actual FAISS IVFPQ): a coarse
     // quantizer — cells from the 8 lowest vec_ids, exact-integer
     // argmin assignment (tie → lowest cell) — then PQ over the

@@ -1022,6 +1022,15 @@ object Queries {
       .toDF("rank", "a", "b")
   }
 
+  /** SQ8 asymmetric top-k: one-byte-per-dimension codes against
+    * corpus-trained per-dim ranges, bucket-midpoint reconstruction,
+    * exact nonneg integer distances — training stats, codes and
+    * scores all oracle-rebuilt from the parquet alone.
+    */
+  val simSqTopk: Q = (s, dir) =>
+    Similarity.sqTopK(t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+      k = 10)
+
   /** WordPiece pieces mapped to integer ids (1-based vocab position;
     * 0 = [UNK]/off-vocab — `array_position`'s miss value makes the
     * convention free). The trainer-facing text → ids tail; the oracle

@@ -109,6 +109,7 @@ object SparkEntry {
     "sim_ivf_topk" -> Queries.simIvfTopk,
     "sim_pq_topk" -> Queries.simPqTopk,
     "sim_ivfpq_topk" -> Queries.simIvfPqTopk,
+    "sim_sq_topk" -> Queries.simSqTopk,
     // -- extensions: text analysis
     "text_token_count" -> Queries.textTokenCount,
     "tok_bpe_pairs" -> Queries.tokBpePairs,

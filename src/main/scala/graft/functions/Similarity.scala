@@ -777,6 +777,56 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("adist"))
   }
 
+  /** SQ8 trainer (FAISS ScalarQuantizer shape): per-dimension
+    * (min, width) of the QUANTIZED corpus — one map-combined
+    * posexplode aggregate, driver state = dims rows (bounded). Widths
+    * are `max − min + 1` so they are strictly positive even on
+    * constant dimensions.
+    */
+  def sqStats(embeddings: DataFrame): (Array[Long], Array[Long]) = {
+    val rows = embeddings
+      .select(posexplode(quantized(col("embedding"))).as(Seq("d", "v")))
+      .groupBy("d").agg(min("v").as("lo"), max("v").as("hi"))
+      .orderBy("d").collect()
+    require(rows.nonEmpty, "sqStats needs a non-empty corpus")
+    (rows.map(_.getLong(1)),
+      rows.map(r => r.getLong(2) - r.getLong(1) + 1L))
+  }
+
+  /** SQ8 asymmetric top-k (the memory-bound-ANN path one notch
+    * simpler than PQ): corpus vectors compress to one byte-range code
+    * per dimension against corpus-trained (min, width) ranges; queries
+    * stay full-precision and score against bucket-midpoint
+    * reconstructions — Σ(q_d − recon_d)², exact nonneg integers
+    * throughout, so the whole computation (training stats included) is
+    * oracle-reproducible. Same plan shape as [[pqTopK]]: encode is a
+    * narrow kernel projection, queries broadcast, only (vec_id, codes)
+    * reach the scored join, top-k via a per-query ranking window.
+    */
+  def sqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val (mins, widths) = sqStats(embeddings)
+    val minsLit = array(mins.toIndexedSeq.map(lit): _*)
+    val widthsLit = array(widths.toIndexedSeq.map(lit): _*)
+    val quant = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"))
+    val encoded = quant.select(col("vec_id"),
+      call_function("graft_sq_encode", col("q"), minsLit, widthsLit).as("codes"))
+    val queries = quant
+      .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("q"))
+    val scored = encoded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        call_function("graft_sq_adc", col("q"), col("codes"),
+          minsLit, widthsLit).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adist"))
+  }
+
   /** Deterministic SEED codebooks in RESIDUAL space for the residual
     * arm of [[ivfPqTopK]]: the residuals (vector − its own coarse
     * centroid, exact integer argmin assignment — the same

@@ -76,6 +76,15 @@ object GraftFunctions {
     ("graft_pq_adc",
       new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
       (es: Seq[Expression]) => PqAdcExpr(es(0), es(1), foldedInt(es(2)))),
+    // SQ8 kernels: trained (min, width) ranges are foldable literals.
+    ("graft_sq_encode",
+      new ExpressionInfo(classOf[SqEncodeExpr].getName, "graft_sq_encode"),
+      (es: Seq[Expression]) => SqEncodeExpr(es(0), foldedLongArray(es(1)),
+        foldedLongArray(es(2)))),
+    ("graft_sq_adc",
+      new ExpressionInfo(classOf[SqAdcExpr].getName, "graft_sq_adc"),
+      (es: Seq[Expression]) => SqAdcExpr(es(0), es(1), foldedLongArray(es(2)),
+        foldedLongArray(es(3)))),
   )
 
   private def foldedInt(e: Expression): Int = {

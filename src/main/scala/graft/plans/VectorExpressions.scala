@@ -283,6 +283,129 @@ case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Scalar-quantization (FAISS SQ8 shape) kernels: per-dimension 8-bit
+  * codes against corpus-trained (min, width) ranges. Exact nonnegative
+  * integer arithmetic only — truncating and floor division coincide on
+  * the nonneg domain, so DuckDB `//`, Spark `div` and JVM `/` all
+  * reproduce the same codes and reconstructions.
+  */
+object SqKernels {
+
+  /** code_d = clamp(((v_d − min_d)·256) div width_d, 0, 255) — in-range
+    * values land in [0,255] by construction; the clamp only guards
+    * vectors outside the trained range.
+    */
+  def encode(vec: ArrayData, mins: Array[Long], widths: Array[Long]): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      val c = ((vec.getLong(d) - mins(d)) * 256L) / widths(d)
+      out(d) = math.max(0L, math.min(255L, c))
+      d += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Asymmetric distance Σ_d (q_d − recon_d)² with bucket-midpoint
+    * reconstruction recon_d = min_d + ((2·code_d + 1)·width_d) div 512.
+    */
+  def adc(q: ArrayData, codes: ArrayData,
+      mins: Array[Long], widths: Array[Long]): Long = {
+    var acc = 0L
+    var d = 0
+    val n = q.numElements()
+    while (d < n) {
+      val recon = mins(d) + ((2L * codes.getLong(d) + 1L) * widths(d)) / 512L
+      val diff = q.getLong(d) - recon
+      acc += diff * diff
+      d += 1
+    }
+    acc
+  }
+}
+
+/** `graft_sq_encode(vec, mins, widths)` — SQ8 codes per vector; the
+  * trained ranges are foldable literals, folded at construction.
+  */
+case class SqEncodeExpr(child: Expression, mins: IndexedSeq[Long],
+    widths: IndexedSeq[Long]) extends UnaryExpression {
+
+  override def prettyName: String = "graft_sq_encode"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _ if mins.length != widths.length || widths.exists(_ <= 0L) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure("mins/widths must align and widths be positive")
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"expected array<bigint>, got $other")
+    }
+
+  private lazy val mArr: Array[Long] = mins.toArray
+  private lazy val wArr: Array[Long] = widths.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    SqKernels.encode(v.asInstanceOf[ArrayData], mArr, wArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("sqMins", mArr, "long[]")
+    val wRef = ctx.addReferenceObj("sqWidths", wArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.SqKernels.encode($c, $mRef, $wRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `graft_sq_adc(q, codes, mins, widths)` — exact asymmetric distance
+  * of a full query vector against SQ8 codes.
+  */
+case class SqAdcExpr(left: Expression, right: Expression,
+    mins: IndexedSeq[Long], widths: IndexedSeq[Long])
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_sq_adc"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case _ if mins.length != widths.length || widths.exists(_ <= 0L) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure("mins/widths must align and widths be positive")
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"expected (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  private lazy val mArr: Array[Long] = mins.toArray
+  private lazy val wArr: Array[Long] = widths.toArray
+
+  override def nullSafeEval(q: Any, codes: Any): Any =
+    SqKernels.adc(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      mArr, wArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("sqMins", mArr, "long[]")
+    val wRef = ctx.addReferenceObj("sqWidths", wArr, "long[]")
+    nullSafeCodeGen(ctx, ev, (q, codes) =>
+      s"${ev.value} = graft.plans.SqKernels.adc($q, $codes, $mRef, $wRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Hamming distance between two 64-bit fingerprints (popcount of xor) —
   * SimHash verification.
   */

@@ -215,6 +215,16 @@ class PlanQualitySpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("SQ8 ADC: the scored shuffle carries codes, never the vector") {
+    val p = planOf("sim_sq_topk")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    val topkExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(qid"))
+    assert(topkExchanges.nonEmpty &&
+      topkExchanges.forall(l => !l.contains("embedding") && !l.contains("q#")),
+      p.take(1200))
+  }
+
   test("IVF-PQ: cell prune is an equi-join on the broadcast probe side, never all-pairs") {
     val p = planOf("sim_ivfpq_topk")
     assert(p.contains("BroadcastHashJoin"), p.take(800))

@@ -96,4 +96,42 @@ class PqPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("SQ8: full pipeline (stats -> codes -> midpoint recon -> ranked ADC) ≡ driver reference") {
+    for (corpus <- samples(corpusGen(60), 2)) {
+      val df = corpus.toDF("vec_id", "embedding")
+      val quant: Map[Long, Array[Long]] = df
+        .select(col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
+        .as[(Long, Array[Long])].collect().toMap
+      val mins = (0 until Dims).map(d => quant.values.map(_(d)).min).toArray
+      val widths = (0 until Dims).map(d =>
+        quant.values.map(_(d)).max - mins(d) + 1L).toArray
+      def code(v: Long, d: Int): Long =
+        math.max(0L, math.min(255L, (v - mins(d)) * 256L / widths(d)))
+      def adist(q: Array[Long], v: Array[Long]): Long =
+        (0 until Dims).map { d =>
+          val r = mins(d) + ((2L * code(v(d), d) + 1L) * widths(d)) / 512L
+          val diff = q(d) - r
+          diff * diff
+        }.sum
+      val got = Similarity.sqTopK(df, Seq(0L, 1L), k = 5)
+        .as[(Long, Int, Long, Long)].collect()
+      for (qid <- Seq(0L, 1L)) {
+        val want = quant.keys.filter(_ != qid).toSeq
+          .map(n => (n, adist(quant(qid), quant(n))))
+          .sortBy(t => (t._2, t._1)).take(5)
+        val gotQ = got.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+        assert(gotQ == want, s"qid=$qid\ngot =$gotQ\nwant=$want")
+      }
+    }
+  }
+
+  test("SQ8 degenerate corpus: identical vectors give zero distances, ties break by nid") {
+    val df = (0L until 8L).map(i => (i, Array.fill(Dims)(0.25f))).toDF("vec_id", "embedding")
+    val got = Similarity.sqTopK(df, Seq(0L), k = 3)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    // width = 1 on every dim -> recon == min == the value, adist == 0
+    assert(got.map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((1, 1L, 0L), (2, 2L, 0L), (3, 3L, 0L)))
+  }
 }
