@@ -2502,6 +2502,18 @@ object Oracles {
 
     // Same sketch contract, grouped: per-source exact distinct plus
     // Spark's claim the HLL estimate landed within 5%.
+    // CMS heavy hitters: the oracle certifies the exact top-20 (ties
+    // by token) and the bound booleans — true iff the fixed-seed
+    // sketch honored exact ≤ est ≤ exact + ceil(eps*N) on every hit.
+    "agg_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
+        |c AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM w
+        |  WHERE length(token) > 0 GROUP BY token)
+        |SELECT token, n_exact, true AS cms_within_bound
+        |FROM c ORDER BY n_exact DESC, token LIMIT 20""".stripMargin,
+
     "agg_grouped_distinct" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS exact_texts,

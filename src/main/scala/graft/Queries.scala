@@ -1246,6 +1246,38 @@ object Queries {
         <= countDistinct(fp) * lit(0.05)).as("texts_within_5pct"))
   }
 
+  /** Count-min-sketch heavy hitters under the sketch contract (the
+    * CMS face of `a1_approx_distinct`'s HLL pattern): the top-20
+    * tokens by EXACT count are the oracle-certified verification
+    * face; each is probed against a fixed-seed CMS built over the
+    * same token stream, asserting the classic guarantee
+    * exact ≤ est ≤ exact + ⌈ε·N⌉. At scale the sketch is the point:
+    * its shuffle is fixed-KB partial state merged map-side, never the
+    * distinct-token table; driver state = one sketch + 20 candidate
+    * rows (bounded, the Bloom-join discipline).
+    */
+  val aggHeavyHitters: Q = (s, dir) => {
+    import s.implicits._
+    val words = t(s, dir, "documents")
+      .select(explode(filter(TextAnalysis.tokens(lower(col("text"))),
+        w => length(w) > 0)).as("token"))
+    val top = words.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(20)
+      .as[(String, Long)].collect()
+    val n = words.count()
+    val eps = 0.001
+    val cmsBytes = words
+      .select(count_min_sketch(col("token"), lit(eps), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(cmsBytes))
+    val epsN = math.ceil(eps * n).toLong
+    top.toSeq.map { case (tk, exact) =>
+      val est = cms.estimateCount(tk)
+      (tk, exact, est >= exact && est <= exact + epsN)
+    }.toDF("token", "n_exact", "cms_within_bound")
+  }
+
   /** T3 — union of per-table results into run totals. */
   val t3UnionTotals: Q = (s, dir) => {
     val per = Readers.validChangeLog(s, dir)

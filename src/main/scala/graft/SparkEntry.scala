@@ -120,6 +120,7 @@ object SparkEntry {
     "tok_wordpiece_ids" -> Queries.tokWordpieceIds,
     "layout_zorder" -> Queries.layoutZorder,
     "dq_expectations" -> Queries.dqExpectations,
+    "agg_heavy_hitters" -> Queries.aggHeavyHitters,
     "tokenize_publish" -> Queries.tokenizePublish,
     "text_quality" -> Queries.textQuality,
     "text_fingerprint" -> Queries.textFingerprint,
