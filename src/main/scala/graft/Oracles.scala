@@ -1642,6 +1642,59 @@ object Oracles {
         |  FROM ad)
         |SELECT qid, rank, nid, adist FROM r WHERE rank <= 10""".stripMargin,
 
+    // IVF-flat at a PARTIAL probe (2 of 8 seed cells): assignment and
+    // probe ranking exact-integer, within-cell scoring the exact
+    // quantized cosine — the approximation itself is oracle-certified
+    // (the sim_ivfpq_topk convention on the flat path).
+    "sim_ivf_partial" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q),
+        |cseed AS (
+        |  SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+        |cseedn AS (
+        |  SELECT cell, qv AS cv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS cn
+        |  FROM cseed),
+        |cdist AS (
+        |  SELECT q.vec_id, s.cell,
+        |    s.cn - 2 * CAST(list_sum(list_transform(range(1, 65),
+        |      i -> q.qv[i] * s.cv[i])) AS BIGINT) AS d
+        |  FROM q CROSS JOIN cseedn s),
+        |cellasg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.qid, c.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+        |        i -> c.qv[i] * pq.qv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(pn.nsq AS DOUBLE))) AS cos
+        |  FROM probes p
+        |  JOIN cellasg ca ON ca.cell = p.cell
+        |  JOIN n c ON c.vec_id = ca.vec_id
+        |  JOIN q pq ON pq.vec_id = p.qid
+        |  JOIN n pn ON pn.vec_id = p.qid
+        |  WHERE c.vec_id != p.qid)
+        |SELECT qid, rank, nid, round(cos, 6) AS cos FROM (
+        |  SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
     // SQ8 asymmetric top-k: per-dim (min, width) trained from the
     // quantized corpus, one-byte codes, bucket-midpoint
     // reconstruction — every stage exact NONNEGATIVE integers, where

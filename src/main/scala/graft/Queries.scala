@@ -748,6 +748,21 @@ object Queries {
     Similarity.ivfTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
       nlist = 16, nprobe = 16)
 
+  /** IVF-flat at a genuinely PARTIAL probe budget (2 of 8 cells),
+    * oracle-backed END TO END: seed centroids (8 lowest vec_ids) are
+    * oracle-rebuildable, cell assignment and probe ranking are exact
+    * integers, and within-cell scoring is the exact quantized cosine —
+    * so unlike the nprobe=nlist registration, the APPROXIMATION itself
+    * is what the oracle certifies (the `sim_ivfpq_topk` convention,
+    * extended to the flat path).
+    */
+  val simIvfPartial: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10,
+      nlist = 8, nprobe = 2,
+      centroidsOverride = Some(Similarity.seedCentroids(emb, 8)))
+  }
+
   /** Product-quantization ADC top-10 (Jégou+ TPAMI'11): 8 subspaces ×
     * 16 seed codewords, exact-integer distance tables — the memory-
     * bound ANN scale path (the scored scan reads m codes per vector,

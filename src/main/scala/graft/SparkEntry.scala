@@ -110,6 +110,7 @@ object SparkEntry {
     "sim_pq_topk" -> Queries.simPqTopk,
     "sim_ivfpq_topk" -> Queries.simIvfPqTopk,
     "sim_sq_topk" -> Queries.simSqTopk,
+    "sim_ivf_partial" -> Queries.simIvfPartial,
     // -- extensions: text analysis
     "text_token_count" -> Queries.textTokenCount,
     "tok_bpe_pairs" -> Queries.tokBpePairs,

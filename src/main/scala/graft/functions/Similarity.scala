@@ -312,7 +312,8 @@ object Similarity {
   def ivfTopK(
       embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
-      trainSampleCap: Long = 262144): DataFrame = {
+      trainSampleCap: Long = 262144,
+      centroidsOverride: Option[Array[Array[Long]]] = None): DataFrame = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val quant = embeddings.select(
       col("vec_id"),
@@ -321,10 +322,12 @@ object Similarity {
     // the k-means loop scans its training sample iters+1 times — cache
     // for the centroid computation only, release before returning the
     // plan (the returned query recomputes it once; no cache leaks
-    // across query invocations)
-    val centroids =
+    // across query invocations). An explicit override (e.g.
+    // oracle-rebuildable seedCentroids for the registered
+    // partial-probe arm) skips training entirely.
+    val centroids = centroidsOverride.getOrElse(
       try { quant.persist(); kmeansCentroids(quant, nlist, iters, trainSampleCap) }
-      finally quant.unpersist()
+      finally quant.unpersist())
     val celled = quant.withColumn("cell", cellOf(col("q"), centroids))
     val queries = celled
       .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
