@@ -1642,6 +1642,53 @@ object Oracles {
         |  FROM ad)
         |SELECT qid, rank, nid, adist FROM r WHERE rank <= 10""".stripMargin,
 
+    // LSH top-k at a PARTIAL probe (own bucket + two single-bit
+    // flips): the md5-portable plane weights rebuild the 8-bit
+    // signature, probes, candidates and exact-cosine ranking — the
+    // approximation itself is certified. Queries can return < k rows.
+    "sim_lsh_partial" ->
+      """WITH w AS (
+        |  SELECT p.p,
+        |    list((CAST(CAST(concat('0x', substr(md5(concat(p.p, '_', i.i)), 1, 8)) AS UBIGINT) % 2000 AS BIGINT) - 1000) / 1000.0
+        |      ORDER BY i.i) AS wl
+        |  FROM range(0, 8) p(p), range(0, 64) i(i) GROUP BY p.p),
+        |dots AS (
+        |  SELECT e.vec_id, w.p,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> e.embedding[i] * w.wl[i])) AS dot
+        |  FROM embeddings e, w),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot > 0 THEN 1 << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q),
+        |probes AS (
+        |  SELECT s.vec_id AS qid, unnest([s.bucket, xor(s.bucket, 1), xor(s.bucket, 2)]) AS bucket
+        |  FROM sig s WHERE s.vec_id IN (0, 1, 2, 3, 4)),
+        |scored AS (
+        |  SELECT DISTINCT p.qid, c.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65),
+        |        i -> cn.qv[i] * pn.qv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(cn.nsq AS DOUBLE)) * sqrt(CAST(pn.nsq AS DOUBLE))) AS cos
+        |  FROM probes p
+        |  JOIN sig c ON c.bucket = p.bucket
+        |  JOIN n cn ON cn.vec_id = c.vec_id
+        |  JOIN n pn ON pn.vec_id = p.qid
+        |  WHERE c.vec_id != p.qid)
+        |SELECT qid, rank, nid, round(cos, 6) AS cos FROM (
+        |  SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
     // IVF-flat at a PARTIAL probe (2 of 8 seed cells): assignment and
     // probe ranking exact-integer, within-cell scoring the exact
     // quantized cosine — the approximation itself is oracle-certified

@@ -748,6 +748,17 @@ object Queries {
     Similarity.ivfTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
       nlist = 16, nprobe = 16)
 
+  /** LSH top-k at a genuinely PARTIAL probe budget (3 of 256
+    * buckets: own + two single-bit flips), oracle-backed END TO END —
+    * the md5-portable plane weights make the signature, the probe
+    * set, the candidates AND the exact-cosine ranking all
+    * reproducible outside the engine. Some queries return fewer than
+    * k rows: honest partial-probe behavior, itself certified.
+    */
+  val simLshPartial: Q = (s, dir) =>
+    Similarity.lshTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      planes = 8, probes = 3)
+
   /** IVF-flat at a genuinely PARTIAL probe budget (2 of 8 cells),
     * oracle-backed END TO END: seed centroids (8 lowest vec_ids) are
     * oracle-rebuildable, cell assignment and probe ranking are exact

@@ -111,6 +111,7 @@ object SparkEntry {
     "sim_ivfpq_topk" -> Queries.simIvfPqTopk,
     "sim_sq_topk" -> Queries.simSqTopk,
     "sim_ivf_partial" -> Queries.simIvfPartial,
+    "sim_lsh_partial" -> Queries.simLshPartial,
     // -- extensions: text analysis
     "text_token_count" -> Queries.textTokenCount,
     "tok_bpe_pairs" -> Queries.tokBpePairs,
