@@ -1218,6 +1218,29 @@ object Oracles {
     // seeded with the first element — identical IEEE multiply-add
     // chain as the engine's ordered aggregate(); (1-α) is the SAME
     // double subtraction both sides.
+    // Seasonal decomposition: exact-cents hour-of-day means (one
+    // integer sum, divided once), residual = the same two
+    // correctly-rounded IEEE ops as the engine.
+    "ts_seasonal" ->
+      s"""WITH base AS (
+         |  SELECT event_id AS log_id, event_type AS "table", hour(ts) AS hh,
+         |    CAST(value AS DOUBLE) AS value,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events WHERE $V AND value IS NOT NULL),
+         |prof AS (
+         |  SELECT "table", hh, CAST(sum(c) AS BIGINT) AS s, count(*) AS n
+         |  FROM base GROUP BY 1, 2),
+         |j AS (
+         |  SELECT b.log_id, b."table", b.hh, b.value,
+         |    p.s * 100 AS p1, (b.c * p.n - p.s) * 100 AS p2, p.n
+         |  FROM base b JOIN prof p ON p."table" = b."table" AND p.hh = b.hh)
+         |SELECT log_id, "table", CAST(hh AS BIGINT) AS hh, value,
+         |  CAST(CASE WHEN p1 >= 0 THEN (2 * p1 + n) // (2 * n)
+         |       ELSE -((2 * (-p1) + n) // (2 * n)) END AS DOUBLE) / 10000.0 AS seasonal,
+         |  CAST(CASE WHEN p2 >= 0 THEN (2 * p2 + n) // (2 * n)
+         |       ELSE -((2 * (-p2) + n) // (2 * n)) END AS DOUBLE) / 10000.0 AS resid
+         |FROM j""".stripMargin,
+
     "ts_ewma" ->
       s"""WITH v AS (
          |  SELECT event_id, user_id, ts, value,

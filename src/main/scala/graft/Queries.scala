@@ -415,6 +415,15 @@ object Queries {
       key = "rsbsa_no", ts = "ts", id = "log_id", value = "value")
       .select("log_id", "rsbsa_no", "ts", "value", "n_obs", "ewma")
 
+  /** Hour-of-day seasonal decomposition per event type: exact-cents
+    * seasonal means (partitioning-independent), broadcast profile
+    * join-back, per-event residuals.
+    */
+  val tsSeasonal: Q = (s, dir) =>
+    graft.operators.TimeSeries.seasonalHourly(
+      Readers.validChangeLog(s, dir),
+      key = "table", ts = "ts", id = "log_id", value = "value")
+
   /** Extension — RFM customer segmentation over orders: exact-quartile
     * threshold scoring (broadcast 1-row cut points, no global ntile
     * sort), DECIMAL-summed monetary, integer recency/frequency.

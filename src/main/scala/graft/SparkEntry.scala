@@ -70,6 +70,7 @@ object SparkEntry {
     "er_entities" -> Queries.erEntities,
     "rfm_segments" -> Queries.rfmSegments,
     "ts_ewma" -> Queries.tsEwma,
+    "ts_seasonal" -> Queries.tsSeasonal,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
     "dedup_bag" -> Queries.dedupBag,

@@ -52,6 +52,46 @@ object TimeSeries {
       .drop("__vals")
   }
 
+  /** Seasonal decomposition against an hour-of-day profile: per
+    * (series, hour) seasonal means and per-observation residuals —
+    * the classic detrending step before anomaly scoring or
+    * forecasting. The profile aggregates EXACT CENTS (the
+    * rolling-z-score discipline: DECIMAL(18,2)→long, summed as
+    * integers), and the 4-decimal rounding itself happens in INTEGER
+    * arithmetic — seasonal·10⁴ = round(s·100/n), resid·10⁴ =
+    * round((c·n − s)·100/n), half away from zero via
+    * `(2p + q) div (2q)` on a nonnegative-by-branch numerator — so
+    * both outputs are partitioning-independent AND free of the FP
+    * half-boundary coin flip a `round(double, 4)` takes when the true
+    * value lands exactly on `.xxxx5` (n = 8 does this every odd
+    * cents-sum; caught by the sf0.01 oracle gate). Exact while
+    * `200·|cents|·n` fits a long — ≳4×10¹⁰ rows per (series, hour) at
+    * $10k values. Profile is series×24 rows, broadcast back, map-only
+    * join.
+    */
+  def seasonalHourly(df: DataFrame, key: String, ts: String, id: String,
+      value: String): DataFrame = {
+    val base = df
+      .filter(col(value).isNotNull)
+      .select(col(id), col(key), hour(col(ts)).as("hh"),
+        col(value).cast("double").as("value"),
+        (col(value).cast("decimal(18,2)") * 100).cast("long").as("__c"))
+    val prof = base.groupBy(col(key), col("hh"))
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+    // round-half-away-from-zero of p/q (q > 0) in pure integers; both
+    // branches keep the numerator nonnegative, where Spark's
+    // truncating `div` and DuckDB's flooring `//` coincide
+    def rnd(p: String): String =
+      s"CASE WHEN $p >= 0 THEN (2 * ($p) + __n) div (2 * __n) " +
+        s"ELSE -((2 * (-($p)) + __n) div (2 * __n)) END"
+    base.join(broadcast(prof), Seq(key, "hh"))
+      .withColumn("__sea4", expr(rnd("__s * 100")))
+      .withColumn("__res4", expr(rnd("(__c * __n - __s) * 100")))
+      .select(col(id), col(key), col("hh").cast("long").as("hh"), col("value"),
+        (col("__sea4").cast("double") / 10000.0).as("seasonal"),
+        (col("__res4").cast("double") / 10000.0).as("resid"))
+  }
+
   /** First-order Markov transition matrix over per-key event
     * sequences: for every observed (state → next-state) step, the
     * count and the row-normalized transition probability

@@ -144,4 +144,29 @@ class TimeSeriesSpec extends SparkSpec {
       ("A", 4.0, 9.0, 1.0, 6.0, 4L, 20.0),
       ("B", 7.0, 7.0, 7.0, 7.0, 1L, 7.0)))
   }
+
+  test("seasonalHourly: exact means on a crafted profile; invariant under repartitioning") {
+    import java.sql.Timestamp
+    def t(day: Int, h: Int) = Timestamp.valueOf(f"2026-01-0$day $h%02d:00:00")
+    // series A, hour 1: values 10.00 and 11.00 → seasonal 10.5,
+    // residuals ±0.5; hour 2: single 3.30 → residual 0
+    val rows = Seq(
+      (1L, "A", t(1, 1), 10.00), (2L, "A", t(2, 1), 11.00),
+      (3L, "A", t(1, 2), 3.30), (4L, "B", t(1, 1), 7.77))
+    val df = rows.toDF("log_id", "table", "ts", "value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TimeSeries.seasonalHourly(
+        d, key = "table", ts = "ts", id = "log_id", value = "value")
+        .as[(Long, String, Long, Double, Double, Double)].collect().toSet
+    val got = run(df)
+    assert(got == Set(
+      (1L, "A", 1L, 10.00, 10.5, -0.5),
+      (2L, "A", 1L, 11.00, 10.5, 0.5),
+      (3L, "A", 2L, 3.30, 3.3, 0.0),
+      (4L, "B", 1L, 7.77, 7.77, 0.0)))
+    // the exact-cents discipline's point: identical output at any
+    // partitioning (an FP-summed profile would not be)
+    assert(run(df.repartition(1)) == got)
+    assert(run(df.repartition(16)) == got)
+  }
 }
