@@ -1955,6 +1955,34 @@ object Queries {
     graft.functions.Multimodal.mediaProfile(
       graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
 
+  /** Multimodal — perceptual hashes: REAL PNG decode (`javax.imageio`)
+    * → 32×32 bilinear grayscale → DCT pHash per image, plus the
+    * near-dup pair list at Hamming ≤ 10 (the image-side analog of the
+    * SimHash text path; the synthetic fixtures are unrelated rasters,
+    * so an empty pair set is itself the assertion — a hash collapse
+    * would light it up). Rows-only check: pixels are beyond the SQL
+    * oracle; re-encode invariance / resize proximity / unrelated
+    * distance are property-pinned in `MultimodalSpec`.
+    */
+  val mediaPhash: Q = (s, dir) => {
+    import s.implicits._
+    val hashes = graft.functions.Multimodal.withRealImages(
+        graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
+      .filter(col("kind") === lit("image"))
+      .as[graft.functions.Multimodal.MediaRecord]
+      .mapPartitions(rows => rows.flatMap(r =>
+        graft.functions.Multimodal.pHash(r.payload).map(h => (r.media_id, h))))
+      .toDF("media_id", "phash")
+    val a = hashes.select(col("media_id").as("a_id"), col("phash").as("a_h"))
+    val b = hashes.select(col("media_id").as("b_id"), col("phash").as("b_h"))
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 10)
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+    hashes.crossJoin(pairs)
+  }
+
   /** Multimodal — per-partition feature extraction: image payloads are
     * REAL PNG rasters decoded with `javax.imageio`, audio payloads are
     * REAL PCM WAVs decoded with `javax.sound.sampled` (both JDK

@@ -71,6 +71,7 @@ object SparkEntry {
     "rfm_segments" -> Queries.rfmSegments,
     "ts_ewma" -> Queries.tsEwma,
     "ts_seasonal" -> Queries.tsSeasonal,
+    "media_phash" -> Queries.mediaPhash,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
     "dedup_bag" -> Queries.dedupBag,

@@ -168,6 +168,79 @@ object Multimodal {
     out
   }
 
+  /** Perceptual hash (pHash, the DCT variant): decode → 32×32
+    * bilinear grayscale → 2-D DCT-II → the 8×8 low-frequency block
+    * minus the DC term → bit i set iff coefficient i exceeds the
+    * median of the 63. Near-identical images (re-encoded, resized,
+    * lightly edited) land within a few Hamming bits; unrelated images
+    * land near 31 — the image-side analog of SimHash text near-dup,
+    * joinable with the same pigeonhole banding. None when the payload
+    * doesn't decode as an image.
+    */
+  def pHash(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val S = 32
+        val small = new java.awt.image.BufferedImage(
+          S, S, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, S, S, null)
+        } finally g.dispose()
+        val gray = Array.ofDim[Double](S, S)
+        var y = 0
+        while (y < S) {
+          var x = 0
+          while (x < S) {
+            val p = small.getRGB(x, y)
+            gray(y)(x) = 0.299 * ((p >> 16) & 0xff) +
+              0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        // 8×8 low-frequency DCT-II block (only 64 of 1024 outputs
+        // needed — direct O(8·8·32·32) evaluation)
+        val coef = new Array[Double](64)
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var yy = 0
+            while (yy < S) {
+              var xx = 0
+              while (xx < S) {
+                s += gray(yy)(xx) *
+                  math.cos((2 * yy + 1) * u * math.Pi / (2.0 * S)) *
+                  math.cos((2 * xx + 1) * v * math.Pi / (2.0 * S))
+                xx += 1
+              }
+              yy += 1
+            }
+            coef(u * 8 + v) = s
+            v += 1
+          }
+          u += 1
+        }
+        val ac = coef.drop(1) // DC carries only global brightness
+        val median = ac.sorted.apply(ac.length / 2)
+        var h = 0L
+        var i = 0
+        while (i < ac.length) {
+          if (ac(i) > median) h |= (1L << i)
+          i += 1
+        }
+        Some(h)
+      }
+    } catch { case _: Exception => None }
+
   private def checksum(payload: Array[Byte]): Long = {
     var h = 0L
     var i = 0

@@ -226,4 +226,37 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(digest(rewrapped) == got.head)
   }
+
+  test("pHash: re-encode invariant, resize-proximate on structured images, far for unrelated") {
+    // a STRUCTURED image (smooth gradient + a block) — pHash's
+    // low-frequency claim is about real image content, not noise
+    def structuredPng(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val base = ((x + shift) * 255 / 64) & 0xff
+        val block = if (x > 40 && y > 30) 200 else 0
+        val v = math.min(255, base / 2 + block)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val a = structuredPng(0)
+    val h = Multimodal.pHash(a).get
+    // lossless re-encode (factor-1 resize keeps the raster) → identical
+    val reenc = Multimodal.resizeImage(a, 1).get._1
+    assert(Multimodal.pHash(reenc).get == h)
+    // half-size downscale preserves the low-frequency structure
+    val half = Multimodal.resizeImage(a, 2).get._1
+    val dNear = java.lang.Long.bitCount(h ^ Multimodal.pHash(half).get)
+    assert(dNear <= 10, s"resized variant drifted $dNear bits")
+    // unrelated noise rasters sit far away
+    val noise = Multimodal.pHash(Multimodal.syntheticPng(9L, 64, 48)).get
+    val dFar = java.lang.Long.bitCount(h ^ noise)
+    assert(dFar > 15, s"unrelated image only $dFar bits away")
+    // non-image payloads refuse, not garbage
+    assert(Multimodal.pHash("not an image".getBytes).isEmpty)
+  }
 }
