@@ -1983,6 +1983,31 @@ object Queries {
     hashes.crossJoin(pairs)
   }
 
+  /** Multimodal — gain-invariant audio fingerprints (energy-delta
+    * bits over 64 PCM frames) per real-WAV payload, plus the Hamming
+    * ≤ 10 near-dup pair count — the audio face of `media_phash`.
+    * Rows-only (samples are beyond the SQL oracle); gain invariance /
+    * unrelated distance property-pinned in `MultimodalSpec`.
+    */
+  val mediaAudioFp: Q = (s, dir) => {
+    import s.implicits._
+    val hashes = graft.functions.Multimodal.withRealMedia(
+        graft.functions.Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
+      .filter(col("kind") === lit("audio"))
+      .as[graft.functions.Multimodal.MediaRecord]
+      .mapPartitions(rows => rows.flatMap(r =>
+        graft.functions.Multimodal.audioFingerprint(r.payload)
+          .map(h => (r.media_id, h))))
+      .toDF("media_id", "afp")
+    val a = hashes.select(col("media_id").as("a_id"), col("afp").as("a_h"))
+    val b = hashes.select(col("media_id").as("b_id"), col("afp").as("b_h"))
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+      .select(bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 10)
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+    hashes.crossJoin(pairs)
+  }
+
   /** Multimodal — per-partition feature extraction: image payloads are
     * REAL PNG rasters decoded with `javax.imageio`, audio payloads are
     * REAL PCM WAVs decoded with `javax.sound.sampled` (both JDK

@@ -72,6 +72,7 @@ object SparkEntry {
     "ts_ewma" -> Queries.tsEwma,
     "ts_seasonal" -> Queries.tsSeasonal,
     "media_phash" -> Queries.mediaPhash,
+    "media_audio_fp" -> Queries.mediaAudioFp,
     // -- extensions: dedup family
     "dedup_exact" -> Queries.dedupExact,
     "dedup_bag" -> Queries.dedupBag,

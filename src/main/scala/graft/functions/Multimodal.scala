@@ -151,6 +151,45 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Gain-invariant audio fingerprint (the Haitsma–Kalker energy-delta
+    * shape): the decoded PCM stream splits into 64 equal frames; bit i
+    * is set iff frame i's energy exceeds frame i−1's. Energy-DELTA
+    * signs survive uniform gain (both sides of every comparison scale
+    * together) — the property a volume-normalized audio dedup needs,
+    * and the audio analog of [[pHash]]'s median-threshold bits. None
+    * for non-PCM payloads (same 16-bit mono LE contract as
+    * [[decodeAudio]]).
+    */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian) None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        if (n < 64) None
+        else {
+          val frames = new Array[Double](64)
+          var i = 0
+          while (i < n) {
+            val v = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+            frames(math.min(63, i * 64 / n)) += v.toDouble * v
+            i += 1
+          }
+          var h = 0L
+          var f = 1
+          while (f < 64) {
+            if (frames(f) > frames(f - 1)) h |= (1L << (f - 1))
+            f += 1
+          }
+          Some(h)
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** STUB decode — deterministic fake standing in for the codecs this
     * container lacks (video only, now that image AND audio take real
     * JDK decode paths): features are a hash-derived vector of the

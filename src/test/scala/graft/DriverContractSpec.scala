@@ -36,7 +36,8 @@ class DriverContractSpec extends AnyFunSuite {
     // every other query MUST ship DuckDB-checkable; a new query landing
     // without its oracle shows up here, not as a silent rows-only row
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("media_features", "media_frames", "media_phash"),
+    assert(noOracle == Set("media_features", "media_frames", "media_phash",
+      "media_audio_fp"),
       s"unexpected oracle-less queries: ${noOracle.toSeq.sorted}")
   }
 

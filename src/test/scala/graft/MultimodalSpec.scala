@@ -259,4 +259,39 @@ class MultimodalSpec extends SparkSpec {
     // non-image payloads refuse, not garbage
     assert(Multimodal.pHash("not an image".getBytes).isEmpty)
   }
+
+  test("audioFingerprint: invariant under uniform gain, far for unrelated, refuses non-audio") {
+    def scaled(payload: Array[Byte], num: Int, den: Int): Array[Byte] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val bytes = ais.readAllBytes()
+      var i = 0
+      while (i < bytes.length / 2) {
+        val v = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+        val s = (v * num / den).toShort
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val out = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, bytes.length / 2)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(out,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val wav = Multimodal.syntheticWav(5L, ms = 200)
+    val h = Multimodal.audioFingerprint(wav).get
+    // halved gain: energy-delta signs survive (integer truncation can
+    // flip only near-tied frames)
+    val dGain = java.lang.Long.bitCount(
+      h ^ Multimodal.audioFingerprint(scaled(wav, 1, 2)).get)
+    assert(dGain <= 4, s"gain change drifted $dGain bits")
+    // unrelated signal sits far away
+    val other = Multimodal.audioFingerprint(Multimodal.syntheticWav(6L, 200)).get
+    val dFar = java.lang.Long.bitCount(h ^ other)
+    assert(dFar > 12, s"unrelated audio only $dFar bits away")
+    assert(Multimodal.audioFingerprint("not audio".getBytes).isEmpty)
+  }
 }
