@@ -216,6 +216,12 @@ object Multimodal {
     * joinable with the same pigeonhole banding. None when the payload
     * doesn't decode as an image.
     */
+  /** cos((2i+1)·u·π/64) for the 8 DCT frequencies over 32 positions —
+    * shared, immutable, computed once per JVM.
+    */
+  private val DctCos: Array[Array[Double]] =
+    Array.tabulate(8, 32)((u, i) => math.cos((2 * i + 1) * u * math.Pi / 64.0))
+
   def pHash(payload: Array[Byte]): Option[Long] =
     try {
       val img = javax.imageio.ImageIO.read(
@@ -244,25 +250,32 @@ object Multimodal {
           }
           y += 1
         }
-        // 8×8 low-frequency DCT-II block (only 64 of 1024 outputs
-        // needed — direct O(8·8·32·32) evaluation)
-        val coef = new Array[Double](64)
+        // 8×8 low-frequency DCT-II block, SEPARABLE with precomputed
+        // cosine tables: rows then columns is 8·32·32 + 8·8·32
+        // multiply-adds instead of 131k libm cos() calls per image
+        // (the naive form made media_phash the most expensive bench
+        // query at 10s/sf0.1; this runs in the decode's noise)
+        val temp = Array.ofDim[Double](8, S)
         var u = 0
+        while (u < 8) {
+          var xx = 0
+          while (xx < S) {
+            var s = 0.0
+            var yy = 0
+            while (yy < S) { s += gray(yy)(xx) * DctCos(u)(yy); yy += 1 }
+            temp(u)(xx) = s
+            xx += 1
+          }
+          u += 1
+        }
+        val coef = new Array[Double](64)
+        u = 0
         while (u < 8) {
           var v = 0
           while (v < 8) {
             var s = 0.0
-            var yy = 0
-            while (yy < S) {
-              var xx = 0
-              while (xx < S) {
-                s += gray(yy)(xx) *
-                  math.cos((2 * yy + 1) * u * math.Pi / (2.0 * S)) *
-                  math.cos((2 * xx + 1) * v * math.Pi / (2.0 * S))
-                xx += 1
-              }
-              yy += 1
-            }
+            var xx = 0
+            while (xx < S) { s += temp(u)(xx) * DctCos(v)(xx); xx += 1 }
             coef(u * 8 + v) = s
             v += 1
           }
