@@ -2000,6 +2000,63 @@ object Oracles {
         |    CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)) AS checksum
         |FROM st GROUP BY bucket, seq""".stripMargin,
 
+    // The induced VOCABULARY after the 3 learned merges — the same
+    // training CTE chain as tok_bpe_merges, plus one more apply (v3)
+    // and the symbol explode/agg tail.
+    "tok_bpe_vocab" ->
+      """WITH wc AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word
+        |  ORDER BY n DESC, word LIMIT 65536),
+        |v0 AS (
+        |  SELECT ' ' || array_to_string(list_append(string_split(word, ''), '</w>'), ' ') || ' ' AS s, n
+        |  FROM wc),
+        |pc0 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v0) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m0 AS (SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
+        |v1 AS (
+        |  SELECT replace(replace(s,
+        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
+        |      ' ' || (SELECT a FROM m0) || (SELECT b FROM m0) || ' '),
+        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
+        |      ' ' || (SELECT a FROM m0) || (SELECT b FROM m0) || ' ') AS s, n
+        |  FROM v0),
+        |pc1 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v1) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT a, b FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |v2 AS (
+        |  SELECT replace(replace(s,
+        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+        |      ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' '),
+        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+        |      ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ') AS s, n
+        |  FROM v1),
+        |pc2 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v2) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT a, b FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1),
+                |v3 AS (
+        |  SELECT replace(replace(s,
+        |      ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
+        |      ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' '),
+        |      ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
+        |      ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' ') AS s, n
+        |  FROM v2),
+        |syms AS (
+        |  SELECT unnest(string_split(trim(s), ' ')) AS symbol, n FROM v3)
+        |SELECT symbol, CAST(sum(n) AS BIGINT) AS cnt, CAST(count(*) AS BIGINT) AS n_words
+        |FROM syms GROUP BY symbol""".stripMargin,
+
+
     // The BPE training LOOP, unrolled three rounds: each round is
     // pair-count → argmax (cnt desc, then (a,b) — the engine's
     // tie-break) → the two-pass delimiter-replace apply (valid while

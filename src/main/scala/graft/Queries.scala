@@ -1132,6 +1132,18 @@ object Queries {
         concat_ws(" ", col("__toks")).as("toks"))
   }
 
+  /** The vocabulary the 3 LEARNED merges induce — the artifact a
+    * tokenizer ships: distinct post-merge symbols with corpus-weighted
+    * counts and distinct-word support. Trains the same 3 merges as
+    * `tok_bpe_merges`, then one explode/agg over the ≤vocabCap word
+    * table; the oracle replays training AND the vocabulary tail.
+    */
+  val tokBpeVocab: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.functions.Bpe.vocabAfter(docs,
+      graft.functions.Bpe.trainBpe(docs, numMerges = 3))
+  }
+
   /** BPE invertibility, oracle-checked from the OUTSIDE: the engine
     * round-trips every document through encode→decode under the
     * fixture merges; the oracle computes the expected fixed point

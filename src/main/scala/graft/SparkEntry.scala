@@ -121,6 +121,7 @@ object SparkEntry {
     "tok_bpe_encode" -> Queries.tokBpeEncode,
     "tok_bpe_roundtrip" -> Queries.tokBpeRoundtrip,
     "tok_bpe_merges" -> Queries.tokBpeMerges,
+    "tok_bpe_vocab" -> Queries.tokBpeVocab,
     "tok_wordpiece" -> Queries.tokWordpiece,
     "tok_wordpiece_ids" -> Queries.tokWordpieceIds,
     "layout_zorder" -> Queries.layoutZorder,

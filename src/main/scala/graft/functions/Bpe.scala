@@ -168,6 +168,26 @@ object Bpe {
     }))
   }
 
+  /** The VOCABULARY a merge list induces over the corpus — the
+    * artifact a tokenizer ships: every distinct symbol left in the
+    * word table after applying `merges` in rank order, with its
+    * corpus-weighted occurrence count and the number of distinct
+    * words containing it. Runs entirely on the ≤`vocabCap` word
+    * table (symbolize + k folds + one explode/agg), never the corpus.
+    */
+  def vocabAfter(docs: DataFrame, merges: Seq[(String, String)],
+      vocabCap: Int = 65536): DataFrame = {
+    val symbolized = wordCounts(docs, vocabCap)
+      .select(initialSymbols(col("word")).as("symbols"), col("n"))
+    val rewritten = merges.foldLeft(symbolized) { case (v, (a, b)) =>
+      v.withColumn("symbols", mergeOnce(col("symbols"), a, b))
+    }
+    rewritten
+      .select(explode(col("symbols")).as("symbol"), col("n"))
+      .groupBy("symbol")
+      .agg(sum(col("n")).as("cnt"), count(lit(1)).as("n_words"))
+  }
+
   /** Invert [[encode]]: subword tokens → whitespace-normalized text.
     * Merges only ever CONCATENATE adjacent symbols, so joining the
     * tokens and turning each [[EndOfWord]] back into a space recovers
