@@ -1969,12 +1969,20 @@ object Queries {
 
   /** Multimodal — perceptual hashes: REAL PNG decode (`javax.imageio`)
     * → 32×32 bilinear grayscale → DCT pHash per image, plus the
-    * near-dup pair list at Hamming ≤ 10 (the image-side analog of the
-    * SimHash text path; the synthetic fixtures are unrelated rasters,
-    * so an empty pair set is itself the assertion — a hash collapse
-    * would light it up). Rows-only check: pixels are beyond the SQL
-    * oracle; re-encode invariance / resize proximity / unrelated
-    * distance are property-pinned in `MultimodalSpec`.
+    * per-media near-dup DEGREE at Hamming ≤ 10 (the image-side
+    * analog of the SimHash text path; the synthetic fixtures are
+    * unrelated rasters, so an all-zero degree column is itself the
+    * assertion — a hash collapse would light it up). Pair generation
+    * is 11-band pigeonhole
+    * ([[graft.functions.Dedup.bandedHammingPairs]] — with r+1
+    * disjoint bands a Hamming-≤10 pair matches at least one band
+    * exactly), so candidates come from an equi-join on band values,
+    * never an all-pairs compare; banded ≡ all-pairs is spec-proven in
+    * `MultimodalSpec` and the no-cartesian plan shape is guarded in
+    * `PlanQualitySpec`. The degree rides back on a media_id equi-join.
+    * Rows-only check: pixels are beyond the SQL oracle; re-encode
+    * invariance / resize proximity / unrelated distance are
+    * property-pinned in `MultimodalSpec`.
     */
   val mediaPhash: Q = (s, dir) => {
     import s.implicits._
@@ -1985,19 +1993,21 @@ object Queries {
       .mapPartitions(rows => rows.flatMap(r =>
         graft.functions.Multimodal.pHash(r.payload).map(h => (r.media_id, h))))
       .toDF("media_id", "phash")
-    val a = hashes.select(col("media_id").as("a_id"), col("phash").as("a_h"))
-    val b = hashes.select(col("media_id").as("b_id"), col("phash").as("b_h"))
-    val pairs = a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 10)
-      .agg(count(lit(1)).as("n_neardup_pairs"))
-    hashes.crossJoin(pairs)
+    val pairs = graft.functions.Dedup
+      .bandedHammingPairs(hashes, "media_id", "phash", maxHamming = 10)
+    val degree = pairs.select(col("a_id").as("media_id"))
+      .unionAll(pairs.select(col("b_id").as("media_id")))
+      .groupBy("media_id").agg(count(lit(1)).as("n_neardup_pairs"))
+    hashes.join(degree, Seq("media_id"), "left")
+      .na.fill(0L, Seq("n_neardup_pairs"))
   }
 
   /** Multimodal — gain-invariant audio fingerprints (energy-delta
-    * bits over 64 PCM frames) per real-WAV payload, plus the Hamming
-    * ≤ 10 near-dup pair count — the audio face of `media_phash`.
+    * bits over 64 PCM frames) per real-WAV payload, plus the
+    * per-media Hamming-≤10 near-dup degree — the audio face of
+    * `media_phash`, on the same 11-band pigeonhole candidate path
+    * (equi-join on band values + exact `bit_count` verify, never
+    * all-pairs; plan-guarded).
     * Rows-only (samples are beyond the SQL oracle); gain invariance /
     * unrelated distance property-pinned in `MultimodalSpec`.
     */
@@ -2011,13 +2021,13 @@ object Queries {
         graft.functions.Multimodal.audioFingerprint(r.payload)
           .map(h => (r.media_id, h))))
       .toDF("media_id", "afp")
-    val a = hashes.select(col("media_id").as("a_id"), col("afp").as("a_h"))
-    val b = hashes.select(col("media_id").as("b_id"), col("afp").as("b_h"))
-    val pairs = a.join(b, col("a_id") < col("b_id"))
-      .select(bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 10)
-      .agg(count(lit(1)).as("n_neardup_pairs"))
-    hashes.crossJoin(pairs)
+    val pairs = graft.functions.Dedup
+      .bandedHammingPairs(hashes, "media_id", "afp", maxHamming = 10)
+    val degree = pairs.select(col("a_id").as("media_id"))
+      .unionAll(pairs.select(col("b_id").as("media_id")))
+      .groupBy("media_id").agg(count(lit(1)).as("n_neardup_pairs"))
+    hashes.join(degree, Seq("media_id"), "left")
+      .na.fill(0L, Seq("n_neardup_pairs"))
   }
 
   /** Multimodal — per-partition feature extraction: image payloads are

@@ -439,6 +439,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** COMPLETE Hamming-≤`maxHamming` pair generation over arbitrary
+    * 64-bit fingerprints via pigeonhole banding — the generalization
+    * of [[simHashDuplicates]]'s 4×16 scheme to any radius: slice the
+    * word into `maxHamming + 1` disjoint bands (widths as even as
+    * 64 ÷ (r+1) allows); two fingerprints within Hamming r differ in
+    * at most r bands, so at least one band matches bit-for-bit —
+    * equi-join on (band, bits) finds EVERY true pair, then the exact
+    * `bit_count(xor)` verify discards band-collision false positives.
+    * Never all-pairs: the candidate join is hash-partitioned on band
+    * values, O(Σ bucket²) not O(N²), and AQE splits any hot bucket.
+    *
+    * Input: `(idCol: long-comparable, fpCol: 64-bit long)`; output
+    * `(a_id, b_id, hamming)` with a_id < b_id, hamming ≤ maxHamming.
+    */
+  def bandedHammingPairs(
+      hashes: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    require(maxHamming >= 1 && nBands <= 64,
+      s"maxHamming must be in [1, 63], got $maxHamming")
+    val base = 64 / nBands
+    val extra = 64 % nBands
+    val widths = Seq.tabulate(nBands)(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val banded = hashes.select(col(idCol).as("__id"), col(fpCol).as("__fp"),
+      explode(array(widths.zip(offsets).zipWithIndex.map {
+        case ((w, off), i) =>
+          struct(lit(i).as("band"),
+            shiftrightunsigned(col(fpCol), off)
+              .bitwiseAND(lit((1L << w) - 1)).as("bits"))
+      }: _*)).as("c"))
+      .select(col("__id"), col("__fp"), col("c.band"), col("c.bits"))
+    val l = banded.select(col("band"), col("bits"),
+      col("__id").as("a_id"), col("__fp").as("a_fp"))
+    val r = banded.select(col("band"), col("bits"),
+      col("__id").as("b_id"), col("__fp").as("b_fp"))
+    l.join(r, Seq("band", "bits"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------- decontamination
 
   /** Eval-set decontamination (the GPT-3/PaLM rule): a test document

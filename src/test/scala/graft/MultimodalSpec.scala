@@ -294,4 +294,36 @@ class MultimodalSpec extends SparkSpec {
     assert(dFar > 12, s"unrelated audio only $dFar bits away")
     assert(Multimodal.audioFingerprint("not audio".getBytes).isEmpty)
   }
+
+  test("banded Hamming pairs ≡ all-pairs at r = 10 (the media near-dup path)") {
+    // adversarial 64-bit fixture: seed hashes with planted neighbors at
+    // distances straddling the radius (10 in, 11 out), bits flipped in
+    // ONE band (band-collision stress) and SPREAD across bands, plus
+    // sign-bit values (shiftrightunsigned discipline) and pseudo-random
+    // unrelated fill — then prove the pigeonhole candidates + verify
+    // reproduce the exact all-pairs answer bit for bit.
+    def flipLow(h: Long, k: Int): Long = (0 until k).foldLeft(h)((a, i) => a ^ (1L << i))
+    def flipSpread(h: Long, k: Int): Long =
+      (0 until k).foldLeft(h)((a, i) => a ^ (1L << ((i * 6 + 1) % 64)))
+    val seed = 0x9e3779b97f4a7c15L
+    val rnd = (0 until 40).map(i => seed * (i + 1) ^ (seed >>> (i % 23)))
+    val planted = Seq(
+      -1L, flipLow(-1L, 10),                 // dist 10, one-band burst, sign bit
+      0x8000000000000000L, flipSpread(0x8000000000000000L, 11), // dist 11: out
+      42L, flipSpread(42L, 10),              // dist 10 spread over bands
+      42L ^ (1L << 63), 0L, 1L)              // near-misc fill
+    val hashes = (rnd ++ planted).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("media_id", "fp")
+    val exact = hashes.select($"media_id".as("a_id"), $"fp".as("a_h"))
+      .join(hashes.select($"media_id".as("b_id"), $"fp".as("b_h")),
+        $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        bit_count($"a_h".bitwiseXOR($"b_h")).cast("long").as("hamming"))
+      .filter($"hamming" <= 10)
+    val banded = graft.functions.Dedup
+      .bandedHammingPairs(hashes, "media_id", "fp", maxHamming = 10)
+    assert(banded.exceptAll(exact).isEmpty && exact.exceptAll(banded).isEmpty,
+      "banded candidate generation diverged from the all-pairs reference")
+    assert(exact.count() >= 2, "fixture planted no in-radius pairs — test is vacuous")
+  }
 }

@@ -66,6 +66,19 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("media near-dup pair surfaces are banded equi-joins, never cross/theta") {
+    // the pHash/audio-fp Hamming-≤10 near-dup degrees must come from
+    // the 11-band pigeonhole candidate join (Dedup.bandedHammingPairs)
+    // and ride back on a media_id equi-join — an all-pairs a_id < b_id
+    // theta join or a crossJoin attach shows up here as a
+    // nested-loop/cartesian operator
+    for (q <- Seq("media_phash", "media_audio_fp")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an all-pairs or nested-loop join:\n${p.take(1200)}")
+    }
+  }
+
   test("simhash fingerprint is computed before the first exchange (narrow map)") {
     val p = planOf("dedup_simhash")
     val firstExchange = p.indexOf("Exchange")
