@@ -156,11 +156,18 @@ object Bench {
     val qsNorm = results.map { case (k, v) =>
       jstr(k) + ":" + (if (v >= 0) r3(v / canaryMean) else -1.0)
     }.mkString("{", ",", "}")
+    // Field order is part of the artifact contract (README "Bench
+    // artifact convention"): `value`/`queries` are RAW SECONDS,
+    // `value_norm`/`queries_norm` are canary-normalized (raw ÷ mean
+    // canary). The driver snapshots the TAIL of this line, so the raw
+    // `queries` map rides LAST — a cross-round reader of the driver
+    // artifact always sees raw seconds, and the r7 units trap (tail
+    // caught the normalized map, faking 2–3× regressions) can't recur.
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""canary_s":{"first":${r3(canaryFirst)},"last":${r3(canaryLast)}},""" +
-      s""""value_norm":${r3(total / canaryMean)},"sf":"$sfDir",""" +
-      s""""queries":$qs,"queries_norm":$qsNorm$errJson}"""
+      s""""value_norm":${r3(total / canaryMean)},"sf":"$sfDir"$errJson,""" +
+      s""""queries_norm":$qsNorm,"queries":$qs}"""
     println(line)
     // stdout capture can truncate long lines; persist the full record so
     // the headline number survives independent of the console channel.

@@ -77,35 +77,27 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
-  /** Morton/Z-value of two non-negative ints: interleave the low
-    * `bits` bits (a in even positions, b in odd). Pure codegen'd
-    * bit expression — 2·bits shift/mask terms.
-    */
-  private[graft] def zValue(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
-
-  /** Layout: Z-ORDER the files on TWO columns so range/point filters
-    * on EITHER column skip most files (parquet min/max footer pruning —
+  /** Layout: Z-ORDER the files on N columns so range/point filters
+    * on ANY of them skip most files (parquet min/max footer pruning —
     * the multi-dimensional counterpart of [[writeBucketed]]'s same-key
     * join locality and [[writePartitioned]]'s directory pruning). Each
     * column is linearly normalized to `bits` bits via its global
-    * min/max (two scalars — a bounded driver read), the Morton
-    * interleave [[zValue]] gives the curve position, and
-    * `repartitionByRange` over it makes every output file a compact
-    * z-range — so per-file min/max envelopes stay narrow on BOTH
-    * dimensions at once, which a single-column sort can only give the
-    * leading dimension.
+    * min/max (2·N scalars — a bounded driver read), the shared Morton
+    * interleave [[Layout.interleaveBitsN]] gives the curve position
+    * (ONE Morton implementation serves both the stats query and this
+    * rewrite), and `repartitionByRange` over it makes every output
+    * file a compact z-range — so per-file min/max envelopes stay
+    * narrow on EVERY z-ordered dimension at once, which a
+    * single-column sort can only give the leading dimension.
     */
-  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      numFiles: Int, bits: Int = 12): Unit = {
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Int, bits: Int): Unit = {
+    require(zCols.nonEmpty && zCols.length * bits <= 63,
+      s"need 1..63/bits z-columns, got ${zCols.length} x $bits bits")
     val mm = df.agg(
-      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
-    val (loA, hiA, loB, hiB) =
-      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+      min(col(zCols.head)).cast("long"),
+      (max(col(zCols.head)).cast("long") +: zCols.tail.flatMap(c =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))): _*).head()
     val top = (1L << bits) - 1
     // double-domain scaling: (v−lo)·top can overflow 64-bit for wide
     // value ranges (ANSI would throw); the result stays ≤ top exactly
@@ -113,13 +105,20 @@ object Sinks {
       if (hi == lo) lit(0L)
       else floor((col(c).cast("long") - lit(lo)).cast("double")
         * lit(top.toDouble) / lit((hi - lo).toDouble)).cast("long")
-    df.withColumn("__z",
-        zValue(norm(colA, loA, hiA), norm(colB, loB, hiB), bits))
+    val normed = zCols.zipWithIndex.map { case (c, j) =>
+      norm(c, mm.getLong(2 * j), mm.getLong(2 * j + 1))
+    }
+    df.withColumn("__z", Layout.interleaveBitsN(normed, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Two-column form (source-compatible API). */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int, bits: Int = 12): Unit =
+    writeZOrdered(df, path, Seq(colA, colB), numFiles, bits)
 
   /** Operational: small-file compaction. Incremental appends (K1
     * ticks) accumulate row-group-sized files; a table read through

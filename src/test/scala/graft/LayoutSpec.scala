@@ -35,6 +35,50 @@ class LayoutSpec extends SparkSpec {
       assert(z == refMorton(x, y, 12), s"($x,$y)")
   }
 
+  private def refMortonN(ks: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    val n = ks.length
+    for (j <- 0 until n; i <- 0 until bits)
+      z |= ((ks(j) >> i) & 1L) << (i * n + j)
+    z
+  }
+
+  test("interleaveBitsN: round-robin placement matches the reference for N = 1, 2, 3") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(150)((rnd.nextInt(1 << 10).toLong,
+      rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong))
+    val got = rows.toDF("x", "y", "w")
+      .select(col("x"), col("y"), col("w"),
+        Layout.interleaveBitsN(Seq(col("x")), 10).as("z1"),
+        Layout.interleaveBitsN(Seq(col("x"), col("y")), 10).as("z2"),
+        Layout.interleaveBitsN(Seq(col("x"), col("y"), col("w")), 10).as("z3"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    for ((x, y, w, z1, z2, z3) <- got) {
+      assert(z1 == x, s"N=1 must be the identity, got $z1 for $x")
+      assert(z2 == refMorton(x, y, 10), s"N=2 ($x,$y)")
+      assert(z3 == refMortonN(Seq(x, y, w), 10), s"N=3 ($x,$y,$w)")
+    }
+  }
+
+  test("3-column z-order: every file covers a narrow slice of ALL THREE keys") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    val stats = Layout.zOrderStatsN(li, cols, bits = 7, nfiles = 64).collect()
+    assert(stats.map(_.getLong(1)).sum == li.count(), "files must partition the rows")
+    val keys = li.select(cols.map(c => col(c).cast("long")): _*)
+      .as[(Long, Long, Long)].collect()
+    val doms = Seq(keys.map(_._1), keys.map(_._2), keys.map(_._3))
+      .map(v => (v.max - v.min).toDouble)
+    // per-file avg range of each dimension ≤ 40% of its domain — a
+    // single-key sort leaves the two non-leading dims at ~full width
+    for ((c, j) <- cols.zipWithIndex) {
+      val avgRange = stats.map(r =>
+        (r.getLong(2 * j + 3) - r.getLong(2 * j + 2)).toDouble).sum / stats.length
+      assert(avgRange < 0.4 * doms(j),
+        s"$c avg per-file range $avgRange vs domain ${doms(j)} — not prunable")
+    }
+  }
+
   test("z-order files cover narrow ranges of BOTH keys; x-sorted leaves y full-width") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val stats = Layout.zOrderStats(li, "l_orderkey", "l_partkey",
