@@ -65,6 +65,40 @@ object Skew {
     partial.groupBy(col(key)).agg(finalAggs.head, finalAggs.tail: _*)
   }
 
+  /** Two-phase (salted) MIN for a skew-heavy key column: partial min
+    * on (key, salt), final min on key — min re-aggregates losslessly,
+    * so this equals a direct `groupBy(key).min` for any input
+    * (property-proven in `DedupSimilaritySpec`). The salt comes from
+    * `xxhash64` of the VALUE, so a hub key's rows spread over `factor`
+    * reducers deterministically (replays see identical placement).
+    *
+    * When it matters: hash aggregation normally map-side-combines, so
+    * even a hub key reaches its reducer as ≤ #map-partitions partial
+    * rows — but Spark silently FALLS BACK to sort-based aggregation
+    * when the hash map spills, and a sort-agg's reducer must sort the
+    * hub's full row set in one task. The explicit two-phase shape
+    * bounds the final aggregation's biggest key group at `factor`
+    * rows BY CONSTRUCTION — a plan property (`PlanQualitySpec` pins
+    * the double HashAggregate over `__salt`), not a best-effort
+    * runtime behavior. The connected-components star rounds use this
+    * for their min-label reductions: a boilerplate-duplicate
+    * mega-cluster is exactly a hub key.
+    */
+  def saltedMin(
+      df: DataFrame,
+      key: String,
+      valCol: String,
+      alias: String,
+      factor: Int = 32,
+  ): DataFrame = {
+    require(factor >= 1, s"salt factor must be >= 1, got $factor")
+    df.withColumn("__salt", pmod(xxhash64(col(valCol)), lit(factor)))
+      .groupBy(col(key), col("__salt"))
+      .agg(min(col(valCol)).as("__pmin"))
+      .groupBy(col(key))
+      .agg(min(col("__pmin")).as(alias))
+  }
+
   /** Range-partition a log by its offset column — the engine's
     * replacement for the reference's LIMIT/OFFSET batch loop (each
     * partition IS a batch, SURVEY.md §2.5 W2), with even sizing even
