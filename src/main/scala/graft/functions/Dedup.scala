@@ -741,9 +741,13 @@ object Dedup {
     var it = 0
     while (!converged && it < maxIter) {
       // Large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ {u}).
+      // The min-label reductions run SALTED two-phase (Skew.saltedMin):
+      // a near-clique duplicate cluster makes its hub a single hot key,
+      // and while hash-agg map-side combine usually absorbs that, the
+      // salted shape bounds the hot key's final-phase group at `factor`
+      // rows by construction even under sort-agg fallback.
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val lmins = sym.groupBy("u")
-        .agg(min("v").as("mn"))
+      val lmins = graft.operators.Skew.saltedMin(sym, "u", "v", "mn")
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val large = sym.join(lmins, "u")
         .filter(col("v") > col("u"))
@@ -752,7 +756,7 @@ object Dedup {
         .distinct()
       // Small-star: each node re-points its smaller neighbors (and
       // itself) at the minimum of them.
-      val smins = large.groupBy("u").agg(min("v").as("m"))
+      val smins = graft.operators.Skew.saltedMin(large, "u", "v", "m")
       // Stars (u→root, root = component min) are fixpoints of both
       // steps, so a same-set check per round detects convergence:
       // |A| = |B| ∧ A∖B = ∅ ⇒ A = B for distinct sets. The signature

@@ -130,6 +130,49 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("saltedMin ≡ direct groupBy-min, incl. a hot hub key (CC star rounds)") {
+    // random keyed values plus one hub key carrying 5k rows — the
+    // shape a boilerplate-duplicate mega-cluster feeds the star
+    // rounds' min reduction
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(2000)((rnd.nextInt(50).toLong, rnd.nextLong())) ++
+      Seq.fill(5000)((99L, rnd.nextLong()))
+    val df = rows.toDF("u", "v")
+    val want = df.groupBy("u").agg(min("v").as("m"))
+      .as[(Long, Long)].collect().toMap
+    for (factor <- Seq(1, 32)) {
+      val got = graft.operators.Skew.saltedMin(df, "u", "v", "m", factor)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"saltedMin(factor=$factor) diverged from direct min")
+    }
+  }
+
+  test("connected components under an adversarial star graph (one mega-hub)") {
+    // hub 0 wired to 3000 spokes + a disjoint clique: the hub key
+    // dominates every min reduction; salted two-phase must still
+    // produce the exact labeling
+    val star = (1L to 3000L).map(i => (0L, i))
+    val clique = for (a <- 5000L to 5004L; b <- (a + 1) to 5004L) yield (a, b)
+    val got = Dedup.connectedComponents((star ++ clique).toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 3001 + 5)
+    assert((0L to 3000L).forall(got(_) == 0L), "star labels must collapse to hub-min")
+    assert((5000L to 5004L).forall(got(_) == 5000L), "clique labels wrong")
+  }
+
+  test("star-round min reductions plan the salted two-phase aggregate") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val sym = edges.union(edges.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+      .select($"a_id".as("u"), $"b_id".as("v"))
+    val p = graft.operators.Skew.saltedMin(sym, "u", "v", "mn")
+      .queryExecution.executedPlan.toString
+    // two HashAggregate pairs: partial/final over (u, __salt), then
+    // partial/final over u — the __salt key visible in the plan is
+    // the constructed bound on any single reduce group
+    assert(p.contains("__salt"), p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1200))
+  }
+
   test("gopher filter: each rule can independently reject") {
     val prose = ("the cat and the dog have fun with all of that " * 6).trim
     val cases = Seq(
