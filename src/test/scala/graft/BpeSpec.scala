@@ -84,6 +84,29 @@ class BpeSpec extends SparkSpec {
     assert(got.head == (("e", "s")))
   }
 
+  test("golden: the published Sennrich et al. merge sequence and 'lowest' segmentation") {
+    // Sennrich, Haddow & Birch 2016 (arXiv:1508.07909) Fig. 1's worked
+    // example — corpus {low:5, lower:2, newest:6, widest:3}. The first
+    // merges the paper derives, HARD-CODED (not recomputed by any
+    // reference implementation in this repo): e+s and es+t from the
+    // newest/widest suffix (count 9), the word-final est</w>, then the
+    // l+o / lo+w prefix of low/lower (count 7). Ranks 0-2 tie at
+    // count 9; the deterministic (count desc, a, b) tie-break picks
+    // them in exactly the paper's order.
+    val merges = Bpe.trainBpe(sennrichDocs, numMerges = 5)
+    val published = Seq(
+      ("e", "s"), ("es", "t"), ("est", Bpe.EndOfWord), ("l", "o"), ("lo", "w"))
+    assert(merges == published,
+      s"trained merges $merges diverge from the published sequence $published")
+    // the paper's motivating segmentation: the UNSEEN word "lowest"
+    // decomposes into the learned units low + est</w>
+    val seg = Seq((0L, "lowest")).toDF("doc_id", "text")
+      .select(Bpe.encode(col("text"), merges).as("toks"))
+      .as[Seq[String]].head()
+    assert(seg == Seq("low", "est" + Bpe.EndOfWord),
+      s"'lowest' segmented as $seg, want [low, est</w>]")
+  }
+
   test("trainBpe stops when no adjacent pairs remain") {
     // single-char words collapse to one fused symbol after one merge
     // each; asking for more merges than exist must terminate
