@@ -2108,6 +2108,86 @@ object Oracles {
         |UNION ALL SELECT CAST(1 AS BIGINT), a, b FROM m1
         |UNION ALL SELECT CAST(2 AS BIGINT), a, b FROM m2""".stripMargin,
 
+    // WordPiece trainer, 3 rounds unrolled (the tok_bpe_merges
+    // convention): same frequency-capped word table, symbols = first
+    // char + ##-continuations (no </w>), winner = max LIKELIHOOD
+    // score cnt_ab/(cnt_a*cnt_b) — one IEEE double division of exact
+    // integers, bit-identical across engines — ties to (a, b); fusion
+    // strips the right side's ## marker. Output carries the integer
+    // counts, so the compared table is FP-free.
+    "tok_wordpiece_train" ->
+      """WITH wc AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word
+        |  ORDER BY n DESC, word LIMIT 65536),
+        |v0 AS (
+        |  SELECT ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+        |      i -> CASE WHEN i = 1 THEN word[i] ELSE '##' || word[i] END), ' ') || ' ' AS s, n
+        |  FROM wc),
+        |sc0 AS (
+        |  SELECT sym, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(trim(s), ' ')) AS sym, n FROM v0)
+        |  GROUP BY sym),
+        |pc0 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v0) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m0 AS (
+        |  SELECT p.a, p.b, p.a || regexp_replace(p.b, '^##', '') AS fused,
+        |    p.cnt AS cnt_ab, sa.cnt AS cnt_a, sb.cnt AS cnt_b
+        |  FROM pc0 p JOIN sc0 sa ON sa.sym = p.a JOIN sc0 sb ON sb.sym = p.b
+        |  ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)) DESC, p.a, p.b
+        |  LIMIT 1),
+        |v1 AS (
+        |  SELECT replace(replace(s,
+        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
+        |      ' ' || (SELECT fused FROM m0) || ' '),
+        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
+        |      ' ' || (SELECT fused FROM m0) || ' ') AS s, n
+        |  FROM v0),
+        |sc1 AS (
+        |  SELECT sym, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(trim(s), ' ')) AS sym, n FROM v1)
+        |  GROUP BY sym),
+        |pc1 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v1) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m1 AS (
+        |  SELECT p.a, p.b, p.a || regexp_replace(p.b, '^##', '') AS fused,
+        |    p.cnt AS cnt_ab, sa.cnt AS cnt_a, sb.cnt AS cnt_b
+        |  FROM pc1 p JOIN sc1 sa ON sa.sym = p.a JOIN sc1 sb ON sb.sym = p.b
+        |  ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)) DESC, p.a, p.b
+        |  LIMIT 1),
+        |v2 AS (
+        |  SELECT replace(replace(s,
+        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+        |      ' ' || (SELECT fused FROM m1) || ' '),
+        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+        |      ' ' || (SELECT fused FROM m1) || ' ') AS s, n
+        |  FROM v1),
+        |sc2 AS (
+        |  SELECT sym, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(trim(s), ' ')) AS sym, n FROM v2)
+        |  GROUP BY sym),
+        |pc2 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v2) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m2 AS (
+        |  SELECT p.a, p.b, p.a || regexp_replace(p.b, '^##', '') AS fused,
+        |    p.cnt AS cnt_ab, sa.cnt AS cnt_a, sb.cnt AS cnt_b
+        |  FROM pc2 p JOIN sc2 sa ON sa.sym = p.a JOIN sc2 sb ON sb.sym = p.b
+        |  ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)) DESC, p.a, p.b
+        |  LIMIT 1)
+        |SELECT CAST(0 AS BIGINT) AS rank, a, b, fused, cnt_ab, cnt_a, cnt_b FROM m0
+        |UNION ALL SELECT CAST(1 AS BIGINT), a, b, fused, cnt_ab, cnt_a, cnt_b FROM m1
+        |UNION ALL SELECT CAST(2 AS BIGINT), a, b, fused, cnt_ab, cnt_a, cnt_b FROM m2""".stripMargin,
+
     // WordPiece ids: the SAME recursive-CTE pieces as tok_wordpiece,
     // then ids = 1-based position in the ORDERED vocab list (built to
     // mirror WordPiece.fixtureVocab element order exactly: filtered

@@ -1057,6 +1057,24 @@ object Queries {
       .toDF("rank", "a", "b")
   }
 
+  /** WordPiece TRAINING on the corpus (3 rounds of likelihood-scored
+    * merges — `count(ab)/(count(a)·count(b))`, the published WordPiece
+    * objective, vs BPE's raw frequency): the vocabulary-induction half
+    * the BERT tokenizer path was missing. Emits each round's winning
+    * pair, its fused `##`-stripped piece, and the EXACT INTEGER counts
+    * the score came from (the artifact itself is FP-free); the oracle
+    * unrolls all three training rounds as CTEs over the same
+    * frequency-capped word table — trained merges replayed end to end
+    * in SQL, the `tok_bpe_merges` convention.
+    */
+  val tokWordpieceTrain: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.WordPiece.trainWordPiece(t(s, dir, "documents"), numMerges = 3)
+      .zipWithIndex
+      .map { case (m, i) => (i.toLong, m.a, m.b, m.fused, m.cntAb, m.cntA, m.cntB) }
+      .toDF("rank", "a", "b", "fused", "cnt_ab", "cnt_a", "cnt_b")
+  }
+
   /** SQ8 asymmetric top-k: one-byte-per-dimension codes against
     * corpus-trained per-dim ranges, bucket-midpoint reconstruction,
     * exact nonneg integer distances — training stats, codes and

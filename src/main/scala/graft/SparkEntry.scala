@@ -124,6 +124,7 @@ object SparkEntry {
     "tok_bpe_vocab" -> Queries.tokBpeVocab,
     "tok_wordpiece" -> Queries.tokWordpiece,
     "tok_wordpiece_ids" -> Queries.tokWordpieceIds,
+    "tok_wordpiece_train" -> Queries.tokWordpieceTrain,
     "layout_zorder" -> Queries.layoutZorder,
     "dq_expectations" -> Queries.dqExpectations,
     "agg_heavy_hitters" -> Queries.aggHeavyHitters,

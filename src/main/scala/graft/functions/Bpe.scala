@@ -69,8 +69,19 @@ object Bpe {
     * scan resumes at i+2). Codegen'd `aggregate` HOF — the fold state
     * is the rebuilt array.
     */
-  def mergeOnce(symbols: Column, a: String, b: String): Column = {
-    val fused = a + b
+  def mergeOnce(symbols: Column, a: String, b: String): Column =
+    mergeOnceAs(symbols, a, b, a + b)
+
+  /** [[mergeOnce]] with an EXPLICIT fused symbol — the WordPiece
+    * trainer fuses `(a, ##b)` into `a·b` (continuation marker of the
+    * RIGHT side stripped), so the fusion string is not always `a+b`.
+    * Precondition (holds for both tokenizers): `fused != a`, or a
+    * fusion could chain into the next scan position.
+    */
+  def mergeOnceAs(
+      symbols: Column, a: String, b: String, fused: String): Column = {
+    require(fused != a && b.nonEmpty,
+      s"fused symbol must differ from the left input: ($a, $b) -> $fused")
     // acc: the output array. Append s; but if the last element is `a`
     // and s == b, replace it with the fusion. This fold IS the
     // reference's leftmost-non-overlapping scan: a freshly fused

@@ -93,6 +93,92 @@ class WordPieceSpec extends SparkSpec {
       assert(v(id.toInt - 1) == p, s"id $id should name $p")
   }
 
+  // --------------------------------------------------------- trainer
+
+  /** Independent in-memory WordPiece trainer over a word-frequency
+    * map: likelihood score cnt(ab)/(cnt(a)·cnt(b)), ties to (a, b),
+    * leftmost-non-overlapping fusion — mirrors the published
+    * algorithm, not the engine code.
+    */
+  private def refTrainWp(freq: Map[String, Long], rounds: Int): Seq[WordPiece.WpMerge] = {
+    var vocab: Map[Vector[String], Long] = freq.map { case (w, n) =>
+      (w.toVector.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c.toString else "##" + c
+      }, n)
+    }
+    val out = Seq.newBuilder[WordPiece.WpMerge]
+    for (_ <- 1 to rounds) {
+      val sym = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val pair = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((sy, n) <- vocab) {
+        sy.foreach(s => sym(s) += n)
+        sy.sliding(2).filter(_.length == 2).foreach(p => pair((p(0), p(1))) += n)
+      }
+      if (pair.nonEmpty) {
+        val ((a, b), cab) = pair.toSeq.minBy { case ((a, b), c) =>
+          (-c.toDouble / (sym(a).toDouble * sym(b).toDouble), a, b)
+        }
+        val fused = a + b.stripPrefix("##")
+        out += WordPiece.WpMerge(a, b, fused, cab, sym(a), sym(b))
+        vocab = vocab.map { case (sy, n) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < sy.length) {
+            if (i + 1 < sy.length && sy(i) == a && sy(i + 1) == b) {
+              nb += fused; i += 2
+            } else { nb += sy(i); i += 1 }
+          }
+          (nb.result(), n)
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("trainer matches the in-memory reference on a seeded corpus (10 rounds)") {
+    // seeded corpus with deliberate structure: shared suffixes that
+    // frequency would merge first but likelihood re-ranks (rare-symbol
+    // pairs score high), plus singleton words
+    val freq = Map("tab" -> 9L, "table" -> 6L, "tables" -> 3L,
+      "low" -> 5L, "lower" -> 2L, "bab" -> 4L, "ebb" -> 1L)
+    val docs = freq.toSeq.sortBy(_._1).flatMap { case (w, n) =>
+      Seq.fill(n.toInt)(w)
+    }.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = WordPiece.trainWordPiece(docs, numMerges = 10)
+    val want = refTrainWp(freq, 10)
+    assert(got == want, s"engine\n  $got\nvs reference\n  $want")
+    // scoring is likelihood, NOT raw frequency: assert the two orders
+    // actually differ on this corpus, or the test can't distinguish
+    // WordPiece's objective from BPE's
+    val bpeOrder = graft.functions.Bpe.trainBpe(
+      docs.select(col("doc_id"), col("text")), numMerges = 1)
+    assert(got.head.a + "|" + got.head.b.stripPrefix("##")
+      != bpeOrder.head._1 + "|" + bpeOrder.head._2.replace("</w>", ""),
+      "fixture corpus does not separate likelihood from frequency scoring")
+  }
+
+  test("trained induced vocab: encode segments corpus words losslessly, fixture path unchanged") {
+    val freq = Map("tab" -> 9L, "table" -> 6L, "tables" -> 3L, "low" -> 5L)
+    val docs = freq.toSeq.sortBy(_._1).flatMap { case (w, n) =>
+      Seq.fill(n.toInt)(w)
+    }.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = WordPiece.trainWordPiece(docs, numMerges = 6)
+    val vocab = WordPiece.inducedVocab(merges, "abelostw".map(_.toString))
+    // every corpus word segments without [UNK] (alphabet fallback) and
+    // the pieces reassemble the word exactly
+    for (w <- freq.keys) {
+      val toks = encodeOne(w, vocab)
+      assert(!toks.contains(WordPiece.Unk), s"$w collapsed under trained vocab")
+      assert(toks.head + toks.tail.map(_.stripPrefix("##")).mkString == w,
+        s"$w pieces $toks don't reassemble")
+    }
+    // a trained multi-char piece actually fires (not just char tiling)
+    assert(encodeOne("table", vocab).length < 5, "no trained piece used for 'table'")
+    // and the q-less fixture path still UNKs q words (trained vocab is
+    // additive machinery, not a change to the fixture contract)
+    assert(encodeOne("query", WordPiece.fixtureVocab) == Seq(WordPiece.Unk))
+  }
+
   test("random vocab subsets: kernel == reference on fuzzed words") {
     val rnd = new scala.util.Random(7)
     val alphabet = "abcdeq"
