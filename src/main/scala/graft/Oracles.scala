@@ -2774,6 +2774,36 @@ object Oracles {
         |SELECT token, n_exact, true AS cms_within_bound
         |FROM c ORDER BY n_exact DESC, token LIMIT 20""".stripMargin,
 
+    // Scale twin's full replay: same raw-split token enumeration WITH
+    // ordinality (Spark posexplode pos+1), md5-portable CMS buckets
+    // and occurrence sample, est = min over the 4 sketch rows — the
+    // single-pass approximation itself is what's certified.
+    "agg_heavy_hitters_sketch" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u['tok'] AS tok, CAST(u['ord'] AS BIGINT) AS ord FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |      i -> {'tok': arr[i], 'ord': i})) AS u
+        |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS arr
+        |          FROM documents) src)
+        |  WHERE length(u['tok']) > 0),
+        |cms AS (
+        |  SELECT r.r,
+        |    CAST(CAST(concat('0x', substr(md5(concat('cms', r.r, '_', tok)), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks CROSS JOIN range(0, 4) r(r)
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT tok FROM toks
+        |  WHERE CAST(concat('0x', substr(md5(concat('smp_', doc_id, '_', ord, '_', tok)), 1, 8)) AS UBIGINT) % 64 = 0),
+        |est AS (
+        |  SELECT c.tok, min(m.cnt) AS est_n
+        |  FROM cand c CROSS JOIN range(0, 4) r(r)
+        |  JOIN cms m ON m.r = r.r
+        |    AND m.k = CAST(CAST(concat('0x', substr(md5(concat('cms', r.r, '_', c.tok)), 1, 8)) AS UBIGINT) % 4096 AS BIGINT)
+        |  GROUP BY 1)
+        |SELECT tok AS token, est_n FROM est
+        |ORDER BY est_n DESC, tok LIMIT 20""".stripMargin,
+
     "agg_grouped_distinct" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS exact_texts,

@@ -1343,6 +1343,42 @@ object Queries {
     }.toDF("token", "n_exact", "cms_within_bound")
   }
 
+  /** Heavy hitters, 100-TB form (the scale twin of
+    * `agg_heavy_hitters`, which scans the token stream three times
+    * because its exact arm is the verification face): ONE corpus
+    * pass builds both the 4×4096 count-min sketch and a deterministic
+    * 1/64 occurrence-sampled candidate set
+    * ([[graft.functions.TextAnalysis.cmsHeavyHitterSketch]]),
+    * materialized once (localCheckpoint — the bounded ~16k-row state a
+    * real pipeline would persist); everything after reads ONLY that
+    * table: candidates probe their 4 sketch cells, est = min, top-20
+    * by (est desc, token). No exact counts anywhere, no
+    * distinct-token shuffle, no driver collect. Every hash is
+    * md5-portable, so the oracle replays sketch, sample, estimates
+    * and ranking exactly — the approximation itself is certified
+    * (`sim_lsh_partial` convention). One-scan shape is plan-guarded.
+    */
+  val aggHeavyHittersSketch: Q = (s, dir) => {
+    val d = 4
+    val w = 4096
+    val sketch = graft.functions.TextAnalysis
+      .cmsHeavyHitterSketch(t(s, dir, "documents"), d, w, sampleMod = 64)
+      .localCheckpoint()
+    val cms = sketch.filter(col("kind") < d)
+      .select(col("kind").as("r"), col("k"), col("cnt"))
+    val cand = sketch.filter(col("kind") === d).select(col("ctok").as("tok"))
+    val probes = cand.select(col("tok"), explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"),
+          graft.functions.TextAnalysis.cmsBucket(col("tok"), r, w).as("k"))): _*))
+        .as("p"))
+      .select(col("tok"), col("p.r"), col("p.k"))
+    probes.join(cms, Seq("r", "k"))
+      .groupBy("tok").agg(min(col("cnt")).as("est_n"))
+      .orderBy(col("est_n").desc, col("tok"))
+      .limit(20)
+      .select(col("tok").as("token"), col("est_n"))
+  }
+
   /** T3 — union of per-table results into run totals. */
   val t3UnionTotals: Q = (s, dir) => {
     val per = Readers.validChangeLog(s, dir)

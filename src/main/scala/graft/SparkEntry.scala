@@ -128,6 +128,7 @@ object SparkEntry {
     "layout_zorder" -> Queries.layoutZorder,
     "dq_expectations" -> Queries.dqExpectations,
     "agg_heavy_hitters" -> Queries.aggHeavyHitters,
+    "agg_heavy_hitters_sketch" -> Queries.aggHeavyHittersSketch,
     "tokenize_publish" -> Queries.tokenizePublish,
     "text_quality" -> Queries.textQuality,
     "text_fingerprint" -> Queries.textFingerprint,
@@ -220,5 +221,9 @@ object SparkEntry {
     // brute-force full-corpus top-k scan per query — the recall
     // ground truth for the bucketed ANN family
     "sim_cosine_topk" -> "sim_lsh_topk",
+    // 3 token-stream scans (exact top-20 verification face + count +
+    // sketch-bound probe); the twin is the one-pass CMS + sampled
+    // candidates form with no exact arm at all
+    "agg_heavy_hitters" -> "agg_heavy_hitters_sketch",
   )
 }

@@ -758,4 +758,57 @@ object TextAnalysis {
           x => x.cast("string")), ",").as("postings"))
       .filter(col("df") >= minDf)
   }
+
+  /** SINGLE-PASS heavy-hitter state: one scan of the token stream
+    * emits, per occurrence, `d` count-min rows (row id, md5-portable
+    * bucket) AND — for the deterministic 1/`sampleMod` occurrence
+    * sample — a candidate row carrying the token string, all folded by
+    * ONE map-side-combined aggregation into a bounded table:
+    * `d·w` sketch cells + the sampled distinct tokens. That bound is
+    * the 100-TB contract — the corpus text never shuffles, the
+    * aggregate state is fixed-KB regardless of vocabulary size (the
+    * distinct-token table, which `agg_heavy_hitters`'s exact arm
+    * shuffles, can be billions of rows on web text), and a true
+    * ε-heavy hitter is present in the occurrence sample w.h.p.
+    * (a token with εN occurrences misses a 1/64 sample with
+    * probability (1−1/64)^(εN) — vanishing for any hitter worth
+    * reporting). Output schema: `kind` (0..d−1 = sketch row, d =
+    * candidate), `k` (bucket), `ctok` (candidate token or null),
+    * `cnt`.
+    *
+    * All hashes are md5-derived so a SQL oracle replays the sketch,
+    * the sample, and the estimates bit-for-bit.
+    */
+  def cmsHeavyHitterSketch(
+      docs: DataFrame, d: Int = 4, w: Int = 4096,
+      sampleMod: Int = 64): DataFrame = {
+    require(d >= 1 && w >= 1 && sampleMod >= 1)
+    val raw = docs.select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), (col("pos") + 1).as("ord"), col("tok"))
+    val cmsRows = (0 until d).map { r =>
+      struct(lit(r).as("kind"), cmsBucket(col("tok"), r, w).as("k"),
+        lit(null).cast("string").as("ctok"))
+    }
+    val sampled = pmod(conv(substring(md5(concat(lit("smp_"),
+      col("doc_id").cast("string"), lit("_"), col("ord").cast("string"),
+      lit("_"), col("tok"))), 1, 8), 16, 10).cast("long"),
+      lit(sampleMod.toLong)) === 0L
+    val candRow = struct(lit(d).as("kind"), lit(0L).as("k"),
+      when(sampled, col("tok")).as("ctok"))
+    raw.select(explode(array((cmsRows :+ candRow): _*)).as("e"))
+      .select(col("e.kind"), col("e.k"), col("e.ctok"))
+      .filter(col("kind") < d || col("ctok").isNotNull)
+      .groupBy("kind", "k", "ctok")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-min bucket of a token for sketch row `r`: first 8 md5 hex
+    * digits of `"cms<r>_<token>"` mod `w` — engine-portable (an
+    * external oracle recomputes the same md5 of the same ASCII).
+    */
+  private[graft] def cmsBucket(tok: Column, r: Int, w: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cms${r}_"), tok)), 1, 8), 16, 10)
+      .cast("long"), lit(w.toLong))
 }

@@ -230,4 +230,19 @@ class AnalyticsPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("one-pass sketch heavy hitters recover the exact top-20 on the fixture corpus") {
+    // the scale twin has no exact arm; its quality claim — sampled
+    // candidates catch every true hitter, CMS estimates rank them
+    // right — is checked against the 3-scan exact baseline here
+    val exact = SparkEntry.queries("agg_heavy_hitters")(spark, sfDir)
+      .select("token", "n_exact").as[(String, Long)].collect().toMap
+    val sketch = SparkEntry.queries("agg_heavy_hitters_sketch")(spark, sfDir)
+      .as[(String, Long)].collect()
+    assert(sketch.map(_._1).toSet == exact.keySet,
+      "sketch top-20 token set diverged from exact top-20")
+    // CMS one-sided error: est >= exact always
+    for ((tok, est) <- sketch)
+      assert(est >= exact(tok), s"CMS underestimated $tok: $est < ${exact(tok)}")
+  }
 }

@@ -79,6 +79,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("sketch heavy hitters: ONE token-stream scan, downstream reads only the sketch") {
+    // the builder — sketch cells + sampled candidates from a single
+    // aggregation — must contain exactly one scan of documents
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val builder = graft.functions.TextAnalysis.cmsHeavyHitterSketch(docs)
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(builder).size == 1,
+      s"builder must scan the corpus exactly once:\n${builder.take(1200)}")
+    // the registered query materializes that bounded table once
+    // (localCheckpoint) and probes it — NO parquet scan may remain in
+    // its plan (a second corpus pass sneaking in would show up here)
+    val p = planOf("agg_heavy_hitters_sketch")
+    assert(!p.contains("FileScan parquet"),
+      s"sketch query re-reads the corpus:\n${p.take(1200)}")
+  }
+
   test("simhash fingerprint is computed before the first exchange (narrow map)") {
     val p = planOf("dedup_simhash")
     val firstExchange = p.indexOf("Exchange")
