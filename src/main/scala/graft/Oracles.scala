@@ -1712,6 +1712,88 @@ object Oracles {
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
 
+    // ANN recall contract: rebuild the 8-plane signatures, the ranked
+    // probe list (own bucket = rank 1, flip of bit b = rank b+2), each
+    // candidate's minprobe, the per-budget top-10, the brute-force
+    // ground truth, and the per-(budget, query) hit counts — the
+    // whole accuracy/cost frontier replayed in SQL.
+    "sim_recall_report" ->
+      """WITH w AS (
+        |  SELECT p.p,
+        |    list((CAST(CAST(concat('0x', substr(md5(concat(p.p, '_', i.i)), 1, 8)) AS UBIGINT) % 2000 AS BIGINT) - 1000) / 1000.0
+        |      ORDER BY i.i) AS wl
+        |  FROM range(0, 8) p(p), range(0, 64) i(i) GROUP BY p.p),
+        |dots AS (
+        |  SELECT e.vec_id, w.p,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> e.embedding[i] * w.wl[i])) AS dot
+        |  FROM embeddings e, w),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot > 0 THEN 1 << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q),
+        |pr AS (
+        |  SELECT vec_id AS qid, CAST(u['prank'] AS BIGINT) AS prank,
+        |    CAST(u['bk'] AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT s.vec_id, unnest(list_transform(range(0, 8),
+        |      j -> {'prank': j + 1,
+        |            'bk': CASE WHEN j = 0 THEN s.bucket
+        |                  ELSE xor(s.bucket, 1 << CAST(j - 1 AS INT)) END})) AS u
+        |    FROM sig s WHERE s.vec_id IN (0, 1, 2, 3, 4))),
+        |cand AS (
+        |  SELECT p.qid, c.vec_id AS nid, min(p.prank) AS minprobe,
+        |    max(CAST(CAST(list_sum(list_transform(range(1, 65),
+        |        i -> cn.qv[i] * pn.qv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(cn.nsq AS DOUBLE)) * sqrt(CAST(pn.nsq AS DOUBLE)))) AS cos
+        |  FROM pr p
+        |  JOIN sig c ON c.bucket = p.bucket
+        |  JOIN n cn ON cn.vec_id = c.vec_id
+        |  JOIN n pn ON pn.vec_id = p.qid
+        |  WHERE c.vec_id != p.qid
+        |  GROUP BY p.qid, c.vec_id),
+        |bud AS (SELECT CAST(b AS BIGINT) AS probes FROM (VALUES (1), (2), (4), (8)) v(b)),
+        |rk AS (
+        |  SELECT b.probes, c.qid, c.nid,
+        |    row_number() OVER (PARTITION BY b.probes, c.qid
+        |      ORDER BY c.cos DESC, c.nid) AS rnk
+        |  FROM cand c JOIN bud b ON b.probes >= c.minprobe),
+        |sel AS (SELECT probes, qid, nid FROM rk WHERE rnk <= 10),
+        |bscored AS (
+        |  SELECT p.qid, c.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+        |        i -> c.qv[i] * p.pv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(p.pn AS DOUBLE))) AS cos
+        |  FROM n c, (SELECT vec_id AS qid, qv AS pv, nsq AS pn FROM n
+        |             WHERE vec_id IN (0, 1, 2, 3, 4)) p
+        |  WHERE c.vec_id != p.qid),
+        |truth AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        |    FROM bscored)
+        |  WHERE rnk <= 10),
+        |hits AS (
+        |  SELECT s.probes, s.qid, CAST(count(*) AS BIGINT) AS nh
+        |  FROM sel s JOIN truth t ON t.qid = s.qid AND t.nid = s.nid
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT b.probes, qq.qid FROM bud b
+        |  CROSS JOIN (SELECT DISTINCT vec_id AS qid FROM embeddings
+        |              WHERE vec_id IN (0, 1, 2, 3, 4)) qq)
+        |SELECT g.probes, g.qid, coalesce(h.nh, CAST(0 AS BIGINT)) AS n_hit,
+        |  round(CAST(coalesce(h.nh, 0) AS DOUBLE) / 10, 6) AS recall
+        |FROM grid g LEFT JOIN hits h ON h.probes = g.probes AND h.qid = g.qid""".stripMargin,
+
     // IVF-flat at a PARTIAL probe (2 of 8 seed cells): assignment and
     // probe ranking exact-integer, within-cell scoring the exact
     // quantized cosine — the approximation itself is oracle-certified

@@ -783,6 +783,21 @@ object Queries {
       centroidsOverride = Some(Similarity.seedCentroids(emb, 8)))
   }
 
+  /** ANN recall CONTRACT, driver-visible: partial-probe LSH top-10 at
+    * budgets 1/2/4/8 of 256 buckets joined against brute-force ground
+    * truth → per-(budget, query) recall@10. One signature pass serves
+    * all budgets (each candidate keeps `minprobe`, membership at
+    * budget p is a filter); the second corpus pass is the exact
+    * ground truth itself. Every stage is md5-portable/exact-integer,
+    * so the oracle rebuilds signatures, probe ranks, per-budget
+    * top-k, ground truth AND the recall table — the accuracy/cost
+    * frontier is hash-checked, not just spec-pinned, and the driver
+    * can trend it across rounds.
+    */
+  val simRecallReport: Q = (s, dir) =>
+    Similarity.lshRecallReport(t(s, dir, "embeddings"),
+      Seq(0L, 1L, 2L, 3L, 4L), 10, planes = 8, budgets = Seq(1, 2, 4, 8))
+
   /** Product-quantization ADC top-10 (Jégou+ TPAMI'11): 8 subspaces ×
     * 16 seed codewords, exact-integer distance tables — the memory-
     * bound ANN scale path (the scored scan reads m codes per vector,

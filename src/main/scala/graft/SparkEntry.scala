@@ -115,6 +115,7 @@ object SparkEntry {
     "sim_sq_topk" -> Queries.simSqTopk,
     "sim_ivf_partial" -> Queries.simIvfPartial,
     "sim_lsh_partial" -> Queries.simLshPartial,
+    "sim_recall_report" -> Queries.simRecallReport,
     // -- extensions: text analysis
     "text_token_count" -> Queries.textTokenCount,
     "tok_bpe_pairs" -> Queries.tokBpePairs,

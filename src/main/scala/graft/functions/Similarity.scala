@@ -218,6 +218,76 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Driver-visible ANN RECALL CONTRACT: for every probe budget, the
+    * partial-probe LSH top-k joined against [[bruteForceTopK]] ground
+    * truth → per-(budget, query) hit counts and recall@k — the
+    * accuracy/cost frontier as a TABLE the driver can hash-check and
+    * trend across rounds (both arms are exact-integer / md5-portable,
+    * so the whole report is oracle-expressible end to end).
+    *
+    * Cost shape: ONE corpus signature pass serves every budget — each
+    * candidate (qid, nid) records `minprobe`, the rank of the first
+    * probed bucket that finds it (own bucket = 1, single-bit flip of
+    * bit b = b + 2), and membership at budget p is just
+    * `minprobe ≤ p`, a codegen'd filter, not a re-probe. Ground truth
+    * is the one additional brute-force pass — inherent to measuring
+    * recall.
+    */
+  def lshRecallReport(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      planes: Int, budgets: Seq[Int]): DataFrame = {
+    val session = embeddings.sparkSession
+    import session.implicits._
+    require(budgets.nonEmpty && budgets == budgets.distinct.sorted,
+      s"budgets must be distinct ascending, got $budgets")
+    val maxProbes = budgets.max
+    require(budgets.head >= 1 && maxProbes <= planes + 1,
+      s"budgets must sit in [1, planes + 1] (own bucket + single-bit flips)")
+    graft.plans.GraftFunctions.register(session)
+    val sig = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"),
+      lshSignature(col("embedding"), planes).as("bucket"),
+    ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
+    val probeList = array((1 to maxProbes).map { r =>
+      struct(lit(r).as("prank"),
+        (if (r == 1) col("bucket")
+         else col("bucket").bitwiseXOR(lit(1L << (r - 2)))).as("pbucket"))
+    }: _*)
+    val queries = sig.filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nsq").as("qn"),
+        explode(probeList).as("p"))
+      .select(col("qid"), col("qv"), col("qn"),
+        col("p.prank").as("prank"), col("p.pbucket").as("bucket"))
+    val cands = sig.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("prank"),
+        cosineFromInts(call_function("graft_dot", col("q"), col("qv")),
+          col("nsq"), col("qn")).as("cos"))
+      // a neighbor reachable through several probed buckets keeps the
+      // CHEAPEST one; cos is probe-independent (max = the one value)
+      .groupBy("qid", "nid")
+      .agg(min(col("prank")).as("minprobe"), max(col("cos")).as("cos"))
+    val budgeted = cands.select(col("qid"), col("nid"), col("cos"),
+      explode(filter(array(budgets.map(b => lit(b)): _*),
+        b => b >= col("minprobe"))).as("probes"))
+    val w = Window.partitionBy(col("probes"), col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val ranked = budgeted.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).select("probes", "qid", "nid")
+    val truth = bruteForceTopK(embeddings, queryIds, k).select("qid", "nid")
+    val hits = ranked.join(truth, Seq("qid", "nid"))
+      .groupBy("probes", "qid").agg(count(lit(1)).as("n_hit"))
+    // a budget that finds NOTHING for a query must still report its
+    // zero — materialize the full (budget × query) grid
+    val grid = budgets.flatMap(b => queryIds.map(q => (b, q)))
+      .toDF("probes", "qid")
+    grid.join(hits, Seq("probes", "qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("probes").cast("long").as("probes"), col("qid"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / lit(k.toDouble), 6).as("recall"))
+  }
+
   // ------------------------------------------------------------- IVF
 
   /** Argmin-cell expression: the cell whose centroid minimizes

@@ -450,6 +450,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hit9 > 0)
   }
 
+  test("recall report: equals independent per-budget lshTopK∩truth; monotone in budget") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val (k, planes) = (10, 6)
+    val budgets = Seq(1, 3, 7)
+    val report = Similarity.lshRecallReport(emb, qids, k, planes, budgets)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (p, q, h, r) => ((p, q), (h, r)) }.toMap
+    assert(report.keySet ==
+      (for (b <- budgets; q <- qids) yield (b.toLong, q)).toSet,
+      "report must cover the full budget × query grid")
+    val truth = Similarity.bruteForceTopK(emb, qids, k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // the one-pass minprobe construction must equal running the probe
+    // budget for real: lshTopK at probes=b ∩ ground truth, per query
+    for (b <- budgets) {
+      val hits = Similarity.lshTopK(emb, qids, k, planes, probes = b)
+        .select("qid", "nid").as[(Long, Long)].collect()
+        .filter(truth).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      for (q <- qids) {
+        val (h, r) = report((b.toLong, q))
+        assert(h == hits.getOrElse(q, 0L),
+          s"budget $b query $q: report $h vs direct ${hits.getOrElse(q, 0L)}")
+        assert(math.abs(r - h.toDouble / k) < 1e-9)
+      }
+    }
+    // more probes can only help: recall monotone per query
+    for (q <- qids; Seq(b1, b2) <- budgets.sliding(2))
+      assert(report((b1.toLong, q))._1 <= report((b2.toLong, q))._1,
+        s"query $q: recall dropped from budget $b1 to $b2")
+  }
+
   test("IVF top-k: exact scores, deterministic centroids, bounded candidates") {
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
     val brute = Similarity.bruteForceTopK(embs, qids, 10)
