@@ -484,6 +484,119 @@ object Oracles {
       |        i -> qs.s[i] * w.w[i])) AS BIGINT) AS d
       |  FROM qsub qs JOIN cwn w ON w.j = qs.j)""".stripMargin
 
+  /** Shared 3-round WordPiece training chain (word table -> v0..v2,
+    * likelihood-scored winners m0..m2) - used by the trainer oracle
+    * and by the trained-encode oracle that consumes the fused pieces.
+    * No leading WITH; margin already embedded.
+    */
+  private val WP_TRAIN_CTES =
+    """wc AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word
+        |  ORDER BY n DESC, word LIMIT 65536),
+        |v0 AS (
+        |  SELECT ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+        |      i -> CASE WHEN i = 1 THEN word[i] ELSE '##' || word[i] END), ' ') || ' ' AS s, n
+        |  FROM wc),
+        |sc0 AS (
+        |  SELECT sym, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(trim(s), ' ')) AS sym, n FROM v0)
+        |  GROUP BY sym),
+        |pc0 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v0) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m0 AS (
+        |  SELECT p.a, p.b, p.a || regexp_replace(p.b, '^##', '') AS fused,
+        |    p.cnt AS cnt_ab, sa.cnt AS cnt_a, sb.cnt AS cnt_b
+        |  FROM pc0 p JOIN sc0 sa ON sa.sym = p.a JOIN sc0 sb ON sb.sym = p.b
+        |  ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)) DESC, p.a, p.b
+        |  LIMIT 1),
+        |v1 AS (
+        |  SELECT replace(replace(s,
+        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
+        |      ' ' || (SELECT fused FROM m0) || ' '),
+        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
+        |      ' ' || (SELECT fused FROM m0) || ' ') AS s, n
+        |  FROM v0),
+        |sc1 AS (
+        |  SELECT sym, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(trim(s), ' ')) AS sym, n FROM v1)
+        |  GROUP BY sym),
+        |pc1 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v1) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m1 AS (
+        |  SELECT p.a, p.b, p.a || regexp_replace(p.b, '^##', '') AS fused,
+        |    p.cnt AS cnt_ab, sa.cnt AS cnt_a, sb.cnt AS cnt_b
+        |  FROM pc1 p JOIN sc1 sa ON sa.sym = p.a JOIN sc1 sb ON sb.sym = p.b
+        |  ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)) DESC, p.a, p.b
+        |  LIMIT 1),
+        |v2 AS (
+        |  SELECT replace(replace(s,
+        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+        |      ' ' || (SELECT fused FROM m1) || ' '),
+        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+        |      ' ' || (SELECT fused FROM m1) || ' ') AS s, n
+        |  FROM v1),
+        |sc2 AS (
+        |  SELECT sym, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(trim(s), ' ')) AS sym, n FROM v2)
+        |  GROUP BY sym),
+        |pc2 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v2) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m2 AS (
+        |  SELECT p.a, p.b, p.a || regexp_replace(p.b, '^##', '') AS fused,
+        |    p.cnt AS cnt_ab, sa.cnt AS cnt_a, sb.cnt AS cnt_b
+        |  FROM pc2 p JOIN sc2 sa ON sa.sym = p.a JOIN sc2 sb ON sb.sym = p.b
+        |  ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)) DESC, p.a, p.b
+        |  LIMIT 1)""".stripMargin
+
+  /** Shared WordPiece greedy-encode chain (base/dw/st/wp/docw/agg):
+    * recursive longest-match of every distinct corpus word against a
+    * `vocab(piece)` CTE the caller supplies. No leading WITH.
+    */
+  private val WP_GREEDY_CTES =
+    """base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS words
+        |  FROM documents),
+        |dw AS (SELECT DISTINCT unnest(words) AS word FROM base),
+        |st(word, pos, toks, dead) AS (
+        |  SELECT word, 1, CAST([] AS VARCHAR[]), false FROM dw
+        |  UNION ALL
+        |  SELECT s.word,
+        |    CASE WHEN m.mlen IS NULL THEN len(s.word) + 1 ELSE s.pos + m.mlen END,
+        |    CASE WHEN m.mlen IS NULL THEN s.toks ELSE list_append(s.toks, m.piece) END,
+        |    m.mlen IS NULL
+        |  FROM st s LEFT JOIN LATERAL (
+        |    SELECT v.piece,
+        |      len(CASE WHEN s.pos > 1 THEN substr(v.piece, 3) ELSE v.piece END) AS mlen
+        |    FROM vocab v
+        |    WHERE (s.pos = 1 AND v.piece NOT LIKE '##%'
+        |           AND substr(s.word, s.pos, len(v.piece)) = v.piece)
+        |       OR (s.pos > 1 AND v.piece LIKE '##%'
+        |           AND len(v.piece) > 2
+        |           AND substr(s.word, s.pos, len(v.piece) - 2) = substr(v.piece, 3))
+        |    ORDER BY mlen DESC, v.piece LIMIT 1) m ON true
+        |  WHERE s.pos <= len(s.word) AND NOT s.dead),
+        |wp AS (
+        |  SELECT word, CASE WHEN dead THEN ['[UNK]'] ELSE toks END AS wtoks
+        |  FROM st WHERE dead OR pos = len(word) + 1),
+        |docw AS (
+        |  SELECT doc_id, unnest(words) AS word, generate_subscripts(words, 1) AS ord
+        |  FROM base),
+        |agg AS (
+        |  SELECT d.doc_id, flatten(list(w.wtoks ORDER BY d.ord)) AS flat
+        |  FROM docw d JOIN wp w ON w.word = d.word
+        |  GROUP BY d.doc_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_simhash" -> SIMHASH_PAIRS,
     "dedup_cosine_lsh" -> COSINE_LSH_PAIRS,
@@ -2198,77 +2311,35 @@ object Oracles {
     // strips the right side's ## marker. Output carries the integer
     // counts, so the compared table is FP-free.
     "tok_wordpiece_train" ->
-      """WITH wc AS (
-        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
-        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
-        |  WHERE length(word) > 0 GROUP BY word
-        |  ORDER BY n DESC, word LIMIT 65536),
-        |v0 AS (
-        |  SELECT ' ' || array_to_string(list_transform(range(1, length(word) + 1),
-        |      i -> CASE WHEN i = 1 THEN word[i] ELSE '##' || word[i] END), ' ') || ' ' AS s, n
-        |  FROM wc),
-        |sc0 AS (
-        |  SELECT sym, CAST(SUM(n) AS BIGINT) AS cnt FROM (
-        |    SELECT unnest(string_split(trim(s), ' ')) AS sym, n FROM v0)
-        |  GROUP BY sym),
-        |pc0 AS (
-        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
-        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
-        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v0) WHERE len(sy) >= 2)
-        |  GROUP BY 1, 2),
-        |m0 AS (
-        |  SELECT p.a, p.b, p.a || regexp_replace(p.b, '^##', '') AS fused,
-        |    p.cnt AS cnt_ab, sa.cnt AS cnt_a, sb.cnt AS cnt_b
-        |  FROM pc0 p JOIN sc0 sa ON sa.sym = p.a JOIN sc0 sb ON sb.sym = p.b
-        |  ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)) DESC, p.a, p.b
-        |  LIMIT 1),
-        |v1 AS (
-        |  SELECT replace(replace(s,
-        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
-        |      ' ' || (SELECT fused FROM m0) || ' '),
-        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
-        |      ' ' || (SELECT fused FROM m0) || ' ') AS s, n
-        |  FROM v0),
-        |sc1 AS (
-        |  SELECT sym, CAST(SUM(n) AS BIGINT) AS cnt FROM (
-        |    SELECT unnest(string_split(trim(s), ' ')) AS sym, n FROM v1)
-        |  GROUP BY sym),
-        |pc1 AS (
-        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
-        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
-        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v1) WHERE len(sy) >= 2)
-        |  GROUP BY 1, 2),
-        |m1 AS (
-        |  SELECT p.a, p.b, p.a || regexp_replace(p.b, '^##', '') AS fused,
-        |    p.cnt AS cnt_ab, sa.cnt AS cnt_a, sb.cnt AS cnt_b
-        |  FROM pc1 p JOIN sc1 sa ON sa.sym = p.a JOIN sc1 sb ON sb.sym = p.b
-        |  ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)) DESC, p.a, p.b
-        |  LIMIT 1),
-        |v2 AS (
-        |  SELECT replace(replace(s,
-        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
-        |      ' ' || (SELECT fused FROM m1) || ' '),
-        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
-        |      ' ' || (SELECT fused FROM m1) || ' ') AS s, n
-        |  FROM v1),
-        |sc2 AS (
-        |  SELECT sym, CAST(SUM(n) AS BIGINT) AS cnt FROM (
-        |    SELECT unnest(string_split(trim(s), ' ')) AS sym, n FROM v2)
-        |  GROUP BY sym),
-        |pc2 AS (
-        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
-        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
-        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v2) WHERE len(sy) >= 2)
-        |  GROUP BY 1, 2),
-        |m2 AS (
-        |  SELECT p.a, p.b, p.a || regexp_replace(p.b, '^##', '') AS fused,
-        |    p.cnt AS cnt_ab, sa.cnt AS cnt_a, sb.cnt AS cnt_b
-        |  FROM pc2 p JOIN sc2 sa ON sa.sym = p.a JOIN sc2 sb ON sb.sym = p.b
-        |  ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)) DESC, p.a, p.b
-        |  LIMIT 1)
+      s"""WITH $WP_TRAIN_CTES
         |SELECT CAST(0 AS BIGINT) AS rank, a, b, fused, cnt_ab, cnt_a, cnt_b FROM m0
         |UNION ALL SELECT CAST(1 AS BIGINT), a, b, fused, cnt_ab, cnt_a, cnt_b FROM m1
         |UNION ALL SELECT CAST(2 AS BIGINT), a, b, fused, cnt_ab, cnt_a, cnt_b FROM m2""".stripMargin,
+
+    // The full trained tokenizer replayed: 3-round likelihood training
+    // (shared WP_TRAIN_CTES) -> induced vocab (corpus char alphabet as
+    // bare + ## pieces, from the SAME capped word table, plus the three
+    // fused pieces) -> the shared greedy longest-match encode. n_fused
+    // counts tokens where a trained multi-char piece fired.
+    "tok_wordpiece_trained" ->
+      s"""WITH RECURSIVE $WP_TRAIN_CTES,
+        |alpha AS (
+        |  SELECT DISTINCT ch FROM (
+        |    SELECT unnest(string_split(word, '')) AS ch FROM wc)
+        |  WHERE length(ch) > 0),
+        |vocab(piece) AS (
+        |  SELECT ch FROM alpha
+        |  UNION SELECT '##' || ch FROM alpha
+        |  UNION SELECT fused FROM m0
+        |  UNION SELECT fused FROM m1
+        |  UNION SELECT fused FROM m2),
+        |$WP_GREEDY_CTES
+        |SELECT b.doc_id,
+        |  CAST(COALESCE(len(a.flat), 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(len(list_filter(a.flat,
+        |    tk -> length(regexp_replace(tk, '^##', '')) >= 2)), 0) AS BIGINT) AS n_fused,
+        |  COALESCE(array_to_string(a.flat, ' '), '') AS toks
+        |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""".stripMargin,
 
     // WordPiece ids: the SAME recursive-CTE pieces as tok_wordpiece,
     // then ids = 1-based position in the ORDERED vocab list (built to
@@ -2406,7 +2477,7 @@ object Oracles {
     // plus the multi-char fixture pieces — must mirror
     // WordPiece.fixtureVocab exactly.
     "tok_wordpiece" ->
-      """WITH RECURSIVE vocab(piece) AS (
+      s"""WITH RECURSIVE vocab(piece) AS (
         |  SELECT chr(CAST(x AS INT)) FROM range(97, 123) t1(x)
         |    WHERE chr(CAST(x AS INT)) NOT IN ('q', 'x', 'z')
         |  UNION ALL SELECT chr(CAST(x AS INT)) FROM range(48, 58) t2(x)
@@ -2415,38 +2486,7 @@ object Oracles {
         |  UNION ALL SELECT '##' || chr(CAST(x AS INT)) FROM range(48, 58) t4(x)
         |  UNION ALL SELECT * FROM (VALUES ('the'),('ta'),('tab'),('##le'),('##er'),('##st'),
         |    ('##ing'),('##ed'),('##es'),('##al'),('##ow'),('##an'),('##on')) vm(vp)),
-        |base AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS words
-        |  FROM documents),
-        |dw AS (SELECT DISTINCT unnest(words) AS word FROM base),
-        |st(word, pos, toks, dead) AS (
-        |  SELECT word, 1, CAST([] AS VARCHAR[]), false FROM dw
-        |  UNION ALL
-        |  SELECT s.word,
-        |    CASE WHEN m.mlen IS NULL THEN len(s.word) + 1 ELSE s.pos + m.mlen END,
-        |    CASE WHEN m.mlen IS NULL THEN s.toks ELSE list_append(s.toks, m.piece) END,
-        |    m.mlen IS NULL
-        |  FROM st s LEFT JOIN LATERAL (
-        |    SELECT v.piece,
-        |      len(CASE WHEN s.pos > 1 THEN substr(v.piece, 3) ELSE v.piece END) AS mlen
-        |    FROM vocab v
-        |    WHERE (s.pos = 1 AND v.piece NOT LIKE '##%'
-        |           AND substr(s.word, s.pos, len(v.piece)) = v.piece)
-        |       OR (s.pos > 1 AND v.piece LIKE '##%'
-        |           AND len(v.piece) > 2
-        |           AND substr(s.word, s.pos, len(v.piece) - 2) = substr(v.piece, 3))
-        |    ORDER BY mlen DESC, v.piece LIMIT 1) m ON true
-        |  WHERE s.pos <= len(s.word) AND NOT s.dead),
-        |wp AS (
-        |  SELECT word, CASE WHEN dead THEN ['[UNK]'] ELSE toks END AS wtoks
-        |  FROM st WHERE dead OR pos = len(word) + 1),
-        |docw AS (
-        |  SELECT doc_id, unnest(words) AS word, generate_subscripts(words, 1) AS ord
-        |  FROM base),
-        |agg AS (
-        |  SELECT d.doc_id, flatten(list(w.wtoks ORDER BY d.ord)) AS flat
-        |  FROM docw d JOIN wp w ON w.word = d.word
-        |  GROUP BY d.doc_id)
+        |$WP_GREEDY_CTES
         |SELECT b.doc_id,
         |  CAST(COALESCE(len(a.flat), 0) AS BIGINT) AS n_tokens,
         |  CAST(COALESCE(len(list_filter(a.flat, tk -> tk = '[UNK]')), 0) AS BIGINT) AS n_unk,

@@ -1090,6 +1090,38 @@ object Queries {
       .toDF("rank", "a", "b", "fused", "cnt_ab", "cnt_a", "cnt_b")
   }
 
+  /** The FULL trained WordPiece path, end to end: train 3 likelihood
+    * merges on the corpus, induce the vocabulary (corpus character
+    * alphabet as bare + `##` pieces, plus each merge's fused piece —
+    * both derived from the same frequency-capped word table), then
+    * greedy-longest-match ENCODE every document against it (one
+    * map-only kernel call per row). With the full corpus alphabet in
+    * vocab no word can collapse to [UNK], so the live signal is
+    * `n_fused` — how often a TRAINED multi-char piece actually fires.
+    * The oracle replays training, induction AND the greedy encode in
+    * one CTE chain: the corpus-trained tokenizer artifact is
+    * hash-certified from raw text to token stream.
+    */
+  val tokWordpieceTrained: Q = (s, dir) => {
+    import s.implicits._
+    val wp = graft.functions.WordPiece
+    val docs = t(s, dir, "documents")
+    val merges = wp.trainWordPiece(docs, numMerges = 3)
+    val alphabet = graft.functions.Bpe.wordCounts(docs)
+      .select(explode(split(col("word"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct().orderBy("ch").as[String].collect().toSeq
+    val vocab = wp.inducedVocab(merges, alphabet)
+    docs.select(col("doc_id"),
+        wp.encode(col("text"), vocab).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(filter(col("__toks"),
+          tk => length(regexp_replace(tk, "^##", "")) >= 2))
+          .cast("long").as("n_fused"),
+        concat_ws(" ", col("__toks")).as("toks"))
+  }
+
   /** SQ8 asymmetric top-k: one-byte-per-dimension codes against
     * corpus-trained per-dim ranges, bucket-midpoint reconstruction,
     * exact nonneg integer distances — training stats, codes and

@@ -126,6 +126,7 @@ object SparkEntry {
     "tok_wordpiece" -> Queries.tokWordpiece,
     "tok_wordpiece_ids" -> Queries.tokWordpieceIds,
     "tok_wordpiece_train" -> Queries.tokWordpieceTrain,
+    "tok_wordpiece_trained" -> Queries.tokWordpieceTrained,
     "layout_zorder" -> Queries.layoutZorder,
     "dq_expectations" -> Queries.dqExpectations,
     "agg_heavy_hitters" -> Queries.aggHeavyHitters,
