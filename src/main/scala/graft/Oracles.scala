@@ -1907,6 +1907,85 @@ object Oracles {
         |  round(CAST(coalesce(h.nh, 0) AS DOUBLE) / 10, 6) AS recall
         |FROM grid g LEFT JOIN hits h ON h.probes = g.probes AND h.qid = g.qid""".stripMargin,
 
+    // IVF recall contract: seed-cell assignment + full per-query cell
+    // ranking rebuilt exactly; a neighbor's probe rank is its cell's
+    // rank, budget membership = crank <= nprobe; per-budget top-10 vs
+    // the brute ground truth.
+    "sim_recall_report_ivf" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q),
+        |cseed AS (
+        |  SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+        |cseedn AS (
+        |  SELECT cell, qv AS cv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS cn
+        |  FROM cseed),
+        |cdist AS (
+        |  SELECT q.vec_id, s.cell,
+        |    s.cn - 2 * CAST(list_sum(list_transform(range(1, 65),
+        |      i -> q.qv[i] * s.cv[i])) AS BIGINT) AS d
+        |  FROM q CROSS JOIN cseedn s),
+        |cellasg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |prnk AS (
+        |  SELECT vec_id AS qid, cell, CAST(rn AS BIGINT) AS crank FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist WHERE vec_id IN (0, 1, 2, 3, 4))),
+        |cand AS (
+        |  SELECT p.qid, c.vec_id AS nid, p.crank,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65),
+        |        i -> cn2.qv[i] * pn.qv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(cn2.nsq AS DOUBLE)) * sqrt(CAST(pn.nsq AS DOUBLE))) AS cos
+        |  FROM prnk p
+        |  JOIN cellasg c ON c.cell = p.cell
+        |  JOIN n cn2 ON cn2.vec_id = c.vec_id
+        |  JOIN n pn ON pn.vec_id = p.qid
+        |  WHERE c.vec_id != p.qid),
+        |bud AS (SELECT CAST(b AS BIGINT) AS nprobe FROM (VALUES (1), (2), (4), (8)) v(b)),
+        |rk AS (
+        |  SELECT b.nprobe, c.qid, c.nid,
+        |    row_number() OVER (PARTITION BY b.nprobe, c.qid
+        |      ORDER BY c.cos DESC, c.nid) AS rnk
+        |  FROM cand c JOIN bud b ON b.nprobe >= c.crank),
+        |sel AS (SELECT nprobe, qid, nid FROM rk WHERE rnk <= 10),
+        |bscored AS (
+        |  SELECT p.qid, c.vec_id AS nid,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+        |        i -> c.qv[i] * p.pv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(p.pn AS DOUBLE))) AS cos
+        |  FROM n c, (SELECT vec_id AS qid, qv AS pv, nsq AS pn FROM n
+        |             WHERE vec_id IN (0, 1, 2, 3, 4)) p
+        |  WHERE c.vec_id != p.qid),
+        |truth AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        |    FROM bscored)
+        |  WHERE rnk <= 10),
+        |hits AS (
+        |  SELECT s.nprobe, s.qid, CAST(count(*) AS BIGINT) AS nh
+        |  FROM sel s JOIN truth t ON t.qid = s.qid AND t.nid = s.nid
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT b.nprobe, qq.qid FROM bud b
+        |  CROSS JOIN (SELECT DISTINCT vec_id AS qid FROM embeddings
+        |              WHERE vec_id IN (0, 1, 2, 3, 4)) qq)
+        |SELECT g.nprobe, g.qid, coalesce(h.nh, CAST(0 AS BIGINT)) AS n_hit,
+        |  round(CAST(coalesce(h.nh, 0) AS DOUBLE) / 10, 6) AS recall
+        |FROM grid g LEFT JOIN hits h ON h.nprobe = g.nprobe AND h.qid = g.qid""".stripMargin,
+
     // IVF-flat at a PARTIAL probe (2 of 8 seed cells): assignment and
     // probe ranking exact-integer, within-cell scoring the exact
     // quantized cosine — the approximation itself is oracle-certified

@@ -798,6 +798,16 @@ object Queries {
     Similarity.lshRecallReport(t(s, dir, "embeddings"),
       Seq(0L, 1L, 2L, 3L, 4L), 10, planes = 8, budgets = Seq(1, 2, 4, 8))
 
+  /** IVF face of the recall contract: nprobe budgets 1/2/4/8 of 8
+    * seed cells vs brute-force truth. One celled-corpus join serves
+    * every budget (a neighbor's probe rank = its cell's rank in the
+    * query's centroid-distance order); all stages exact-integer →
+    * the whole frontier is oracle-replayed like `sim_recall_report`.
+    */
+  val simRecallReportIvf: Q = (s, dir) =>
+    Similarity.ivfRecallReport(t(s, dir, "embeddings"),
+      Seq(0L, 1L, 2L, 3L, 4L), 10, nlist = 8, budgets = Seq(1, 2, 4, 8))
+
   /** Product-quantization ADC top-10 (Jégou+ TPAMI'11): 8 subspaces ×
     * 16 seed codewords, exact-integer distance tables — the memory-
     * bound ANN scale path (the scored scan reads m codes per vector,

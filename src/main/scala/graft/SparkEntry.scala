@@ -116,6 +116,7 @@ object SparkEntry {
     "sim_ivf_partial" -> Queries.simIvfPartial,
     "sim_lsh_partial" -> Queries.simLshPartial,
     "sim_recall_report" -> Queries.simRecallReport,
+    "sim_recall_report_ivf" -> Queries.simRecallReportIvf,
     // -- extensions: text analysis
     "text_token_count" -> Queries.textTokenCount,
     "tok_bpe_pairs" -> Queries.tokBpePairs,

@@ -414,6 +414,59 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF face of the recall contract ([[lshRecallReport]]'s shape on
+    * data-adaptive cells): seed centroids (oracle-rebuildable — the
+    * `nlist` lowest vec_ids), each corpus vector's ONE cell, each
+    * query's full cell ranking by ascending centroid distance; a
+    * neighbor's probe rank is its cell's rank, so membership at
+    * budget nprobe = `crank ≤ nprobe` — one corpus join serves every
+    * budget, plus the brute-force ground-truth pass.
+    */
+  def ivfRecallReport(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int, budgets: Seq[Int]): DataFrame = {
+    val session = embeddings.sparkSession
+    import session.implicits._
+    require(budgets.nonEmpty && budgets == budgets.distinct.sorted,
+      s"budgets must be distinct ascending, got $budgets")
+    require(budgets.head >= 1 && budgets.max <= nlist,
+      s"nprobe budgets must sit in [1, nlist=$nlist]")
+    graft.plans.GraftFunctions.register(session)
+    val centroids = seedCentroids(embeddings, nlist)
+    val quant = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"),
+    ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
+    val celled = quant.withColumn("cell", cellOf(col("q"), centroids))
+    val queries = celled
+      .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nsq").as("qn"),
+        posexplode(probeCellsOf(col("q"), centroids, nlist)).as(Seq("__p", "cell")))
+      .select(col("qid"), col("qv"), col("qn"),
+        (col("__p") + 1).as("crank"), col("cell"))
+    val cands = celled.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("crank"),
+        cosineFromInts(call_function("graft_dot", col("q"), col("qv")),
+          col("nsq"), col("qn")).as("cos"))
+    val budgeted = cands.select(col("qid"), col("nid"), col("cos"),
+      explode(filter(array(budgets.map(b => lit(b)): _*),
+        b => b >= col("crank"))).as("nprobe"))
+    val w = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val ranked = budgeted.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).select("nprobe", "qid", "nid")
+    val truth = bruteForceTopK(embeddings, queryIds, k).select("qid", "nid")
+    val hits = ranked.join(truth, Seq("qid", "nid"))
+      .groupBy("nprobe", "qid").agg(count(lit(1)).as("n_hit"))
+    val grid = budgets.flatMap(b => queryIds.map(q => (b, q)))
+      .toDF("nprobe", "qid")
+    grid.join(hits, Seq("nprobe", "qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("nprobe").cast("long").as("nprobe"), col("qid"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / lit(k.toDouble), 6).as("recall"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity
     * threshold, EXACT (all-pairs) — the correctness baseline the
     * LSH-bucketed [[cosineNearDupPairs]] trades recall against.

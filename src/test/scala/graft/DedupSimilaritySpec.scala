@@ -482,6 +482,32 @@ class DedupSimilaritySpec extends SparkSpec {
         s"query $q: recall dropped from budget $b1 to $b2")
   }
 
+  test("IVF recall report: equals per-budget ivfTopK∩truth; full recall at nprobe=nlist") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val (k, nlist) = (10, 8)
+    val budgets = Seq(1, 2, 8)
+    val report = Similarity.ivfRecallReport(emb, qids, k, nlist, budgets)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (p, q, h, r) => ((p, q), (h, r)) }.toMap
+    val truth = Similarity.bruteForceTopK(emb, qids, k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val seeds = Similarity.seedCentroids(emb, nlist)
+    for (b <- budgets) {
+      val hits = Similarity.ivfTopK(emb, qids, k, nlist, nprobe = b,
+          centroidsOverride = Some(seeds))
+        .select("qid", "nid").as[(Long, Long)].collect()
+        .filter(truth).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      for (q <- qids)
+        assert(report((b.toLong, q))._1 == hits.getOrElse(q, 0L),
+          s"nprobe $b query $q: report vs direct ivfTopK")
+    }
+    // probing every cell IS brute force: recall must be exactly 1
+    for (q <- qids)
+      assert(report((nlist.toLong, q)) == ((k.toLong, 1.0)),
+        s"query $q not at full recall with nprobe = nlist")
+  }
+
   test("IVF top-k: exact scores, deterministic centroids, bounded candidates") {
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
     val brute = Similarity.bruteForceTopK(embs, qids, 10)
