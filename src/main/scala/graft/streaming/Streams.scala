@@ -395,6 +395,34 @@ object Streams {
     * text/media — and per-batch compare cost is Σ_cell |batch∩cell| ×
     * |seen∩cell| via a hash equi-join on the cell id, never batch×N.
     */
+  /** Streaming heavy-hitter sketch — the streaming face of
+    * [[graft.functions.TextAnalysis.cmsHeavyHitterSketch]]: the SAME
+    * per-occurrence CMS rows + sampled-candidate rows, as a native
+    * Structured Streaming aggregation. Counts are associative, so
+    * Spark's stateful agg merges micro-batches incrementally and the
+    * state store holds exactly the bounded sketch table (d·w cells +
+    * sampled candidates) — the fixed-size-state property that makes
+    * CMS the streaming-friendly counting structure; no watermark
+    * needed because the key space cannot grow past the bound.
+    * Complete-mode emission per batch; after `Trigger.AvailableNow`
+    * over a static corpus the final emission is bit-identical to the
+    * batch sketch (`StreamingSpec` proves batch ≡ stream, and that
+    * the probed top-20 matches `agg_heavy_hitters_sketch`).
+    */
+  def heavyHittersStream(
+      docs: DataFrame,
+      checkpoint: String,
+      onSketch: DataFrame => Unit,
+      d: Int = 4, w: Int = 4096, sampleMod: Int = 64,
+  ): StreamingQuery =
+    graft.functions.TextAnalysis.cmsHeavyHitterSketch(docs, d, w, sampleMod)
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (sketch: DataFrame, _: Long) => onSketch(sketch) }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def semanticDedupStream(
       embeddings: DataFrame,
       centroids: Array[Array[Long]],

@@ -368,6 +368,36 @@ class StreamingSpec extends SparkSpec {
     assert(batchSignals.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming CMS heavy hitters: final sketch ≡ batch sketch across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hh-ck").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter($"doc_id" < 120)
+    // two micro-batches with DISJOINT halves of the corpus: the merged
+    // stream state must equal the one-shot batch sketch over the union
+    docs.filter($"doc_id" < 60).write.parquet(s"$dir/in/b1.parquet")
+    docs.filter($"doc_id" >= 60).write.parquet(s"$dir/in/b2.parquet")
+    var last: Option[org.apache.spark.sql.DataFrame] = None
+    val q = Streams.heavyHittersStream(
+      spark.readStream.schema(schema).parquet(s"$dir/in/*"), ckpt,
+      sketch => { last = Some(sketch.sparkSession.createDataFrame(
+        java.util.Arrays.asList(sketch.collect(): _*), sketch.schema)) },
+      d = 2, w = 256, sampleMod = 8)
+    q.awaitTermination(120000)
+    val streamed = last.get
+    val batch = graft.functions.TextAnalysis
+      .cmsHeavyHitterSketch(docs, d = 2, w = 256, sampleMod = 8)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed sketch state diverged from the batch sketch")
+  }
+
   test("streaming near-dup filter drops dups across and within micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nds").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-nds-ck").toString
