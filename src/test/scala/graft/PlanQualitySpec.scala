@@ -79,6 +79,27 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("recall reports: corpus joins by bucket/cell with broadcast query side, no all-pairs") {
+    for (q <- Seq("sim_recall_report", "sim_recall_report_ivf")) {
+      val p = planOf(q)
+      // the ONLY nested-loop join allowed is the ground-truth brute
+      // arm's broadcast of the 5-query probe set — the candidate side
+      // must stay an equi-join on bucket/cell
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1000)}")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q query side not broadcast:\n${p.take(1000)}")
+    }
+  }
+
+  test("trained wordpiece encode is one kernel projection — no join, no exchange before it") {
+    val p = planOf("tok_wordpiece_trained")
+    // training collects driver-side; the returned ENCODE plan must be
+    // a pure narrow map: kernel call + projections over the scan
+    assert(p.contains("graft_wordpiece"), p.take(800))
+    assert(!p.contains("Join"), s"encode plan joins:\n${p.take(800)}")
+    assert(!p.contains("Exchange"), s"encode plan shuffles:\n${p.take(800)}")
+  }
+
   test("sketch heavy hitters: ONE token-stream scan, downstream reads only the sketch") {
     // the builder — sketch cells + sampled candidates from a single
     // aggregation — must contain exactly one scan of documents
