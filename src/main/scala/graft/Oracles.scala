@@ -3005,6 +3005,25 @@ object Oracles {
         |SELECT tok AS token, est_n FROM est
         |ORDER BY est_n DESC, tok LIMIT 20""".stripMargin,
 
+    // Stride-scheduled interleave: per-source ordinal (plain window -
+    // equals the engine's two-phase bucketed numbering by construction),
+    // virtual time (n - 0.5)/w with the same IEEE division, first 200
+    // positions of the stream.
+    "corpus_interleave" ->
+      """WITH wsrc AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS wt,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, CAST(rn AS BIGINT) AS n,
+        |    (CAST(rn AS DOUBLE) - 0.5) / wt AS vkey
+        |  FROM wsrc),
+        |top AS (SELECT * FROM k ORDER BY vkey, doc_id LIMIT 200)
+        |SELECT CAST(row_number() OVER (ORDER BY vkey, doc_id) AS BIGINT) AS pos,
+        |  doc_id, source, n, round(vkey, 6) AS stride_key
+        |FROM top""".stripMargin,
+
     "agg_grouped_distinct" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS exact_texts,

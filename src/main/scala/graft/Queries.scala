@@ -2073,6 +2073,20 @@ object Queries {
       "clean_text", maxId)
   }
 
+  /** Curriculum mixing order: stride-scheduled interleave of the 20
+    * sources at deterministic weights (src index mod 4, + 1 — four
+    * weight classes live in the fixture), first 200 positions of the
+    * virtual-time stream. Every prefix carries each source within one
+    * item of its weight share — the drift-free mixing-order guarantee;
+    * per-source ordinals come from the two-phase prefix-sum (no global
+    * window). IEEE-exact keys → the oracle replays the whole stream.
+    */
+  val corpusInterleave: Q = (s, dir) =>
+    graft.functions.TextAnalysis.strideInterleave(
+      t(s, dir, "documents"),
+      src => (substring(src, 4, 10).cast("int") % 4 + 1).cast("double"),
+      topN = 200)
+
   /** Multimodal — columnar metadata profile (no payload decode). */
   val mediaProfile: Q = (s, dir) =>
     graft.functions.Multimodal.mediaProfile(

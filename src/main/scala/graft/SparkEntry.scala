@@ -149,6 +149,7 @@ object SparkEntry {
     "corpus_reweight" -> Queries.corpusReweight,
     "corpus_mix_target" -> Queries.corpusMixTarget,
     "corpus_temperature_mix" -> Queries.corpusTemperatureMix,
+    "corpus_interleave" -> Queries.corpusInterleave,
     "shard_manifest" -> Queries.shardManifest,
     "decon_semantic" -> Queries.deconSemantic,
     "publish_shards" -> Queries.publishShards,

@@ -759,6 +759,56 @@ object TextAnalysis {
       .filter(col("df") >= minDf)
   }
 
+  /** Stride-scheduled SOURCE INTERLEAVE (curriculum/mixing-order
+    * construction — the deterministic counterpart of rate-based
+    * sampling): the n-th document of source s is assigned the virtual
+    * time `(n − 0.5) / w_s` (stride scheduling, Waldspurger & Weihl
+    * OSDI'95), and reading the corpus in virtual-time order yields a
+    * stream where every prefix carries each source in proportion to
+    * its weight — the property curriculum mixing needs, with no
+    * randomness and no drift (a weight-w source is never more than
+    * one item off its w·T entitlement at any prefix T).
+    *
+    * Scale shape: the only sequential ingredient, the per-source
+    * ordinal n, comes from the same two-phase prefix-sum discipline
+    * as [[Packing.packChunks]] — doc_id-range buckets numbered
+    * independently (bounded window partitions), per-(source, bucket)
+    * counts (KB-scale) broadcast back as offsets. No global window,
+    * no single-partition exchange; the final interleaved prefix is a
+    * distributed TakeOrdered.
+    */
+  def strideInterleave(
+      docs: DataFrame, weightOf: Column => Column,
+      topN: Int, buckets: Int = 256): DataFrame = {
+    require(topN > 0 && buckets > 0)
+    val ids = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("source"))
+    val maxId = ids.agg(max("doc_id")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val width = math.max(1L, maxId / buckets + 1)
+    val bucketed = ids.withColumn("bucket", expr(s"doc_id div ${width}L"))
+    val inB = bucketed.withColumn("rk_in",
+      row_number().over(
+        Window.partitionBy("source", "bucket").orderBy("doc_id")).cast("long"))
+    val starts = inB.groupBy("source", "bucket")
+      .agg(max("rk_in").as("bn"))
+      .withColumn("bstart",
+        coalesce(sum("bn").over(Window.partitionBy("source").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "bucket", "bstart")
+    val keyed = inB.join(broadcast(starts), Seq("source", "bucket"))
+      .withColumn("n", col("bstart") + col("rk_in"))
+      .withColumn("__key",
+        (col("n").cast("double") - lit(0.5)) / weightOf(col("source")))
+    val prefix = keyed.orderBy(col("__key"), col("doc_id")).limit(topN)
+    prefix.withColumn("pos",
+        row_number().over(Window.orderBy(col("__key"), col("doc_id"))).cast("long"))
+      .select(col("pos"), col("doc_id"), col("source"), col("n"),
+        round(col("__key"), 6).as("stride_key"))
+  }
+
   /** SINGLE-PASS heavy-hitter state: one scan of the token stream
     * emits, per occurrence, `d` count-min rows (row id, md5-portable
     * bucket) AND — for the deterministic 1/`sampleMod` occurrence

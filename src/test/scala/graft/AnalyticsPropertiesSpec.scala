@@ -231,6 +231,46 @@ class AnalyticsPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("stride interleave: matches the in-memory schedule; every prefix within 1 of entitlement") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source")
+    val weight: String => Double = s => (s.drop(3).toInt % 4 + 1).toDouble
+    val n = docs.count().toInt
+    val got = graft.functions.TextAnalysis.strideInterleave(
+        docs, src => (substring(src, 4, 10).cast("int") % 4 + 1).cast("double"),
+        topN = n, buckets = 7) // buckets ≪ sources: numbering really is two-phase
+      .select("pos", "doc_id", "source", "n")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1)
+    // independent reference: per-source ordinals + virtual-time sort
+    val ref = docs.as[(Long, String)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        rows.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+          (id, src, i + 1L, (i + 1 - 0.5) / weight(src))
+        }
+      }
+      .sortBy { case (id, _, _, key) => (key, id) }
+      .zipWithIndex.map { case ((id, src, ord, _), p) => (p + 1L, id, src, ord) }
+    assert(got.toSeq == ref, "engine schedule diverged from in-memory stride reference")
+    // stride guarantee: at any prefix boundary of virtual time t, a
+    // weight-w source holds its entitlement t·w to within one item
+    // plus the tie run it may be sitting in (sources of equal weight
+    // emit identical keys; doc_id breaks the tie inside the run)
+    val sourcesPerClass = docs.select("source").distinct()
+      .as[String].collect().groupBy(weight).view.mapValues(_.length).toMap
+    for (t <- Seq(n / 10, n / 3, n / 2)) {
+      val prefix = ref.take(t)
+      val (_, lastId, lastSrc, lastOrd) = prefix.last
+      val vt = (lastOrd - 0.5) / weight(lastSrc)
+      val bySrc = prefix.groupBy(_._3).view.mapValues(_.length).toMap
+      val _ = lastId
+      for ((src, cnt) <- bySrc) {
+        val slack = 1.0 + sourcesPerClass(weight(src))
+        assert(math.abs(cnt - vt * weight(src)) <= slack,
+          s"prefix $t: $src has $cnt vs entitlement ${vt * weight(src)} (slack $slack)")
+      }
+    }
+  }
+
   test("one-pass sketch heavy hitters recover the exact top-20 on the fixture corpus") {
     // the scale twin has no exact arm; its quality claim — sampled
     // candidates catch every true hitter, CMS estimates rank them
