@@ -3024,6 +3024,35 @@ object Oracles {
         |  doc_id, source, n, round(vkey, 6) AS stride_key
         |FROM top""".stripMargin,
 
+    // Hashed-linear classifier: feature -> md5 bucket -> md5 integer
+    // weight in [-1000, 1000]; BIGINT sum (order-independent), one
+    // final division. Bigrams join adjacent kept tokens with a space.
+    "text_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS tl
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id,
+        |    list_concat(tl,
+        |      CASE WHEN len(tl) < 2 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_transform(range(1, len(tl)),
+        |                  i -> tl[i] || ' ' || tl[i + 1]) END) AS fl
+        |  FROM toks),
+        |scored AS (
+        |  SELECT doc_id, CAST(len(fl) AS BIGINT) AS nf,
+        |    CAST(list_sum(list_transform(fl, f ->
+        |      CAST(CAST(concat('0x', substr(md5(concat('qw_',
+        |        CAST(CAST(concat('0x', substr(md5(concat('qf_', f)), 1, 8)) AS UBIGINT) % 1024 AS VARCHAR))), 1, 8)) AS UBIGINT) % 2001 AS BIGINT) - 1000))
+        |      AS BIGINT) AS tot
+        |  FROM feats)
+        |SELECT doc_id,
+        |  CASE WHEN nf = 0 THEN 0.0
+        |       ELSE round(CAST(tot AS DOUBLE) / (1000.0 * CAST(nf AS DOUBLE)), 6) END AS clf_score,
+        |  CASE WHEN nf = 0 THEN false
+        |       ELSE CAST(tot AS DOUBLE) / (1000.0 * CAST(nf AS DOUBLE)) > 0 END AS keep
+        |FROM scored""".stripMargin,
+
     "agg_grouped_distinct" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS exact_texts,

@@ -2073,6 +2073,20 @@ object Queries {
       "clean_text", maxId)
   }
 
+  /** Pretrained-classifier quality filter (fastText/CCNet shape):
+    * hashed unigram+bigram features → 1024-bucket md5 weight table →
+    * per-doc linear score, keep = score > 0. Integer-exact weight
+    * sums (order-independent) with one final IEEE division; map-only
+    * corpus pass. The oracle replays the feature hashing, the weight
+    * table and the scores bit-for-bit.
+    */
+  val textQualityClassifier: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      round(graft.functions.TextAnalysis.hashedLinearScore(col("text")), 6)
+        .as("clf_score"),
+      (graft.functions.TextAnalysis.hashedLinearScore(col("text")) > 0)
+        .as("keep"))
+
   /** Curriculum mixing order: stride-scheduled interleave of the 20
     * sources at deterministic weights (src index mod 4, + 1 — four
     * weight classes live in the fixture), first 200 positions of the

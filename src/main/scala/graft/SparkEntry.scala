@@ -178,6 +178,7 @@ object SparkEntry {
     "concurrent_sessions" -> Queries.concurrentSessions,
     "ts_gapfill" -> Queries.tsGapfill,
     "text_quality_score" -> Queries.textQualityScore,
+    "text_quality_classifier" -> Queries.textQualityClassifier,
     "asof_join" -> Queries.asofJoin,
     "j6_click_attribution" -> Queries.j6ClickAttribution,
     "j6_unconverted_views" -> Queries.j6UnconvertedViews,

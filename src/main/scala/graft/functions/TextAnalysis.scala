@@ -759,6 +759,40 @@ object TextAnalysis {
       .filter(col("df") >= minDf)
   }
 
+  /** Hashed-feature LINEAR QUALITY CLASSIFIER applied at corpus scale
+    * — the fastText/CCNet-shaped filter stage (a pretrained linear
+    * model over hashed unigram+bigram features, the production
+    * quality-filter architecture) with a deterministic md5-derived
+    * weight table standing in for trained parameters: feature f hashes
+    * to bucket `md5("qf_"+f) % dims`, whose weight is the INTEGER
+    * `md5("qw_"+bucket) % 2001 − 1000` (∈ [−1000, 1000]). The score is
+    * `Σ w / (1000 · n_feats)` — the sum is exact 64-bit integer
+    * arithmetic (order-independent, so any engine reproduces it
+    * bit-for-bit regardless of list-summation order) with ONE IEEE
+    * division at the end. Map-only: one projection over the corpus,
+    * no shuffle, no UDF — every step is codegen'd `aggregate`/`md5`/
+    * `conv` expressions.
+    */
+  def hashedLinearScore(text: Column, dims: Int = 1024): Column = {
+    val toks = filter(tokens(lower(text)), t => length(t) > 0)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val feats = concat(toks, bigrams)
+    def bucket(f: Column): Column =
+      pmod(conv(substring(md5(concat(lit("qf_"), f)), 1, 8), 16, 10)
+        .cast("long"), lit(dims.toLong))
+    def weightInt(b: Column): Column =
+      pmod(conv(substring(md5(concat(lit("qw_"), b.cast("string"))), 1, 8), 16, 10)
+        .cast("long"), lit(2001L)) - lit(1000L)
+    val total = aggregate(feats, lit(0L),
+      (acc, f) => acc + weightInt(bucket(f)))
+    when(size(feats) === 0, lit(0.0))
+      .otherwise(total.cast("double")
+        / (lit(1000.0) * size(feats).cast("double")))
+  }
+
   /** Stride-scheduled SOURCE INTERLEAVE (curriculum/mixing-order
     * construction — the deterministic counterpart of rate-based
     * sampling): the n-th document of source s is assigned the virtual
