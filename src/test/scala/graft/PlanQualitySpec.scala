@@ -79,6 +79,43 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("SUITE-WIDE: no cartesian anywhere; nested-loop joins only on the audited whitelist") {
+    // Every registered query's physical plan, swept. CartesianProduct
+    // is banned outright (zero today — a data-dependent join that
+    // degenerates to one fails here). BroadcastNestedLoopJoin is legal
+    // ONLY for the audited cases below — all either a ≤k-row broadcast
+    // attach of an aggregate/stat table (a map-side literal join, the
+    // right plan for that shape) or a deliberate brute-force
+    // baseline/ground-truth arm. A new query introducing a BNLJ must
+    // be consciously added here with its justification.
+    val bnljWhitelist = Set(
+      // tiny-broadcast stat/total attaches (≤ buckets rows build side)
+      "corpus_dsir_sample", "corpus_dsir_weights",   // hashed count tables
+      "corpus_mix_target", "corpus_quality_buckets", // corpus totals row
+      "corpus_temperature_mix", "publish_shards",    // totals row
+      "prepare_pretraining_full",                    // flagship: totals row
+      "rfm_segments", "stat_histogram",              // global min/max row
+      "layout_zorder",                               // 1-row min/max quantizer
+      "text_bm25", "text_collocations",              // corpus avg/total row
+      "text_lm_score", "text_tfidf",                 // model stat tables
+      // deliberate brute/ground-truth arms over a broadcast probe set
+      "dedup_cosine_pairs",                          // tagged baselineOnly
+      "sim_cosine_topk",                             // tagged baselineOnly
+      "sim_pq_topk", "sim_sq_topk", "sim_rerank_topk", // ADC scans: queries×corpus by design
+      "sim_recall_report", "sim_recall_report_ivf",  // truth arm = brute pass
+      "decon_semantic",                              // broadcast eval side, zero shuffle
+      "graph_triangles",                             // degree-ordered probe broadcast
+    )
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) offenders += s"$name: CARTESIAN"
+      if (p.contains("BroadcastNestedLoopJoin") && !bnljWhitelist(name))
+        offenders += s"$name: unaudited BNLJ"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("recall reports: corpus joins by bucket/cell with broadcast query side, no all-pairs") {
     for (q <- Seq("sim_recall_report", "sim_recall_report_ivf")) {
       val p = planOf(q)
