@@ -1157,6 +1157,23 @@ object Queries {
         concat_ws(" ", col("__ids").cast("array<string>")).as("ids"))
   }
 
+  /** Unigram-LM (SentencePiece-family) Viterbi tokenization over the
+    * corpus: minimum-total-cost segmentation against the fixture
+    * inventory with md5-derived integer costs — the DP optimum greedy
+    * longest-match approximates. One kernel call per row, map-only;
+    * the exact-integer per-doc total cost is the oracle's strongest
+    * signal (any path divergence shifts it). The oracle replays the
+    * whole DP per distinct word as a recursive CTE.
+    */
+  val tokUnigram: Q = (s, dir) => {
+    val enc = graft.functions.Unigram.encodeFixture(col("text"))
+    t(s, dir, "documents").select(col("doc_id"), enc.as("__e"))
+      .select(col("doc_id"),
+        size(col("__e.toks")).cast("long").as("n_tokens"),
+        col("__e.cost").as("total_cost"),
+        concat_ws(" ", col("__e.toks")).as("toks"))
+  }
+
   /** Data-quality expectations over orders: five row-local rules in
     * ONE scan (not-null, range, set, pattern, date ceiling — the
     * range and date rules FAIL on real rows, so live failure counts

@@ -51,6 +51,10 @@ object GraftFunctions {
     ("graft_wordpiece",
       new ExpressionInfo(classOf[WordPieceExpr].getName, "graft_wordpiece"),
       (es: Seq[Expression]) => WordPieceExpr(es(0), foldedStringArray(es(1)))),
+    ("graft_unigram",
+      new ExpressionInfo(classOf[UnigramEncodeExpr].getName, "graft_unigram"),
+      (es: Seq[Expression]) => UnigramEncodeExpr(es(0),
+        foldedStringArray(es(1)), foldedLongArray(es(2)), foldedInt(es(3)))),
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (es: Seq[Expression]) => SimHash64Expr(es.head)),

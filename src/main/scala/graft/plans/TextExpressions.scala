@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -392,6 +393,84 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Unigram-LM encode (Kudo 2018 / SentencePiece's segmentation
+    * half): lowercase, whitespace-tokenize, then VITERBI
+    * minimum-total-cost segmentation of each word over a piece
+    * inventory with integer costs — the dynamic program greedy
+    * longest-match (WordPiece) only approximates. `best[i]` = min
+    * over pieces `p` ending at `i` of `best[i − |p|] + cost(p)`;
+    * every single character falls back to `charCost` when not in the
+    * inventory, so segmentation never fails. Ties prefer the LONGER
+    * piece (deterministic; the SQL oracle's `ORDER BY cost, len
+    * DESC`). Returns (tokens, total cost) — the exact-integer total
+    * is the oracle's strongest signal. O(word · maxPieceLen) per
+    * word, one kernel call per row.
+    */
+  def unigramEncode(
+      text: UTF8String, pieces: Array[String], costs: Array[Long],
+      charCost: Long): InternalRow = {
+    // values stay EXPLICITLY boxed: with a primitive-valued map,
+    // `get` on a miss unboxes null to 0L and every unknown substring
+    // becomes a free piece (a real bug this kernel shipped with once)
+    val costOf = new java.util.HashMap[String, java.lang.Long]()
+    var maxLen = 1
+    var vi = 0
+    while (vi < pieces.length) {
+      costOf.put(pieces(vi), java.lang.Long.valueOf(costs(vi)))
+      if (pieces(vi).length > maxLen) maxLen = pieces(vi).length
+      vi += 1
+    }
+    val words = text.toLowerCase.toString.split("\\s+")
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var totalCost = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        val n = w.length
+        val best = new Array[Long](n + 1)
+        val bp = new Array[Int](n + 1)
+        var i = 1
+        while (i <= n) {
+          var bestC = Long.MaxValue
+          var bestL = 0
+          var len = 1
+          val lim = math.min(i, maxLen)
+          while (len <= lim) {
+            val sub = w.substring(i - len, i)
+            val boxed: java.lang.Long = costOf.get(sub)
+            val c0: Long =
+              if (boxed ne null) boxed.longValue()
+              else if (len == 1) charCost
+              else -1L
+            if (c0 >= 0L) {
+              val c = best(i - len) + c0
+              // len ascends, so `<=` keeps the LONGEST piece among
+              // cost ties — the documented tie-break
+              if (c < bestC || (c == bestC && len > bestL)) {
+                bestC = c; bestL = len
+              }
+            }
+            len += 1
+          }
+          best(i) = bestC; bp(i) = bestL
+          i += 1
+        }
+        totalCost += best(n)
+        val rev = new java.util.ArrayList[String]()
+        var j = n
+        while (j > 0) { rev.add(w.substring(j - bp(j), j)); j -= bp(j) }
+        var ri = rev.size - 1
+        while (ri >= 0) { out += UTF8String.fromString(rev.get(ri)); ri -= 1 }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray),
+        totalCost))
+  }
+
   /** WordPiece encode (Wu+ 2016 / BERT): lowercase, whitespace-
     * tokenize, then greedy LONGEST-MATCH-FIRST segmentation of each
     * word against `vocab` — continuation positions match pieces
@@ -599,6 +678,49 @@ case class WordPieceExpr(child: Expression, vocab: IndexedSeq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordPieceExpr =
+    copy(child = newChild)
+}
+
+/** `graft_unigram(text, pieces, costs, char_cost)` — Unigram-LM
+  * Viterbi encode against a foldable piece inventory with integer
+  * costs (folded once at construction; only the text is per-row).
+  * Returns `struct(toks array<string>, cost bigint)`.
+  */
+case class UnigramEncodeExpr(
+    child: Expression, pieces: IndexedSeq[String],
+    costs: IndexedSeq[Long], charCost: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_unigram"
+  override def dataType: DataType = StructType(Seq(
+    StructField("toks", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("cost", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if pieces.length != costs.length =>
+      TypeCheckResult.TypeCheckFailure(
+        s"${pieces.length} pieces vs ${costs.length} costs")
+    case _ if charCost < 0 =>
+      TypeCheckResult.TypeCheckFailure("char fallback cost must be >= 0")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  private lazy val pArr: Array[String] = pieces.toArray
+  private lazy val cArr: Array[Long] = costs.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.unigramEncode(
+      input.asInstanceOf[UTF8String], pArr, cArr, charCost.toLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("ugPieces", pArr, "java.lang.String[]")
+    val cRef = ctx.addReferenceObj("ugCosts", cArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextKernels.unigramEncode($c, $pRef, $cRef, ${charCost}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeExpr =
     copy(child = newChild)
 }
 
