@@ -1907,6 +1907,43 @@ object Oracles {
         |  round(CAST(coalesce(h.nh, 0) AS DOUBLE) / 10, 6) AS recall
         |FROM grid g LEFT JOIN hits h ON h.probes = g.probes AND h.qid = g.qid""".stripMargin,
 
+    // IVF index manifest: seed-cell assignment + per-cell count,
+    // md5-xor id checksum (shard_manifest convention) and exact mean
+    // quantized norm (one integer-sum division).
+    "sim_ivf_manifest" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q),
+        |cseed AS (
+        |  SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+        |cseedn AS (
+        |  SELECT cell, qv AS cv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS cn
+        |  FROM cseed),
+        |cdist AS (
+        |  SELECT q.vec_id, s.cell,
+        |    s.cn - 2 * CAST(list_sum(list_transform(range(1, 65),
+        |      i -> q.qv[i] * s.cv[i])) AS BIGINT) AS d
+        |  FROM q CROSS JOIN cseedn s),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist) WHERE rn = 1)
+        |SELECT CAST(a.cell AS BIGINT) AS cell,
+        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  bit_xor(CAST(CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)) AS id_checksum,
+        |  round(CAST(sum(nn.nsq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_nsq
+        |FROM asg a JOIN n nn ON nn.vec_id = a.vec_id
+        |GROUP BY a.cell""".stripMargin,
+
     // IVF recall contract: seed-cell assignment + full per-query cell
     // ranking rebuilt exactly; a neighbor's probe rank is its cell's
     // rank, budget membership = crank <= nprobe; per-budget top-10 vs

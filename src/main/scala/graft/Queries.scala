@@ -798,6 +798,31 @@ object Queries {
     Similarity.lshRecallReport(t(s, dir, "embeddings"),
       Seq(0L, 1L, 2L, 3L, 4L), 10, planes = 8, budgets = Seq(1, 2, 4, 8))
 
+  /** ANN index PUBLICATION face: the IVF index as a manifest table —
+    * per cell, the member count, an order-independent id checksum
+    * (bit_xor of xxhash64, the `shard_manifest` convention) and the
+    * exact mean quantized norm — what a serving layer verifies before
+    * swapping in a rebuilt index. Seed centroids keep every number
+    * oracle-reproducible; one corpus pass, shuffles only (cell, id,
+    * norm) triples.
+    */
+  val simIvfManifest: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.plans.GraftFunctions.register(s)
+    val quant = emb.select(col("vec_id"),
+        Similarity.quantized(col("embedding")).as("q"))
+      .withColumn("nsq", call_function("graft_norm_sq", col("q")))
+    val celled = quant.withColumn("cell",
+      Similarity.cellOf(col("q"), Similarity.seedCentroids(emb, 8)))
+    celled.groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        bit_xor(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+          16, 10).cast("long")).as("id_checksum"),
+        (sum(col("nsq")) / count(lit(1))).as("mean_nsq"))
+      .select(col("cell").cast("long").as("cell"), col("n_vectors"),
+        col("id_checksum"), round(col("mean_nsq"), 6).as("mean_nsq"))
+  }
+
   /** IVF face of the recall contract: nprobe budgets 1/2/4/8 of 8
     * seed cells vs brute-force truth. One celled-corpus join serves
     * every budget (a neighbor's probe rank = its cell's rank in the

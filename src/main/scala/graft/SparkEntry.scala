@@ -117,6 +117,7 @@ object SparkEntry {
     "sim_lsh_partial" -> Queries.simLshPartial,
     "sim_recall_report" -> Queries.simRecallReport,
     "sim_recall_report_ivf" -> Queries.simRecallReportIvf,
+    "sim_ivf_manifest" -> Queries.simIvfManifest,
     // -- extensions: text analysis
     "text_token_count" -> Queries.textTokenCount,
     "tok_bpe_pairs" -> Queries.tokBpePairs,
