@@ -1199,6 +1199,22 @@ object Queries {
         concat_ws(" ", col("__e.toks")).as("toks"))
   }
 
+  /** Unigram-LM TRAINING (Viterbi-EM, hard-EM variant): seed = the
+    * corpus's top-48 substrings of length 2–4, then two (E) segment /
+    * (M) re-price rounds — usage-weighted integer cost updates, no
+    * transcendentals, so the oracle replays BOTH EM rounds: the
+    * substring seeding, each round's full per-word Viterbi DP, the
+    * usage counts and the re-priced costs. Completes the train column
+    * of the tokenizer matrix (BPE merges / WordPiece likelihood /
+    * Unigram EM).
+    */
+  val tokUnigramTrain: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.Unigram.trainUnigram(t(s, dir, "documents"))
+      .map(tp => (tp.piece, tp.plen.toLong, tp.cnt, tp.cost))
+      .toDF("piece", "plen", "cnt", "cost")
+  }
+
   /** Data-quality expectations over orders: five row-local rules in
     * ONE scan (not-null, range, set, pattern, date ceiling — the
     * range and date rules FAIL on real rows, so live failure counts

@@ -130,6 +130,7 @@ object SparkEntry {
     "tok_wordpiece_train" -> Queries.tokWordpieceTrain,
     "tok_wordpiece_trained" -> Queries.tokWordpieceTrained,
     "tok_unigram" -> Queries.tokUnigram,
+    "tok_unigram_train" -> Queries.tokUnigramTrain,
     "layout_zorder" -> Queries.layoutZorder,
     "dq_expectations" -> Queries.dqExpectations,
     "agg_heavy_hitters" -> Queries.aggHeavyHitters,

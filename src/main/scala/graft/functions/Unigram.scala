@@ -73,4 +73,81 @@ object Unigram {
   /** Fixture-inventory encode (the registered-query face). */
   def encodeFixture(text: Column): Column =
     encodeWithCost(text, fixturePieces, fixturePieces.map(pieceCost))
+
+  // ------------------------------------------------------- training
+
+  /** One trained inventory row: piece, its round-2 corpus-weighted
+    * usage count, and its final cost.
+    */
+  final case class TrainedPiece(piece: String, plen: Int, cnt: Long, cost: Long)
+
+  /** Initial cost before any usage statistics: length discount only
+    * (no jitter — the trainer's statistics, not a hash, should move
+    * costs).
+    */
+  def seedCost(len: Int): Long = 2200L - 500L * len
+
+  /** Usage-updated cost: frequently-chosen pieces get cheaper — the
+    * integer-exact stand-in for −log p(piece) that keeps the whole
+    * trainer oracle-replayable (no transcendental functions, whose
+    * last-bit rounding SQL engines do not guarantee).
+    */
+  def updatedCost(len: Int, cnt: Long, maxCnt: Long): Long =
+    math.max(1L, 2200L - 500L * len - (600L * cnt) / (maxCnt + 1L))
+
+  /** Unigram-LM VITERBI-EM training (the hard-EM variant of Kudo
+    * 2018's trainer): seed the inventory with the corpus's top-`m`
+    * substrings of length 2–4 (corpus-weighted occurrence counts),
+    * then alternate (E) Viterbi-segment the word table under current
+    * costs — the `graft_unigram` kernel, one call per distinct word —
+    * and (M) recount piece usage and re-price via [[updatedCost]].
+    * EVERYTHING is exact integers, so both EM rounds replay in SQL.
+    *
+    * Scale shape = the [[Bpe.trainBpe]] contract: ONE corpus-scale
+    * pass (the capped word count); seeding and every EM round run on
+    * the ≤`vocabCap` word table; driver state is the `m`-row
+    * inventory per round.
+    */
+  def trainUnigram(docs: org.apache.spark.sql.DataFrame, rounds: Int = 2,
+      m: Int = 48, vocabCap: Int = 65536): Seq[TrainedPiece] = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val wc = Bpe.wordCounts(docs, vocabCap).persist()
+    try {
+      // every (start, len∈2..4) substring of every word, weighted by
+      // word frequency — substring with per-row start/len needs the
+      // expr form (the DSL's substring takes literal ints)
+      // CASE guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0],
+      // not empty — words shorter than l must take the empty branch
+      val subsE = wc.select(col("n"), explode(expr(
+        "flatten(transform(array(2, 3, 4), l -> " +
+          "CASE WHEN length(word) >= l THEN " +
+          "transform(sequence(1, length(word) - l + 1), " +
+          "i -> substring(word, i, l)) " +
+          "ELSE CAST(array() AS array<string>) END))")).as("piece"))
+      val seed = subsE.filter(length(col("piece")) >= 2)
+        .groupBy("piece").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("piece")).limit(m)
+        .select("piece").as[String].collect().toSeq
+      var costs: Map[String, Long] =
+        seed.map(p => p -> seedCost(p.length)).toMap
+      var lastCnt: Map[String, Long] = Map.empty
+      for (_ <- 1 to rounds) {
+        val pieces = seed
+        val costArr = pieces.map(costs)
+        val segged = wc.select(col("n"),
+          encodeWithCost(col("word"), pieces, costArr, CharCost)
+            .getField("toks").as("toks"))
+        val cnts = segged.select(col("n"), explode(col("toks")).as("piece"))
+          .filter(length(col("piece")) >= 2)
+          .groupBy("piece").agg(sum(col("n")).as("cnt"))
+          .as[(String, Long)].collect().toMap
+        lastCnt = seed.map(p => p -> cnts.getOrElse(p, 0L)).toMap
+        val maxCnt = if (lastCnt.isEmpty) 0L else lastCnt.values.max
+        costs = seed.map(p =>
+          p -> updatedCost(p.length, lastCnt(p), maxCnt)).toMap
+      }
+      seed.map(p => TrainedPiece(p, p.length, lastCnt(p), costs(p)))
+    } finally { wc.unpersist(); () }
+  }
 }

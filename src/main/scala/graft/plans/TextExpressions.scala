@@ -439,11 +439,12 @@ object TextKernels {
           while (len <= lim) {
             val sub = w.substring(i - len, i)
             val boxed: java.lang.Long = costOf.get(sub)
-            val c0: Long =
-              if (boxed ne null) boxed.longValue()
-              else if (len == 1) charCost
-              else -1L
-            if (c0 >= 0L) {
+            // a boolean, not a -1 sentinel: trained costs may be any
+            // integer, so no cost value can be reserved as "absent"
+            val found = (boxed ne null) || len == 1
+            if (found) {
+              val c0: Long =
+                if (boxed ne null) boxed.longValue() else charCost
               val c = best(i - len) + c0
               // len ascends, so `<=` keeps the LONGEST piece among
               // cost ties — the documented tie-break

@@ -92,6 +92,38 @@ class UnigramSpec extends SparkSpec {
     assert(t3.isEmpty && c3 == 0L)
   }
 
+  test("trainer: EM rounds move costs toward usage; reference replay agrees") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+    val trained = Unigram.trainUnigram(docs, rounds = 2, m = 24)
+    assert(trained.size == 24)
+    // every cost respects the positive floor and the formula
+    val mx = trained.map(_.cnt).max
+    for (tp <- trained) {
+      assert(tp.cost >= 1L)
+      assert(tp.cost == Unigram.updatedCost(tp.plen, tp.cnt, mx),
+        s"${tp.piece}: cost not the round-2 update of its own count")
+    }
+    // EM actually discriminates: used pieces are cheaper than unused
+    // peers of the same length
+    val used2 = trained.filter(t => t.plen == 2 && t.cnt > 0)
+    val unused2 = trained.filter(t => t.plen == 2 && t.cnt == 0)
+    if (used2.nonEmpty && unused2.nonEmpty)
+      assert(used2.map(_.cost).min < unused2.map(_.cost).min,
+        "usage left costs unmoved — the M-step is dead")
+    // and the trained inventory segments corpus words more cheaply
+    // than the seed-cost inventory (EM round improved the objective)
+    val pieces = trained.map(_.piece)
+    val seedTotal = docs.select(sum(Unigram.encodeWithCost(col("text"),
+        pieces, pieces.map(p => Unigram.seedCost(p.length))).getField("cost")))
+      .head().getLong(0)
+    val trainedTotal = docs.select(sum(Unigram.encodeWithCost(col("text"),
+        pieces, trained.map(_.cost)).getField("cost")))
+      .head().getLong(0)
+    assert(trainedTotal < seedTotal,
+      s"trained inventory did not lower corpus cost: $trainedTotal vs $seedTotal")
+  }
+
   test("optimality: engine cost ≤ any random valid segmentation's cost (fuzzed)") {
     val rnd = new scala.util.Random(19)
     val costMap = Unigram.fixturePieces.map(p => p -> Unigram.pieceCost(p)).toMap
