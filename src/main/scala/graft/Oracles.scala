@@ -2522,6 +2522,144 @@ object Oracles {
         |FROM cnt2 c2""".stripMargin,
 
 
+    // Trained-unigram corpus encode: the FULL train chain (shared
+    // shape with tok_unigram_train) -> final clamped costs as inv3 ->
+    // a third Viterbi DP over the corpus words (inventory carried into
+    // the recursion anchor) -> per-doc token streams and exact cost
+    // totals.
+    "tok_unigram_trained" ->
+      """WITH RECURSIVE wc AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word
+        |  ORDER BY n DESC, word LIMIT 65536),
+        |subs AS (
+        |  SELECT u AS piece, CAST(SUM(n) AS BIGINT) AS scnt FROM (
+        |    SELECT n, unnest(flatten(list_transform([2, 3, 4], l ->
+        |      list_transform(range(1, greatest(length(word) - l + 2, 1)),
+        |        i -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS u
+        |    FROM wc)
+        |  WHERE length(u) >= 2 GROUP BY u),
+        |seed AS (SELECT piece FROM subs ORDER BY scnt DESC, piece LIMIT 48),
+        |chars AS (
+        |  SELECT DISTINCT ch AS piece FROM (
+        |    SELECT unnest(string_split(word, '')) AS ch FROM wc)
+        |  WHERE length(ch) = 1),
+        |inv1 AS (
+        |  SELECT piece, CAST(length(piece) AS INT) AS plen,
+        |    CAST(2200 - 500 * length(piece) AS BIGINT) AS pcost FROM seed
+        |  UNION ALL
+        |  SELECT piece, 1, CAST(2000 AS BIGINT) FROM chars),
+        |st1(word, pos, best, bp) AS (
+        |  SELECT word, 0, [CAST(0 AS BIGINT)], CAST([] AS INT[]) FROM wc
+        |  UNION ALL
+        |  SELECT s.word, s.pos + 1, list_append(s.best, m.c), list_append(s.bp, m.l)
+        |  FROM st1 s JOIN LATERAL (
+        |    SELECT s.best[s.pos + 2 - v.plen] + v.pcost AS c, v.plen AS l
+        |    FROM inv1 v
+        |    WHERE v.plen <= s.pos + 1
+        |      AND v.piece = substr(s.word, s.pos + 2 - v.plen, v.plen)
+        |    ORDER BY c, l DESC LIMIT 1) m ON true
+        |  WHERE s.pos < len(s.word)),
+        |fin1 AS (SELECT word, bp FROM st1 WHERE pos = len(word)),
+        |walk1(word, pos, toks, wbp) AS (
+        |  SELECT word, CAST(len(word) AS INT), CAST([] AS VARCHAR[]), bp FROM fin1
+        |  UNION ALL
+        |  SELECT w.word, w.pos - w.wbp[w.pos],
+        |    list_prepend(substr(w.word, w.pos - w.wbp[w.pos] + 1, w.wbp[w.pos]), w.toks),
+        |    w.wbp
+        |  FROM walk1 w WHERE w.pos > 0),
+        |seg1 AS (SELECT word, toks FROM walk1 WHERE pos = 0),
+        |cnt1 AS (
+        |  SELECT sd.piece, CAST(COALESCE(SUM(t.n), 0) AS BIGINT) AS cnt
+        |  FROM seed sd LEFT JOIN (
+        |    SELECT unnest(g.toks) AS piece, w2.n
+        |    FROM seg1 g JOIN wc w2 ON w2.word = g.word) t
+        |    ON t.piece = sd.piece
+        |  GROUP BY sd.piece),
+        |inv2 AS (
+        |  SELECT c.piece, CAST(length(c.piece) AS INT) AS plen,
+        |    CAST(greatest(1, 2200 - 500 * length(c.piece)
+        |      - (600 * c.cnt) // ((SELECT max(cnt) FROM cnt1) + 1)) AS BIGINT) AS pcost
+        |  FROM cnt1 c
+        |  UNION ALL
+        |  SELECT piece, 1, CAST(2000 AS BIGINT) FROM chars),
+        |st2(word, pos, best, bp, cl) AS (
+        |  SELECT word, 0, [CAST(0 AS BIGINT)], CAST([] AS INT[]),
+        |    (SELECT list(struct_pack(pp := piece, pl := plen, pc := pcost)) FROM inv2)
+        |  FROM wc
+        |  UNION ALL
+        |  SELECT s.word, s.pos + 1, list_append(s.best, m.cc), list_append(s.bp, m.l), s.cl
+        |  FROM st2 s JOIN LATERAL (
+        |    SELECT s.best[s.pos + 2 - CAST(c['pl'] AS INT)] + c['pc'] AS cc,
+        |      CAST(c['pl'] AS INT) AS l
+        |    FROM unnest(s.cl) u(c)
+        |    WHERE CAST(c['pl'] AS INT) <= s.pos + 1
+        |      AND c['pp'] = substr(s.word, s.pos + 2 - CAST(c['pl'] AS INT), CAST(c['pl'] AS INT))
+        |    ORDER BY cc, l DESC LIMIT 1) m ON true
+        |  WHERE s.pos < len(s.word)),
+        |fin2 AS (SELECT word, bp FROM st2 WHERE pos = len(word)),
+        |walk2(word, pos, toks, wbp) AS (
+        |  SELECT word, CAST(len(word) AS INT), CAST([] AS VARCHAR[]), bp FROM fin2
+        |  UNION ALL
+        |  SELECT w.word, w.pos - w.wbp[w.pos],
+        |    list_prepend(substr(w.word, w.pos - w.wbp[w.pos] + 1, w.wbp[w.pos]), w.toks),
+        |    w.wbp
+        |  FROM walk2 w WHERE w.pos > 0),
+        |seg2 AS (SELECT word, toks FROM walk2 WHERE pos = 0),
+        |cnt2 AS (
+        |  SELECT sd.piece, CAST(COALESCE(SUM(t.n), 0) AS BIGINT) AS cnt
+        |  FROM seed sd LEFT JOIN (
+        |    SELECT unnest(g.toks) AS piece, w2.n
+        |    FROM seg2 g JOIN wc w2 ON w2.word = g.word) t
+        |    ON t.piece = sd.piece
+        |  GROUP BY sd.piece),
+        |inv3 AS (
+        |  SELECT c2.piece, CAST(length(c2.piece) AS INT) AS plen,
+        |    CAST(greatest(1, 2200 - 500 * length(c2.piece)
+        |      - (600 * c2.cnt) // ((SELECT max(cnt) FROM cnt2) + 1)) AS BIGINT) AS pcost
+        |  FROM cnt2 c2
+        |  UNION ALL
+        |  SELECT piece, 1, CAST(2000 AS BIGINT) FROM chars),
+        |st3(word, pos, best, bp, cl) AS (
+        |  SELECT word, 0, [CAST(0 AS BIGINT)], CAST([] AS INT[]),
+        |    (SELECT list(struct_pack(pp := piece, pl := plen, pc := pcost)) FROM inv3)
+        |  FROM wc
+        |  UNION ALL
+        |  SELECT s.word, s.pos + 1, list_append(s.best, m.cc), list_append(s.bp, m.l), s.cl
+        |  FROM st3 s JOIN LATERAL (
+        |    SELECT s.best[s.pos + 2 - CAST(c['pl'] AS INT)] + c['pc'] AS cc,
+        |      CAST(c['pl'] AS INT) AS l
+        |    FROM unnest(s.cl) u(c)
+        |    WHERE CAST(c['pl'] AS INT) <= s.pos + 1
+        |      AND c['pp'] = substr(s.word, s.pos + 2 - CAST(c['pl'] AS INT), CAST(c['pl'] AS INT))
+        |    ORDER BY cc, l DESC LIMIT 1) m ON true
+        |  WHERE s.pos < len(s.word)),
+        |fin3 AS (SELECT word, best[len(word) + 1] AS wcost, bp FROM st3 WHERE pos = len(word)),
+        |walk3(word, pos, toks, wbp) AS (
+        |  SELECT word, CAST(len(word) AS INT), CAST([] AS VARCHAR[]), bp FROM fin3
+        |  UNION ALL
+        |  SELECT w.word, w.pos - w.wbp[w.pos],
+        |    list_prepend(substr(w.word, w.pos - w.wbp[w.pos] + 1, w.wbp[w.pos]), w.toks),
+        |    w.wbp
+        |  FROM walk3 w WHERE w.pos > 0),
+        |seg3 AS (SELECT word, toks FROM walk3 WHERE pos = 0),
+        |base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS words
+        |  FROM documents),
+        |docw AS (
+        |  SELECT doc_id, unnest(words) AS word, generate_subscripts(words, 1) AS ord FROM base),
+        |agg AS (
+        |  SELECT d.doc_id, flatten(list(g.toks ORDER BY d.ord)) AS flat,
+        |    CAST(sum(f.wcost) AS BIGINT) AS tc
+        |  FROM docw d JOIN seg3 g ON g.word = d.word JOIN fin3 f ON f.word = d.word
+        |  GROUP BY d.doc_id)
+        |SELECT b.doc_id,
+        |  CAST(COALESCE(len(a.flat), 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.tc, 0) AS BIGINT) AS total_cost,
+        |  COALESCE(array_to_string(a.flat, ' '), '') AS toks
+        |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""".stripMargin,
+
     // Unigram-LM Viterbi: the WHOLE dynamic program replayed per
     // distinct word — best-cost list built position by position (ties
     // ORDER BY cost, len DESC = kernel's longest-wins), backpointer

@@ -1215,6 +1215,23 @@ object Queries {
       .toDF("piece", "plen", "cnt", "cost")
   }
 
+  /** The full trained Unigram path: Viterbi-EM training, then encode
+    * every document against the FINAL trained inventory — the exact
+    * analog of `tok_wordpiece_trained` for the SentencePiece family.
+    * The oracle replays training (both EM rounds) AND a third DP over
+    * the corpus under the final costs.
+    */
+  val tokUnigramTrained: Q = (s, dir) => {
+    val trained = graft.functions.Unigram.trainUnigram(t(s, dir, "documents"))
+    val enc = graft.functions.Unigram.encodeWithCost(col("text"),
+      trained.map(_.piece), trained.map(_.cost))
+    t(s, dir, "documents").select(col("doc_id"), enc.as("__e"))
+      .select(col("doc_id"),
+        size(col("__e.toks")).cast("long").as("n_tokens"),
+        col("__e.cost").as("total_cost"),
+        concat_ws(" ", col("__e.toks")).as("toks"))
+  }
+
   /** Data-quality expectations over orders: five row-local rules in
     * ONE scan (not-null, range, set, pattern, date ceiling — the
     * range and date rules FAIL on real rows, so live failure counts

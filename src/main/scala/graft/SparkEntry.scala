@@ -131,6 +131,7 @@ object SparkEntry {
     "tok_wordpiece_trained" -> Queries.tokWordpieceTrained,
     "tok_unigram" -> Queries.tokUnigram,
     "tok_unigram_train" -> Queries.tokUnigramTrain,
+    "tok_unigram_trained" -> Queries.tokUnigramTrained,
     "layout_zorder" -> Queries.layoutZorder,
     "dq_expectations" -> Queries.dqExpectations,
     "agg_heavy_hitters" -> Queries.aggHeavyHitters,
