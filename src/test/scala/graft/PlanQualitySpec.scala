@@ -137,6 +137,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"encode plan shuffles:\n${p.take(800)}")
   }
 
+  test("unigram encodes (fixture and trained) are one kernel projection — map-only") {
+    for (q <- Seq("tok_unigram", "tok_unigram_trained")) {
+      val p = planOf(q)
+      assert(p.contains("graft_unigram"), s"$q: ${p.take(800)}")
+      assert(!p.contains("Join"), s"$q encode plan joins:\n${p.take(800)}")
+      assert(!p.contains("Exchange"), s"$q encode plan shuffles:\n${p.take(800)}")
+    }
+  }
+
   test("sketch heavy hitters: ONE token-stream scan, downstream reads only the sketch") {
     // the builder — sketch cells + sampled candidates from a single
     // aggregation — must contain exactly one scan of documents
