@@ -3387,6 +3387,31 @@ object Oracles {
         |       ELSE CAST(tot AS DOUBLE) / (1000.0 * CAST(nf AS DOUBLE)) > 0 END AS keep
         |FROM scored""".stripMargin,
 
+    // Drift monitor: exact-integer TV deviation |c1*N2 - c2*N1| over
+    // the merged vocabulary of the two snapshot halves; one division
+    // per emitted row.
+    "corpus_drift" ->
+      """WITH ca AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c1 FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |    FROM documents WHERE doc_id < 250)
+        |  WHERE length(token) > 0 GROUP BY token),
+        |cb AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |    FROM documents WHERE doc_id >= 250)
+        |  WHERE length(token) > 0 GROUP BY token),
+        |j AS (
+        |  SELECT COALESCE(ca.token, cb.token) AS token,
+        |    COALESCE(ca.c1, 0) AS c1, COALESCE(cb.c2, 0) AS c2
+        |  FROM ca FULL JOIN cb ON cb.token = ca.token),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM j)
+        |SELECT token, c1, c2,
+        |  round(CAST(abs(c1 * t.n2 - c2 * t.n1) AS DOUBLE)
+        |    / (2.0 * CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 9) AS tv_contrib
+        |FROM j, t
+        |ORDER BY abs(c1 * t.n2 - c2 * t.n1) DESC, token LIMIT 20""".stripMargin,
+
     "agg_grouped_distinct" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS exact_texts,

@@ -2148,6 +2148,39 @@ object Queries {
       "clean_text", maxId)
   }
 
+  /** Corpus DRIFT monitor: total-variation distance between the token
+    * distributions of two corpus snapshots (first vs second half by
+    * doc_id — the batch-over-batch shape of a production drift check),
+    * plus the top-20 most-drifted tokens. TV instead of KL on
+    * purpose: with integer counts, `|c1·N2 − c2·N1|` is EXACT 64-bit
+    * arithmetic over the merged vocabulary and the only IEEE op is
+    * the final division — order-independent at any partitioning,
+    * hash-identical in any engine (KL's log is not guaranteed
+    * last-bit-identical across engines). One scan per snapshot,
+    * map-combined counts, vocabulary-sized shuffle.
+    */
+  val corpusDrift: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val mid = 250L
+    def counts(half: DataFrame) = half
+      .select(explode(filter(graft.functions.TextAnalysis.tokens(lower(col("text"))),
+        w => length(w) > 0)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val a = counts(docs.filter(col("doc_id") < mid))
+    val b = counts(docs.filter(col("doc_id") >= mid))
+    val joined = a.withColumnRenamed("c", "c1")
+      .join(b.withColumnRenamed("c", "c2"), Seq("token"), "full")
+      .na.fill(0L, Seq("c1", "c2"))
+    val totals = joined.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val scored = joined.join(broadcast(totals))
+      .withColumn("dev", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+    scored.orderBy(col("dev").desc, col("token")).limit(20)
+      .select(col("token"), col("c1"), col("c2"),
+        round(col("dev").cast("double")
+          / (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")), 9)
+          .as("tv_contrib"))
+  }
+
   /** Pretrained-classifier quality filter (fastText/CCNet shape):
     * hashed unigram+bigram features → 1024-bucket md5 weight table →
     * per-doc linear score, keep = score > 0. Integer-exact weight

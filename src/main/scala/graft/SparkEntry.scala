@@ -154,6 +154,7 @@ object SparkEntry {
     "corpus_mix_target" -> Queries.corpusMixTarget,
     "corpus_temperature_mix" -> Queries.corpusTemperatureMix,
     "corpus_interleave" -> Queries.corpusInterleave,
+    "corpus_drift" -> Queries.corpusDrift,
     "shard_manifest" -> Queries.shardManifest,
     "decon_semantic" -> Queries.deconSemantic,
     "publish_shards" -> Queries.publishShards,

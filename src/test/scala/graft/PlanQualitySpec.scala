@@ -97,6 +97,7 @@ class PlanQualitySpec extends SparkSpec {
       "rfm_segments", "stat_histogram",              // global min/max row
       "layout_zorder",                               // 1-row min/max quantizer
       "text_bm25", "text_collocations",              // corpus avg/total row
+      "corpus_drift",                                // 1-row (n1, n2) totals
       "text_lm_score", "text_tfidf",                 // model stat tables
       // deliberate brute/ground-truth arms over a broadcast probe set
       "dedup_cosine_pairs",                          // tagged baselineOnly
