@@ -1907,6 +1907,34 @@ object Oracles {
         |  round(CAST(coalesce(h.nh, 0) AS DOUBLE) / 10, 6) AS recall
         |FROM grid g LEFT JOIN hits h ON h.probes = g.probes AND h.qid = g.qid""".stripMargin,
 
+    // SQ8 reconstruction-error distribution: same trained ranges,
+    // codes, and midpoint reconstruction as sim_sq_topk, error against
+    // the vector ITSELF, bucketed by err div 10.
+    "sim_sq_error" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT CAST(r.d AS INT) AS d,
+        |    min(qv[CAST(r.d AS INT) + 1]) AS lo,
+        |    max(qv[CAST(r.d AS INT) + 1]) - min(qv[CAST(r.d AS INT) + 1]) + 1 AS w
+        |  FROM q CROSS JOIN range(0, 64) r(d)
+        |  GROUP BY 1),
+        |enc AS (
+        |  SELECT q.vec_id, s.d, s.lo, s.w, qv[s.d + 1] AS v,
+        |    greatest(0, least(255, ((qv[s.d + 1] - s.lo) * 256) // s.w)) AS code
+        |  FROM q CROSS JOIN st s),
+        |pererr AS (
+        |  SELECT vec_id,
+        |    CAST(sum((v - (lo + ((2 * code + 1) * w) // 512))
+        |           * (v - (lo + ((2 * code + 1) * w) // 512))) AS BIGINT) AS err
+        |  FROM enc GROUP BY vec_id)
+        |SELECT err // 10 AS err_bucket, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  min(err) AS min_err, max(err) AS max_err
+        |FROM pererr GROUP BY 1""".stripMargin,
+
     // IVF index manifest: seed-cell assignment + per-cell count,
     // md5-xor id checksum (shard_manifest convention) and exact mean
     // quantized norm (one integer-sum division).

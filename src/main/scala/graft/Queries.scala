@@ -823,6 +823,30 @@ object Queries {
         col("id_checksum"), round(col("mean_nsq"), 6).as("mean_nsq"))
   }
 
+  /** Quantization ERROR contract for SQ8: every vector's exact-integer
+    * reconstruction error Σ(q_d − recon_d)² against its own one-byte
+    * codes (the same `graft_sq_adc` kernel the search path uses,
+    * pointed at the vector itself), bucketed into a distribution
+    * table — the error face of the quantization family, like the CMS
+    * sketch-bound and ANN recall contracts. Map-only per-vector error,
+    * bucket-sized shuffle.
+    */
+  val simSqError: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.plans.GraftFunctions.register(s)
+    val (mins, widths) = Similarity.sqStats(emb)
+    val minsLit = array(mins.toIndexedSeq.map(lit): _*)
+    val widthsLit = array(widths.toIndexedSeq.map(lit): _*)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
+      .select(col("vec_id"), call_function("graft_sq_adc", col("q"),
+        call_function("graft_sq_encode", col("q"), minsLit, widthsLit),
+        minsLit, widthsLit).as("err"))
+      .groupBy(expr("err div 10L").as("err_bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("err")).as("min_err"), max(col("err")).as("max_err"))
+  }
+
   /** IVF face of the recall contract: nprobe budgets 1/2/4/8 of 8
     * seed cells vs brute-force truth. One celled-corpus join serves
     * every budget (a neighbor's probe rank = its cell's rank in the
