@@ -2688,6 +2688,91 @@ object Oracles {
         |  COALESCE(array_to_string(a.flat, ' '), '') AS toks
         |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""".stripMargin,
 
+    // Composed flagship: classifier gate (hashed-linear score > 0) ->
+    // exact dedup (min doc_id per md5) -> Unigram Viterbi tokenize
+    // (fixture inventory, md5 costs) -> 8-shard manifest with exact
+    // token/cost totals and md5-xor checksums. Each stage reuses its
+    // own proven oracle construction; this entry certifies the chain.
+    "publish_unigram" ->
+      """WITH RECURSIVE ctoks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS tl
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, text,
+        |    list_concat(tl,
+        |      CASE WHEN len(tl) < 2 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_transform(range(1, len(tl)),
+        |                  i -> tl[i] || ' ' || tl[i + 1]) END) AS fl
+        |  FROM ctoks),
+        |scored AS (
+        |  SELECT doc_id, text, CAST(len(fl) AS BIGINT) AS nf,
+        |    CAST(list_sum(list_transform(fl, f ->
+        |      CAST(CAST(concat('0x', substr(md5(concat('qw_',
+        |        CAST(CAST(concat('0x', substr(md5(concat('qf_', f)), 1, 8)) AS UBIGINT) % 1024 AS VARCHAR))), 1, 8)) AS UBIGINT) % 2001 AS BIGINT) - 1000))
+        |      AS BIGINT) AS tot
+        |  FROM feats),
+        |kept AS (SELECT doc_id, text FROM scored WHERE nf > 0 AND tot > 0),
+        |ded AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      min(doc_id) OVER (PARTITION BY md5(text)) AS keepid
+        |    FROM kept) WHERE doc_id = keepid),
+        |pc AS (
+        |  SELECT p.piece, CAST(length(p.piece) AS INT) AS plen,
+        |    2200 - 500 * length(p.piece)
+        |      + CAST(CAST(concat('0x', substr(md5(concat('uc_', p.piece)), 1, 8)) AS UBIGINT) % 400 AS BIGINT) AS pcost
+        |  FROM (VALUES ('th'),('the'),('he'),('er'),('st'),('est'),('ta'),('tab'),('ble'),('le'),('ab'),('ion'),('ing'),('ed'),('an'),('on'),('en'),('at'),('ll'),('ow'),('low'),('re'),('ter'),('al'),('ar'),('ro'),('li'),('ne')) p(piece)),
+        |base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS words
+        |  FROM ded),
+        |dw AS (SELECT DISTINCT unnest(words) AS word FROM base),
+        |chars AS (
+        |  SELECT DISTINCT ch AS piece, 1 AS plen, CAST(2000 AS BIGINT) AS pcost FROM (
+        |    SELECT unnest(string_split(word, '')) AS ch FROM dw)
+        |  WHERE length(ch) = 1
+        |    AND ch NOT IN (SELECT piece FROM pc WHERE plen = 1)),
+        |inv AS (SELECT * FROM pc UNION ALL SELECT * FROM chars),
+        |st(word, pos, best, bp) AS (
+        |  SELECT word, 0, [CAST(0 AS BIGINT)], CAST([] AS INT[]) FROM dw
+        |  UNION ALL
+        |  SELECT s.word, s.pos + 1, list_append(s.best, m.c), list_append(s.bp, m.l)
+        |  FROM st s JOIN LATERAL (
+        |    SELECT s.best[s.pos + 2 - v.plen] + v.pcost AS c, v.plen AS l
+        |    FROM inv v
+        |    WHERE v.plen <= s.pos + 1
+        |      AND v.piece = substr(s.word, s.pos + 2 - v.plen, v.plen)
+        |    ORDER BY c, l DESC LIMIT 1) m ON true
+        |  WHERE s.pos < len(s.word)),
+        |fin AS (SELECT word, best[len(word) + 1] AS wcost, bp FROM st WHERE pos = len(word)),
+        |walk(word, pos, toks, wbp) AS (
+        |  SELECT word, CAST(len(word) AS INT), CAST([] AS VARCHAR[]), bp FROM fin
+        |  UNION ALL
+        |  SELECT w.word, w.pos - w.wbp[w.pos],
+        |    list_prepend(substr(w.word, w.pos - w.wbp[w.pos] + 1, w.wbp[w.pos]), w.toks),
+        |    w.wbp
+        |  FROM walk w WHERE w.pos > 0),
+        |seg AS (SELECT word, toks FROM walk WHERE pos = 0),
+        |docw AS (
+        |  SELECT doc_id, unnest(words) AS word FROM base),
+        |agg AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(len(g.toks)) AS BIGINT) AS ntok,
+        |    CAST(sum(f.wcost) AS BIGINT) AS tcost
+        |  FROM docw d JOIN seg g ON g.word = d.word JOIN fin f ON f.word = d.word
+        |  GROUP BY d.doc_id),
+        |perdoc AS (
+        |  SELECT b.doc_id,
+        |    COALESCE(a.ntok, 0) AS ntok, COALESCE(a.tcost, 0) AS tcost,
+        |    CAST(CAST(concat('0x', substr(md5(concat('shard_', CAST(b.doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+        |  FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tcost) AS BIGINT) AS total_cost,
+        |  bit_xor(h) AS checksum
+        |FROM perdoc GROUP BY shard""".stripMargin,
+
     // Unigram-LM Viterbi: the WHOLE dynamic program replayed per
     // distinct word — best-cost list built position by position (ties
     // ORDER BY cost, len DESC = kernel's longest-wins), backpointer

@@ -1256,6 +1256,40 @@ object Queries {
         concat_ws(" ", col("__e.toks")).as("toks"))
   }
 
+  /** Round-8 composed flagship: classifier-gate → exact-dedup →
+    * Unigram-tokenize → shard-manifest, ONE declarative plan. Keep =
+    * hashed-linear score > 0 (the fastText-shape filter); dedup =
+    * lowest doc_id per md5 fingerprint; tokenize = the Viterbi kernel
+    * under the fixture inventory (trained-ness is certified separately
+    * by `tok_unigram_trained`); publish = 8 md5-salted shards with doc
+    * counts, exact token and cost totals, and the md5-xor checksum
+    * (`shard_manifest` convention). Every stage is an already-proven
+    * oracle building block — the query certifies their COMPOSITION.
+    */
+  val publishUnigram: Q = (s, dir) => {
+    val ta = graft.functions.TextAnalysis
+    val docs = t(s, dir, "documents")
+    val kept = docs.filter(ta.hashedLinearScore(col("text")) > 0)
+    val winners = kept
+      .select(col("doc_id"), col("text"),
+        ta.fingerprintMd5(col("text")).as("__fp"))
+      .withColumn("__keep",
+        min(col("doc_id")).over(Window.partitionBy(col("__fp"))))
+      .filter(col("doc_id") === col("__keep"))
+    val enc = graft.functions.Unigram.encodeFixture(col("text"))
+    winners
+      .select(col("doc_id"), enc.as("__e"),
+        pmod(conv(substring(md5(concat(lit("shard_"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(8L)).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__e.toks")).cast("long")).as("n_tokens"),
+        sum(col("__e.cost")).as("total_cost"),
+        bit_xor(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long")).as("checksum"))
+  }
+
   /** Data-quality expectations over orders: five row-local rules in
     * ONE scan (not-null, range, set, pattern, date ceiling — the
     * range and date rules FAIL on real rows, so live failure counts

@@ -138,6 +138,7 @@ object SparkEntry {
     "agg_heavy_hitters" -> Queries.aggHeavyHitters,
     "agg_heavy_hitters_sketch" -> Queries.aggHeavyHittersSketch,
     "tokenize_publish" -> Queries.tokenizePublish,
+    "publish_unigram" -> Queries.publishUnigram,
     "text_quality" -> Queries.textQuality,
     "text_fingerprint" -> Queries.textFingerprint,
     "text_winnow" -> Queries.textWinnow,
