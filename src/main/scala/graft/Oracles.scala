@@ -1907,6 +1907,22 @@ object Oracles {
         |  round(CAST(coalesce(h.nh, 0) AS DOUBLE) / 10, 6) AS recall
         |FROM grid g LEFT JOIN hits h ON h.probes = g.probes AND h.qid = g.qid""".stripMargin,
 
+    // PQ reconstruction error over the shared PQ_CTES: chosen-codeword
+    // squared deviation per subspace, summed per vector, bucketed.
+    "sim_pq_error" ->
+      s"""WITH $PQ_CTES,
+        |perr AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CAST(list_sum(list_transform(range(1, 9),
+        |      i -> (s.s[i] - w.w[i]) * (s.s[i] - w.w[i]))) AS BIGINT)) AS BIGINT) AS err
+        |  FROM enc e
+        |  JOIN sub s ON s.vec_id = e.vec_id AND s.j = e.j
+        |  JOIN cwn w ON w.j = e.j AND w.c = e.c
+        |  GROUP BY e.vec_id)
+        |SELECT err // 100000 AS err_bucket, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  min(err) AS min_err, max(err) AS max_err
+        |FROM perr GROUP BY 1""".stripMargin,
+
     // SQ8 reconstruction-error distribution: same trained ranges,
     // codes, and midpoint reconstruction as sim_sq_topk, error against
     // the vector ITSELF, bucketed by err div 10.

@@ -847,6 +847,19 @@ object Queries {
         min(col("err")).as("min_err"), max(col("err")).as("max_err"))
   }
 
+  /** PQ reconstruction-error distribution (the `sim_sq_error` pattern
+    * on the coarser 16-codeword seed quantizer): per-vector
+    * Σ_j ‖sub_j − codeword‖² exact integers, bucketed. Together the
+    * two error contracts rank the family: PQ@16 seeds is lossier than
+    * SQ8's 256 per-dim buckets, and the driver-visible tables say by
+    * exactly how much.
+    */
+  val simPqError: Q = (s, dir) =>
+    Similarity.pqErrorTable(t(s, dir, "embeddings"), m = 8, ksub = 16)
+      .groupBy(expr("err div 100000L").as("err_bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("err")).as("min_err"), max(col("err")).as("max_err"))
+
   /** IVF face of the recall contract: nprobe budgets 1/2/4/8 of 8
     * seed cells vs brute-force truth. One celled-corpus join serves
     * every budget (a neighbor's probe rank = its cell's rank in the

@@ -119,6 +119,7 @@ object SparkEntry {
     "sim_recall_report_ivf" -> Queries.simRecallReportIvf,
     "sim_ivf_manifest" -> Queries.simIvfManifest,
     "sim_sq_error" -> Queries.simSqError,
+    "sim_pq_error" -> Queries.simPqError,
     // -- extensions: text analysis
     "text_token_count" -> Queries.textTokenCount,
     "tok_bpe_pairs" -> Queries.tokBpePairs,

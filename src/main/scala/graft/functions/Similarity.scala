@@ -849,6 +849,33 @@ object Similarity {
     } finally quant.unpersist()
   }
 
+  /** Per-vector PQ RECONSTRUCTION error Σ_j ‖sub_j − codeword(code_j)‖²
+    * under the seed codebooks — the quantization-error face of the PQ
+    * family (`sim_sq_error`'s pattern): each vector encodes with the
+    * same `graft_pq_encode` kernel the search path uses, then the
+    * chosen codewords (literal arrays, data-dependent `element_at`
+    * lookup) reconstruct and the exact-integer squared error folds in
+    * codegen. Map-only, one corpus pass.
+    */
+  def pqErrorTable(embeddings: DataFrame, m: Int, ksub: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val cb = seedPqCodebooks(embeddings, m, ksub)
+    val dsub = cb(0)(0).length
+    val quant = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"))
+    val withCodes = quant.withColumn("codes", pqCodesCol(col("q"), cb))
+    val errCols = (0 until m).map { j =>
+      val cwLit = array(cb(j).toIndexedSeq.map(w =>
+        array(w.toIndexedSeq.map(lit): _*)): _*)
+      val subj = slice(col("q"), j * dsub + 1, dsub)
+      val chosen = element_at(cwLit,
+        (element_at(col("codes"), j + 1) + 1L).cast("int"))
+      aggregate(zip_with(subj, chosen, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+    }
+    withCodes.select(col("vec_id"), errCols.reduce(_ + _).as("err"))
+  }
+
   /** Product-quantization ADC top-k (Jégou, Douze, Schmid: "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011). The
     * vector space splits into `m` orthogonal subspaces; each corpus
