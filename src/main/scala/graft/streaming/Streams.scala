@@ -423,6 +423,61 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming DRIFT monitor — the per-batch face of `corpus_drift`:
+    * each micro-batch's token counts are compared against the
+    * ACCUMULATED reference distribution (all prior batches) with the
+    * same exact-integer TV deviation `|c_batch·N_ref − c_ref·N_batch|`
+    * (one IEEE division at the end), then merged into the reference.
+    * The callback receives `(batch_id, tv_distance, n_batch_tokens,
+    * n_ref_tokens)` — a drift spike between arriving data and the
+    * corpus so far is the signal a production ingest gate alerts on.
+    * First batch reports 0.0 (no reference yet). Reference state is
+    * the vocabulary-sized count table, persisted like
+    * [[semanticDedupStream]]'s state (atomic overwrite per batch).
+    */
+  def driftStream(
+      docs: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      onDrift: (Long, Double, Long, Long) => Unit,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val counts = batch.select(explode(
+            filter(split(lower(col("text")), "\\s+"), t => length(t) > 0))
+            .as("token"))
+          .groupBy("token").agg(count(lit(1)).as("c"))
+        val hasState =
+          java.nio.file.Files.exists(java.nio.file.Paths.get(statePath))
+        val state =
+          if (hasState) spark.read.parquet(statePath)
+          else counts.limit(0)
+        val joined = counts.withColumnRenamed("c", "cb")
+          .join(state.withColumnRenamed("c", "cr"), Seq("token"), "full")
+          .na.fill(0L, Seq("cb", "cr"))
+        joined.persist()
+        val totals = joined.agg(sum(col("cb")), sum(col("cr"))).head()
+        val (nb, nr) = (totals.getLong(0), totals.getLong(1))
+        val tv =
+          if (nr == 0L || nb == 0L) 0.0
+          else {
+            val dev = joined
+              .agg(sum(abs(col("cb") * lit(nr) - col("cr") * lit(nb))))
+              .head().getLong(0)
+            dev.toDouble / (2.0 * nb.toDouble * nr.toDouble)
+          }
+        onDrift(batchId, tv, nb, nr)
+        graft.operators.Merge.atomicOverwrite(
+          joined.select(col("token"), (col("cb") + col("cr")).as("c")),
+          statePath)
+        joined.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def semanticDedupStream(
       embeddings: DataFrame,
       centroids: Array[Array[Long]],

@@ -398,6 +398,50 @@ class StreamingSpec extends SparkSpec {
       "streamed sketch state diverged from the batch sketch")
   }
 
+  test("streaming drift monitor: per-batch TV vs accumulated reference, batch-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drift-ck").toString
+    val state = s"$dir/state.parquet"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter($"doc_id" < 100)
+    val h1 = docs.filter($"doc_id" < 50)
+    val h2 = docs.filter($"doc_id" >= 50)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Double, Long, Long)]()
+    def run(): Unit = {
+      val q = Streams.driftStream(
+        spark.readStream.schema(schema).parquet(s"$dir/in/*"), state, ckpt,
+        (id, tv, nb, nr) => out += ((id, tv, nb, nr)))
+      q.awaitTermination(120000)
+    }
+    h1.write.parquet(s"$dir/in/b1.parquet")
+    run()
+    h2.write.parquet(s"$dir/in/b2.parquet")
+    run()
+    assert(out.size == 2, out)
+    // first batch has no reference → 0.0
+    assert(out(0)._2 == 0.0 && out(0)._4 == 0L)
+    // second batch's TV must equal the BATCH computation h2-vs-h1
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(org.apache.spark.sql.functions.filter(
+        split(lower($"text"), "\\s+"), t => length(t) > 0)).as("token"))
+      .groupBy("token").count().as[(String, Long)].collect().toMap
+    val (c1, c2) = (counts(h1), counts(h2))
+    val (n1, n2) = (c1.values.sum, c2.values.sum)
+    val dev = (c1.keySet ++ c2.keySet).toSeq.map(t =>
+      math.abs(c2.getOrElse(t, 0L) * n1 - c1.getOrElse(t, 0L) * n2)).sum
+    val want = dev.toDouble / (2.0 * n2.toDouble * n1.toDouble)
+    assert(math.abs(out(1)._2 - want) < 1e-12,
+      s"streamed TV ${out(1)._2} vs batch $want")
+    // state accumulated both batches
+    assert(spark.read.parquet(state).agg(sum($"c")).head().getLong(0) == n1 + n2)
+  }
+
   test("streaming near-dup filter drops dups across and within micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nds").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-nds-ck").toString
