@@ -1283,12 +1283,16 @@ object Queries {
     val ta = graft.functions.TextAnalysis
     val docs = t(s, dir, "documents")
     val kept = docs.filter(ta.hashedLinearScore(col("text")) > 0)
-    val winners = kept
-      .select(col("doc_id"), col("text"),
-        ta.fingerprintMd5(col("text")).as("__fp"))
-      .withColumn("__keep",
-        min(col("doc_id")).over(Window.partitionBy(col("__fp"))))
-      .filter(col("doc_id") === col("__keep"))
+    // dedup via the exactSurvivors shape: only (16-byte fp, doc_id)
+    // pairs shuffle for the min-per-fingerprint, then a semi-join
+    // brings the winner ROWS back — the document text itself never
+    // rides an exchange (a window over the fingerprint would carry
+    // full rows through the shuffle)
+    val winnerIds = kept
+      .select(col("doc_id"), ta.fingerprintMd5(col("text")).as("__fp"))
+      .groupBy("__fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val winners = kept.join(winnerIds, Seq("doc_id"), "left_semi")
     val enc = graft.functions.Unigram.encodeFixture(col("text"))
     winners
       .select(col("doc_id"), enc.as("__e"),
