@@ -1354,6 +1354,27 @@ object Oracles {
          |       ELSE -((2 * (-p2) + n) // (2 * n)) END AS DOUBLE) / 10000.0 AS resid
          |FROM j""".stripMargin,
 
+    // CUSUM changepoint: scaled exact-integer deviation n*S_t - t*T
+    // over cents, peak per series (ties to earliest ts/id).
+    "ts_cusum" ->
+      s"""WITH b AS (
+         |  SELECT event_id AS log_id, event_type AS tbl, ts,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE $V AND value IS NOT NULL),
+         |sc AS (
+         |  SELECT log_id, tbl, ts,
+         |    CAST(row_number() OVER (PARTITION BY tbl ORDER BY ts, log_id) AS BIGINT) AS t,
+         |    CAST(sum(cents) OVER (PARTITION BY tbl ORDER BY ts, log_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+         |    CAST(count(*) OVER (PARTITION BY tbl) AS BIGINT) AS n,
+         |    CAST(sum(cents) OVER (PARTITION BY tbl) AS BIGINT) AS tot
+         |  FROM b),
+         |d AS (SELECT log_id, tbl, ts, n, CAST(abs(n * s - t * tot) AS BIGINT) AS dev FROM sc)
+         |SELECT tbl AS "table", log_id AS peak_log_id, ts AS peak_ts,
+         |  n AS n_obs, dev AS peak_dev
+         |FROM (SELECT d.*, row_number() OVER (PARTITION BY tbl ORDER BY dev DESC, ts, log_id) AS r FROM d)
+         |WHERE r = 1""".stripMargin,
+
     "ts_ewma" ->
       s"""WITH v AS (
          |  SELECT event_id, user_id, ts, value,

@@ -424,6 +424,39 @@ object Queries {
       Readers.validChangeLog(s, dir),
       key = "table", ts = "ts", id = "log_id", value = "value")
 
+  /** Extension — CUSUM changepoint detection per event-type series
+    * (Page 1954; the mean-shift face of the TS anomaly family next to
+    * `ts_zscore`'s spike face): the classic statistic is
+    * CUSUM_t = Σ_{i≤t}(x_i − μ); scaled by n it is the EXACT INTEGER
+    * `n·S_t − t·T` over cents — no division anywhere, so peak
+    * location and magnitude are partitioning-independent and
+    * hash-identical in any engine. Emits each series' peak deviation
+    * point — where the running mean most departs from the global
+    * mean, i.e. the changepoint estimate.
+    */
+  val tsCusum: Q = (s, dir) => {
+    val base = Readers.validChangeLog(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("log_id"), col("table"), col("ts"),
+        round(col("value") * 100).cast("long").as("__cents"))
+    val seq = Window.partitionBy("table").orderBy(col("ts"), col("log_id"))
+    val full = Window.partitionBy("table")
+    val scored = base
+      .withColumn("__t", row_number().over(seq).cast("long"))
+      .withColumn("__s", sum(col("__cents")).over(
+        seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_obs", count(lit(1)).over(full))
+      .withColumn("__tot", sum(col("__cents")).over(full))
+      .withColumn("peak_dev",
+        abs(col("n_obs") * col("__s") - col("__t") * col("__tot")))
+    val rank = Window.partitionBy("table")
+      .orderBy(col("peak_dev").desc, col("ts"), col("log_id"))
+    scored.withColumn("__r", row_number().over(rank))
+      .filter(col("__r") === 1)
+      .select(col("table"), col("log_id").as("peak_log_id"),
+        col("ts").as("peak_ts"), col("n_obs"), col("peak_dev"))
+  }
+
   /** Extension — RFM customer segmentation over orders: exact-quartile
     * threshold scoring (broadcast 1-row cut points, no global ntile
     * sort), DECIMAL-summed monetary, integer recency/frequency.

@@ -70,6 +70,7 @@ object SparkEntry {
     "er_entities" -> Queries.erEntities,
     "rfm_segments" -> Queries.rfmSegments,
     "ts_ewma" -> Queries.tsEwma,
+    "ts_cusum" -> Queries.tsCusum,
     "ts_seasonal" -> Queries.tsSeasonal,
     "media_phash" -> Queries.mediaPhash,
     "media_audio_fp" -> Queries.mediaAudioFp,
