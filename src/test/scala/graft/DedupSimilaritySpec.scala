@@ -130,6 +130,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("∀ r ∈ {1,3,7,15}: bandedHammingPairs ≡ all-pairs on random 64-bit sets") {
+    // the pigeonhole argument must hold for EVERY radius, not just the
+    // media queries' r = 10 — band widths change with r (64/(r+1)
+    // splits unevenly), so each r exercises a different slicing
+    val rnd = new scala.util.Random(31)
+    val base = Seq.fill(30)(rnd.nextLong())
+    // plant neighbors at distances r and r+1 around random anchors
+    for (r <- Seq(1, 3, 7, 15)) {
+      val planted = base.take(6).flatMap { h =>
+        def flip(k: Int): Long =
+          (0 until k).foldLeft(h)((a, i) => a ^ (1L << ((i * 7 + 3) % 64)))
+        Seq(h, flip(r), flip(r + 1))
+      }
+      val hashes = (base ++ planted).zipWithIndex
+        .map { case (h, i) => (i.toLong, h) }.toDF("id", "fp")
+      val exact = hashes.select($"id".as("a_id"), $"fp".as("a_h"))
+        .join(hashes.select($"id".as("b_id"), $"fp".as("b_h")), $"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          bit_count($"a_h".bitwiseXOR($"b_h")).cast("long").as("hamming"))
+        .filter($"hamming" <= r)
+      val banded = Dedup.bandedHammingPairs(hashes, "id", "fp", r)
+      assert(banded.exceptAll(exact).isEmpty && exact.exceptAll(banded).isEmpty,
+        s"radius $r: banded ≠ all-pairs")
+      assert(exact.count() >= 6, s"radius $r: fixture planted too few pairs")
+    }
+  }
+
   test("saltedMin ≡ direct groupBy-min, incl. a hot hub key (CC star rounds)") {
     // random keyed values plus one hub key carrying 5k rows — the
     // shape a boilerplate-duplicate mega-cluster feeds the star
