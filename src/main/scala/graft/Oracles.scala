@@ -2866,6 +2866,73 @@ object Oracles {
         |  COALESCE(array_to_string(a.flat, ' '), '') AS toks
         |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""".stripMargin,
 
+    // Trained-BPE corpus encode: the tok_bpe_merges train chain with
+    // the WORD carried through every apply round, a final apply of the
+    // rank-2 merge, then per-doc reassembly of each word's subword
+    // string in order.
+    "tok_bpe_trained" ->
+      """WITH wc AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word
+        |  ORDER BY n DESC, word LIMIT 65536),
+        |v0 AS (
+        |  SELECT word, ' ' || array_to_string(list_append(string_split(word, ''), '</w>'), ' ') || ' ' AS s, n
+        |  FROM wc),
+        |pc0 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v0) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m0 AS (SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
+        |v1 AS (
+        |  SELECT word, replace(replace(s,
+        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
+        |      ' ' || (SELECT a FROM m0) || (SELECT b FROM m0) || ' '),
+        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
+        |      ' ' || (SELECT a FROM m0) || (SELECT b FROM m0) || ' ') AS s, n
+        |  FROM v0),
+        |pc1 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v1) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT a, b FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |v2 AS (
+        |  SELECT word, replace(replace(s,
+        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+        |      ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' '),
+        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+        |      ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ') AS s, n
+        |  FROM v1),
+        |pc2 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v2) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT a, b FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1),
+        |v3 AS (
+        |  SELECT word, replace(replace(s,
+        |      ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
+        |      ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' '),
+        |      ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
+        |      ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' ') AS s, n
+        |  FROM v2),
+        |wmap AS (SELECT word, string_split(trim(s), ' ') AS syms FROM v3),
+        |base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS words
+        |  FROM documents),
+        |docw AS (
+        |  SELECT doc_id, unnest(words) AS word, generate_subscripts(words, 1) AS ord FROM base),
+        |agg AS (
+        |  SELECT d.doc_id, flatten(list(w.syms ORDER BY d.ord)) AS flat
+        |  FROM docw d JOIN wmap w ON w.word = d.word
+        |  GROUP BY d.doc_id)
+        |SELECT b.doc_id,
+        |  CAST(COALESCE(len(a.flat), 0) AS BIGINT) AS n_tokens,
+        |  COALESCE(array_to_string(a.flat, ' '), '') AS toks
+        |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""".stripMargin,
+
     // WordPiece trainer, 3 rounds unrolled (the tok_bpe_merges
     // convention): same frequency-capped word table, symbols = first
     // char + ##-continuations (no </w>), winner = max LIKELIHOOD

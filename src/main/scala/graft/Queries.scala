@@ -1160,6 +1160,23 @@ object Queries {
         concat_ws(" ", col("__toks")).as("toks"))
   }
 
+  /** Trained-BPE corpus encode — the BPE face of the trained
+    * tokenizer matrix (`tok_wordpiece_trained` / `tok_unigram_trained`
+    * already have theirs): learn 3 merges from the corpus, then the
+    * map-only `graft_bpe_encode` kernel applies them to every
+    * document. The oracle replays training AND the per-word apply,
+    * then reassembles per-doc token streams.
+    */
+  val tokBpeTrained: Q = (s, dir) => {
+    val merges = graft.functions.Bpe.trainBpe(t(s, dir, "documents"), numMerges = 3)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Bpe.encode(col("text"), merges).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__toks")).as("toks"))
+  }
+
   /** The first 3 BPE merges LEARNED from the corpus — the training
     * LOOP itself as an oracle-backed query, not just its round-1
     * statistics: the oracle unrolls the same three rounds in SQL

@@ -128,6 +128,7 @@ object SparkEntry {
     "tok_bpe_roundtrip" -> Queries.tokBpeRoundtrip,
     "tok_bpe_merges" -> Queries.tokBpeMerges,
     "tok_bpe_vocab" -> Queries.tokBpeVocab,
+    "tok_bpe_trained" -> Queries.tokBpeTrained,
     "tok_wordpiece" -> Queries.tokWordpiece,
     "tok_wordpiece_ids" -> Queries.tokWordpieceIds,
     "tok_wordpiece_train" -> Queries.tokWordpieceTrain,
