@@ -883,6 +883,37 @@ object Oracles {
     "dedup_span_removal" ->
       s"""WITH ${spanRemovalCtes("documents")}
          |SELECT doc_id, clean_text, n_removed_tokens FROM removal""".stripMargin,
+
+    // CCNet keep-first: units are non-overlapping 10-token windows,
+    // identity is md5(lower(unit)), global keep order (doc_id,
+    // unit_idx); DuckDB list slices are 1-based INCLUSIVE (Spark's
+    // slice(toks, i*10+1, 10) ≡ toks[i*10+1 : i*10+10], both clamp the
+    // final short unit).
+    "dedup_keep_first" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(0, CAST(ceil(len(toks) / CAST(10 AS DOUBLE)) AS BIGINT)),
+        |      i -> {'ui': i,
+        |            'uh': md5(lower(array_to_string(
+        |                    toks[i * 10 + 1 : i * 10 + 10], ' ')))})) AS e
+        |  FROM t),
+        |u2 AS (SELECT doc_id, e.ui AS unit_idx, e.uh AS uh FROM u),
+        |k AS (
+        |  SELECT doc_id, unit_idx,
+        |    row_number() OVER (PARTITION BY uh ORDER BY doc_id, unit_idx) AS rn
+        |  FROM u2),
+        |kidx AS (SELECT doc_id, unit_idx FROM k WHERE rn = 1)
+        |SELECT t.doc_id,
+        |  CAST(ceil(len(t.toks) / CAST(10 AS DOUBLE)) AS BIGINT) AS n_units,
+        |  CAST(count(ki.unit_idx) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(
+        |    array_to_string(t.toks[ki.unit_idx * 10 + 1 : ki.unit_idx * 10 + 10], ' '),
+        |    ' ' ORDER BY ki.unit_idx), '') AS clean_text
+        |FROM t LEFT JOIN kidx ki ON ki.doc_id = t.doc_id
+        |GROUP BY t.doc_id, t.toks""".stripMargin,
     "s1_changelog_count" ->
       s"SELECT count(*) AS cnt FROM events WHERE $V",
 

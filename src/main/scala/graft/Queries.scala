@@ -2175,6 +2175,15 @@ object Queries {
   val dedupSpanRemoval: Q = (s, dir) =>
     Dedup.removeRepeatedSpans(t(s, dir, "documents"), w = 8, minCount = 2)
 
+  /** Extension — CCNet keep-first unit dedup (Wenzek et al. 2020):
+    * the corpus rewritten so the FIRST occurrence of every 10-token
+    * unit survives and later verbatim repeats drop — the
+    * one-copy-preserving complement of `dedup_span_removal`'s
+    * remove-all rule.
+    */
+  val dedupKeepFirst: Q = (s, dir) =>
+    Dedup.keepFirstUnits(t(s, dir, "documents"), w = 10)
+
   /** BM25 top-20 retrieval for a fixed query over the corpus
     * ([[TextAnalysis.bm25TopK]]): mixed-df terms so the idf spread is
     * exercised ("shuffle" is absent from the synthetic vocabulary —

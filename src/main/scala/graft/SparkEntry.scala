@@ -94,6 +94,7 @@ object SparkEntry {
     "sim_knn_graph" -> Queries.simKnnGraph,
     "dedup_semantic" -> Queries.dedupSemantic,
     "dedup_hot_spans" -> Queries.dedupHotSpans,
+    "dedup_keep_first" -> Queries.dedupKeepFirst,
     "dedup_span_removal" -> Queries.dedupSpanRemoval,
     "corpus_cap_source" -> Queries.corpusCapSource,
     "text_lm_score" -> Queries.textLmScore,

@@ -63,6 +63,61 @@ object Dedup {
       exact(docs).select(col("keep_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** CCNet-style KEEP-FIRST unit dedup (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): web corpora are deduplicated at paragraph granularity —
+    * the FIRST occurrence of every paragraph survives and later
+    * verbatim repeats are dropped. This is the complement of
+    * [[removeRepeatedSpans]] (Lee et al.), which removes EVERY
+    * occurrence of a repeated span including the first; CCNet's rule
+    * preserves exactly one copy of boilerplate so no content is lost,
+    * Lee's removes the boilerplate outright.
+    *
+    * Fixture documents carry no newlines, so the dedup unit is a
+    * non-overlapping `w`-token window (the final unit of a doc may be
+    * shorter). Unit identity = md5 of the LOWERCASED unit text (case
+    * affects only hashing, not the reassembled output, matching the
+    * [[repeatedSpans]] discipline); the global keep order is
+    * (doc_id, unit_idx).
+    *
+    * Returns one row per document: `(doc_id, n_units, n_kept,
+    * clean_text)` — `clean_text` is the ordered join of the kept
+    * units ('' when every unit of the doc appeared earlier).
+    *
+    * Scale shape: unit hashes are computed map-side by a codegen'd
+    * projection; only (16-byte digest, doc_id, unit_idx) triples ride
+    * the first-seen shuffle (uniform by construction — digest-keyed,
+    * skew-free). Winners fold to a per-doc kept-index ARRAY (8 bytes
+    * per kept unit), and the clean text is rebuilt map-side from the
+    * original row after ONE doc_id-keyed join — the corpus text
+    * crosses exactly one exchange, the same fp-groupBy + join-back
+    * discipline as `publish_unigram`.
+    */
+  def keepFirstUnits(docs: DataFrame, w: Int = 10): DataFrame = {
+    require(w >= 1, s"unit width must be >= 1, got $w")
+    val toks = split(col("text"), "\\s+")
+    val nUnits = ceil(size(toks).cast("double") / w).cast("int")
+    def unitAt(i: Column): Column =
+      array_join(slice(toks, i * w + 1, lit(w)), " ")
+    val units = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nUnits - 1),
+        i => md5(lower(unitAt(i))))).as(Seq("unit_idx", "uh")))
+    val keptIdx = units
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("uh").orderBy("doc_id", "unit_idx")))
+      .filter(col("__rn") === 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("unit_idx"))).as("__kept"),
+        count(lit(1)).as("n_kept"))
+    docs.join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        nUnits.cast("long").as("n_units"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        array_join(transform(
+          coalesce(col("__kept"), lit(Array.empty[Int])),
+          i => unitAt(i)), " ").as("clean_text"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Distinct hashed w-token shingles per document — column-level

@@ -41,6 +41,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.exact(d).filter($"n_copies" > 1).isEmpty)
   }
 
+  test("keep-first units: first occurrence survives, later repeats drop") {
+    // w=2 units: doc1 = [a b][c d]; doc2 = [c d][e f] (unit "c d" is a
+    // repeat of doc1's second unit); doc3 duplicates doc1 entirely;
+    // doc4's final unit is SHORT ([g h][i]) and must round-trip intact
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b c d"),
+      (4L, "g h i")).toDF("doc_id", "text")
+    val out = Dedup.keepFirstUnits(d, w = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_units"), r.getAs[Long]("n_kept"),
+         r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d")))
+    assert(out(2L) == ((2L, 1L, "e f")))   // "c d" seen first in doc 1
+    assert(out(3L) == ((2L, 0L, "")))      // full duplicate: nothing kept
+    assert(out(4L) == ((2L, 2L, "g h i"))) // short tail unit preserved
+  }
+
+  test("keep-first units: kept text is a per-doc subsequence; hashes globally unique") {
+    val out = Dedup.keepFirstUnits(docs, w = 10)
+    val joined = out.join(docs, "doc_id").select("doc_id", "text", "clean_text")
+      .as[(Long, String, String)].collect()
+    for ((_, text, clean) <- joined) {
+      // every kept unit's tokens appear in the original, in order
+      val orig = text.split("\\s+").toList
+      val kept = clean.split("\\s+").filter(_.nonEmpty).toList
+      // subsequence check
+      val ok = kept.foldLeft(orig) { (rem, tok) =>
+        val i = rem.indexOf(tok); assert(i >= 0, s"token $tok not found in order"); rem.drop(i + 1)
+      }
+      val _ = ok
+    }
+    // dedup is complete: distinct unit hashes across the corpus ==
+    // total kept units (exactly one survivor per distinct unit)
+    val toks = split(lower(col("text")), "\\s+")
+    val nDistinct = docs.select(explode(transform(
+        sequence(lit(0), ceil(size(toks) / 10.0).cast("int") - 1),
+        i => md5(array_join(slice(toks, i * 10 + 1, lit(10)), " ")))).as("uh"))
+      .select(countDistinct(col("uh"))).as[Long].head()
+    val totalKept = out.agg(sum("n_kept")).as[Long].head()
+    assert(totalKept == nDistinct, s"kept $totalKept vs distinct units $nDistinct")
+  }
+
   test("minhash-LSH finds every exact-Jaccard pair at fixture scale (recall)") {
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet

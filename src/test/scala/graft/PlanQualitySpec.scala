@@ -66,6 +66,19 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("keep-first dedup: first-seen window ranks digests, not document text") {
+    val p = planOf("dedup_keep_first")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // the row_number window (and therefore its exchange) must see only
+    // (digest, doc_id, unit_idx) — corpus text riding the first-seen
+    // shuffle would show up as a text attribute on the Window operator
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, p.take(800))
+    assert(windowLines.forall(!_.contains("text#")),
+      s"first-seen window carries document text:\n${windowLines.mkString("\n")}")
+  }
+
   test("media near-dup pair surfaces are banded equi-joins, never cross/theta") {
     // the pHash/audio-fp Hamming-≤10 near-dup degrees must come from
     // the 11-band pigeonhole candidate join (Dedup.bandedHammingPairs)
