@@ -1492,6 +1492,28 @@ object Oracles {
         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
         |HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5""".stripMargin,
 
+    // MinHash estimate contract: the exact side (pair set +
+    // inter/jaccard) is the dedup_ngram_jaccard computation verbatim;
+    // est_in_envelope is Spark's claim the k=128 signature estimate
+    // landed within Hoeffding ±0.25 — pinned true here, same pattern
+    // as the HLL/CMS/quantile sketch contracts.
+    "dedup_minhash_est" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 3, 0) + 2),
+        |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2]))) AS shingles
+        |  FROM tok),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+        |  round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) AS jaccard,
+        |  true AS est_in_envelope
+        |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5""".stripMargin,
+
     // Directional containment: brute-force shared-shingle group-count,
     // thresholded on |∩|/|inner| — single DOUBLE division, mirrored in
     // the Spark filter (unrounded threshold, display-only round).

@@ -729,6 +729,14 @@ object Queries {
   val dedupMinhashLsh: Q = (s, dir) =>
     Dedup.minHashDuplicates(t(s, dir, "documents"), threshold = 0.5)
 
+  /** Extension — MinHash estimate-quality contract: every exact
+    * near-dup pair carries its recomputable intersection/Jaccard plus
+    * the boolean claim that the k=128 signature estimate sits inside
+    * the Hoeffding ±0.25 envelope (tail mass 2e⁻¹⁶ per pair).
+    */
+  val dedupMinhashEst: Q = (s, dir) =>
+    Dedup.minHashEstimateContract(t(s, dir, "documents"))
+
   /** SimHash near-dup pairs (hamming ≤ 3) — rows-only check. */
   val dedupSimhash: Q = (s, dir) =>
     Dedup.simHashDuplicates(t(s, dir, "documents"))

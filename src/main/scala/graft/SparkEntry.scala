@@ -95,6 +95,7 @@ object SparkEntry {
     "dedup_semantic" -> Queries.dedupSemantic,
     "dedup_hot_spans" -> Queries.dedupHotSpans,
     "dedup_keep_first" -> Queries.dedupKeepFirst,
+    "dedup_minhash_est" -> Queries.dedupMinhashEst,
     "dedup_span_removal" -> Queries.dedupSpanRemoval,
     "corpus_cap_source" -> Queries.corpusCapSource,
     "text_lm_score" -> Queries.textLmScore,

