@@ -1419,6 +1419,38 @@ object Oracles {
          |    (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * acc), 4) AS ewma
          |FROM v""".stripMargin,
 
+    // Holt double exponential smoothing: the same trailing-window left
+    // fold as ts_ewma, replayed step-by-step in a RECURSIVE CTE (the
+    // tok_bpe_merges unroll pattern) rather than list_reduce — DuckDB
+    // v1.0.0's struct-accumulator lambda reads a MUTATED accumulator on
+    // iterations after the first (the 'b' field sees the freshly
+    // written 'l'), so only scalar-expression recursion replays Spark's
+    // fold bit-for-bit. The l_t subtree is duplicated inside the b_t
+    // update, mirroring the Spark lambda's IEEE tree exactly.
+    "ts_holt" ->
+      s"""WITH RECURSIVE v AS (
+         |  SELECT event_id, user_id, ts, value,
+         |    list(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+         |  FROM events WHERE $V AND value IS NOT NULL),
+         |steps AS (
+         |  SELECT event_id, user_id, ts, value, vals, 1 AS j,
+         |    vals[1] AS l, CAST(0.0 AS DOUBLE) AS b
+         |  FROM v
+         |  UNION ALL
+         |  SELECT event_id, user_id, ts, value, vals, j + 1,
+         |    CAST(0.3 AS DOUBLE) * vals[j + 1]
+         |      + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * (l + b),
+         |    CAST(0.1 AS DOUBLE)
+         |      * ((CAST(0.3 AS DOUBLE) * vals[j + 1]
+         |          + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * (l + b)) - l)
+         |      + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * b
+         |  FROM steps WHERE j < len(vals))
+         |SELECT event_id AS log_id, user_id AS rsbsa_no, ts, value,
+         |  CAST(len(vals) AS BIGINT) AS n_obs,
+         |  l AS level, b AS trend, l + b AS forecast
+         |FROM steps WHERE j = len(vals)""".stripMargin,
+
     "w7_daily_share" ->
       s"""WITH d AS (
          |  SELECT event_type AS tbl,

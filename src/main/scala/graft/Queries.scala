@@ -415,6 +415,17 @@ object Queries {
       key = "rsbsa_no", ts = "ts", id = "log_id", value = "value")
       .select("log_id", "rsbsa_no", "ts", "value", "n_obs", "ewma")
 
+  /** Extension — Holt double exponential smoothing per user (level +
+    * trend + one-step forecast; α = 0.3, γ = 0.1, 20-row trailing
+    * window; bit-exact struct-accumulator fold in both engines).
+    */
+  val tsHolt: Q = (s, dir) =>
+    graft.operators.TimeSeries.holt(
+      Readers.validChangeLog(s, dir).filter(col("value").isNotNull),
+      key = "rsbsa_no", ts = "ts", id = "log_id", value = "value")
+      .select("log_id", "rsbsa_no", "ts", "value", "n_obs",
+        "level", "trend", "forecast")
+
   /** Hour-of-day seasonal decomposition per event type: exact-cents
     * seasonal means (partitioning-independent), broadcast profile
     * join-back, per-event residuals.

@@ -52,6 +52,59 @@ object TimeSeries {
       .drop("__vals")
   }
 
+  /** Holt DOUBLE exponential smoothing per key (Holt 1957): the
+    * trended sibling of [[ewma]] — plain EWMA lags a drifting series
+    * by design, Holt carries an explicit trend term and closes the
+    * lag: `l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})`,
+    * `b_t = γ(l_t − l_{t−1}) + (1−γ)b_{t−1}`, seeded `l₁ = x₁,
+    * b₁ = 0`, over the same bounded `lookback`-row trailing frame.
+    * Emits the smoothed level, the trend, and the one-step-ahead
+    * forecast `l_t + b_t` per observation.
+    *
+    * Determinism across engines: a LEFT fold in (ts, id) frame order
+    * over a two-field struct accumulator; both engines evaluate the
+    * IDENTICAL duplicated `l_t` subtree inside the `b_t` update (no
+    * common-subexpression rewrite changes the IEEE result — it is the
+    * same multiply-add chain either way), with (1−α)/(1−γ) computed by
+    * the same double subtraction. Bit-exact vs the DuckDB
+    * struct-accumulator `list_reduce` replay; rounding display-only.
+    *
+    * Scale shape: identical to [[ewma]] — one shuffle by key, state
+    * bounded by the frame, skew-safe.
+    */
+  def holt(df: DataFrame, key: String, ts: String, id: String,
+      value: String, alpha: Double = 0.3, gamma: Double = 0.1,
+      lookback: Int = 20): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0,1]")
+    require(gamma >= 0 && gamma <= 1, "gamma must be in [0,1]")
+    require(lookback >= 1, "lookback must be >= 1")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    val a = lit(alpha); val na = lit(1.0 - alpha)
+    val g = lit(gamma); val ng = lit(1.0 - gamma)
+    def lNew(acc: Column, x: Column): Column =
+      a * x + na * (acc.getField("l") + acc.getField("b"))
+    df.withColumn("__vals", collect_list(col(value).cast("double")).over(w))
+      .withColumn("n_obs", size(col("__vals")).cast("long"))
+      .withColumn("__st", aggregate(
+        slice(col("__vals"), lit(2), greatest(size(col("__vals")) - 1, lit(0))),
+        struct(element_at(col("__vals"), 1).as("l"), lit(0.0).as("b")),
+        (acc, x) => struct(
+          lNew(acc, x).as("l"),
+          (g * (lNew(acc, x) - acc.getField("l")) + ng * acc.getField("b"))
+            .as("b"))))
+      // RAW doubles, deliberately unrounded: the fold is bit-identical
+      // in both engines, so exact equality holds — while round(x, 4)
+      // takes a half-boundary coin flip whenever the true value lands
+      // on .xxxx5 (observed live at sf0.01: 59.20295 rounded 59.2029
+      // by BigDecimal-of-shortest-repr vs 59.203 by scaled-double)
+      .withColumn("level", col("__st").getField("l"))
+      .withColumn("trend", col("__st").getField("b"))
+      .withColumn("forecast",
+        col("__st").getField("l") + col("__st").getField("b"))
+      .drop("__vals", "__st")
+  }
+
   /** Seasonal decomposition against an hour-of-day profile: per
     * (series, hour) seasonal means and per-observation residuals —
     * the classic detrending step before anomaly scoring or

@@ -61,6 +61,43 @@ class TimeSeriesSpec extends SparkSpec {
       BigDecimal(refShort).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("holt: fold matches in-memory reference; exact on linear series; closes EWMA lag") {
+    val vals = Seq(10.0, 20.0, 5.0, 40.0, 15.0, 30.0)
+    val e = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, ts(i + 1), v) }
+      .toDF("k", "id", "t", "v")
+    val out = TimeSeries.holt(e, "k", "t", "id", "v",
+      alpha = 0.3, gamma = 0.1, lookback = 20)
+      .orderBy("id").select("n_obs", "level", "trend", "forecast")
+      .as[(Long, Double, Double, Double)].collect()
+    // reference: l₁=v₁, b₁=0; l=αx+(1−α)(l+b), b=γ(l'−l)+(1−γ)b
+    var l = vals.head; var b = 0.0
+    val ref = Seq((l, b)) ++ vals.tail.map { x =>
+      val ln = 0.3 * x + 0.7 * (l + b); b = 0.1 * (ln - l) + 0.9 * b; l = ln; (l, b)
+    }
+    assert(out.map(r => (r._2, r._3)).toSeq == ref)
+    assert(out.forall(r => r._4 == r._2 + r._3))
+    // α=γ=1 on an exactly linear series: level tracks x, trend = slope,
+    // one-step forecast is EXACT from the third point on
+    val lin = (0 until 8).map(i => (1L, i.toLong, ts(i + 1), 3.0 + 2.0 * i))
+      .toDF("k", "id", "t", "v")
+    val f = TimeSeries.holt(lin, "k", "t", "id", "v",
+      alpha = 1.0, gamma = 1.0, lookback = 20)
+      .orderBy("id").select("forecast").as[Double].collect()
+    for (i <- 2 until 7) assert(f(i) == 3.0 + 2.0 * (i + 1), s"row $i")
+    // on a drifting series the trended forecast beats plain EWMA
+    val drift = (0 until 20).map(i => (1L, i.toLong, ts(i + 1), 10.0 + 5.0 * i))
+      .toDF("k", "id", "t", "v")
+    val h = TimeSeries.holt(drift, "k", "t", "id", "v").orderBy("id")
+      .select("forecast").as[Double].collect()
+    val w = TimeSeries.ewma(drift, "k", "t", "id", "v").orderBy("id")
+      .select("ewma").as[Double].collect()
+    val next = (i: Int) => 10.0 + 5.0 * (i + 1)
+    val holtErr = (10 until 19).map(i => math.abs(h(i) - next(i))).sum
+    val ewmaErr = (10 until 19).map(i => math.abs(w(i) - next(i))).sum
+    assert(holtErr < ewmaErr / 2,
+      s"holt $holtErr should close ewma's lag $ewmaErr")
+  }
+
   test("transitionMatrix: per-key ordered steps, row-normalized probabilities") {
     // user 1: a→b→a→b  (a→b ×2, b→a ×1); user 2: a→a→c (a→a, a→c)
     val e = Seq(
