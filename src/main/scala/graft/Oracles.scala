@@ -1225,6 +1225,38 @@ object Oracles {
     // DOUBLE once, correlation as the identical fixed FP tree
     // (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)). Pair rows
     // union in the Spark explode's order.
+    // Welch t-test: per-group exact DECIMAL moments, pair join on the
+    // aggregated table, each stat ONE fixed FP tree mirroring
+    // Profile.welchTTest's Column expressions subtree-for-subtree.
+    "stat_ttest" -> {
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      def mean(x: String) = s"${d(s"s_$x")} / ${d(s"n_$x")}"
+      def vr(x: String) =
+        s"(${d(s"ss_$x")} - ${d(s"s_$x")} * ${d(s"s_$x")} / ${d(s"n_$x")}) / " +
+          s"(${d(s"n_$x")} - CAST(1.0 AS DOUBLE))"
+      def vn(x: String) = s"(${vr(x)}) / ${d(s"n_$x")}"
+      val se2 = s"(${vn("a")} + ${vn("b")})"
+      val guard = s"n_a >= 2 AND n_b >= 2 AND $se2 > CAST(0.0 AS DOUBLE)"
+      s"""WITH m AS (
+         |  SELECT lang AS grp, count(*) AS n,
+         |    sum(CAST(n_chars AS DECIMAL(18,2))) AS s,
+         |    sum(CAST(n_chars AS DECIMAL(18,2)) * CAST(n_chars AS DECIMAL(18,2))) AS ss
+         |  FROM documents GROUP BY lang),
+         |p AS (
+         |  SELECT a.grp AS lang_a, b.grp AS lang_b,
+         |    a.n AS n_a, b.n AS n_b, a.s AS s_a, b.s AS s_b,
+         |    a.ss AS ss_a, b.ss AS ss_b
+         |  FROM m a JOIN m b ON a.grp < b.grp)
+         |SELECT lang_a, lang_b, n_a, n_b,
+         |  ${mean("a")} AS mean_a, ${mean("b")} AS mean_b,
+         |  CASE WHEN $guard
+         |    THEN (${mean("a")} - ${mean("b")}) / sqrt($se2) END AS t_stat,
+         |  CASE WHEN $guard
+         |    THEN ($se2 * $se2) / ((${vn("a")}) * (${vn("a")}) / (${d("n_a")} - CAST(1.0 AS DOUBLE))
+         |      + (${vn("b")}) * (${vn("b")}) / (${d("n_b")} - CAST(1.0 AS DOUBLE))) END AS df
+         |FROM p""".stripMargin
+    },
+
     "stat_corr" -> {
       val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
         "l_discount" -> "d")

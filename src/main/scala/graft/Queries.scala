@@ -521,6 +521,17 @@ object Queries {
     * moments, one fixed FP tree per pair (built-in `corr()` is
     * order-sensitive — see [[graft.operators.Profile.pairwiseCorr]]).
     */
+  /** Extension — Welch two-sample t-test of document length between
+    * every language pair: the A/B-significance face of the stats
+    * family next to `stat_corr` (exact decimal moments, one fixed FP
+    * tree, Welch–Satterthwaite df).
+    */
+  val statTtest: Q = (s, dir) =>
+    graft.operators.Profile.welchTTest(
+      t(s, dir, "documents"), col("lang"), col("n_chars"))
+      .withColumnRenamed("group_a", "lang_a")
+      .withColumnRenamed("group_b", "lang_b")
+
   val statCorr: Q = (s, dir) =>
     graft.operators.Profile.pairwiseCorr(t(s, dir, "lineitem"),
         col("l_returnflag"),

@@ -62,6 +62,7 @@ object SparkEntry {
     "inc_agg_merge" -> Queries.incAggMerge,
     "graph_pagerank" -> Queries.graphPagerank,
     "stat_corr" -> Queries.statCorr,
+    "stat_ttest" -> Queries.statTtest,
     "stat_histogram" -> Queries.statHistogram,
     "graph_triangles" -> Queries.graphTriangles,
     "graph_khop" -> Queries.graphKhop,

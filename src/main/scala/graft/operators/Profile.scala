@@ -88,6 +88,49 @@ object Profile {
       .select("bin", "lo_cents", "hi_cents", "n")
   }
 
+  /** Welch two-sample t-test between every unordered pair of groups
+    * (Welch 1947 — the unequal-variance form; pooled-variance Student
+    * is wrong whenever group sizes or spreads differ, which is always
+    * in corpus slices). Emits `(group_a, group_b, n_a, n_b, mean_a,
+    * mean_b, t_stat, df)` per pair, where df is the
+    * Welch–Satterthwaite approximation.
+    *
+    * Determinism (the [[pairwiseCorr]] discipline): per-group moments
+    * are exact DECIMAL sums — order- and partitioning-independent —
+    * cast to DOUBLE once; every derived stat is ONE fixed FP tree
+    * mirrored in the oracle. Degenerate pairs (either group has n < 2
+    * or zero variance) yield NULL t/df via the nullif guard rather
+    * than an ANSI division error.
+    *
+    * Scale shape: one scan, one map-side-combined groupBy; the pair
+    * join runs on the aggregated per-group table (|groups| rows,
+    * broadcast) — the corpus is never self-joined.
+    */
+  def welchTTest(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val dec = value.cast("decimal(18,2)")
+    val g = df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n"), sum(dec).as("s"), sum(dec * dec).as("ss"))
+    def side(suffix: String) = g.select(
+      col("grp").as(s"group_$suffix"), col("n").as(s"n_$suffix"),
+      col("s").as(s"s_$suffix"), col("ss").as(s"ss_$suffix"))
+    def d(name: String): Column = col(name).cast("double")
+    def mean(x: String): Column = d(s"s_$x") / d(s"n_$x")
+    // sample variance from exact moments: (SS − S²/n) / (n−1)
+    def vr(x: String): Column =
+      (d(s"ss_$x") - d(s"s_$x") * d(s"s_$x") / d(s"n_$x")) / (d(s"n_$x") - lit(1.0))
+    def vn(x: String): Column = vr(x) / d(s"n_$x")
+    val se2 = vn("a") + vn("b")
+    side("a").join(side("b"), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        col("n_a"), col("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > lit(0.0),
+          (mean("a") - mean("b")) / sqrt(se2)).as("t_stat"),
+        when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > lit(0.0),
+          (se2 * se2) / (vn("a") * vn("a") / (d("n_a") - lit(1.0))
+            + vn("b") * vn("b") / (d("n_b") - lit(1.0)))).as("df"))
+  }
+
   /** Pairwise Pearson correlation of `cols` within each `group`, in
     * ONE scan: a single aggregate computes every column's decimal
     * sum/sum-of-squares and every pair's cross-product sum side by

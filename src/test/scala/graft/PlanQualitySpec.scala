@@ -108,6 +108,7 @@ class PlanQualitySpec extends SparkSpec {
       "corpus_temperature_mix", "publish_shards",    // totals row
       "prepare_pretraining_full",                    // flagship: totals row
       "rfm_segments", "stat_histogram",              // global min/max row
+      "stat_ttest",                                  // |groups|-row pair join
       "layout_zorder",                               // 1-row min/max quantizer
       "text_bm25", "text_collocations",              // corpus avg/total row
       "corpus_drift",                                // 1-row (n1, n2) totals

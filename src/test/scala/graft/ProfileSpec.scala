@@ -68,6 +68,25 @@ class ProfileSpec extends SparkSpec {
     assert(got.size == 6)                 // all 4·3/2 pairs emitted
   }
 
+  test("welchTTest: hand-computed t/df on a known pair; degenerate n=1 yields NULL") {
+    import org.apache.spark.sql.functions.col
+    // A = [1..5]: mean 3, var 2.5; B = [2,4,..,12]: mean 7, var 14
+    // t = −4/√(2.5/5 + 14/6) ≈ −2.376354; Welch–Satterthwaite df ≈ 6.97226
+    val d = (Seq.tabulate(5)(i => ("a", (i + 1).toDouble)) ++
+      Seq.tabulate(6)(i => ("b", 2.0 * (i + 1))) ++
+      Seq(("c", 9.0))).toDF("g", "v")
+    val rows = Profile.welchTTest(d, col("g"), col("v")).collect()
+      .map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b")) -> r).toMap
+    val ab = rows(("a", "b"))
+    assert(math.abs(ab.getAs[Double]("t_stat") - (-2.3763541031440183)) < 1e-12)
+    assert(math.abs(ab.getAs[Double]("df") - 6.9722557297949335) < 1e-9)
+    assert(ab.getAs[Double]("mean_a") == 3.0 && ab.getAs[Double]("mean_b") == 7.0)
+    // group c has n=1: both its pairs are NULL-guarded, means still real
+    assert(rows(("a", "c")).isNullAt(rows(("a", "c")).fieldIndex("t_stat")))
+    assert(rows(("b", "c")).isNullAt(rows(("b", "c")).fieldIndex("df")))
+    assert(rows.size == 3)
+  }
+
   test("histogram: integer-cents bins are exact, width clamps on constants") {
     // cents 100..499 → lo=100, hi=499, width=ceil(400/4)=100
     val d = Seq(1.00, 1.99, 2.00, 3.50, 4.99).toDF("v")
