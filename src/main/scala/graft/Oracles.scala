@@ -722,6 +722,41 @@ object Oracles {
     // PMI collocations: exact integer counts, ONE ratio inside ln
     // (single division), unrounded (pmi, w1, w2) total order for the
     // LIMIT — bit-exact against the engine.
+    // RAKE keyphrases: candidates are chr(1)-delimited stopword-free
+    // runs (the Spark side joins tokens on ' ' with chr(1) markers and
+    // re-splits — mirrored verbatim); wscore is one double division of
+    // exact integer deg/freq; the phrase score replays Spark's ordered
+    // left fold (init 0.0 via list_prepend) in phrase position order.
+    "text_rake" ->
+      """WITH tok AS (SELECT lower(text) AS lt FROM documents),
+        |run AS (
+        |  SELECT unnest(string_split(array_to_string(list_transform(
+        |    string_split_regex(lt, '\s+'),
+        |    t -> CASE WHEN t IN ('the','of','and','to','in','is','that','for')
+        |      THEN chr(1) ELSE t END), ' '), chr(1))) AS praw
+        |  FROM tok),
+        |ph AS (SELECT trim(praw) AS phrase FROM run WHERE trim(praw) <> ''),
+        |phr AS (SELECT phrase, len(string_split(phrase, ' ')) AS plen FROM ph
+        |        WHERE len(string_split(phrase, ' ')) <= 4),
+        |w AS (SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM phr),
+        |sc AS (SELECT w,
+        |    CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS wscore
+        |  FROM w GROUP BY w),
+        |dp AS (SELECT phrase, count(*) AS n_occ FROM phr GROUP BY phrase),
+        |pw AS (
+        |  SELECT phrase, n_occ,
+        |    unnest(list_transform(range(1, len(string_split(phrase, ' ')) + 1),
+        |      p -> {'pos': p - 1, 'w': string_split(phrase, ' ')[p]})) AS u
+        |  FROM dp),
+        |pw2 AS (SELECT phrase, n_occ, u.pos AS pos, u.w AS w FROM pw),
+        |ps AS (
+        |  SELECT phrase, n_occ,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(sc.wscore ORDER BY pw2.pos)), (a, b) -> a + b) AS score
+        |  FROM pw2 JOIN sc USING (w) GROUP BY phrase, n_occ)
+        |SELECT phrase, n_occ, score FROM ps
+        |ORDER BY score DESC, phrase LIMIT 50""".stripMargin,
+
     "text_collocations" ->
       """WITH tok AS (
         |  SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents),

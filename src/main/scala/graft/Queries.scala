@@ -2214,6 +2214,13 @@ object Queries {
   val dedupKeepFirst: Q = (s, dir) =>
     Dedup.keepFirstUnits(t(s, dir, "documents"), w = 10)
 
+  /** Extension — RAKE keyphrase extraction: corpus top-50 candidate
+    * phrases (stopword-delimited runs ≤ 4 tokens) by summed
+    * deg/freq word scores, ordered fold for FP parity.
+    */
+  val textRake: Q = (s, dir) =>
+    TextAnalysis.rakeKeyphrases(t(s, dir, "documents"), maxLen = 4, k = 50)
+
   /** BM25 top-20 retrieval for a fixed query over the corpus
     * ([[TextAnalysis.bm25TopK]]): mixed-df terms so the idf spread is
     * exercised ("shuffle" is absent from the synthetic vocabulary —

@@ -155,6 +155,7 @@ object SparkEntry {
     "chunk_overlap" -> Queries.chunkOverlap,
     "pack_length_buckets" -> Queries.packLengthBuckets,
     "text_lang_id" -> Queries.textLangId,
+    "text_rake" -> Queries.textRake,
     "text_pii_redact" -> Queries.textPiiRedact,
     "text_gopher_filter" -> Queries.textGopherFilter,
     "text_repetition" -> Queries.textRepetition,

@@ -554,6 +554,67 @@ object TextAnalysis {
         round(col("__pmi"), 4).as("pmi"))
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are
+    * maximal stopword-free token runs, each word scores
+    * deg(w)/freq(w) over the candidate set — deg(w) accumulates the
+    * length of every candidate containing w (self + co-occurring
+    * words), freq(w) its occurrence count — and a phrase scores the
+    * sum of its member word scores. The corpus-level top-`k` distinct
+    * phrases by score, with occurrence counts. Candidates longer than
+    * `maxLen` tokens are discarded (the standard cap: an
+    * all-content-word page would otherwise contribute one giant
+    * pseudo-phrase — and one skewed shuffle key).
+    *
+    * Delimiters are the fixture en stopword list ([[stopwords]]) —
+    * deliberately the same tiny deterministic set language-ID uses.
+    *
+    * Determinism: deg/freq are exact integer aggregates; a word score
+    * is ONE double division; a phrase score is an ORDERED left fold
+    * over its words in phrase position order (the `lmCrossEntropy`
+    * FP discipline — an unordered SUM of doubles would be
+    * partitioning-dependent), so scores are bit-exact across engines
+    * and the (score DESC, phrase) top-k is stable.
+    *
+    * Scale shape: candidate generation is map-only (delimiter
+    * replace + split inside codegen); word stats are one
+    * map-side-combined groupBy on the word; phrase scoring shuffles
+    * only distinct (≤`maxLen`-token phrase, pos, word) rows; the
+    * final top-k is a TakeOrdered, never a global sort.
+    */
+  def rakeKeyphrases(
+      docs: DataFrame, maxLen: Int = 4, k: Int = 50): DataFrame = {
+    val stops = stopwords("en")
+    val marked = transform(split(lower(col("text")), "\\s+"),
+      t => when(stops.map(lit).foldLeft(lit(false))((a, w) => a || t === w),
+        lit("\u0001")).otherwise(t))
+    val phrases = docs
+      .select(explode(split(array_join(marked, " "), "\u0001")).as("praw"))
+      .select(trim(col("praw")).as("phrase"))
+      .filter(col("phrase") =!= "")
+      .withColumn("__plen", size(split(col("phrase"), " ")))
+      .filter(col("__plen") <= maxLen)
+    val wordScores = phrases
+      .select(explode(split(col("phrase"), " ")).as("w"), col("__plen"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("__plen").cast("long")).as("deg"))
+      .select(col("w"),
+        (col("deg").cast("double") / col("freq").cast("double")).as("wscore"))
+    val distinctPhrases = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"))
+    distinctPhrases
+      .select(col("phrase"), col("n_occ"),
+        posexplode(split(col("phrase"), " ")).as(Seq("pos", "w")))
+      .join(wordScores, Seq("w"))
+      .groupBy("phrase", "n_occ")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("pos"), col("wscore")))),
+        lit(0.0), (acc, e) => acc + e.getField("wscore")).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+      .select("phrase", "n_occ", "score")
+  }
+
   /** CCNet-style quality banding + per-band sampling over
     * [[lmCrossEntropy]] scores: head/middle/tail by FIXED cross-entropy
     * thresholds (the production CCNet shape — band cutoffs are

@@ -244,6 +244,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1200))
   }
 
+  test("rake: hand-computed deg/freq scores; overlong candidates dropped") {
+    // phrases: "deep learning", "deep networks", "learning";
+    // freq(deep)=2 deg=4 → 2.0; freq(learning)=2 deg=3 → 1.5;
+    // networks: 2/1 → 2.0. Scores: "deep networks" 4.0,
+    // "deep learning" 3.5, "learning" 1.5. Doc 3 is one 5-token run
+    // with no delimiter: dropped by maxLen=4.
+    val d = Seq(
+      (1L, "deep learning of the deep networks"),
+      (2L, "learning"),
+      (3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeyphrases(d, maxLen = 4, k = 10).collect()
+      .map(r => (r.getAs[String]("phrase"),
+        r.getAs[Long]("n_occ"), r.getAs[Double]("score")))
+    assert(out.toSeq == Seq(
+      ("deep networks", 1L, 4.0),
+      ("deep learning", 1L, 3.5),
+      ("learning", 1L, 1.5)))
+  }
+
   test("gopher filter: each rule can independently reject") {
     val prose = ("the cat and the dog have fun with all of that " * 6).trim
     val cases = Seq(
