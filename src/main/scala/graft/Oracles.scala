@@ -2240,6 +2240,92 @@ object Oracles {
         |  round(CAST(coalesce(h.nh, 0) AS DOUBLE) / 10, 6) AS recall
         |FROM grid g LEFT JOIN hits h ON h.nprobe = g.nprobe AND h.qid = g.qid""".stripMargin,
 
+    // Exact MIPS: rank by the raw integer dot product (BRUTE_TOPK's
+    // shape minus the cosine normalization).
+    "sim_mips_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |probes AS (SELECT vec_id AS qid, qv AS pv FROM q
+        |           WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |scored AS (
+        |  SELECT p.qid, c.vec_id AS nid,
+        |    CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+        |        i -> c.qv[i] * p.pv[i])) AS BIGINT) AS dot
+        |  FROM q c, probes p WHERE c.vec_id != p.qid)
+        |SELECT qid, rank, nid, dot FROM (
+        |  SELECT qid, nid, dot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
+    // MIPS via norm augmentation + seed-centroid IVF at a partial
+    // probe (2 of 8): corpus vectors append floor(sqrt(max_nsq - nsq)),
+    // cells are Voronoi regions of the AUGMENTED vectors, queries
+    // probe through the zero pad (prefix dot, full centroid norm),
+    // candidates score by the exact integer dot — every stage integer
+    // or correctly-rounded sqrt/floor, fully replayed.
+    "sim_mips_ivf" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q),
+        |m AS (SELECT max(nsq) AS m2 FROM n),
+        |aug AS (
+        |  SELECT n.vec_id, n.qv,
+        |    list_append(n.qv,
+        |      CAST(floor(sqrt(CAST(m.m2 - n.nsq AS DOUBLE))) AS BIGINT)) AS qa
+        |  FROM n CROSS JOIN m),
+        |cseed AS (
+        |  SELECT qa AS cv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM (SELECT vec_id, qa FROM aug ORDER BY vec_id LIMIT 8)),
+        |cseedn AS (
+        |  SELECT cell, cv,
+        |    CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn
+        |  FROM cseed),
+        |cdist AS (
+        |  SELECT a.vec_id, s.cell,
+        |    s.cn - 2 * CAST(list_sum(list_transform(range(1, len(a.qa) + 1),
+        |      i -> a.qa[i] * s.cv[i])) AS BIGINT) AS d
+        |  FROM aug a CROSS JOIN cseedn s),
+        |cellasg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |qdist AS (
+        |  SELECT nq.vec_id, s.cell,
+        |    s.cn - 2 * CAST(list_sum(list_transform(range(1, len(nq.qv) + 1),
+        |      i -> nq.qv[i] * s.cv[i])) AS BIGINT) AS d
+        |  FROM (SELECT vec_id, qv FROM q WHERE vec_id IN (0, 1, 2, 3, 4)) nq
+        |  CROSS JOIN cseedn s),
+        |probes AS (
+        |  SELECT vec_id AS qid, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM qdist) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.qid, c.vec_id AS nid,
+        |    CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+        |        i -> c.qv[i] * pq.qv[i])) AS BIGINT) AS dot
+        |  FROM probes p
+        |  JOIN cellasg ca ON ca.cell = p.cell
+        |  JOIN q c ON c.vec_id = ca.vec_id
+        |  JOIN q pq ON pq.vec_id = p.qid
+        |  WHERE c.vec_id != p.qid)
+        |SELECT qid, rank, nid, dot FROM (
+        |  SELECT qid, nid, dot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
     // IVF-flat at a PARTIAL probe (2 of 8 seed cells): assignment and
     // probe ranking exact-integer, within-cell scoring the exact
     // quantized cosine — the approximation itself is oracle-certified

@@ -839,6 +839,22 @@ object Queries {
     * is what the oracle certifies (the `sim_ivfpq_topk` convention,
     * extended to the flat path).
     */
+  /** Extension — exact maximum-inner-product top-10 (rank by raw
+    * integer dot): the dual-encoder scoring face, ground truth for
+    * the augmented-IVF scale twin. Tagged baselineOnly.
+    */
+  val simMipsTopk: Q = (s, dir) =>
+    Similarity.mipsTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
+
+  /** Extension — MIPS via norm augmentation + seed-centroid IVF at a
+    * PARTIAL probe (2 of 8 augmented cells): the Bachrach/Neyshabur
+    * reduction, approximation = the probe set only, fully replayed in
+    * the oracle.
+    */
+  val simMipsIvf: Q = (s, dir) =>
+    Similarity.mipsIvfTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      nlist = 8, nprobe = 2)
+
   val simIvfPartial: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10,

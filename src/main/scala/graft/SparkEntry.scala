@@ -118,6 +118,8 @@ object SparkEntry {
     "sim_ivfpq_topk" -> Queries.simIvfPqTopk,
     "sim_sq_topk" -> Queries.simSqTopk,
     "sim_ivf_partial" -> Queries.simIvfPartial,
+    "sim_mips_topk" -> Queries.simMipsTopk,
+    "sim_mips_ivf" -> Queries.simMipsIvf,
     "sim_lsh_partial" -> Queries.simLshPartial,
     "sim_recall_report" -> Queries.simRecallReport,
     "sim_recall_report_ivf" -> Queries.simRecallReportIvf,
@@ -241,6 +243,9 @@ object SparkEntry {
     // brute-force full-corpus top-k scan per query — the recall
     // ground truth for the bucketed ANN family
     "sim_cosine_topk" -> "sim_lsh_topk",
+    // brute full-corpus inner-product scan — ground truth for the
+    // augmented-IVF MIPS path
+    "sim_mips_topk" -> "sim_mips_ivf",
     // 3 token-stream scans (exact top-20 verification face + count +
     // sketch-bound probe); the twin is the one-pass CMS + sampled
     // candidates form with no exact arm at all

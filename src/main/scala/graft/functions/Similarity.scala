@@ -467,6 +467,96 @@ object Similarity {
         round(col("n_hit").cast("double") / lit(k.toDouble), 6).as("recall"))
   }
 
+  // ------------------------------------------------------------ MIPS
+
+  /** Maximum inner-product search, EXACT (the dual-encoder retrieval /
+    * recommendation scoring face: rank by the raw dot product q·x, not
+    * cosine — a trained two-tower model's scores are inner products,
+    * and a high-norm item legitimately out-ranks a nearer-by-angle
+    * one; normalizing would change the model's answers). Exact integer
+    * dot over the quantized grid, full corpus scan per query — the
+    * ground-truth baseline (`sim_mips_topk`, tagged baselineOnly;
+    * scale twin [[mipsIvfTopK]]).
+    */
+  def mipsTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val quant = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"))
+    val queries = quant
+      .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val scored = quant.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        call_function("graft_dot", col("q"), col("qv")).as("dot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("dot"))
+  }
+
+  /** MIPS at scale via the norm-augmentation reduction (Bachrach et
+    * al. 2014, "Speeding Up the Xbox Recommender"; Neyshabur & Srebro
+    * 2015, "On Symmetric and Asymmetric LSHs for Inner Product
+    * Search"): inner product is not a metric (a vector need not be its
+    * own nearest neighbor), so no metric index serves it directly; the
+    * fix is to append `⌊√(M² − ‖x‖²)⌋` to every CORPUS vector (M² =
+    * max corpus squared norm) so augmented vectors share norm ≈ M, and
+    * zero-pad queries — then augmented-L2 ORDER coincides with
+    * inner-product order and ANY metric ANN structure applies. Here
+    * the structure is the oracle-rebuildable seed-centroid IVF: cells
+    * are Voronoi regions of the AUGMENTED vectors, queries probe their
+    * `nprobe` nearest augmented centroids through the zero pad
+    * (prefix dot, full centroid norm), and candidates score by the
+    * EXACT integer dot — the approximation is exactly the probe set,
+    * nothing else (`sim_ivf_partial`'s honest-approximation
+    * convention), so rows are directly comparable to [[mipsTopK]].
+    *
+    * Scale shape: one 1-row max-norm aggregate, one corpus shuffle by
+    * cell, broadcast query side, codegen'd integer dots throughout.
+    */
+  def mipsIvfTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val quant = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"),
+    ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
+    val m2 = quant.agg(max(col("nsq"))).collect()(0).getLong(0)
+    val aug = quant.select(col("vec_id"), col("q"),
+      concat(col("q"), array(
+        floor(sqrt((lit(m2) - col("nsq")).cast("double"))).cast("long")))
+        .as("qa"))
+    val cents = aug.orderBy(col("vec_id")).limit(nlist)
+      .select(col("qa")).collect().map(_.getSeq[Long](0).toArray)
+    val celled = aug.withColumn("cell", cellOf(col("qa"), cents))
+    // query→cell distance through the zero pad: dot over the UNPADDED
+    // prefix, norm over the FULL augmented centroid
+    val qCellScores = cents.zipWithIndex.map { case (c, i) =>
+      val pref = array(c.dropRight(1).map(lit).toIndexedSeq: _*)
+      val cNorm = c.map(x => x * x).sum
+      struct(
+        (lit(-2L) * call_function("graft_dot", col("q"), pref) + lit(cNorm))
+          .as("d"),
+        lit(i).as("cell"))
+    }
+    val probeCells = slice(array_sort(array(qCellScores.toIndexedSeq: _*)),
+      1, nprobe).getField("cell")
+    val queries = quant
+      .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        explode(probeCells).as("cell"))
+    val scored = celled.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        call_function("graft_dot", col("q"), col("qv")).as("dot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("dot"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity
     * threshold, EXACT (all-pairs) — the correctness baseline the
     * LSH-bucketed [[cosineNearDupPairs]] trades recall against.

@@ -853,6 +853,45 @@ class DedupSimilaritySpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("mips: dot ranking differs from cosine by design; shape and determinism hold") {
+    // q=[1,0]: a=[0.9,0.1] wins on cosine, b=[3,-0.5] wins on inner
+    // product — MIPS must rank b first
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(3.0f, -0.5f))).toDF("vec_id", "embedding")
+    val m = Similarity.mipsTopK(e, Seq(0L), 2).orderBy("rank")
+      .select("nid", "dot").as[(Long, Long)].collect()
+    assert(m.map(_._1).toSeq == Seq(2L, 1L), m.mkString(","))
+    assert(m(0)._2 == 3000L * 1000L && m(1)._2 == 900L * 1000L)
+    val c = Similarity.bruteForceTopK(e, Seq(0L), 2).orderBy("rank")
+      .select("nid").as[Long].collect()
+    assert(c.toSeq == Seq(1L, 2L))
+    // fixture: k rows per query, self excluded, dot non-increasing
+    val f = Similarity.mipsTopK(embs, Seq(0L, 1L), 10).collect()
+    assert(f.length == 20 && f.forall(r => r.getAs[Long]("nid") != r.getAs[Long]("qid")))
+    for (g <- f.groupBy(_.getAs[Long]("qid")).values) {
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("dot"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("mips augmented IVF: nprobe=nlist is exactly brute MIPS; partial probe finds hits") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val full = Similarity.mipsIvfTopK(embs, qids, 10, nlist = 8, nprobe = 8)
+      .orderBy("qid", "rank").collect().map(_.toSeq)
+    val brute = Similarity.mipsTopK(embs, qids, 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq)
+    assert(full.toSeq == brute.toSeq)
+    // partial probe: every row is a true corpus dot, recall measurable
+    val part = Similarity.mipsIvfTopK(embs, qids, 10, nlist = 8, nprobe = 2)
+    val truthSet = brute.map(r => (r(0), r(2))).toSet
+    val hits = part.collect().map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .count(p => truthSet.contains((p._1, p._2)))
+    assert(hits > 0, "partial probe should recover some true MIPS neighbors")
+  }
+
   test("cosineNearDupPairs is symmetric-free, thresholded, ⊆ exact baseline") {
     val pairs = Similarity.cosineNearDupPairs(embs, threshold = 0.8)
     assert(pairs.filter($"a_id" >= $"b_id").count() == 0)

@@ -59,7 +59,8 @@ class DriverContractSpec extends AnyFunSuite {
     // the known quadratic baselines must carry the tag — adding a new
     // exact-baseline query without tagging it should fail here
     assert(SparkEntry.baselineOnly.keySet ==
-      Set("dedup_cosine_pairs", "sim_cosine_topk", "agg_heavy_hitters"))
+      Set("dedup_cosine_pairs", "sim_cosine_topk", "agg_heavy_hitters",
+        "sim_mips_topk"))
   }
 
   test("oracle SQL never reuses a lateral alias within one SELECT stage") {

@@ -116,6 +116,7 @@ class PlanQualitySpec extends SparkSpec {
       // deliberate brute/ground-truth arms over a broadcast probe set
       "dedup_cosine_pairs",                          // tagged baselineOnly
       "sim_cosine_topk",                             // tagged baselineOnly
+      "sim_mips_topk",                               // tagged baselineOnly
       "sim_pq_topk", "sim_sq_topk", "sim_rerank_topk", // ADC scans: queries×corpus by design
       "sim_recall_report", "sim_recall_report_ivf",  // truth arm = brute pass
       "decon_semantic",                              // broadcast eval side, zero shuffle
