@@ -1494,6 +1494,41 @@ object Oracles {
     // written 'l'), so only scalar-expression recursion replays Spark's
     // fold bit-for-bit. The l_t subtree is duplicated inside the b_t
     // update, mirroring the Spark lambda's IEEE tree exactly.
+    // ACF at lags 1..4: the n²-cleared exact-integer estimator —
+    // HUGEINT here mirrors Spark's DECIMAL(38,0); the single double
+    // division is the only FP op.
+    "ts_acf" -> {
+      def d(x: String) = s"CAST($x AS HUGEINT)"
+      val den = s"(${d("n")} * ${d("n")} * ${d("ss")} - ${d("n")} * ${d("s")} * ${d("s")})"
+      val arms = (1 to 4).map { l =>
+        val num = s"(${d("n")} * ${d("n")} * ${d(s"p$l")} - " +
+          s"${d("n")} * ${d("s")} * (${d(s"a$l")} + ${d(s"b$l")}) + " +
+          s"${d(s"m$l")} * ${d("s")} * ${d("s")})"
+        s"""SELECT tbl AS "table", CAST($l AS BIGINT) AS lag,
+           |  m$l AS n_pairs,
+           |  CASE WHEN $den <> 0 AND m$l > 0
+           |    THEN CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END AS acf
+           |FROM g""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val leadCols = (1 to 4).map(l => s"lead(c, $l) OVER w AS l$l").mkString(",\n    ")
+      val lagAggs = (1 to 4).map(l =>
+        s"count(l$l) AS m$l,\n    sum(CASE WHEN l$l IS NOT NULL THEN c END) AS a$l,\n" +
+          s"    sum(l$l) AS b$l,\n    sum(c * l$l) AS p$l").mkString(",\n    ")
+      s"""WITH e AS (
+         |  SELECT event_type AS tbl, ts, event_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events WHERE $V AND value IS NOT NULL),
+         |l AS (
+         |  SELECT tbl, c,
+         |    $leadCols
+         |  FROM e WINDOW w AS (PARTITION BY tbl ORDER BY ts, event_id)),
+         |g AS (
+         |  SELECT tbl, count(*) AS n, sum(c) AS s, sum(c * c) AS ss,
+         |    $lagAggs
+         |  FROM l GROUP BY tbl)
+         |$arms""".stripMargin
+    },
+
     "ts_holt" ->
       s"""WITH RECURSIVE v AS (
          |  SELECT event_id, user_id, ts, value,

@@ -415,6 +415,15 @@ object Queries {
       key = "rsbsa_no", ts = "ts", id = "log_id", value = "value")
       .select("log_id", "rsbsa_no", "ts", "value", "n_obs", "ewma")
 
+  /** Extension — autocorrelation at lags 1–4 per event-type series
+    * (exact n²-cleared integer moments in DECIMAL(38,0); one double
+    * division per lag).
+    */
+  val tsAcf: Q = (s, dir) =>
+    graft.operators.TimeSeries.acf(
+      Readers.validChangeLog(s, dir),
+      key = "table", ts = "ts", id = "log_id", value = "value")
+
   /** Extension — Holt double exponential smoothing per user (level +
     * trend + one-step forecast; α = 0.3, γ = 0.1, 20-row trailing
     * window; bit-exact struct-accumulator fold in both engines).

@@ -192,6 +192,7 @@ object SparkEntry {
     "window_tumbling" -> Queries.windowTumbling,
     "session_windows" -> Queries.sessionWindows,
     "concurrent_sessions" -> Queries.concurrentSessions,
+    "ts_acf" -> Queries.tsAcf,
     "ts_holt" -> Queries.tsHolt,
     "ts_gapfill" -> Queries.tsGapfill,
     "text_quality_score" -> Queries.textQualityScore,

@@ -105,6 +105,64 @@ object TimeSeries {
       .drop("__vals", "__st")
   }
 
+  /** Autocorrelation function per series at lags 1..`maxLag` (the
+    * seasonality/memory detector that decides whether [[ewma]],
+    * [[holt]], or [[seasonalHourly]] is the right smoother): the
+    * standard biased estimator r_ℓ = Σ(x_t−x̄)(x_{t+ℓ}−x̄) / Σ(x_t−x̄)²
+    * with the FULL-series mean in both factors.
+    *
+    * Exactness: values are exact cents c_t; with n, S=Σc, SS=Σc² and
+    * per-lag pair sums P_ℓ=Σc_t·c_{t+ℓ}, A_ℓ=Σ_{t≤n−ℓ}c_t,
+    * B_ℓ=Σ_{t>ℓ}c_t, m_ℓ=n−ℓ, multiplying the estimator through by n²
+    * clears every division:
+    * r_ℓ = (n²P_ℓ − nS(A_ℓ+B_ℓ) + m_ℓS²) / (n²SS − nS²) — EXACT
+    * INTEGER numerator and denominator (DECIMAL(38,0) so n²P fits far
+    * beyond the long range: safe to ~10³⁸, i.e. any per-series n where
+    * n²·Σc² has < 38 digits), ONE double division at the end —
+    * partitioning-independent and bit-identical across engines.
+    *
+    * Scale shape: one key-partitioned window computes every lag's lead
+    * in a single pass, one map-side-combined groupBy per series, then
+    * the lag unpivot is an inline explode of a maxLag-element array —
+    * per-series state is a handful of integers regardless of length.
+    */
+  def acf(df: DataFrame, key: String, ts: String, id: String,
+      value: String, maxLag: Int = 4): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+    val base = df.filter(col(value).isNotNull)
+      .select(col(key), col(ts), col(id),
+        (col(value).cast("decimal(18,2)") * 100).cast("long").as("__c"))
+    val withLeads = (1 to maxLag).foldLeft(base) { (d, l) =>
+      d.withColumn(s"__l$l", lead(col("__c"), l).over(w))
+    }
+    val lagAggs = (1 to maxLag).flatMap { l =>
+      Seq(
+        count(col(s"__l$l")).as(s"__m$l"),
+        sum(when(col(s"__l$l").isNotNull, col("__c"))).as(s"__a$l"),
+        sum(col(s"__l$l")).as(s"__b$l"),
+        sum(col("__c") * col(s"__l$l")).as(s"__p$l"))
+    }
+    val allAggs = Seq(sum(col("__c")).as("__s"),
+      sum(col("__c") * col("__c")).as("__ss")) ++ lagAggs
+    val agg = withLeads.groupBy(col(key))
+      .agg(count(lit(1)).as("__n"), allAggs: _*)
+    def D(c: Column): Column = c.cast("decimal(38,0)")
+    val den = D(col("__n")) * D(col("__n")) * D(col("__ss")) -
+      D(col("__n")) * D(col("__s")) * D(col("__s"))
+    val entries = (1 to maxLag).map { l =>
+      val num = D(col("__n")) * D(col("__n")) * D(col(s"__p$l")) -
+        D(col("__n")) * D(col("__s")) * (D(col(s"__a$l")) + D(col(s"__b$l"))) +
+        D(col(s"__m$l")) * D(col("__s")) * D(col("__s"))
+      struct(lit(l.toLong).as("lag"), col(s"__m$l").as("n_pairs"),
+        when(den =!= lit(0) && col(s"__m$l") > 0,
+          num.cast("double") / den.cast("double")).as("acf"))
+    }
+    agg.select(col(key), explode(array(entries: _*)).as("e"))
+      .select(col(key), col("e.lag").as("lag"),
+        col("e.n_pairs").as("n_pairs"), col("e.acf").as("acf"))
+  }
+
   /** Seasonal decomposition against an hour-of-day profile: per
     * (series, hour) seasonal means and per-observation residuals —
     * the classic detrending step before anomaly scoring or

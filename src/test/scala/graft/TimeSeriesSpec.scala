@@ -98,6 +98,23 @@ class TimeSeriesSpec extends SparkSpec {
       s"holt $holtErr should close ewma's lag $ewmaErr")
   }
 
+  test("acf: alternating series gives exact ±(n−ℓ)/n; constant series NULL-guarded") {
+    // c_t = ±10.00 alternating, mean 0: r_ℓ = (−1)^ℓ·(n−ℓ)/n exactly
+    val alt = (0 until 10).map(i =>
+      (1L, i.toLong, ts(i + 1), if (i % 2 == 0) 10.0 else -10.0))
+      .toDF("k", "id", "t", "v")
+    val r = TimeSeries.acf(alt, "k", "t", "id", "v", maxLag = 4)
+      .orderBy("lag").select("lag", "n_pairs", "acf")
+      .as[(Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(
+      (1L, 9L, -0.9), (2L, 8L, 0.8), (3L, 7L, -0.7), (4L, 6L, 0.6)))
+    // zero-variance series: denominator 0 → NULL, not a division error
+    val const = (0 until 5).map(i => (1L, i.toLong, ts(i + 1), 7.0))
+      .toDF("k", "id", "t", "v")
+    val c = TimeSeries.acf(const, "k", "t", "id", "v", maxLag = 2).collect()
+    assert(c.length == 2 && c.forall(_.isNullAt(3)))
+  }
+
   test("transitionMatrix: per-key ordered steps, row-normalized probabilities") {
     // user 1: a→b→a→b  (a→b ×2, b→a ×1); user 2: a→a→c (a→a, a→c)
     val e = Seq(
