@@ -2275,6 +2275,69 @@ object Oracles {
         |  round(CAST(coalesce(h.nh, 0) AS DOUBLE) / 10, 6) AS recall
         |FROM grid g LEFT JOIN hits h ON h.nprobe = g.nprobe AND h.qid = g.qid""".stripMargin,
 
+    // PCA first component: exact-integer scatter moments (n·G − S·Sᵀ),
+    // then the ENTIRE power-iteration trajectory (20 rounds, 0.0-seeded
+    // ascending left folds, matvec duplicated inside the norm exactly
+    // as the driver recomputes nothing) replayed in a recursive CTE;
+    // projection and mean-correction use the same fold convention.
+    "emb_pca1" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM q),
+        |ex AS (
+        |  SELECT vec_id, u.i AS i, u.v AS vi FROM (
+        |    SELECT vec_id,
+        |      unnest(list_transform(range(1, 65),
+        |        i -> {'i': i - 1, 'v': qv[i]})) AS u
+        |    FROM q)),
+        |s AS (SELECT i, CAST(sum(vi) AS BIGINT) AS si FROM ex GROUP BY i),
+        |sl AS (SELECT list(si ORDER BY i) AS sv FROM s),
+        |g AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(sum(a.vi * b.vi) AS BIGINT) AS gij
+        |  FROM ex a JOIN ex b USING (vec_id) GROUP BY a.i, b.i),
+        |br AS (
+        |  SELECT g.i AS i,
+        |    list(CAST(nn.n * g.gij - sa.si * sb.si AS DOUBLE) ORDER BY g.j) AS row
+        |  FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j CROSS JOIN nn
+        |  GROUP BY g.i),
+        |bm AS (SELECT list(row ORDER BY i) AS m FROM br),
+        |it AS (
+        |  SELECT 0 AS t, m,
+        |    list_transform(range(1, 65),
+        |      i -> CAST(1.0 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE))) AS v
+        |  FROM bm
+        |  UNION ALL
+        |  SELECT t + 1, m,
+        |    list_transform(
+        |      list_transform(range(1, 65), i ->
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, 65), j -> m[i][j] * v[j])),
+        |          (a, b) -> a + b)),
+        |      x -> x / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(
+        |          list_transform(range(1, 65), i2 ->
+        |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |              list_transform(range(1, 65), j2 -> m[i2][j2] * v[j2])),
+        |              (a2, b2) -> a2 + b2)),
+        |          y -> y * y)), (a3, b3) -> a3 + b3)))
+        |  FROM it WHERE t < 20),
+        |vfin AS (SELECT v FROM it WHERE t = 20),
+        |c0 AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65),
+        |        i -> CAST(sl.sv[i] AS DOUBLE) / CAST(nn.n AS DOUBLE) * vfin.v[i])),
+        |      (a, b) -> a + b) AS c
+        |  FROM sl CROSS JOIN nn CROSS JOIN vfin)
+        |SELECT q.vec_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(1, 65),
+        |      i -> CAST(q.qv[i] AS DOUBLE) * vf.v[i])), (a, b) -> a + b)
+        |    - c0.c AS pc1
+        |FROM q CROSS JOIN vfin vf CROSS JOIN c0""".stripMargin,
+
     // Exact MIPS: rank by the raw integer dot product (BRUTE_TOPK's
     // shape minus the cosine normalization).
     "sim_mips_topk" ->

@@ -848,6 +848,13 @@ object Queries {
     * is what the oracle certifies (the `sim_ivfpq_topk` convention,
     * extended to the flat path).
     */
+  /** Extension — first principal component projection (power
+    * iteration over the exact-integer scatter matrix; map-only
+    * application, whole trajectory oracle-replayed).
+    */
+  val embPca1: Q = (s, dir) =>
+    Similarity.pcaProject(t(s, dir, "embeddings"), iters = 20)
+
   /** Extension — exact maximum-inner-product top-10 (rank by raw
     * integer dot): the dual-encoder scoring face, ground truth for
     * the augmented-IVF scale twin. Tagged baselineOnly.

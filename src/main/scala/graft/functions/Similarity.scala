@@ -467,6 +467,66 @@ object Similarity {
         round(col("n_hit").cast("double") / lit(k.toDouble), 6).as("recall"))
   }
 
+  // ------------------------------------------------------------- PCA
+
+  /** First principal component by POWER ITERATION over the exact
+    * integer scatter matrix, and the per-vector projection onto it —
+    * the classic embedding-pipeline dimension-reduction / whitening
+    * step (project onto leading components before ANN, or drop the
+    * dominant direction à la Arora et al.'s "all-but-the-top").
+    *
+    * Exactness: with n, Sᵢ = Σqᵢ and the Gram Gᵢⱼ = Σqᵢqⱼ all EXACT
+    * INTEGERS from the quantized grid, the n²-scaled covariance
+    * Bᵢⱼ = n·Gᵢⱼ − Sᵢ·Sⱼ is an exact long (scaling by n² changes
+    * eigenVECTORS not at all). Power iteration runs `iters` fixed
+    * rounds on B as doubles in the DRIVER (d² values — driver-tiny),
+    * every inner sum a 0.0-seeded ascending left fold, so the whole
+    * trajectory — including the final sign — is deterministic and
+    * replayed bit-for-bit by the oracle's recursive CTE. Projection
+    * subtracts the mean through the same fold: pc1 = Σqᵢvᵢ − Σ(Sᵢ/n)vᵢ.
+    *
+    * Scale shape: moments are one explode + map-side-combined
+    * groupBy (d² keys); at corpus scale the scatter pass would run on
+    * a hash-capped sample exactly like `kmeansCentroids` training
+    * (fixture n sits below any such cap, so output is unchanged);
+    * the projection is MAP-ONLY — v rides as a literal array, one
+    * codegen'd fold per row, zero exchange.
+    */
+  def pcaProject(embeddings: DataFrame, iters: Int = 20): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val quant = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"))
+    val d = quant.select(size(col("q"))).first().getInt(0)
+    val n = quant.count()
+    val ex = quant.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "vi")))
+    val sArr = new Array[Long](d)
+    ex.groupBy("i").agg(sum(col("vi")).as("s")).collect()
+      .foreach(r => sArr(r.getInt(0)) = r.getLong(1))
+    val gArr = Array.ofDim[Long](d, d)
+    ex.join(ex.select(col("vec_id"), col("i").as("j"), col("vi").as("vj")),
+        Seq("vec_id"))
+      .groupBy("i", "j").agg(sum(col("vi") * col("vj")).as("g")).collect()
+      .foreach(r => gArr(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val b = Array.tabulate(d, d)((i, j) => (n * gArr(i)(j) - sArr(i) * sArr(j)).toDouble)
+    // 0.0-seeded ascending left folds throughout — the oracle's
+    // list_prepend(0.0) + list_reduce replays the identical IEEE chain
+    def fold(xs: Iterator[Double]): Double = {
+      var s = 0.0; xs.foreach(x => s = s + x); s
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i => fold((0 until d).iterator.map(j => b(i)(j) * v(j))))
+      val nrm = math.sqrt(fold(w.iterator.map(x => x * x)))
+      v = w.map(_ / nrm)
+    }
+    val c0 = fold((0 until d).iterator.map(i => sArr(i).toDouble / n.toDouble * v(i)))
+    val vLit = array(v.toIndexedSeq.map(lit): _*)
+    quant.select(col("vec_id"),
+      (aggregate(zip_with(col("q"), vLit, (x, vv) => x.cast("double") * vv),
+        lit(0.0), (acc, x) => acc + x) - lit(c0)).as("pc1"))
+  }
+
   // ------------------------------------------------------------ MIPS
 
   /** Maximum inner-product search, EXACT (the dual-encoder retrieval /

@@ -853,6 +853,31 @@ class DedupSimilaritySpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("pca: recovers the generating direction on collinear data; mean-centered") {
+    // points exactly on a line through direction u: pc1 must be a
+    // perfect affine image of the parameter t (|corr| = 1), centered
+    val d = 64
+    val u = Array.tabulate(d)(i => math.sin(i + 1.0))
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val ts = (0 until 40).map(_.toDouble / 10.0)
+    val rows = ts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, u.map(x => (t * x / un).toFloat))
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pcaProject(e, iters = 20)
+      .orderBy("vec_id").select("pc1").as[Double].collect()
+    assert(out.length == 40)
+    // centered: mean ≈ 0
+    assert(math.abs(out.sum / out.length) < 1e-6, s"mean ${out.sum / out.length}")
+    // perfect linear correlation with t (sign free)
+    val mt = ts.sum / ts.length; val mp = out.sum / out.length
+    val cov = ts.zip(out).map { case (a, b) => (a - mt) * (b - mp) }.sum
+    val va = ts.map(a => (a - mt) * (a - mt)).sum
+    val vb = out.map(b => (b - mp) * (b - mp)).sum
+    val corr = cov / math.sqrt(va * vb)
+    assert(math.abs(corr) > 0.999999, s"corr $corr")
+  }
+
   test("mips: dot ranking differs from cosine by design; shape and determinism hold") {
     // q=[1,0]: a=[0.9,0.1] wins on cosine, b=[3,-0.5] wins on inner
     // product — MIPS must rank b first

@@ -66,6 +66,12 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("pca projection is map-only: the component rides as a literal, zero exchange") {
+    val p = planOf("emb_pca1")
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
   test("keep-first dedup: first-seen window ranks digests, not document text") {
     val p = planOf("dedup_keep_first")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
