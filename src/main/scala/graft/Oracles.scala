@@ -24,6 +24,62 @@ object Oracles {
     * (SURVEY §8) — making the recall claim driver-visible instead of
     * test-only.
     */
+  /** Shared PCA prelude: quantize → exact scatter moments → 20-round
+    * power iteration (recursive CTE) → component `vfin.v` + mean
+    * correction `c0.c`. Callers prepend `WITH RECURSIVE`.
+    */
+  private val PCA_CTES =
+    """q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |nn AS (SELECT count(*) AS n FROM q),
+      |ex AS (
+      |  SELECT vec_id, u.i AS i, u.v AS vi FROM (
+      |    SELECT vec_id,
+      |      unnest(list_transform(range(1, 65),
+      |        i -> {'i': i - 1, 'v': qv[i]})) AS u
+      |    FROM q)),
+      |s AS (SELECT i, CAST(sum(vi) AS BIGINT) AS si FROM ex GROUP BY i),
+      |sl AS (SELECT list(si ORDER BY i) AS sv FROM s),
+      |g AS (
+      |  SELECT a.i AS i, b.i AS j, CAST(sum(a.vi * b.vi) AS BIGINT) AS gij
+      |  FROM ex a JOIN ex b USING (vec_id) GROUP BY a.i, b.i),
+      |br AS (
+      |  SELECT g.i AS i,
+      |    list(CAST(nn.n * g.gij - sa.si * sb.si AS DOUBLE) ORDER BY g.j) AS row
+      |  FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j CROSS JOIN nn
+      |  GROUP BY g.i),
+      |bm AS (SELECT list(row ORDER BY i) AS m FROM br),
+      |it AS (
+      |  SELECT 0 AS t, m,
+      |    list_transform(range(1, 65),
+      |      i -> CAST(1.0 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE))) AS v
+      |  FROM bm
+      |  UNION ALL
+      |  SELECT t + 1, m,
+      |    list_transform(
+      |      list_transform(range(1, 65), i ->
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, 65), j -> m[i][j] * v[j])),
+      |          (a, b) -> a + b)),
+      |      x -> x / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(
+      |          list_transform(range(1, 65), i2 ->
+      |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |              list_transform(range(1, 65), j2 -> m[i2][j2] * v[j2])),
+      |              (a2, b2) -> a2 + b2)),
+      |          y -> y * y)), (a3, b3) -> a3 + b3)))
+      |  FROM it WHERE t < 20),
+      |vfin AS (SELECT v FROM it WHERE t = 20),
+      |c0 AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, 65),
+      |        i -> CAST(sl.sv[i] AS DOUBLE) / CAST(nn.n AS DOUBLE) * vfin.v[i])),
+      |      (a, b) -> a + b) AS c
+      |  FROM sl CROSS JOIN nn CROSS JOIN vfin)""".stripMargin
+
   private val BRUTE_TOPK =
     """WITH q AS (
       |  SELECT vec_id,
@@ -2281,62 +2337,33 @@ object Oracles {
     // as the driver recomputes nothing) replayed in a recursive CTE;
     // projection and mean-correction use the same fold convention.
     "emb_pca1" ->
-      """WITH RECURSIVE q AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |nn AS (SELECT count(*) AS n FROM q),
-        |ex AS (
-        |  SELECT vec_id, u.i AS i, u.v AS vi FROM (
-        |    SELECT vec_id,
-        |      unnest(list_transform(range(1, 65),
-        |        i -> {'i': i - 1, 'v': qv[i]})) AS u
-        |    FROM q)),
-        |s AS (SELECT i, CAST(sum(vi) AS BIGINT) AS si FROM ex GROUP BY i),
-        |sl AS (SELECT list(si ORDER BY i) AS sv FROM s),
-        |g AS (
-        |  SELECT a.i AS i, b.i AS j, CAST(sum(a.vi * b.vi) AS BIGINT) AS gij
-        |  FROM ex a JOIN ex b USING (vec_id) GROUP BY a.i, b.i),
-        |br AS (
-        |  SELECT g.i AS i,
-        |    list(CAST(nn.n * g.gij - sa.si * sb.si AS DOUBLE) ORDER BY g.j) AS row
-        |  FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j CROSS JOIN nn
-        |  GROUP BY g.i),
-        |bm AS (SELECT list(row ORDER BY i) AS m FROM br),
-        |it AS (
-        |  SELECT 0 AS t, m,
-        |    list_transform(range(1, 65),
-        |      i -> CAST(1.0 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE))) AS v
-        |  FROM bm
-        |  UNION ALL
-        |  SELECT t + 1, m,
-        |    list_transform(
-        |      list_transform(range(1, 65), i ->
-        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |          list_transform(range(1, 65), j -> m[i][j] * v[j])),
-        |          (a, b) -> a + b)),
-        |      x -> x / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |        list_transform(
-        |          list_transform(range(1, 65), i2 ->
-        |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |              list_transform(range(1, 65), j2 -> m[i2][j2] * v[j2])),
-        |              (a2, b2) -> a2 + b2)),
-        |          y -> y * y)), (a3, b3) -> a3 + b3)))
-        |  FROM it WHERE t < 20),
-        |vfin AS (SELECT v FROM it WHERE t = 20),
-        |c0 AS (
-        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(range(1, 65),
-        |        i -> CAST(sl.sv[i] AS DOUBLE) / CAST(nn.n AS DOUBLE) * vfin.v[i])),
-        |      (a, b) -> a + b) AS c
-        |  FROM sl CROSS JOIN nn CROSS JOIN vfin)
+      s"""WITH RECURSIVE $PCA_CTES
         |SELECT q.vec_id,
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list_transform(range(1, 65),
         |      i -> CAST(q.qv[i] AS DOUBLE) * vf.v[i])), (a, b) -> a + b)
         |    - c0.c AS pc1
         |FROM q CROSS JOIN vfin vf CROSS JOIN c0""".stripMargin,
+
+    // All-but-the-top residuals: the PCA prelude plus a per-row pc1
+    // CTE, then per-dim (q_i − S_i/n) − pc1·v_i — each term the same
+    // division/product the Spark literals carry.
+    "emb_abtt" ->
+      s"""WITH RECURSIVE $PCA_CTES,
+        |proj AS (
+        |  SELECT q.vec_id, q.qv,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65),
+        |        i -> CAST(q.qv[i] AS DOUBLE) * vf.v[i])), (a, b) -> a + b)
+        |      - c0.c AS pc1
+        |  FROM q CROSS JOIN vfin vf CROSS JOIN c0)
+        |SELECT vec_id, CAST(u.d AS BIGINT) AS dim, u.r AS resid FROM (
+        |  SELECT p.vec_id,
+        |    unnest(list_transform(range(1, 65), i -> {'d': i - 1,
+        |      'r': (CAST(p.qv[i] AS DOUBLE)
+        |              - CAST(sl.sv[i] AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |            - p.pc1 * vf2.v[i]})) AS u
+        |  FROM proj p CROSS JOIN sl CROSS JOIN nn CROSS JOIN vfin vf2)""".stripMargin,
 
     // Exact MIPS: rank by the raw integer dot product (BRUTE_TOPK's
     // shape minus the cosine normalization).

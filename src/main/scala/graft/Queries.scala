@@ -855,6 +855,12 @@ object Queries {
   val embPca1: Q = (s, dir) =>
     Similarity.pcaProject(t(s, dir, "embeddings"), iters = 20)
 
+  /** Extension — all-but-the-top residuals (mean + top-component
+    * removal, Mu & Viswanath 2018), long format per (vec, dim).
+    */
+  val embAbtt: Q = (s, dir) =>
+    Similarity.pcaResiduals(t(s, dir, "embeddings"), iters = 20)
+
   /** Extension — exact maximum-inner-product top-10 (rank by raw
     * integer dot): the dual-encoder scoring face, ground truth for
     * the augmented-IVF scale twin. Tagged baselineOnly.

@@ -215,6 +215,7 @@ object SparkEntry {
     "ts_zscore" -> Queries.tsZscore,
     "ts_ohlc" -> Queries.tsOhlc,
     "emb_norm_stats" -> Queries.embNormStats,
+    "emb_abtt" -> Queries.embAbtt,
     "emb_pca1" -> Queries.embPca1,
     "emb_rp_project" -> Queries.embRpProject,
     "media_profile" -> Queries.mediaProfile,

@@ -492,7 +492,14 @@ object Similarity {
     * the projection is MAP-ONLY — v rides as a literal array, one
     * codegen'd fold per row, zero exchange.
     */
-  def pcaProject(embeddings: DataFrame, iters: Int = 20): DataFrame = {
+  /** Driver-side PCA fit shared by [[pcaProject]] and
+    * [[pcaResiduals]]: quantized table, component v, per-dim sums S,
+    * corpus count n. 0.0-seeded ascending left folds throughout — the
+    * oracle's list_prepend(0.0) + list_reduce replays the identical
+    * IEEE chain.
+    */
+  private def pcaFit(embeddings: DataFrame, iters: Int)
+      : (DataFrame, Array[Double], Array[Long], Long) = {
     require(iters >= 1, "iters must be >= 1")
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val quant = embeddings.select(
@@ -509,22 +516,58 @@ object Similarity {
       .groupBy("i", "j").agg(sum(col("vi") * col("vj")).as("g")).collect()
       .foreach(r => gArr(r.getInt(0))(r.getInt(1)) = r.getLong(2))
     val b = Array.tabulate(d, d)((i, j) => (n * gArr(i)(j) - sArr(i) * sArr(j)).toDouble)
-    // 0.0-seeded ascending left folds throughout — the oracle's
-    // list_prepend(0.0) + list_reduce replays the identical IEEE chain
-    def fold(xs: Iterator[Double]): Double = {
-      var s = 0.0; xs.foreach(x => s = s + x); s
-    }
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     for (_ <- 1 to iters) {
-      val w = Array.tabulate(d)(i => fold((0 until d).iterator.map(j => b(i)(j) * v(j))))
-      val nrm = math.sqrt(fold(w.iterator.map(x => x * x)))
+      val w = Array.tabulate(d)(i =>
+        pcaFold((0 until d).iterator.map(j => b(i)(j) * v(j))))
+      val nrm = math.sqrt(pcaFold(w.iterator.map(x => x * x)))
       v = w.map(_ / nrm)
     }
-    val c0 = fold((0 until d).iterator.map(i => sArr(i).toDouble / n.toDouble * v(i)))
+    (quant, v, sArr, n)
+  }
+
+  private def pcaFold(xs: Iterator[Double]): Double = {
+    var s = 0.0; xs.foreach(x => s = s + x); s
+  }
+
+  def pcaProject(embeddings: DataFrame, iters: Int = 20): DataFrame = {
+    val (quant, v, sArr, n) = pcaFit(embeddings, iters)
+    val d = v.length
+    val c0 = pcaFold((0 until d).iterator.map(i => sArr(i).toDouble / n.toDouble * v(i)))
     val vLit = array(v.toIndexedSeq.map(lit): _*)
     quant.select(col("vec_id"),
       (aggregate(zip_with(col("q"), vLit, (x, vv) => x.cast("double") * vv),
         lit(0.0), (acc, x) => acc + x) - lit(c0)).as("pc1"))
+  }
+
+  /** All-but-the-top residuals (Mu & Viswanath 2018, "All-but-the-Top:
+    * Simple and Effective Postprocessing for Word Representations"):
+    * embedding spaces concentrate mass in their mean and a few
+    * dominant directions that encode corpus-frequency artifacts, not
+    * meaning; subtracting the mean and the projection onto the top
+    * component measurably improves similarity tasks. Emits the long
+    * format `(vec_id, dim, resid)` with
+    * resid_i = (q_i − S_i/n) − pc1·v_i, every term the same fold/
+    * literal discipline as [[pcaProject]] so the oracle replays it
+    * exactly. Map-only: mean, component, and the per-row pc1 all live
+    * inside one codegen'd projection, zero exchange.
+    */
+  def pcaResiduals(embeddings: DataFrame, iters: Int = 20): DataFrame = {
+    val (quant, v, sArr, n) = pcaFit(embeddings, iters)
+    val d = v.length
+    val c0 = pcaFold((0 until d).iterator.map(i => sArr(i).toDouble / n.toDouble * v(i)))
+    val vLit = array(v.toIndexedSeq.map(lit): _*)
+    val pc1 = aggregate(zip_with(col("q"), vLit, (x, vv) => x.cast("double") * vv),
+      lit(0.0), (acc, x) => acc + x) - lit(c0)
+    val comps = (0 until d).map { i =>
+      struct(lit(i.toLong).as("dim"),
+        ((element_at(col("q"), i + 1).cast("double")
+          - lit(sArr(i).toDouble / n.toDouble))
+          - col("__pc1") * lit(v(i))).as("resid"))
+    }
+    quant.withColumn("__pc1", pc1)
+      .select(col("vec_id"), explode(array(comps.toIndexedSeq: _*)).as("e"))
+      .select(col("vec_id"), col("e.dim").as("dim"), col("e.resid").as("resid"))
   }
 
   // ------------------------------------------------------------ MIPS
