@@ -2451,6 +2451,93 @@ object Oracles {
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
 
+    // MIPS recall contract: the sim_mips_ivf CTEs with the full query
+    // cell ranking (crank), the budget grid of sim_recall_report_ivf,
+    // and exact-dot truth — every arm integer, fully replayed.
+    "sim_mips_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q),
+        |m AS (SELECT max(nsq) AS m2 FROM n),
+        |aug AS (
+        |  SELECT n.vec_id, n.qv,
+        |    list_append(n.qv,
+        |      CAST(floor(sqrt(CAST(m.m2 - n.nsq AS DOUBLE))) AS BIGINT)) AS qa
+        |  FROM n CROSS JOIN m),
+        |cseed AS (
+        |  SELECT qa AS cv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM (SELECT vec_id, qa FROM aug ORDER BY vec_id LIMIT 8)),
+        |cseedn AS (
+        |  SELECT cell, cv,
+        |    CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn
+        |  FROM cseed),
+        |cdist AS (
+        |  SELECT a.vec_id, s.cell,
+        |    s.cn - 2 * CAST(list_sum(list_transform(range(1, len(a.qa) + 1),
+        |      i -> a.qa[i] * s.cv[i])) AS BIGINT) AS d
+        |  FROM aug a CROSS JOIN cseedn s),
+        |cellasg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |qdist AS (
+        |  SELECT nq.vec_id, s.cell,
+        |    s.cn - 2 * CAST(list_sum(list_transform(range(1, len(nq.qv) + 1),
+        |      i -> nq.qv[i] * s.cv[i])) AS BIGINT) AS d
+        |  FROM (SELECT vec_id, qv FROM q WHERE vec_id IN (0, 1, 2, 3, 4)) nq
+        |  CROSS JOIN cseedn s),
+        |prnk AS (
+        |  SELECT vec_id AS qid, cell, CAST(rn AS BIGINT) AS crank FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM qdist)),
+        |cand AS (
+        |  SELECT p.qid, c.vec_id AS nid, p.crank,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> cn2.qv[i] * pq.qv[i])) AS BIGINT) AS dot
+        |  FROM prnk p
+        |  JOIN cellasg c ON c.cell = p.cell
+        |  JOIN q cn2 ON cn2.vec_id = c.vec_id
+        |  JOIN q pq ON pq.vec_id = p.qid
+        |  WHERE c.vec_id != p.qid),
+        |bud AS (SELECT CAST(b AS BIGINT) AS nprobe FROM (VALUES (1), (2), (4), (8)) v(b)),
+        |rk AS (
+        |  SELECT b.nprobe, c.qid, c.nid,
+        |    row_number() OVER (PARTITION BY b.nprobe, c.qid
+        |      ORDER BY c.dot DESC, c.nid) AS rnk
+        |  FROM cand c JOIN bud b ON b.nprobe >= c.crank),
+        |sel AS (SELECT nprobe, qid, nid FROM rk WHERE rnk <= 10),
+        |bscored AS (
+        |  SELECT p.qid, c.vec_id AS nid,
+        |    CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+        |      i -> c.qv[i] * p.pv[i])) AS BIGINT) AS dot
+        |  FROM q c, (SELECT vec_id AS qid, qv AS pv FROM q
+        |             WHERE vec_id IN (0, 1, 2, 3, 4)) p
+        |  WHERE c.vec_id != p.qid),
+        |truth AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+        |    FROM bscored) WHERE rnk <= 10),
+        |hits AS (
+        |  SELECT s.nprobe, s.qid, CAST(count(*) AS BIGINT) AS nh
+        |  FROM sel s JOIN truth t ON t.qid = s.qid AND t.nid = s.nid
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT b.nprobe, qq.qid FROM bud b
+        |  CROSS JOIN (SELECT DISTINCT vec_id AS qid FROM embeddings
+        |              WHERE vec_id IN (0, 1, 2, 3, 4)) qq)
+        |SELECT g.nprobe, g.qid, coalesce(h.nh, CAST(0 AS BIGINT)) AS n_hit,
+        |  round(CAST(coalesce(h.nh, 0) AS DOUBLE) / 10, 6) AS recall
+        |FROM grid g LEFT JOIN hits h ON h.nprobe = g.nprobe AND h.qid = g.qid""".stripMargin,
+
     // IVF-flat at a PARTIAL probe (2 of 8 seed cells): assignment and
     // probe ranking exact-integer, within-cell scoring the exact
     // quantized cosine — the approximation itself is oracle-certified

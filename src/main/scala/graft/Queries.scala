@@ -877,6 +877,13 @@ object Queries {
     Similarity.mipsIvfTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
       nlist = 8, nprobe = 2)
 
+  /** Extension — MIPS recall contract: augmented-IVF top-10 at probe
+    * budgets 1/2/4/8 joined against exact-dot ground truth.
+    */
+  val simMipsRecall: Q = (s, dir) =>
+    Similarity.mipsRecallReport(t(s, dir, "embeddings"),
+      Seq(0L, 1L, 2L, 3L, 4L), 10, nlist = 8, budgets = Seq(1, 2, 4, 8))
+
   val simIvfPartial: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10,

@@ -119,6 +119,7 @@ object SparkEntry {
     "sim_sq_topk" -> Queries.simSqTopk,
     "sim_ivf_partial" -> Queries.simIvfPartial,
     "sim_mips_topk" -> Queries.simMipsTopk,
+    "sim_mips_recall" -> Queries.simMipsRecall,
     "sim_mips_ivf" -> Queries.simMipsIvf,
     "sim_lsh_partial" -> Queries.simLshPartial,
     "sim_recall_report" -> Queries.simRecallReport,

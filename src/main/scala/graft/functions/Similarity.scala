@@ -619,9 +619,15 @@ object Similarity {
     * Scale shape: one 1-row max-norm aggregate, one corpus shuffle by
     * cell, broadcast query side, codegen'd integer dots throughout.
     */
-  def mipsIvfTopK(
-      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+  /** Shared augmented-IVF prelude for the MIPS family: quantized
+    * table, corpus assigned to augmented seed cells, the augmented
+    * centroids, and the sorted (distance, cell) struct array a query
+    * ranks cells by — dot over the UNPADDED prefix, norm over the
+    * FULL augmented centroid (queries are zero-padded by
+    * construction).
+    */
+  private def mipsAugCells(embeddings: DataFrame, nlist: Int)
+      : (DataFrame, DataFrame, Column) = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val quant = embeddings.select(
       col("vec_id"), quantized(col("embedding")).as("q"),
@@ -634,8 +640,6 @@ object Similarity {
     val cents = aug.orderBy(col("vec_id")).limit(nlist)
       .select(col("qa")).collect().map(_.getSeq[Long](0).toArray)
     val celled = aug.withColumn("cell", cellOf(col("qa"), cents))
-    // query→cell distance through the zero pad: dot over the UNPADDED
-    // prefix, norm over the FULL augmented centroid
     val qCellScores = cents.zipWithIndex.map { case (c, i) =>
       val pref = array(c.dropRight(1).map(lit).toIndexedSeq: _*)
       val cNorm = c.map(x => x * x).sum
@@ -644,12 +648,17 @@ object Similarity {
           .as("d"),
         lit(i).as("cell"))
     }
-    val probeCells = slice(array_sort(array(qCellScores.toIndexedSeq: _*)),
-      1, nprobe).getField("cell")
+    (quant, celled, array_sort(array(qCellScores.toIndexedSeq: _*)))
+  }
+
+  def mipsIvfTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    val (quant, celled, cellRanking) = mipsAugCells(embeddings, nlist)
     val queries = quant
       .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
       .select(col("vec_id").as("qid"), col("q").as("qv"),
-        explode(probeCells).as("cell"))
+        explode(slice(cellRanking, 1, nprobe).getField("cell")).as("cell"))
     val scored = celled.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -658,6 +667,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("dot"))
+  }
+
+  /** MIPS face of the recall contract ([[ivfRecallReport]]'s shape on
+    * augmented cells): per probe budget, the augmented-IVF top-k
+    * joined against [[mipsTopK]] ground truth — both arms exact
+    * integer arithmetic, so the whole report is oracle-replayable and
+    * the driver can trend the Bachrach/Neyshabur reduction's quality
+    * across rounds. One corpus join serves every budget (a neighbor's
+    * budget membership is `crank ≤ nprobe`).
+    */
+  def mipsRecallReport(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int, budgets: Seq[Int]): DataFrame = {
+    val session = embeddings.sparkSession
+    import session.implicits._
+    require(budgets.nonEmpty && budgets == budgets.distinct.sorted,
+      s"budgets must be distinct ascending, got $budgets")
+    require(budgets.head >= 1 && budgets.max <= nlist,
+      s"nprobe budgets must sit in [1, nlist=$nlist]")
+    val (quant, celled, cellRanking) = mipsAugCells(embeddings, nlist)
+    val queries = quant
+      .filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        posexplode(cellRanking.getField("cell")).as(Seq("__p", "cell")))
+      .select(col("qid"), col("qv"), (col("__p") + 1).as("crank"), col("cell"))
+    val cands = celled.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("crank"),
+        call_function("graft_dot", col("q"), col("qv")).as("dot"))
+    val budgeted = cands.select(col("qid"), col("nid"), col("dot"),
+      explode(filter(array(budgets.map(b => lit(b)): _*),
+        b => b >= col("crank"))).as("nprobe"))
+    val w = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("dot").desc, col("nid"))
+    val ranked = budgeted.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).select("nprobe", "qid", "nid")
+    val truth = mipsTopK(embeddings, queryIds, k).select("qid", "nid")
+    val hits = ranked.join(truth, Seq("qid", "nid"))
+      .groupBy("nprobe", "qid").agg(count(lit(1)).as("n_hit"))
+    val grid = budgets.flatMap(b => queryIds.map(q => (b, q)))
+      .toDF("nprobe", "qid")
+    grid.join(hits, Seq("nprobe", "qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("nprobe").cast("long").as("nprobe"), col("qid"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / lit(k.toDouble), 6).as("recall"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity

@@ -125,6 +125,7 @@ class PlanQualitySpec extends SparkSpec {
       "sim_mips_topk",                               // tagged baselineOnly
       "sim_pq_topk", "sim_sq_topk", "sim_rerank_topk", // ADC scans: queries×corpus by design
       "sim_recall_report", "sim_recall_report_ivf",  // truth arm = brute pass
+      "sim_mips_recall",                             // truth arm = brute dot pass
       "decon_semantic",                              // broadcast eval side, zero shuffle
       "graph_triangles",                             // degree-ordered probe broadcast
     )
