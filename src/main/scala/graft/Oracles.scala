@@ -1542,6 +1542,36 @@ object Oracles {
          |    (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * acc), 4) AS ewma
          |FROM v""".stripMargin,
 
+    // Classical additive decomposition: interior 25-row centered MA,
+    // scaled detrended integers, hour-profile join-back — each double
+    // one fixed tree over exact integers.
+    "ts_decompose" ->
+      s"""WITH e AS (
+         |  SELECT event_type AS tbl, ts, event_id, value,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |    hour(ts) AS hh
+         |  FROM events WHERE $V AND value IS NOT NULL),
+         |w AS (
+         |  SELECT tbl, ts, event_id, value, c, hh,
+         |    CAST(sum(c) OVER fr AS BIGINT) AS sw,
+         |    count(c) OVER fr AS nw
+         |  FROM e
+         |  WINDOW fr AS (PARTITION BY tbl ORDER BY ts, event_id
+         |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         |i AS (
+         |  SELECT *, 25 * c - sw AS det FROM w WHERE nw = 25),
+         |p AS (
+         |  SELECT tbl, hh, CAST(sum(det) AS BIGINT) AS sd, count(*) AS nh
+         |  FROM i GROUP BY tbl, hh)
+         |SELECT i.tbl AS "table", i.ts, i.event_id AS log_id, i.value,
+         |  CAST(i.sw AS DOUBLE) / CAST(2500 AS DOUBLE) AS trend,
+         |  CAST(p.sd AS DOUBLE) / (CAST(p.nh AS DOUBLE) * CAST(2500 AS DOUBLE))
+         |    AS seasonal,
+         |  CAST(i.det AS DOUBLE) / CAST(2500 AS DOUBLE)
+         |    - CAST(p.sd AS DOUBLE) / (CAST(p.nh AS DOUBLE) * CAST(2500 AS DOUBLE))
+         |    AS remainder
+         |FROM i JOIN p ON p.tbl = i.tbl AND p.hh = i.hh""".stripMargin,
+
     // Holt double exponential smoothing: the same trailing-window left
     // fold as ts_ewma, replayed step-by-step in a RECURSIVE CTE (the
     // tok_bpe_merges unroll pattern) rather than list_reduce — DuckDB

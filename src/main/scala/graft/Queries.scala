@@ -435,6 +435,16 @@ object Queries {
       .select("log_id", "rsbsa_no", "ts", "value", "n_obs",
         "level", "trend", "forecast")
 
+  /** Extension — classical additive decomposition per event-type
+    * series: 25-row centered-MA trend, hour-of-day seasonal of the
+    * detrended values, remainder; interior rows only, every double one
+    * fixed tree over exact integers.
+    */
+  val tsDecompose: Q = (s, dir) =>
+    graft.operators.TimeSeries.decompose(
+      Readers.validChangeLog(s, dir),
+      key = "table", ts = "ts", id = "log_id", value = "value")
+
   /** Hour-of-day seasonal decomposition per event type: exact-cents
     * seasonal means (partitioning-independent), broadcast profile
     * join-back, per-event residuals.

@@ -194,6 +194,7 @@ object SparkEntry {
     "session_windows" -> Queries.sessionWindows,
     "concurrent_sessions" -> Queries.concurrentSessions,
     "ts_acf" -> Queries.tsAcf,
+    "ts_decompose" -> Queries.tsDecompose,
     "ts_holt" -> Queries.tsHolt,
     "ts_gapfill" -> Queries.tsGapfill,
     "text_quality_score" -> Queries.textQualityScore,

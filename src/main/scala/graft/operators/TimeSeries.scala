@@ -163,6 +163,52 @@ object TimeSeries {
         col("e.n_pairs").as("n_pairs"), col("e.acf").as("acf"))
   }
 
+  /** Classical additive decomposition (the moving-average STL
+    * ancestor): value = trend + seasonal + remainder, with the trend a
+    * CENTERED (2·half+1)-row moving average, the seasonal component
+    * the hour-of-day mean of the detrended series, and the remainder
+    * what's left. Rows whose centered window is incomplete (the first/
+    * last `half` per series) are DROPPED — the standard
+    * classical-decomposition edge behavior, and what keeps
+    * the arithmetic exact: interior windows have EXACTLY 2·half+1
+    * rows, so the scaled detrended value (2·half+1)·c − Σw is an
+    * exact-integer long, the per-(series, hour) seasonal numerator is
+    * an exact-integer sum, and every emitted double is ONE fixed FP
+    * tree over exact integers (the `ts_seasonal` discipline; no
+    * order-dependent double aggregation anywhere).
+    *
+    * The row-centered MA assumes roughly regular sampling — compose
+    * with [[gapFillHourly]] first when the stream has holes.
+    *
+    * Scale shape: one key shuffle shared by the window and the
+    * join-back; the seasonal profile is series×24 rows, broadcast.
+    */
+  def decompose(df: DataFrame, key: String, ts: String, id: String,
+      value: String, half: Int = 12): DataFrame = {
+    require(half >= 1, "half window must be >= 1")
+    val width = 2 * half + 1
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(id))
+      .rowsBetween(-half, half)
+    val base = df.filter(col(value).isNotNull)
+      .select(col(key), col(ts), col(id), col(value),
+        (col(value).cast("decimal(18,2)") * 100).cast("long").as("__c"),
+        hour(col(ts)).as("__hh"))
+      .withColumn("__sw", sum(col("__c")).over(w))
+      .withColumn("__nw", count(col("__c")).over(w))
+    val interior = base.filter(col("__nw") === width)
+      .withColumn("__det", lit(width.toLong) * col("__c") - col("__sw"))
+    val prof = interior.groupBy(col(key), col("__hh"))
+      .agg(sum(col("__det")).as("__sd"), count(lit(1)).as("__nh"))
+    val joined = interior.join(broadcast(prof), Seq(key, "__hh"))
+    val scale = lit((width * 100).toDouble)
+    val seasonal = col("__sd").cast("double") /
+      (col("__nh").cast("double") * scale)
+    joined.select(col(key), col(ts), col(id), col(value),
+      (col("__sw").cast("double") / scale).as("trend"),
+      seasonal.as("seasonal"),
+      (col("__det").cast("double") / scale - seasonal).as("remainder"))
+  }
+
   /** Seasonal decomposition against an hour-of-day profile: per
     * (series, hour) seasonal means and per-observation residuals —
     * the classic detrending step before anomaly scoring or

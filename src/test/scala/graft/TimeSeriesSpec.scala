@@ -115,6 +115,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c.length == 2 && c.forall(_.isNullAt(3)))
   }
 
+  test("decompose: components sum back to the value; edges dropped; trend flat on linear data") {
+    import java.sql.Timestamp
+    // hourly ticks: linear trend + deterministic hour wobble
+    val rows = (0 until 120).map { i =>
+      val t = Timestamp.valueOf(f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00")
+      (1L, i.toLong, t, 100.0 + 0.5 * i + (if (i % 24 < 12) 5.0 else -5.0))
+    }
+    val df = rows.toDF("k", "t", "ts", "v")
+      .select(col("k"), col("t").as("id"), col("ts"), col("v"))
+    val out = TimeSeries.decompose(df, "k", "ts", "id", "v", half = 12)
+      .collect()
+    // 120 rows minus 12 at each edge
+    assert(out.length == 120 - 24)
+    for (r <- out) {
+      val v = r.getAs[Double]("v")
+      val sum = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("remainder")
+      assert(math.abs(v - sum) < 1e-9, s"decomposition identity: $v vs $sum")
+    }
+    // a 25-row centered MA of trend+wobble: the wobble has period 24,
+    // so the MA is nearly linear — successive trend deltas ≈ 0.5
+    val tr = out.sortBy(_.getAs[Long]("id")).map(_.getAs[Double]("trend"))
+    for (i <- 1 until tr.length)
+      assert(math.abs(tr(i) - tr(i - 1) - 0.5) < 0.5, s"trend jump at $i")
+  }
+
   test("transitionMatrix: per-key ordered steps, row-normalized probabilities") {
     // user 1: a→b→a→b  (a→b ×2, b→a ×1); user 2: a→a→c (a→a, a→c)
     val e = Seq(
