@@ -4399,6 +4399,21 @@ object Oracles {
         |  CAST(levenshtein(lang, 'en') AS BIGINT) AS lang_dist
         |FROM documents""".stripMargin,
 
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "w8_ntile_deciles" ->
+      """WITH d AS (
+        |  SELECT o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_orders,
+        |  min(o_totalprice) AS price_lo, max(o_totalprice) AS price_hi
+        |FROM d GROUP BY decile""".stripMargin,
+
     "rollup_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue

@@ -2020,6 +2020,36 @@ object Queries {
       levenshtein(col("lang"), lit("en")).cast("long").as("lang_dist"))
 
   /** Extension — ROLLUP revenue (grouping-sets surface). */
+  /** Extension — explicit GROUPING SETS (the third member of the
+    * rollup/cube family: arbitrary, non-hierarchical grouping
+    * combinations in one scan — here per-status, per-priority, and
+    * the grand total, which neither rollup nor cube expresses without
+    * emitting unwanted combinations).
+    */
+  val aggGroupingSets: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** Extension — decile banding via ntile (the remaining ranking
+    * window primitive): orders split into 10 equal-count bands by
+    * (price, key) total order; per-band count and exact price
+    * bounds.
+    */
+  val w8NtileDeciles: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+          .cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("price_lo"),
+        max(col("o_totalprice")).as("price_hi"))
+
   val rollupRevenue: Q = (s, dir) => {
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")

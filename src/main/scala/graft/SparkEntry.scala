@@ -55,6 +55,7 @@ object SparkEntry {
     "skew_salted_agg" -> Queries.skewSaltedAgg,
     "skew_salted_join" -> Queries.skewSaltedJoin,
     "w6_lag_delta" -> Queries.w6LagDelta,
+    "w8_ntile_deciles" -> Queries.w8NtileDeciles,
     "w7_daily_share" -> Queries.w7DailyShare,
     "user_event_sequence" -> Queries.userEventSequence,
     "seq_transitions" -> Queries.seqTransitions,
@@ -144,6 +145,7 @@ object SparkEntry {
     "tok_unigram_trained" -> Queries.tokUnigramTrained,
     "layout_zorder" -> Queries.layoutZorder,
     "dq_expectations" -> Queries.dqExpectations,
+    "agg_grouping_sets" -> Queries.aggGroupingSets,
     "agg_heavy_hitters" -> Queries.aggHeavyHitters,
     "agg_heavy_hitters_sketch" -> Queries.aggHeavyHittersSketch,
     "tokenize_publish" -> Queries.tokenizePublish,
