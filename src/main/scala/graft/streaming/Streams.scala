@@ -259,6 +259,64 @@ object Streams {
       }
   }
 
+  /** Streaming Holt smoothing — the incremental face of
+    * [[graft.operators.TimeSeries.holt]]: per-key state is the same
+    * `lookback`-bounded ring of exact CENTS the z-score stream keeps
+    * (≤ lookback longs per key, never events), and each arrival
+    * re-folds its ring with the batch operator's exact lambda
+    * arithmetic — so on chronological replay the emitted (level,
+    * trend, forecast) are BIT-IDENTICAL to the batch windowed fold
+    * (integer-cents ÷ 100 reproduces the 2-decimal DECIMAL→DOUBLE
+    * cast exactly; spec-proven incl. across a restart). In-batch rows
+    * process in (ts, log_id) order; across batches the arrival-order
+    * contract applies and the batch operator stays the replayable
+    * source of truth ([[anomalyStream]]'s discipline, including its
+    * NoTimeout-by-default rationale).
+    */
+  def holtStream(
+      log: DataFrame, alpha: Double = 0.3, gamma: Double = 0.1,
+      lookback: Int = 20, idleTimeoutMs: Long = 0L)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double, Long, Double, Double, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = log.sparkSession
+    import spark.implicits._
+    val na = 1.0 - alpha; val ng = 1.0 - gamma
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    log
+      .filter(col("value").isNotNull)
+      .select(col("log_id").cast("long"), col("rsbsa_no").cast("long"),
+        unix_micros(col("ts").cast("timestamp")), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], (Long, Long, Double, Long, Double, Double, Double)](
+        OutputMode.Append(), timeoutConf) {
+        case (key, rows, state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var ring = state.getOption.getOrElse(Nil) // oldest → newest cents
+            val out = rows.toSeq.sortBy(r => (r._3, r._1)).map {
+              case (id, _, _, v) =>
+                ring = (ring :+ math.round(v * 100.0)).takeRight(lookback)
+                val vals = ring.map(_ / 100.0)
+                // the batch fold verbatim: l₁ = x₁, b₁ = 0, then the
+                // identical IEEE multiply-add chain per element
+                var l = vals.head; var b = 0.0
+                for (x <- vals.tail) {
+                  val ln = alpha * x + na * (l + b)
+                  b = gamma * (ln - l) + ng * b
+                  l = ln
+                }
+                (id, key, v, vals.size.toLong, l, b, l + b)
+            }
+            state.update(ring)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming next-fit packing — the incremental face of
     * [[graft.functions.Packing.packNoSplitCounts]] for an ingest
     * pipeline: documents arrive as (doc_id, n_tokens), key by

@@ -209,6 +209,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_._3), "fixture should contain an anomaly")
   }
 
+  test("streaming Holt is bit-identical to the batch windowed fold across batches") {
+    import java.sql.Timestamp
+    def tsm(m: Int) = Timestamp.valueOf(f"2026-01-01 01:$m%02d:00")
+    // two keys, values strictly 2-decimal (the cents-ring contract);
+    // series longer than lookback so truncation is exercised
+    // cents-first construction (c / 100.0): the cents ring's replay of
+    // DECIMAL(18,2)→DOUBLE is exact only for values that ARE 2-decimal
+    // doubles — 10.0 + 1.37*k would differ from its decimal roundtrip
+    // by an ulp and the contract doesn't cover such inputs
+    val rows = (0 until 15).map(i =>
+      (i.toLong, 7L, "t", tsm(i), (1000L + 137L * (i % 5)) / 100.0)) ++
+      (0 until 12).map(i => (100L + i, 8L, "t", tsm(i), (525L + 50L * i) / 100.0))
+    val df = rows.toDF("log_id", "rsbsa_no", "table", "ts", "value")
+    val batch = graft.operators.TimeSeries
+      .holt(df, "rsbsa_no", "ts", "log_id", "value",
+        alpha = 0.3, gamma = 0.1, lookback = 8)
+      .select("log_id", "n_obs", "level", "trend", "forecast")
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-holt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-holt-ckpt").toString
+    val stream = spark.readStream.schema(df.schema).parquet(s"$dir/*")
+    val q = Streams.holtStream(stream, alpha = 0.3, gamma = 0.1, lookback = 8)
+      .toDF("log_id", "rsbsa_no", "value", "n_obs", "level", "trend", "forecast")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("holt_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val (b1, b2) = rows.partition(_._4.getTime < tsm(8).getTime)
+      b1.toDF("log_id", "rsbsa_no", "table", "ts", "value")
+        .coalesce(1).write.parquet(s"$dir/b1.parquet")
+      q.processAllAvailable()
+      b2.toDF("log_id", "rsbsa_no", "table", "ts", "value")
+        .coalesce(1).write.parquet(s"$dir/b2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("holt_out")
+      .select("log_id", "n_obs", "level", "trend", "forecast")
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(streamed == batch,
+      s"stream=${streamed.toSeq.sortBy(_._1)}\nbatch=${batch.toSeq.sortBy(_._1)}")
+  }
+
   test("streaming z-score ring state survives a query restart (checkpoint recovery)") {
     import java.sql.Timestamp
     def tsm(m: Int) = Timestamp.valueOf(f"2026-01-01 01:$m%02d:00")
