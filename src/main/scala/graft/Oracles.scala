@@ -1463,6 +1463,45 @@ object Oracles {
         |  count(*) OVER (PARTITION BY entity_id) AS n_recs
         |FROM comp""".stripMargin,
 
+    // Golden record: the er_entities reachability CTE, then the
+    // survivorship aggregates — decimal-exact merged balance, distinct
+    // segment count, survivor name from the component-min record.
+    "er_golden_record" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS nm,
+        |    c_nationkey AS nk, c_mktsegment AS seg,
+        |    c_acctbal AS bal FROM customer),
+        |p AS (
+        |  SELECT a.id AS a_id, b.id AS b_id
+        |  FROM c a JOIN c b ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
+        |  WHERE levenshtein(a.nm, b.nm) <= 2),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM p
+        |  UNION SELECT b_id, a_id FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+        |comp AS (SELECT id AS rec_id, min(r) AS entity_id FROM reach GROUP BY id),
+        |merged AS (
+        |  SELECT comp.entity_id, count(*) AS n_recs,
+        |    CAST(sum(CAST(c.bal AS DECIMAL(12,2))) AS DOUBLE) AS merged_acctbal,
+        |    count(DISTINCT c.seg) AS n_segments
+        |  FROM comp JOIN c ON c.id = comp.rec_id
+        |  GROUP BY comp.entity_id)
+        |SELECT m.entity_id, s.nm AS survivor_name, m.n_recs,
+        |  m.merged_acctbal, m.n_segments
+        |FROM merged m JOIN c s ON s.id = m.entity_id""".stripMargin,
+
+    // Incremental dedup: delta (odd ids) fingerprints anti-joined
+    // against history (even ids), first-wins within the delta.
+    "dedup_incremental" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+        |delta AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1)
+        |SELECT d.fp, min(d.doc_id) AS keep_id, count(*) AS n_delta_copies
+        |FROM delta d ANTI JOIN hist h ON h.fp = d.fp
+        |GROUP BY d.fp""".stripMargin,
+
     // Markov transitions: exact counts; window sum cast to BIGINT
     // before the single double division (DuckDB window sums go
     // HUGEINT).

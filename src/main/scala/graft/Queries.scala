@@ -643,6 +643,49 @@ object Queries {
       col("c_custkey"), col("c_name"),
       struct(col("c_nationkey"), col("c_mktsegment")), maxDist = 2)
 
+  /** Extension — golden-record survivorship (the step AFTER entity
+    * resolution: one canonical record per multi-record entity).
+    * Deterministic rules: the survivor row is the component-min
+    * record (its name carries), balances MERGE as an exact decimal
+    * sum, and segment spread is counted — each rule a
+    * partitioning-independent aggregate, no "pick any" anywhere.
+    */
+  val erGoldenRecord: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val ents = graft.operators.Linkage.resolveEntities(cust,
+      col("c_custkey"), col("c_name"),
+      struct(col("c_nationkey"), col("c_mktsegment")), maxDist = 2)
+    val merged = ents.join(cust, ents("rec_id") === cust("c_custkey"))
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_recs"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double")
+          .as("merged_acctbal"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+    merged
+      .join(cust.select(col("c_custkey"),
+        col("c_name").as("survivor_name")),
+        merged("entity_id") === col("c_custkey"))
+      .select("entity_id", "survivor_name", "n_recs",
+        "merged_acctbal", "n_segments")
+  }
+
+  /** Extension — incremental (delta-vs-history) exact dedup: the
+    * ingestion-pipeline face of `dedup_exact` — a new batch keeps
+    * only fingerprints history has never seen, then first-wins within
+    * the batch. History = even doc_ids, delta = odd (a deterministic
+    * fixture split). Only 16-byte digests shuffle or join.
+    */
+  val dedupIncremental: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val histFp = docs.filter(col("doc_id") % 2 === 0)
+      .select(TextAnalysis.fingerprintMd5(col("text")).as("fp")).distinct()
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .join(histFp, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_delta_copies"))
+  }
+
   /** Extension — first-order Markov transition matrix over each
     * user's event-type sequence: counts + row-normalized
     * probabilities for every observed (state → next state) step.

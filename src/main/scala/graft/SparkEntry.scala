@@ -69,6 +69,7 @@ object SparkEntry {
     "graph_khop" -> Queries.graphKhop,
     "er_fuzzy_pairs" -> Queries.erFuzzyPairs,
     "er_sorted_neighbors" -> Queries.erSortedNeighbors,
+    "er_golden_record" -> Queries.erGoldenRecord,
     "er_entities" -> Queries.erEntities,
     "rfm_segments" -> Queries.rfmSegments,
     "ts_ewma" -> Queries.tsEwma,
@@ -96,6 +97,7 @@ object SparkEntry {
     "sim_knn_graph" -> Queries.simKnnGraph,
     "dedup_semantic" -> Queries.dedupSemantic,
     "dedup_hot_spans" -> Queries.dedupHotSpans,
+    "dedup_incremental" -> Queries.dedupIncremental,
     "dedup_keep_first" -> Queries.dedupKeepFirst,
     "dedup_minhash_est" -> Queries.dedupMinhashEst,
     "dedup_span_removal" -> Queries.dedupSpanRemoval,
