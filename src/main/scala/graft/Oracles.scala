@@ -1581,6 +1581,26 @@ object Oracles {
          |    (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * acc), 4) AS ewma
          |FROM v""".stripMargin,
 
+    // Hampel MAD outliers: even-cents median (integer-valued double),
+    // exact deviations, MAD on .0/.5 halves — single-tree threshold
+    // and robust-z division.
+    "ts_mad_outliers" ->
+      s"""WITH e AS (
+         |  SELECT event_type AS tbl, event_id, value,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 2 AS c2
+         |  FROM events WHERE $V AND value IS NOT NULL),
+         |m AS (SELECT tbl, quantile_cont(c2, 0.5) AS med2 FROM e GROUP BY tbl),
+         |d AS (
+         |  SELECT e.tbl, e.event_id, e.value,
+         |    abs(CAST(e.c2 AS DOUBLE) - m.med2) AS dev2
+         |  FROM e JOIN m USING (tbl)),
+         |md AS (SELECT tbl, quantile_cont(dev2, 0.5) AS mad2 FROM d GROUP BY tbl)
+         |SELECT d.tbl AS "table", d.event_id AS log_id, d.value,
+         |  d.dev2 / (CAST(1.4826 AS DOUBLE) * md.mad2) AS robust_z
+         |FROM d JOIN md USING (tbl)
+         |WHERE md.mad2 > CAST(0.0 AS DOUBLE)
+         |  AND d.dev2 > (CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)) * md.mad2""".stripMargin,
+
     // Classical additive decomposition: interior 25-row centered MA,
     // scaled detrended integers, hour-profile join-back — each double
     // one fixed tree over exact integers.

@@ -435,6 +435,14 @@ object Queries {
       .select("log_id", "rsbsa_no", "ts", "value", "n_obs",
         "level", "trend", "forecast")
 
+  /** Extension — Hampel MAD outliers per event-type series (the
+    * robust, masking-proof complement of `ts_zscore`).
+    */
+  val tsMadOutliers: Q = (s, dir) =>
+    graft.operators.TimeSeries.madOutliers(
+      Readers.validChangeLog(s, dir),
+      key = "table", ts = "ts", id = "log_id", value = "value")
+
   /** Extension — classical additive decomposition per event-type
     * series: 25-row centered-MA trend, hour-of-day seasonal of the
     * detrended values, remainder; interior rows only, every double one

@@ -199,6 +199,7 @@ object SparkEntry {
     "concurrent_sessions" -> Queries.concurrentSessions,
     "ts_acf" -> Queries.tsAcf,
     "ts_decompose" -> Queries.tsDecompose,
+    "ts_mad_outliers" -> Queries.tsMadOutliers,
     "ts_holt" -> Queries.tsHolt,
     "ts_gapfill" -> Queries.tsGapfill,
     "text_quality_score" -> Queries.textQualityScore,

@@ -163,6 +163,43 @@ object TimeSeries {
         col("e.n_pairs").as("n_pairs"), col("e.acf").as("acf"))
   }
 
+  /** MAD-based robust outliers per series (Hampel's rule): flag rows
+    * where |x − median| > 3·1.4826·MAD — the robust complement of
+    * [[rollingZScore]], whose mean/stddev a single extreme value can
+    * drag far enough to mask itself (median and MAD have a 50%
+    * breakdown point; 1.4826 is the Gaussian consistency constant).
+    *
+    * Exactness: values double to EVEN cents (2c), so the interpolated
+    * median is an integer-valued double, |2c − med2| is exact, and the
+    * MAD of those deviations lands on .0/.5 — all exactly
+    * representable, so the single-tree threshold compare and robust-z
+    * division are bit-identical across engines. Zero-MAD (constant-
+    * majority) series are dropped rather than divided by zero.
+    *
+    * Scale shape: two map-side-combined per-series aggregations (the
+    * exact `percentile` keeps per-key state proportional to distinct
+    * VALUES — cents-bounded here; swap `approx_percentile` for
+    * unbounded-domain series) and two 1-row-per-series broadcast
+    * join-backs.
+    */
+  def madOutliers(df: DataFrame, key: String, ts: String, id: String,
+      value: String, k: Double = 3.0): DataFrame = {
+    val base = df.filter(col(value).isNotNull)
+      .select(col(key), col(id), col(value),
+        ((col(value).cast("decimal(18,2)") * 100).cast("long") * 2).as("__c2"))
+    val med = base.groupBy(col(key))
+      .agg(percentile(col("__c2"), lit(0.5)).as("__med2"))
+    val dev = base.join(broadcast(med), Seq(key))
+      .withColumn("__dev2", abs(col("__c2").cast("double") - col("__med2")))
+    val mad = dev.groupBy(col(key))
+      .agg(percentile(col("__dev2"), lit(0.5)).as("__mad2"))
+    dev.join(broadcast(mad), Seq(key))
+      .filter(col("__mad2") > lit(0.0) &&
+        col("__dev2") > lit(k * 1.4826) * col("__mad2"))
+      .select(col(key), col(id), col(value),
+        (col("__dev2") / (lit(1.4826) * col("__mad2"))).as("robust_z"))
+  }
+
   /** Classical additive decomposition (the moving-average STL
     * ancestor): value = trend + seasonal + remainder, with the trend a
     * CENTERED (2·half+1)-row moving average, the seasonal component

@@ -115,6 +115,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c.length == 2 && c.forall(_.isNullAt(3)))
   }
 
+  test("madOutliers: flags the planted spike the mean-based z-score masks; constant series dropped") {
+    // 20 calm points + TWO extreme spikes: the spikes inflate the
+    // stddev enough to matter for mean-based scoring, the median/MAD
+    // pair shrugs them off
+    val vals = (0 until 20).map(i => 10.0 + (i % 3)) ++ Seq(500.0, 480.0)
+    val d = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, ts(i + 1), v) }
+      .toDF("k", "id", "tt", "v")
+    val out = TimeSeries.madOutliers(d, "k", "tt", "id", "v").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("robust_z")).toMap
+    assert(out.keySet == Set(20L, 21L), s"flagged ${out.keySet}")
+    assert(out.values.forall(_ > 3.0))
+    // constant series: MAD = 0 → dropped, not a division error
+    val const = (0 until 6).map(i => (2L, (100 + i).toLong, ts(i + 1), 5.0))
+      .toDF("k", "id", "tt", "v")
+    assert(TimeSeries.madOutliers(const, "k", "tt", "id", "v").isEmpty)
+  }
+
   test("decompose: components sum back to the value; edges dropped; trend flat on linear data") {
     import java.sql.Timestamp
     // hourly ticks: linear trend + deterministic hour wobble
