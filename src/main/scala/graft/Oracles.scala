@@ -615,6 +615,23 @@ object Oracles {
         |  ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)) DESC, p.a, p.b
         |  LIMIT 1)""".stripMargin
 
+  /** The fixture WordPiece vocabulary as a `vocab(piece)` CTE —
+    * letters/digits minus q/x/z as start + `##` continuation pieces
+    * (generated via chr so the list can't drift from a typo'd VALUES)
+    * plus the multi-char fixture pieces; must mirror
+    * `WordPiece.fixtureVocab` exactly. No leading WITH RECURSIVE.
+    */
+  private val WP_FIXTURE_VOCAB =
+    """vocab(piece) AS (
+        |  SELECT chr(CAST(x AS INT)) FROM range(97, 123) t1(x)
+        |    WHERE chr(CAST(x AS INT)) NOT IN ('q', 'x', 'z')
+        |  UNION ALL SELECT chr(CAST(x AS INT)) FROM range(48, 58) t2(x)
+        |  UNION ALL SELECT '##' || chr(CAST(x AS INT)) FROM range(97, 123) t3(x)
+        |    WHERE chr(CAST(x AS INT)) NOT IN ('q', 'x', 'z')
+        |  UNION ALL SELECT '##' || chr(CAST(x AS INT)) FROM range(48, 58) t4(x)
+        |  UNION ALL SELECT * FROM (VALUES ('the'),('ta'),('tab'),('##le'),('##er'),('##st'),
+        |    ('##ing'),('##ed'),('##es'),('##al'),('##ow'),('##an'),('##on')) vm(vp))""".stripMargin
+
   /** Shared WordPiece greedy-encode chain (base/dw/st/wp/docw/agg):
     * recursive longest-match of every distinct corpus word against a
     * `vocab(piece)` CTE the caller supplies. No leading WITH.
@@ -3646,21 +3663,34 @@ object Oracles {
     // plus the multi-char fixture pieces — must mirror
     // WordPiece.fixtureVocab exactly.
     "tok_wordpiece" ->
-      s"""WITH RECURSIVE vocab(piece) AS (
-        |  SELECT chr(CAST(x AS INT)) FROM range(97, 123) t1(x)
-        |    WHERE chr(CAST(x AS INT)) NOT IN ('q', 'x', 'z')
-        |  UNION ALL SELECT chr(CAST(x AS INT)) FROM range(48, 58) t2(x)
-        |  UNION ALL SELECT '##' || chr(CAST(x AS INT)) FROM range(97, 123) t3(x)
-        |    WHERE chr(CAST(x AS INT)) NOT IN ('q', 'x', 'z')
-        |  UNION ALL SELECT '##' || chr(CAST(x AS INT)) FROM range(48, 58) t4(x)
-        |  UNION ALL SELECT * FROM (VALUES ('the'),('ta'),('tab'),('##le'),('##er'),('##st'),
-        |    ('##ing'),('##ed'),('##es'),('##al'),('##ow'),('##an'),('##on')) vm(vp)),
+      s"""WITH RECURSIVE $WP_FIXTURE_VOCAB,
         |$WP_GREEDY_CTES
         |SELECT b.doc_id,
         |  CAST(COALESCE(len(a.flat), 0) AS BIGINT) AS n_tokens,
         |  CAST(COALESCE(len(list_filter(a.flat, tk -> tk = '[UNK]')), 0) AS BIGINT) AS n_unk,
         |  COALESCE(array_to_string(a.flat, ' '), '') AS toks
         |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""".stripMargin,
+
+    // Coverage / OOV report: the same greedy-encode replay aggregated
+    // into the rollout go/no-go metrics — every ratio recomputed from
+    // the oracle's own integer counts ([UNK]s excluded from fertility
+    // on both faces), NULL where a denominator is zero.
+    "tok_coverage" ->
+      s"""WITH RECURSIVE $WP_FIXTURE_VOCAB,
+        |$WP_GREEDY_CTES,
+        |cov AS (
+        |  SELECT b.doc_id,
+        |    CAST(len(b.words) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(len(a.flat), 0) AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(len(list_filter(a.flat, tk -> tk = '[UNK]')), 0) AS BIGINT) AS n_oov_words
+        |  FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id)
+        |SELECT doc_id, n_words, n_tokens, n_oov_words,
+        |  CASE WHEN n_words > 0
+        |    THEN round(CAST(n_oov_words AS DOUBLE) / n_words, 4) END AS oov_rate,
+        |  CASE WHEN n_words - n_oov_words > 0
+        |    THEN round(CAST(n_tokens - n_oov_words AS DOUBLE)
+        |      / (n_words - n_oov_words), 4) END AS fertility
+        |FROM cov""".stripMargin,
 
     // BPE invertibility from outside the tokenizer: the oracle builds
     // the decode(encode(x)) fixed point straight from the raw text —

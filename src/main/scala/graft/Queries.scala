@@ -1543,6 +1543,40 @@ object Queries {
         concat_ws(" ", col("__toks")).as("toks"))
   }
 
+  /** Tokenizer coverage / OOV report — the go/no-go table a tokenizer
+    * rollout reads before committing to a vocabulary: per document,
+    * whitespace word count, emitted piece count, OOV words (whole-word
+    * [UNK] collapses), the OOV rate, and subword fertility (pieces per
+    * COVERED word — the standard tokenizer-efficiency metric; [UNK]s
+    * excluded from both numerator and denominator so a high-OOV vocab
+    * can't fake low fertility). One map-only kernel call per row plus
+    * arithmetic; nulls where a ratio's denominator is zero. The oracle
+    * replays greedy longest-match via the shared recursive CTE and
+    * recomputes every ratio from its own integer counts.
+    */
+  val tokCoverage: Q = (s, dir) => {
+    val wp = graft.functions.WordPiece
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        wp.encode(col("text"), wp.fixtureVocab).as("__toks"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          w => length(w) > lit(0))).cast("long").as("n_words"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(filter(col("__toks"), tk => tk === wp.Unk)).cast("long")
+          .as("n_oov_words"),
+        col("__toks"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        col("n_oov_words"),
+        when(col("n_words") > 0,
+          round(col("n_oov_words").cast("double") / col("n_words"), 4))
+          .as("oov_rate"),
+        when(col("n_words") - col("n_oov_words") > 0,
+          round((col("n_tokens") - col("n_oov_words")).cast("double")
+            / (col("n_words") - col("n_oov_words")), 4))
+          .as("fertility"))
+  }
+
   /** The vocabulary the 3 LEARNED merges induce — the artifact a
     * tokenizer ships: distinct post-merge symbols with corpus-weighted
     * counts and distinct-word support. Trains the same 3 merges as

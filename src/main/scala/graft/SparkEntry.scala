@@ -139,6 +139,7 @@ object SparkEntry {
     "tok_bpe_vocab" -> Queries.tokBpeVocab,
     "tok_bpe_trained" -> Queries.tokBpeTrained,
     "tok_wordpiece" -> Queries.tokWordpiece,
+    "tok_coverage" -> Queries.tokCoverage,
     "tok_wordpiece_ids" -> Queries.tokWordpieceIds,
     "tok_wordpiece_train" -> Queries.tokWordpieceTrain,
     "tok_wordpiece_trained" -> Queries.tokWordpieceTrained,

@@ -30,7 +30,7 @@ def run_verify():
     cmd = ["java"] + [f for p in ADD_OPENS for f in ("--add-opens", f"{p}=ALL-UNNAMED")] + [
         "-Xmx8g", "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
-        "-cp", cp, "graft.Verify", SF, OUT]
+        "-cp", cp, "graft.Verify", SF, OUT] + ONLY
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
     for line in r.stderr.splitlines():
