@@ -222,7 +222,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("BPE encode and roundtrip are map-only: merges ride as literal folds, no exchange") {
     for (q <- Seq("tok_bpe_encode", "tok_bpe_roundtrip", "tok_wordpiece",
-        "tok_wordpiece_ids")) {
+        "tok_wordpiece_ids", "tok_coverage")) {
       val p = planOf(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n${p.take(800)}")
     }
