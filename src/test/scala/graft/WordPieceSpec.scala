@@ -190,4 +190,29 @@ class WordPieceSpec extends SparkSpec {
       assert(encodeOne(text, vocab) == refEncode(text, vocab), s"case $i: '$text' vocab=$vocab")
     }
   }
+
+  test("tok_coverage: report matches independent per-doc arithmetic; fertility excludes [UNK]s") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Queries.tokCoverage(spark, sfDir)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(docs.nonEmpty && got.size == docs.length)
+    var sawUnk = false
+    for ((id, text) <- docs) {
+      val words = text.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      val toks = refEncode(text, WordPiece.fixtureVocab)
+      val nOov = toks.count(_ == WordPiece.Unk)
+      sawUnk ||= nOov > 0
+      val covered = words.length - nOov
+      val exp = (id, words.length.toLong, toks.length.toLong, nOov.toLong,
+        if (words.nonEmpty) Some(r4(nOov.toDouble / words.length)) else None,
+        if (covered > 0) Some(r4((toks.length - nOov).toDouble / covered)) else None)
+      assert(got(id) == exp, s"doc $id: got ${got(id)}, expected $exp")
+    }
+    // the corpus must actually exercise the [UNK] branch (q/x/z words)
+    assert(sawUnk, "fixture corpus produced no [UNK] — coverage test is vacuous")
+  }
 }
