@@ -615,6 +615,34 @@ object Oracles {
         |  ORDER BY CAST(p.cnt AS DOUBLE) / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)) DESC, p.a, p.b
         |  LIMIT 1)""".stripMargin
 
+  /** The no-split next-fit pack as CTEs (t0/w/t1/t2/st): whitespace
+    * token counts, the engine's bucket width rule (max(doc_id) div 16
+    * + 1), then the sequential next-fit recursion one row per bucket
+    * per round — `st` carries (bucket, rn, doc_id, n_tokens, seq,
+    * fill). Shared by pack_no_split and pack_efficiency. No leading
+    * WITH RECURSIVE.
+    */
+  private val PACK_NO_SPLIT_CTES =
+    """t0 AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT greatest(max(doc_id) // 16 + 1, 1) AS width FROM t0),
+        |t1 AS (SELECT doc_id, n_tokens,
+        |         doc_id // (SELECT width FROM w) AS bucket FROM t0),
+        |t2 AS (SELECT doc_id, n_tokens, bucket,
+        |         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        |       FROM t1),
+        |st(bucket, rn, doc_id, n_tokens, seq, fill) AS (
+        |  SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        |  FROM t2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+        |    CASE WHEN s.fill + t.n_tokens > 2048 THEN s.seq + 1 ELSE s.seq END,
+        |    CASE WHEN s.fill + t.n_tokens > 2048 THEN t.n_tokens
+        |         ELSE s.fill + t.n_tokens END
+        |  FROM st s JOIN t2 t ON t.bucket = s.bucket AND t.rn = s.rn + 1)""".stripMargin
+
   /** The fixture WordPiece vocabulary as a `vocab(piece)` CTE —
     * letters/digits minus q/x/z as start + `##` continuation pieces
     * (generated via chr so the list can't drift from a typo'd VALUES)
@@ -3725,28 +3753,22 @@ object Oracles {
     // largest bucket's row count). Same bucket width rule as the
     // engine: max(doc_id) div buckets + 1.
     "pack_no_split" ->
-      """WITH RECURSIVE t0 AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |w AS (SELECT greatest(max(doc_id) // 16 + 1, 1) AS width FROM t0),
-        |t1 AS (SELECT doc_id, n_tokens,
-        |         doc_id // (SELECT width FROM w) AS bucket FROM t0),
-        |t2 AS (SELECT doc_id, n_tokens, bucket,
-        |         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
-        |       FROM t1),
-        |st(bucket, rn, doc_id, n_tokens, seq, fill) AS (
-        |  SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
-        |  FROM t2 WHERE rn = 1
-        |  UNION ALL
-        |  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
-        |    CASE WHEN s.fill + t.n_tokens > 2048 THEN s.seq + 1 ELSE s.seq END,
-        |    CASE WHEN s.fill + t.n_tokens > 2048 THEN t.n_tokens
-        |         ELSE s.fill + t.n_tokens END
-        |  FROM st s JOIN t2 t ON t.bucket = s.bucket AND t.rn = s.rn + 1)
+      s"""WITH RECURSIVE $PACK_NO_SPLIT_CTES
         |SELECT doc_id, n_tokens, bucket, seq AS seq_in_bucket,
         |  fill - n_tokens AS offset_in_seq
         |FROM st""".stripMargin,
+
+    // Packing-efficiency report: the same next-fit recursion, then an
+    // independent per-(bucket, seq) re-aggregation into the padding /
+    // fill-ratio audit (padding floored at 0 for oversize singles).
+    "pack_efficiency" ->
+      s"""WITH RECURSIVE $PACK_NO_SPLIT_CTES
+        |SELECT bucket, seq AS seq_in_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_used,
+        |  CAST(greatest(0, 2048 - sum(n_tokens)) AS BIGINT) AS padding,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / 2048.0, 4) AS fill_ratio
+        |FROM st GROUP BY bucket, seq""".stripMargin,
 
     // Concat-and-chunk packing: the oracle uses the naive global
     // running sum (fine at oracle scale); the engine computes the same

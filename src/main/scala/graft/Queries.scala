@@ -1259,6 +1259,27 @@ object Queries {
     graft.functions.Packing.packNoSplit(t(s, dir, "documents"),
       seqLen = 2048, buckets = 16)
 
+  /** Packing-efficiency report — the wasted-FLOPs audit of the no-split
+    * pack: per (bucket, sequence), member docs, tokens used, padding to
+    * the 2048 budget (floored at 0 — an oversize doc sits alone above
+    * budget and wastes nothing), and the fill ratio. The padding column
+    * is exactly the fraction of each training batch spent attending to
+    * pad tokens, the number a pipeline owner watches before switching
+    * packers. One groupBy over the pack table; text never shuffles
+    * (only (doc_id, n_tokens) enters the pack). The oracle replays the
+    * sequential next-fit recursion and re-aggregates independently.
+    */
+  val packEfficiency: Q = (s, dir) =>
+    graft.functions.Packing.packNoSplit(t(s, dir, "documents"),
+        seqLen = 2048, buckets = 16)
+      .groupBy(col("bucket"), col("seq_in_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_used"))
+      .select(col("bucket"), col("seq_in_bucket"), col("n_docs"),
+        col("tokens_used"),
+        greatest(lit(0L), lit(2048L) - col("tokens_used")).as("padding"),
+        round(col("tokens_used").cast("double") / 2048.0, 4).as("fill_ratio"))
+
   /** Token accounting: whitespace tokens + BPE-ish estimator. */
   val textTokenCount: Q = (s, dir) =>
     t(s, dir, "documents").select(

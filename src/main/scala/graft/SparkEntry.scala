@@ -140,6 +140,7 @@ object SparkEntry {
     "tok_bpe_trained" -> Queries.tokBpeTrained,
     "tok_wordpiece" -> Queries.tokWordpiece,
     "tok_coverage" -> Queries.tokCoverage,
+    "pack_efficiency" -> Queries.packEfficiency,
     "tok_wordpiece_ids" -> Queries.tokWordpieceIds,
     "tok_wordpiece_train" -> Queries.tokWordpieceTrain,
     "tok_wordpiece_trained" -> Queries.tokWordpieceTrained,
