@@ -286,6 +286,16 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("pack_efficiency: pack repartition + report agg are the only shuffles") {
+    val p = planOf("pack_efficiency")
+    // token counting is a narrow projection below the bucket
+    // repartition — text never rides an exchange; the report adds
+    // exactly one groupBy shuffle on (bucket, seq_in_bucket)
+    assert(p.contains("Exchange hashpartitioning(bucket"), p.take(1500))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      p.take(1500))
+  }
+
   test("pack_chunks: corpus window is bucket-partitioned; only bucket totals go single-partition") {
     val p = planOf("pack_chunks")
     // the corpus-side cumulative window shuffles by bucket (parallel)...
