@@ -1393,6 +1393,78 @@ object Oracles {
          |FROM p""".stripMargin
     },
 
+    // Chi-square independence: exact-integer contingency + marginals,
+    // each cell term the identical fixed FP tree (O·N − R·C)²/(R·C·N),
+    // cross-cell sum an ordered fold over (ra, cb) — mirrors
+    // Profile.chiSquare subtree-for-subtree.
+    "stat_chisq" -> {
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      s"""WITH obs AS (
+         |  SELECT lang AS ra, source AS cb, count(*) AS o
+         |  FROM documents GROUP BY 1, 2),
+         |rt AS (SELECT ra, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY ra),
+         |ct AS (SELECT cb, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY cb),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |  count(DISTINCT ra) AS nr, count(DISTINCT cb) AS nc FROM obs),
+         |grid AS (
+         |  SELECT rt.ra, ct.cb, n, nr, nc,
+         |    (${d("COALESCE(obs.o, 0)")} * ${d("n")} - ${d("rt")} * ${d("ct")})
+         |      * (${d("COALESCE(obs.o, 0)")} * ${d("n")} - ${d("rt")} * ${d("ct")})
+         |      / (${d("rt")} * ${d("ct")} * ${d("n")}) AS t
+         |  FROM rt CROSS JOIN ct
+         |  LEFT JOIN obs ON obs.ra = rt.ra AND obs.cb = ct.cb
+         |  CROSS JOIN tot),
+         |s AS (
+         |  SELECT n, nr, nc,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(t ORDER BY ra, cb)), (a, b) -> a + b) AS chi2
+         |  FROM grid GROUP BY n, nr, nc)
+         |SELECT n AS n_rows, (nr - 1) * (nc - 1) AS dof, chi2,
+         |  sqrt(chi2 / (${d("n")} * ${d("least(nr, nc) - 1")})) AS cramers_v
+         |FROM s""".stripMargin
+    },
+
+    // Mann–Whitney U: doubled-integer average ranks (2·rank + ties − 1
+    // is exact), U and the rank sums never touch FP; z is the single
+    // fixed tree (U − n_a·n_b/2)/σ_U with the standard tie correction,
+    // mirroring Profile.mannWhitney operand-for-operand.
+    "stat_mannwhitney" -> {
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      val dn = s"(${d("n_a")} + ${d("n_b")})"
+      val sigma2 = s"${d("n_a")} * ${d("n_b")} / CAST(12.0 AS DOUBLE) * " +
+        s"(($dn + CAST(1.0 AS DOUBLE)) - ${d("tie3")} / " +
+        s"($dn * ($dn - CAST(1.0 AS DOUBLE))))"
+      val u2a = s"(r2a - n_a * (n_a + 1))"
+      s"""WITH base AS (
+         |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v FROM documents),
+         |gs AS (SELECT DISTINCT g FROM base),
+         |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+         |bt AS (
+         |  SELECT p.ga, p.gb, base.g, base.v
+         |  FROM base JOIN pairs p ON base.g = p.ga OR base.g = p.gb),
+         |rk AS (
+         |  SELECT ga, gb, g, v,
+         |    CAST(rank() OVER (PARTITION BY ga, gb ORDER BY v) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY ga, gb, v) AS BIGINT) AS tie
+         |  FROM bt),
+         |sums AS (
+         |  SELECT ga, gb,
+         |    CAST(sum(CASE WHEN g = ga THEN 2 * rk + tie - 1 END) AS BIGINT) AS r2a,
+         |    CAST(sum(CASE WHEN g = ga THEN 1 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN g = gb THEN 1 END) AS BIGINT) AS n_b
+         |  FROM rk GROUP BY ga, gb),
+         |ties AS (
+         |  SELECT ga, gb, CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+         |  FROM (SELECT ga, gb, v, count(*) AS t FROM bt GROUP BY ga, gb, v)
+         |  GROUP BY ga, gb)
+         |SELECT ga AS lang_a, gb AS lang_b, n_a, n_b,
+         |  ${d(u2a)} / CAST(2.0 AS DOUBLE) AS u_stat,
+         |  CASE WHEN n_a >= 1 AND n_b >= 1 AND $sigma2 > CAST(0.0 AS DOUBLE)
+         |    THEN (${d(u2a)} - ${d("n_a")} * ${d("n_b")}) /
+         |      (CAST(2.0 AS DOUBLE) * sqrt($sigma2)) END AS z_stat
+         |FROM sums JOIN ties USING (ga, gb)""".stripMargin
+    },
+
     "stat_corr" -> {
       val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
         "l_discount" -> "d")

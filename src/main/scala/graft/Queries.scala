@@ -565,6 +565,27 @@ object Queries {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
       .withColumnRenamed("grp", "l_returnflag")
 
+  /** Extension — chi-square independence of document language ×
+    * source: the categorical drift test next to `stat_ttest`
+    * (one contingency shuffle, broadcast marginal grid, ordered-fold
+    * FP statistic — see [[graft.operators.Profile.chiSquare]]).
+    */
+  val statChisq: Q = (s, dir) =>
+    graft.operators.Profile.chiSquare(
+      t(s, dir, "documents"), col("lang"), col("source"))
+
+  /** Extension — Mann–Whitney U (rank-sum) test of document length
+    * between every language pair: the nonparametric complement of
+    * `stat_ttest` for heavy-tailed distributions. Doubled-integer
+    * average ranks keep U exact; z is one fixed FP tree (see
+    * [[graft.operators.Profile.mannWhitney]]).
+    */
+  val statMannWhitney: Q = (s, dir) =>
+    graft.operators.Profile.mannWhitney(
+      t(s, dir, "documents"), col("lang"), col("n_chars"))
+      .withColumnRenamed("group_a", "lang_a")
+      .withColumnRenamed("group_b", "lang_b")
+
   /** Extension — integer PageRank over the bipartite customer↔supplier
     * trade graph (who ordered from whom, both directions so every
     * node has out-degree ≥ 1). Node ids are disjoint by parity:

@@ -64,6 +64,8 @@ object SparkEntry {
     "graph_pagerank" -> Queries.graphPagerank,
     "stat_corr" -> Queries.statCorr,
     "stat_ttest" -> Queries.statTtest,
+    "stat_chisq" -> Queries.statChisq,
+    "stat_mannwhitney" -> Queries.statMannWhitney,
     "stat_histogram" -> Queries.statHistogram,
     "graph_triangles" -> Queries.graphTriangles,
     "graph_khop" -> Queries.graphKhop,

@@ -131,6 +131,113 @@ object Profile {
             + vn("b") * vn("b") / (d("n_b") - lit(1.0)))).as("df"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns — the categorical face of the drift/significance family
+    * (`stat_ttest` covers a numeric measure between two groups; this
+    * covers whether two discrete attributes are associated at all,
+    * e.g. document language × source before trusting a per-source
+    * language mix).
+    *
+    * Shape at scale: ONE shuffle builds the contingency table
+    * (`groupBy(a, b).count`); everything after runs on |A|·|B| cells —
+    * row/column marginals are re-aggregations of the cell table, the
+    * full A×B grid (zero-observed cells must still contribute their
+    * expected mass) is a broadcast cross of the two marginal tables,
+    * and the final reduction is a 1-row aggregate. No second pass over
+    * the data.
+    *
+    * Determinism: counts and marginals are exact integers; each cell's
+    * term is ONE fixed FP tree `(O·N − R·C)² / (R·C·N)` (the
+    * algebraically-expanded `(O−E)²/E` — keeps every operand a cast of
+    * an exact integer), and the cross-cell sum is an ORDERED fold over
+    * the (row, col)-sorted cell list (FP addition does not commute;
+    * the `text_rake` discipline), so the statistic is bit-reproducible
+    * and oracle-replayable. Returns ONE row `(n_rows, dof, chi2,
+    * cramers_v)`; `cramers_v = √(χ²/(N·(min(|A|,|B|)−1)))`.
+    */
+  def chiSquare(df: DataFrame, rowCat: Column, colCat: Column): DataFrame = {
+    val obs = df.groupBy(rowCat.as("ra"), colCat.as("cb"))
+      .agg(count(lit(1)).as("o"))
+    val rTot = obs.groupBy("ra").agg(sum("o").as("rt"))
+    val cTot = obs.groupBy("cb").agg(sum("o").as("ct"))
+    val tot = obs.agg(sum("o").as("n"),
+      countDistinct("ra").as("nr"), countDistinct("cb").as("nc"))
+    def d(c: String): Column = col(c).cast("double")
+    val diff = d("o") * d("n") - d("rt") * d("ct")
+    val grid = rTot.crossJoin(broadcast(cTot))
+      .join(obs, Seq("ra", "cb"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .select(col("ra"), col("cb"), col("n"), col("nr"), col("nc"),
+        (diff * diff / (d("rt") * d("ct") * d("n"))).as("t"))
+    grid.groupBy("n", "nr", "nc")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("ra"), col("cb"), col("t")))),
+        lit(0.0), (acc, e) => acc + e.getField("t")).as("chi2"))
+      .select(col("n").as("n_rows"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        col("chi2"),
+        sqrt(col("chi2") /
+          (d("n") * (least(col("nr"), col("nc")) - lit(1)).cast("double")))
+          .as("cramers_v"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) test between every pair of
+    * groups — the rank-based complement of [[welchTTest]]: no
+    * normality assumption, so it is the right significance test for
+    * the heavy-tailed length/score distributions documents actually
+    * have. Normal approximation with the standard tie correction
+    * (Mann & Whitney 1947; σ²_U = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))).
+    *
+    * Exactness: average ranks are kept as DOUBLED integers
+    * (`2·rank + ties − 1` — an exact long even when the average is a
+    * half), so rank sums and U never touch FP; only the final z is a
+    * single fixed FP tree over casts of exact integers — identical in
+    * the oracle, bit-reproducible under any partitioning.
+    *
+    * Shape at scale: each row joins into the (broadcast) pair list it
+    * participates in — a ×(|G|−1) duplication, fine for the small
+    * group cardinalities significance tests are run over — and the
+    * per-pair rank is a range-partitionable window sort (no global
+    * single-partition order). Ties Σ(t³−t) come from a second
+    * aggregation of the same pair-tagged rows, not a rescan of `df`.
+    */
+  def mannWhitney(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.as("g"), value.cast("long").as("v"))
+    val groups = base.select("g").distinct()
+    val pairs = groups.select(col("g").as("group_a"))
+      .join(groups.select(col("g").as("group_b")),
+        col("group_a") < col("group_b"))
+    val both = base.join(broadcast(pairs),
+      col("g") === col("group_a") || col("g") === col("group_b"))
+    val w = Window.partitionBy("group_a", "group_b").orderBy("v")
+    val peers = Window.partitionBy("group_a", "group_b", "v")
+    val ranked = both
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("tie", count(lit(1)).over(peers))
+      .withColumn("ar2", lit(2L) * col("rk") + col("tie") - lit(1L))
+    val sums = ranked.groupBy("group_a", "group_b")
+      .agg(sum(when(col("g") === col("group_a"), col("ar2"))).as("r2a"),
+        sum(when(col("g") === col("group_a"), 1L)).as("n_a"),
+        sum(when(col("g") === col("group_b"), 1L)).as("n_b"))
+    val ties = both.groupBy("group_a", "group_b", "v")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("group_a", "group_b")
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    def d(c: String): Column = col(c).cast("double")
+    val u2a = col("r2a") - col("n_a") * (col("n_a") + lit(1L))
+    val dn = d("n_a") + d("n_b")
+    val sigma2 = d("n_a") * d("n_b") / lit(12.0) *
+      ((dn + lit(1.0)) - d("tie3") / (dn * (dn - lit(1.0))))
+    sums.join(ties, Seq("group_a", "group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        (u2a.cast("double") / lit(2.0)).as("u_stat"),
+        when(col("n_a") >= 1 && col("n_b") >= 1 && sigma2 > lit(0.0),
+          (u2a.cast("double") - d("n_a") * d("n_b")) /
+            (lit(2.0) * sqrt(sigma2))).as("z_stat"))
+  }
+
   /** Pairwise Pearson correlation of `cols` within each `group`, in
     * ONE scan: a single aggregate computes every column's decimal
     * sum/sum-of-squares and every pair's cross-product sum side by

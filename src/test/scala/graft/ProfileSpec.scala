@@ -51,6 +51,48 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("chiSquare: hand-computed 2x2, zero on independence, N on full association") {
+    import org.apache.spark.sql.functions.col
+    def table(cells: (String, String, Int)*) =
+      cells.flatMap { case (a, b, n) => Seq.fill(n)((a, b)) }.toDF("a", "b")
+    // O = [[10,20],[20,10]]: all E=15, chi2 = 4·(25/15) = 20/3, dof 1,
+    // V = sqrt((20/3)/60) = 1/3
+    val r1 = Profile.chiSquare(
+      table(("a", "x", 10), ("a", "y", 20), ("b", "x", 20), ("b", "y", 10)),
+      col("a"), col("b")).collect()(0)
+    assert(r1.getLong(0) == 60L && r1.getLong(1) == 1L)
+    assert(math.abs(r1.getDouble(2) - 20.0 / 3.0) < 1e-12)
+    assert(math.abs(r1.getDouble(3) - 1.0 / 3.0) < 1e-12)
+    // proportional rows → independent → chi2 exactly 0
+    val r2 = Profile.chiSquare(
+      table(("a", "x", 2), ("a", "y", 4), ("b", "x", 3), ("b", "y", 6)),
+      col("a"), col("b")).collect()(0)
+    assert(r2.getDouble(2) == 0.0)
+    // diagonal-only (zero-observed off-cells still contribute): chi2 = N
+    val r3 = Profile.chiSquare(
+      table(("a", "x", 5), ("b", "y", 5)), col("a"), col("b")).collect()(0)
+    assert(math.abs(r3.getDouble(2) - 10.0) < 1e-12)
+    assert(math.abs(r3.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("mannWhitney: exact U on separated and tied samples, tie-corrected z") {
+    import org.apache.spark.sql.functions.col
+    // disjoint: A=[1,2,3] < B=[4,5,6] → U_A = 0, z = −4.5/√5.25
+    val d1 = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6))
+      .toDF("g", "v")
+    val r1 = Profile.mannWhitney(d1, col("g"), col("v")).collect()(0)
+    assert(r1.getLong(2) == 3L && r1.getLong(3) == 3L)
+    assert(r1.getDouble(4) == 0.0)
+    assert(math.abs(r1.getDouble(5) - (-4.5 / math.sqrt(5.25))) < 1e-12)
+    // ties across groups: A=[1,2,2], B=[2,3,4] → avg rank of the 2s is
+    // 3 (doubled-int exact), R_A=7, U_A=1; tie3=24 → σ²=4.65
+    val d2 = Seq(("a", 1), ("a", 2), ("a", 2), ("b", 2), ("b", 3), ("b", 4))
+      .toDF("g", "v")
+    val r2 = Profile.mannWhitney(d2, col("g"), col("v")).collect()(0)
+    assert(r2.getDouble(4) == 1.0)
+    assert(math.abs(r2.getDouble(5) - (-3.5 / math.sqrt(4.65))) < 1e-12)
+  }
+
   test("pairwiseCorr: exact ±1 on linear columns, NULL on zero variance") {
     val d = Seq(
       ("g", 1.0, 2.0, -1.0, 5.0),
