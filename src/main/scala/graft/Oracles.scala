@@ -3931,6 +3931,23 @@ object Oracles {
         |  n3 + len(regexp_extract_all(t3, '\+\d{7,15}\b')) AS n4 FROM s3)
         |SELECT doc_id, t4 AS clean_text, CAST(n4 AS BIGINT) AS n_pii FROM s4""".stripMargin,
 
+    // Unicode normalization: the oracle rebuilds the identical
+    // decomposed decoration (every 'e' → 'e' + U+0301) and applies
+    // DuckDB's own nfc_normalize / strip_accents — the hash match
+    // certifies the native kernels against an independent UAX #15
+    // implementation (utf8proc), not a replay of our own.
+    "text_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS r
+        |  FROM documents),
+        |n AS (SELECT doc_id, r, nfc_normalize(r) AS nf FROM raw)
+        |SELECT doc_id, CAST(length(r) AS BIGINT) AS n_raw,
+        |  CAST(length(nf) AS BIGINT) AS n_nfc,
+        |  CAST(length(strip_accents(nf)) AS BIGINT) AS n_stripped,
+        |  substr(nf, 1, 60) AS nfc_head,
+        |  substr(strip_accents(nf), 1, 60) AS stripped_head
+        |FROM n""".stripMargin,
+
     "text_vocab" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token

@@ -1273,6 +1273,32 @@ object Queries {
       TextAnalysis.redactPii(col("text")).as("clean_text"),
       TextAnalysis.piiHits(col("text")).as("n_pii"))
 
+  /** Extension — Unicode normalization (NFC + accent stripping): the
+    * fixture corpus is pure ASCII, so the query first DECORATES it
+    * deterministically — every 'e' becomes 'e' + U+0301 (combining
+    * acute), the canonical decomposed form — then runs the native
+    * kernels: NFC must re-compose each pair to 'é' (length shrinks by
+    * exactly the combining-mark count) and accent stripping must fold
+    * it back to plain 'e' (recovering the original text — asserted by
+    * the oracle hash, since DuckDB rebuilds the identical decoration
+    * with `chr(769)` and applies its own `nfc_normalize` /
+    * `strip_accents`). Map-only: two codegen'd kernel calls per row,
+    * zero exchanges.
+    */
+  val textNormalize: Q = (s, dir) => {
+    val raw = regexp_replace(col("text"), "e", "e\u0301")
+    val nfc = graft.functions.Normalize.nfc(raw)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      length(raw).cast("long").as("n_raw"),
+      length(nfc).cast("long").as("n_nfc"),
+      length(graft.functions.Normalize.stripAccents(nfc)).cast("long")
+        .as("n_stripped"),
+      substring(nfc, 1, 60).as("nfc_head"),
+      substring(graft.functions.Normalize.stripAccents(nfc), 1, 60)
+        .as("stripped_head"))
+  }
+
   /** No-split (SFT-style) packing: whole documents next-fit into
     * per-bucket 2048-token sequences.
     */

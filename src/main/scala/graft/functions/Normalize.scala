@@ -31,6 +31,26 @@ object Normalize {
     df.select(projected.toIndexedSeq: _*)
   }
 
+  /** Unicode NFC canonical composition (UAX #15) — native codegen'd
+    * expression ([[graft.plans.NfcExpr]]): the normalize-before-hash
+    * step every web-text dedup pipeline needs (U+0065+U+0301 vs U+00E9
+    * must produce the SAME shingles/digests). Already-normalized text
+    * takes a zero-allocation fast path.
+    */
+  def nfc(text: Column): Column = {
+    graft.plans.GraftFunctions.registerActive()
+    call_function("graft_nfc", text)
+  }
+
+  /** Accent stripping (NFD → drop Mn marks → NFC) — the match/search
+    * folding normalizer; DuckDB `strip_accents` parity on decomposable
+    * Latin text ([[graft.plans.StripAccentsExpr]]).
+    */
+  def stripAccents(text: Column): Column = {
+    graft.plans.GraftFunctions.registerActive()
+    call_function("graft_strip_accents", text)
+  }
+
   /** F1 applied per-table from the catalog normalization lists. */
   def forTable(df: DataFrame, table: String): DataFrame =
     graft.schema.Catalog.tables.get(table) match {

@@ -42,6 +42,12 @@ object GraftFunctions {
     ("graft_gramhashes",
       new ExpressionInfo(classOf[GramHashesExpr].getName, "graft_gramhashes"),
       (es: Seq[Expression]) => GramHashesExpr(es(0), foldedInt(es(1)))),
+    ("graft_nfc",
+      new ExpressionInfo(classOf[NfcExpr].getName, "graft_nfc"),
+      (es: Seq[Expression]) => NfcExpr(es.head)),
+    ("graft_strip_accents",
+      new ExpressionInfo(classOf[StripAccentsExpr].getName, "graft_strip_accents"),
+      (es: Seq[Expression]) => StripAccentsExpr(es.head)),
     ("graft_winnow",
       new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
       (es: Seq[Expression]) => WinnowExpr(es(0), foldedInt(es(1)), foldedInt(es(2)))),

@@ -527,6 +527,55 @@ object TextKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
+
+  /** Unicode NFC normalization (UAX #15, via the JDK's
+    * `java.text.Normalizer`): canonical-compose so visually-identical
+    * strings hash identically — a REQUIRED step before any exact/
+    * fuzzy dedup of web text (U+0065 U+0301 and U+00E9 are the same
+    * "é"; unnormalized they produce different shingles, MinHash
+    * signatures, and exact-dup digests). Fast path: already-NFC text
+    * (the overwhelmingly common case) returns the input buffer
+    * untouched — `isNormalized` is a cheap scan with no allocation.
+    */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Accent stripping: NFD-decompose, drop non-spacing combining
+    * marks (Unicode category Mn), recompose NFC. Matches DuckDB's
+    * `strip_accents` on decomposable Latin text (é→e, ü→u); characters
+    * with no canonical decomposition (ø, ß) pass through unchanged in
+    * both — the folding step of a search/match normalizer, NOT a
+    * transliterator.
+    */
+  def stripAccents(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    var hasMark = false
+    var i = 0
+    while (i < d.length && !hasMark) {
+      if (java.lang.Character.getType(d.charAt(i)) ==
+          java.lang.Character.NON_SPACING_MARK) hasMark = true
+      i += 1
+    }
+    if (!hasMark) nfc(text)
+    else {
+      val sb = new java.lang.StringBuilder(d.length)
+      i = 0
+      while (i < d.length) {
+        val cp = d.codePointAt(i)
+        if (java.lang.Character.getType(cp) !=
+            java.lang.Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+        i += java.lang.Character.charCount(cp)
+      }
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        sb.toString, java.text.Normalizer.Form.NFC))
+    }
+  }
 }
 
 /** `graft_shingles(text, w)` — distinct w-token shingle hashes. */
@@ -821,5 +870,48 @@ case class QuantizeExpr(child: Expression, scale: Int)
       c => s"graft.plans.TextKernels.quantize($c, $scale, $isFloat)")
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeExpr =
+    copy(child = newChild)
+}
+
+/** `graft_nfc(text)` — Unicode NFC canonical composition (UAX #15);
+  * the normalize-before-hash step of the dedup family.
+  */
+case class NfcExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcExpr =
+    copy(child = newChild)
+}
+
+/** `graft_strip_accents(text)` — NFD-decompose, drop combining marks
+  * (Mn), NFC-recompose; DuckDB `strip_accents` parity on decomposable
+  * Latin text.
+  */
+case class StripAccentsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.stripAccents(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.stripAccents($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccentsExpr =
     copy(child = newChild)
 }

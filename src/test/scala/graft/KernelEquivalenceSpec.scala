@@ -170,6 +170,42 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(m.filter(not($"hof" <=> $"native")).count() == 0)
   }
 
+  test("graft_nfc / graft_strip_accents: UAX #15 semantics and java.text.Normalizer equivalence") {
+    import graft.plans.TextKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfc(s: String) = TextKernels.nfc(UTF8String.fromString(s)).toString
+    def strip(s: String) = TextKernels.stripAccents(UTF8String.fromString(s)).toString
+    val decomposed = "e\u0301"   // e + combining acute
+    val composed = "\u00e9"      // precomposed LATIN SMALL LETTER E WITH ACUTE
+    // canonical composition: decomposed e+U+0301 composes to U+00E9
+    assert(nfc(decomposed) == composed && nfc(decomposed).length == 1)
+    // idempotence + fast-path identity on already-NFC text
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(TextKernels.nfc(ascii) eq ascii) // zero-allocation fast path
+    assert(nfc(composed) == composed)
+    // strip: composed AND decomposed accents fold to the base letter
+    assert(strip(composed) == "e" && strip(decomposed) == "e")
+    assert(strip("\u00fc\u00f1") == "un") // u-umlaut, n-tilde
+    // non-decomposable characters pass through (o-slash, sharp-s have
+    // no NFD decomposition - strip is a folder, not a transliterator)
+    assert(strip("\u00f8\u00df") == "\u00f8\u00df")
+    // equivalence with java.text.Normalizer on mixed text
+    val probes = Seq("Ame\u0301lie ist sch\u00f6n", "\u00c5ngstr\u00f6m",
+      "na\u00efve caf\u00e9", "ascii only", "")
+    for (p <- probes) {
+      assert(nfc(p) == java.text.Normalizer.normalize(p, java.text.Normalizer.Form.NFC))
+      // stripped text contains no combining marks in NFD form
+      val nfd = java.text.Normalizer.normalize(strip(p), java.text.Normalizer.Form.NFD)
+      assert(!nfd.exists(ch => Character.getType(ch) == Character.NON_SPACING_MARK), p)
+    }
+    // column path: normalization changes the exact-dup digest story -
+    // the two spellings of e-acute dedup together only after nfc
+    val d = Seq("cafe\u0301", "caf\u00e9").toDF("text")
+    assert(d.select(countDistinct(col("text"))).head.getLong(0) == 2L)
+    assert(d.select(countDistinct(graft.functions.Normalize.nfc(col("text"))))
+      .head.getLong(0) == 1L)
+  }
+
   test("quantized/lshSignature/nativeShingles resolve on a fresh session") {
     // Regression for VERDICT r2 #1/#2: a brand-new session (empty
     // function registry) must be able to run the wrapper-based queries

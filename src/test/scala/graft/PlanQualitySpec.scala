@@ -115,6 +115,8 @@ class PlanQualitySpec extends SparkSpec {
       "prepare_pretraining_full",                    // flagship: totals row
       "rfm_segments", "stat_histogram",              // global min/max row
       "stat_ttest",                                  // |groups|-row pair join
+      "stat_chisq",                                  // |B|-row marginal cross + 1-row totals
+      "stat_mannwhitney",                            // |pairs|-row broadcast pair list
       "layout_zorder",                               // 1-row min/max quantizer
       "text_bm25", "text_collocations",              // corpus avg/total row
       "corpus_drift",                                // 1-row (n1, n2) totals
@@ -149,6 +151,14 @@ class PlanQualitySpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
         s"$q query side not broadcast:\n${p.take(1000)}")
     }
+  }
+
+  test("text_normalize is a pure narrow map: two native kernels, zero exchanges") {
+    val p = planOf("text_normalize")
+    assert(p.contains("nfcexpr") && p.contains("stripaccentsexpr"),
+      p.take(800))
+    assert(!p.contains("Exchange"), s"normalize plan shuffles:\n${p.take(800)}")
+    assert(!p.contains("Join"), s"normalize plan joins:\n${p.take(800)}")
   }
 
   test("trained wordpiece encode is one kernel projection — no join, no exchange before it") {
