@@ -1343,6 +1343,42 @@ object Oracles {
         |    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
         |SELECT nn.n_nodes, ne.n_edges, t.n_triangles FROM nn, ne, t""".stripMargin,
 
+    // Label propagation, 3 unrolled synchronous rounds: majority vote
+    // = row_number over (count DESC, label ASC) — the same
+    // deterministic argmax as Spark's min(struct(−count, label));
+    // seeds clamp by exclusion each round.
+    "graph_labelprop" -> {
+      def round(prev: String, v: String, i: String, out: String): String =
+        s"""$v AS (SELECT ed.dst AS node, l.label, count(*) AS cnt
+           |  FROM ed JOIN $prev l ON l.node = ed.src
+           |  GROUP BY ed.dst, l.label),
+           |$i AS (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER (
+           |    PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM $v)
+           |  WHERE rn = 1),
+           |$out AS (SELECT * FROM seed UNION ALL
+           |  SELECT * FROM $i WHERE node NOT IN (SELECT node FROM seed))""".stripMargin
+      s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |r AS (SELECT l_orderkey, l_partkey, row_number() OVER (
+         |    PARTITION BY l_orderkey ORDER BY l_partkey) AS rn FROM d),
+         |c AS (SELECT l_orderkey, l_partkey FROM r WHERE rn <= 32),
+         |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM c a
+         |  JOIN c b ON a.l_orderkey = b.l_orderkey
+         |          AND a.l_partkey < b.l_partkey),
+         |g AS (SELECT pa, pb, count(*) AS n FROM p GROUP BY pa, pb),
+         |e0 AS (SELECT pa, pb FROM g WHERE n >= 2),
+         |ed AS (SELECT pa AS src, pb AS dst FROM e0
+         |  UNION ALL SELECT pb, pa FROM e0),
+         |seed AS (SELECT DISTINCT p_partkey AS node, p_brand AS label
+         |  FROM part WHERE p_partkey % 10 = 0),
+         |${round("seed", "v1", "i1", "l1")},
+         |${round("l1", "v2", "i2", "l2")},
+         |${round("l2", "v3", "i3", "l3")}
+         |SELECT node AS part, label,
+         |  node IN (SELECT node FROM seed) AS is_seed
+         |FROM l3""".stripMargin
+    },
+
     // Integer-cents histogram: all-integer binning (round→BIGINT
     // cents, ceil width, floor-div bin) — bit-exact in both engines.
     "stat_histogram" ->

@@ -625,6 +625,27 @@ object Queries {
       .select(decodeNode(col("dist")): _*)
   }
 
+  /** Extension — semi-supervised label propagation over the repeat
+    * co-purchase graph: every 10th part is seeded with its
+    * brand; 3 synchronous majority-vote rounds spread the
+    * labels along co-purchase edges (deterministic ties: highest
+    * count, lowest label; seeds clamped). The graph counterpart of a
+    * classifier bootstrap — label the sparse gold set, propagate to
+    * the rest. See [[graft.operators.Graphs.labelPropagation]].
+    */
+  val graphLabelprop: Q = (s, dir) => {
+    val und = graft.operators.Cooccur.pairCounts(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
+      .filter(col("n") >= 2).select("item_a", "item_b")
+    val edges = und.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionAll(und.select(col("item_b").as("src"), col("item_a").as("dst")))
+    val seeds = t(s, dir, "part")
+      .filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+    graft.operators.Graphs.labelPropagation(edges, seeds, rounds = 3)
+      .withColumnRenamed("node", "part")
+  }
+
   /** Extension — incremental aggregate maintenance: per-user totals
     * computed as base-state (history before the split date) MERGED
     * with a delta-state (rows after it), never a full rescan. The

@@ -69,6 +69,7 @@ object SparkEntry {
     "stat_histogram" -> Queries.statHistogram,
     "graph_triangles" -> Queries.graphTriangles,
     "graph_khop" -> Queries.graphKhop,
+    "graph_labelprop" -> Queries.graphLabelprop,
     "er_fuzzy_pairs" -> Queries.erFuzzyPairs,
     "er_sorted_neighbors" -> Queries.erSortedNeighbors,
     "er_golden_record" -> Queries.erGoldenRecord,

@@ -161,4 +161,58 @@ object Graphs {
       .crossJoin(und.agg(count(lit(1)).as("n_edges")))
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002 lineage;
+    * the synchronous, clamped-seed variant): seed nodes carry a fixed
+    * label; each round every NON-seed node adopts the majority label
+    * of its labeled in-neighbors, ties broken deterministically
+    * (highest count, then lowest label — no randomized update order,
+    * unlike classic LPA, so the whole trajectory is a pure function of
+    * the graph and replays bit-for-bit in an unrolled oracle).
+    * Synchronous rounds: round i votes use ONLY round i−1 labels.
+    *
+    * Input: a directed edge list `(src, dst)` (pass both directions
+    * for undirected semantics) and `seeds (node, label)`. Returns
+    * `(node, label, is_seed)` for every node labeled after `rounds`
+    * rounds; unreached nodes are absent.
+    *
+    * Shape at scale: each round is one O(edges) shuffle of
+    * `(dst, label)` votes with map-side combine onto the composite
+    * (node, label) key, then an O(nodes) argmax re-aggregation —
+    * the majority vote is `min(struct(−count, label))`, a 16-byte
+    * accumulator, NOT a per-node sorted window. Seeds clamp via an
+    * anti join (seed set is O(seeds), shuffled once per round).
+    * Label-table lineage is truncated each round (the iterative-state
+    * discipline of [[kHopDistances]]).
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col(edges.columns(0)).as("src"),
+      col(edges.columns(1)).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed = seeds.select(col(seeds.columns(0)).as("node"),
+      col(seeds.columns(1)).as("label")).distinct().localCheckpoint()
+    var labels = seed
+    for (_ <- 1 to rounds) {
+      val votes = e.join(labels, e("src") === labels("node"))
+        .select(col("dst"), col("label"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val inferred = votes
+        .groupBy("dst")
+        .agg(min(struct((col("cnt") * -1).as("nc"), col("label"))).as("m"))
+        .select(col("dst").as("node"), col("m.label").as("label"))
+      labels = seed.unionAll(
+          inferred.join(seed.select("node"), Seq("node"), "left_anti"))
+        .localCheckpoint()
+    }
+    val out = labels
+      .join(seed.select(col("node"), lit(true).as("is_seed")),
+        Seq("node"), "left")
+      .na.fill(false, Seq("is_seed"))
+      .localCheckpoint()
+    e.unpersist(blocking = false)
+    out
+  }
 }

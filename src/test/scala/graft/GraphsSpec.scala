@@ -84,4 +84,43 @@ class GraphsSpec extends SparkSpec {
     assert((2L to 5L).forall(l => r(1L) > r(l)))
     assert((2L to 5L).map(r).distinct.size == 1) // leaves are symmetric
   }
+
+  private def lp(edges: Seq[(Long, Long)], seeds: Seq[(Long, String)],
+      rounds: Int): Map[Long, (String, Boolean)] = {
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    Graphs.labelPropagation(sym.toDF("src", "dst"),
+        seeds.toDF("node", "label"), rounds)
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("labelPropagation: synchronous spread along a path, deterministic tie-break") {
+    // path 1-2-3-4-5, seeds 1→a and 5→b. Round 1 labels 2 and 4;
+    // node 3 stays unlabeled (its neighbors were unlabeled at round
+    // 0 — synchronous semantics). Round 2: 3 sees {a from 2, b from
+    // 4}, a 1-1 tie → lowest label wins.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val seeds = Seq(1L -> "a", 5L -> "b")
+    val r1 = lp(edges, seeds, rounds = 1)
+    assert(r1(2L) == (("a", false)) && r1(4L) == (("b", false)))
+    assert(!r1.contains(3L))
+    val r2 = lp(edges, seeds, rounds = 2)
+    assert(r2(3L) == (("a", false))) // tie → lexicographically lowest
+    // seeds are clamped and flagged
+    assert(r2(1L) == (("a", true)) && r2(5L) == (("b", true)))
+  }
+
+  test("labelPropagation: majority beats tie-break; seeds never flip") {
+    // node 10 has two a-neighbors and one b-neighbor → majority a,
+    // even though b < a lexicographically is false here; use labels
+    // where the tie-break would pick the OTHER way: two "z" vs one
+    // "a" → count wins, z.
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L))
+    val r = lp(edges, Seq(1L -> "z", 2L -> "z", 3L -> "a"), rounds = 1)
+    assert(r(10L) == (("z", false)))
+    // a seed surrounded by the other label keeps its own
+    val r2 = lp(Seq((1L, 2L), (3L, 2L)),
+      Seq(1L -> "b", 3L -> "b", 2L -> "a"), rounds = 3)
+    assert(r2(2L) == (("a", true)))
+  }
 }
