@@ -1050,6 +1050,33 @@ object Oracles {
         |    ' ' ORDER BY ki.unit_idx), '') AS clean_text
         |FROM t LEFT JOIN kidx ki ON ki.doc_id = t.doc_id
         |GROUP BY t.doc_id, t.toks""".stripMargin,
+    // C4 boilerplate strip: same unit construction as
+    // dedup_keep_first; hot units (count >= 3) are removed from every
+    // document instead of keeping a first owner.
+    "text_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(0, CAST(ceil(len(toks) / CAST(10 AS DOUBLE)) AS BIGINT)),
+        |      i -> {'ui': i,
+        |            'uh': md5(lower(array_to_string(
+        |                    toks[i * 10 + 1 : i * 10 + 10], ' ')))})) AS e
+        |  FROM t),
+        |u2 AS (SELECT doc_id, e.ui AS unit_idx, e.uh AS uh FROM u),
+        |hot AS (SELECT uh FROM u2 GROUP BY uh HAVING count(*) >= 3),
+        |kidx AS (SELECT doc_id, unit_idx FROM u2
+        |  WHERE uh NOT IN (SELECT uh FROM hot))
+        |SELECT t.doc_id,
+        |  CAST(ceil(len(t.toks) / CAST(10 AS DOUBLE)) AS BIGINT) AS n_units,
+        |  CAST(count(ki.unit_idx) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(
+        |    array_to_string(t.toks[ki.unit_idx * 10 + 1 : ki.unit_idx * 10 + 10], ' '),
+        |    ' ' ORDER BY ki.unit_idx), '') AS clean_text
+        |FROM t LEFT JOIN kidx ki ON ki.doc_id = t.doc_id
+        |GROUP BY t.doc_id, t.toks""".stripMargin,
+
     "s1_changelog_count" ->
       s"SELECT count(*) AS cnt FROM events WHERE $V",
 

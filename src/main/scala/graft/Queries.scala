@@ -2473,6 +2473,14 @@ object Queries {
   val dedupKeepFirst: Q = (s, dir) =>
     Dedup.keepFirstUnits(t(s, dir, "documents"), w = 10)
 
+  /** Extension — C4-style boilerplate strip: 10-token units occurring
+    * ≥ 3 times corpus-wide are removed from every document (no
+    * canonical owner, unlike keep-first); digests-only shuffle,
+    * broadcast hot-unit anti join.
+    */
+  val textBoilerplate: Q = (s, dir) =>
+    Dedup.stripBoilerplate(t(s, dir, "documents"), w = 10, maxDf = 3)
+
   /** Extension — RAKE keyphrase extraction: corpus top-50 candidate
     * phrases (stopword-delimited runs ≤ 4 tokens) by summed
     * deg/freq word scores, ordered fold for FP parity.

@@ -170,6 +170,7 @@ object SparkEntry {
     "text_rake" -> Queries.textRake,
     "text_pii_redact" -> Queries.textPiiRedact,
     "text_normalize" -> Queries.textNormalize,
+    "text_boilerplate" -> Queries.textBoilerplate,
     "text_gopher_filter" -> Queries.textGopherFilter,
     "text_repetition" -> Queries.textRepetition,
     "corpus_reweight" -> Queries.corpusReweight,

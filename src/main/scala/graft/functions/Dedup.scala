@@ -118,6 +118,50 @@ object Dedup {
           i => unitAt(i)), " ").as("clean_text"))
   }
 
+  /** C4-style boilerplate removal (Raffel et al. 2020 §2.2 lineage;
+    * CCNet's cross-document line dedup generalized to w-token units):
+    * any unit occurring at least `maxDf` times ACROSS the corpus is
+    * treated as boilerplate — navigation chrome, license banners,
+    * cookie notices — and removed from EVERY document (where
+    * [[keepFirstUnits]] keeps the first occurrence, a boilerplate
+    * unit has no canonical owner: all copies go). Remaining units
+    * rejoin in original order.
+    *
+    * Shape at scale: only 16-byte unit digests shuffle — never text;
+    * the hot-unit table is the output of an aggregate filtered to
+    * count ≥ maxDf (tiny by construction — corpus-frequent units are
+    * few), so the anti join broadcasts; the rebuild is a per-doc
+    * collect of int indices. One digest shuffle + one broadcast anti
+    * join + one per-doc group — same plan family as the keep-first
+    * variant, minus its global first-occurrence window.
+    */
+  def stripBoilerplate(docs: DataFrame, w: Int = 10,
+      maxDf: Long = 3): DataFrame = {
+    require(w >= 1, s"unit width must be >= 1, got $w")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val toks = split(col("text"), "\\s+")
+    val nUnits = ceil(size(toks).cast("double") / w).cast("int")
+    def unitAt(i: Column): Column =
+      array_join(slice(toks, i * w + 1, lit(w)), " ")
+    val units = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nUnits - 1),
+        i => md5(lower(unitAt(i))))).as(Seq("unit_idx", "uh")))
+    val hot = units.groupBy("uh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= maxDf).select("uh")
+    val keptIdx = units
+      .join(broadcast(hot), Seq("uh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("unit_idx"))).as("__kept"),
+        count(lit(1)).as("n_kept"))
+    docs.join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        nUnits.cast("long").as("n_units"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        array_join(transform(
+          coalesce(col("__kept"), lit(Array.empty[Int])),
+          i => unitAt(i)), " ").as("clean_text"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Distinct hashed w-token shingles per document — column-level

@@ -60,6 +60,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(4L) == ((2L, 2L, "g h i"))) // short tail unit preserved
   }
 
+  test("boilerplate strip: corpus-hot units drop everywhere, rare units survive") {
+    // w=2 units: "x x" appears in 3 docs (>= maxDf 3) → boilerplate,
+    // removed from ALL of them (no first-owner survivor, unlike
+    // keep-first); "c d" appears only twice → kept in both
+    val d = Seq(
+      (1L, "x x a b"),
+      (2L, "x x c d"),
+      (3L, "c d x x"),
+      (4L, "e f")).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(d, w = 2, maxDf = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_units"), r.getAs[Long]("n_kept"),
+         r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == ((2L, 1L, "a b")))
+    assert(out(2L) == ((2L, 1L, "c d")))
+    assert(out(3L) == ((2L, 1L, "c d")))
+    assert(out(4L) == ((1L, 1L, "e f")))
+    // in-doc repetition counts toward the corpus frequency: a unit
+    // appearing 3x inside ONE doc is boilerplate too
+    val solo = Seq((1L, "y y y y y y"), (2L, "a b")).toDF("doc_id", "text")
+    val o2 = Dedup.stripBoilerplate(solo, w = 2, maxDf = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(o2(1L) == "" && o2(2L) == "a b")
+  }
+
   test("keep-first units: kept text is a per-doc subsequence; hashes globally unique") {
     val out = Dedup.keepFirstUnits(docs, w = 10)
     val joined = out.join(docs, "doc_id").select("doc_id", "text", "clean_text")
