@@ -748,6 +748,38 @@ object Oracles {
       s"""WITH ${lmCtes("documents")}
          |SELECT doc_id, n_bigrams, xent FROM lmscore""".stripMargin,
 
+    // Interpolated Kneser–Ney (D = 0.75): model statistics are exact
+    // integer aggregates of the bigram TABLE; the per-bigram
+    // probability is the identical fixed FP tree as
+    // TextAnalysis.knCrossEntropy; per-doc sum ordered by position.
+    "text_kn_score" ->
+      s"""WITH lmtok AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+         |  FROM documents),
+         |bgl AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(toks)),
+         |      i -> {'pos': i - 1, 'w1': toks[i], 'w2': toks[i + 1]}) AS bl
+         |  FROM lmtok WHERE len(toks) >= 2),
+         |bg AS (SELECT doc_id, unnest(bl) AS u FROM bgl),
+         |bg2 AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM bg),
+         |bi AS (SELECT w1, w2, count(*) AS c2 FROM bg2 GROUP BY w1, w2),
+         |fw AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx,
+         |  count(*) AS n1fw FROM bi GROUP BY w1),
+         |bw AS (SELECT w2, count(*) AS n1bw FROM bi GROUP BY w2),
+         |bt AS (SELECT count(*) AS bb FROM bi),
+         |sc AS (
+         |  SELECT bi.w1, bi.w2,
+         |    -ln((CAST(c2 AS DOUBLE) - 0.75) / CAST(ctx AS DOUBLE)
+         |      + (0.75 * CAST(n1fw AS DOUBLE) / CAST(ctx AS DOUBLE))
+         |        * (CAST(n1bw AS DOUBLE) / CAST(bb AS DOUBLE))) AS lp
+         |  FROM bi JOIN fw ON fw.w1 = bi.w1 JOIN bw ON bw.w2 = bi.w2
+         |  CROSS JOIN bt)
+         |SELECT bg2.doc_id, count(*) AS n_bigrams,
+         |  round(list_sum(list(lp ORDER BY pos)) / count(*), 4) AS kn_xent
+         |FROM bg2 JOIN sc ON sc.w1 = bg2.w1 AND sc.w2 = bg2.w2
+         |GROUP BY bg2.doc_id""".stripMargin,
+
     // Stratified sample: per-lang rank over the salted hash order.
     "sample_stratified" ->
       """WITH r AS (

@@ -2376,6 +2376,15 @@ object Queries {
   val textLmScore: Q = (s, dir) =>
     TextAnalysis.lmCrossEntropy(t(s, dir, "documents"))
 
+  /** Extension — interpolated Kneser–Ney bigram self-perplexity per
+    * document (D = 0.75): the production CCNet-lineage quality score
+    * next to `text_lm_score`'s add-one baseline; continuation
+    * probabilities count contexts, not tokens. See
+    * [[graft.functions.TextAnalysis.knCrossEntropy]].
+    */
+  val textKnScore: Q = (s, dir) =>
+    TextAnalysis.knCrossEntropy(t(s, dir, "documents"))
+
   /** Extension — n-gram novelty: the fraction of each document's
     * distinct 3-gram shingles that occur nowhere else in the corpus —
     * high novelty flags original content, low novelty flags

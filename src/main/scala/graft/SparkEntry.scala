@@ -171,6 +171,7 @@ object SparkEntry {
     "text_pii_redact" -> Queries.textPiiRedact,
     "text_normalize" -> Queries.textNormalize,
     "text_boilerplate" -> Queries.textBoilerplate,
+    "text_kn_score" -> Queries.textKnScore,
     "text_gopher_filter" -> Queries.textGopherFilter,
     "text_repetition" -> Queries.textRepetition,
     "corpus_reweight" -> Queries.corpusReweight,

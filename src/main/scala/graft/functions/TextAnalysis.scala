@@ -508,6 +508,66 @@ object TextAnalysis {
           4).as("xent"))
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy (Kneser & Ney 1995;
+    * Chen & Goodman 1998's interpolated form with fixed absolute
+    * discount D = 0.75) — the quality-filtering LM the CCNet lineage
+    * actually ships, next to [[lmCrossEntropy]]'s add-one baseline.
+    * Per seen bigram: `P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·) +
+    * (D·N1+(w₁·)/c(w₁·)) · (N1+(·w₂)/B)` — the continuation
+    * probability counts CONTEXTS (how many distinct words precede
+    * w₂), not tokens: "francisco" is frequent but only ever follows
+    * "san", so its continuation mass is tiny. Scoring the training
+    * corpus itself (self-perplexity, like `text_lm_score`) keeps
+    * every scored bigram seen, so the max(·,0) clamp never binds and
+    * no OOV arm is needed.
+    *
+    * Determinism: all five model statistics are exact integer
+    * aggregates; each bigram's probability is ONE fixed FP tree and
+    * the per-doc sum is an ordered fold over positions (the
+    * `text_lm_score` discipline) — bit-replayable in the oracle.
+    *
+    * Shape at scale: model statistics are map-side-combined
+    * aggregates OF THE BIGRAM TABLE (size |B|, vocabulary-bounded —
+    * not the token stream); per-bigram log-probs are computed on that
+    * table once and the position stream joins the scored table by
+    * (w₁, w₂) — one shuffle of (doc_id, pos, w₁, w₂), never a
+    * token-stream×model cross.
+    */
+  def knCrossEntropy(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val toks = docs.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("toks"))
+    val bg = toks
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+          .as(Seq("pos", "b")))
+      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // context totals + distinct-successor counts in one pass over bi
+    val fw = bi.groupBy("w1").agg(sum("c2").as("ctx"),
+      count(lit(1)).as("n1fw"))
+    val bw = bi.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+    val btot = bi.agg(count(lit(1)).as("__b"))
+    def d(c: String): Column = col(c).cast("double")
+    val p = (d("c2") - lit(discount)) / d("ctx") +
+      (lit(discount) * d("n1fw") / d("ctx")) * (d("n1bw") / d("__b"))
+    val scored = bi.join(fw, Seq("w1")).join(bw, Seq("w2"))
+      .crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), (-log(p)).as("lp"))
+    bg.join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(
+          aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+              s => s.getField("lp")),
+            lit(0.0), (acc, x) => acc + x) / count(lit(1)).cast("double"),
+          4).as("kn_xent"))
+  }
+
   /** PMI collocation extraction: the corpus's top-k two-word
     * expressions by pointwise mutual information,
     * `pmi = ln(p(w1,w2) / (p(w1)·p(w2)))` with `p(w1,w2)` over the

@@ -1353,6 +1353,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((1L to 9L).forall(i => again(i) == scores(i)._2))
   }
 
+  test("knCrossEntropy: hand-computed interpolated KN probabilities; OOD ranks higher") {
+    import graft.functions.TextAnalysis
+    // corpus {"a b a b", "b a"}: c(ab)=2, c(ba)=2, B=2, ctx(a)=ctx(b)=2,
+    // N1+fw = N1+bw = 1 everywhere, Pcont = 1/2 →
+    // P = (2−.75)/2 + .75·(1/2)·(1/2) = 0.8125 for every position
+    val d = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.knCrossEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exp = BigDecimal(-math.log(0.8125))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, exp)) && got(2L) == ((1L, exp)))
+    // "a a b": both bigrams hapax, P(a|a)=P(b|a)=0.5 — and the seen
+    // mass plus discount mass exactly normalizes (KN's whole point)
+    val d2 = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.knCrossEntropy(d2).collect()(0)
+    val exp2 = BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g2.getLong(1) == 2L && g2.getDouble(2) == exp2)
+    // ranking sanity on the lmCrossEntropy fixture: garbled doc ranks
+    // worst under KN as well
+    val common = "the farmer plants rice in the field every morning"
+    val mix = ((1L to 8L).map(i => (i, common + s" season $i")) :+
+      (9L, "zxqv jkwp mbrt ylnd qofg hscx")).toDF("doc_id", "text")
+    val s = TextAnalysis.knCrossEntropy(mix).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(9L) > (1L to 8L).map(s(_)).max)
+  }
+
   test("qualityBands: fixed cutoffs band correctly; rates apply per band") {
     import graft.functions.TextAnalysis
     val scored = spark.range(0, 3000).toDF("doc_id")
