@@ -24,6 +24,16 @@ object Sinks {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
+  /** K1 in ORC — the same bulk-append contract on Spark's native ORC
+    * datasource. Format is a LAYOUT choice, not a semantic one: the
+    * round-trip preserves schema and values exactly, and predicate
+    * pushdown / column pruning work identically (ORC carries its own
+    * min/max stride indexes) — a deployment already standardized on
+    * ORC (Hive-lineage warehouses) plugs in without a conversion hop.
+    */
+  def appendOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).orc(path)
+
   /** K1 over JDBC — the reference's real sink is a MySQL pool; see
     * [[graft.sources.Jdbc.append]] (batched writer) and
     * [[graft.sources.Jdbc.refresh]] (K3 delete-then-insert).

@@ -20,6 +20,14 @@ object Readers {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The same keyed-table surface over ORC (Spark-native datasource;
+    * see [[graft.operators.Sinks.appendOrc]] — predicate pushdown and
+    * column pruning behave as on parquet, asserted in
+    * `SchedulerSinksSpec`).
+    */
+  def orcTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** The same keyed-table surface over JDBC (the reference's actual
     * source is a MySQL pool, `config/db.js:5-35`) — see
     * [[graft.sources.Jdbc]] for the pushdown/semi-join policy.

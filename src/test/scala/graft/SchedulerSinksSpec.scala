@@ -216,4 +216,26 @@ class SchedulerSinksSpec extends SparkSpec {
     assert(parsed(0).getString(0).endsWith("+08:00")) // Manila offset (F5)
     assert(parsed(1).getString(1).contains("Processed: 17"))
   }
+
+  test("ORC round-trip: exact schema + values, append semantics, pushdown + pruning") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc")
+      .resolve("docs.orc").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.operators.Sinks.appendOrc(docs, dir)
+    val back = sources.Readers.orcTable(spark, dir)
+    assert(back.schema == docs.schema)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // append is additive, not overwrite
+    graft.operators.Sinks.appendOrc(docs.limit(5), dir)
+    assert(sources.Readers.orcTable(spark, dir).count() == docs.count() + 5)
+    // the scan must push the predicate and prune to the read columns
+    val plan = sources.Readers.orcTable(spark, dir)
+      .filter(col("doc_id") === 7L).select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+      plan.take(800))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      plan.take(800))
+  }
 }
