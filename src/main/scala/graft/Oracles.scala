@@ -2328,6 +2328,51 @@ object Oracles {
     // → provably brute-equal; partial budgets are spec-tested.
     "sim_rerank_topk" -> BRUTE_TOPK,
 
+    // MMR diverse re-rank: 10 greedy rounds unrolled — relevance and
+    // pairwise similarity are exact integer dots of the quantized
+    // vectors, scores the exact integers 70·rel − 30·maxSim, ties by
+    // vec_id; replays Similarity.mmrRerank's trajectory bit-for-bit.
+    "sim_mmr_rerank" -> {
+      def round(r: Int): String = {
+        val prev = s"sel${r - 1}"
+        s"""c$r AS MATERIALIZED (
+           |  SELECT p.vec_id, p.rel, CAST(max(s.s) AS BIGINT) AS ms
+           |  FROM pq p JOIN sims s ON s.va = p.vec_id
+           |    AND s.vb IN (SELECT vec_id FROM $prev)
+           |  WHERE p.vec_id NOT IN (SELECT vec_id FROM $prev)
+           |  GROUP BY p.vec_id, p.rel),
+           |p$r AS (
+           |  SELECT $r AS rank, vec_id, rel, ms AS max_sim,
+           |    70 * rel - 30 * ms AS mmr
+           |  FROM c$r ORDER BY 70 * rel - 30 * ms DESC, vec_id LIMIT 1),
+           |sel$r AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM p$r)""".stripMargin
+      }
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |p0 AS (SELECT qv AS pv FROM q WHERE vec_id = 0),
+         |rl AS (
+         |  SELECT c.vec_id, c.qv,
+         |    CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+         |      i -> c.qv[i] * p.pv[i])) AS BIGINT) AS rel
+         |  FROM q c, p0 p WHERE c.vec_id <> 0),
+         |pq AS MATERIALIZED (SELECT vec_id, qv, rel FROM rl
+         |  ORDER BY rel DESC, vec_id LIMIT 50),
+         |sims AS MATERIALIZED (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+         |      i -> a.qv[i] * b.qv[i])) AS BIGINT) AS s
+         |  FROM pq a JOIN pq b ON a.vec_id <> b.vec_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT 1 AS rank, vec_id, rel, CAST(NULL AS BIGINT) AS max_sim,
+         |    70 * rel AS mmr
+         |  FROM pq ORDER BY rel DESC, vec_id LIMIT 1),
+         |${(2 to 10).map(round).mkString(",\n")}
+         |SELECT rank, vec_id, rel, max_sim, mmr FROM sel10""".stripMargin
+    },
+
     // PQ ADC top-k over the shared PQ_CTES — `adist` is an exact
     // integer, no FP anywhere.
     "sim_pq_topk" ->

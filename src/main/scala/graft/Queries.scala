@@ -2452,6 +2452,16 @@ object Queries {
     Similarity.rerankTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L),
       k = 10, prefixDims = 16, candidates = 1 << 20)
 
+  /** Extension — MMR diverse top-10 (λ = 0.7) over the 50-candidate
+    * relevance pool for query vector 0: integer-exact greedy
+    * relevance-vs-redundancy trade, the diversity pass a RAG/eval
+    * sampler runs after ANN ([[Similarity.mmrRerank]]; the oracle
+    * replays all 10 greedy rounds unrolled).
+    */
+  val simMmrRerank: Q = (s, dir) =>
+    Similarity.mmrRerank(t(s, dir, "embeddings"), queryId = 0L,
+      k = 10, pool = 50, lambdaPct = 70)
+
   /** Extension — CCNet-style head/middle/tail quality banding with
     * per-band sample rates (head 1.0, middle 0.5, tail 0.1); fixed
     * band thresholds, salted hash sampling.

@@ -113,6 +113,7 @@ object SparkEntry {
     "sample_stratified" -> Queries.sampleStratified,
     "sample_token_budget" -> Queries.sampleTokenBudget,
     "sim_rerank_topk" -> Queries.simRerankTopk,
+    "sim_mmr_rerank" -> Queries.simMmrRerank,
     "prepare_pretraining_full" -> Queries.preparePretrainingFull,
     "curate_corpus" -> Queries.curateCorpus,
     "prepare_pretraining" -> Queries.preparePretraining,

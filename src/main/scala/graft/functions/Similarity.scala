@@ -125,6 +125,73 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedily select k items trading relevance against
+    * redundancy — `argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c,s)`
+    * — the standard diversity pass over an ANN candidate pool (RAG
+    * retrieval, diverse few-shot selection, eval-set sampling).
+    *
+    * Exactness: relevance and pairwise similarity are RAW integer
+    * dots of the quantized vectors and λ is a percentage, so every
+    * MMR score is the exact integer `λ%·rel − (100−λ%)·maxSim` — no
+    * FP anywhere, ties broken by vec_id; the whole greedy trajectory
+    * is deterministic and the oracle replays it with k unrolled
+    * rounds.
+    *
+    * Shape at scale: the DISTRIBUTED part is the part that scales —
+    * one map + TakeOrdered builds the `pool`-row candidate set
+    * (integer relevance against the broadcast query, no shuffle of
+    * the corpus); the greedy runs driver-side over that pool —
+    * BOUNDED state by construction (pool ≤ a few hundred rows, the
+    * BPE-argmax discipline), because MMR's sequential argmax is
+    * inherently order-dependent: each pick changes every remaining
+    * score, so there is nothing to distribute beyond the pool build.
+    * Returns `(rank, vec_id, rel, max_sim, mmr)`; rank 1 carries a
+    * NULL max_sim (nothing selected yet) and mmr = λ%·rel.
+    */
+  def mmrRerank(embeddings: DataFrame, queryId: Long, k: Int,
+      pool: Int, lambdaPct: Int): DataFrame = {
+    require(k >= 1 && pool >= k, "need pool >= k >= 1")
+    require(lambdaPct >= 0 && lambdaPct <= 100, "lambdaPct in [0,100]")
+    val spark = embeddings.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val quant = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"))
+    val qv = quant.filter(col("vec_id") === queryId)
+      .select(col("q").as("qv"))
+    val cands = quant.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("q"),
+        call_function("graft_dot", col("q"), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(pool)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[
+      (Int, Long, Long, Option[Long], Long)]()
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]()
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.map(c => c._1 -> c): _*)
+    for (rank <- 1 to math.min(k, cands.length)) {
+      val best = remaining.values.map { case (id, v, rel) =>
+        val ms = if (chosen.isEmpty) None
+          else Some(chosen.iterator.map(s => dot(v, s._2)).max)
+        val mmr = lambdaPct * rel - (100L - lambdaPct) * ms.getOrElse(0L)
+        (mmr, id, rel, ms, v)
+      }.minBy { case (mmr, id, _, _, _) => (-mmr, id) }
+      selected += ((rank, best._2, best._3, best._4, best._1))
+      chosen += ((best._2, best._5))
+      remaining.remove(best._2)
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("rank", "vec_id", "rel", "max_sim", "mmr")
+  }
+
   /** Random-hyperplane signature: p sign bits packed into a long. The
     * hyperplane components are deterministic pseudo-random ±[0,1)
     * values derived from `md5("p_i")` (see

@@ -1353,6 +1353,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((1L to 9L).forall(i => again(i) == scores(i)._2))
   }
 
+  test("mmrRerank: diversity beats marginally-better redundancy; λ=100 is pure relevance") {
+    import graft.functions.Similarity
+    // query 0 = (1, 0); candidate 1 is the top hit; candidate 2 is
+    // nearly identical to 1 (rel 890k, sim-to-1 969k); candidate 3
+    // has slightly lower relevance (880k) but points the other way
+    // (sim-to-1 632k). Pure relevance ranks 1,2,3; MMR at λ=0.7
+    // swaps in the diverse item: 1,3,2.
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.4f)),
+      (2L, Array(0.89f, 0.42f)),
+      (3L, Array(0.88f, -0.4f))).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrRerank(d, queryId = 0L, k = 3, pool = 3,
+      lambdaPct = 70).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))).toMap
+    assert(mmr(1)._1 == 1L && mmr(2)._1 == 3L && mmr(3)._1 == 2L)
+    // hand-checked integers: rank1 mmr = 70·900000, null max_sim;
+    // rank2 = 70·880000 − 30·632000
+    assert(mmr(1) == ((1L, None, 70L * 900000L)))
+    assert(mmr(2) == ((3L, Some(632000L), 70L * 880000L - 30L * 632000L)))
+    val pure = Similarity.mmrRerank(d, queryId = 0L, k = 3, pool = 3,
+      lambdaPct = 100).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(pure == Map(1 -> 1L, 2 -> 2L, 3 -> 3L))
+    // pool truncation bounds the candidate set before the greedy
+    val tight = Similarity.mmrRerank(d, queryId = 0L, k = 2, pool = 2,
+      lambdaPct = 70).collect().map(_.getLong(1)).toSet
+    assert(tight == Set(1L, 2L)) // 3 never entered the pool
+  }
+
   test("knCrossEntropy: hand-computed interpolated KN probabilities; OOD ranks higher") {
     import graft.functions.TextAnalysis
     // corpus {"a b a b", "b a"}: c(ab)=2, c(ba)=2, B=2, ctx(a)=ctx(b)=2,

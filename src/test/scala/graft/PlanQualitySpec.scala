@@ -121,6 +121,7 @@ class PlanQualitySpec extends SparkSpec {
       "text_bm25", "text_collocations",              // corpus avg/total row
       "corpus_drift",                                // 1-row (n1, n2) totals
       "text_lm_score", "text_tfidf",                 // model stat tables
+      "text_kn_score",                               // 1-row |B| totals cross
       // deliberate brute/ground-truth arms over a broadcast probe set
       "dedup_cosine_pairs",                          // tagged baselineOnly
       "sim_cosine_topk",                             // tagged baselineOnly
@@ -128,6 +129,7 @@ class PlanQualitySpec extends SparkSpec {
       "sim_pq_topk", "sim_sq_topk", "sim_rerank_topk", // ADC scans: queries×corpus by design
       "sim_recall_report", "sim_recall_report_ivf",  // truth arm = brute pass
       "sim_mips_recall",                             // truth arm = brute dot pass
+      "sim_mmr_rerank",                              // 1-row broadcast query vector
       "decon_semantic",                              // broadcast eval side, zero shuffle
       "graph_triangles",                             // degree-ordered probe broadcast
     )
