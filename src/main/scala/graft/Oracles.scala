@@ -4612,6 +4612,26 @@ object Oracles {
          |FROM events WHERE $V
          |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin,
 
+    // Point-in-time SCD2 lookup: click-history versions joined to
+    // view facts on key + half-open validity residual; the window in
+    // the Spark side partitions by (user, table) so the click-only
+    // subset here is identical.
+    "scd2_lookup" ->
+      s"""WITH hist AS (
+         |  SELECT user_id AS dim_key, event_id AS version_id,
+         |    ts AS valid_from,
+         |    lead(ts) OVER w AS valid_to,
+         |    lead(ts) OVER w IS NULL AS is_current
+         |  FROM events WHERE $V AND event_type = 'click'
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |f AS (SELECT event_id AS log_id, user_id AS rsbsa_no, ts
+         |  FROM events WHERE $V AND event_type = 'view')
+         |SELECT f.log_id, f.rsbsa_no, h.version_id, h.valid_from,
+         |  h.is_current
+         |FROM f JOIN hist h ON h.dim_key = f.rsbsa_no
+         |  AND h.valid_from <= f.ts
+         |  AND (f.ts < h.valid_to OR h.valid_to IS NULL)""".stripMargin,
+
     // Reconciliation: full-outer key audit, presence flags → status.
     "reconcile_sources" ->
       s"""WITH e AS (SELECT DISTINCT user_id AS k FROM events WHERE $V),

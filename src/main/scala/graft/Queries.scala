@@ -2037,6 +2037,27 @@ object Queries {
       lead(col("ts"), 1).over(w).isNull.as("is_current"))
   }
 
+  /** Extension — point-in-time SCD2 lookup: each `view` event joins
+    * the `click`-history VERSION of the same user that was valid at
+    * the view's timestamp (equi join on the key + half-open validity
+    * residual — at most one version matches by construction, no
+    * argmax; see [[graft.operators.AsOfJoin.pointInTime]]). Views
+    * before the user's first click drop (inner semantics).
+    */
+  val scd2Lookup: Q = (s, dir) => {
+    val dim = scd2History(s, dir).filter(col("table") === "click")
+      .select(col("rsbsa_no").as("dim_key"), col("version_id"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+    val fact = Readers.validChangeLog(s, dir)
+      .filter(col("table") === "view")
+      .select(col("log_id"), col("rsbsa_no"), col("ts"))
+    graft.operators.AsOfJoin.pointInTime(fact, dim,
+        factKey = "rsbsa_no", dimKey = "dim_key",
+        factTime = "ts", validFrom = "valid_from", validTo = "valid_to")
+      .select(col("log_id"), col("rsbsa_no"), col("version_id"),
+        col("valid_from"), col("is_current"))
+  }
+
   /** Extension — snapshot reconciliation: full-outer key audit between
     * the change-log's users and the customer dimension — the
     * every-nightly "did anything fall through the pipe" check.

@@ -214,6 +214,7 @@ object SparkEntry {
     "text_quality_score" -> Queries.textQualityScore,
     "text_quality_classifier" -> Queries.textQualityClassifier,
     "asof_join" -> Queries.asofJoin,
+    "scd2_lookup" -> Queries.scd2Lookup,
     "j6_click_attribution" -> Queries.j6ClickAttribution,
     "j6_unconverted_views" -> Queries.j6UnconvertedViews,
     "funnel_conversion" -> Queries.funnelConversion,

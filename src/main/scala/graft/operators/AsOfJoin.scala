@@ -115,4 +115,33 @@ object AsOfJoin {
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Point-in-time (SCD2) lookup join: attach to each fact row the
+    * dimension VERSION that was valid at the fact's timestamp —
+    * `fact.key = dim.key AND valid_from <= ts AND (ts < valid_to OR
+    * valid_to IS NULL)`. The warehouse staple [[asOf]] is NOT: as-of
+    * picks the nearest preceding event (needs a per-row argmax);
+    * a well-formed SCD2 history has half-open, non-overlapping
+    * validity windows, so the range predicate alone selects AT MOST
+    * ONE version per fact row — no window, no argmax, no
+    * post-aggregation.
+    *
+    * Shape at scale: a plain equi hash/sort-merge join on the KEY
+    * with the validity range as a residual filter — the join
+    * partitions by key exactly like any fact⋈dim join; nothing about
+    * the temporal predicate changes the shuffle. (Contrast a keyless
+    * range join, which needs binning — see `IntervalJoin`.)
+    *
+    * `fact` and `dim` must not share column names apart from the join
+    * key being compared (`factKey`/`dimKey` may differ). Inner join:
+    * facts before their key's first version drop.
+    */
+  def pointInTime(
+      fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      factTime: String, validFrom: String, validTo: String): DataFrame =
+    fact.join(dim,
+      col(factKey) === col(dimKey) &&
+        col(validFrom) <= col(factTime) &&
+        (col(factTime) < col(validTo) || col(validTo).isNull))
 }

@@ -141,6 +141,37 @@ class MergeSpec extends SparkSpec {
     assert(bounded(2L).isEmpty)        // nearest quote is 60s old: outside tolerance
   }
 
+  test("pointInTime: half-open validity selects exactly one version; equi-key plan") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // K1 versions: v1 [10:00, 10:05), v2 [10:05, null)
+    val dim = Seq(
+      ("K1", 1L, ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 10:05:00"))),
+      ("K1", 2L, ts("2024-01-01 10:05:00"), None),
+      ("K2", 3L, ts("2024-01-01 11:00:00"), None)
+    ).toDF("dim_key", "version_id", "valid_from", "valid_to")
+    val fact = Seq(
+      (10L, "K1", ts("2024-01-01 10:00:00")), // inclusive lower bound → v1
+      (11L, "K1", ts("2024-01-01 10:04:59")), // inside v1
+      (12L, "K1", ts("2024-01-01 10:05:00")), // exclusive upper → v2
+      (13L, "K1", ts("2024-01-01 09:59:59")), // before history: drops
+      (14L, "K2", ts("2024-01-01 12:00:00")), // open-ended current
+      (15L, "K3", ts("2024-01-01 10:00:00")) // unknown key: drops
+    ).toDF("fact_id", "key", "t")
+    val out = graft.operators.AsOfJoin.pointInTime(fact, dim,
+        "key", "dim_key", "t", "valid_from", "valid_to")
+      .select($"fact_id", $"version_id").as[(Long, Long)].collect()
+    assert(out.toMap == Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 14L -> 3L))
+    assert(out.length == 4) // at most ONE version per fact row
+    // the join partitions by key — an equi join with a residual, not
+    // a nested-loop range join
+    val plan = graft.operators.AsOfJoin.pointInTime(fact, dim,
+      "key", "dim_key", "t", "valid_from", "valid_to")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(600))
+  }
+
   test("asOf union-window ≡ range-join baseline under hot-key fan-out (stress)") {
     // One hot key: 400 left × 2000 right rows. The range-join baseline
     // materializes 800k intermediate rows for this key; the
