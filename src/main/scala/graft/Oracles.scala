@@ -3970,6 +3970,55 @@ object Oracles {
         |  fill - n_tokens AS offset_in_seq
         |FROM st""".stripMargin,
 
+    // Best-fit-decreasing packing: recursive CTE carrying the open-bin
+    // load/count LISTS per bucket — one recursion step per doc in
+    // (n_tokens DESC, doc_id) order; placement = fullest fitting bin
+    // (list_max of the fitting loads, first index on ties), append on
+    // no fit. Mirrors Packing.packBfdCounts decision-for-decision.
+    "pack_bfd" -> {
+      val fits = "list_filter(s.loads, x -> x + t.n_tokens <= 256)"
+      val idx = s"list_indexof(s.loads, list_max($fits))"
+      s"""WITH RECURSIVE t0 AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |w AS (SELECT greatest(max(doc_id) // 16 + 1, 1) AS width FROM t0),
+         |t1 AS (SELECT doc_id, n_tokens,
+         |         doc_id // (SELECT width FROM w) AS bucket FROM t0),
+         |t2 AS (SELECT doc_id, n_tokens, bucket,
+         |         row_number() OVER (PARTITION BY bucket
+         |           ORDER BY n_tokens DESC, doc_id) AS rn
+         |       FROM t1),
+         |st(bucket, rn, loads, counts) AS (
+         |  SELECT bucket, 1, [n_tokens], [CAST(1 AS BIGINT)]
+         |  FROM t2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.bucket, t.rn,
+         |    CASE WHEN list_max($fits) IS NULL
+         |      THEN list_append(s.loads, t.n_tokens)
+         |      ELSE list_transform(range(1, len(s.loads) + 1),
+         |        j -> CASE WHEN j = $idx
+         |          THEN s.loads[j] + t.n_tokens ELSE s.loads[j] END) END,
+         |    CASE WHEN list_max($fits) IS NULL
+         |      THEN list_append(s.counts, CAST(1 AS BIGINT))
+         |      ELSE list_transform(range(1, len(s.counts) + 1),
+         |        j -> CASE WHEN j = $idx
+         |          THEN s.counts[j] + 1 ELSE s.counts[j] END) END
+         |  FROM st s JOIN t2 t ON t.bucket = s.bucket AND t.rn = s.rn + 1),
+         |fin AS (SELECT bucket, loads, counts,
+         |  row_number() OVER (PARTITION BY bucket ORDER BY rn DESC) AS rr
+         |  FROM st),
+         |f2 AS (SELECT bucket, loads, counts FROM fin WHERE rr = 1),
+         |ex AS (SELECT bucket,
+         |  unnest(list_transform(range(1, len(loads) + 1),
+         |    j -> {'bin_idx': j - 1, 'bin_load': loads[j],
+         |          'n_docs': counts[j]})) AS e
+         |  FROM f2)
+         |SELECT bucket, CAST(e.bin_idx AS BIGINT) AS bin_idx,
+         |  e.bin_load, e.n_docs
+         |FROM ex""".stripMargin
+    },
+
     // Packing-efficiency report: the same next-fit recursion, then an
     // independent per-(bucket, seq) re-aggregation into the padding /
     // fill-ratio audit (padding floored at 0 for oversize singles).

@@ -1327,6 +1327,16 @@ object Queries {
     graft.functions.Packing.packNoSplit(t(s, dir, "documents"),
       seqLen = 2048, buckets = 16)
 
+  /** Best-fit-decreasing packing summary (Ding et al. 2024's
+    * truncation-free layout): longest-first, fullest-fitting-bin
+    * placement per bucket — the padding-optimal counterpart of
+    * `pack_no_split`'s arrival-order next-fit; compare the two
+    * reports to see BFD's waste reduction on the same corpus.
+    */
+  val packBfd: Q = (s, dir) =>
+    graft.functions.Packing.packBfd(t(s, dir, "documents"),
+      seqLen = 256, buckets = 16)
+
   /** Packing-efficiency report — the wasted-FLOPs audit of the no-split
     * pack: per (bucket, sequence), member docs, tokens used, padding to
     * the 2048 budget (floored at 0 — an oversize doc sits alone above

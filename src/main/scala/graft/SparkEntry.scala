@@ -165,6 +165,7 @@ object SparkEntry {
     "split_leakage_safe" -> Queries.splitLeakageSafe,
     "pack_chunks" -> Queries.packChunks,
     "pack_no_split" -> Queries.packNoSplit,
+    "pack_bfd" -> Queries.packBfd,
     "chunk_overlap" -> Queries.chunkOverlap,
     "pack_length_buckets" -> Queries.packLengthBuckets,
     "text_lang_id" -> Queries.textLangId,

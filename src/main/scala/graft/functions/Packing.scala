@@ -185,6 +185,88 @@ object Packing {
       .toDF()
   }
 
+  case class BfdBin(
+      bucket: Long, bin_idx: Long, bin_load: Long, n_docs: Long)
+
+  /** Best-fit-decreasing no-split packing (the classic bin-packing
+    * heuristic; the layout of "Fewer Truncations Improve Language
+    * Modeling", Ding et al. 2024): within each bucket, documents are
+    * taken LONGEST-FIRST and each goes into the fullest open bin that
+    * still fits (ties: lowest bin index); none fits → a new bin.
+    * BFD's 11/9·OPT+1 guarantee is why it beats next-fit's
+    * arrival-order packing on padding waste — the `pack_efficiency` /
+    * `pack_bfd` pair makes the win measurable on the same corpus.
+    * Oversize docs (> seqLen) sit alone, as in [[packNoSplit]].
+    *
+    * Scale shape: identical to [[packNoSplitCounts]] — one shuffle of
+    * (doc_id, n_tokens) by order-preserving bucket, a per-bucket
+    * sequential fold in `mapPartitions` (bin packing is inherently
+    * prefix-recursive; state = the open-bin load array, O(bins) per
+    * bucket, emitted and cleared at each bucket boundary — rows
+    * stream through, only bins buffer). Returns the per-bin summary
+    * `(bucket, bin_idx, bin_load, n_docs)`; deterministic for fixed
+    * (seqLen, buckets).
+    */
+  def packBfdCounts(
+      toks: DataFrame,
+      seqLen: Int = 2048,
+      buckets: Int = 256): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val maxId = toks.agg(max("doc_id")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val width = math.max(1L, maxId / buckets + 1)
+    val L = seqLen.toLong
+    toks.withColumn("bucket", expr(s"doc_id div ${width}L"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("n_tokens").desc, col("doc_id"))
+      .select("doc_id", "n_tokens", "bucket").as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        val loads = scala.collection.mutable.ArrayBuffer[Long]()
+        val counts = scala.collection.mutable.ArrayBuffer[Long]()
+        def flush(): Seq[BfdBin] = {
+          val b = cur
+          val out = loads.indices.map(i =>
+            BfdBin(b, i.toLong, loads(i), counts(i)))
+          loads.clear(); counts.clear()
+          out
+        }
+        (it.map(Option(_)) ++ Iterator(None)).flatMap {
+          case Some((id, n, b)) =>
+            val _ = id
+            val emit = if (b != cur && cur != Long.MinValue) flush() else Nil
+            cur = b
+            var best = -1
+            var bestLoad = -1L
+            var i = 0
+            while (i < loads.length) {
+              if (loads(i) + n <= L && loads(i) > bestLoad) {
+                best = i; bestLoad = loads(i)
+              }
+              i += 1
+            }
+            if (best >= 0) { loads(best) += n; counts(best) += 1 }
+            else { loads += n; counts += 1L }
+            emit
+          case None => if (cur != Long.MinValue) flush() else Nil
+        }
+      }
+      .toDF()
+  }
+
+  /** [[packBfdCounts]] over whitespace token counts of `docs`. */
+  def packBfd(
+      docs: DataFrame, seqLen: Int = 2048, buckets: Int = 256): DataFrame =
+    packBfdCounts(
+      docs.select(col("doc_id").cast("long").as("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      seqLen, buckets)
+
   /** Naive single-global-window form: the unit-test baseline for
     * [[packChunks]] (identical output, single-task at scale — never use
     * on a real corpus).

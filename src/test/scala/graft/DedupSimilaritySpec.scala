@@ -386,6 +386,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(packed.count() == docs.count())
   }
 
+  test("packBfd: longest-first best-fit placement; never more bins than next-fit") {
+    import graft.functions.Packing
+    // cap 10, one bucket, sizes 6,3,4,5 → decreasing order 6,5,4,3:
+    // 6 opens bin0; 5 opens bin1 (6+5>10); 4 best-fits bin1 (load 5 >
+    // ... wait 5+4=9 ≤ 10 and 6+4=10 ≤ 10 — bin0 is FULLER (6>5) → 4
+    // joins bin0 → (10); 3 fits only bin1 (10+3>10) → bin1 = 8.
+    val d = Seq(
+      (0L, Seq.fill(6)("w").mkString(" ")),
+      (1L, Seq.fill(3)("w").mkString(" ")),
+      (2L, Seq.fill(4)("w").mkString(" ")),
+      (3L, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.packBfd(d, seqLen = 10, buckets = 1)
+      .orderBy("bin_idx")
+      .select("bucket", "bin_idx", "bin_load", "n_docs")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 10L, 2L), (0L, 1L, 8L, 2L)))
+    // oversize doc sits alone even when later docs would "fit" by load
+    val big = Seq((0L, Seq.fill(20)("w").mkString(" ")),
+      (1L, Seq.fill(2)("w").mkString(" "))).toDF("doc_id", "text")
+    val g2 = Packing.packBfd(big, seqLen = 10, buckets = 1)
+      .orderBy("bin_idx").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(g2 == Seq((0L, 0L, 20L, 1L), (0L, 1L, 2L, 1L)))
+    // on the fixture corpus: token totals conserved, multi-doc bins
+    // never exceed the cap, and BFD uses no more bins than next-fit
+    val bfd = Packing.packBfd(docs, seqLen = 256, buckets = 8)
+    val nf = Packing.packNoSplit(docs, seqLen = 256, buckets = 8)
+    assert(bfd.agg(sum("bin_load")).head.getLong(0) ==
+      nf.agg(sum("n_tokens")).head.getLong(0))
+    assert(bfd.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    assert(bfd.filter(col("n_docs") > 1 && col("bin_load") > 256).count() == 0)
+    val nfBins = nf.select("bucket", "seq_in_bucket").distinct().count()
+    assert(bfd.count() <= nfBins,
+      s"BFD used ${bfd.count()} bins, next-fit $nfBins")
+  }
+
   test("packNoSplit matches a sequential reference on random corpora") {
     import graft.functions.Packing
     val rnd = new scala.util.Random(7)
