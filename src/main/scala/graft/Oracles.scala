@@ -419,6 +419,41 @@ object Oracles {
     * ending in `lmscore(doc_id, n_bigrams, xent)` — see
     * `text_lm_score` for the determinism rules.
     */
+  /** Shared label-propagation CTE chain (3 unrolled synchronous
+    * rounds over the repeat co-purchase graph with every-10th-part
+    * brand seeds) — used by graph_labelprop and graph_modularity.
+    * Majority vote = row_number over (count DESC, label ASC), the
+    * same deterministic argmax as Spark's min(struct(−count, label)).
+    */
+  private val LABELPROP_CTES: String = {
+    def round(prev: String, v: String, i: String, out: String): String =
+      s"""$v AS (SELECT ed.dst AS node, l.label, count(*) AS cnt
+         |  FROM ed JOIN $prev l ON l.node = ed.src
+         |  GROUP BY ed.dst, l.label),
+         |$i AS (SELECT node, label FROM (
+         |  SELECT node, label, row_number() OVER (
+         |    PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM $v)
+         |  WHERE rn = 1),
+         |$out AS (SELECT * FROM seed UNION ALL
+         |  SELECT * FROM $i WHERE node NOT IN (SELECT node FROM seed))""".stripMargin
+    s"""d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |r AS (SELECT l_orderkey, l_partkey, row_number() OVER (
+       |    PARTITION BY l_orderkey ORDER BY l_partkey) AS rn FROM d),
+       |c AS (SELECT l_orderkey, l_partkey FROM r WHERE rn <= 32),
+       |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM c a
+       |  JOIN c b ON a.l_orderkey = b.l_orderkey
+       |          AND a.l_partkey < b.l_partkey),
+       |g AS (SELECT pa, pb, count(*) AS n FROM p GROUP BY pa, pb),
+       |e0 AS (SELECT pa, pb FROM g WHERE n >= 2),
+       |ed AS (SELECT pa AS src, pb AS dst FROM e0
+       |  UNION ALL SELECT pb, pa FROM e0),
+       |seed AS (SELECT DISTINCT p_partkey AS node, p_brand AS label
+       |  FROM part WHERE p_partkey % 10 = 0),
+       |${round("seed", "v1", "i1", "l1")},
+       |${round("l1", "v2", "i2", "l2")},
+       |${round("l2", "v3", "i3", "l3")}""".stripMargin
+  }
+
   private def lmCtes(rel: String): String =
     s"""lmtok AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
@@ -1406,37 +1441,46 @@ object Oracles {
     // = row_number over (count DESC, label ASC) — the same
     // deterministic argmax as Spark's min(struct(−count, label));
     // seeds clamp by exclusion each round.
-    "graph_labelprop" -> {
-      def round(prev: String, v: String, i: String, out: String): String =
-        s"""$v AS (SELECT ed.dst AS node, l.label, count(*) AS cnt
-           |  FROM ed JOIN $prev l ON l.node = ed.src
-           |  GROUP BY ed.dst, l.label),
-           |$i AS (SELECT node, label FROM (
-           |  SELECT node, label, row_number() OVER (
-           |    PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM $v)
-           |  WHERE rn = 1),
-           |$out AS (SELECT * FROM seed UNION ALL
-           |  SELECT * FROM $i WHERE node NOT IN (SELECT node FROM seed))""".stripMargin
-      s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |r AS (SELECT l_orderkey, l_partkey, row_number() OVER (
-         |    PARTITION BY l_orderkey ORDER BY l_partkey) AS rn FROM d),
-         |c AS (SELECT l_orderkey, l_partkey FROM r WHERE rn <= 32),
-         |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM c a
-         |  JOIN c b ON a.l_orderkey = b.l_orderkey
-         |          AND a.l_partkey < b.l_partkey),
-         |g AS (SELECT pa, pb, count(*) AS n FROM p GROUP BY pa, pb),
-         |e0 AS (SELECT pa, pb FROM g WHERE n >= 2),
-         |ed AS (SELECT pa AS src, pb AS dst FROM e0
-         |  UNION ALL SELECT pb, pa FROM e0),
-         |seed AS (SELECT DISTINCT p_partkey AS node, p_brand AS label
-         |  FROM part WHERE p_partkey % 10 = 0),
-         |${round("seed", "v1", "i1", "l1")},
-         |${round("l1", "v2", "i2", "l2")},
-         |${round("l2", "v3", "i3", "l3")}
+    "graph_labelprop" ->
+      s"""WITH $LABELPROP_CTES
          |SELECT node AS part, label,
          |  node IN (SELECT node FROM seed) AS is_seed
-         |FROM l3""".stripMargin
-    },
+         |FROM l3""".stripMargin,
+
+    // Modularity of the label-propagation partition over the same
+    // co-purchase graph: Q = Σ_c (e_c/m − (d_c/2m)²); within-edge and
+    // degree sums are exact integers, each community term ONE fixed
+    // FP tree, cross-community sum an ordered fold by community.
+    "graph_modularity" ->
+      s"""WITH $LABELPROP_CTES,
+         |und AS (SELECT pa AS u, pb AS v FROM e0),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+         |  GROUP BY node),
+         |lab AS (SELECT node, label FROM l3),
+         |nc AS (
+         |  SELECT deg.node, deg.d,
+         |    COALESCE(lab.label, 'node:' || CAST(deg.node AS VARCHAR)) AS comm
+         |  FROM deg LEFT JOIN lab ON lab.node = deg.node),
+         |wi AS (
+         |  SELECT a.comm, CAST(count(*) AS BIGINT) AS within
+         |  FROM und JOIN nc a ON a.node = und.u JOIN nc b ON b.node = und.v
+         |  WHERE a.comm = b.comm GROUP BY a.comm),
+         |dc AS (SELECT comm, CAST(sum(d) AS BIGINT) AS dsum
+         |  FROM nc GROUP BY comm),
+         |terms AS (
+         |  SELECT dc.comm,
+         |    CAST(COALESCE(wi.within, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+         |      - (CAST(dc.dsum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+         |        * (CAST(dc.dsum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))) AS t,
+         |    m.m AS m
+         |  FROM dc LEFT JOIN wi ON wi.comm = dc.comm CROSS JOIN m)
+         |SELECT m AS n_edges, CAST(count(*) AS BIGINT) AS n_communities,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(t ORDER BY comm)), (a, b) -> a + b) AS modularity
+         |FROM terms GROUP BY m""".stripMargin,
 
     // Integer-cents histogram: all-integer binning (round→BIGINT
     // cents, ceil width, floor-div bin) — bit-exact in both engines.
@@ -1487,6 +1531,21 @@ object Oracles {
          |      + (${vn("b")}) * (${vn("b")}) / (${d("n_b")} - CAST(1.0 AS DOUBLE))) END AS df
          |FROM p""".stripMargin
     },
+
+    // Per-group mode with the deterministic (count desc, value asc)
+    // tie-break — mirrors the min(struct(−n, v)) argmax.
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS n
+        |  FROM documents GROUP BY lang, source),
+        |r AS (
+        |  SELECT lang, source, n,
+        |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_docs,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n DESC, source) AS rn
+        |  FROM c)
+        |SELECT lang, source AS top_source, n AS n_top, n_docs
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // Chi-square independence: exact-integer contingency + marginals,
     // each cell term the identical fixed FP tree (O·N − R·C)²/(R·C·N),

@@ -565,6 +565,21 @@ object Queries {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
       .withColumnRenamed("grp", "l_returnflag")
 
+  /** Extension — deterministic per-group MODE: each language's most
+    * frequent source (highest count, then lowest source on ties — the
+    * `min(struct(−n, v))` argmax, a 16-byte accumulator instead of a
+    * per-group sorted window). Two map-combined aggregates, no sort.
+    */
+  val aggMode: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(min(struct((col("n") * -1).as("nn"), col("source"))).as("m"),
+        sum("n").as("n_docs"))
+      .select(col("lang"), col("m.source").as("top_source"),
+        (col("m.nn") * -1).as("n_top"), col("n_docs"))
+
   /** Extension — chi-square independence of document language ×
     * source: the categorical drift test next to `stat_ttest`
     * (one contingency shuffle, broadcast marginal grid, ordered-fold
@@ -644,6 +659,26 @@ object Queries {
       .select(col("p_partkey").as("node"), col("p_brand").as("label"))
     graft.operators.Graphs.labelPropagation(edges, seeds, rounds = 3)
       .withColumnRenamed("node", "part")
+  }
+
+  /** Extension — modularity of the propagated-label partition over
+    * the same co-purchase graph: the quality score that says whether
+    * the brand communities the propagation found are denser than
+    * chance (Newman & Girvan 2004; see
+    * [[graft.operators.Graphs.modularity]]).
+    */
+  val graphModularity: Q = (s, dir) => {
+    val und = graft.operators.Cooccur.pairCounts(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
+      .filter(col("n") >= 2).select("item_a", "item_b")
+    val edges = und.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionAll(und.select(col("item_b").as("src"), col("item_a").as("dst")))
+    val seeds = t(s, dir, "part")
+      .filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+    val labels = graft.operators.Graphs.labelPropagation(edges, seeds,
+      rounds = 3).select("node", "label")
+    graft.operators.Graphs.modularity(und, labels)
   }
 
   /** Extension — incremental aggregate maintenance: per-user totals

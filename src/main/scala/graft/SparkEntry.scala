@@ -64,12 +64,14 @@ object SparkEntry {
     "graph_pagerank" -> Queries.graphPagerank,
     "stat_corr" -> Queries.statCorr,
     "stat_ttest" -> Queries.statTtest,
+    "agg_mode" -> Queries.aggMode,
     "stat_chisq" -> Queries.statChisq,
     "stat_mannwhitney" -> Queries.statMannWhitney,
     "stat_histogram" -> Queries.statHistogram,
     "graph_triangles" -> Queries.graphTriangles,
     "graph_khop" -> Queries.graphKhop,
     "graph_labelprop" -> Queries.graphLabelprop,
+    "graph_modularity" -> Queries.graphModularity,
     "er_fuzzy_pairs" -> Queries.erFuzzyPairs,
     "er_sorted_neighbors" -> Queries.erSortedNeighbors,
     "er_golden_record" -> Queries.erGoldenRecord,

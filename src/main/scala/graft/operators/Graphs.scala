@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -185,6 +185,59 @@ object Graphs {
     * Label-table lineage is truncated each round (the iterative-state
     * discipline of [[kHopDistances]]).
     */
+  /** Newman modularity of a node partition: `Q = Σ_c (e_c/m −
+    * (d_c/2m)²)` over an UNDIRECTED distinct edge list `(u, v)` and a
+    * `(node, label)` community assignment — the standard quality score
+    * for [[labelPropagation]] output (Newman & Girvan 2004). Unlabeled
+    * nodes count as singleton communities (no within-edges, degree
+    * mass still penalized — the conservative convention).
+    *
+    * Exactness: m, within-community edge counts, and community degree
+    * sums are exact integers; each community's term is ONE fixed FP
+    * tree and the cross-community sum is an ordered fold by community
+    * label (the `stat_chisq` discipline). Returns ONE row
+    * `(n_edges, n_communities, modularity)`.
+    *
+    * Shape at scale: degree = one O(edges) map-combined count; the
+    * within-edge count joins each edge end to the O(nodes) community
+    * table (two hash joins, no fan-out); everything after runs on
+    * |communities| rows.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col(edges.columns(0)).as("u"),
+      col(edges.columns(1)).as("v"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val lab = labels.select(col(labels.columns(0)).as("node"),
+      col(labels.columns(1)).as("label"))
+    val nc = deg.join(lab, Seq("node"), "left")
+      .select(col("node"), col("d"),
+        coalesce(col("label"),
+          concat(lit("node:"), col("node").cast("string"))).as("comm"))
+    val within = und
+      .join(nc.select(col("node").as("u"), col("comm").as("ca")), Seq("u"))
+      .join(nc.select(col("node").as("v"), col("comm").as("cb")), Seq("v"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm")).agg(count(lit(1)).as("within"))
+    val dc = nc.groupBy("comm").agg(sum("d").as("dsum"))
+    def d(c: String): Column = col(c).cast("double")
+    val term = d("within") / d("m") -
+      (d("dsum") / (lit(2.0) * d("m"))) * (d("dsum") / (lit(2.0) * d("m")))
+    dc.join(within, Seq("comm"), "left")
+      .na.fill(0L, Seq("within"))
+      .crossJoin(broadcast(m))
+      .select(col("comm"), col("m"), term.as("t"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_communities"),
+        aggregate(
+          array_sort(collect_list(struct(col("comm"), col("t")))),
+          lit(0.0), (acc, e) => acc + e.getField("t")).as("modularity"))
+      .select(col("m").as("n_edges"), col("n_communities"),
+        col("modularity"))
+  }
+
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")

@@ -110,6 +110,25 @@ class GraphsSpec extends SparkSpec {
     assert(r2(1L) == (("a", true)) && r2(5L) == (("b", true)))
   }
 
+  test("modularity: hand-computed two-triangle graph; degenerate partitions") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: m = 7,
+    // d_A = d_B = 7 → Q = 2·(3/7 − (7/14)²) = 6/7 − 1/2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val labels = Seq(1L -> "a", 2L -> "a", 3L -> "a",
+      4L -> "b", 5L -> "b", 6L -> "b").toDF("node", "label")
+    val r = Graphs.modularity(edges, labels).collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - (6.0 / 7.0 - 0.5)) < 1e-12)
+    // one community holding everything scores exactly 0
+    val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(_ -> "x").toDF("node", "label")
+    assert(Graphs.modularity(edges, one).collect()(0).getDouble(2) == 0.0)
+    // no labels → every node a singleton: all degree penalty, Q < 0
+    val none = Seq.empty[(Long, String)].toDF("node", "label")
+    val rn = Graphs.modularity(edges, none).collect()(0)
+    assert(rn.getLong(1) == 6L && rn.getDouble(2) < 0.0)
+  }
+
   test("labelPropagation: majority beats tie-break; seeds never flip") {
     // node 10 has two a-neighbors and one b-neighbor → majority a,
     // even though b < a lexicographically is false here; use labels

@@ -118,6 +118,7 @@ class PlanQualitySpec extends SparkSpec {
       "stat_chisq",                                  // |B|-row marginal cross + 1-row totals
       "stat_mannwhitney",                            // |pairs|-row broadcast pair list
       "layout_zorder",                               // 1-row min/max quantizer
+      "graph_modularity",                            // 1-row edge-total cross
       "text_bm25", "text_collocations",              // corpus avg/total row
       "corpus_drift",                                // 1-row (n1, n2) totals
       "text_lm_score", "text_tfidf",                 // model stat tables
