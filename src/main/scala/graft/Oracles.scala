@@ -783,6 +783,37 @@ object Oracles {
       s"""WITH ${lmCtes("documents")}
          |SELECT doc_id, n_bigrams, xent FROM lmscore""".stripMargin,
 
+    // Zipf fit: top-100 frequencies, regression sums as 0.0-seeded
+    // ordered folds in rank order (list_sum ≡ Spark's aggregate fold),
+    // slope/intercept the identical fixed trees.
+    "corpus_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |top AS (SELECT w, c FROM c ORDER BY c DESC, w LIMIT 100),
+        |rk AS (SELECT w, c,
+        |  row_number() OVER (ORDER BY c DESC, w) AS rank FROM top),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  list_sum(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(round(ln(CAST(rank AS DOUBLE)), 9) ORDER BY rank))) AS sx,
+        |  list_sum(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(round(ln(CAST(c AS DOUBLE)), 9) ORDER BY rank))) AS sy,
+        |  list_sum(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(round(ln(CAST(rank AS DOUBLE)), 9) * round(ln(CAST(c AS DOUBLE)), 9)
+        |      ORDER BY rank))) AS sxy,
+        |  list_sum(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(round(ln(CAST(rank AS DOUBLE)), 9) * round(ln(CAST(rank AS DOUBLE)), 9)
+        |      ORDER BY rank))) AS sxx
+        |  FROM rk),
+        |s2 AS (SELECT n, sx, sy,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+        |  FROM s)
+        |SELECT n AS n_top, slope,
+        |  (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept
+        |FROM s2""".stripMargin,
+
     // Interpolated Kneser–Ney (D = 0.75): model statistics are exact
     // integer aggregates of the bigram TABLE; the per-bigram
     // probability is the identical fixed FP tree as

@@ -2442,6 +2442,14 @@ object Queries {
   val textLmScore: Q = (s, dir) =>
     TextAnalysis.lmCrossEntropy(t(s, dir, "documents"))
 
+  /** Extension — Zipf's-law fit over the corpus's top-100 token
+    * frequencies: log-log least-squares slope/intercept, the
+    * corpus-health diagnostic (natural text ≈ −1; see
+    * [[graft.functions.TextAnalysis.zipfFit]]).
+    */
+  val corpusZipf: Q = (s, dir) =>
+    TextAnalysis.zipfFit(t(s, dir, "documents"), topN = 100)
+
   /** Extension — interpolated Kneser–Ney bigram self-perplexity per
     * document (D = 0.75): the production CCNet-lineage quality score
     * next to `text_lm_score`'s add-one baseline; continuation

@@ -192,6 +192,7 @@ object SparkEntry {
     "text_bm25" -> Queries.textBm25,
     "text_postings" -> Queries.textPostings,
     "corpus_stats" -> Queries.corpusStats,
+    "corpus_zipf" -> Queries.corpusZipf,
     // -- parity wave 2: log analytics, scalar fns, skip metrics
     "s9_log_parse" -> Queries.s9LogParse,
     "f5_manila_iso" -> Queries.f5ManilaIso,

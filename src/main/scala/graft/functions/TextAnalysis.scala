@@ -508,6 +508,55 @@ object TextAnalysis {
           4).as("xent"))
   }
 
+  /** Zipf's-law fit: least-squares slope/intercept of ln(freq) vs
+    * ln(rank) over the corpus's top-N token frequencies — the
+    * classic corpus-health diagnostic (natural language sits near
+    * slope −1; a flat slope flags synthetic/templated text, a cliff
+    * flags boilerplate domination). Zipf 1949; the regression is the
+    * standard log-log fit.
+    *
+    * Shape at scale: token counts are ONE map-combined aggregate; the
+    * top-N cut is a TakeOrdered (count desc, token — deterministic
+    * ties), and the regression runs on N rows (a global window over
+    * ≤ N rows, not the corpus). FP discipline: each log is QUANTIZED
+    * to 9 decimals before the sums (JVM StrictMath.log and libm ln
+    * disagree by 1 ulp on some inputs — e.g. ln(936) — so raw logs
+    * are not cross-engine reproducible; 9 decimals is far above ulp
+    * noise and far below fit precision), then the four regression
+    * sums are 0.0-seeded ordered folds in rank order and slope /
+    * intercept are ONE fixed tree each — oracle-replayable.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
+    require(topN >= 3, s"need topN >= 3, got $topN")
+    val ranked = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("w"))))
+    def foldSum(arr: Column, f: Column => Column): Column =
+      aggregate(arr, lit(0.0), (acc, e) => acc + f(e))
+    val sums = ranked
+      .select(struct(col("rank"),
+        round(log(col("rank").cast("double")), 9).as("x"),
+        round(log(col("c").cast("double")), 9).as("y")).as("s"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(col("s"))).as("arr"))
+      .select(col("n"),
+        foldSum(col("arr"), _.getField("x")).as("sx"),
+        foldSum(col("arr"), _.getField("y")).as("sy"),
+        foldSum(col("arr"), e => e.getField("x") * e.getField("y")).as("sxy"),
+        foldSum(col("arr"), e => e.getField("x") * e.getField("x")).as("sxx"))
+    def nd: Column = col("n").cast("double")
+    sums
+      .select(col("n"), col("sx"), col("sy"),
+        ((nd * col("sxy") - col("sx") * col("sy")) /
+          (nd * col("sxx") - col("sx") * col("sx"))).as("slope"))
+      .select(col("n").as("n_top"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / nd).as("intercept"))
+  }
+
   /** Interpolated Kneser–Ney bigram cross-entropy (Kneser & Ney 1995;
     * Chen & Goodman 1998's interpolated form with fixed absolute
     * discount D = 0.75) — the quality-filtering LM the CCNet lineage

@@ -1418,6 +1418,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tight == Set(1L, 2L)) // 3 never entered the pool
   }
 
+  test("zipfFit: recovers a known power-law slope; flat corpus fits slope 0") {
+    import graft.functions.TextAnalysis
+    // build a corpus whose token frequencies are EXACTLY freq(r) =
+    // round(1000·r^(−0.8)): the log-log fit must recover ≈ −0.8
+    val words = (1 to 50).map(r => f"w$r%03d")
+    val text = words.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(math.round(1000.0 * math.pow(i + 1.0, -0.8)).toInt)(w)
+    }.mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfFit(d, topN = 50).collect()(0)
+    assert(fit.getLong(0) == 50L)
+    assert(math.abs(fit.getDouble(1) - (-0.8)) < 0.02,
+      s"slope ${fit.getDouble(1)}")
+    assert(math.abs(fit.getDouble(2) - math.log(1000.0)) < 0.1)
+    // uniform frequencies → slope exactly 0 (all y equal)
+    val flat = Seq((1L, (1 to 20).flatMap(i =>
+      Seq.fill(7)(s"t$i")).mkString(" "))).toDF("doc_id", "text")
+    val f2 = TextAnalysis.zipfFit(flat, topN = 20).collect()(0)
+    // slope ~0 up to the 9-decimal log quantization noise
+    assert(math.abs(f2.getDouble(1)) < 1e-8)
+  }
+
   test("knCrossEntropy: hand-computed interpolated KN probabilities; OOD ranks higher") {
     import graft.functions.TextAnalysis
     // corpus {"a b a b", "b a"}: c(ab)=2, c(ba)=2, B=2, ctx(a)=ctx(b)=2,
