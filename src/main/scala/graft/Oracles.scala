@@ -1609,6 +1609,44 @@ object Oracles {
          |FROM s""".stripMargin
     },
 
+    // Kolmogorov–Smirnov: exact integer D-numerator
+    // max |F1·n2 − F2·n1| over cumulative per-value counts; ONE final
+    // division — mirrors Profile.ksTest exactly.
+    "stat_ks" ->
+      """WITH base AS (
+        |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |gs AS (SELECT DISTINCT g FROM base),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+        |bt AS (
+        |  SELECT p.ga, p.gb, base.g, base.v
+        |  FROM base JOIN pairs p ON base.g = p.ga OR base.g = p.gb),
+        |pv AS (
+        |  SELECT ga, gb, v,
+        |    CAST(sum(CASE WHEN g = ga THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN g = gb THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM bt GROUP BY ga, gb, v),
+        |cum AS (
+        |  SELECT ga, gb, v,
+        |    CAST(sum(c1) OVER (PARTITION BY ga, gb ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+        |    CAST(sum(c2) OVER (PARTITION BY ga, gb ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+        |  FROM pv),
+        |tot AS (
+        |  SELECT ga, gb,
+        |    CAST(sum(CASE WHEN g = ga THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN g = gb THEN 1 END) AS BIGINT) AS n_b
+        |  FROM bt GROUP BY ga, gb),
+        |d AS (
+        |  SELECT cum.ga, cum.gb, tot.n_a, tot.n_b,
+        |    max(abs(f1 * n_b - f2 * n_a)) AS d_num
+        |  FROM cum JOIN tot ON tot.ga = cum.ga AND tot.gb = cum.gb
+        |  GROUP BY cum.ga, cum.gb, tot.n_a, tot.n_b)
+        |SELECT ga AS lang_a, gb AS lang_b, n_a, n_b,
+        |  CAST(d_num AS BIGINT) AS d_num,
+        |  CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d_stat
+        |FROM d""".stripMargin,
+
     // Mann–Whitney U: doubled-integer average ranks (2·rank + ties − 1
     // is exact), U and the rank sums never touch FP; z is the single
     // fixed tree (U − n_a·n_b/2)/σ_U with the standard tie correction,

@@ -580,6 +580,18 @@ object Queries {
       .select(col("lang"), col("m.source").as("top_source"),
         (col("m.nn") * -1).as("n_top"), col("n_docs"))
 
+  /** Extension — two-sample Kolmogorov–Smirnov test of document
+    * length between every language pair: CDF-shape divergence, the
+    * complement of `stat_mannwhitney`'s location test. Integer-exact
+    * numerator, ONE final division (see
+    * [[graft.operators.Profile.ksTest]]).
+    */
+  val statKs: Q = (s, dir) =>
+    graft.operators.Profile.ksTest(
+      t(s, dir, "documents"), col("lang"), col("n_chars"))
+      .withColumnRenamed("group_a", "lang_a")
+      .withColumnRenamed("group_b", "lang_b")
+
   /** Extension — chi-square independence of document language ×
     * source: the categorical drift test next to `stat_ttest`
     * (one contingency shuffle, broadcast marginal grid, ordered-fold

@@ -67,6 +67,7 @@ object SparkEntry {
     "agg_mode" -> Queries.aggMode,
     "stat_chisq" -> Queries.statChisq,
     "stat_mannwhitney" -> Queries.statMannWhitney,
+    "stat_ks" -> Queries.statKs,
     "stat_histogram" -> Queries.statHistogram,
     "graph_triangles" -> Queries.graphTriangles,
     "graph_khop" -> Queries.graphKhop,

@@ -238,6 +238,52 @@ object Profile {
             (lit(2.0) * sqrt(sigma2))).as("z_stat"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test between every pair of groups:
+    * the distribution-shape complement of [[mannWhitney]] (MWU detects
+    * location shift; KS detects ANY CDF divergence — variance,
+    * bimodality, truncation). Statistic EXACT: `D = max_v |F₁(v) −
+    * F₂(v)|` is computed as the integer `max |c₁(v)·n₂ − c₂(v)·n₁|`
+    * over cumulative counts, divided ONCE at the end — no FP until
+    * the final single division, so the result is bit-reproducible
+    * under any partitioning and the oracle replays it exactly.
+    *
+    * Shape at scale: the same broadcast pair-list duplication as
+    * [[mannWhitney]]; per-pair cumulative counts are a window over
+    * DISTINCT values (range-partitionable), and the max is a plain
+    * aggregate. Returns `(group_a, group_b, n_a, n_b, d_num, d_stat)`
+    * with `d_stat = d_num/(n_a·n_b)`.
+    */
+  def ksTest(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.as("g"), value.cast("long").as("v"))
+    val groups = base.select("g").distinct()
+    val pairs = groups.select(col("g").as("group_a"))
+      .join(groups.select(col("g").as("group_b")),
+        col("group_a") < col("group_b"))
+    val both = base.join(broadcast(pairs),
+      col("g") === col("group_a") || col("g") === col("group_b"))
+    val perV = both.groupBy("group_a", "group_b", "v")
+      .agg(sum(when(col("g") === col("group_a"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === col("group_b"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.partitionBy("group_a", "group_b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perV
+      .withColumn("f1", sum("c1").over(w))
+      .withColumn("f2", sum("c2").over(w))
+    val tot = both.groupBy("group_a", "group_b")
+      .agg(sum(when(col("g") === col("group_a"), 1L)).as("n_a"),
+        sum(when(col("g") === col("group_b"), 1L)).as("n_b"))
+    cum.join(tot, Seq("group_a", "group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        abs(col("f1") * col("n_b") - col("f2") * col("n_a")).as("d"))
+      .groupBy("group_a", "group_b", "n_a", "n_b")
+      .agg(max("d").as("d_num"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("d_stat"))
+  }
+
   /** Pairwise Pearson correlation of `cols` within each `group`, in
     * ONE scan: a single aggregate computes every column's decimal
     * sum/sum-of-squares and every pair's cross-product sum side by

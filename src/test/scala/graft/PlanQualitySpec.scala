@@ -117,6 +117,7 @@ class PlanQualitySpec extends SparkSpec {
       "stat_ttest",                                  // |groups|-row pair join
       "stat_chisq",                                  // |B|-row marginal cross + 1-row totals
       "stat_mannwhitney",                            // |pairs|-row broadcast pair list
+      "stat_ks",                                     // |pairs|-row broadcast pair list
       "layout_zorder",                               // 1-row min/max quantizer
       "graph_modularity",                            // 1-row edge-total cross
       "text_bm25", "text_collocations",              // corpus avg/total row

@@ -93,6 +93,25 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(5) - (-3.5 / math.sqrt(4.65))) < 1e-12)
   }
 
+  test("ksTest: exact D on hand-built samples; identical samples score 0") {
+    import org.apache.spark.sql.functions.col
+    // A=[1,2,3,4], B=[3,4,5,6]: D = |F_A − F_B| peaks at v=2:
+    // F_A=2/4, F_B=0 → d_num = |2·4 − 0·4| = 8, D = 8/16 = 0.5
+    val d1 = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4),
+      ("b", 3), ("b", 4), ("b", 5), ("b", 6)).toDF("g", "v")
+    val r1 = Profile.ksTest(d1, col("g"), col("v")).collect()(0)
+    assert(r1.getLong(2) == 4L && r1.getLong(3) == 4L)
+    assert(r1.getLong(4) == 8L && r1.getDouble(5) == 0.5)
+    // identical distributions → D exactly 0
+    val d2 = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("g", "v")
+    val r2 = Profile.ksTest(d2, col("g"), col("v")).collect()(0)
+    assert(r2.getLong(4) == 0L && r2.getDouble(5) == 0.0)
+    // disjoint supports → D exactly 1
+    val d3 = Seq(("a", 1), ("a", 2), ("b", 9), ("b", 10)).toDF("g", "v")
+    val r3 = Profile.ksTest(d3, col("g"), col("v")).collect()(0)
+    assert(r3.getDouble(5) == 1.0)
+  }
+
   test("pairwiseCorr: exact ±1 on linear columns, NULL on zero variance") {
     val d = Seq(
       ("g", 1.0, 2.0, -1.0, 5.0),
