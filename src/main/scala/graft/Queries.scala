@@ -680,9 +680,13 @@ object Queries {
     * [[graft.operators.Graphs.modularity]]).
     */
   val graphModularity: Q = (s, dir) => {
+    // the edge list feeds BOTH the propagation (via the symmetric
+    // union) and the modularity score; checkpoint so the basket
+    // pair-count subplan runs once, not once per consumer
     val und = graft.operators.Cooccur.pairCounts(
         t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
       .filter(col("n") >= 2).select("item_a", "item_b")
+      .localCheckpoint()
     val edges = und.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionAll(und.select(col("item_b").as("src"), col("item_a").as("dst")))
     val seeds = t(s, dir, "part")

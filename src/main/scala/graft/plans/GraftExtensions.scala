@@ -12,10 +12,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `graft_dot`, `graft_norm_sq`, `graft_hamming64`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.specs.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => NormalizeChainSimplification)
+  }
 }
 
 object GraftFunctions {
@@ -116,12 +118,20 @@ object GraftFunctions {
       .toLongArray().toIndexedSeq
   }
 
-  /** Idempotent imperative registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent imperative registration on a live session: the kernel
+    * functions plus the normalization-chain optimizer rule (appended
+    * to `experimental.extraOptimizations` exactly once).
+    */
+  def register(spark: SparkSession): Unit = {
     specs.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(NormalizeChainSimplification))
+      spark.experimental.extraOptimizations =
+        cur :+ NormalizeChainSimplification
+  }
 
   /** Register on the thread's active (or default) session. The
     * Column-level wrappers ([[graft.functions.Similarity.quantized]],

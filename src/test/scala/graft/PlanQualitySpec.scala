@@ -163,6 +163,10 @@ class PlanQualitySpec extends SparkSpec {
       p.take(800))
     assert(!p.contains("Exchange"), s"normalize plan shuffles:\n${p.take(800)}")
     assert(!p.contains("Join"), s"normalize plan joins:\n${p.take(800)}")
+    // the NormalizeChainSimplification rule must have deleted the
+    // redundant inner nfc pass under strip_accents
+    assert(!p.contains("stripaccentsexpr(nfcexpr"),
+      s"strip still normalizes redundantly:\n${p.take(800)}")
   }
 
   test("trained wordpiece encode is one kernel projection — no join, no exchange before it") {
