@@ -1647,6 +1647,36 @@ object Oracles {
         |  CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d_stat
         |FROM d""".stripMargin,
 
+    // OLS: exact BIGINT moments (integral quantity, floored price),
+    // then the same fixed IEEE tree as Profile.olsFit — n·Σxy − Σx·Σy
+    // over n·Σx² − Σx·Σx, intercept (Σy − slope·Σx)/n, r² num²/(dx·dy).
+    "stat_ols" -> {
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      val num = s"(${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+      val denx = s"(${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+      val deny = s"(${d("n")} * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+      s"""WITH b AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |    CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(floor(l_extendedprice) AS BIGINT) AS y
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM b GROUP BY 1, 2)
+         |SELECT l_returnflag, l_linestatus, n,
+         |  CASE WHEN n >= 2 AND $denx <> 0.0 THEN $num / $denx END AS slope,
+         |  CASE WHEN n >= 2 AND $denx <> 0.0
+         |    THEN (${d("sy")} - ($num / $denx) * ${d("sx")}) / ${d("n")} END
+         |    AS intercept,
+         |  CASE WHEN n >= 2 AND $denx <> 0.0 AND $deny <> 0.0
+         |    THEN ($num * $num) / ($denx * $deny) END AS r2
+         |FROM m""".stripMargin
+    },
+
     // Mann–Whitney U: doubled-integer average ranks (2·rank + ties − 1
     // is exact), U and the rank sums never touch FP; z is the single
     // fixed tree (U − n_a·n_b/2)/σ_U with the standard tie correction,

@@ -592,6 +592,21 @@ object Queries {
       .withColumnRenamed("group_a", "lang_a")
       .withColumnRenamed("group_b", "lang_b")
 
+  /** Extension — per-(returnflag, linestatus) OLS regression of
+    * extended price on quantity: slope ≈ unit price, r² how linear
+    * the pricing is. Exact BIGINT moments (quantity is integral,
+    * price floored to whole units) then one fixed IEEE tree — see
+    * [[graft.operators.Profile.olsFit]].
+    */
+  val statOls: Q = (s, dir) =>
+    graft.operators.Profile.olsFit(
+      t(s, dir, "lineitem"),
+      Seq(col("l_returnflag"), col("l_linestatus")),
+      col("l_quantity"),
+      floor(col("l_extendedprice")))
+      .withColumnRenamed("__g0", "l_returnflag")
+      .withColumnRenamed("__g1", "l_linestatus")
+
   /** Extension — chi-square independence of document language ×
     * source: the categorical drift test next to `stat_ttest`
     * (one contingency shuffle, broadcast marginal grid, ordered-fold

@@ -68,6 +68,7 @@ object SparkEntry {
     "stat_chisq" -> Queries.statChisq,
     "stat_mannwhitney" -> Queries.statMannWhitney,
     "stat_ks" -> Queries.statKs,
+    "stat_ols" -> Queries.statOls,
     "stat_histogram" -> Queries.statHistogram,
     "graph_triangles" -> Queries.graphTriangles,
     "graph_khop" -> Queries.graphKhop,

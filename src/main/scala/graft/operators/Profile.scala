@@ -284,6 +284,52 @@ object Profile {
           (col("n_a") * col("n_b")).cast("double")).as("d_stat"))
   }
 
+  /** Per-group simple linear regression (ordinary least squares) of
+    * `y` on `x`: the relationship test next to [[pairwiseCorr]]'s
+    * association test — slope/intercept give the fitted line, r² how
+    * much of y's variance it explains. Built-in `regr_slope` is a
+    * running-update aggregate (order-dependent, unusable for parity);
+    * this computes the closed form from EXACT integer moments.
+    *
+    * Determinism: callers pass integer-exact `x`/`y` columns (floor
+    * or cents-scale upstream); the five moments Σx Σy Σxy Σx² Σy² are
+    * plain BIGINT sums — order-independent under any partitioning —
+    * each cast to DOUBLE once (exact while < 2⁵³, which bounds the
+    * valid input domain and is the oracle's operating range), and
+    * every statistic is ONE fixed IEEE tree identical in the oracle:
+    * `slope = (n·Σxy − Σx·Σy)/(n·Σx² − Σx²ᵗ)`, `intercept =
+    * (Σy − slope·Σx)/n`, `r² = num²/(denx·deny)`.
+    *
+    * Shape at scale: one map-side-combined groupBy, then a per-row
+    * projection — no second pass, no join, no window. Degenerate
+    * groups (n < 2 or zero x-variance) yield NULL slope/intercept;
+    * zero y-variance additionally NULLs r².
+    */
+  def olsFit(df: DataFrame, group: Seq[Column], x: Column,
+      y: Column): DataFrame = {
+    val gnames = group.indices.map(i => s"__g$i")
+    val base = df.select(
+      group.zip(gnames).map { case (c, n) => c.as(n) } :+
+        x.cast("long").as("__x") :+ y.cast("long").as("__y"): _*)
+    val m = base.groupBy(gnames.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    val denx = d("n") * d("sxx") - d("sx") * d("sx")
+    val deny = d("n") * d("syy") - d("sy") * d("sy")
+    val slope = when(col("n") >= 2 && denx =!= 0.0, num / denx)
+    val inter = when(col("n") >= 2 && denx =!= 0.0,
+      (d("sy") - (num / denx) * d("sx")) / d("n"))
+    val r2 = when(col("n") >= 2 && denx =!= 0.0 && deny =!= 0.0,
+      (num * num) / (denx * deny))
+    m.select(gnames.map(col) ++ Seq(col("n"), slope.as("slope"),
+      inter.as("intercept"), r2.as("r2")): _*)
+  }
+
   /** Pairwise Pearson correlation of `cols` within each `group`, in
     * ONE scan: a single aggregate computes every column's decimal
     * sum/sum-of-squares and every pair's cross-product sum side by

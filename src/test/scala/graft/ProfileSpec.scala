@@ -112,6 +112,34 @@ class ProfileSpec extends SparkSpec {
     assert(r3.getDouble(5) == 1.0)
   }
 
+  test("olsFit: exact fit on a perfect line; NULLs on degenerate groups") {
+    import org.apache.spark.sql.functions.col
+    // y = 3x + 2 exactly → slope 3, intercept 2, r² 1 with NO tolerance
+    val d1 = Seq(("g", 1, 5), ("g", 2, 8), ("g", 3, 11), ("g", 4, 14))
+      .toDF("g", "x", "y")
+    val r1 = Profile.olsFit(d1, Seq(col("g")), col("x"), col("y")).collect()(0)
+    assert(r1.getLong(1) == 4L)
+    assert(r1.getDouble(2) == 3.0 && r1.getDouble(3) == 2.0 &&
+      r1.getDouble(4) == 1.0)
+    // known non-trivial fit: (1,2),(2,3),(3,5) → slope 3/2, intercept 1/3
+    val d2 = Seq(("g", 1, 2), ("g", 2, 3), ("g", 3, 5)).toDF("g", "x", "y")
+    val r2 = Profile.olsFit(d2, Seq(col("g")), col("x"), col("y")).collect()(0)
+    assert(math.abs(r2.getDouble(2) - 1.5) < 1e-15)
+    assert(math.abs(r2.getDouble(3) - 1.0 / 3.0) < 1e-15)
+    // r² = num²/(dx·dy) = (3·23−6·10)²/((3·14−36)(3·38−100)) = 81/(6·14)
+    assert(math.abs(r2.getDouble(4) - 81.0 / 84.0) < 1e-15)
+    // zero x-variance → NULL slope/intercept/r2; n=1 group → NULLs
+    val d3 = Seq(("a", 2, 1), ("a", 2, 9), ("b", 7, 7)).toDF("g", "x", "y")
+    val r3 = Profile.olsFit(d3, Seq(col("g")), col("x"), col("y"))
+      .orderBy("__g0").collect()
+    assert(r3(0).isNullAt(2) && r3(0).isNullAt(3) && r3(0).isNullAt(4))
+    assert(r3(1).isNullAt(2) && r3(1).isNullAt(3) && r3(1).isNullAt(4))
+    // zero y-variance: slope 0, intercept = ȳ, r² NULL (deny = 0)
+    val d4 = Seq(("g", 1, 4), ("g", 2, 4), ("g", 3, 4)).toDF("g", "x", "y")
+    val r4 = Profile.olsFit(d4, Seq(col("g")), col("x"), col("y")).collect()(0)
+    assert(r4.getDouble(2) == 0.0 && r4.getDouble(3) == 4.0 && r4.isNullAt(4))
+  }
+
   test("pairwiseCorr: exact ±1 on linear columns, NULL on zero variance") {
     val d = Seq(
       ("g", 1.0, 2.0, -1.0, 5.0),
