@@ -1954,6 +1954,43 @@ object Oracles {
     // Hampel MAD outliers: even-cents median (integer-valued double),
     // exact deviations, MAD on .0/.5 halves — single-tree threshold
     // and robust-z division.
+    // Theil–Sen: daily exact-cents totals, every pairwise slope one
+    // IEEE division, DISCRETE lower-median selection via row_number
+    // ordered (slope, xa, xb) / (ic, x) — mirrors TimeSeries.theilSen.
+    "ts_theil_sen" ->
+      s"""WITH daily AS (
+         |  SELECT event_type AS k,
+         |    CAST(ts AS DATE) - DATE '1970-01-01' AS x,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS yc
+         |  FROM events WHERE $V AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT a.k, a.x AS xa, b.x AS xb,
+         |    CAST(b.yc - a.yc AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+         |  FROM daily a JOIN daily b ON a.k = b.k AND a.x < b.x),
+         |med AS (
+         |  SELECT k, np AS n_pairs, slope AS sc FROM (
+         |    SELECT k, slope,
+         |      row_number() OVER (PARTITION BY k ORDER BY slope, xa, xb) AS rn,
+         |      count(*) OVER (PARTITION BY k) AS np
+         |    FROM pr) WHERE rn = (np + 1) // 2),
+         |res AS (
+         |  SELECT daily.k, med.n_pairs, med.sc,
+         |    CAST(daily.yc AS DOUBLE) - med.sc * CAST(daily.x AS DOUBLE) AS ic,
+         |    daily.x
+         |  FROM daily JOIN med ON daily.k = med.k),
+         |pick AS (
+         |  SELECT k, n_pairs, sc, nd, ic FROM (
+         |    SELECT k, n_pairs, sc, ic,
+         |      row_number() OVER (PARTITION BY k ORDER BY ic, x) AS rn,
+         |      count(*) OVER (PARTITION BY k) AS nd
+         |    FROM res) WHERE rn = (nd + 1) // 2)
+         |SELECT k AS "table", CAST(nd AS BIGINT) AS n_days,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  sc / 100.0 AS slope_per_day, ic / 100.0 AS intercept
+         |FROM pick""".stripMargin,
+
     "ts_mad_outliers" ->
       s"""WITH e AS (
          |  SELECT event_type AS tbl, event_id, value,

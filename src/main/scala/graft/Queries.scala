@@ -443,6 +443,16 @@ object Queries {
       Readers.validChangeLog(s, dir),
       key = "table", ts = "ts", id = "log_id", value = "value")
 
+  /** Extension — Theil–Sen robust trend per event-type series over
+    * daily totals: median pairwise slope + median residual intercept,
+    * discrete-median selection so every emitted double is an actual
+    * slope/residual (see [[graft.operators.TimeSeries.theilSen]]).
+    */
+  val tsTheilSen: Q = (s, dir) =>
+    graft.operators.TimeSeries.theilSen(
+      Readers.validChangeLog(s, dir),
+      key = "table", ts = "ts", value = "value")
+
   /** Extension — classical additive decomposition per event-type
     * series: 25-row centered-MA trend, hour-of-day seasonal of the
     * detrended values, remainder; interior rows only, every double one

@@ -81,6 +81,7 @@ object SparkEntry {
     "rfm_segments" -> Queries.rfmSegments,
     "ts_ewma" -> Queries.tsEwma,
     "ts_cusum" -> Queries.tsCusum,
+    "ts_theil_sen" -> Queries.tsTheilSen,
     "ts_seasonal" -> Queries.tsSeasonal,
     "media_phash" -> Queries.mediaPhash,
     "media_audio_fp" -> Queries.mediaAudioFp,

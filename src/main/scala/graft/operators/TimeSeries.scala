@@ -426,4 +426,59 @@ object TimeSeries {
         count(lit(1)).as("n_events"),
         sum(col(value).cast("decimal(18,2)")).cast("double").as("total"))
   }
+
+  /** Theil–Sen robust trend per series: the median of all pairwise
+    * slopes between DAILY aggregates, with the intercept the median
+    * residual at that slope — the estimator with a 29.3% breakdown
+    * point (Sen 1968), immune to the outlier days that drag
+    * [[graft.operators.Profile.olsFit]]'s least-squares line around.
+    *
+    * Medians are DISCRETE (lower-median element selection via
+    * `row_number`, ties broken by the pair's day indices), never an
+    * interpolated average — so the picked value is one of the actual
+    * slopes and the whole computation replays exactly: daily sums are
+    * exact cents longs, each pairwise slope ONE IEEE division of
+    * exactly-converted integers, and the sort order on (slope, xa,
+    * xb) is total. The only remaining FP is the final /100 display
+    * scaling.
+    *
+    * Scale shape: Theil–Sen is O(n²) in observations, so the operator
+    * aggregates to the bounded DAY grid first — pairs per key are
+    * days², independent of row count; the pair join is an equi-join
+    * on the key, the median picks are per-key window sorts over
+    * bounded rows. Keys with a single active day have no pairs and
+    * are dropped (no trend is estimable).
+    */
+  def theilSen(df: DataFrame, key: String, ts: String,
+      value: String): DataFrame = {
+    val daily = df.filter(col(value).isNotNull)
+      .groupBy(col(key).as("k"), unix_date(to_date(col(ts))).as("x"))
+      .agg(sum((col(value).cast("decimal(18,2)") * 100).cast("long"))
+        .as("yc"))
+    val a = daily.select(col("k"), col("x").as("xa"), col("yc").as("ya"))
+    val b = daily.select(col("k"), col("x").as("xb"), col("yc").as("yb"))
+    val pairs = a.join(b, Seq("k")).filter(col("xa") < col("xb"))
+      .withColumn("slope", (col("yb") - col("ya")).cast("double") /
+        (col("xb") - col("xa")).cast("double"))
+    val ws = Window.partitionBy("k").orderBy(col("slope"), col("xa"), col("xb"))
+    val wk = Window.partitionBy("k")
+    val med = pairs
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("np", count(lit(1)).over(wk))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("k"), col("np").as("n_pairs"), col("slope").as("__sc"))
+    val resid = daily.join(broadcast(med.select("k", "__sc")), Seq("k"))
+      .withColumn("ic",
+        col("yc").cast("double") - col("__sc") * col("x").cast("double"))
+    val wr = Window.partitionBy("k").orderBy(col("ic"), col("x"))
+    val inter = resid
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("nd", count(lit(1)).over(wk))
+      .filter(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("k"), col("nd").as("n_days"), col("ic"))
+    med.join(inter, Seq("k"))
+      .select(col("k").as(key), col("n_days"), col("n_pairs"),
+        (col("__sc") / 100.0).as("slope_per_day"),
+        (col("ic") / 100.0).as("intercept"))
+  }
 }

@@ -266,4 +266,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(run(df.repartition(1)) == got)
     assert(run(df.repartition(16)) == got)
   }
+
+  test("theilSen: robust to an outlier day that wrecks OLS; single-day keys dropped") {
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2026-01-$day%02d 12:00:00")
+    // daily totals 0,1,2,3,100 on consecutive days x₀..x₀+4: 6 of 10
+    // pairwise slopes are exactly 1 → discrete median slope 1;
+    // residuals y − 1·x = [−x₀ ×4, 96−x₀] → median intercept −x₀
+    // (x in epoch days, so the intercept is at the 1970 origin;
+    // fitted value at day x is x − x₀). OLS slope would be ≈ 19.
+    val rows = Seq(
+      (1L, "A", t(1), 0.00), (2L, "A", t(2), 1.00), (3L, "A", t(3), 2.00),
+      (4L, "A", t(4), 3.00), (5L, "A", t(5), 100.00),
+      (6L, "B", t(1), 5.00)) // one active day: no estimable trend
+    val df = rows.toDF("log_id", "table", "ts", "value")
+    val x0 = java.time.LocalDate.of(2026, 1, 1).toEpochDay.toDouble
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TimeSeries.theilSen(
+        d, key = "table", ts = "ts", value = "value")
+        .as[(String, Long, Long, Double, Double)].collect().toSet
+    val got = run(df)
+    assert(got == Set(("A", 5L, 10L, 1.0, -x0)))
+    // two events on one day aggregate before pairing
+    val df2 = df.union(Seq((7L, "A", t(5), 0.50)).toDF("log_id", "table", "ts", "value"))
+    val g2 = run(df2).head
+    assert(g2._1 == "A" && g2._2 == 5L && g2._3 == 10L)
+    // partitioning-invariant (discrete medians over exact cents)
+    assert(run(df.repartition(1)) == got)
+    assert(run(df.repartition(16)) == got)
+  }
 }
