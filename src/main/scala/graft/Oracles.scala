@@ -4090,6 +4090,65 @@ object Oracles {
         |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
         |FROM z GROUP BY 1""".stripMargin,
 
+    // Zone-map pruning audit: the layout_zorder Morton rebuild plus a
+    // linear (qx-slab) layout, probe bounds the same integer eighths
+    // formula, overlap/selectivity all exact counts — mirrors
+    // Layout.skippingReport (bits=12, nfiles=64, slab 262144 / 64).
+    "layout_skipping" ->
+      """WITH k AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS x, CAST(l_partkey AS BIGINT) AS y FROM lineitem),
+        |mm AS (
+        |  SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax FROM k),
+        |q AS (
+        |  SELECT x, y,
+        |    ((x - mm.xmin) * 4096) // (mm.xmax - mm.xmin + 1) AS qx,
+        |    ((y - mm.ymin) * 4096) // (mm.ymax - mm.ymin + 1) AS qy
+        |  FROM k, mm),
+        |z AS (
+        |  SELECT x, y, qx,
+        |    (SELECT CAST(sum((((qx >> CAST(i AS INT)) & 1) << CAST(2 * i AS INT))
+        |               + (((qy >> CAST(i AS INT)) & 1) << CAST(2 * i + 1 AS INT))) AS BIGINT)
+        |     FROM range(0, 12) t(i)) AS zv
+        |  FROM q),
+        |a AS (SELECT x, y, zv // 262144 AS zf, qx // 64 AS lf FROM z),
+        |st AS (
+        |  SELECT 'zorder' AS layout, zf AS file_id, count(*) AS n_rows,
+        |    min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx
+        |  FROM a GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'linear', lf, count(*), min(x), max(x), min(y), max(y)
+        |  FROM a GROUP BY 2),
+        |pr AS (SELECT * FROM (VALUES
+        |  ('l_orderkey:1-2', 'x', 1, 2),
+        |  ('l_partkey:3-4', 'y', 3, 4),
+        |  ('l_partkey:0-8', 'y', 0, 8)) p(probe, pc, lo8, hi8)),
+        |pb AS (
+        |  SELECT probe, pc,
+        |    CASE WHEN pc = 'x' THEN mm.xmin + ((mm.xmax - mm.xmin + 1) * lo8) // 8
+        |         ELSE mm.ymin + ((mm.ymax - mm.ymin + 1) * lo8) // 8 END AS plo,
+        |    CASE WHEN pc = 'x' THEN mm.xmin + ((mm.xmax - mm.xmin + 1) * hi8) // 8 - 1
+        |         ELSE mm.ymin + ((mm.ymax - mm.ymin + 1) * hi8) // 8 - 1 END AS phi
+        |  FROM pr, mm),
+        |sel AS (
+        |  SELECT pb.probe,
+        |    CAST(count(*) FILTER (WHERE
+        |      (CASE WHEN pb.pc = 'x' THEN a.x ELSE a.y END)
+        |        BETWEEN pb.plo AND pb.phi) AS BIGINT) AS rows_sel
+        |  FROM a, pb GROUP BY 1),
+        |audit AS (
+        |  SELECT st.layout, pb.probe,
+        |    count(*) AS files_total,
+        |    CAST(sum(CASE WHEN pb.plo <= (CASE WHEN pb.pc = 'x' THEN st.xmx ELSE st.ymx END)
+        |          AND pb.phi >= (CASE WHEN pb.pc = 'x' THEN st.xmn ELSE st.ymn END)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+        |    CAST(sum(CASE WHEN pb.plo <= (CASE WHEN pb.pc = 'x' THEN st.xmx ELSE st.ymx END)
+        |          AND pb.phi >= (CASE WHEN pb.pc = 'x' THEN st.xmn ELSE st.ymn END)
+        |        THEN st.n_rows ELSE 0 END) AS BIGINT) AS rows_read
+        |  FROM st, pb GROUP BY 1, 2)
+        |SELECT audit.layout, audit.probe, CAST(files_total AS BIGINT) AS files_total,
+        |  files_read, rows_read, sel.rows_sel
+        |FROM audit JOIN sel USING (probe)""".stripMargin,
+
     // WordPiece greedy longest-match as a recursive CTE over DISTINCT
     // words: each step LATERAL-probes the vocab for the longest piece
     // matching at the cursor (## continuations past position 1); a

@@ -1702,6 +1702,20 @@ object Queries {
     graft.operators.Layout.zOrderStats(
       t(s, dir, "lineitem"), "l_orderkey", "l_partkey", bits = 12, nfiles = 64)
 
+  /** Extension — zone-map pruning audit of the `layout_zorder` layout
+    * vs a linear orderkey sort, under scale-free eighth-domain probes
+    * on each dimension: the data that justifies z-ordering (see
+    * [[graft.operators.Layout.skippingReport]]). The partkey probe is
+    * the point — linear skips ~nothing there, z-order skips most
+    * files.
+    */
+  val layoutSkipping: Q = (s, dir) =>
+    graft.operators.Layout.skippingReport(
+      t(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey"),
+      probes = Seq(("l_orderkey", 1, 2), ("l_partkey", 3, 4),
+        ("l_partkey", 0, 8)),
+      bits = 12, nfiles = 64)
+
   /** WordPiece (BERT-family) encoding under the fixture vocabulary:
     * greedy longest-match-first with whole-word [UNK] collapse (the
     * vocab omits q/x/z so the collapse fires on real corpus words).

@@ -157,6 +157,7 @@ object SparkEntry {
     "tok_unigram_train" -> Queries.tokUnigramTrain,
     "tok_unigram_trained" -> Queries.tokUnigramTrained,
     "layout_zorder" -> Queries.layoutZorder,
+    "layout_skipping" -> Queries.layoutSkipping,
     "dq_expectations" -> Queries.dqExpectations,
     "agg_grouping_sets" -> Queries.aggGroupingSets,
     "agg_heavy_hitters" -> Queries.aggHeavyHitters,

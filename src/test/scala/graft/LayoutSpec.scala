@@ -106,4 +106,30 @@ class LayoutSpec extends SparkSpec {
     val zXRange = avg(stats.toSeq.map(s => s._4 - s._3))
     assert(zXRange < 0.25 * (xHi - xLo), s"x-range $zXRange not narrow")
   }
+
+  test("skippingReport: sound (rows_read ≥ rows_sel), complete, and z-order prunes the non-leading dim") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val rep = Layout.skippingReport(li, Seq("l_orderkey", "l_partkey"),
+        probes = Seq(("l_orderkey", 1, 2), ("l_partkey", 3, 4), ("l_partkey", 0, 8)),
+        bits = 12, nfiles = 64)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(rep.length == 6) // 2 layouts × 3 probes
+    val n = li.count()
+    for ((layout, probe, ft, fr, rr, rs) <- rep) {
+      // zone maps are sound: never read fewer rows than actually match
+      assert(rr >= rs, s"$layout/$probe reads $rr < selects $rs")
+      assert(fr <= ft && rr <= n, s"$layout/$probe inconsistent")
+      // the full-range control probe must read everything
+      if (probe == "l_partkey:0-8") assert(fr == ft && rr == n && rs == n)
+    }
+    def rowsRead(l: String, p: String) =
+      rep.find(r => r._1 == l && r._2 == p).get._5
+    // leading dim: both layouts prune
+    assert(rowsRead("linear", "l_orderkey:1-2") < n / 2)
+    assert(rowsRead("zorder", "l_orderkey:1-2") < n / 2)
+    // non-leading dim: the z-order point — linear reads ~everything,
+    // z-order skips most of it
+    assert(rowsRead("linear", "l_partkey:3-4") > (n * 9) / 10)
+    assert(rowsRead("zorder", "l_partkey:3-4") < n / 4)
+  }
 }

@@ -119,6 +119,7 @@ class PlanQualitySpec extends SparkSpec {
       "stat_mannwhitney",                            // |pairs|-row broadcast pair list
       "stat_ks",                                     // |pairs|-row broadcast pair list
       "layout_zorder",                               // 1-row min/max quantizer
+      "layout_skipping",                             // ≤128-row zone stats × probe literals × 1-row min/max
       "graph_modularity",                            // 1-row edge-total cross
       "text_bm25", "text_collocations",              // corpus avg/total row
       "corpus_drift",                                // 1-row (n1, n2) totals
