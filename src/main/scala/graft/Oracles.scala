@@ -1478,6 +1478,34 @@ object Oracles {
          |  node IN (SELECT node FROM seed) AS is_seed
          |FROM l3""".stripMargin,
 
+    // 3-core by 3 unrolled peeling rounds over the same co-purchase
+    // graph: per round, symmetric degree count → keep deg >= 3 →
+    // restrict edges to kept endpoints — mirrors Graphs.kCore.
+    "graph_kcore" -> {
+      def peel(inEd: String, d: String, kk: String, outEd: String) =
+        s"""$d AS (SELECT src AS node, count(*) AS deg FROM $inEd GROUP BY src),
+           |$kk AS (SELECT node FROM $d WHERE deg >= 3),
+           |$outEd AS (SELECT src, dst FROM $inEd
+           |  WHERE src IN (SELECT node FROM $kk)
+           |    AND dst IN (SELECT node FROM $kk))""".stripMargin
+      s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |r AS (SELECT l_orderkey, l_partkey, row_number() OVER (
+         |    PARTITION BY l_orderkey ORDER BY l_partkey) AS rn FROM d),
+         |c AS (SELECT l_orderkey, l_partkey FROM r WHERE rn <= 32),
+         |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM c a
+         |  JOIN c b ON a.l_orderkey = b.l_orderkey
+         |          AND a.l_partkey < b.l_partkey),
+         |g AS (SELECT pa, pb, count(*) AS n FROM p GROUP BY pa, pb),
+         |e0 AS (SELECT pa, pb FROM g WHERE n >= 2),
+         |ed AS (SELECT pa AS src, pb AS dst FROM e0
+         |  UNION ALL SELECT pb, pa FROM e0),
+         |${peel("ed", "dg1", "kp1", "ed1")},
+         |${peel("ed1", "dg2", "kp2", "ed2")},
+         |${peel("ed2", "dg3", "kp3", "ed3")}
+         |SELECT src AS part, CAST(count(*) AS BIGINT) AS degree
+         |FROM ed3 GROUP BY 1""".stripMargin
+    },
+
     // Modularity of the label-propagation partition over the same
     // co-purchase graph: Q = Σ_c (e_c/m − (d_c/2m)²); within-edge and
     // degree sums are exact integers, each community term ONE fixed

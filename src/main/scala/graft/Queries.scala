@@ -698,6 +698,21 @@ object Queries {
       .withColumnRenamed("node", "part")
   }
 
+  /** Extension — 3-core of the co-purchase graph by 3 peeling rounds:
+    * the dense backbone (every surviving part co-bought with ≥ 3
+    * other survivors), the graph-robustness complement of the
+    * community queries (see [[graft.operators.Graphs.kCore]]).
+    */
+  val graphKcore: Q = (s, dir) => {
+    val und = graft.operators.Cooccur.pairCounts(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
+      .filter(col("n") >= 2).select("item_a", "item_b")
+    val edges = und.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionAll(und.select(col("item_b").as("src"), col("item_a").as("dst")))
+    graft.operators.Graphs.kCore(edges, k = 3, rounds = 3)
+      .withColumnRenamed("node", "part")
+  }
+
   /** Extension — modularity of the propagated-label partition over
     * the same co-purchase graph: the quality score that says whether
     * the brand communities the propagation found are denser than

@@ -73,6 +73,7 @@ object SparkEntry {
     "graph_triangles" -> Queries.graphTriangles,
     "graph_khop" -> Queries.graphKhop,
     "graph_labelprop" -> Queries.graphLabelprop,
+    "graph_kcore" -> Queries.graphKcore,
     "graph_modularity" -> Queries.graphModularity,
     "er_fuzzy_pairs" -> Queries.erFuzzyPairs,
     "er_sorted_neighbors" -> Queries.erSortedNeighbors,

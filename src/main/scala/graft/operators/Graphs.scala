@@ -268,4 +268,37 @@ object Graphs {
     e.unpersist(blocking = false)
     out
   }
+
+  /** Bounded-round k-core peeling over a SYMMETRIC edge list (both
+    * directions present, so a node's degree is its out-degree): each
+    * round drops every node whose current degree is below `k` and the
+    * edges touching it — the standard iterative decomposition
+    * (Batagelj–Zaversnik turned rounds-bounded, the [[labelPropagation]]
+    * discipline: a FIXED round count keeps the operator deterministic
+    * and oracle-unrollable; peeling converges in ≤ diameter-ish rounds
+    * in practice, and un-converged output is still a sound OVER-
+    * approximation of the k-core — peeling only ever removes nodes).
+    * Returns `(node, degree)` of the surviving subgraph.
+    *
+    * Scale shape: each round is one map-combined degree count plus two
+    * broadcast-able semi-joins on the shrinking survivor set —
+    * O(edges) per round, no all-pairs anything; lineage truncates per
+    * round (`localCheckpoint`) so plans stay flat at any round count.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    var e = edges.select(col(edges.columns(0)).as("src"),
+      col(edges.columns(1)).as("dst")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      e = e
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
 }

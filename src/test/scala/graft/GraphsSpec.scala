@@ -142,4 +142,29 @@ class GraphsSpec extends SparkSpec {
       Seq(1L -> "b", 3L -> "b", 2L -> "a"), rounds = 3)
     assert(r2(2L) == (("a", true)))
   }
+
+  test("kCore: pendant pruning, cascade peeling, and over-approximation at low rounds") {
+    def sym(und: Seq[(Long, Long)]) =
+      (und ++ und.map(_.swap)).toDF("src", "dst")
+    def run(und: Seq[(Long, Long)], k: Int, rounds: Int) =
+      Graphs.kCore(sym(und), k, rounds)
+        .as[(Long, Long)].collect().toMap
+    // 4-clique + pendant hanging off node 1: 3-core = the clique,
+    // with the pendant's contribution to node 1's degree gone
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val g1 = run(clique :+ (1L, 5L), k = 3, rounds = 2)
+    assert(g1 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // chain 1-2-3-4-5 under k=2 peels from both ends, one layer per
+    // round: after 3 rounds nothing is left
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(run(chain, k = 2, rounds = 3).isEmpty)
+    // bounded rounds OVER-approximate: after only 1 round the chain
+    // interior (2,3,4) still stands — a superset of the true (empty)
+    // 2-core, never a subset
+    val r1 = run(chain, k = 2, rounds = 1)
+    assert(r1.keySet == Set(2L, 3L, 4L))
+    // triangle is its own 2-core: stable under any round count
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(run(tri, k = 2, rounds = 4) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }
