@@ -897,6 +897,29 @@ object Oracles {
     // TF-IDF keywords: integer tf/df/N feed one division + one ln +
     // one multiply (the PMI FP-parity pattern); rank on the UNROUNDED
     // score with a term tiebreak; round once for display.
+    // Bayardo APSS cosine: the oracle is the NAIVE all-pairs form —
+    // a prefix-filter completeness bug on the engine side hash-fails
+    // here. Exact-integer threshold 100·dot² ≥ 81·‖a‖²·‖b‖² (τ=9/10),
+    // cosine one division by one sqrt.
+    "dedup_apss_cosine" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nrm
+        |  FROM tf GROUP BY 1),
+        |dt AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, dot, na.nrm AS a_nrm, nb.nrm AS b_nrm,
+        |  CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cosine
+        |FROM dt
+        |JOIN nrm na ON na.doc_id = a_id
+        |JOIN nrm nb ON nb.doc_id = b_id
+        |WHERE dot * dot * 100 >= 81 * na.nrm * nb.nrm""".stripMargin,
+
     "text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term

@@ -910,6 +910,16 @@ object Queries {
   val dedupExactSurvivors: Q = (s, dir) =>
     Dedup.exactSurvivors(t(s, dir, "documents")).select("doc_id", "text")
 
+  /** Extension — Bayardo all-pairs cosine ≥ 0.9 over term-frequency
+    * bags: L2 prefix-filtered candidates (full-probe × rare-term
+    * index), exact-integer threshold decision (see
+    * [[graft.functions.Dedup.bagCosinePairs]]). The weighted-vector
+    * sibling of `dedup_ngram_jaccard`; oracle is the naive all-pairs
+    * form, so a prefix-filter miss would hash-fail.
+    */
+  val dedupApssCosine: Q = (s, dir) =>
+    Dedup.bagCosinePairs(t(s, dir, "documents"), tauNum = 9, tauDen = 10)
+
   /** N-gram (3-token shingle) Jaccard near-dup pairs ≥ 0.5. */
   val dedupNgramJaccard: Q = (s, dir) =>
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3, threshold = 0.5)

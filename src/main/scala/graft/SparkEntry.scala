@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_bag" -> Queries.dedupBag,
     "dedup_exact_survivors" -> Queries.dedupExactSurvivors,
     "dedup_ngram_jaccard" -> Queries.dedupNgramJaccard,
+    "dedup_apss_cosine" -> Queries.dedupApssCosine,
     "dedup_containment" -> Queries.dedupContainment,
     "dedup_containment_survivors" -> Queries.dedupContainmentSurvivors,
     "dedup_cluster_sizes" -> Queries.dedupClusterSizes,

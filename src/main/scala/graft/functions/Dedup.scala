@@ -276,6 +276,78 @@ object Dedup {
       .drop("__j")
   }
 
+  /** All-pairs cosine similarity over TERM-FREQUENCY bags with L2
+    * prefix filtering (Bayardo, Ma & Srikant 2007, "Scaling Up All
+    * Pairs Similarity Search", WWW §3): the weighted-vector
+    * complement of [[ngramJaccardPairs]]'s set-overlap filter — same
+    * discipline (global rarity order, index only a provably-
+    * sufficient prefix, verify candidates exactly), different bound
+    * (L2 mass instead of overlap counts).
+    *
+    * Candidate rule: terms sort per doc in the GLOBAL (df asc, term)
+    * order; a doc INDEXES term position i iff the L2 suffix from i
+    * could still carry τ of its mass — `suf(i)·q² ≥ p²·‖d‖²` in
+    * exact integers (τ = p/q). If every shared term of (a, b) sits
+    * outside the indexed prefix of b, then by Cauchy–Schwarz
+    * `dot ≤ √suf·‖a‖ < τ·‖a‖·‖b‖` — so probing b's PREFIX with a's
+    * FULL vector (the Bayardo probe/index asymmetry; prefix×prefix
+    * is complete for overlap counts but NOT for weighted cosine) is
+    * lossless, and the df-ascending order keeps hot stopword terms
+    * out of the index — the posting-list fan-out the join must pay is
+    * on RARE terms only.
+    *
+    * Everything to the threshold decision is exact integers: tf
+    * counts, norms Σtf², dots, and the test `dot²·q² ≥ p²·‖a‖²·‖b‖²`
+    * (valid since dot ≥ 0; magnitudes bounded by (doc tokens)⁴ —
+    * fine to ~50k-token docs). The emitted cosine is the only FP:
+    * one division by one correctly-rounded sqrt.
+    */
+  def bagCosinePairs(docs: DataFrame, tauNum: Int = 4,
+      tauDen: Int = 5): DataFrame = {
+    require(tauNum > 0 && tauDen > tauNum, "need 0 < tauNum < tauDen")
+    val p2 = (tauNum.toLong * tauNum, tauDen.toLong * tauDen)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // grouped-count df + join-back, not a window — the skew rationale
+    // at [[ngramJaccardPairs]] applies verbatim
+    val dfTable = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wAll = Window.partitionBy("doc_id")
+    val wSuf = Window.partitionBy("doc_id").orderBy(col("df"), col("term"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ranked = tf.join(dfTable, Seq("term"))
+      .withColumn("__t2", col("tf") * col("tf"))
+      .withColumn("__nrm", sum(col("__t2")).over(wAll))
+      .withColumn("__suf", sum(col("__t2")).over(wSuf))
+    val prefix = ranked
+      .filter(col("__suf") * lit(p2._2) >= lit(p2._1) * col("__nrm"))
+      .select(col("doc_id"), col("term"))
+    val cands = tf.select(col("doc_id").as("a_id"), col("term"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("term")), Seq("term"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val norms = tf.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("nrm"))
+    val dot = cands
+      .join(tf.select(col("doc_id").as("a_id"), col("term"),
+        col("tf").as("__atf")), Seq("a_id"))
+      .join(tf.select(col("doc_id").as("b_id"), col("term"),
+        col("tf").as("__btf")), Seq("b_id", "term"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(col("__atf") * col("__btf")).as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("a_nrm")),
+        Seq("a_id"))
+      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("b_nrm")),
+        Seq("b_id"))
+      .filter(col("dot") * col("dot") * lit(p2._2)
+        >= lit(p2._1) * col("a_nrm") * col("b_nrm"))
+      .select(col("a_id"), col("b_id"), col("dot"), col("a_nrm"),
+        col("b_nrm"), (col("dot").cast("double") /
+          sqrt((col("a_nrm") * col("b_nrm")).cast("double"))).as("cosine"))
+  }
+
   // ------------------------------------------------- shingle containment
 
   /** Asymmetric near-dup detection: shingle **containment**

@@ -148,6 +148,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("bagCosinePairs ≡ naive all-pairs on random corpora (prefix-filter completeness)") {
+    val rnd = new scala.util.Random(0xA955)
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    for (trial <- 1 to 3) {
+      val base = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(4 + rnd.nextInt(10))(
+          vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // clone a few docs with small edits so near-dups exist
+      val clones = (0 until 6).map { j =>
+        val (_, t) = base(rnd.nextInt(base.length))
+        (100L + j, t + " " + vocab(rnd.nextInt(vocab.length)))
+      }
+      val corpus = (base ++ clones).toDF("doc_id", "text")
+      for ((p, q) <- Seq((4, 5), (9, 10))) {
+        val naive = {
+          val tf = corpus.select($"doc_id",
+              explode(TextAnalysis.tokens(lower($"text"))).as("t"))
+            .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+          val nrm = tf.groupBy("doc_id").agg(sum($"tf" * $"tf").as("n"))
+          tf.as("a").join(tf.as("b"),
+              $"a.t" === $"b.t" && $"a.doc_id" < $"b.doc_id")
+            .groupBy($"a.doc_id".as("ai"), $"b.doc_id".as("bi"))
+            .agg(sum($"a.tf" * $"b.tf").as("dot"))
+            .join(nrm.select($"doc_id".as("ai"), $"n".as("na")), Seq("ai"))
+            .join(nrm.select($"doc_id".as("bi"), $"n".as("nb")), Seq("bi"))
+            .filter($"dot" * $"dot" * lit(q.toLong * q)
+              >= lit(p.toLong * p) * $"na" * $"nb")
+            .select($"ai", $"bi", $"dot").as[(Long, Long, Long)]
+            .collect().toSet
+        }
+        val got = Dedup.bagCosinePairs(corpus, p, q)
+          .select($"a_id", $"b_id", $"dot").as[(Long, Long, Long)]
+          .collect().toSet
+        assert(got == naive, s"trial $trial τ=$p/$q")
+        if (p == 9) assert(naive.nonEmpty, s"trial $trial: no near-dups generated")
+      }
+    }
+  }
+
   test("decontamination: only w-gram-sharing test docs flagged, with counts") {
     val train = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
