@@ -1728,6 +1728,113 @@ object Oracles {
          |FROM m""".stripMargin
     },
 
+    // Benford: string-arithmetic first digit of the floored BIGINT
+    // (no data-dependent log10 — libm-portable), literal 9-decimal
+    // expected probabilities shared verbatim with Profile.benford,
+    // per-digit χ² term (O − N·p)²/(N·p) as the same fixed tree.
+    "stat_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |o AS (
+        |  SELECT digit, count(*) AS n_obs FROM d
+        |  WHERE digit >= 1 GROUP BY digit),
+        |e(digit, p_exp) AS (VALUES
+        |  (1, CAST(0.301029996 AS DOUBLE)), (2, CAST(0.176091259 AS DOUBLE)),
+        |  (3, CAST(0.124938737 AS DOUBLE)), (4, CAST(0.096910013 AS DOUBLE)),
+        |  (5, CAST(0.079181246 AS DOUBLE)), (6, CAST(0.06694679 AS DOUBLE)),
+        |  (7, CAST(0.057991947 AS DOUBLE)), (8, CAST(0.051152522 AS DOUBLE)),
+        |  (9, CAST(0.045757491 AS DOUBLE))),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_rows FROM o)
+        |SELECT e.digit, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+        |  n_rows, e.p_exp,
+        |  (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+        |     - CAST(n_rows AS DOUBLE) * e.p_exp)
+        |  * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+        |     - CAST(n_rows AS DOUBLE) * e.p_exp)
+        |  / (CAST(n_rows AS DOUBLE) * e.p_exp) AS chi_term
+        |FROM e LEFT JOIN o ON o.digit = e.digit CROSS JOIN t""".stripMargin,
+
+    // Reservoir sample: salted-md5 rank inside each group, first k —
+    // the deterministic distributed reservoir; identical hash string
+    // and (hash, id) tie order as Selection.reservoirSample.
+    "sample_reservoir" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    md5(concat('rsv:', CAST(doc_id AS VARCHAR))) AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY hk, doc_id) AS BIGINT) AS rk
+        |  FROM h)
+        |SELECT source, doc_id, rk FROM r WHERE rk <= 20""".stripMargin,
+
+    // Spearman: doubled average ranks 2·rank + ties − 1 centered by
+    // the exact doubled mean n + 1; the three moments are plain BIGINT
+    // sums, ρ is one fixed tree sxy/(√sxx·√syy) — mirrors
+    // Profile.spearman operand-for-operand.
+    "stat_spearman" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g,
+        |    2 * CAST(rank() OVER (PARTITION BY g ORDER BY x) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY g, x) AS BIGINT) - 1 AS dx,
+        |    2 * CAST(rank() OVER (PARTITION BY g ORDER BY y) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY g, y) AS BIGINT) - 1 AS dy,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nn
+        |  FROM b),
+        |c AS (SELECT g, dx - nn - 1 AS cx, dy - nn - 1 AS cy FROM r),
+        |m AS (
+        |  SELECT g, count(*) AS n,
+        |    CAST(sum(cx * cy) AS BIGINT) AS sxy,
+        |    CAST(sum(cx * cx) AS BIGINT) AS sxx,
+        |    CAST(sum(cy * cy) AS BIGINT) AS syy
+        |  FROM c GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN sxx > 0 AND syy > 0 THEN
+        |    CAST(sxy AS DOUBLE)
+        |      / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+        |  END AS rho
+        |FROM m""".stripMargin,
+
+    // One-way ANOVA: exact BIGINT per-group moments, the cross-group
+    // Σ s_g²/n_g as a g-ordered list_reduce fold (FP addition does not
+    // commute), then the fixed F and η² trees of Profile.anovaF.
+    "stat_anova" -> {
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      val ssb = s"(bsum - ${d("s")} * ${d("s")} / ${d("n_rows")})"
+      val ssw = s"(${d("q")} - bsum)"
+      s"""WITH g AS (
+         |  SELECT lang AS g, count(*) AS ng,
+         |    CAST(sum(n_chars) AS BIGINT) AS sg,
+         |    CAST(sum(n_chars * n_chars) AS BIGINT) AS qg
+         |  FROM documents GROUP BY lang),
+         |terms AS (
+         |  SELECT g, ng, sg, qg,
+         |    ${d("sg")} * ${d("sg")} / ${d("ng")} AS t
+         |  FROM g),
+         |a AS (
+         |  SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n_rows,
+         |    CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS BIGINT) AS q,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(t ORDER BY g)), (x, y) -> x + y) AS bsum
+         |  FROM terms)
+         |SELECT k, n_rows,
+         |  CASE WHEN k >= 2 AND n_rows > k AND $ssw > 0.0 THEN
+         |    ($ssb / (${d("k")} - CAST(1.0 AS DOUBLE)))
+         |      / ($ssw / (${d("n_rows")} - ${d("k")}))
+         |  END AS f_stat,
+         |  CASE WHEN $ssb + $ssw > 0.0 THEN $ssb / ($ssb + $ssw)
+         |  END AS eta_sq
+         |FROM a""".stripMargin
+    },
+
     // Mann–Whitney U: doubled-integer average ranks (2·rank + ties − 1
     // is exact), U and the rank sums never touch FP; z is the single
     // fixed tree (U − n_a·n_b/2)/σ_U with the standard tie correction,

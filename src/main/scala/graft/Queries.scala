@@ -617,6 +617,47 @@ object Queries {
       .withColumnRenamed("__g0", "l_returnflag")
       .withColumnRenamed("__g1", "l_linestatus")
 
+  /** Extension — Benford first-digit conformance of order totals: the
+    * forensic DQ screen (fabricated amounts flatten the log curve).
+    * String-arithmetic digit extraction, literal expected
+    * probabilities, fixed per-digit χ² tree — see
+    * [[graft.operators.Profile.benford]].
+    */
+  val statBenford: Q = (s, dir) =>
+    graft.operators.Profile.benford(
+      t(s, dir, "orders"), col("o_totalprice"))
+
+  /** Extension — per-source exact-k uniform document sample: the
+    * distributed reservoir (salted-hash rank, WindowGroupLimit-pruned
+    * shuffle) — see [[graft.functions.Selection.reservoirSample]].
+    */
+  val sampleReservoir: Q = (s, dir) =>
+    graft.functions.Selection.reservoirSample(
+      t(s, dir, "documents"), col("source"), col("doc_id"), k = 20)
+      .withColumnRenamed("g", "source")
+      .withColumnRenamed("id", "doc_id")
+
+  /** Extension — per-returnflag Spearman rank correlation of quantity
+    * vs extended price: the monotonic-association complement of
+    * `stat_corr` (Pearson). Doubled-then-centered integer ranks keep
+    * every moment an exact BIGINT; one fixed FP division at the end —
+    * see [[graft.operators.Profile.spearman]].
+    */
+  val statSpearman: Q = (s, dir) =>
+    graft.operators.Profile.spearman(
+      t(s, dir, "lineitem"), col("l_returnflag"),
+      col("l_quantity"), floor(col("l_extendedprice")))
+      .withColumnRenamed("g", "l_returnflag")
+
+  /** Extension — one-way ANOVA F of document length across languages:
+    * the k-sample generalization of `stat_ttest` (pooled variance).
+    * Exact BIGINT per-group moments, ordered cross-group fold, one
+    * fixed FP tree — see [[graft.operators.Profile.anovaF]].
+    */
+  val statAnova: Q = (s, dir) =>
+    graft.operators.Profile.anovaF(
+      t(s, dir, "documents"), col("lang"), col("n_chars"))
+
   /** Extension — chi-square independence of document language ×
     * source: the categorical drift test next to `stat_ttest`
     * (one contingency shuffle, broadcast marginal grid, ordered-fold

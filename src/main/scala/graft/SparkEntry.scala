@@ -69,6 +69,10 @@ object SparkEntry {
     "stat_mannwhitney" -> Queries.statMannWhitney,
     "stat_ks" -> Queries.statKs,
     "stat_ols" -> Queries.statOls,
+    "stat_spearman" -> Queries.statSpearman,
+    "stat_anova" -> Queries.statAnova,
+    "stat_benford" -> Queries.statBenford,
+    "sample_reservoir" -> Queries.sampleReservoir,
     "stat_histogram" -> Queries.statHistogram,
     "graph_triangles" -> Queries.graphTriangles,
     "graph_khop" -> Queries.graphKhop,

@@ -139,4 +139,33 @@ object Selection {
       .select(col("doc_id"), col("rank"), round(col("logw_raw"), 4).as("logw"),
         round(col("__key"), 4).as("skey"))
   }
+
+  /** Per-group EXACT-k uniform sample (the distributed form of
+    * reservoir sampling, Vitter 1985): rank rows inside each group by
+    * a salted md5 of their id and keep the first k. A random-order
+    * hash rank IS a uniform without-replacement draw — but unlike a
+    * driver-side reservoir it is deterministic, engine-portable,
+    * stable under re-runs, and composable (adding rows can only
+    * displace, never reshuffle, survivors). Complements
+    * [[TextAnalysis.rateSampleKeep]]: rate-keep gives a BINOMIAL count
+    * (map-only, no guarantee); this gives exactly min(k, |group|).
+    *
+    * Shape at scale: the `rk ≤ k` filter directly above the
+    * row_number window triggers Spark's WindowGroupLimit rewrite —
+    * each map task pre-prunes to its local top-k per group BEFORE the
+    * exchange, so the shuffle carries O(groups·k·tasks) rows, not the
+    * corpus, and a skewed group cannot flood one reducer.
+    */
+  def reservoirSample(df: DataFrame, group: Column, id: Column,
+      k: Int, salt: String = "rsv"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val hk = md5(concat(lit(s"$salt:"), id.cast("string")).cast("binary"))
+    df.select(group.as("g"), id.as("id"), hk.as("__hk"))
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy("g").orderBy(col("__hk"), col("id")))
+          .cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("g"), col("id"), col("rk"))
+  }
 }

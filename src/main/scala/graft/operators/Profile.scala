@@ -461,4 +461,140 @@ object Profile {
       .select(lit(s"fk:$key->$parentName.$pkey").as("rule"),
         col("n_rows"), col("n_fail"))
       .withColumn("passed", col("n_fail") === 0L)
+
+  /** Benford first-digit conformance test (Newcomb 1881, Benford 1938)
+    * of a positive numeric column — the forensic DQ screen for
+    * fabricated or truncated monetary data: natural multiplicative
+    * amounts put digit d first with probability log₁₀(1+1/d); clerical
+    * fabrication flattens the curve.
+    *
+    * Portability: the first digit is extracted via STRING arithmetic
+    * on the floored BIGINT (`substr(cast(v), 1, 1)`) — no log10 on
+    * data, whose libm rounding differs across engines — and the nine
+    * expected probabilities are 9-decimal DECIMAL LITERALS shared
+    * verbatim with the oracle (computing log10(1+1/d) at runtime
+    * would tie the result to the engine's libm). Each digit's χ²
+    * term `(O − N·p)²/(N·p)` is one fixed FP tree.
+    *
+    * Shape at scale: map-only digit extraction, one 9-row
+    * map-side-combined groupBy, then literal-table joins on the
+    * driver-sized digit table. Values < 1 (first digit 0) are
+    * excluded — Benford is defined on the leading significant digit
+    * of ≥ 1 magnitudes; callers rescale sub-unit data upstream.
+    */
+  def benford(df: DataFrame, value: Column): DataFrame = {
+    val ps = Seq(1 -> 0.301029996, 2 -> 0.176091259, 3 -> 0.124938737,
+      4 -> 0.096910013, 5 -> 0.079181246, 6 -> 0.06694679,
+      7 -> 0.057991947, 8 -> 0.051152522, 9 -> 0.045757491)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = ps.toDF("digit", "p_exp")
+    val obs = df.select(
+        substring(floor(value).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum("n_obs").as("n_rows"))
+    def d(c: String): Column = col(c).cast("double")
+    val dev = d("n_obs") - d("n_rows") * col("p_exp")
+    broadcast(expected).join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"), col("n_rows"), col("p_exp"),
+        (dev * dev / (d("n_rows") * col("p_exp"))).as("chi_term"))
+  }
+
+  /** Spearman rank correlation of `x` vs `y` within each `group`: the
+    * monotonic-association complement of [[pairwiseCorr]] (Pearson) —
+    * rank first, then correlate, so outliers and non-linear-but-
+    * monotone relations don't distort the statistic.
+    *
+    * Exactness (the [[mannWhitney]] doubled-rank discipline): average
+    * ranks are kept as DOUBLED integers `2·rank + ties − 1`, then
+    * CENTERED by the exact doubled mean rank `n + 1` (Σ of doubled
+    * average ranks is n·(n+1) identically, so the centered moments
+    * need no n·Σ expansion — `ρ = Σc_xc_y / (√Σc_x² · √Σc_y²)` with
+    * every Σ a plain BIGINT sum). |c| ≤ n−1 bounds Σc_xc_y < n³:
+    * exact in signed 64-bit to ~2·10⁶ rows per group; larger groups
+    * should move the three moments to DECIMAL(38,0). FP appears only
+    * in the final one-tree division — bit-reproducible under any
+    * partitioning, oracle-replayable.
+    *
+    * Shape at scale: ranking is two range-partitionable window sorts
+    * over the SAME group partitioning (one per variable) plus a
+    * peer-count window each; the moments are one map-side-combined
+    * groupBy. No joins, no second scan.
+    */
+  def spearman(df: DataFrame, group: Column, x: Column,
+      y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.as("g"),
+      x.cast("long").as("x"), y.cast("long").as("y"))
+    val wx = Window.partitionBy("g").orderBy("x")
+    val wy = Window.partitionBy("g").orderBy("y")
+    val wn = Window.partitionBy("g")
+    // peer count via a CURRENT ROW range frame — rides the SAME sort
+    // as rank(), so each variable costs one window pass, not two
+    def peers(w: org.apache.spark.sql.expressions.WindowSpec) =
+      count(lit(1)).over(w.rangeBetween(Window.currentRow, Window.currentRow))
+    val ranked = base
+      .withColumn("dx",
+        lit(2L) * rank().over(wx).cast("long") + peers(wx) - lit(1L))
+      .withColumn("dy",
+        lit(2L) * rank().over(wy).cast("long") + peers(wy) - lit(1L))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select(col("g"),
+        (col("dx") - col("n") - lit(1L)).as("cx"),
+        (col("dy") - col("n") - lit(1L)).as("cy"))
+    def d(c: String): Column = col(c).cast("double")
+    ranked.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cx") * col("cy")).as("sxy"),
+        sum(col("cx") * col("cx")).as("sxx"),
+        sum(col("cy") * col("cy")).as("syy"))
+      .select(col("g"), col("n"),
+        when(col("sxx") > 0L && col("syy") > 0L,
+          d("sxy") / (sqrt(d("sxx")) * sqrt(d("syy")))).as("rho"))
+  }
+
+  /** One-way ANOVA F-test of `value` across `group` levels: does the
+    * group mean differ anywhere — the k-sample generalization of
+    * [[welchTTest]] (pooled-variance form).
+    *
+    * Exactness: per-group `n_g, Σv, Σv²` are plain BIGINT sums (one
+    * map-side-combined groupBy — order-independent). The cross-group
+    * reduction Σ_g s_g²/n_g does not commute in FP, so it runs as an
+    * ORDERED fold over the group-sorted list (the [[chiSquare]]
+    * discipline); SSB/SSW/F/η² are then one fixed IEEE tree each —
+    * bit-reproducible, oracle-replayable.
+    *
+    * Shape at scale: one shuffle to k group rows, then a 1-row
+    * reduction of the k-row table. Returns one row
+    * `(k, n_rows, f_stat, eta_sq)`; degenerate cases (k < 2,
+    * N ≤ k, zero within-variance) yield NULL f_stat.
+    */
+  def anovaF(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val g = df.select(group.as("g"), value.cast("long").as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ng"), sum("v").as("sg"),
+        sum(col("v") * col("v")).as("qg"))
+    def d(c: String): Column = col(c).cast("double")
+    // per-group between-term s_g²/n_g — one fixed tree per group,
+    // folded in g-order
+    val terms = g.select(col("g"), col("ng"), col("sg"), col("qg"),
+      (d("sg") * d("sg") / d("ng")).as("t"))
+    val agg0 = terms.agg(
+      count(lit(1)).as("k"), sum("ng").as("n_rows"),
+      sum("sg").as("s"), sum("qg").as("q"),
+      aggregate(array_sort(collect_list(struct(col("g"), col("t")))),
+        lit(0.0), (acc, e) => acc + e.getField("t")).as("bsum"))
+    val ssb = col("bsum") - d("s") * d("s") / d("n_rows")
+    val ssw = d("q") - col("bsum")
+    val f = when(col("k") >= 2 && col("n_rows") > col("k") && ssw > 0.0,
+      (ssb / (d("k") - lit(1.0))) /
+        (ssw / (d("n_rows") - d("k"))))
+    val eta = when(ssb + ssw > 0.0, ssb / (ssb + ssw))
+    agg0.select(col("k"), col("n_rows"), f.as("f_stat"),
+      eta.as("eta_sq"))
+  }
 }

@@ -285,4 +285,42 @@ class AnalyticsPropertiesSpec extends SparkSpec {
     for ((tok, est) <- sketch)
       assert(est >= exact(tok), s"CMS underestimated $tok: $est < ${exact(tok)}")
   }
+
+  test("∀ random tables: reservoirSample draws exactly min(k, |group|), " +
+      "deterministically, and adding rows only displaces survivors") {
+    import graft.functions.Selection
+    val rowsGen: Gen[Seq[(String, Long)]] =
+      Gen.sequence[Seq[(String, Long)], (String, Long)](
+        (0 until 60).map { i =>
+          for (g <- Gen.oneOf("a", "b", "c"); gap <- Gen.choose(1L, 50L))
+            yield (g, i.toLong * 50L + gap)
+        })
+    for (rows <- samples(rowsGen, 4)) {
+      val df = rows.toDF("g", "id")
+      val got = Selection.reservoirSample(df, col("g"), col("id"), k = 7)
+        .as[(String, Long, Long)].collect()
+      val sizes = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+      // exact-k law (ids can repeat across gen slots → count distinct
+      // survivors per group against distinct ids per group)
+      val bySize = got.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+      for ((g, n) <- sizes)
+        assert(bySize.getOrElse(g, 0) == math.min(7, n), s"group $g")
+      // determinism
+      val again = Selection.reservoirSample(df, col("g"), col("id"), k = 7)
+        .as[(String, Long, Long)].collect()
+      assert(got.sortBy(r => (r._1, r._3)).toSeq ==
+        again.sortBy(r => (r._1, r._3)).toSeq)
+      // monotone displacement: survivors of a superset, restricted to
+      // the original rows, are a subset of the original survivors
+      // (rank only grows when rows are added — the reservoir law)
+      val extra = rows.map { case (g, id) => (g, id + 1000000L) }
+      val sup = Selection.reservoirSample((rows ++ extra).toDF("g", "id"),
+        col("g"), col("id"), k = 7).as[(String, Long, Long)].collect()
+      val oldIds = rows.map(_._2).toSet
+      val oldSurvivors = got.map(r => (r._1, r._2)).toSet
+      for (r <- sup if oldIds(r._2))
+        assert(oldSurvivors((r._1, r._2)),
+          s"superset promoted a non-survivor ${(r._1, r._2)}")
+    }
+  }
 }

@@ -30,6 +30,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("props") && !readSchema.contains("value"), readSchema)
   }
 
+  test("reservoir sample pre-prunes per-task top-k before the exchange (WindowGroupLimit)") {
+    val p = planOf("sample_reservoir")
+    // the rk <= k filter above row_number must trigger Spark's
+    // InferWindowGroupLimit rewrite: a Partial group-limit on the map
+    // side (shuffle carries O(groups·k·tasks) rows, not the corpus)
+    // and a Final one after — a skewed group cannot flood one reducer
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("Partial"), p.take(1200))
+  }
+
   test("as-of join plans with no join operator at all (union-window form)") {
     val p = planOf("asof_join")
     assert(!p.contains("Join"), p.take(800))
@@ -116,6 +126,7 @@ class PlanQualitySpec extends SparkSpec {
       "rfm_segments", "stat_histogram",              // global min/max row
       "stat_ttest",                                  // |groups|-row pair join
       "stat_chisq",                                  // |B|-row marginal cross + 1-row totals
+      "stat_benford",                                // 1-row totals cross onto the 9-digit table
       "stat_mannwhitney",                            // |pairs|-row broadcast pair list
       "stat_ks",                                     // |pairs|-row broadcast pair list
       "layout_zorder",                               // 1-row min/max quantizer

@@ -93,6 +93,75 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(5) - (-3.5 / math.sqrt(4.65))) < 1e-12)
   }
 
+  test("benford: hand-computed digit table; sub-unit values excluded") {
+    import org.apache.spark.sql.functions.col
+    // digits 1..9 once each, plus 0.5 (excluded: first significant
+    // digit of sub-unit magnitudes is out of scope) and 1234 (digit 1)
+    val d = ((1 to 9).map(_.toDouble) ++ Seq(0.5, 1234.0)).toDF("v")
+    val got = Profile.benford(d, col("v"))
+      .as[(Int, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 9)
+    assert(got(1)._2 == 2L && got(2)._2 == 1L && got(9)._2 == 1L)
+    assert(got(1)._3 == 10L) // 0.5 excluded from N
+    val p1 = 0.301029996
+    assert(math.abs(got(1)._4 - p1) < 1e-15)
+    val expTerm = (2.0 - 10.0 * p1) * (2.0 - 10.0 * p1) / (10.0 * p1)
+    assert(math.abs(got(1)._5 - expTerm) < 1e-12)
+    // a digit absent from the data still contributes its expected mass
+    val only1 = Seq(1.0, 10.0, 100.0).toDF("v")
+    val z = Profile.benford(only1, col("v"))
+      .as[(Int, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(z(5)._2 == 0L && z(5)._5 > 0.0)
+  }
+
+  test("spearman: hand-computed tied case, ±1 on monotone data, NULL on constants") {
+    import org.apache.spark.sql.functions.col
+    // (x, y) with ties both sides: average ranks x = 1, 2.5, 2.5, 4;
+    // y = 1, 2, 3.5, 3.5 → Pearson over ranks = 3.75/4.5 = 5/6
+    val d = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 2L, 30L),
+      ("a", 3L, 30L)).toDF("g", "x", "y")
+    val r = Profile.spearman(d, col("g"), col("x"), col("y"))
+      .as[(String, Long, Option[Double])].head()
+    assert(r._1 == "a" && r._2 == 4L)
+    assert(math.abs(r._3.get - 5.0 / 6.0) < 1e-12)
+    // strictly monotone (nonlinear) → ±1 up to the √s·√s ulp (the
+    // fixed tree divides by sqrt(sxx)·sqrt(syy), not by sxx exactly)
+    val m = Seq(("u", 1L, 1L), ("u", 2L, 100L), ("u", 3L, 101L),
+      ("v", 1L, 9L), ("v", 2L, 5L), ("v", 3L, 1L)).toDF("g", "x", "y")
+    val got = Profile.spearman(m, col("g"), col("x"), col("y"))
+      .as[(String, Long, Option[Double])].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(math.abs(got("u").get - 1.0) < 1e-12)
+    assert(math.abs(got("v").get + 1.0) < 1e-12)
+    // zero variance in either variable → NULL, not NaN
+    val z = Seq(("c", 5L, 1L), ("c", 5L, 2L)).toDF("g", "x", "y")
+    assert(Profile.spearman(z, col("g"), col("x"), col("y"))
+      .as[(String, Long, Option[Double])].head()._3.isEmpty)
+  }
+
+  test("anovaF: hand-computed two-group F, zero on equal means, NULL degenerates") {
+    import org.apache.spark.sql.functions.col
+    // (1,2,3) vs (4,5,6): SSB = 13.5, SSW = 4, F = 13.5/(4/4) = 13.5
+    val d = (Seq(1, 2, 3).map(("a", _)) ++ Seq(4, 5, 6).map(("b", _)))
+      .toDF("g", "v")
+    val r = Profile.anovaF(d, col("g"), col("v"))
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(r._1 == 2L && r._2 == 6L)
+    assert(math.abs(r._3.get - 13.5) < 1e-12)
+    assert(math.abs(r._4.get - 13.5 / 17.5) < 1e-12)
+    // equal group means, positive within-variance → F exactly 0
+    val e = Seq(("a", 1), ("a", 3), ("b", 2), ("b", 2)).toDF("g", "v")
+    val r2 = Profile.anovaF(e, col("g"), col("v"))
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(r2._3.contains(0.0))
+    // a single group cannot test between-variance → NULL
+    val one = Seq(("a", 1), ("a", 2)).toDF("g", "v")
+    assert(Profile.anovaF(one, col("g"), col("v"))
+      .as[(Long, Long, Option[Double], Option[Double])].head()._3.isEmpty)
+  }
+
   test("ksTest: exact D on hand-built samples; identical samples score 0") {
     import org.apache.spark.sql.functions.col
     // A=[1,2,3,4], B=[3,4,5,6]: D = |F_A − F_B| peaks at v=2:
