@@ -2149,6 +2149,50 @@ object Oracles {
          |  sc / 100.0 AS slope_per_day, ic / 100.0 AS intercept
          |FROM pick""".stripMargin,
 
+    // Binary-segmentation changepoint: daily exact-cents totals,
+    // HUGEINT prefix/total squared sums (the decimal(38,0) twin of the
+    // engine side), per-split cost one fixed tree, argmin by
+    // (cost, day) — mirrors TimeSeries.changepoint.
+    "ts_changepoint" -> {
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      val cost = s"(${d("ql")} - ${d("sl")} * ${d("sl")} / ${d("t")})" +
+        s" + ((${d("q")} - ${d("ql")}) - (${d("s")} - ${d("sl")})" +
+        s" * (${d("s")} - ${d("sl")}) / (${d("n")} - ${d("t")}))"
+      s"""WITH daily AS (
+         |  SELECT event_type AS k,
+         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS x,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS yc
+         |  FROM events WHERE $V AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |pre AS (
+         |  SELECT k, x,
+         |    CAST(row_number() OVER (PARTITION BY k ORDER BY x) AS BIGINT) AS t,
+         |    CAST(sum(yc) OVER (PARTITION BY k ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sl,
+         |    sum(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT))
+         |      OVER (PARTITION BY k ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ql,
+         |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+         |    CAST(sum(yc) OVER (PARTITION BY k) AS BIGINT) AS s,
+         |    sum(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT))
+         |      OVER (PARTITION BY k) AS q
+         |  FROM daily),
+         |sc AS (
+         |  SELECT k, x, t, n, sl, s, $cost AS cost
+         |  FROM pre WHERE t < n),
+         |pick AS (
+         |  SELECT k, n, x, t, cost, sl, s,
+         |    row_number() OVER (PARTITION BY k ORDER BY cost, x) AS rn
+         |  FROM sc)
+         |SELECT k AS "table", n AS n_days, x AS split_x, t AS n_left,
+         |  cost AS sse,
+         |  ${d("sl")} / ${d("t")} / CAST(100.0 AS DOUBLE) AS mean_left,
+         |  (${d("s")} - ${d("sl")}) / (${d("n")} - ${d("t")})
+         |    / CAST(100.0 AS DOUBLE) AS mean_right
+         |FROM pick WHERE rn = 1""".stripMargin
+    },
+
     "ts_mad_outliers" ->
       s"""WITH e AS (
          |  SELECT event_type AS tbl, event_id, value,

@@ -453,6 +453,17 @@ object Queries {
       Readers.validChangeLog(s, dir),
       key = "table", ts = "ts", value = "value")
 
+  /** Extension — single best mean-shift changepoint per event-type
+    * series: the binary-segmentation SSE-optimal split over daily
+    * exact-cents totals, the objective-optimizing complement of
+    * `ts_cusum`'s peak-deviation locator — see
+    * [[graft.operators.TimeSeries.changepoint]].
+    */
+  val tsChangepoint: Q = (s, dir) =>
+    graft.operators.TimeSeries.changepoint(
+      Readers.validChangeLog(s, dir),
+      key = "table", ts = "ts", value = "value")
+
   /** Extension — classical additive decomposition per event-type
     * series: 25-row centered-MA trend, hour-of-day seasonal of the
     * detrended values, remainder; interior rows only, every double one

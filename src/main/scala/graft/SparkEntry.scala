@@ -87,6 +87,7 @@ object SparkEntry {
     "ts_ewma" -> Queries.tsEwma,
     "ts_cusum" -> Queries.tsCusum,
     "ts_theil_sen" -> Queries.tsTheilSen,
+    "ts_changepoint" -> Queries.tsChangepoint,
     "ts_seasonal" -> Queries.tsSeasonal,
     "media_phash" -> Queries.mediaPhash,
     "media_audio_fp" -> Queries.mediaAudioFp,

@@ -449,6 +449,65 @@ object TimeSeries {
     * bounded rows. Keys with a single active day have no pairs and
     * are dropped (no trend is estimable).
     */
+  /** Single best mean-shift changepoint per key — the binary-
+    * segmentation step (Scott & Knott 1974; the unit step of PELT/
+    * BinSeg): over the DAILY exact-cents series, pick the split t
+    * minimizing SSE_left + SSE_right. The CUSUM peak (`ts_cusum`)
+    * locates the max deviation of one statistic; this optimizes the
+    * actual segmentation objective — the two agree on clean shifts
+    * and differ exactly when variance structure matters.
+    *
+    * Determinism: daily totals are exact cents LONGs; prefix/total
+    * sums of squares ride DECIMAL(38,0) (cents² at a large SF
+    * overflows 64-bit — the [[acf]] discipline); each candidate's
+    * cost is ONE fixed IEEE tree over single casts of those exact
+    * moments, and the argmin is the lexicographic min of
+    * (cost, day) — double comparison of identical doubles, tie
+    * broken by earliest day. Bit-reproducible, oracle-replayable.
+    *
+    * Shape at scale: one shuffle aggregates rows to the per-key DAY
+    * grid; every window after runs on days-per-key rows
+    * (row-count-independent, the [[theilSen]] bound); the argmin is a
+    * map-side-combined min(struct). No joins.
+    */
+  def changepoint(df: DataFrame, key: String, ts: String,
+      value: String): DataFrame = {
+    val daily = df.filter(col(value).isNotNull)
+      .groupBy(col(key).as("k"), unix_date(to_date(col(ts))).as("x"))
+      .agg(sum((col(value).cast("decimal(18,2)") * 100).cast("long"))
+        .as("yc"))
+    val y2 = (col("yc").cast("decimal(19,0)") *
+      col("yc").cast("decimal(19,0)")).cast("decimal(38,0)")
+    val seq = Window.partitionBy("k").orderBy("x")
+    val run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy("k")
+    val pre = daily
+      .withColumn("t", row_number().over(seq).cast("long"))
+      .withColumn("sl", sum(col("yc")).over(run))
+      .withColumn("ql", sum(y2).over(run))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("s", sum(col("yc")).over(full))
+      .withColumn("q", sum(y2).over(full))
+      .filter(col("t") < col("n")) // split leaves both sides non-empty
+    def d(c: String): Column = col(c).cast("double")
+    val cost =
+      (d("ql") - d("sl") * d("sl") / d("t")) +
+        ((d("q") - d("ql")) -
+          (d("s") - d("sl")) * (d("s") - d("sl")) / (d("n") - d("t")))
+    pre.withColumn("cost", cost)
+      .groupBy("k")
+      .agg(min(struct(col("cost"), col("x"), col("t"), col("n"),
+        col("sl"), col("s"))).as("m"))
+      .select(col("k").as(key), col("m.n").as("n_days"),
+        col("m.x").as("split_x"), col("m.t").as("n_left"),
+        col("m.cost").as("sse"),
+        (col("m.sl").cast("double") / col("m.t").cast("double") /
+          lit(100.0)).as("mean_left"),
+        ((col("m.s") - col("m.sl")).cast("double") /
+          (col("m.n") - col("m.t")).cast("double") /
+          lit(100.0)).as("mean_right"))
+  }
+
   def theilSen(df: DataFrame, key: String, ts: String,
       value: String): DataFrame = {
     val daily = df.filter(col(value).isNotNull)

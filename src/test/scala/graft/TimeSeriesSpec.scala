@@ -267,6 +267,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(run(df.repartition(16)) == got)
   }
 
+  test("changepoint: exact SSE-zero split on a clean shift; flat series ties to earliest day; single-day keys dropped") {
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2026-01-$day%02d 12:00:00")
+    // A: daily totals 10,10,10,50,50,50 → split after day 3, SSE 0
+    val rows = (1 to 3).map(d => (d.toLong, "A", t(d), 10.00)) ++
+      (4 to 6).map(d => (d.toLong, "A", t(d), 50.00)) ++
+      (1 to 4).map(d => (d.toLong + 10, "B", t(d), 7.00)) ++ // flat
+      Seq((20L, "C", t(1), 3.00)) // one day: no split exists
+    val df = rows.toDF("log_id", "table", "ts", "value")
+    val got = graft.operators.TimeSeries.changepoint(
+        df, key = "table", ts = "ts", value = "value")
+      .as[(String, Long, Int, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val x3 = java.time.LocalDate.of(2026, 1, 3).toEpochDay.toInt
+    assert(got("A") == (("A", 6L, x3, 3L, 0.0, 10.0, 50.0)))
+    // flat series: every split costs 0.0 → tie broken by earliest day
+    val x1 = java.time.LocalDate.of(2026, 1, 1).toEpochDay.toInt
+    assert(got("B")._3 == x1 && got("B")._5 == 0.0)
+    assert(!got.contains("C"))
+    // split objective is optimal: no other split of A costs less
+    // (shift day 4 off-center → still picks the true boundary)
+    val skew = ((1 to 2).map(d => (d.toLong, "A", t(d), 10.00)) ++
+      (3 to 6).map(d => (d.toLong, "A", t(d), 50.00)))
+      .toDF("log_id", "table", "ts", "value")
+    val g2 = graft.operators.TimeSeries.changepoint(
+        skew, key = "table", ts = "ts", value = "value")
+      .as[(String, Long, Int, Long, Double, Double, Double)].head()
+    assert(g2._4 == 2L && g2._5 == 0.0 && g2._6 == 10.0 && g2._7 == 50.0)
+  }
+
   test("theilSen: robust to an outlier day that wrecks OLS; single-day keys dropped") {
     import java.sql.Timestamp
     def t(day: Int) = Timestamp.valueOf(f"2026-01-$day%02d 12:00:00")
