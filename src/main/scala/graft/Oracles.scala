@@ -1937,6 +1937,45 @@ object Oracles {
          |FROM i3""".stripMargin
     },
 
+    // HITS: 2 unrolled rounds of max-rescaled floor-integer
+    // half-steps — auth = Σ hub over in-edges then ·r0 // max, hub
+    // symmetric over out-edges; node universe left-joined with 0 fill.
+    // Mirrors Graphs.hits bit-for-bit.
+    "graph_hits" -> {
+      val r0 = 1000000L
+      def auth(h: String, out: String): String =
+        s"""${out}raw AS (SELECT e.dst AS node, CAST(sum(p.h) AS BIGINT) AS ar
+           |  FROM edges e JOIN $h p ON p.node = e.src GROUP BY e.dst),
+           |$out AS (SELECT node,
+           |  CAST((ar * $r0) // (SELECT max(ar) FROM ${out}raw) AS BIGINT) AS a
+           |  FROM ${out}raw)""".stripMargin
+      def hubStep(a: String, out: String): String =
+        s"""${out}raw AS (SELECT e.src AS node, CAST(sum(p.a) AS BIGINT) AS hr
+           |  FROM edges e JOIN $a p ON p.node = e.dst GROUP BY e.src),
+           |$out AS (SELECT node,
+           |  CAST((hr * $r0) // (SELECT max(hr) FROM ${out}raw) AS BIGINT) AS h
+           |  FROM ${out}raw)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS su
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, su AS dst FROM d
+         |  UNION ALL SELECT su, c FROM d),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst FROM edges),
+         |h0 AS (SELECT node, CAST($r0 AS BIGINT) AS h FROM nodes),
+         |${auth("h0", "a1")},
+         |${hubStep("a1", "h1")},
+         |${auth("h1", "a2")},
+         |${hubStep("a2", "h2")}
+         |SELECT CASE WHEN n.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS kind,
+         |  n.node // 2 AS id,
+         |  COALESCE(h2.h, 0) AS hub, COALESCE(a2.a, 0) AS auth
+         |FROM nodes n
+         |LEFT JOIN h2 ON h2.node = n.node
+         |LEFT JOIN a2 ON a2.node = n.node""".stripMargin
+    },
+
     // Incremental agg maintenance: the oracle is the ONE-SHOT group
     // by — the Spark side must reach the identical result via
     // base+delta state merge (decimal sums are fold-order-free).

@@ -719,6 +719,16 @@ object Queries {
     graft.operators.Graphs.pageRank(tradeEdges(s, dir), iters = 3)
       .select(decodeNode(col("r").as("rank")): _*)
 
+  /** Extension — integer HITS hubs/authorities over the trade graph:
+    * separates the cited-by role from the cites role (PageRank's one
+    * random walk cannot); max-rescaled floor arithmetic per half-step
+    * keeps every score an exact integer — see
+    * [[graft.operators.Graphs.hits]].
+    */
+  val graphHits: Q = (s, dir) =>
+    graft.operators.Graphs.hits(tradeEdges(s, dir), iters = 2)
+      .select(decodeNode(col("hub"), col("auth")): _*)
+
   /** Extension — bounded BFS: exact hop distance from customer 0 to
     * every node of the trade graph within 4 hops (frontier-at-a-time;
     * see [[graft.operators.Graphs.kHopDistances]]).

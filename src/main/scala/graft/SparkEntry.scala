@@ -62,6 +62,7 @@ object SparkEntry {
     "graph_copurchase" -> Queries.graphCopurchase,
     "inc_agg_merge" -> Queries.incAggMerge,
     "graph_pagerank" -> Queries.graphPagerank,
+    "graph_hits" -> Queries.graphHits,
     "stat_corr" -> Queries.statCorr,
     "stat_ttest" -> Queries.statTtest,
     "agg_mode" -> Queries.aggMode,

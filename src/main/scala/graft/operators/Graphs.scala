@@ -73,6 +73,64 @@ object Graphs {
     out
   }
 
+  /** Fixed-iteration integer HITS (Kleinberg 1999 — hubs point at good
+    * authorities, authorities are pointed at by good hubs): the
+    * query-independent link-analysis complement of [[pageRank]]
+    * (PageRank ranks by one global random walk; HITS separates the
+    * CITED-BY role from the CITES role, which on a bipartite trade
+    * graph distinguishes "ordered by many customers" from "orders from
+    * many suppliers").
+    *
+    * Why integer (the [[pageRank]] argument): the usual L2
+    * normalization makes every iteration order-sensitive FP. Here each
+    * half-step rescales by the MAX raw score in floor arithmetic —
+    * `score ← (raw·r0) div max(raw)` — so every value is a pure
+    * integer function of the edge set, the top node sits at exactly
+    * `r0` each half-step, and Spark and the unrolled DuckDB oracle
+    * agree bit-for-bit under any partitioning.
+    *
+    * Overflow bound (documented): `max_in_degree · r0² < 2⁶³` — with
+    * the default r0 = 10⁶ safe to ~9·10⁶ in-degree; denser hubs pass
+    * a smaller r0.
+    *
+    * Shape at scale: per half-step ONE shuffle of the O(nodes) score
+    * table to the edge side plus a map-side-combined sum, and a 1-row
+    * max broadcast back (the scalar-attach BNLJ whitelisted in
+    * PlanQualitySpec). Nodes with no in-edges hold authority 0, no
+    * out-edges hub 0 — kept in the output via the node-universe left
+    * join. Lineage is truncated every 3 rounds.
+    */
+  def hits(edges: DataFrame, iters: Int, r0: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(r0 >= 100, "r0 must carry at least 2 decimal digits")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var hub = nodes.withColumn("h", lit(r0))
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      val araw = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      auth = araw.crossJoin(broadcast(araw.agg(max(col("ar")).as("am"))))
+        .select(col("dst").as("node"), expr(s"(ar * $r0) div am").as("a"))
+      val hraw = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+      hub = hraw.crossJoin(broadcast(hraw.agg(max(col("hr")).as("hm"))))
+        .select(col("src").as("node"), expr(s"(hr * $r0) div hm").as("h"))
+      if (i % 3 == 0 && i < iters) {
+        hub = hub.localCheckpoint(); auth = auth.localCheckpoint()
+      }
+    }
+    val out = nodes
+      .join(hub.select(col("node"), col("h").as("hub")), Seq("node"), "left")
+      .join(auth.select(col("node"), col("a").as("auth")), Seq("node"), "left")
+      .na.fill(0L, Seq("hub", "auth"))
+      .localCheckpoint()
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Bounded-depth BFS: exact hop distance (0…maxHops) from a source
     * set to every reachable node. Frontier-at-a-time — the textbook
     * distributed BFS: round i joins only the PREVIOUS frontier (nodes

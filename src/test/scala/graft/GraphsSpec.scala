@@ -167,4 +167,26 @@ class GraphsSpec extends SparkSpec {
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
     assert(run(tri, k = 2, rounds = 4) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("hits: hand-unrolled 2 rounds on a directed fan; role separation; symmetric fixpoint") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
+      Graphs.hits(edges.toDF("src", "dst"), iters)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // 1→3, 2→3, 2→4 — unrolled by hand at r0 = 10⁶:
+    // round 1: a(3)=2e6,a(4)=1e6 → rescale a=(1e6, 5e5);
+    //   h(1)=1e6, h(2)=1.5e6 → rescale h=(666666, 1e6)
+    // round 2: a(3)raw=1666666, a(4)raw=1e6 → a=(1e6, 600000);
+    //   h(1)raw=1e6, h(2)raw=1.6e6 → h=(625000, 1e6)
+    val got = run(Seq((1L, 3L), (2L, 3L), (2L, 4L)), iters = 2)
+    assert(got(1L) == ((625000L, 0L)))   // pure hub, no in-edges
+    assert(got(2L) == ((1000000L, 0L)))  // the better hub: cites both
+    assert(got(3L) == ((0L, 1000000L)))  // the better authority
+    assert(got(4L) == ((0L, 600000L)))
+    // symmetric regular graph (2-cycle both ways): exact fixpoint r0
+    val cyc = run(Seq((1L, 2L), (2L, 1L)), iters = 3)
+    assert(cyc(1L) == ((1000000L, 1000000L)) &&
+      cyc(2L) == ((1000000L, 1000000L)))
+  }
 }
