@@ -2757,6 +2757,52 @@ object Oracles {
         |SELECT c.id AS vec_id, a.cell, c.component
         |FROM comp c JOIN assign a ON a.vec_id = c.id""".stripMargin,
 
+    // CLIP-gate: image docs (doc_id % 3 = 0) joined to their quantized
+    // embedding, md5-salted into 16 buckets, bucket-successor negative
+    // (wrapping; size-1 buckets self-pair), image tower = adjacent-pair
+    // swap of the caption vector (1-based: odd i ↔ i+1), cosines the
+    // same fixed tree as BRUTE_TOPK — mirrors Multimodal.alignmentGate.
+    "mm_align_gate" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q),
+        |img AS (
+        |  SELECT d.doc_id AS media_id, n.qv, n.nsq,
+        |    CAST(CAST(concat('0x', substr(md5(concat('mm:',
+        |      CAST(d.doc_id AS VARCHAR))), 1, 16)) AS UBIGINT) % 16
+        |      AS BIGINT) AS b
+        |  FROM documents d JOIN n ON n.vec_id = d.doc_id
+        |  WHERE d.doc_id % 3 = 0),
+        |p AS (
+        |  SELECT media_id, b, qv, nsq,
+        |    COALESCE(lead(media_id) OVER (PARTITION BY b ORDER BY media_id),
+        |      min(media_id) OVER (PARTITION BY b)) AS neg_id,
+        |    list_transform(range(1, len(qv) + 1),
+        |      i -> qv[CASE WHEN i % 2 = 1 THEN i + 1 ELSE i - 1 END]) AS pv
+        |  FROM img),
+        |s AS (
+        |  SELECT p.media_id, p.b, p.neg_id,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(p.qv) + 1),
+        |        i -> p.pv[i] * p.qv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(p.nsq AS DOUBLE)) * sqrt(CAST(p.nsq AS DOUBLE)))
+        |      AS cos_true,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(p.qv) + 1),
+        |        i -> p.pv[i] * g.qv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(p.nsq AS DOUBLE)) * sqrt(CAST(g.nsq AS DOUBLE)))
+        |      AS cos_neg
+        |  FROM p JOIN img g ON g.media_id = p.neg_id)
+        |SELECT media_id, b, neg_id,
+        |  round(cos_true, 6) AS cos_true, round(cos_neg, 6) AS cos_neg,
+        |  round(cos_true - cos_neg, 6) AS margin,
+        |  cos_true >= CAST(0.1 AS DOUBLE) AS kept
+        |FROM s""".stripMargin,
+
     "sim_cosine_topk" -> BRUTE_TOPK,
     "sim_lsh_topk" -> BRUTE_TOPK,
     "sim_ivf_topk" -> BRUTE_TOPK,

@@ -2882,6 +2882,18 @@ object Queries {
       src => (substring(src, 4, 10).cast("int") % 4 + 1).cast("double"),
       topN = 200)
 
+  /** Multimodal — CLIP-score alignment gate with in-bucket hard
+    * negatives: the admit/reject screen + margin audit a multimodal
+    * pipeline runs on (image, caption) pairs before training — see
+    * [[graft.functions.Multimodal.alignmentGate]] (encoder towers are
+    * the module's documented deterministic stand-in; the pair
+    * construction, bucketed negative draw, quantized scoring, gate,
+    * and margin are the real path).
+    */
+  val mmAlignGate: Q = (s, dir) =>
+    graft.functions.Multimodal.alignmentGate(
+      s, t(s, dir, "documents"), t(s, dir, "embeddings"))
+
   /** Multimodal — columnar metadata profile (no payload decode). */
   val mediaProfile: Q = (s, dir) =>
     graft.functions.Multimodal.mediaProfile(

@@ -252,6 +252,7 @@ object SparkEntry {
     "emb_pca1" -> Queries.embPca1,
     "emb_rp_project" -> Queries.embRpProject,
     "media_profile" -> Queries.mediaProfile,
+    "mm_align_gate" -> Queries.mmAlignGate,
     "media_features" -> Queries.mediaFeatures,
     "media_frames" -> Queries.mediaFrames,
   )

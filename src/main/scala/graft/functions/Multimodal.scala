@@ -585,4 +585,73 @@ object Multimodal {
       sum(length(col("payload")).cast("long")).as("total_bytes"),
       max(col("meta_width")).as("max_width"),
       max(col("meta_duration_ms")).as("max_duration_ms"))
+
+  /** CLIP-score alignment gate for image–caption pairs (Radford et
+    * al. 2021; the LAION curation filter, Schuhmann et al. 2022) with
+    * an in-bucket hard-negative control — the screen a multimodal
+    * training pipeline runs before admitting a pair: score the true
+    * (image, caption) pair, score the image against a DIFFERENT
+    * caption, keep pairs above threshold and audit the margin (a
+    * corpus whose true scores don't beat its shuffled-negative scores
+    * has no usable alignment signal).
+    *
+    * Encoder stand-in (the module's STUB policy — no vision/text
+    * model ships in this container): the caption tower is the
+    * document's embedding; the image tower is the PAIR-SWAP
+    * permutation of it (adjacent components exchanged). The
+    * permutation is norm-preserving and fixed, so the true-pair score
+    * is a nontrivial deterministic function of the vector — not 1 —
+    * and every downstream piece (quantized-integer scoring, gating,
+    * margin) exercises the real code path a real encoder would feed.
+    *
+    * Negative draw: images are salted-md5-hashed into `buckets`
+    * groups and each takes its bucket-successor's caption (wrapping)
+    * — the distributed analogue of in-batch negatives. All windows
+    * partition by bucket: no global sort, no single-partition
+    * window, scale-safe. A size-1 bucket pairs with itself (margin
+    * 0, flagged by `neg_id = media_id`).
+    *
+    * Determinism: quantized integer dots over md5-salted buckets;
+    * cosines are the one fixed tree of
+    * [[Similarity.cosineFromInts]]; oracle-replayable bit-for-bit.
+    */
+  def alignmentGate(spark: SparkSession, docs: DataFrame,
+      embeddings: DataFrame, buckets: Int = 16,
+      threshold: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(buckets >= 1, "buckets must be >= 1")
+    graft.plans.GraftFunctions.register(spark)
+    val media = mediaFromDocuments(spark, docs).toDF()
+      .filter(col("kind") === lit("image")).select(col("media_id"))
+    val q = embeddings.select(col("vec_id"),
+      Similarity.quantized(col("embedding")).as("qv"))
+    val b = (conv(substring(md5(concat(lit("mm:"),
+        col("media_id").cast("string")).cast("binary")), 1, 16), 16, 10)
+      .cast(DecimalType(20, 0)) % buckets).cast("long")
+    val imgs = media.join(q, media("media_id") === q("vec_id"))
+      .select(col("media_id"), col("qv"),
+        call_function("graft_norm_sq", col("qv")).as("nsq"), b.as("b"))
+    val wb = Window.partitionBy("b").orderBy("media_id")
+    val paired = imgs.withColumn("neg_id",
+      coalesce(lead(col("media_id"), 1).over(wb),
+        min(col("media_id")).over(Window.partitionBy("b"))))
+    val negs = imgs.select(col("media_id").as("neg_id"),
+      col("qv").as("nqv"), col("nsq").as("nnsq"))
+    val scored = paired.join(negs, Seq("neg_id"))
+      // image tower: adjacent-pair swap (0-based index i ↔ i^1);
+      // norm-preserving, so the image side reuses nsq
+      .withColumn("pv", expr("transform(qv, (x, i) -> qv[i ^ 1])"))
+      .withColumn("cos_true", Similarity.cosineFromInts(
+        call_function("graft_dot", col("pv"), col("qv")),
+        col("nsq"), col("nsq")))
+      .withColumn("cos_neg", Similarity.cosineFromInts(
+        call_function("graft_dot", col("pv"), col("nqv")),
+        col("nsq"), col("nnsq")))
+    scored.select(col("media_id"), col("b"), col("neg_id"),
+      round(col("cos_true"), 6).as("cos_true"),
+      round(col("cos_neg"), 6).as("cos_neg"),
+      round(col("cos_true") - col("cos_neg"), 6).as("margin"),
+      (col("cos_true") >= threshold).as("kept"))
+  }
 }

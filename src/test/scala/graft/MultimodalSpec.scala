@@ -326,4 +326,34 @@ class MultimodalSpec extends SparkSpec {
       "banded candidate generation diverged from the all-pairs reference")
     assert(exact.count() >= 2, "fixture planted no in-radius pairs — test is vacuous")
   }
+
+  test("alignmentGate: hand-computed pair-swap cosines, wrap-around negatives, gate flags") {
+    // image docs are doc_id % 3 == 0; towers: caption = embedding,
+    // image = adjacent-pair swap. Hand-picked vectors:
+    //   0: (2,2,4,4)   swap-invariant  → cos_true = 1  (kept)
+    //   3: (1,-1,1,-1) swap-negated    → cos_true = -1
+    //   6: (1,0,0,0)   swap-orthogonal → cos_true = 0
+    val docs = Seq(0L, 3L, 6L).map(i => (i, "img doc", "en", "web", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emb = Seq(
+      (0L, Seq(2f, 2f, 4f, 4f)),
+      (3L, Seq(1f, -1f, 1f, -1f)),
+      (6L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Multimodal.alignmentGate(spark, docs, emb,
+        buckets = 1, threshold = 0.1)
+      .as[(Long, Long, Long, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(0L, 3L, 6L))
+    // single bucket → successor chain 0→3→6→0 (wrap)
+    assert(got(0L)._3 == 3L && got(3L)._3 == 6L && got(6L)._3 == 0L)
+    assert(math.abs(got(0L)._4 - 1.0) < 1e-9)
+    assert(math.abs(got(3L)._4 + 1.0) < 1e-9)
+    assert(got(6L)._4 == 0.0)
+    assert(got(0L)._7 && !got(3L)._7 && !got(6L)._7)
+    // negatives: swap(0)·emb(3) = 0; swap(3)·emb(6) = −1e6 over
+    // 2000·1000 → −0.5; swap(6)·emb(0) = 2e6 over 1000·√4e7
+    assert(got(0L)._5 == 0.0 && got(0L)._6 == 1.0)
+    assert(math.abs(got(3L)._5 + 0.5) < 1e-9)
+    assert(math.abs(got(6L)._5 - 0.316228) < 1e-6)
+  }
 }
