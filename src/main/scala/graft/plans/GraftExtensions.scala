@@ -33,6 +33,9 @@ object GraftFunctions {
     ("graft_hamming64",
       new ExpressionInfo(classOf[Hamming64].getName, "graft_hamming64"),
       (es: Seq[Expression]) => Hamming64(es(0), es(1))),
+    ("graft_hilbert2",
+      new ExpressionInfo(classOf[Hilbert2Expr].getName, "graft_hilbert2"),
+      (es: Seq[Expression]) => Hilbert2Expr(es(0), es(1), foldedInt(es(2)))),
     // Text/dedup kernels: the scalar second argument must be a foldable
     // literal (shingle width / permutation count / plane count).
     ("graft_shingles",

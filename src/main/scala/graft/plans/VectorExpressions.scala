@@ -406,6 +406,68 @@ case class SqAdcExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** 2-D Hilbert curve index: the iterative rotate/flip xy→d transform
+  * (the classic public-domain formulation — e.g. Warren, Hacker's
+  * Delight; Hamilton & Rau-Chaplin 2008 give the N-D general form).
+  * Shared by interpreted eval and codegen so both paths are the same
+  * arithmetic.
+  */
+object HilbertKernel {
+  /** Map a `bits`-bit (x, y) cell to its Hilbert distance in
+    * [0, 2^(2·bits)). Pure integer rotate/flip loop — exact,
+    * engine-portable, branch structure mirrored verbatim in the
+    * oracle's unrolled per-level CTEs.
+    */
+  def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) { // rotate the quadrant frame
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** Hilbert index of a quantized (x, y) pair — the locality-preserving
+  * alternative to Morton interleave for multi-dimensional file layout
+  * (consecutive Hilbert cells are always grid-adjacent; Morton takes
+  * long diagonal jumps at quadrant boundaries, which widens per-file
+  * min/max zones). `bits` is construction-time (foldable literal).
+  */
+case class Hilbert2Expr(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"expected (bigint, bigint), got ($l, $r)")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HilbertKernel.xy2d(bits, l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.HilbertKernel.xy2d($bits, $a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Hilbert2Expr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Hamming distance between two 64-bit fingerprints (popcount of xor) —
   * SimHash verification.
   */
