@@ -1501,6 +1501,48 @@ object Oracles {
          |  node IN (SELECT node FROM seed) AS is_seed
          |FROM l3""".stripMargin,
 
+    // Convergence certificates: replay the SAME unrolled kcore peel /
+    // labelprop rounds / recursive BFS as their parent oracles, then
+    // emit one row per op — edges removed by the final peel, labels
+    // changed by the final vote (left join round3→round2, IS DISTINCT
+    // FROM), frontier size at the BFS horizon (min-dist = maxHops).
+    "graph_convergence" -> {
+      def peel(inEd: String, d: String, kk: String, outEd: String) =
+        s"""$d AS (SELECT src AS node, count(*) AS deg FROM $inEd GROUP BY src),
+           |$kk AS (SELECT node FROM $d WHERE deg >= 3),
+           |$outEd AS (SELECT src, dst FROM $inEd
+           |  WHERE src IN (SELECT node FROM $kk)
+           |    AND dst IN (SELECT node FROM $kk))""".stripMargin
+      s"""WITH RECURSIVE $LABELPROP_CTES,
+         |${peel("ed", "dg1", "kp1", "ed1")},
+         |${peel("ed1", "dg2", "kp2", "ed2")},
+         |${peel("ed2", "dg3", "kp3", "ed3")},
+         |td AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS su
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |tedges AS (SELECT c AS src, su AS dst FROM td
+         |  UNION ALL SELECT su, c FROM td),
+         |bfsr(node, dd) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION
+         |  SELECT e.dst, bfsr.dd + 1 FROM bfsr JOIN tedges e ON e.src = bfsr.node
+         |  WHERE bfsr.dd < 4),
+         |bfsmin AS (SELECT node, min(dd) AS dist FROM bfsr GROUP BY node),
+         |kc AS (SELECT CAST((SELECT count(*) FROM ed2) -
+         |    (SELECT count(*) FROM ed3) AS BIGINT) AS changed),
+         |lp AS (SELECT CAST(count(*) AS BIGINT) AS changed
+         |  FROM l3 LEFT JOIN l2 ON l3.node = l2.node
+         |  WHERE l3.label IS DISTINCT FROM l2.label),
+         |bf AS (SELECT CAST(count(*) AS BIGINT) AS changed
+         |  FROM bfsmin WHERE dist = 4)
+         |SELECT 'kcore' AS op, CAST(3 AS BIGINT) AS rounds,
+         |  changed AS changed_last_round, changed = 0 AS converged FROM kc
+         |UNION ALL
+         |SELECT 'labelprop', CAST(3 AS BIGINT), changed, changed = 0 FROM lp
+         |UNION ALL
+         |SELECT 'bfs', CAST(4 AS BIGINT), changed, changed = 0 FROM bf""".stripMargin
+    },
+
     // 3-core by 3 unrolled peeling rounds over the same co-purchase
     // graph: per round, symmetric degree count → keep deg >= 3 →
     // restrict edges to kept endpoints — mirrors Graphs.kCore.
@@ -4353,6 +4395,46 @@ object Oracles {
         |  (SELECT count(*) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
         |    ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
         |FROM tot""".stripMargin,
+
+    // Hilbert layout stats: same quantizer/slabs as layout_zorder;
+    // the xy→d rotate/flip loop (HilbertKernel.xy2d) unrolled as one
+    // CTE per level, s = 2^11 … 1 — each level adds s²·((3rx) xor ry)
+    // and conditionally flips+swaps the (hx, hy) state, so the curve
+    // index is replayed bit-exactly in plain integer SQL.
+    "layout_hilbert" -> {
+      def level(prev: String, out: String, s: Long): String = {
+        val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+        val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+        s"""$out AS (
+           |  SELECT x, y,
+           |    d + ${s * s} * (CASE WHEN $rx = 1 AND $ry = 0 THEN 3
+           |      WHEN $rx = 1 AND $ry = 1 THEN 2
+           |      WHEN $ry = 1 THEN 1 ELSE 0 END) AS d,
+           |    CASE WHEN $ry = 0
+           |      THEN (CASE WHEN $rx = 1 THEN ${s - 1} - hy ELSE hy END)
+           |      ELSE hx END AS hx,
+           |    CASE WHEN $ry = 0
+           |      THEN (CASE WHEN $rx = 1 THEN ${s - 1} - hx ELSE hx END)
+           |      ELSE hy END AS hy
+           |  FROM $prev)""".stripMargin
+      }
+      val levels = (11 to 0 by -1).zipWithIndex.map { case (b, i) =>
+        level(if (i == 0) "q" else s"h${i - 1}", s"h$i", 1L << b)
+      }.mkString(",\n")
+      s"""WITH k AS (
+         |  SELECT CAST(l_orderkey AS BIGINT) AS x, CAST(l_partkey AS BIGINT) AS y FROM lineitem),
+         |mm AS (
+         |  SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax FROM k),
+         |q AS (
+         |  SELECT x, y, CAST(0 AS BIGINT) AS d,
+         |    ((x - mm.xmin) * 4096) // (mm.xmax - mm.xmin + 1) AS hx,
+         |    ((y - mm.ymin) * 4096) // (mm.ymax - mm.ymin + 1) AS hy
+         |  FROM k, mm),
+         |$levels
+         |SELECT d // 262144 AS file_id, count(*) AS n_rows,
+         |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+         |FROM h11 GROUP BY 1""".stripMargin
+    },
 
     // Z-order layout stats: exact-integer quantization (integer //,
     // never a double), Morton interleave as a per-bit shift/mask sum

@@ -775,6 +775,33 @@ object Queries {
       .withColumnRenamed("node", "part")
   }
 
+  /** Extension — convergence certificates for the three bounded-round
+    * iterative graph operators on their own fixture graphs (the gap
+    * kCore's doc recorded: fixed-round output is sound but callers
+    * could not see whether another round would have changed it). One
+    * row per op: `(op, rounds, changed_last_round, converged)` —
+    * kCore's edges removed in the final peel, LPA's labels changed in
+    * the final vote, BFS's frontier size at the horizon. Rounds stay
+    * fixed (oracles unchanged); each certificate is one extra count
+    * over states the loop already checkpointed.
+    */
+  val graphConvergence: Q = (s, dir) => {
+    val und = graft.operators.Cooccur.pairCounts(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
+      .filter(col("n") >= 2).select("item_a", "item_b")
+    val edges = und.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionAll(und.select(col("item_b").as("src"), col("item_a").as("dst")))
+    val seeds = t(s, dir, "part")
+      .filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+    val src = s.range(1).select(lit(0L).as("node"))
+    graft.operators.Graphs.kCoreReport(edges, k = 3, rounds = 3)
+      .unionAll(graft.operators.Graphs
+        .labelPropagationReport(edges, seeds, rounds = 3))
+      .unionAll(graft.operators.Graphs
+        .kHopReport(tradeEdges(s, dir), src, maxHops = 4))
+  }
+
   /** Extension — modularity of the propagated-label partition over
     * the same co-purchase graph: the quality score that says whether
     * the brand communities the propagation found are denser than
@@ -1787,6 +1814,17 @@ object Queries {
     */
   val layoutZorder: Q = (s, dir) =>
     graft.operators.Layout.zOrderStats(
+      t(s, dir, "lineitem"), "l_orderkey", "l_partkey", bits = 12, nfiles = 64)
+
+  /** Extension — Hilbert-curve layout statistics over the same
+    * (orderkey, partkey) keys as `layout_zorder`: the
+    * locality-tighter curve (no quadrant-boundary jumps), same
+    * quantizer / slab / output contract, oracle replays the
+    * rotate-flip loop as unrolled per-level CTEs
+    * ([[graft.operators.Layout.hilbertStats]]).
+    */
+  val layoutHilbert: Q = (s, dir) =>
+    graft.operators.Layout.hilbertStats(
       t(s, dir, "lineitem"), "l_orderkey", "l_partkey", bits = 12, nfiles = 64)
 
   /** Extension — zone-map pruning audit of the `layout_zorder` layout
@@ -2925,6 +2963,9 @@ object Queries {
       .mapPartitions(rows => rows.flatMap(r =>
         graft.functions.Multimodal.pHash(r.payload).map(h => (r.media_id, h))))
       .toDF("media_id", "phash")
+      // decoded-hash table feeds banding AND the degree join-back:
+      // materialize so the PNG decode runs once, not once per consumer
+      .localCheckpoint()
     val pairs = graft.functions.Dedup
       .bandedHammingPairs(hashes, "media_id", "phash", maxHamming = 10)
     val degree = pairs.select(col("a_id").as("media_id"))
@@ -2953,6 +2994,9 @@ object Queries {
         graft.functions.Multimodal.audioFingerprint(r.payload)
           .map(h => (r.media_id, h))))
       .toDF("media_id", "afp")
+      // decoded-hash table feeds banding AND the degree join-back:
+      // materialize so the WAV decode runs once, not once per consumer
+      .localCheckpoint()
     val pairs = graft.functions.Dedup
       .bandedHammingPairs(hashes, "media_id", "afp", maxHamming = 10)
     val degree = pairs.select(col("a_id").as("media_id"))

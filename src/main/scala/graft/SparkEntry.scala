@@ -79,6 +79,7 @@ object SparkEntry {
     "graph_khop" -> Queries.graphKhop,
     "graph_labelprop" -> Queries.graphLabelprop,
     "graph_kcore" -> Queries.graphKcore,
+    "graph_convergence" -> Queries.graphConvergence,
     "graph_modularity" -> Queries.graphModularity,
     "er_fuzzy_pairs" -> Queries.erFuzzyPairs,
     "er_sorted_neighbors" -> Queries.erSortedNeighbors,
@@ -165,6 +166,7 @@ object SparkEntry {
     "tok_unigram_train" -> Queries.tokUnigramTrain,
     "tok_unigram_trained" -> Queries.tokUnigramTrained,
     "layout_zorder" -> Queries.layoutZorder,
+    "layout_hilbert" -> Queries.layoutHilbert,
     "layout_skipping" -> Queries.layoutSkipping,
     "dq_expectations" -> Queries.dqExpectations,
     "agg_grouping_sets" -> Queries.aggGroupingSets,

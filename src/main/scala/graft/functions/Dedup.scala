@@ -284,32 +284,69 @@ object Dedup {
     * sufficient prefix, verify candidates exactly), different bound
     * (L2 mass instead of overlap counts).
     *
-    * Candidate rule: terms sort per doc in the GLOBAL (df asc, term)
-    * order; a doc INDEXES term position i iff the L2 suffix from i
-    * could still carry τ of its mass — `suf(i)·q² ≥ p²·‖d‖²` in
-    * exact integers (τ = p/q). If every shared term of (a, b) sits
-    * outside the indexed prefix of b, then by Cauchy–Schwarz
-    * `dot ≤ √suf·‖a‖ < τ·‖a‖·‖b‖` — so probing b's PREFIX with a's
-    * FULL vector (the Bayardo probe/index asymmetry; prefix×prefix
-    * is complete for overlap counts but NOT for weighted cosine) is
-    * lossless, and the df-ascending order keeps hot stopword terms
-    * out of the index — the posting-list fan-out the join must pay is
-    * on RARE terms only.
+    * Candidate rule — PREFIX × PREFIX, proven complete for weighted
+    * cosine: terms sort per doc in the GLOBAL (df asc, term) order;
+    * a doc INDEXES term position i iff the L2 suffix from i could
+    * still carry τ of its mass — `suf(i)·q² ≥ p²·‖d‖²` in exact
+    * integers (τ = p/q). Let t* be the rarest (first in the global
+    * order) term SHARED by (a, b). Every shared term sits at or
+    * after t* in BOTH docs' sorted lists, so by Cauchy–Schwarz
+    * `dot² ≤ suf_a(t*)·suf_b(t*)`. If cos ≥ τ then
+    * `suf_a(t*)·suf_b(t*) ≥ τ²·‖a‖²·‖b‖²`; since `suf_a ≤ ‖a‖²`
+    * this forces `suf_b(t*) ≥ τ²·‖b‖²` — and symmetrically for a.
+    * So t* lies in BOTH prefixes and the prefix×prefix join on term
+    * misses nothing (the completeness property spec in
+    * DedupSimilaritySpec exercises exactly this against the naive
+    * all-pairs form). The df-ascending order keeps hot stopword
+    * terms out of both prefixes, so the posting-list fan-out the
+    * join must pay is on RARE terms only.
+    *
+    * Every candidate-match row additionally passes the fused t*
+    * bound `suf_a(t)·suf_b(t)·q² ≥ p²·‖a‖²·‖b‖²` INSIDE the join:
+    * by the same Cauchy–Schwarz argument a qualifying pair's rarest
+    * shared term always satisfies it, so completeness is preserved,
+    * while duplicate match rows (later shared prefix terms) and most
+    * false candidates die in generated code before ever reaching the
+    * pair dedup — the surviving row count is a small multiple of the
+    * true output, not of the candidate space.
+    *
+    * Verification attaches each doc's sorted (terms, tfs) array pair
+    * (one O(N-docs) row per doc — AQE broadcasts it when small,
+    * plain hash join otherwise) and computes the exact dot with the
+    * codegen'd two-pointer kernel `graft_bag_dot`
+    * ([[graft.plans.BagDotExpr]]) — the exact dots never ride a
+    * corpus-scale join-back.
     *
     * Everything to the threshold decision is exact integers: tf
     * counts, norms Σtf², dots, and the test `dot²·q² ≥ p²·‖a‖²·‖b‖²`
-    * (valid since dot ≥ 0; magnitudes bounded by (doc tokens)⁴ —
-    * fine to ~50k-token docs). The emitted cosine is the only FP:
-    * one division by one correctly-rounded sqrt.
+    * (valid since dot ≥ 0). The threshold products (final AND fused
+    * t* bound) are evaluated in DECIMAL(38,0) — the Long-typed
+    * inputs (dot, suf, ‖·‖²) are each bounded by (doc tokens)³ so
+    * the 38-digit products are exact to multi-million-token
+    * documents; beyond that Spark raises a decimal-overflow error
+    * instead of silently wrapping the comparison (the ts_changepoint
+    * discipline). The emitted cosine is the only FP: one division by
+    * one correctly-rounded sqrt.
+    *
+    * `tf` is `localCheckpoint`ed before the fan-out (df table,
+    * ranked/prefix, the per-doc vector table) and `prefix`/`vecs`
+    * before their two-consumer joins: Catalyst does not share
+    * subtrees across consumers (see [[graft.operators.Graphs]]
+    * triangleCount) — round 8's unmaterialized plan held 7 separate
+    * scan→tokenize→aggregate pipelines, 6 of them redundant
+    * full-corpus passes.
     */
   def bagCosinePairs(docs: DataFrame, tauNum: Int = 4,
       tauDen: Int = 5): DataFrame = {
     require(tauNum > 0 && tauDen > tauNum, "need 0 < tauNum < tauDen")
+    GraftFunctions.register(docs.sparkSession)
     val p2 = (tauNum.toLong * tauNum, tauDen.toLong * tauDen)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val tf = docs
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // grouped-count df + join-back, not a window — the skew rationale
     // at [[ngramJaccardPairs]] applies verbatim
     val dfTable = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -320,29 +357,46 @@ object Dedup {
       .withColumn("__t2", col("tf") * col("tf"))
       .withColumn("__nrm", sum(col("__t2")).over(wAll))
       .withColumn("__suf", sum(col("__t2")).over(wSuf))
+    // Explicit repartition BEFORE the checkpoint: the prefix table is
+    // tiny post-aggregation, so AQE would coalesce its materialization
+    // to one partition — and the candidate self-join's 100×+ fan-out
+    // (plus the whole verify pipeline) inherits the STREAM side's
+    // partitioning, serializing the expensive stage onto one core. A
+    // user-specified partition count is exempt from AQE coalescing;
+    // the join output then spreads across the full parallelism.
+    val np = docs.sparkSession.sparkContext.defaultParallelism
     val prefix = ranked
       .filter(col("__suf") * lit(p2._2) >= lit(p2._1) * col("__nrm"))
-      .select(col("doc_id"), col("term"))
-    val cands = tf.select(col("doc_id").as("a_id"), col("term"))
-      .join(prefix.select(col("doc_id").as("b_id"), col("term")), Seq("term"))
-      .filter(col("a_id") < col("b_id"))
+      .select(col("doc_id"), col("term"), col("__suf"), col("__nrm"))
+      .repartition(np)
+      .localCheckpoint()
+    val vecs = tf.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("term"), col("tf"))))
+        .as("__p"), sum(col("tf") * col("tf")).as("nrm"))
+      .select(col("doc_id"),
+        transform(col("__p"), e => e.getField("term")).as("terms"),
+        transform(col("__p"), e => e.getField("tf")).as("tfs"),
+        col("nrm"))
+      .localCheckpoint()
+    val pa = prefix.select(col("doc_id").as("a_id"), col("term"),
+      col("__suf").as("__asuf"), col("__nrm").as("__anrm"))
+    val pb = prefix.select(col("doc_id").as("b_id"), col("term"),
+      col("__suf").as("__bsuf"), col("__nrm").as("__bnrm"))
+    val cands = pa.join(pb,
+        pa("term") === pb("term") && pa("a_id") < pb("b_id")
+          && dec(col("__asuf")) * dec(col("__bsuf")) * lit(p2._2)
+            >= lit(p2._1) * dec(col("__anrm")) * dec(col("__bnrm")))
       .select("a_id", "b_id").distinct()
-    val norms = tf.groupBy("doc_id")
-      .agg(sum(col("tf") * col("tf")).as("nrm"))
-    val dot = cands
-      .join(tf.select(col("doc_id").as("a_id"), col("term"),
-        col("tf").as("__atf")), Seq("a_id"))
-      .join(tf.select(col("doc_id").as("b_id"), col("term"),
-        col("tf").as("__btf")), Seq("b_id", "term"))
-      .groupBy("a_id", "b_id")
-      .agg(sum(col("__atf") * col("__btf")).as("dot"))
-    dot
-      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("a_nrm")),
-        Seq("a_id"))
-      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("b_nrm")),
-        Seq("b_id"))
-      .filter(col("dot") * col("dot") * lit(p2._2)
-        >= lit(p2._1) * col("a_nrm") * col("b_nrm"))
+    val bagDot = GraftFunctions.bagDot(docs.sparkSession,
+      col("a_terms"), col("a_tfs"), col("b_terms"), col("b_tfs"))
+    cands
+      .join(vecs.select(col("doc_id").as("a_id"), col("terms").as("a_terms"),
+        col("tfs").as("a_tfs"), col("nrm").as("a_nrm")), Seq("a_id"))
+      .join(vecs.select(col("doc_id").as("b_id"), col("terms").as("b_terms"),
+        col("tfs").as("b_tfs"), col("nrm").as("b_nrm")), Seq("b_id"))
+      .withColumn("dot", bagDot)
+      .filter(dec(col("dot")) * dec(col("dot")) * lit(p2._2)
+        >= lit(p2._1) * dec(col("a_nrm")) * dec(col("b_nrm")))
       .select(col("a_id"), col("b_id"), col("dot"), col("a_nrm"),
         col("b_nrm"), (col("dot").cast("double") /
           sqrt((col("a_nrm") * col("b_nrm")).cast("double"))).as("cosine"))

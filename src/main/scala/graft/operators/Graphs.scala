@@ -98,7 +98,15 @@ object Graphs {
     * max broadcast back (the scalar-attach BNLJ whitelisted in
     * PlanQualitySpec). Nodes with no in-edges hold authority 0, no
     * out-edges hub 0 — kept in the output via the node-universe left
-    * join. Lineage is truncated every 3 rounds.
+    * join.
+    *
+    * Each half-step's raw-score table feeds TWO consumers — the
+    * 1-row max aggregate AND the rescale projection — so it is
+    * `localCheckpoint`ed before the fan-out ([[labelPropagation]]'s
+    * per-round discipline). Without it the unshared subtree DOUBLES
+    * per half-step (Catalyst does not share subtrees across
+    * consumers, see [[triangleCount]]); measured round 8 at 57 s for
+    * a 1,600-node graph vs ~3 s with the materialization.
     */
   def hits(edges: DataFrame, iters: Int, r0: Long = 1000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
@@ -109,18 +117,17 @@ object Graphs {
       .union(e.select(col("dst").as("node"))).distinct()
     var hub = nodes.withColumn("h", lit(r0))
     var auth: DataFrame = null
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       val araw = e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint()
       auth = araw.crossJoin(broadcast(araw.agg(max(col("ar")).as("am"))))
         .select(col("dst").as("node"), expr(s"(ar * $r0) div am").as("a"))
       val hraw = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+        .localCheckpoint()
       hub = hraw.crossJoin(broadcast(hraw.agg(max(col("hr")).as("hm"))))
         .select(col("src").as("node"), expr(s"(hr * $r0) div hm").as("h"))
-      if (i % 3 == 0 && i < iters) {
-        hub = hub.localCheckpoint(); auth = auth.localCheckpoint()
-      }
     }
     val out = nodes
       .join(hub.select(col("node"), col("h").as("hub")), Seq("node"), "left")
@@ -298,6 +305,28 @@ object Graphs {
 
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
+    val (_, labels, seed, e) = labelPropagationStates0(edges, seeds, rounds)
+    val out = labels
+      .join(seed.select(col("node"), lit(true).as("is_seed")),
+        Seq("node"), "left")
+      .na.fill(false, Seq("is_seed"))
+      .localCheckpoint()
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Last two label states — (round rounds−1, round rounds); both
+    * eagerly checkpointed so the convergence join is cheap.
+    */
+  private def labelPropagationStates(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
+    val (prev, last, _, e) = labelPropagationStates0(edges, seeds, rounds)
+    e.unpersist(blocking = false)
+    (prev, last)
+  }
+
+  private def labelPropagationStates0(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
     val e = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst"))
@@ -305,7 +334,9 @@ object Graphs {
     val seed = seeds.select(col(seeds.columns(0)).as("node"),
       col(seeds.columns(1)).as("label")).distinct().localCheckpoint()
     var labels = seed
+    var prev = labels
     for (_ <- 1 to rounds) {
+      prev = labels
       val votes = e.join(labels, e("src") === labels("node"))
         .select(col("dst"), col("label"))
         .groupBy(col("dst"), col("label"))
@@ -318,13 +349,7 @@ object Graphs {
           inferred.join(seed.select("node"), Seq("node"), "left_anti"))
         .localCheckpoint()
     }
-    val out = labels
-      .join(seed.select(col("node"), lit(true).as("is_seed")),
-        Seq("node"), "left")
-      .na.fill(false, Seq("is_seed"))
-      .localCheckpoint()
-    e.unpersist(blocking = false)
-    out
+    (prev, labels, seed, e)
   }
 
   /** Bounded-round k-core peeling over a SYMMETRIC edge list (both
@@ -343,12 +368,23 @@ object Graphs {
     * O(edges) per round, no all-pairs anything; lineage truncates per
     * round (`localCheckpoint`) so plans stay flat at any round count.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreStates(edges, k, rounds)._2
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+
+  /** Last two peeling states — (round rounds−1 edges, round rounds
+    * edges); both eagerly checkpointed, so the report's two counts
+    * are O(1) jobs over materialized RDDs.
+    */
+  private def kCoreStates(edges: DataFrame, k: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
     var e = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst")).localCheckpoint()
+    var prev = e
     for (_ <- 1 to rounds) {
+      prev = e
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
       e = e
@@ -357,6 +393,65 @@ object Graphs {
         .select("src", "dst")
         .localCheckpoint()
     }
-    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    (prev, e)
+  }
+
+  /** Convergence certificate for bounded-round [[kCore]] (the gap
+    * `kCore`'s own doc records): one row `(op, rounds,
+    * changed_last_round, converged)` where `changed_last_round` is
+    * the number of edges the FINAL round removed. Peeling is
+    * monotone, so a no-op final round is a sound fixpoint
+    * certificate (`converged = true`); a nonzero count means the
+    * round budget may have stopped early and the (still sound,
+    * over-approximate) output is flagged as such. The fixed round
+    * count — and therefore the unrolled oracle — is unchanged; the
+    * certificate is two counts over already-checkpointed states.
+    */
+  def kCoreReport(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val (prev, last) = kCoreStates(edges, k, rounds)
+    val changed = prev.count() - last.count()
+    edges.sparkSession.range(1).select(lit("kcore").as("op"),
+      lit(rounds.toLong).as("rounds"),
+      lit(changed).as("changed_last_round"),
+      lit(changed == 0L).as("converged"))
+  }
+
+  /** Convergence certificate for bounded-round [[labelPropagation]]:
+    * `changed_last_round` counts nodes whose label differs between
+    * round rounds−1 and round rounds (including nodes first labeled
+    * in the final round). Synchronous LPA can oscillate, so a zero
+    * count certifies a fixpoint while a nonzero count only says the
+    * budget stopped at a still-moving state. Same fixed rounds, same
+    * oracle; the certificate is one join between two checkpointed
+    * label tables.
+    */
+  def labelPropagationReport(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val (prev, last) = labelPropagationStates(edges, seeds, rounds)
+    val changed = last.select(col("node"), col("label"))
+      .join(prev.select(col("node"), col("label").as("__prev")),
+        Seq("node"), "left")
+      .filter(not(col("label") <=> col("__prev")))
+      .count()
+    edges.sparkSession.range(1).select(lit("labelprop").as("op"),
+      lit(rounds.toLong).as("rounds"),
+      lit(changed).as("changed_last_round"),
+      lit(changed == 0L).as("converged"))
+  }
+
+  /** Convergence certificate for bounded-depth [[kHopDistances]]:
+    * `changed_last_round` is the frontier size at `maxHops` — zero
+    * means the traversal exhausted the reachable set within budget
+    * (the loop's own early-exit condition), nonzero means nodes at
+    * the horizon may still have unvisited neighbors.
+    */
+  def kHopReport(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    val dist = kHopDistances(edges, sources, maxHops)
+    val changed = dist.filter(col("dist") === maxHops.toLong).count()
+    edges.sparkSession.range(1).select(lit("bfs").as("op"),
+      lit(maxHops.toLong).as("rounds"),
+      lit(changed).as("changed_last_round"),
+      lit(changed == 0L).as("converged"))
   }
 }

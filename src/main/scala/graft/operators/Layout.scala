@@ -204,6 +204,48 @@ object Layout {
         "rows_read", "rows_sel")
   }
 
+  /** Hilbert-curve layout statistics over two quantized keys — the
+    * locality-tighter sibling of [[zOrderStats]] (same quantizer,
+    * same fixed-space slab file assignment, same output contract),
+    * with the Morton interleave swapped for the codegen'd Hilbert
+    * xy→d kernel ([[graft.plans.Hilbert2Expr]]). Consecutive Hilbert
+    * cells are always grid-adjacent while Morton takes long diagonal
+    * jumps at quadrant boundaries, so per-file min/max zones come out
+    * narrower — `LayoutSpec` measures that claim against the Morton
+    * layout on the same keys, and `layout_hilbert`'s oracle replays
+    * the rotate/flip loop as unrolled per-level CTEs, so the curve
+    * arithmetic is bit-exact across engines.
+    */
+  def hilbertStats(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int = 12,
+      nfiles: Int = 64): DataFrame = {
+    require(nfiles >= 1, "nfiles must be >= 1")
+    require(bits >= 1 && 2 * bits <= 63,
+      s"2*bits must be in [1,63], got $bits bits")
+    val spark = df.sparkSession
+    val keyed = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val mm = keyed.agg(min(col("x")).as("__min_x"), max(col("x")).as("__max_x"),
+      min(col("y")).as("__min_y"), max(col("y")).as("__max_y"))
+    val slab = math.max(1L, (1L << (2 * bits)) / nfiles)
+    keyed.crossJoin(broadcast(mm))
+      .select(col("x"), col("y"),
+        expr(s"((x - `__min_x`) * ${1L << bits}L) " +
+          s"div (`__max_x` - `__min_x` + 1L)").as("__qx"),
+        expr(s"((y - `__min_y`) * ${1L << bits}L) " +
+          s"div (`__max_y` - `__min_y` + 1L)").as("__qy"))
+      .withColumn("hilbert", graft.plans.GraftFunctions.hilbert2(
+        spark, col("__qx"), col("__qy"), bits))
+      .withColumn("file_id", expr(s"hilbert div ${slab}L"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
   /** Two-column stats form with the historical `x_min`/`y_max` output
     * names (the `layout_zorder` oracle contract).
     */

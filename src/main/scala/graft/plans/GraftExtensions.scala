@@ -33,6 +33,9 @@ object GraftFunctions {
     ("graft_hamming64",
       new ExpressionInfo(classOf[Hamming64].getName, "graft_hamming64"),
       (es: Seq[Expression]) => Hamming64(es(0), es(1))),
+    ("graft_bag_dot",
+      new ExpressionInfo(classOf[BagDotExpr].getName, "graft_bag_dot"),
+      (es: Seq[Expression]) => BagDotExpr(es(0), es(1), es(2), es(3))),
     ("graft_hilbert2",
       new ExpressionInfo(classOf[Hilbert2Expr].getName, "graft_hilbert2"),
       (es: Seq[Expression]) => Hilbert2Expr(es(0), es(1), foldedInt(es(2)))),
@@ -160,5 +163,16 @@ object GraftFunctions {
   def hamming64(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_hamming64", a, b)
+  }
+  def bagDot(spark: SparkSession, aTerms: Column, aTfs: Column,
+      bTerms: Column, bTfs: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_bag_dot", aTerms, aTfs, bTerms, bTfs)
+  }
+  def hilbert2(spark: SparkSession, x: Column, y: Column, bits: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_hilbert2", x, y,
+      org.apache.spark.sql.functions.lit(bits))
   }
 }

@@ -496,3 +496,70 @@ case class Hamming64(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Hamming64 =
     copy(left = newLeft, right = newRight)
 }
+
+/** Exact integer dot product of two SPARSE term-frequency bags, each
+  * given as aligned (terms sorted ascending, tfs) array pairs — the
+  * verification kernel for Bayardo APSS cosine
+  * ([[graft.functions.Dedup.bagCosinePairs]]). A two-pointer merge
+  * over the binary-sorted term arrays (the same UTF8String order
+  * `array_sort` produces), so each candidate pair costs
+  * O(|a| + |b|) primitive comparisons in generated code instead of
+  * the interpreted `map_zip_with` + `aggregate` lambda pair it
+  * replaces (which allocates a merged map per row).
+  */
+case class BagDotExpr(aTerms: Expression, aTfs: Expression,
+    bTerms: Expression, bTfs: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = aTerms
+  override def second: Expression = aTfs
+  override def third: Expression = bTerms
+  override def fourth: Expression = bTfs
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (aTerms.dataType, aTfs.dataType, bTerms.dataType, bTfs.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.StringType, _),
+            ArrayType(LongType, _),
+            ArrayType(org.apache.spark.sql.types.StringType, _),
+            ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"expected (array<string>, array<bigint>) × 2, got $other")
+    }
+
+  override def nullSafeEval(at: Any, af: Any, bt: Any, bf: Any): Any =
+    BagDotKernel.dot(at.asInstanceOf[ArrayData], af.asInstanceOf[ArrayData],
+      bt.asInstanceOf[ArrayData], bf.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (at, af, bt, bf) =>
+      s"${ev.value} = graft.plans.BagDotKernel.dot($at, $af, $bt, $bf);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): BagDotExpr =
+    copy(aTerms = newFirst, aTfs = newSecond,
+      bTerms = newThird, bTfs = newFourth)
+}
+
+/** Static kernel shared by interpreted eval and generated code. */
+object BagDotKernel {
+  def dot(aT: ArrayData, aF: ArrayData, bT: ArrayData, bF: ArrayData): Long = {
+    val n = aT.numElements()
+    val m = bT.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < n && j < m) {
+      val c = aT.getUTF8String(i).compareTo(bT.getUTF8String(j))
+      if (c == 0) { acc += aF.getLong(i) * bF.getLong(j); i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+}

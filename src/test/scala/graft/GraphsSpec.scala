@@ -168,6 +168,39 @@ class GraphsSpec extends SparkSpec {
     assert(run(tri, k = 2, rounds = 4) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("convergence certificates: tight budgets flagged un-converged, ample budgets certified") {
+    import spark.implicits._
+    def report(df: org.apache.spark.sql.DataFrame): (Long, Long, Boolean) = {
+      val r = df.as[(String, Long, Long, Boolean)].collect().head
+      (r._2, r._3, r._4)
+    }
+    // symmetric path 1—2—3—4—5—6: 2-core peeling eats 2 endpoints per
+    // round, needs 3 rounds to empty — rounds=1 must NOT be certified
+    val path = (1L to 5L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    val (_, kc1, kconv1) = report(Graphs.kCoreReport(path, k = 2, rounds = 1))
+    assert(kc1 > 0 && !kconv1, s"rounds=1 must be un-converged ($kc1)")
+    val (_, kc5, kconv5) = report(Graphs.kCoreReport(path, k = 2, rounds = 5))
+    assert(kc5 == 0 && kconv5)
+    // LPA from a single seed at one end: labels move one hop per
+    // round — round 2 still labels a new node, round 6 is a no-op
+    val seeds = Seq((1L, "A")).toDF("node", "label")
+    val (_, lp2, lconv2) =
+      report(Graphs.labelPropagationReport(path, seeds, rounds = 2))
+    assert(lp2 > 0 && !lconv2, s"rounds=2 must be un-converged ($lp2)")
+    val (_, lp6, lconv6) =
+      report(Graphs.labelPropagationReport(path, seeds, rounds = 6))
+    assert(lp6 == 0 && lconv6)
+    // BFS from node 1: diameter 5 — a horizon AT or below the
+    // diameter still has a live frontier (nodes at the horizon may
+    // have unvisited neighbors); one hop beyond it is certified
+    val src = Seq(Tuple1(1L)).toDF("node")
+    val (_, bf5, bconv5) = report(Graphs.kHopReport(path, src, maxHops = 5))
+    assert(bf5 > 0 && !bconv5, s"maxHops=5 must be un-converged ($bf5)")
+    val (_, bf6, bconv6) = report(Graphs.kHopReport(path, src, maxHops = 6))
+    assert(bf6 == 0 && bconv6)
+  }
+
   test("hits: hand-unrolled 2 rounds on a directed fan; role separation; symmetric fixpoint") {
     import spark.implicits._
     def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
@@ -188,5 +221,14 @@ class GraphsSpec extends SparkSpec {
     val cyc = run(Seq((1L, 2L), (2L, 1L)), iters = 3)
     assert(cyc(1L) == ((1000000L, 1000000L)) &&
       cyc(2L) == ((1000000L, 1000000L)))
+    // MATERIALIZATION PIN (round 9): each half-step's raw-score table
+    // is localCheckpoint'ed before feeding both the 1-row max agg and
+    // the rescale projection. Without it the unshared subtree DOUBLES
+    // per half-step (round 8 measured 57 s at iters=2 on 1,600 nodes);
+    // at iters=9 the plan would be ~2^18 subtrees and this smoke run
+    // would not complete. Values stay the exact 2-cycle fixpoint.
+    val deep = run(Seq((1L, 2L), (2L, 1L)), iters = 9)
+    assert(deep(1L) == ((1000000L, 1000000L)) &&
+      deep(2L) == ((1000000L, 1000000L)))
   }
 }

@@ -206,6 +206,32 @@ class KernelEquivalenceSpec extends SparkSpec {
       .head.getLong(0) == 1L)
   }
 
+  test("graft_bag_dot ≡ map_zip_with fold on random sorted tf bags") {
+    // The APSS verification kernel: two-pointer merge over aligned
+    // (sorted terms, tfs) arrays must equal the interpreted
+    // map-merge fold it replaced, including empty and disjoint bags.
+    val rnd = new scala.util.Random(0xB46D)
+    val vocab = (0 until 40).map(i => f"w$i%02d")
+    val rows = (0 until 200).map { i =>
+      def bag() = rnd.shuffle(vocab).take(rnd.nextInt(12))
+        .sorted.map(t => (t, 1L + rnd.nextInt(5))).toArray
+      val (a, b) = (bag(), bag())
+      (i.toLong, a.map(_._1), a.map(_._2), b.map(_._1), b.map(_._2))
+    } :+ ((999L, Array.empty[String], Array.empty[Long],
+      Array("x"), Array(3L)))
+    val df = rows.toDF("id", "a_terms", "a_tfs", "b_terms", "b_tfs")
+    val hof = aggregate(
+      map_values(map_zip_with(
+        map_from_arrays($"a_terms", $"a_tfs"),
+        map_from_arrays($"b_terms", $"b_tfs"),
+        (_, x, y) => coalesce(x, lit(0L)) * coalesce(y, lit(0L)))),
+      lit(0L), (acc, v) => acc + v)
+    val native = graft.plans.GraftFunctions.bagDot(spark,
+      $"a_terms", $"a_tfs", $"b_terms", $"b_tfs")
+    val both = df.select(hof.as("hof"), native.as("native"))
+    assert(both.filter(not($"hof" <=> $"native")).count() == 0)
+  }
+
   test("quantized/lshSignature/nativeShingles resolve on a fresh session") {
     // Regression for VERDICT r2 #1/#2: a brand-new session (empty
     // function registry) must be able to run the wrapper-based queries

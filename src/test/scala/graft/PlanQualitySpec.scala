@@ -593,6 +593,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(joinLine.contains("sh"), joinLine)
   }
 
+  test("apss cosine: zero corpus re-scans; fused t* bound in the join; native dot kernel") {
+    val p = planOf("dedup_apss_cosine")
+    // round-8 defect: tf fed six consumers unmaterialized → the plan
+    // held 7 separate parquet scan→tokenize→aggregate pipelines. The
+    // checkpointed form reads ONLY materialized RDDs — the single
+    // corpus scan ran once, inside the tf checkpoint job.
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 0, s"expected 0 parquet scans (checkpointed inputs), saw $scans:\n${p.take(1500)}")
+    assert(p.contains("Scan ExistingRDD"), p.take(800))
+    // the suffix-product completeness bound prunes candidate rows
+    // INSIDE the join (generated code), not in a later pass
+    val joinLine = p.linesIterator.find(_.contains("BroadcastHashJoin")).getOrElse("")
+    assert(joinLine.contains("suf") || p.contains("__asuf"), p.take(1500))
+    // dot verification is the codegen'd two-pointer kernel
+    assert(p.toLowerCase.contains("bagdot"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
   test("flagship aggregation is map-side combined inside codegen") {
     val p = planOf("q1_pricing_summary", execute = true)
     // "*(n)" marks whole-stage-codegen'd operators in the simple plan
