@@ -836,9 +836,9 @@ object Oracles {
          |bt AS (SELECT count(*) AS bb FROM bi),
          |sc AS (
          |  SELECT bi.w1, bi.w2,
-         |    -ln((CAST(c2 AS DOUBLE) - 0.75) / CAST(ctx AS DOUBLE)
+         |    round(-ln((CAST(c2 AS DOUBLE) - 0.75) / CAST(ctx AS DOUBLE)
          |      + (0.75 * CAST(n1fw AS DOUBLE) / CAST(ctx AS DOUBLE))
-         |        * (CAST(n1bw AS DOUBLE) / CAST(bb AS DOUBLE))) AS lp
+         |        * (CAST(n1bw AS DOUBLE) / CAST(bb AS DOUBLE))), 9) AS lp
          |  FROM bi JOIN fw ON fw.w1 = bi.w1 JOIN bw ON bw.w2 = bi.w2
          |  CROSS JOIN bt)
          |SELECT bg2.doc_id, count(*) AS n_bigrams,

@@ -789,8 +789,11 @@ object Queries {
     val und = graft.operators.Cooccur.pairCounts(
         t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
       .filter(col("n") >= 2).select("item_a", "item_b")
+    // the co-purchase derivation feeds BOTH the kcore and LPA reports:
+    // materialize once (the Catalyst no-subtree-sharing rule)
     val edges = und.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionAll(und.select(col("item_b").as("src"), col("item_a").as("dst")))
+      .localCheckpoint()
     val seeds = t(s, dir, "part")
       .filter(col("p_partkey") % 10 === 0)
       .select(col("p_partkey").as("node"), col("p_brand").as("label"))

@@ -602,9 +602,13 @@ object TextAnalysis {
     def d(c: String): Column = col(c).cast("double")
     val p = (d("c2") - lit(discount)) / d("ctx") +
       (lit(discount) * d("n1fw") / d("ctx")) * (d("n1bw") / d("__b"))
+    // per-bigram lp quantized to 9 decimals (the corpus_zipf
+    // discipline): JVM log and DuckDB ln differ by 1 ulp on some
+    // inputs, and an unquantized sum makes the 4-decimal gate a
+    // cross-libm coin flip on unlucky fixtures
     val scored = bi.join(fw, Seq("w1")).join(bw, Seq("w2"))
       .crossJoin(broadcast(btot))
-      .select(col("w1"), col("w2"), (-log(p)).as("lp"))
+      .select(col("w1"), col("w2"), round(-log(p), 9).as("lp"))
     bg.join(scored, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(

@@ -130,6 +130,37 @@ object Sinks {
       numFiles: Int, bits: Int = 12): Unit =
     writeZOrdered(df, path, Seq(colA, colB), numFiles, bits)
 
+  /** Layout: HILBERT-order the files on two columns — the same
+    * rewrite shape as [[writeZOrdered]] (global min/max normalize →
+    * curve position → `repartitionByRange` + in-file sort) with the
+    * Morton interleave swapped for the shared Hilbert kernel
+    * ([[graft.plans.Hilbert2Expr]], the same implementation behind
+    * the `layout_hilbert` stats query). Consecutive Hilbert cells are
+    * always grid-adjacent, so file envelopes avoid Morton's
+    * quadrant-boundary jumps — measurably narrower zones when file
+    * boundaries don't align to power-of-4 curve blocks (LayoutSpec
+    * pins the comparison; the sink spec checks both dims skip).
+    */
+  def writeHilbertOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, numFiles: Int, bits: Int = 12): Unit = {
+    require(bits >= 1 && 2 * bits <= 63, s"bits must be in [1,31], got $bits")
+    val mm = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    val top = (1L << bits) - 1
+    def norm(c: String, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else floor((col(c).cast("long") - lit(lo)).cast("double")
+        * lit(top.toDouble) / lit((hi - lo).toDouble)).cast("long")
+    df.withColumn("__h", graft.plans.GraftFunctions.hilbert2(df.sparkSession,
+        norm(colA, mm.getLong(0), mm.getLong(1)),
+        norm(colB, mm.getLong(2), mm.getLong(3)), bits))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Operational: small-file compaction. Incremental appends (K1
     * ticks) accumulate row-group-sized files; a table read through
     * thousands of tiny files loses columnar scan efficiency and floods

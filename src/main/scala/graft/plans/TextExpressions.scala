@@ -555,12 +555,18 @@ object TextKernels {
   def stripAccents(text: UTF8String): UTF8String = {
     val s = text.toString
     val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    // codepoint-wise pre-scan (charCount steps), mirroring the strip
+    // loop below: a UTF-16-char scan would miss supplementary-plane
+    // non-spacing marks (e.g. U+1D167 musical combining tremolo),
+    // whose surrogate halves never report category Mn, and such
+    // strings would exit via the nfc fast path un-stripped.
     var hasMark = false
     var i = 0
     while (i < d.length && !hasMark) {
-      if (java.lang.Character.getType(d.charAt(i)) ==
+      val cp = d.codePointAt(i)
+      if (java.lang.Character.getType(cp) ==
           java.lang.Character.NON_SPACING_MARK) hasMark = true
-      i += 1
+      i += java.lang.Character.charCount(cp)
     }
     if (!hasMark) nfc(text)
     else {

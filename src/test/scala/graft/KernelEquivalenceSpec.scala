@@ -198,6 +198,14 @@ class KernelEquivalenceSpec extends SparkSpec {
       val nfd = java.text.Normalizer.normalize(strip(p), java.text.Normalizer.Form.NFD)
       assert(!nfd.exists(ch => Character.getType(ch) == Character.NON_SPACING_MARK), p)
     }
+    // supplementary-plane non-spacing marks (surrogate pairs): the
+    // mark-detection pre-scan must step by codepoint, or a string
+    // whose ONLY combining mark is non-BMP (U+1D167 MUSICAL SYMBOL
+    // COMBINING TREMOLO-1, category Mn) slips through the nfc fast
+    // path un-stripped
+    val tremolo = new String(Character.toChars(0x1D167))
+    assert(Character.getType(0x1D167) == Character.NON_SPACING_MARK)
+    assert(strip("x" + tremolo + "y") == "xy")
     // column path: normalization changes the exact-dup digest story -
     // the two spellings of e-acute dedup together only after nfc
     val d = Seq("cafe\u0301", "caf\u00e9").toDF("text")

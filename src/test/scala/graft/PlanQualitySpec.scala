@@ -130,6 +130,7 @@ class PlanQualitySpec extends SparkSpec {
       "stat_mannwhitney",                            // |pairs|-row broadcast pair list
       "stat_ks",                                     // |pairs|-row broadcast pair list
       "layout_zorder",                               // 1-row min/max quantizer
+      "layout_hilbert",                              // 1-row min/max quantizer
       "layout_skipping",                             // ≤128-row zone stats × probe literals × 1-row min/max
       "graph_modularity",                            // 1-row edge-total cross
       "graph_hits",                                  // 1-row max-rescale cross per half-step

@@ -166,6 +166,17 @@ class SchedulerSinksSpec extends SparkSpec {
     assert(readFraction(zEnv, _._2) < 0.5)
     // no data loss through the curve
     assert(spark.read.parquet(zDir).count() == 4096)
+
+    // hilbert arm: same rewrite contract, both dims skip, no loss
+    val hDir = java.nio.file.Files.createTempDirectory("graft-h")
+      .resolve("h.parquet").toString
+    graft.operators.Sinks.writeHilbertOrdered(d, hDir, "a", "b",
+      numFiles = 16, bits = 6)
+    val hEnv = envelopes(hDir)
+    assert(hEnv.size == 16)
+    assert(readFraction(hEnv, _._1) < 0.5)
+    assert(readFraction(hEnv, _._2) < 0.5)
+    assert(spark.read.parquet(hDir).count() == 4096)
   }
 
   test("compact rewrites a fragmented directory into evenly-sized files, data intact") {
