@@ -105,6 +105,14 @@ class PlanQualitySpec extends SparkSpec {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q plans an all-pairs or nested-loop join:\n${p.take(1200)}")
+      // the decoded-hash table is checkpointed before its two
+      // consumers (banding + degree join-back), so the payload-decode
+      // mapPartitions ran ONCE inside the checkpoint job — the final
+      // plan must read the materialized RDD and contain no decode
+      // stage at all (round-8 minor defect: decode re-ran per consumer)
+      assert(!p.contains("MapPartitions"),
+        s"$q re-runs the decode mapPartitions per consumer:\n${p.take(1200)}")
+      assert(p.contains("Scan ExistingRDD"), p.take(800))
     }
   }
 
