@@ -16,6 +16,22 @@ class DriverContractSpec extends AnyFunSuite {
     assert(Bench.missingCoverage(SparkEntry.queries.keySet - dropped) == Set(dropped))
   }
 
+  test("priorRaw: reads the raw queries map, rejects a different-SF prior") {
+    // the phantom re-run pass compares against the PREVIOUS run's raw
+    // seconds — but only when that run was at the same scale factor;
+    // a prior at another SF would flag (or mask) every query
+    val f = java.nio.file.Files.createTempFile("graft-bench", ".json")
+    val line = """{"metric":"total","value":1.0,"unit":"sec",""" +
+      """"sf":"/root/testdata/sf0.1","queries_norm":{"q_a":9.0},""" +
+      """"queries":{"q_a":1.25,"q_b":-1.0}}"""
+    java.nio.file.Files.write(f, line.getBytes("UTF-8"))
+    val same = Bench.priorRaw(f.toString, "/root/testdata/sf0.1")
+    assert(same == Map("q_a" -> 1.25, "q_b" -> -1.0)) // raw map, not norm
+    assert(Bench.priorRaw(f.toString, "/root/testdata/sf0.01").isEmpty)
+    assert(Bench.priorRaw("/nonexistent/bench.json", "x").isEmpty)
+    java.nio.file.Files.delete(f)
+  }
+
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
