@@ -1430,8 +1430,12 @@ object Queries {
     * the composition is the claim under test.
     */
   val publishShards: Q = (s, dir) => {
+    // the resampled corpus feeds exactSurvivors on BOTH sides of its
+    // semi join — materialize the stage boundary once (what a real
+    // pipeline publishes between stages; round 8 re-ran the resample
+    // subtree 6 times)
     val kept = TextAnalysis.temperatureResample(
-      t(s, dir, "documents"), alpha = 0.3)
+      t(s, dir, "documents"), alpha = 0.3).localCheckpoint()
     graft.functions.Packing.shardManifest(Dedup.exactSurvivors(kept), 32)
   }
 
@@ -2206,11 +2210,14 @@ object Queries {
     * never a nested-loop over all session pairs.
     */
   val concurrentSessions: Q = (s, dir) => {
+    // sessions feed both sides of the binned interval join —
+    // materialize the sessionization once (sessions << events)
     val sess = Readers.validChangeLog(s, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("rsbsa_no"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("rsbsa_no"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"))
+      .localCheckpoint()
     graft.operators.IntervalJoin.overlapCount(
       sess, Seq("rsbsa_no", "s_start"), "s_start", "s_end")
   }
@@ -2322,11 +2329,16 @@ object Queries {
   val funnelConversion: Q = (s, dir) => {
     val ev = Readers.validChangeLog(s, dir)
       .select(col("rsbsa_no"), col("table"), col("ts"))
+    // each stage table feeds the NEXT stage's join AND its own count:
+    // materialize the per-user one-row aggregates (users << events)
+    // instead of re-running the stage subtree per consumer
     val v = ev.filter(col("table") === "view")
       .groupBy("rsbsa_no").agg(min(col("ts")).as("v_ts"))
+      .localCheckpoint()
     val c = ev.filter(col("table") === "click").join(v, Seq("rsbsa_no"))
       .filter(col("ts") > col("v_ts"))
       .groupBy("rsbsa_no").agg(min(col("ts")).as("c_ts"))
+      .localCheckpoint()
     val p = ev.filter(col("table") === "purchase").join(c, Seq("rsbsa_no"))
       .filter(col("ts") > col("c_ts"))
       .groupBy("rsbsa_no").agg(min(col("ts")).as("p_ts"))
@@ -2882,9 +2894,12 @@ object Queries {
       .groupBy("token").agg(count(lit(1)).as("c"))
     val a = counts(docs.filter(col("doc_id") < mid))
     val b = counts(docs.filter(col("doc_id") >= mid))
+    // the merged vocabulary feeds the totals row AND the deviation
+    // scoring — materialize (vocab-sized) so each snapshot scans once
     val joined = a.withColumnRenamed("c", "c1")
       .join(b.withColumnRenamed("c", "c2"), Seq("token"), "full")
       .na.fill(0L, Seq("c1", "c2"))
+      .localCheckpoint()
     val totals = joined.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     val scored = joined.join(broadcast(totals))
       .withColumn("dev", abs(col("c1") * col("n2") - col("c2") * col("n1")))

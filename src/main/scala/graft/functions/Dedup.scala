@@ -143,9 +143,12 @@ object Dedup {
     val nUnits = ceil(size(toks).cast("double") / w).cast("int")
     def unitAt(i: Column): Column =
       array_join(slice(toks, i * w + 1, lit(w)), " ")
+    // the unit-digest stream feeds the hot-count aggregate AND the
+    // anti join — one digest pass, materialized
     val units = docs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), nUnits - 1),
         i => md5(lower(unitAt(i))))).as(Seq("unit_idx", "uh")))
+      .localCheckpoint()
     val hot = units.groupBy("uh").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= maxDf).select("uh")
     val keptIdx = units
@@ -209,13 +212,32 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    // One kernel call builds the distinct-shingle array; its SIZE is
-    // the per-doc shingle count, carried through the explode — no
-    // window needed to recount it later.
-    val ex = docs
-      .select(col("doc_id"), nativeShingles(col("text"), w).as("arr"))
-      .select(col("doc_id"), size(col("arr")).cast("long").as("n_sh"),
-        explode(col("arr")).as("sh"))
+    // One kernel call builds the distinct-shingle array, materialized
+    // ONCE: the array table feeds the df-count branch, the rank/prefix
+    // branch, and both verification joins — unmaterialized, Catalyst
+    // re-runs the scan+kernel per consumer (the round-9 APSS lesson;
+    // this plan held 6 corpus scans). The checkpoint stores
+    // (doc_id, 8-byte hashes) ≈ one long per token — far cheaper than
+    // re-reading and re-shingling the corpus per consumer.
+    val arrs = withShinglesNative(docs, w).localCheckpoint()
+    ngramJaccardPairsFrom(arrs, threshold)
+  }
+
+  /** (doc_id, shingles) via the codegen'd kernel — the table every
+    * shingle-dedup variant materializes once and shares.
+    */
+  private def withShinglesNative(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), nativeShingles(col("text"), w).as("shingles"))
+
+  /** Prefix-filtered exact-Jaccard pairs from a PRE-MATERIALIZED
+    * (doc_id, shingles) table (callers checkpoint it — possibly with
+    * extra columns they share, e.g. the MinHash signature).
+    */
+  private def ngramJaccardPairsFrom(arrs: DataFrame,
+      threshold: Double): DataFrame = {
+    val ex = arrs
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
+        explode(col("shingles")).as("sh"))
     // Global rarity order: document frequency asc, shingle hash asc —
     // consistent across docs (required for prefix-filter exactness).
     // DF is a grouped count + join-back, NOT a window: the window form
@@ -232,9 +254,16 @@ object Dedup {
     // Prefix length |S| − ⌈t·|S|⌉ + 1; the tiny epsilon keeps ceil from
     // rounding an exactly-integer t·|S| up on FP noise (which would
     // shorten the prefix and break exactness).
+    // repartition before the checkpoint: the prefix table is small
+    // post-window, AQE would coalesce its materialization to one
+    // partition and the candidate self-join fan-out inherits the
+    // stream side's partitioning (the APSS serialization lesson)
+    val np = arrs.sparkSession.sparkContext.defaultParallelism
     val prefix = ranked
       .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("sh"), col("n_sh"))
+      .repartition(np)
+      .localCheckpoint()
     val cands = prefix.select(col("doc_id").as("a_id"), col("sh"), col("n_sh").as("a_n"))
       .join(prefix.select(col("doc_id").as("b_id"), col("sh"), col("n_sh").as("b_n")),
         Seq("sh"))
@@ -243,19 +272,19 @@ object Dedup {
       .filter(least(col("a_n"), col("b_n")).cast("double")
         >= lit(threshold) * greatest(col("a_n"), col("b_n")).cast("double") - lit(1e-9))
       .select("a_id", "b_id").distinct()
-    verifyPairs(docs, cands, w, threshold)
+    verifyPairs(arrs, cands, threshold)
       .select("a_id", "b_id", "inter", "jaccard")
   }
 
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs against
-    * the per-doc shingle arrays: one narrow kernel pass rebuilds the
-    * arrays, the candidate set (small by construction) joins them on
-    * doc_id, and `array_intersect` computes |∩| inside codegen. Only
-    * candidate pairs ever pay verification cost.
+    * the MATERIALIZED per-doc shingle table (the same one candidate
+    * generation used — the arrays are never rebuilt from text): the
+    * candidate set (small by construction) joins it on doc_id and
+    * `array_intersect` computes |∩| inside codegen. Only candidate
+    * pairs ever pay verification cost.
     */
   private def verifyPairs(
-      docs: DataFrame, cands: DataFrame, w: Int, threshold: Double): DataFrame = {
-    val arrs = docs.select(col("doc_id"), nativeShingles(col("text"), w).as("shingles"))
+      arrs: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
     cands
       .join(arrs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
       .join(arrs.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
@@ -428,18 +457,24 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.8): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val ex = docs
-      .select(col("doc_id"), nativeShingles(col("text"), w).as("arr"))
-      .select(col("doc_id"), size(col("arr")).cast("long").as("n_sh"),
-        explode(col("arr")).as("sh"))
+    // shingle kernel once ([[ngramJaccardPairs]] discipline): the
+    // array table feeds df-count, prefix, the outer index, and both
+    // verification joins
+    val arrs = withShinglesNative(docs, w).localCheckpoint()
+    val ex = arrs
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
+        explode(col("shingles")).as("sh"))
     // Same grouped-count document frequency as the Jaccard path (two-
     // phase by construction; join-back AQE-skew-splittable).
     val dfTable = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val np = docs.sparkSession.sparkContext.defaultParallelism
     val prefix = ex.join(dfTable, Seq("sh"))
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
       .select(col("doc_id").as("inner_id"), col("sh"), col("n_sh").as("inner_n"))
+      .repartition(np)
+      .localCheckpoint()
     val index = ex.select(col("doc_id").as("outer_id"), col("sh"), col("n_sh").as("outer_n"))
     val cands = prefix.join(index, Seq("sh"))
       .filter(col("inner_id") =!= col("outer_id"))
@@ -447,7 +482,6 @@ object Dedup {
       .filter(col("outer_n").cast("double")
         >= lit(threshold) * col("inner_n").cast("double") - lit(1e-9))
       .select("inner_id", "outer_id").distinct()
-    val arrs = docs.select(col("doc_id"), nativeShingles(col("text"), w).as("shingles"))
     cands
       .join(arrs.select(col("doc_id").as("inner_id"), col("shingles").as("in_sh")),
         Seq("inner_id"))
@@ -568,14 +602,16 @@ object Dedup {
   def minHashDuplicates(
       docs: DataFrame, w: Int = 3, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
-    val banded = bandedBuckets(
-      sketchTable(docs, w, k).select(col("doc_id"), col("sig")), k, bands)
+    // sketch once: (shingles, sig) feeds both the banding self-join
+    // and exact verification ([[ngramJaccardPairs]] discipline)
+    val sk = sketchTable(docs, w, k).localCheckpoint()
+    val banded = bandedBuckets(sk.select(col("doc_id"), col("sig")), k, bands)
     val cands = banded
       .join(banded.select(col("band"), col("bh"), col("doc_id").as("b_id")),
         Seq("band", "bh"))
       .filter(col("doc_id") < col("b_id"))
       .select(col("doc_id").as("a_id"), col("b_id")).distinct()
-    verifyPairs(docs, cands, w, threshold)
+    verifyPairs(sk.select(col("doc_id"), col("shingles")), cands, threshold)
       .select("a_id", "b_id", "jaccard")
   }
 
@@ -600,8 +636,12 @@ object Dedup {
   def minHashEstimateContract(
       docs: DataFrame, w: Int = 3, threshold: Double = 0.5,
       k: Int = 128, bound: Double = 0.25): DataFrame = {
-    val sig = sketchTable(docs, w, k).select(col("doc_id"), col("sig"))
-    ngramJaccardPairs(docs, w, threshold)
+    // ONE sketch pass: the checkpointed (shingles, sig) table serves
+    // the exact-Jaccard path (arrays) AND both signature joins —
+    // round 8's plan re-ran the scan+kernels 8 times
+    val sk = sketchTable(docs, w, k).localCheckpoint()
+    val sig = sk.select(col("doc_id"), col("sig"))
+    ngramJaccardPairsFrom(sk.select(col("doc_id"), col("shingles")), threshold)
       .join(sig.select(col("doc_id").as("a_id"), col("sig").as("__sa")), Seq("a_id"))
       .join(sig.select(col("doc_id").as("b_id"), col("sig").as("__sb")), Seq("b_id"))
       .withColumn("__est",
@@ -802,9 +842,12 @@ object Dedup {
     */
   def repeatedSpans(docs: DataFrame, w: Int = 8, minCount: Long = 2): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    // the gram stream feeds the hot-count aggregate AND the join
+    // back — one kernel pass, materialized (24-byte rows)
     val grams = docs
       .select(col("doc_id"), posexplode(nativeGramHashes(col("text"), w))
         .as(Seq("pos", "gh")))
+      .localCheckpoint()
     val counts = grams.groupBy(col("gh")).agg(count(lit(1)).as("n"))
     val hot = grams
       .join(counts.filter(col("n") >= minCount), Seq("gh"))

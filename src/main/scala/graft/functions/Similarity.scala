@@ -832,11 +832,14 @@ object Similarity {
       s"bandPlanes * bands must fit one 64-bit signature, got $bandPlanes x $bands")
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val mask = (1L << bandPlanes) - 1
+    // quantize + signature kernels once: the sketch feeds the banding
+    // self-join AND both verification joins (4 corpus passes round 8)
     val sig = embeddings.select(
       col("vec_id"),
       quantized(col("embedding")).as("q"),
       lshSignature(col("embedding"), bandPlanes * bands).as("sig"),
     ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
+      .localCheckpoint()
     val banded = sig.select(col("vec_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -889,11 +892,14 @@ object Similarity {
       s"bandPlanes * bands must fit one 64-bit signature, got $bandPlanes x $bands")
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     val mask = (1L << bandPlanes) - 1
+    // quantize + signature kernels once: the sketch feeds the banding
+    // self-join AND both verification joins (4 corpus passes round 8)
     val sig = embeddings.select(
       col("vec_id"),
       quantized(col("embedding")).as("q"),
       lshSignature(col("embedding"), bandPlanes * bands).as("sig"),
     ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
+      .localCheckpoint()
     val banded = sig.select(col("vec_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

@@ -160,9 +160,13 @@ object TextAnalysis {
     * ranked term list on one reducer.
     */
   def tfIdfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    // the tf table feeds the df count AND the score join — tokenize
+    // once (the doc total stays its own 1-column scan: a null-text
+    // doc has no tf rows but still counts)
     val tf = docs
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfc, Seq("term"))
@@ -309,8 +313,12 @@ object TextAnalysis {
       group: String = "lang"): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(v => v > 0 && v <= 1),
       "target shares must be in (0, 1]")
+    // one corpus count pass: the group-count table is materialized
+    // (|groups| rows) and the total derives from it instead of a
+    // second scan
     val counts = docs.groupBy(col(group)).agg(count(lit(1)).as("__cnt"))
-    val total = docs.agg(count(lit(1)).as("__total"))
+      .localCheckpoint()
+    val total = counts.agg(sum(col("__cnt")).as("__total"))
     val targetShare = targets.foldLeft(lit(null).cast("double")) {
       case (acc, (k, v)) => when(col(group) === k, lit(v)).otherwise(acc)
     } // disjoint conditions: fold order is irrelevant
@@ -346,7 +354,11 @@ object TextAnalysis {
   def temperatureResample(docs: DataFrame, alpha: Double,
       group: String = "lang"): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    // the group-count table feeds the min aggregate AND the rate
+    // derivation — materialize (|groups| rows) so the corpus count
+    // runs once
     val counts = docs.groupBy(col(group)).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
     val minCnt = counts.agg(min(col("__cnt")).as("__minc"))
     val rates = counts.crossJoin(broadcast(minCnt))
       .withColumn("__rate", round(
@@ -486,8 +498,10 @@ object TextAnalysis {
           "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
           .as(Seq("pos", "b")))
       .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint() // feeds model build AND the scoring join
     val uni = toks.select(explode(col("toks")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint() // feeds vocab count AND the unigram join
     val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val vocab = uni.agg(count(lit(1)).as("__v"))
     val lp = bg
@@ -586,6 +600,10 @@ object TextAnalysis {
     require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
     val toks = docs.select(col("doc_id"),
       split(lower(col("text")), "\\s+").as("toks"))
+    // the position stream feeds the model build AND the final scoring
+    // join; the bigram model feeds FOUR consumers (fw, bw, totals,
+    // scored) — materialize both once (Catalyst shares no subtrees;
+    // round 8's plan re-tokenized the corpus 5 times)
     val bg = toks
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
@@ -593,7 +611,9 @@ object TextAnalysis {
           "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
           .as(Seq("pos", "b")))
       .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
     val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     // context totals + distinct-successor counts in one pass over bi
     val fw = bi.groupBy("w1").agg(sum("c2").as("ctx"),
       count(lit(1)).as("n1fw"))
@@ -645,12 +665,18 @@ object TextAnalysis {
         "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
         .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // unigram table feeds the totals row AND both count joins; the
+    // bigram total comes from the UNFILTERED pair counts (sum of
+    // n_pair = bigram occurrences), so the bigram stream is consumed
+    // exactly once — round 8's plan re-tokenized the corpus 5 times
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= minCount)
+      .localCheckpoint()
+    val pairsAll = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint()
+    val pairs = pairsAll.filter(col("n_pair") >= minCount)
     val totals = uni.agg(sum(col("c")).as("n_tokens"))
-      .crossJoin(bg.agg(count(lit(1)).as("n_bigrams")))
+      .crossJoin(pairsAll.agg(sum(col("n_pair")).as("n_bigrams")))
     val pmi = log(
       col("n_pair").cast("double") * col("n_tokens").cast("double")
         * col("n_tokens").cast("double")

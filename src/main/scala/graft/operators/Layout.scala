@@ -158,6 +158,10 @@ object Layout {
         interleaveBitsN(cols.map(c => col(s"__q_$c")), bits))
       .withColumn("__zf", expr(s"`__z` div ${slab}L"))
       .withColumn("__lf", expr(s"`__q_${cols.head}` div ${lslab}L"))
+      // the single projected data pass the doc promises: `assigned`
+      // feeds the selectivity aggregate AND the exploded zone-map
+      // grouping — materialize so the scan+quantize runs once
+      .localCheckpoint()
     val sel = assigned.agg(
       sum(col("__hit_0")).as("__sel_0"),
       probes.indices.tail.map(i =>

@@ -156,8 +156,12 @@ object Profile {
     * cramers_v)`; `cramers_v = √(χ²/(N·(min(|A|,|B|)−1)))`.
     */
   def chiSquare(df: DataFrame, rowCat: Column, colCat: Column): DataFrame = {
+    // the contingency table (|A|x|B| rows) feeds FOUR consumers (row/
+    // col marginals, totals, the grid join) — materialize once instead
+    // of four corpus aggregations (Catalyst shares no subtrees)
     val obs = df.groupBy(rowCat.as("ra"), colCat.as("cb"))
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val rTot = obs.groupBy("ra").agg(sum("o").as("rt"))
     val cTot = obs.groupBy("cb").agg(sum("o").as("ct"))
     val tot = obs.agg(sum("o").as("n"),
@@ -204,7 +208,11 @@ object Profile {
     */
   def mannWhitney(df: DataFrame, group: Column, value: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // (g, v) is 2 longs/row and feeds the group list + the pair-tagged
+    // table twice (rank pass, tie pass): materialize once — 3 corpus
+    // scans otherwise
     val base = df.select(group.as("g"), value.cast("long").as("v"))
+      .localCheckpoint()
     val groups = base.select("g").distinct()
     val pairs = groups.select(col("g").as("group_a"))
       .join(groups.select(col("g").as("group_b")),
@@ -255,7 +263,9 @@ object Profile {
     */
   def ksTest(df: DataFrame, group: Column, value: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same slim-base materialization rationale as [[mannWhitney]]
     val base = df.select(group.as("g"), value.cast("long").as("v"))
+      .localCheckpoint()
     val groups = base.select("g").distinct()
     val pairs = groups.select(col("g").as("group_a"))
       .join(groups.select(col("g").as("group_b")),

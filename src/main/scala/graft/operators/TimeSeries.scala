@@ -184,9 +184,12 @@ object TimeSeries {
     */
   def madOutliers(df: DataFrame, key: String, ts: String, id: String,
       value: String, k: Double = 3.0): DataFrame = {
+    // base feeds the median agg AND the deviation join; dev feeds the
+    // MAD agg AND the outlier filter — materialize the slim base once
     val base = df.filter(col(value).isNotNull)
       .select(col(key), col(id), col(value),
         ((col(value).cast("decimal(18,2)") * 100).cast("long") * 2).as("__c2"))
+      .localCheckpoint()
     val med = base.groupBy(col(key))
       .agg(percentile(col("__c2"), lit(0.5)).as("__med2"))
     val dev = base.join(broadcast(med), Seq(key))
@@ -510,10 +513,13 @@ object TimeSeries {
 
   def theilSen(df: DataFrame, key: String, ts: String,
       value: String): DataFrame = {
+    // the daily grid feeds both sides of the pair self-join AND the
+    // residual pass — materialize once (days-per-key rows, tiny)
     val daily = df.filter(col(value).isNotNull)
       .groupBy(col(key).as("k"), unix_date(to_date(col(ts))).as("x"))
       .agg(sum((col(value).cast("decimal(18,2)") * 100).cast("long"))
         .as("yc"))
+      .localCheckpoint()
     val a = daily.select(col("k"), col("x").as("xa"), col("yc").as("ya"))
     val b = daily.select(col("k"), col("x").as("xb"), col("yc").as("yb"))
     val pairs = a.join(b, Seq("k")).filter(col("xa") < col("xb"))

@@ -448,14 +448,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1200))
   }
 
-  test("repeated-span detection: gram kernel upstream of the first exchange, no all-pairs") {
+  test("repeated-span detection: gram stream materialized once, no all-pairs") {
     val p = planOf("dedup_hot_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(800))
-    val firstExchange = p.indexOf("Exchange")
-    val kernel = p.indexOf("gramhashes")
-    assert(kernel >= 0, "native gramhashes kernel not in plan")
-    assert(firstExchange < kernel, p.take(800)) // text read once, narrowly
+    // round 9: the gram stream is checkpointed before its two
+    // consumers (hot-count aggregate + join-back), so the final plan
+    // reads the materialized RDD and the gram kernel appears NOWHERE
+    // downstream — the kernel ran once, inside the checkpoint job
+    // (strictly stronger than the old "kernel upstream of the first
+    // exchange" guard: zero recompute instead of one-narrow-read)
+    assert(!p.contains("gramhashes"),
+      s"gram kernel recomputes downstream of the checkpoint:\n${p.take(800)}")
+    assert(p.contains("Scan ExistingRDD"), p.take(800))
   }
 
   test("span removal sweeps coverage with a window — no token-to-span join") {
@@ -619,6 +624,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.toLowerCase.contains("bagdot"), p.take(1500))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(800))
+  }
+
+  test("SUITE-WIDE: no query scans one table 3+ times off the audited whitelist") {
+    // The subtree-recompute defect class (Catalyst shares no subtrees
+    // across consumers): a table feeding k consumers unmaterialized
+    // scans k times — round 8's dedup_apss_cosine held 7 corpus
+    // scans, and the round-9 sweep found 35 queries re-scanning a
+    // table 3–8×, all since materialized at their fan-out points.
+    // Whitelist = the audited shapes where N scans are the DESIGN:
+    // recall reports' brute truth arm, merge's role-split reads,
+    // dq's three rule arms (separately pinned at exactly 3), and the
+    // ops report's three cheap column-pruned aggregations.
+    val whitelist = Set(
+      "dq_expectations",     // 3 rule arms, pinned == 3 above
+      "daily_ops_report",    // 3 distinct aggregations, pruned columns
+      "refresh_merge", "upsert_merge", // target + incoming role reads
+      "sim_recall_report", "sim_recall_report_ivf", // brute truth arm
+      "sim_mips_recall",     // brute truth arm
+      "sim_rerank_topk",     // prefix scan + full-vector rerank arms
+    )
+    val table = "([a-z_]+)\\.parquet".r
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !whitelist(name)) {
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val counts = p.linesIterator.filter(_.contains("FileScan parquet"))
+        .flatMap(l => table.findFirstMatchIn(l).map(_.group(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).filter(_._2 >= 3)
+      if (counts.nonEmpty)
+        offenders += s"$name: ${counts.toSeq.sortBy(-_._2).mkString(",")}"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
   test("flagship aggregation is map-side combined inside codegen") {
