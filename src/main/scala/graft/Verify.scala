@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free the query's localCheckpoint blocks NOW (many operators
+      // materialize shared intermediates eagerly; the async cleaner
+      // would let 230 queries' blocks pile up in executor storage)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
