@@ -3650,6 +3650,68 @@ object Oracles {
         |  toks
         |FROM enc""".stripMargin,
 
+    // Tokenizer fertility report: the tok_bpe_encode replace-chain
+    // encode over the FULL corpus, folded to per-language exact
+    // integer totals with one final division each.
+    "tok_fertility" ->
+      """WITH base AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> length(w) > 0)) AS BIGINT) AS n_words,
+        |    array_to_string(list_transform(
+        |      list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0), w ->
+        |      trim(
+        |        replace(replace(
+        |          replace(replace(
+        |            replace(replace(
+        |              replace(replace(
+        |                ' ' || array_to_string(list_append(string_split(w, ''), '</w>'), ' ') || ' ',
+        |                ' a </w> ', ' a</w> '), ' a </w> ', ' a</w> '),
+        |              ' e </w> ', ' e</w> '), ' e </w> ', ' e</w> '),
+        |            ' t a ', ' ta '), ' t a ', ' ta '),
+        |          ' s c ', ' sc '), ' s c ', ' sc ')
+        |      )), ' ') AS toks
+        |  FROM documents),
+        |per AS (
+        |  SELECT lang, n_chars, n_words,
+        |    CAST(CASE WHEN toks = '' THEN 0 ELSE len(string_split(toks, ' ')) END AS BIGINT) AS n_subwords
+        |  FROM base)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+        |  round(CAST(sum(n_subwords) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 6) AS fertility,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_subwords) AS DOUBLE), 6) AS chars_per_subword
+        |FROM per GROUP BY lang""".stripMargin,
+
+    // Embedding-space drift: per-dimension exact integer component
+    // sums over the two vec_id halves; mean-shift numerator
+    // |s1*n2 - s2*n1| exact, one division (then /1000 de-quantize).
+    "emb_drift" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, CAST(r.i AS BIGINT) AS dim, qv[CAST(r.i AS INT) + 1] AS qx
+        |  FROM q CROSS JOIN range(0, 64) r(i))
+        |SELECT dim,
+        |  CAST(sum(CASE WHEN vec_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN vec_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN vec_id < 250 THEN qx ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN vec_id >= 250 THEN qx ELSE 0 END) AS BIGINT) AS s2,
+        |  abs(CAST(sum(CASE WHEN vec_id < 250 THEN qx ELSE 0 END) AS BIGINT)
+        |      * CAST(sum(CASE WHEN vec_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+        |    - CAST(sum(CASE WHEN vec_id >= 250 THEN qx ELSE 0 END) AS BIGINT)
+        |      * CAST(sum(CASE WHEN vec_id < 250 THEN 1 ELSE 0 END) AS BIGINT)) AS drift_num,
+        |  round(CAST(abs(CAST(sum(CASE WHEN vec_id < 250 THEN qx ELSE 0 END) AS BIGINT)
+        |      * CAST(sum(CASE WHEN vec_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+        |    - CAST(sum(CASE WHEN vec_id >= 250 THEN qx ELSE 0 END) AS BIGINT)
+        |      * CAST(sum(CASE WHEN vec_id < 250 THEN 1 ELSE 0 END) AS BIGINT)) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN vec_id < 250 THEN 1 ELSE 0 END)
+        |           * sum(CASE WHEN vec_id >= 250 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / 1000.0, 9) AS mean_shift
+        |FROM d GROUP BY dim""".stripMargin,
+
     // Tokenizer-publication flagship: the tok_bpe_encode two-pass
     // replace chain yields per-doc subword counts, the pack_no_split
     // recursive CTE replays next-fit over them, and the manifest tail

@@ -1592,6 +1592,36 @@ object Queries {
         concat_ws(" ", col("__toks")).as("toks"))
   }
 
+  /** Extension — tokenizer FERTILITY report: the standard
+    * tokenizer-evaluation table (subwords per word and characters per
+    * subword, by language) under the fixture BPE merges — the number
+    * that says which languages a tokenizer serves poorly (fertility
+    * near 1 = word-level efficiency; high fertility = the language
+    * pays more sequence length per word). Exact integer totals per
+    * language with ONE final division each; the encode is the same
+    * map-only `graft_bpe_encode` kernel the encode queries use, so
+    * the whole report is a narrow pass + one map-combined groupBy.
+    */
+  val tokFertility: Q = (s, dir) => {
+    val bpe = graft.functions.Bpe
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          w => length(w) > 0)).cast("long").as("__w"),
+        size(bpe.encode(col("text"), bpe.fixtureMerges)).cast("long").as("__s"),
+        length(col("text")).cast("long").as("__c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__s")).as("n_subwords"),
+        sum(col("__c")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words").cast("double"),
+          6).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subwords").cast("double"),
+          6).as("chars_per_subword"))
+  }
+
   /** Trained-BPE corpus encode — the BPE face of the trained
     * tokenizer matrix (`tok_wordpiece_trained` / `tok_unigram_trained`
     * already have theirs): learn 3 merges from the corpus, then the
@@ -2908,6 +2938,34 @@ object Queries {
         round(col("dev").cast("double")
           / (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")), 9)
           .as("tv_contrib"))
+  }
+
+  /** Extension — EMBEDDING-space drift monitor: the vector-side twin
+    * of `corpus_drift` (an embedding-model or upstream-content change
+    * shifts vector space even when token stats look stable). Two
+    * snapshots (vec_id halves, the batch-over-batch shape), per
+    * DIMENSION: exact integer component sums over quantized vectors,
+    * and the mean-shift numerator `|s1·n2 − s2·n1|` in exact 64-bit
+    * arithmetic — the `corpus_drift` discipline (one division at the
+    * end is the only IEEE op, so the report is bit-reproducible under
+    * any partitioning). One corpus scan, one map-combined groupBy on
+    * the dimension index (64 groups).
+    */
+  val embDrift: Q = (s, dir) => {
+    val mid = 250L
+    val q = t(s, dir, "embeddings").select(col("vec_id"),
+      posexplode(Similarity.quantized(col("embedding"))).as(Seq("dim", "qx")))
+    q.groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        sum(when(col("vec_id") < mid, col("qx")).otherwise(0L)).as("s1"),
+        sum(when(col("vec_id") >= mid, col("qx")).otherwise(0L)).as("s2"),
+        sum(when(col("vec_id") < mid, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("vec_id") >= mid, 1L).otherwise(0L)).as("n2"))
+      .select(col("dim"), col("n1"), col("n2"), col("s1"), col("s2"),
+        abs(col("s1") * col("n2") - col("s2") * col("n1")).as("drift_num"),
+        round(abs(col("s1") * col("n2") - col("s2") * col("n1")).cast("double")
+          / (col("n1") * col("n2")).cast("double") / 1000.0, 9)
+          .as("mean_shift"))
   }
 
   /** Pretrained-classifier quality filter (fastText/CCNet shape):

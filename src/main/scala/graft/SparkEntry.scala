@@ -148,10 +148,12 @@ object SparkEntry {
     "sim_ivf_manifest" -> Queries.simIvfManifest,
     "sim_sq_error" -> Queries.simSqError,
     "sim_pq_error" -> Queries.simPqError,
+    "emb_drift" -> Queries.embDrift,
     // -- extensions: text analysis
     "text_token_count" -> Queries.textTokenCount,
     "tok_bpe_pairs" -> Queries.tokBpePairs,
     "tok_bpe_encode" -> Queries.tokBpeEncode,
+    "tok_fertility" -> Queries.tokFertility,
     "tok_bpe_roundtrip" -> Queries.tokBpeRoundtrip,
     "tok_bpe_merges" -> Queries.tokBpeMerges,
     "tok_bpe_vocab" -> Queries.tokBpeVocab,

@@ -201,6 +201,43 @@ class GraphsSpec extends SparkSpec {
     assert(bf6 == 0 && bconv6)
   }
 
+  test("convergence certificates agree with brute-force fixpoint checks on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC0A9)
+    for (trial <- 1 to 3) {
+      val n = 12 + rnd.nextInt(8)
+      val und = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.18
+      } yield Seq((a, b), (b, a))).flatten
+      if (und.nonEmpty) {
+        val edges = und.toDF("src", "dst")
+        // brute kCore fixpoint: converged(rounds) ⇔ one more round
+        // removes nothing — compare the certificate to the actual
+        // round-(r) vs round-(r+1) survivor edge counts
+        def coreEdges(r: Int): Long = {
+          var es = und.toSet
+          for (_ <- 1 to r) {
+            val deg = es.groupBy(_._1).view.mapValues(_.size).toMap
+            val keep = deg.filter(_._2 >= 2).keySet
+            es = es.filter(e => keep(e._1) && keep(e._2))
+          }
+          es.size.toLong
+        }
+        for (r <- Seq(1, 2, 6)) {
+          val row = Graphs.kCoreReport(edges, k = 2, rounds = r)
+            .as[(String, Long, Long, Boolean)].collect().head
+          assert(row._3 == coreEdges(r - 1) - coreEdges(r),
+            s"trial $trial rounds=$r: changed ${row._3}")
+          // the certificate is SOUND: converged ⇒ a further round is
+          // a no-op (the reverse need not hold at the stop boundary)
+          if (row._4) assert(coreEdges(r) == coreEdges(r + 1),
+            s"trial $trial rounds=$r: certified but still peeling")
+        }
+      }
+    }
+  }
+
   test("hits: hand-unrolled 2 rounds on a directed fan; role separation; symmetric fixpoint") {
     import spark.implicits._
     def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
