@@ -1,12 +1,14 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextAnalysis
+import graft.plans.GraftFunctions
 
-/** Dev probe: time each stage of the Bayardo APSS cosine plan to find
-  * the hot stage (round-9 bisect of dedup_apss_cosine).
+/** Dev probe: time each stage of the Bayardo APSS cosine plan
+  * (mirrors the CURRENT Dedup.bagCosinePairs structure) to find the
+  * hot stage.
   */
 object ApssProbe {
   def main(args: Array[String]): Unit = {
@@ -16,19 +18,19 @@ object ApssProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val (tauNum, tauDen) = (9, 10)
     val p2 = (tauNum.toLong * tauNum, tauDen.toLong * tauDen)
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     // localCheckpoint is EAGER: timing the call captures the stage cost.
     def ck(name: String, df: DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val out = df.localCheckpoint()
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s (${out.count()} rows, ${out.rdd.getNumPartitions} parts)")
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s (${out.count()} rows)")
       out
     }
-    val np = spark.sparkContext.defaultParallelism
     val tf = ck("tf", docs
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
@@ -41,32 +43,37 @@ object ApssProbe {
       .withColumn("__t2", col("tf") * col("tf"))
       .withColumn("__nrm", sum(col("__t2")).over(wAll))
       .withColumn("__suf", sum(col("__t2")).over(wSuf))
+    val np = spark.sparkContext.defaultParallelism
     val prefix = ck("prefix", ranked
       .filter(col("__suf") * lit(p2._2) >= lit(p2._1) * col("__nrm"))
-      .select(col("doc_id"), col("term")).repartition(np))
+      .select(col("doc_id"), col("term"), col("__suf"), col("__nrm"))
+      .repartition(np))
     val vecs = ck("vecs", tf.groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("term"), col("tf"))))
-        .as("vec"), sum(col("tf") * col("tf")).as("nrm")))
-    val cands = ck("cands", prefix.select(col("doc_id").as("a_id"), col("term"))
-      .join(prefix.select(col("doc_id").as("b_id"), col("term")), Seq("term"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id"))
-    val attached = ck("attach", cands
-      .join(vecs.select(col("doc_id").as("a_id"), col("vec").as("a_vec"),
-        col("nrm").as("a_nrm")), Seq("a_id"))
-      .join(vecs.select(col("doc_id").as("b_id"), col("vec").as("b_vec"),
-        col("nrm").as("b_nrm")), Seq("b_id")))
-    val dotted = ck("dot+filter", attached
-      .withColumn("dot", aggregate(
-        map_values(map_zip_with(col("a_vec"), col("b_vec"),
-          (_, x, y) => coalesce(x, lit(0L)) * coalesce(y, lit(0L)))),
-        lit(0L), (acc, v) => acc + v))
+      .agg(array_sort(collect_list(struct(col("term"), col("tf"))))
+        .as("__p"), sum(col("tf") * col("tf")).as("nrm"))
+      .select(col("doc_id"),
+        transform(col("__p"), e => e.getField("term")).as("terms"),
+        transform(col("__p"), e => e.getField("tf")).as("tfs"),
+        col("nrm")))
+    val pa = prefix.select(col("doc_id").as("a_id"), col("term"),
+      col("__suf").as("__asuf"), col("__nrm").as("__anrm"))
+    val pb = prefix.select(col("doc_id").as("b_id"), col("term"),
+      col("__suf").as("__bsuf"), col("__nrm").as("__bnrm"))
+    val cands = ck("cands+distinct", pa.join(pb,
+        pa("term") === pb("term") && pa("a_id") < pb("b_id")
+          && dec(col("__asuf")) * dec(col("__bsuf")) * lit(p2._2)
+            >= lit(p2._1) * dec(col("__anrm")) * dec(col("__bnrm")))
+      .select("a_id", "b_id").distinct())
+    val bagDot = GraftFunctions.bagDot(spark,
+      col("a_terms"), col("a_tfs"), col("b_terms"), col("b_tfs"))
+    val fin = ck("attach+dot+filter", cands
+      .join(vecs.select(col("doc_id").as("a_id"), col("terms").as("a_terms"),
+        col("tfs").as("a_tfs"), col("nrm").as("a_nrm")), Seq("a_id"))
+      .join(vecs.select(col("doc_id").as("b_id"), col("terms").as("b_terms"),
+        col("tfs").as("b_tfs"), col("nrm").as("b_nrm")), Seq("b_id"))
+      .withColumn("dot", bagDot)
       .filter(dec(col("dot")) * dec(col("dot")) * lit(p2._2)
-        >= lit(p2._1) * dec(col("a_nrm")) * dec(col("b_nrm")))
-      .select(col("a_id"), col("b_id"), col("dot"), col("a_nrm"),
-        col("b_nrm"), (col("dot").cast("double") /
-          sqrt((col("a_nrm") * col("b_nrm")).cast("double"))).as("cosine")))
-    val fin = ck("distinct", dotted.distinct())
+        >= lit(p2._1) * dec(col("a_nrm")) * dec(col("b_nrm"))))
     println(s"pairs: ${fin.count()}")
     spark.stop()
   }
