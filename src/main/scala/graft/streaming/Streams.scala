@@ -536,6 +536,65 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming EMBEDDING-drift monitor — the per-batch face of
+    * `emb_drift` (the vector-side twin of [[driftStream]]): each
+    * micro-batch's per-dimension quantized component sums are
+    * compared against the ACCUMULATED reference (all prior batches)
+    * with the exact-integer mean-shift numerator `|sb·nr − sr·nb|`
+    * per dimension, reduced to the MAX de-quantized shift across
+    * dimensions (the alert scalar — one IEEE division per dim at the
+    * end, exact integers everywhere else), then merged into the
+    * reference. Callback gets `(batch_id, max_mean_shift, n_batch,
+    * n_ref)`; first batch reports 0.0. State is the dims-row
+    * (dim, s, n) table — fixed KB at any corpus size, persisted with
+    * the [[driftStream]] atomic-overwrite discipline.
+    */
+  def embDriftStream(
+      embeddings: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      onDrift: (Long, Double, Long, Long) => Unit,
+  ): StreamingQuery =
+    embeddings.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val sums = batch.select(posexplode(
+            graft.functions.Similarity.quantized(col("embedding")))
+            .as(Seq("dim", "qx")))
+          .groupBy("dim")
+          .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
+        val hasState =
+          java.nio.file.Files.exists(java.nio.file.Paths.get(statePath))
+        val state =
+          if (hasState) spark.read.parquet(statePath)
+          else sums.limit(0)
+        val joined = sums
+          .select(col("dim"), col("s").as("sb"), col("n").as("nb"))
+          .join(state.select(col("dim"), col("s").as("sr"),
+            col("n").as("nr")), Seq("dim"), "full")
+          .na.fill(0L, Seq("sb", "nb", "sr", "nr"))
+        joined.persist()
+        val totals = joined.agg(max(col("nb")), max(col("nr"))).head()
+        val (nb, nr) = (totals.getLong(0), totals.getLong(1))
+        val shift =
+          if (nr == 0L || nb == 0L) 0.0
+          else joined
+            .select((abs(col("sb") * col("nr") - col("sr") * col("nb"))
+              .cast("double")
+              / (col("nb") * col("nr")).cast("double") / 1000.0).as("ms"))
+            .agg(max(col("ms"))).head().getDouble(0)
+        onDrift(batchId, shift, nb, nr)
+        graft.operators.Merge.atomicOverwrite(
+          joined.select(col("dim"), (col("sb") + col("sr")).as("s"),
+            (col("nb") + col("nr")).as("n")),
+          statePath)
+        joined.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def semanticDedupStream(
       embeddings: DataFrame,
       centroids: Array[Array[Long]],

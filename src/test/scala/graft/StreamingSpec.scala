@@ -485,6 +485,44 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(state).agg(sum($"c")).head().getLong(0) == n1 + n2)
   }
 
+  test("streaming embedding drift: per-batch max mean-shift vs reference, batch-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edrift").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-edrift-ck").toString
+    val state = s"$dir/state.parquet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val h1 = emb.filter($"vec_id" < 250)
+    val h2 = emb.filter($"vec_id" >= 250)
+    val schema = h1.schema
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Double, Long, Long)]()
+    def run(): Unit = {
+      val q = Streams.embDriftStream(
+        spark.readStream.schema(schema).parquet(s"$dir/in/*"), state, ckpt,
+        (id, ms, nb, nr) => out += ((id, ms, nb, nr)))
+      q.awaitTermination(120000)
+    }
+    h1.write.parquet(s"$dir/in/b1.parquet")
+    run()
+    h2.write.parquet(s"$dir/in/b2.parquet")
+    run()
+    assert(out.size == 2, out)
+    assert(out(0)._2 == 0.0 && out(0)._4 == 0L)
+    // second batch's max shift must equal the BATCH emb_drift maximum
+    // (h2 as the batch, h1 as the reference): max over dims of
+    // |s2*n1 - s1*n2| / (n1*n2*1000) — the registered query's formula
+    val q = Queries.embDrift(spark, sfDir)
+    val want = q.select(
+      (col("drift_num").cast("double")
+        / (col("n1") * col("n2")).cast("double") / 1000.0).as("ms"))
+      .agg(org.apache.spark.sql.functions.max($"ms")).head().getDouble(0)
+    assert(math.abs(out(1)._2 - want) < 1e-12,
+      s"streamed shift ${out(1)._2} vs batch $want")
+    // reference accumulated both halves
+    assert(spark.read.parquet(state).agg(sum($"n")).head().getLong(0)
+      == emb.count() * 64)
+  }
+
   test("streaming near-dup filter drops dups across and within micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nds").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-nds-ck").toString
