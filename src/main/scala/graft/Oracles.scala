@@ -472,8 +472,8 @@ object Oracles {
        |bi AS (SELECT w1, w2, count(*) AS c2 FROM bg2 GROUP BY w1, w2),
        |lp AS (
        |  SELECT bg2.doc_id, bg2.pos,
-       |    ln(CAST(uni.c1 AS DOUBLE) + CAST(v.vv AS DOUBLE))
-       |      - ln(CAST(bi.c2 AS DOUBLE) + 1.0) AS lp
+       |    round(ln(CAST(uni.c1 AS DOUBLE) + CAST(v.vv AS DOUBLE))
+       |      - ln(CAST(bi.c2 AS DOUBLE) + 1.0), 9) AS lp
        |  FROM bg2
        |  JOIN uni ON uni.w1 = bg2.w1
        |  JOIN bi ON bi.w1 = bg2.w1 AND bi.w2 = bg2.w2

@@ -509,8 +509,11 @@ object TextAnalysis {
       .join(bi, Seq("w1", "w2"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("pos"),
-        (log(col("c1").cast("double") + col("__v").cast("double"))
-          - log(col("c2").cast("double") + lit(1.0))).as("lp"))
+        // 9-decimal lp quantization on BOTH sides (the knCrossEntropy
+        // / corpus_zipf discipline): JVM log vs DuckDB ln differ by
+        // 1 ulp on some inputs, and the summed gate shouldn't ride it
+        round(log(col("c1").cast("double") + col("__v").cast("double"))
+          - log(col("c2").cast("double") + lit(1.0)), 9).as("lp"))
     lp.groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
