@@ -3683,6 +3683,41 @@ object Oracles {
         |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_subwords) AS DOUBLE), 6) AS chars_per_subword
         |FROM per GROUP BY lang""".stripMargin,
 
+    // Corpus datasheet: per-source exact-integer data card — token
+    // totals, language spread, corpus-wide exact-dup membership
+    // (md5 text fingerprint count >= 2), Gopher prose-rule passes.
+    "corpus_datasheet" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok,
+        |    md5(text) AS f
+        |  FROM documents),
+        |dups AS (SELECT f FROM fp GROUP BY f HAVING count(*) >= 2),
+        |tk AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks, text
+        |  FROM documents),
+        |keepf AS (
+        |  SELECT doc_id,
+        |    (CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000)
+        |      AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) >= 3
+        |      AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) <= 10
+        |      AND CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(toks) <= 0.1
+        |      AND CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) > 0.8
+        |      AND (CAST(list_contains(toks, 'the') AS INT) + CAST(list_contains(toks, 'be') AS INT)
+        |        + CAST(list_contains(toks, 'to') AS INT) + CAST(list_contains(toks, 'of') AS INT)
+        |        + CAST(list_contains(toks, 'and') AS INT) + CAST(list_contains(toks, 'that') AS INT)
+        |        + CAST(list_contains(toks, 'have') AS INT) + CAST(list_contains(toks, 'with') AS INT)) >= 2
+        |      AS keep
+        |  FROM tk)
+        |SELECT fp.source, count(*) AS n_docs,
+        |  CAST(sum(fp.tok) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT fp.lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(CASE WHEN fp.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(sum(CASE WHEN fp.f IN (SELECT f FROM dups) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(CASE WHEN keepf.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_keep
+        |FROM fp JOIN keepf ON keepf.doc_id = fp.doc_id
+        |GROUP BY fp.source""".stripMargin,
+
     // Embedding-space drift: per-dimension exact integer component
     // sums over the two vec_id halves; mean-shift numerator
     // |s1*n2 - s2*n1| exact, one division (then /1000 de-quantize).

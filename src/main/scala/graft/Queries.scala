@@ -2940,6 +2940,40 @@ object Queries {
           .as("tv_contrib"))
   }
 
+  /** Extension — corpus DATASHEET: the per-source data-card table a
+    * corpus release ships (Gebru et al. 2021 "Datasheets for
+    * Datasets" lineage): document/token totals, language spread and
+    * English share, corpus-wide exact-duplicate membership, and the
+    * Gopher prose-rule pass count — every column an EXACT integer
+    * aggregate (no FP accumulation anywhere), so the card is
+    * bit-reproducible and oracle-backed. One fingerprint pass
+    * (16-byte digests, materialized once for the dup-count join-back)
+    * plus one map-combined per-source aggregation.
+    */
+  val corpusDatasheet: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val fp = docs.select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("__tok"),
+        md5(col("text").cast("binary")).as("__fp"))
+      .localCheckpoint()
+    val dupFps = fp.groupBy("__fp").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("__fp")
+    val keep = graft.functions.TextAnalysis.gopherSignals(docs, col("text"))
+      .select(col("doc_id"), col("keep"))
+    fp.join(dupFps, Seq("__fp"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("__dup"))
+      .join(fp, Seq("doc_id"), "right")
+      .na.fill(0L, Seq("__dup"))
+      .join(keep, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(col("__dup")).as("n_dup_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_gopher_keep"))
+  }
+
   /** Extension — EMBEDDING-space drift monitor: the vector-side twin
     * of `corpus_drift` (an embedding-model or upstream-content change
     * shifts vector space even when token stats look stable). Two

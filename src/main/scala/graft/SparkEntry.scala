@@ -149,6 +149,7 @@ object SparkEntry {
     "sim_sq_error" -> Queries.simSqError,
     "sim_pq_error" -> Queries.simPqError,
     "emb_drift" -> Queries.embDrift,
+    "corpus_datasheet" -> Queries.corpusDatasheet,
     // -- extensions: text analysis
     "text_token_count" -> Queries.textTokenCount,
     "tok_bpe_pairs" -> Queries.tokBpePairs,
