@@ -516,7 +516,9 @@ object Streams {
           .na.fill(0L, Seq("cb", "cr"))
         joined.persist()
         val totals = joined.agg(sum(col("cb")), sum(col("cr"))).head()
-        val (nb, nr) = (totals.getLong(0), totals.getLong(1))
+        // empty micro-batch → null sums (the embDriftStream guard)
+        def cnt(i: Int): Long = if (totals.isNullAt(i)) 0L else totals.getLong(i)
+        val (nb, nr) = (cnt(0), cnt(1))
         val tv =
           if (nr == 0L || nb == 0L) 0.0
           else {
