@@ -104,9 +104,23 @@ object Sinks {
       numFiles: Int, bits: Int): Unit = {
     require(zCols.nonEmpty && zCols.length * bits <= 63,
       s"need 1..63/bits z-columns, got ${zCols.length} x $bits bits")
+    writeCurveOrdered(df, path, zCols, numFiles,
+      normed => Layout.interleaveBitsN(normed, bits), bits)
+  }
+
+  /** Shared curve-write scaffolding for [[writeZOrdered]] /
+    * [[writeHilbertOrdered]]: global min/max per key (2·N scalars — a
+    * bounded driver read), normalize each key to `bits` bits, map the
+    * normalized tuple through `curve`, `repartitionByRange` on the
+    * curve position + in-file sort. One quantizer serves both curves,
+    * so a scaling fix cannot silently diverge the sinks.
+    */
+  private def writeCurveOrdered(df: DataFrame, path: String,
+      keys: Seq[String], numFiles: Int,
+      curve: Seq[Column] => Column, bits: Int): Unit = {
     val mm = df.agg(
-      min(col(zCols.head)).cast("long"),
-      (max(col(zCols.head)).cast("long") +: zCols.tail.flatMap(c =>
+      min(col(keys.head)).cast("long"),
+      (max(col(keys.head)).cast("long") +: keys.tail.flatMap(c =>
         Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))): _*).head()
     val top = (1L << bits) - 1
     // double-domain scaling: (v−lo)·top can overflow 64-bit for wide
@@ -115,13 +129,13 @@ object Sinks {
       if (hi == lo) lit(0L)
       else floor((col(c).cast("long") - lit(lo)).cast("double")
         * lit(top.toDouble) / lit((hi - lo).toDouble)).cast("long")
-    val normed = zCols.zipWithIndex.map { case (c, j) =>
+    val normed = keys.zipWithIndex.map { case (c, j) =>
       norm(c, mm.getLong(2 * j), mm.getLong(2 * j + 1))
     }
-    df.withColumn("__z", Layout.interleaveBitsN(normed, bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    df.withColumn("__curve", curve(normed))
+      .repartitionByRange(numFiles, col("__curve"))
+      .sortWithinPartitions("__curve")
+      .drop("__curve")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
@@ -144,21 +158,9 @@ object Sinks {
   def writeHilbertOrdered(df: DataFrame, path: String, colA: String,
       colB: String, numFiles: Int, bits: Int = 12): Unit = {
     require(bits >= 1 && 2 * bits <= 63, s"bits must be in [1,31], got $bits")
-    val mm = df.agg(
-      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
-    val top = (1L << bits) - 1
-    def norm(c: String, lo: Long, hi: Long): Column =
-      if (hi == lo) lit(0L)
-      else floor((col(c).cast("long") - lit(lo)).cast("double")
-        * lit(top.toDouble) / lit((hi - lo).toDouble)).cast("long")
-    df.withColumn("__h", graft.plans.GraftFunctions.hilbert2(df.sparkSession,
-        norm(colA, mm.getLong(0), mm.getLong(1)),
-        norm(colB, mm.getLong(2), mm.getLong(3)), bits))
-      .repartitionByRange(numFiles, col("__h"))
-      .sortWithinPartitions("__h")
-      .drop("__h")
-      .write.mode(SaveMode.Overwrite).parquet(path)
+    writeCurveOrdered(df, path, Seq(colA, colB), numFiles,
+      normed => graft.plans.GraftFunctions.hilbert2(df.sparkSession,
+        normed(0), normed(1), bits), bits)
   }
 
   /** Operational: small-file compaction. Incremental appends (K1
