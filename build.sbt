@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// the bench JSON. Two sbt behaviors used to break that: the logger's
+// "[info] " prefix on forked-process output, and the trailing
+// "[success] Total time: ..." line. StdoutOutput passes the child's
+// stdout through verbatim (stderr stays on stderr, so Spark WARNs don't
+// interleave), and showSuccess drops the trailer — the JSON line is the
+// final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

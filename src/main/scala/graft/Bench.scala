@@ -98,9 +98,30 @@ object Bench {
       val at = txt.lastIndexOf(key)
       if (at < 0 || !sfOk) Map.empty
       else {
-        val body = txt.substring(at + key.length, txt.indexOf('}', at))
-        "\"([^\"]+)\":(-?[0-9.Ee+-]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // scan to the MATCHING close brace (string-aware, depth-tracked)
+        // rather than the first '}': a future field appended after the
+        // map, or a nested value inside it, must not silently truncate
+        // the prior map and disable/skew phantom detection
+        val start = at + key.length
+        var i = start; var depth = 1; var inStr = false; var esc = false
+        while (i < txt.length && depth > 0) {
+          val c = txt.charAt(i)
+          if (esc) esc = false
+          else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+          else c match {
+            case '"' => inStr = true
+            case '{' => depth += 1
+            case '}' => depth -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        if (depth != 0) Map.empty
+        else {
+          val body = txt.substring(start, i - 1)
+          "\"([^\"]+)\":(-?[0-9.Ee+-]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       }
     } catch { case _: Throwable => Map.empty }
 

@@ -3726,24 +3726,26 @@ object Oracles {
         |  SELECT vec_id, list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
         |  FROM embeddings),
+        |m AS (SELECT (max(vec_id) + 1) // 2 AS mid FROM embeddings),
         |d AS (
-        |  SELECT vec_id, CAST(r.i AS BIGINT) AS dim, qv[CAST(r.i AS INT) + 1] AS qx
-        |  FROM q CROSS JOIN range(0, 64) r(i))
+        |  SELECT vec_id, CAST(generate_subscripts(qv, 1) - 1 AS BIGINT) AS dim,
+        |    unnest(qv) AS qx, (SELECT mid FROM m) AS mid
+        |  FROM q)
         |SELECT dim,
-        |  CAST(sum(CASE WHEN vec_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |  CAST(sum(CASE WHEN vec_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        |  CAST(sum(CASE WHEN vec_id < 250 THEN qx ELSE 0 END) AS BIGINT) AS s1,
-        |  CAST(sum(CASE WHEN vec_id >= 250 THEN qx ELSE 0 END) AS BIGINT) AS s2,
-        |  abs(CAST(sum(CASE WHEN vec_id < 250 THEN qx ELSE 0 END) AS BIGINT)
-        |      * CAST(sum(CASE WHEN vec_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
-        |    - CAST(sum(CASE WHEN vec_id >= 250 THEN qx ELSE 0 END) AS BIGINT)
-        |      * CAST(sum(CASE WHEN vec_id < 250 THEN 1 ELSE 0 END) AS BIGINT)) AS drift_num,
-        |  round(CAST(abs(CAST(sum(CASE WHEN vec_id < 250 THEN qx ELSE 0 END) AS BIGINT)
-        |      * CAST(sum(CASE WHEN vec_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
-        |    - CAST(sum(CASE WHEN vec_id >= 250 THEN qx ELSE 0 END) AS BIGINT)
-        |      * CAST(sum(CASE WHEN vec_id < 250 THEN 1 ELSE 0 END) AS BIGINT)) AS DOUBLE)
-        |    / CAST(sum(CASE WHEN vec_id < 250 THEN 1 ELSE 0 END)
-        |           * sum(CASE WHEN vec_id >= 250 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  CAST(sum(CASE WHEN vec_id < mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN vec_id >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN vec_id < mid THEN qx ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN vec_id >= mid THEN qx ELSE 0 END) AS BIGINT) AS s2,
+        |  abs(CAST(sum(CASE WHEN vec_id < mid THEN qx ELSE 0 END) AS BIGINT)
+        |      * CAST(sum(CASE WHEN vec_id >= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |    - CAST(sum(CASE WHEN vec_id >= mid THEN qx ELSE 0 END) AS BIGINT)
+        |      * CAST(sum(CASE WHEN vec_id < mid THEN 1 ELSE 0 END) AS BIGINT)) AS drift_num,
+        |  round(CAST(abs(CAST(sum(CASE WHEN vec_id < mid THEN qx ELSE 0 END) AS BIGINT)
+        |      * CAST(sum(CASE WHEN vec_id >= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |    - CAST(sum(CASE WHEN vec_id >= mid THEN qx ELSE 0 END) AS BIGINT)
+        |      * CAST(sum(CASE WHEN vec_id < mid THEN 1 ELSE 0 END) AS BIGINT)) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN vec_id < mid THEN 1 ELSE 0 END)
+        |           * sum(CASE WHEN vec_id >= mid THEN 1 ELSE 0 END) AS DOUBLE)
         |    / 1000.0, 9) AS mean_shift
         |FROM d GROUP BY dim""".stripMargin,
 

@@ -2986,15 +2986,21 @@ object Queries {
     * the dimension index (64 groups).
     */
   val embDrift: Q = (s, dir) => {
-    val mid = 250L
-    val q = t(s, dir, "embeddings").select(col("vec_id"),
+    // baseline/current split at the fixture's MIDPOINT, derived from
+    // the data (advice r9: a hardcoded 250 silently diverges at any
+    // other fixture size) — one 1-row broadcast, and the dim range
+    // comes from posexplode so any embedding width works
+    val e = t(s, dir, "embeddings")
+    val midDf = e.agg((floor((max(col("vec_id")) + 1) / 2))
+      .cast("long").as("__mid"))
+    val q = e.crossJoin(broadcast(midDf)).select(col("vec_id"), col("__mid"),
       posexplode(Similarity.quantized(col("embedding"))).as(Seq("dim", "qx")))
     q.groupBy(col("dim").cast("long").as("dim"))
       .agg(
-        sum(when(col("vec_id") < mid, col("qx")).otherwise(0L)).as("s1"),
-        sum(when(col("vec_id") >= mid, col("qx")).otherwise(0L)).as("s2"),
-        sum(when(col("vec_id") < mid, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("vec_id") >= mid, 1L).otherwise(0L)).as("n2"))
+        sum(when(col("vec_id") < col("__mid"), col("qx")).otherwise(0L)).as("s1"),
+        sum(when(col("vec_id") >= col("__mid"), col("qx")).otherwise(0L)).as("s2"),
+        sum(when(col("vec_id") < col("__mid"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("vec_id") >= col("__mid"), 1L).otherwise(0L)).as("n2"))
       .select(col("dim"), col("n1"), col("n2"), col("s1"), col("s2"),
         abs(col("s1") * col("n2") - col("s2") * col("n1")).as("drift_num"),
         round(abs(col("s1") * col("n2") - col("s2") * col("n1")).cast("double")

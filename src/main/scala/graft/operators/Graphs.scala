@@ -115,17 +115,38 @@ object Graphs {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    // Superseded half-step checkpoints are freed EAGERLY inside the
+    // loop (the connectedComponents round discipline) — without this a
+    // single high-iters call accumulates 2·iters materialized edge-
+    // scale RDDs for its whole lifetime, freed only by the caller's
+    // post-query sweep. araw_i stays live until araw_{i+1} has
+    // materialized (the FINAL auth projection reads the final araw);
+    // likewise hraw. The id-diff trick assumes single-threaded query
+    // construction on this SparkContext (as in connectedComponents).
+    val sc = edges.sparkSession.sparkContext
+    e.count() // force the edge cache into getPersistentRDDs pre-baseline
+    var known = sc.getPersistentRDDs.keySet
+    def trackNew(): Set[Int] = {
+      val now = sc.getPersistentRDDs.keySet
+      val fresh = (now -- known).toSet; known = now; fresh
+    }
+    def free(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    var prevAIds = Set.empty[Int]
+    var prevHIds = Set.empty[Int]
     var hub = nodes.withColumn("h", lit(r0))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val araw = e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
         .localCheckpoint()
+      val aIds = trackNew(); free(prevAIds); prevAIds = aIds
       auth = araw.crossJoin(broadcast(araw.agg(max(col("ar")).as("am"))))
         .select(col("dst").as("node"), expr(s"(ar * $r0) div am").as("a"))
       val hraw = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
         .localCheckpoint()
+      val hIds = trackNew(); free(prevHIds); prevHIds = hIds
       hub = hraw.crossJoin(broadcast(hraw.agg(max(col("hr")).as("hm"))))
         .select(col("src").as("node"), expr(s"(hr * $r0) div hm").as("h"))
     }
@@ -134,6 +155,9 @@ object Graphs {
       .join(auth.select(col("node"), col("a").as("auth")), Seq("node"), "left")
       .na.fill(0L, Seq("hub", "auth"))
       .localCheckpoint()
+    // `out` is eagerly materialized: the final half-step checkpoints
+    // and the edge cache are no longer reachable — free them too.
+    free(prevAIds); free(prevHIds)
     e.unpersist(blocking = false)
     out
   }

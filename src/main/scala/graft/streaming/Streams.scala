@@ -587,11 +587,18 @@ object Streams {
             // that row) is a vector-SHAPE change — the strongest drift
             // signal there is; report it as +Infinity instead of the
             // NaN the raw 0/0 would produce (NaN sorts above every
-            // double in Spark but fails every numeric alert threshold)
+            // double in Spark but fails every numeric alert threshold).
+            // Cross products in decimal(38,0): the reference sums and
+            // counts grow without bound over the stream's life, so the
+            // long·long products would hit ANSI-mode overflow on a
+            // long-lived monitor (~1e9+ accumulated rows) — the
+            // bagCosinePairs overflow discipline.
             .select(when(col("nb") > 0 && col("nr") > 0,
-              abs(col("sb") * col("nr") - col("sr") * col("nb"))
+              abs(col("sb").cast("decimal(38,0)") * col("nr").cast("decimal(38,0)")
+                  - col("sr").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)"))
                 .cast("double")
-                / (col("nb") * col("nr")).cast("double") / 1000.0)
+                / (col("nb").cast("decimal(38,0)")
+                  * col("nr").cast("decimal(38,0)")).cast("double") / 1000.0)
               .otherwise(lit(Double.PositiveInfinity)).as("ms"))
             .agg(max(col("ms"))).head().getDouble(0)
         onDrift(batchId, shift, nb, nr)

@@ -29,6 +29,15 @@ class DriverContractSpec extends AnyFunSuite {
     assert(same == Map("q_a" -> 1.25, "q_b" -> -1.0)) // raw map, not norm
     assert(Bench.priorRaw(f.toString, "/root/testdata/sf0.01").isEmpty)
     assert(Bench.priorRaw("/nonexistent/bench.json", "x").isEmpty)
+    // fields appended AFTER the raw map must not leak into it (the old
+    // first-'}' scan would have been fine here, but a nested value
+    // inside the map would truncate it — pin the depth-tracked scan)
+    val line2 = """{"sf":"/root/testdata/sf0.1",""" +
+      """"queries":{"q_a":1.25,"q_{weird}":2.5},""" +
+      """"extra":{"q_z":9.0}}"""
+    java.nio.file.Files.write(f, line2.getBytes("UTF-8"))
+    assert(Bench.priorRaw(f.toString, "/root/testdata/sf0.1") ==
+      Map("q_a" -> 1.25, "q_{weird}" -> 2.5))
     java.nio.file.Files.delete(f)
   }
 
