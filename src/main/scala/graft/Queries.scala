@@ -1,4 +1,5 @@
 package graft
+import graft.plans.Materialize.MaterializeOps
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -793,7 +794,7 @@ object Queries {
     // materialize once (the Catalyst no-subtree-sharing rule)
     val edges = und.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionAll(und.select(col("item_b").as("src"), col("item_a").as("dst")))
-      .localCheckpoint()
+      .materialize()
     val seeds = t(s, dir, "part")
       .filter(col("p_partkey") % 10 === 0)
       .select(col("p_partkey").as("node"), col("p_brand").as("label"))
@@ -818,7 +819,7 @@ object Queries {
     val und = graft.operators.Cooccur.pairCounts(
         t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
       .filter(col("n") >= 2).select("item_a", "item_b")
-      .localCheckpoint()
+      .materialize()
     val edges = und.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionAll(und.select(col("item_b").as("src"), col("item_a").as("dst")))
     val seeds = t(s, dir, "part")
@@ -1435,7 +1436,7 @@ object Queries {
     // pipeline publishes between stages; round 8 re-ran the resample
     // subtree 6 times)
     val kept = TextAnalysis.temperatureResample(
-      t(s, dir, "documents"), alpha = 0.3).localCheckpoint()
+      t(s, dir, "documents"), alpha = 0.3).materialize()
     graft.functions.Packing.shardManifest(Dedup.exactSurvivors(kept), 32)
   }
 
@@ -2141,7 +2142,7 @@ object Queries {
     val w = 4096
     val sketch = graft.functions.TextAnalysis
       .cmsHeavyHitterSketch(t(s, dir, "documents"), d, w, sampleMod = 64)
-      .localCheckpoint()
+      .materialize()
     val cms = sketch.filter(col("kind") < d)
       .select(col("kind").as("r"), col("k"), col("cnt"))
     val cand = sketch.filter(col("kind") === d).select(col("ctok").as("tok"))
@@ -2247,7 +2248,7 @@ object Queries {
       .agg(count(lit(1)).as("n_events"))
       .select(col("rsbsa_no"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"))
-      .localCheckpoint()
+      .materialize()
     graft.operators.IntervalJoin.overlapCount(
       sess, Seq("rsbsa_no", "s_start"), "s_start", "s_end")
   }
@@ -2364,11 +2365,11 @@ object Queries {
     // instead of re-running the stage subtree per consumer
     val v = ev.filter(col("table") === "view")
       .groupBy("rsbsa_no").agg(min(col("ts")).as("v_ts"))
-      .localCheckpoint()
+      .materialize()
     val c = ev.filter(col("table") === "click").join(v, Seq("rsbsa_no"))
       .filter(col("ts") > col("v_ts"))
       .groupBy("rsbsa_no").agg(min(col("ts")).as("c_ts"))
-      .localCheckpoint()
+      .materialize()
     val p = ev.filter(col("table") === "purchase").join(c, Seq("rsbsa_no"))
       .filter(col("ts") > col("c_ts"))
       .groupBy("rsbsa_no").agg(min(col("ts")).as("p_ts"))
@@ -2500,20 +2501,43 @@ object Queries {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
   }
 
-  /** Extension — decile banding via ntile (the remaining ranking
-    * window primitive): orders split into 10 equal-count bands by
-    * (price, key) total order; per-band count and exact price
-    * bounds.
+  /** Extension — EXACT decile banding (the remaining ranking window
+    * primitive): orders split into 10 equal-count bands by the
+    * (price, key) total order; per-band count and exact price bounds.
+    *
+    * NOT `ntile(10).over(Window.orderBy(...))`: an unpartitioned
+    * window moves every order row through ONE task (the last
+    * single-partition plan a registered query carried, r9 verdict).
+    * Instead the exact global rank comes from the two-phase
+    * `Skew.withGlobalIndex` (range partition → per-partition
+    * row_number → broadcast driver-summed offsets), and the decile is
+    * the SQL-standard ntile formula applied to (rank, n) — the first
+    * `n mod 10` bands hold `ceil(n/10)` rows — so the result is
+    * bit-identical to the ntile the oracle runs while every stage
+    * stays parallel.
     */
-  val w8NtileDeciles: Q = (s, dir) =>
-    t(s, dir, "orders")
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
-          .cast("long"))
+  val w8NtileDeciles: Q = (s, dir) => {
+    val (ranked, n) = graft.operators.Skew.withGlobalIndex(
+      t(s, dir, "orders"),
+      Seq(col("o_totalprice"), col("o_orderkey")), "__rank")
+    val q = n / 10L
+    val rem = n % 10L
+    val decile =
+      if (q == 0L) col("__rank") // n < 10: band i = row i (SQL ntile)
+      else if (rem == 0L) expr(s"(__rank - 1) div $q + 1")
+      else {
+        val big = q + 1L
+        val cut = rem * big
+        when(col("__rank") <= cut, expr(s"(__rank - 1) div $big + 1"))
+          .otherwise(expr(s"$rem + (__rank - 1 - $cut) div $q + 1"))
+      }
+    ranked
+      .withColumn("decile", decile.cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_orders"),
         min(col("o_totalprice")).as("price_lo"),
         max(col("o_totalprice")).as("price_hi"))
+  }
 
   val rollupRevenue: Q = (s, dir) => {
     val o = t(s, dir, "orders")
@@ -2635,7 +2659,7 @@ object Queries {
     // consumer. A 100 TB run checkpoints this curated intermediate to
     // durable storage for the same reason (and to restart from it).
     val cleaned = Dedup.removeRepeatedSpans(deduped, w = 8, minCount = 2)
-      .localCheckpoint()
+      .materialize()
     val lm = TextAnalysis.lmCrossEntropy(
       cleaned.select(col("doc_id"), col("clean_text").as("text")))
     // Relative cross-entropy cut: keep docs within 0.3 nats of the
@@ -2929,7 +2953,7 @@ object Queries {
     val joined = a.withColumnRenamed("c", "c1")
       .join(b.withColumnRenamed("c", "c2"), Seq("token"), "full")
       .na.fill(0L, Seq("c1", "c2"))
-      .localCheckpoint()
+      .materialize()
     val totals = joined.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     val scored = joined.join(broadcast(totals))
       .withColumn("dev", abs(col("c1") * col("n2") - col("c2") * col("n1")))
@@ -2955,7 +2979,7 @@ object Queries {
     val fp = docs.select(col("doc_id"), col("source"), col("lang"),
         size(split(col("text"), "\\s+")).cast("long").as("__tok"),
         md5(col("text").cast("binary")).as("__fp"))
-      .localCheckpoint()
+      .materialize()
     val dupFps = fp.groupBy("__fp").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select("__fp")
     val keep = graft.functions.TextAnalysis.gopherSignals(docs, col("text"))
@@ -3081,7 +3105,7 @@ object Queries {
       .toDF("media_id", "phash")
       // decoded-hash table feeds banding AND the degree join-back:
       // materialize so the PNG decode runs once, not once per consumer
-      .localCheckpoint()
+      .materialize()
     val pairs = graft.functions.Dedup
       .bandedHammingPairs(hashes, "media_id", "phash", maxHamming = 10)
     val degree = pairs.select(col("a_id").as("media_id"))
@@ -3112,7 +3136,7 @@ object Queries {
       .toDF("media_id", "afp")
       // decoded-hash table feeds banding AND the degree join-back:
       // materialize so the WAV decode runs once, not once per consumer
-      .localCheckpoint()
+      .materialize()
     val pairs = graft.functions.Dedup
       .bandedHammingPairs(hashes, "media_id", "afp", maxHamming = 10)
     val degree = pairs.select(col("a_id").as("media_id"))

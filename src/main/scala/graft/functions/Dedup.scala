@@ -1,4 +1,5 @@
 package graft.functions
+import graft.plans.Materialize.MaterializeOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -148,7 +149,7 @@ object Dedup {
     val units = docs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), nUnits - 1),
         i => md5(lower(unitAt(i))))).as(Seq("unit_idx", "uh")))
-      .localCheckpoint()
+      .materialize()
     val hot = units.groupBy("uh").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= maxDf).select("uh")
     val keptIdx = units
@@ -219,7 +220,7 @@ object Dedup {
     // this plan held 6 corpus scans). The checkpoint stores
     // (doc_id, 8-byte hashes) ≈ one long per token — far cheaper than
     // re-reading and re-shingling the corpus per consumer.
-    val arrs = withShinglesNative(docs, w).localCheckpoint()
+    val arrs = withShinglesNative(docs, w).materialize()
     ngramJaccardPairsFrom(arrs, threshold)
   }
 
@@ -263,7 +264,7 @@ object Dedup {
       .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("sh"), col("n_sh"))
       .repartition(np)
-      .localCheckpoint()
+      .materialize()
     val cands = prefix.select(col("doc_id").as("a_id"), col("sh"), col("n_sh").as("a_n"))
       .join(prefix.select(col("doc_id").as("b_id"), col("sh"), col("n_sh").as("b_n")),
         Seq("sh"))
@@ -375,7 +376,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .materialize()
     // grouped-count df + join-back, not a window — the skew rationale
     // at [[ngramJaccardPairs]] applies verbatim
     val dfTable = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -398,7 +399,7 @@ object Dedup {
       .filter(col("__suf") * lit(p2._2) >= lit(p2._1) * col("__nrm"))
       .select(col("doc_id"), col("term"), col("__suf"), col("__nrm"))
       .repartition(np)
-      .localCheckpoint()
+      .materialize()
     val vecs = tf.groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("term"), col("tf"))))
         .as("__p"), sum(col("tf") * col("tf")).as("nrm"))
@@ -406,7 +407,7 @@ object Dedup {
         transform(col("__p"), e => e.getField("term")).as("terms"),
         transform(col("__p"), e => e.getField("tf")).as("tfs"),
         col("nrm"))
-      .localCheckpoint()
+      .materialize()
     val pa = prefix.select(col("doc_id").as("a_id"), col("term"),
       col("__suf").as("__asuf"), col("__nrm").as("__anrm"))
     val pb = prefix.select(col("doc_id").as("b_id"), col("term"),
@@ -460,7 +461,7 @@ object Dedup {
     // shingle kernel once ([[ngramJaccardPairs]] discipline): the
     // array table feeds df-count, prefix, the outer index, and both
     // verification joins
-    val arrs = withShinglesNative(docs, w).localCheckpoint()
+    val arrs = withShinglesNative(docs, w).materialize()
     val ex = arrs
       .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
         explode(col("shingles")).as("sh"))
@@ -474,7 +475,7 @@ object Dedup {
       .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
       .select(col("doc_id").as("inner_id"), col("sh"), col("n_sh").as("inner_n"))
       .repartition(np)
-      .localCheckpoint()
+      .materialize()
     val index = ex.select(col("doc_id").as("outer_id"), col("sh"), col("n_sh").as("outer_n"))
     val cands = prefix.join(index, Seq("sh"))
       .filter(col("inner_id") =!= col("outer_id"))
@@ -604,7 +605,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     // sketch once: (shingles, sig) feeds both the banding self-join
     // and exact verification ([[ngramJaccardPairs]] discipline)
-    val sk = sketchTable(docs, w, k).localCheckpoint()
+    val sk = sketchTable(docs, w, k).materialize()
     val banded = bandedBuckets(sk.select(col("doc_id"), col("sig")), k, bands)
     val cands = banded
       .join(banded.select(col("band"), col("bh"), col("doc_id").as("b_id")),
@@ -639,7 +640,7 @@ object Dedup {
     // ONE sketch pass: the checkpointed (shingles, sig) table serves
     // the exact-Jaccard path (arrays) AND both signature joins —
     // round 8's plan re-ran the scan+kernels 8 times
-    val sk = sketchTable(docs, w, k).localCheckpoint()
+    val sk = sketchTable(docs, w, k).materialize()
     val sig = sk.select(col("doc_id"), col("sig"))
     ngramJaccardPairsFrom(sk.select(col("doc_id"), col("shingles")), threshold)
       .join(sig.select(col("doc_id").as("a_id"), col("sig").as("__sa")), Seq("a_id"))
@@ -847,7 +848,7 @@ object Dedup {
     val grams = docs
       .select(col("doc_id"), posexplode(nativeGramHashes(col("text"), w))
         .as(Seq("pos", "gh")))
-      .localCheckpoint()
+      .materialize()
     val counts = grams.groupBy(col("gh")).agg(count(lit(1)).as("n"))
     val hot = grams
       .join(counts.filter(col("n") >= minCount), Seq("gh"))
@@ -1026,7 +1027,7 @@ object Dedup {
       val obs = org.apache.spark.sql.Observation()
       val ck = df.observe(obs,
         count(lit(1)).as("n"),
-        bit_xor(xxhash64(col("u"), col("v"))).as("x")).localCheckpoint()
+        bit_xor(xxhash64(col("u"), col("v"))).as("x")).materialize()
       val m = obs.get
       (ck, (m("n").asInstanceOf[Long],
         Option(m("x")).map(_.asInstanceOf[Long]).getOrElse(0L)))

@@ -1,4 +1,5 @@
 package graft.functions
+import graft.plans.Materialize.MaterializeOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -82,13 +83,13 @@ object Selection {
     // and the count table feeds totals AND the broadcast join —
     // materialize both (slim 20-byte rows / ≤`buckets` rows; round 8
     // re-tokenized the corpus 3 times here)
-    val feats = features(docs, isTarget, buckets).localCheckpoint()
+    val feats = features(docs, isTarget, buckets).materialize()
     // One pass counts both corpora: cr = raw occurrences (every row),
     // ct = target occurrences (indicator sum). ≤ `buckets` rows out.
     val counts = feats.groupBy(col("b")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("ct"))
-      .localCheckpoint()
+      .materialize()
     val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val lp = feats
       .join(broadcast(counts), Seq("b"))

@@ -1,4 +1,5 @@
 package graft.functions
+import graft.plans.Materialize.MaterializeOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -839,7 +840,7 @@ object Similarity {
       quantized(col("embedding")).as("q"),
       lshSignature(col("embedding"), bandPlanes * bands).as("sig"),
     ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
-      .localCheckpoint()
+      .materialize()
     val banded = sig.select(col("vec_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -899,7 +900,7 @@ object Similarity {
       quantized(col("embedding")).as("q"),
       lshSignature(col("embedding"), bandPlanes * bands).as("sig"),
     ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
-      .localCheckpoint()
+      .materialize()
     val banded = sig.select(col("vec_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

@@ -1,4 +1,5 @@
 package graft.functions
+import graft.plans.Materialize.MaterializeOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -166,7 +167,7 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .materialize()
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfc, Seq("term"))
@@ -317,7 +318,7 @@ object TextAnalysis {
     // (|groups| rows) and the total derives from it instead of a
     // second scan
     val counts = docs.groupBy(col(group)).agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint()
+      .materialize()
     val total = counts.agg(sum(col("__cnt")).as("__total"))
     val targetShare = targets.foldLeft(lit(null).cast("double")) {
       case (acc, (k, v)) => when(col(group) === k, lit(v)).otherwise(acc)
@@ -358,7 +359,7 @@ object TextAnalysis {
     // derivation — materialize (|groups| rows) so the corpus count
     // runs once
     val counts = docs.groupBy(col(group)).agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint()
+      .materialize()
     val minCnt = counts.agg(min(col("__cnt")).as("__minc"))
     val rates = counts.crossJoin(broadcast(minCnt))
       .withColumn("__rate", round(
@@ -498,10 +499,10 @@ object TextAnalysis {
           "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
           .as(Seq("pos", "b")))
       .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .localCheckpoint() // feeds model build AND the scoring join
+      .materialize() // feeds model build AND the scoring join
     val uni = toks.select(explode(col("toks")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
-      .localCheckpoint() // feeds vocab count AND the unigram join
+      .materialize() // feeds vocab count AND the unigram join
     val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val vocab = uni.agg(count(lit(1)).as("__v"))
     val lp = bg
@@ -614,9 +615,9 @@ object TextAnalysis {
           "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
           .as(Seq("pos", "b")))
       .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .localCheckpoint()
+      .materialize()
     val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .localCheckpoint()
+      .materialize()
     // context totals + distinct-successor counts in one pass over bi
     val fw = bi.groupBy("w1").agg(sum("c2").as("ctx"),
       count(lit(1)).as("n1fw"))
@@ -674,9 +675,9 @@ object TextAnalysis {
     // exactly once — round 8's plan re-tokenized the corpus 5 times
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .materialize()
     val pairsAll = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-      .localCheckpoint()
+      .materialize()
     val pairs = pairsAll.filter(col("n_pair") >= minCount)
     val totals = uni.agg(sum(col("c")).as("n_tokens"))
       .crossJoin(pairsAll.agg(sum(col("n_pair")).as("n_bigrams")))

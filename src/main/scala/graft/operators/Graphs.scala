@@ -1,4 +1,5 @@
 package graft.operators
+import graft.plans.Materialize.MaterializeOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -63,12 +64,12 @@ object Graphs {
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           (lit(teleport) + expr("(85 * s) div 100")).as("r"))
-      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % 5 == 0 && i < iters) ranks = ranks.materialize()
     }
     // The final ranks are materialized (eager localCheckpoint) so the
     // degree-joined edge table can be unpersisted HERE — callers get a
     // self-contained result with no storage obligation left behind.
-    val out = ranks.localCheckpoint()
+    val out = ranks.materialize()
     e.unpersist(blocking = false)
     out
   }
@@ -139,13 +140,13 @@ object Graphs {
     for (_ <- 1 to iters) {
       val araw = e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
-        .localCheckpoint()
+        .materialize()
       val aIds = trackNew(); free(prevAIds); prevAIds = aIds
       auth = araw.crossJoin(broadcast(araw.agg(max(col("ar")).as("am"))))
         .select(col("dst").as("node"), expr(s"(ar * $r0) div am").as("a"))
       val hraw = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
-        .localCheckpoint()
+        .materialize()
       val hIds = trackNew(); free(prevHIds); prevHIds = hIds
       hub = hraw.crossJoin(broadcast(hraw.agg(max(col("hr")).as("hm"))))
         .select(col("src").as("node"), expr(s"(hr * $r0) div hm").as("h"))
@@ -154,7 +155,7 @@ object Graphs {
       .join(hub.select(col("node"), col("h").as("hub")), Seq("node"), "left")
       .join(auth.select(col("node"), col("a").as("auth")), Seq("node"), "left")
       .na.fill(0L, Seq("hub", "auth"))
-      .localCheckpoint()
+      .materialize()
     // `out` is eagerly materialized: the final half-step checkpoints
     // and the edge cache are no longer reachable — free them too.
     free(prevAIds); free(prevHIds)
@@ -183,7 +184,7 @@ object Graphs {
       col(edges.columns(1)).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var dist = sources.select(col(sources.columns(0)).as("node"))
-      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+      .distinct().withColumn("dist", lit(0L)).materialize()
     var frontier = dist
     var i = 1
     while (i <= maxHops && !frontier.isEmpty) {
@@ -191,8 +192,8 @@ object Graphs {
         .select(e("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("dist", lit(i.toLong))
-      frontier = next.localCheckpoint()
-      dist = dist.union(frontier).localCheckpoint()
+      frontier = next.materialize()
+      dist = dist.union(frontier).materialize()
       i += 1
     }
     dist
@@ -229,7 +230,7 @@ object Graphs {
       .select(least(col(cs(0)), col(cs(1))).as("u"),
         greatest(col(cs(0)), col(cs(1))).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .materialize()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -241,7 +242,7 @@ object Graphs {
         struct(col("u").as("a"), col("v").as("b")))
         .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .localCheckpoint()
+      .materialize()
     val wedges = dir.as("e1").join(dir.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e2.b").as("z"))
     val closed = wedges.join(dir.as("e3"),
@@ -334,7 +335,7 @@ object Graphs {
       .join(seed.select(col("node"), lit(true).as("is_seed")),
         Seq("node"), "left")
       .na.fill(false, Seq("is_seed"))
-      .localCheckpoint()
+      .materialize()
     e.unpersist(blocking = false)
     out
   }
@@ -356,7 +357,7 @@ object Graphs {
       col(edges.columns(1)).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seed = seeds.select(col(seeds.columns(0)).as("node"),
-      col(seeds.columns(1)).as("label")).distinct().localCheckpoint()
+      col(seeds.columns(1)).as("label")).distinct().materialize()
     var labels = seed
     var prev = labels
     for (_ <- 1 to rounds) {
@@ -371,7 +372,7 @@ object Graphs {
         .select(col("dst").as("node"), col("m.label").as("label"))
       labels = seed.unionAll(
           inferred.join(seed.select("node"), Seq("node"), "left_anti"))
-        .localCheckpoint()
+        .materialize()
     }
     (prev, labels, seed, e)
   }
@@ -405,7 +406,7 @@ object Graphs {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
     var e = edges.select(col(edges.columns(0)).as("src"),
-      col(edges.columns(1)).as("dst")).localCheckpoint()
+      col(edges.columns(1)).as("dst")).materialize()
     var prev = e
     for (_ <- 1 to rounds) {
       prev = e
@@ -415,7 +416,7 @@ object Graphs {
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .localCheckpoint()
+        .materialize()
     }
     (prev, e)
   }

@@ -1,4 +1,5 @@
 package graft.operators
+import graft.plans.Materialize.MaterializeOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -161,7 +162,7 @@ object Layout {
       // the single projected data pass the doc promises: `assigned`
       // feeds the selectivity aggregate AND the exploded zone-map
       // grouping — materialize so the scan+quantize runs once
-      .localCheckpoint()
+      .materialize()
     val sel = assigned.agg(
       sum(col("__hit_0")).as("__sel_0"),
       probes.indices.tail.map(i =>

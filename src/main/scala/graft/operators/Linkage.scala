@@ -1,4 +1,5 @@
 package graft.operators
+import graft.plans.Materialize.MaterializeOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -91,26 +92,16 @@ object Linkage {
       sortKey: Column, window: Int, maxDist: Int): DataFrame = {
     require(window >= 2, "window must be >= 2")
     require(maxDist >= 0, "maxDist must be >= 0")
-    val w = org.apache.spark.sql.expressions.Window
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val rec = df.select(id.cast("long").as("__id"), attr.as("__v"),
       sortKey.as("__k"))
-    // the ranked table feeds the per-partition counts AND the index
-    // join — materialize so the range sort + window run once
-    val ranked = rec.repartitionByRange(parts, col("__k"), col("__id"))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__rn", row_number().over(
-        w.partitionBy(col("__pid")).orderBy(col("__k"), col("__id"))))
-      .localCheckpoint()
-    val offs = ranked.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(sum(col("__c")).over(
-        w.orderBy(col("__pid")).rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    // the global index feeds BOTH sides of the neighbor equi-join —
-    // materialize so the range-sort + window run once
-    val idx = ranked.join(broadcast(offs), "__pid")
-      .select(col("__id"), col("__v"), (col("__off") + col("__rn")).as("__idx"))
-      .localCheckpoint()
+    // exact global index via the shared two-phase helper (range
+    // partition → per-partition row_number → broadcast driver-summed
+    // offsets — Skew.withGlobalIndex); the indexed table feeds BOTH
+    // sides of the neighbor equi-join, so materialize it once
+    val (indexed, _) = Skew.withGlobalIndex(rec,
+      Seq(col("__k"), col("__id")), "__idx")
+    val idx = indexed.select(col("__id"), col("__v"), col("__idx"))
+      .materialize()
     val probes = idx.select(col("__id").as("a_id"), col("__v").as("a_val"),
       explode(sequence(col("__idx") + 1, col("__idx") + (window - 1)))
         .as("__idx2"))

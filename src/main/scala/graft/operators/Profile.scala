@@ -1,4 +1,5 @@
 package graft.operators
+import graft.plans.Materialize.MaterializeOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -161,7 +162,7 @@ object Profile {
     // of four corpus aggregations (Catalyst shares no subtrees)
     val obs = df.groupBy(rowCat.as("ra"), colCat.as("cb"))
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint()
+      .materialize()
     val rTot = obs.groupBy("ra").agg(sum("o").as("rt"))
     val cTot = obs.groupBy("cb").agg(sum("o").as("ct"))
     val tot = obs.agg(sum("o").as("n"),
@@ -212,7 +213,7 @@ object Profile {
     // table twice (rank pass, tie pass): materialize once — 3 corpus
     // scans otherwise
     val base = df.select(group.as("g"), value.cast("long").as("v"))
-      .localCheckpoint()
+      .materialize()
     val groups = base.select("g").distinct()
     val pairs = groups.select(col("g").as("group_a"))
       .join(groups.select(col("g").as("group_b")),
@@ -265,7 +266,7 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     // same slim-base materialization rationale as [[mannWhitney]]
     val base = df.select(group.as("g"), value.cast("long").as("v"))
-      .localCheckpoint()
+      .materialize()
     val groups = base.select("g").distinct()
     val pairs = groups.select(col("g").as("group_a"))
       .join(groups.select(col("g").as("group_b")),

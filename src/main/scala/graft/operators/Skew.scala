@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.plans.Materialize.MaterializeOps
 
 /** Skew mitigation utilities (SURVEY.md §4 scale notes; builder brief:
   * "salting for skew, AQE for runtime re-plan").
@@ -106,4 +107,47 @@ object Skew {
     */
   def partitionByLogRange(log: DataFrame, partitions: Int): DataFrame =
     log.repartitionByRange(partitions, col("log_id"))
+
+  /** Exact 1-based global index over a TOTAL order (`sortCols` must be
+    * a unique key, or ties land nondeterministically at range-partition
+    * boundaries) with NO unpartitioned window anywhere — the scale-safe
+    * replacement for `row_number().over(Window.orderBy(...))`, which
+    * funnels every row through one task.
+    *
+    * Three phases (the RDD `zipWithIndex` recipe, expressed on
+    * DataFrames): `repartitionByRange` on the key (parallel range
+    * sort), a per-partition `row_number` (windows PARTITIONED by
+    * partition id — parallel), and per-partition counts prefix-summed
+    * into offsets ON THE DRIVER (one row per shuffle partition —
+    * bounded metadata even at 100k partitions, the same driver-side
+    * step `RDD.zipWithIndex` performs) that ride back via a broadcast
+    * equi-join. The ranked table is materialized once, so the range
+    * sort + window never re-run for downstream consumers.
+    *
+    * Returns `(df + idxName column, total row count)` — the count is
+    * free (it's the offsets' sum), and callers computing quantile
+    * bands need it anyway.
+    */
+  def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
+      idxName: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranked = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        w.partitionBy(col("__pid")).orderBy(sortCols: _*)).cast("long"))
+      .materialize()
+    val counts = ranked.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offRows = counts.map { case (pid, c) =>
+      val off = acc; acc += c; (pid, off) }.toIndexedSeq
+    val sp = spark; import sp.implicits._
+    val offDf = broadcast(offRows.toDF("__pid", "__off"))
+    val out = ranked.join(offDf, "__pid")
+      .withColumn(idxName, col("__off") + col("__rn"))
+      .drop("__pid", "__rn", "__off")
+    (out, acc)
+  }
 }

@@ -1,4 +1,5 @@
 package graft.operators
+import graft.plans.Materialize.MaterializeOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -189,7 +190,7 @@ object TimeSeries {
     val base = df.filter(col(value).isNotNull)
       .select(col(key), col(id), col(value),
         ((col(value).cast("decimal(18,2)") * 100).cast("long") * 2).as("__c2"))
-      .localCheckpoint()
+      .materialize()
     val med = base.groupBy(col(key))
       .agg(percentile(col("__c2"), lit(0.5)).as("__med2"))
     val dev = base.join(broadcast(med), Seq(key))
@@ -519,7 +520,7 @@ object TimeSeries {
       .groupBy(col(key).as("k"), unix_date(to_date(col(ts))).as("x"))
       .agg(sum((col(value).cast("decimal(18,2)") * 100).cast("long"))
         .as("yc"))
-      .localCheckpoint()
+      .materialize()
     val a = daily.select(col("k"), col("x").as("xa"), col("yc").as("ya"))
     val b = daily.select(col("k"), col("x").as("xb"), col("yc").as("yb"))
     val pairs = a.join(b, Seq("k")).filter(col("xa") < col("xb"))

@@ -1,4 +1,5 @@
 package graft.tools
+import graft.plans.Materialize.MaterializeOps
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,7 +28,7 @@ object ApssProbe {
     // localCheckpoint is EAGER: timing the call captures the stage cost.
     def ck(name: String, df: DataFrame): DataFrame = {
       val t0 = System.nanoTime()
-      val out = df.localCheckpoint()
+      val out = df.materialize()
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s (${out.count()} rows)")
       out
     }

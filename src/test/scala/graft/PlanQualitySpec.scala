@@ -144,6 +144,7 @@ class PlanQualitySpec extends SparkSpec {
       "graph_hits",                                  // 1-row max-rescale cross per half-step
       "text_bm25", "text_collocations",              // corpus avg/total row
       "corpus_drift",                                // 1-row (n1, n2) totals
+      "emb_drift",                                   // 1-row vec_id-midpoint cross
       "text_lm_score", "text_tfidf",                 // model stat tables
       "text_kn_score",                               // 1-row |B| totals cross
       // deliberate brute/ground-truth arms over a broadcast probe set
@@ -654,6 +655,55 @@ class PlanQualitySpec extends SparkSpec {
         .groupBy(identity).view.mapValues(_.size).filter(_._2 >= 3)
       if (counts.nonEmpty)
         offenders += s"$name: ${counts.toSeq.sortBy(-_._2).mkString(",")}"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("w8 deciles: exact two-phase rank — no ntile, no unpartitioned window") {
+    // round-9's last perf-weak plan: ntile(10) over an unpartitioned
+    // window moved every order row through ONE task. The replacement
+    // computes the exact global rank via Skew.withGlobalIndex (range
+    // partition → per-partition row_number → broadcast driver-summed
+    // offsets) and applies the SQL ntile formula to (rank, n).
+    val df = SparkEntry.queries("w8_ntile_deciles")(spark, sfDir)
+    val unpart = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w.windowExpressions.map(_.sql)
+    }
+    assert(unpart.isEmpty, s"unpartitioned window(s): $unpart")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ntile"), p.take(800))
+    // the rank phase ran INSIDE the materialization during query
+    // construction — the scored plan reads only the checkpointed
+    // ranked table plus the broadcast offsets (no re-sort downstream)
+    assert(p.contains("Scan ExistingRDD"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("SUITE-WIDE: unpartitioned windows only on the audited bounded whitelist") {
+    // An unpartitioned window funnels its whole input through one task
+    // — the single-partition scale-killer (WindowExec logs "Moving all
+    // data to a single partition"). Whitelist = the audited sites
+    // whose window input is BOUNDED by construction upstream:
+    //  - corpus_dsir_sample / corpus_interleave / corpus_zipf rank the
+    //    k survivors of a limit(k) (TakeOrdered) — k rows, not corpus;
+    //  - pack_chunks / prepare_pretraining / sample_token_budget
+    //    prefix-sum PER-BUCKET SUBTOTAL rows (≤ #buckets rows).
+    // Anything else failing here is a new global sort — fix the query
+    // (Skew.withGlobalIndex is the scale-safe exact-rank form).
+    val whitelist = Set(
+      "corpus_dsir_sample", "corpus_interleave", "corpus_zipf",
+      "pack_chunks", "prepare_pretraining", "sample_token_budget",
+    )
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !whitelist(name)) {
+      val unpart = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty =>
+          w.windowExpressions.map(_.sql).mkString(";").take(80)
+      }
+      if (unpart.nonEmpty) offenders += s"$name: ${unpart.mkString(" | ")}"
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
