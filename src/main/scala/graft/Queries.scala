@@ -787,6 +787,22 @@ object Queries {
     * over states the loop already checkpointed.
     */
   val graphConvergence: Q = (s, dir) => {
+    // The three certificates are INDEPENDENT bounded-round job chains
+    // whose per-round jobs are tiny (a few shuffles over a checkpointed
+    // edge set) — run sequentially their fixed per-job latencies ADD
+    // (this was the suite's slowest query, r9 verdict); run from
+    // driver threads Spark schedules the independent DAGs
+    // concurrently, so wall-clock is roughly the max chain, not the
+    // sum. The BFS certificate reads the TRADE edges, not the
+    // co-purchase graph — launch it FIRST so its whole chain overlaps
+    // the co-purchase derivation the other two must wait on.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import s.implicits._
+    val src = s.range(1).select(lit(0L).as("node"))
+    val fBfs = Future(graft.operators.Graphs
+      .kHopReport(tradeEdges(s, dir), src, maxHops = 4)
+      .as[(String, Long, Long, Boolean)].head())
     val und = graft.operators.Cooccur.pairCounts(
         t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
       .filter(col("n") >= 2).select("item_a", "item_b")
@@ -798,12 +814,16 @@ object Queries {
     val seeds = t(s, dir, "part")
       .filter(col("p_partkey") % 10 === 0)
       .select(col("p_partkey").as("node"), col("p_brand").as("label"))
-    val src = s.range(1).select(lit(0L).as("node"))
-    graft.operators.Graphs.kCoreReport(edges, k = 3, rounds = 3)
-      .unionAll(graft.operators.Graphs
-        .labelPropagationReport(edges, seeds, rounds = 3))
-      .unionAll(graft.operators.Graphs
-        .kHopReport(tradeEdges(s, dir), src, maxHops = 4))
+    val fCore = Future(graft.operators.Graphs
+      .kCoreReport(edges, k = 3, rounds = 3)
+      .as[(String, Long, Long, Boolean)].head())
+    val fLpa = Future(graft.operators.Graphs
+      .labelPropagationReport(edges, seeds, rounds = 3)
+      .as[(String, Long, Long, Boolean)].head())
+    // assembled LocalRelation keeps row order deterministic
+    Await.result(Future.sequence(Seq(fCore, fLpa, fBfs)),
+        scala.concurrent.duration.Duration.Inf)
+      .toDF("op", "rounds", "changed_last_round", "converged")
   }
 
   /** Extension — modularity of the propagated-label partition over

@@ -183,17 +183,33 @@ object Graphs {
     val e = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var dist = sources.select(col(sources.columns(0)).as("node"))
-      .distinct().withColumn("dist", lit(0L)).materialize()
+    // Per-round job budget matters here (bounded rounds of TINY jobs —
+    // fixed per-job latency adds up): the frontier count rides as an
+    // `observe` metric ON the materialization job (no separate isEmpty
+    // job), and the visited set is NOT re-materialized per round — it
+    // is a union of already-checkpointed frontiers, so its lineage is
+    // O(rounds) unions over materialized RDDs (linear, not the
+    // quadratic-lineage trap the frontier checkpoint guards against).
+    def ckptCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("n")).materialize()
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
+    var (dist, n0) = ckptCounted(sources
+      .select(col(sources.columns(0)).as("node"))
+      .distinct().withColumn("dist", lit(0L)))
     var frontier = dist
+    var frontierN = n0
     var i = 1
-    while (i <= maxHops && !frontier.isEmpty) {
+    while (i <= maxHops && frontierN > 0) {
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("dist", lit(i.toLong))
-      frontier = next.materialize()
-      dist = dist.union(frontier).materialize()
+      val (ck, n) = ckptCounted(next)
+      frontier = ck
+      frontierN = n
+      dist = dist.union(frontier)
       i += 1
     }
     dist
