@@ -5195,6 +5195,95 @@ object Oracles {
         |       ELSE CAST(tot AS DOUBLE) / (1000.0 * CAST(nf AS DOUBLE)) > 0 END AS keep
         |FROM scored""".stripMargin,
 
+    // C4 badwords blocklist: occurrence counts over the token and
+    // adjacent-bigram arrays (the classifier's token/bigram idiom),
+    // keep = zero hits.
+    "text_blocklist" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS tl
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(tl,
+        |      t -> list_contains(['slow', 'spark'], t))) AS BIGINT) AS word_hits,
+        |    CAST(len(list_filter(
+        |      CASE WHEN len(tl) < 2 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_transform(range(1, len(tl)),
+        |                  i -> tl[i] || ' ' || tl[i + 1]) END,
+        |      g -> list_contains(['table table', 'big big'], g))) AS BIGINT) AS phrase_hits
+        |  FROM toks)
+        |SELECT doc_id, word_hits, phrase_hits,
+        |  word_hits + phrase_hits AS n_hits,
+        |  word_hits + phrase_hits = 0 AS keep
+        |FROM h""".stripMargin,
+
+    // Mojibake signal: every 7th doc deterministically decorated with
+    // a UTF-8-read-as-Latin-1 prefix; marker counts via per-character
+    // length-after-replace deltas (character-counting length both
+    // engines), one division for the rate.
+    "text_mojibake" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN 'cafÃ© naÃ¯ve vÃ¼ rÃ©sumÃ© ' || text
+        |         ELSE text END AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST((length(t) - length(replace(t, 'Ã', '')))
+        |       + (length(t) - length(replace(t, 'Â', '')))
+        |       + (length(t) - length(replace(t, '�', ''))) AS BIGINT) AS mojibake_hits,
+        |    CAST(length(t) AS BIGINT) AS n_chars
+        |  FROM d)
+        |SELECT doc_id, mojibake_hits, n_chars,
+        |  round(CAST(mojibake_hits AS DOUBLE) / CAST(n_chars AS DOUBLE), 9)
+        |    AS mojibake_rate,
+        |  mojibake_hits > 0 AS suspect
+        |FROM h""".stripMargin,
+
+    // Classifier calibration: the text_quality_classifier score
+    // replay, a len>=30 weak label, and per-threshold exact confusion
+    // counts from one grid cross join; single divisions for P/R.
+    "text_classifier_pr" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS tl
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, len(tl) >= 30 AS lbl,
+        |    list_concat(tl,
+        |      CASE WHEN len(tl) < 2 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_transform(range(1, len(tl)),
+        |                  i -> tl[i] || ' ' || tl[i + 1]) END) AS fl
+        |  FROM toks),
+        |scored AS (
+        |  SELECT doc_id, lbl, CAST(len(fl) AS BIGINT) AS nf,
+        |    CAST(list_sum(list_transform(fl, f ->
+        |      CAST(CAST(concat('0x', substr(md5(concat('qw_',
+        |        CAST(CAST(concat('0x', substr(md5(concat('qf_', f)), 1, 8)) AS UBIGINT) % 1024 AS VARCHAR))), 1, 8)) AS UBIGINT) % 2001 AS BIGINT) - 1000))
+        |      AS BIGINT) AS tot
+        |  FROM feats),
+        |sc AS (
+        |  SELECT lbl,
+        |    CASE WHEN nf = 0 THEN 0.0
+        |         ELSE CAST(tot AS DOUBLE) / (1000.0 * CAST(nf AS DOUBLE)) END AS score
+        |  FROM scored),
+        |g AS (SELECT CAST(unnest([-0.02, -0.01, -0.005, 0.0, 0.005, 0.01, 0.02]) AS DOUBLE) AS threshold),
+        |c AS (
+        |  SELECT g.threshold,
+        |    CAST(sum(CASE WHEN score > g.threshold AND lbl THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN score > g.threshold AND NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN score <= g.threshold AND lbl THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN score <= g.threshold AND NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM sc CROSS JOIN g GROUP BY g.threshold)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0
+        |       THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 9) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |       THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 9) END AS recall
+        |FROM c""".stripMargin,
+
     // Drift monitor: exact-integer TV deviation |c1*N2 - c2*N1| over
     // the merged vocabulary of the two snapshot halves; one division
     // per emitted row.

@@ -2843,6 +2843,46 @@ object Queries {
   val textBoilerplate: Q = (s, dir) =>
     Dedup.stripBoilerplate(t(s, dir, "documents"), w = 10, maxDf = 3)
 
+  /** Extension — C4 badwords blocklist screen (Raffel et al. 2020
+    * §2.2, the missing step of the implemented C4/Gopher/CCNet
+    * quality lineage): exact per-doc occurrence counts against a
+    * word + two-word-phrase blocklist riding as literals, keep =
+    * zero hits. Map-only — zero exchanges (plan-guarded); see
+    * [[graft.functions.TextAnalysis.blocklistScreen]].
+    */
+  val textBlocklist: Q = (s, dir) =>
+    TextAnalysis.blocklistScreen(t(s, dir, "documents"),
+      Seq("slow", "spark", "table table", "big big"))
+
+  /** Extension — mojibake / encoding-damage signal (ftfy lineage):
+    * per-doc count + rate of UTF-8-read-as-Latin-1 artifacts. The
+    * fixture is pure ASCII, so every 7th doc is DETERMINISTICALLY
+    * decorated with a mojibaked prefix in the query itself (both
+    * engines decorate identically) — decorated docs measure > 0,
+    * undecorated exactly 0. Map-only (plan-guarded).
+    */
+  val textMojibake: Q = (s, dir) => {
+    // "café naïve vü résumé " with its UTF-8 bytes re-read as Latin-1
+    val snippet = "cafÃ© naÃ¯ve vÃ¼ " +
+      "rÃ©sumÃ© "
+    val docs = t(s, dir, "documents").withColumn("__t",
+      when(col("doc_id") % 7 === 0, concat(lit(snippet), col("text")))
+        .otherwise(col("text")))
+    TextAnalysis.mojibakeSignal(docs, col("__t"))
+  }
+
+  /** Extension — classifier calibration contract
+    * ([[graft.functions.TextAnalysis.classifierPrReport]]): exact
+    * per-threshold confusion counts and precision/recall for the
+    * hashed linear quality score against the deterministic
+    * length-≥-30-tokens weak label; one corpus pass serves all seven
+    * thresholds (single map-combined aggregation).
+    */
+  val textClassifierPr: Q = (s, dir) =>
+    TextAnalysis.classifierPrReport(t(s, dir, "documents"),
+      thresholds = Seq(-0.02, -0.01, -0.005, 0.0, 0.005, 0.01, 0.02),
+      minTokens = 30)
+
   /** Extension — RAKE keyphrase extraction: corpus top-50 candidate
     * phrases (stopword-delimited runs ≤ 4 tokens) by summed
     * deg/freq word scores, ordered fold for FP parity.

@@ -192,6 +192,9 @@ object SparkEntry {
     "text_pii_redact" -> Queries.textPiiRedact,
     "text_normalize" -> Queries.textNormalize,
     "text_boilerplate" -> Queries.textBoilerplate,
+    "text_blocklist" -> Queries.textBlocklist,
+    "text_mojibake" -> Queries.textMojibake,
+    "text_classifier_pr" -> Queries.textClassifierPr,
     "text_kn_score" -> Queries.textKnScore,
     "text_gopher_filter" -> Queries.textGopherFilter,
     "text_repetition" -> Queries.textRepetition,

@@ -997,6 +997,127 @@ object TextAnalysis {
         / (lit(1000.0) * size(feats).cast("double")))
   }
 
+  /** C4-style blocklist screen (Raffel et al. 2020 §2.2 — the
+    * "badwords" step every web-corpus pipeline runs between langid
+    * and quality scoring; reference: the list the C4 cleanup applies
+    * to each page). Per-doc OCCURRENCE counts against a word +
+    * two-word-phrase blocklist, and the keep flag (zero hits).
+    *
+    * Scale shape: map-only. The blocklist rides as LITERALS folded
+    * into codegen'd higher-order array functions — single words test
+    * membership in the token array, phrases membership in the
+    * adjacent-bigram array (`zip_with` of the two token slices, the
+    * [[hashedLinearScore]] bigram construction) — so there is no
+    * join, no shuffle, and the text never leaves its input split.
+    * Occurrences, not distinct matches: "slow slow" counts 2; the
+    * bigram count is over OVERLAPPING adjacent pairs ("big big big"
+    * hits "big big" twice).
+    *
+    * Entries must be 1 or 2 whitespace-separated lowercase words
+    * (asserted) — the C4 list is overwhelmingly unigrams/bigrams;
+    * longer phrases would need per-length n-gram arrays.
+    */
+  def blocklistScreen(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val (phrases, words) = blocklist.partition(_.contains(" "))
+    require(phrases.forall(_.split(" ").length == 2),
+      s"phrases must be exactly 2 words: ${phrases.filter(_.split(" ").length != 2)}")
+    require(blocklist.forall(e => e == e.toLowerCase.trim),
+      "blocklist entries must be lowercase and trimmed")
+    def countIn(arr: Column, entries: Seq[String]): Column =
+      if (entries.isEmpty) lit(0L)
+      else size(filter(arr,
+        t => entries.map(e => t === lit(e)).reduce(_ || _))).cast("long")
+    val toks = filter(tokens(lower(col("text"))), t => length(t) > 0)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(col("doc_id"),
+        countIn(toks, words).as("word_hits"),
+        countIn(bigrams, phrases).as("phrase_hits"))
+      .withColumn("n_hits", col("word_hits") + col("phrase_hits"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
+  /** Mojibake / encoding-damage signal (the ftfy lineage — UTF-8 text
+    * mis-decoded as Latin-1/CP1252 leaves characteristic artifacts:
+    * 'Ã'/'Â' lead bytes and U+FFFD replacement chars). Per-doc marker
+    * count, character length, damage rate, and the suspect flag.
+    *
+    * Counting is `length(t) − length(replace(t, marker, ''))` per
+    * single-char marker — pure codegen'd string built-ins, engine-
+    * portable (both Spark and SQL `length` count CHARACTERS), no
+    * regex dialect in play. Map-only: no join, no shuffle.
+    */
+  def mojibakeSignal(docs: DataFrame, textCol: Column = col("text"),
+      markers: Seq[String] = Seq("Ã", "Â", "�")): DataFrame = {
+    require(markers.nonEmpty && markers.forall(_.length == 1),
+      "markers must be single characters")
+    val hits = markers.map(mk =>
+        length(textCol) - length(replace(textCol, lit(mk), lit(""))))
+      .reduce(_ + _).cast("long")
+    docs.select(col("doc_id"), hits.as("mojibake_hits"),
+        length(textCol).cast("long").as("n_chars"))
+      .withColumn("mojibake_rate",
+        round(col("mojibake_hits").cast("double")
+          / col("n_chars").cast("double"), 9))
+      .withColumn("suspect", col("mojibake_hits") > 0L)
+  }
+
+  /** Classifier calibration contract (the `sim_recall_report` pattern
+    * applied to [[hashedLinearScore]]): EXACT per-threshold confusion
+    * counts and precision/recall against a deterministic weak label,
+    * one row per threshold. ONE corpus pass serves every threshold —
+    * the per-doc (score, label) projection is aggregated with
+    * 2·|T|+2 conditional sums (map-side combined, single shuffle of
+    * one partial row per task), then unpivoted to |T| rows; no
+    * per-threshold corpus scan, no corpus×T explosion.
+    *
+    * Weak label: `token count ≥ minTokens` over the same token list
+    * the features use — deterministic and oracle-replayable (the
+    * calibration face needs a label the score does NOT encode
+    * directly; length is the standard weak proxy). Precision is NULL
+    * when nothing is predicted positive (no false positives to rate);
+    * recall is NULL only when the corpus holds no positives. Recall
+    * is non-increasing in the threshold by construction (spec-pinned).
+    */
+  def classifierPrReport(docs: DataFrame, thresholds: Seq[Double],
+      minTokens: Int): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds == thresholds.sorted, "thresholds must be ascending")
+    val toks = filter(tokens(lower(col("text"))), t => length(t) > 0)
+    val scored = docs.select(
+      hashedLinearScore(col("text")).as("__score"),
+      (size(toks) >= minTokens).as("__label"))
+    val aggs =
+      sum(when(col("__label"), 1L).otherwise(0L)).as("__pos") +:
+      count(lit(1)).as("__n") +:
+      thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(col("__score") > t && col("__label"), 1L).otherwise(0L))
+          .as(s"__tp_$i"),
+        sum(when(col("__score") > t, 1L).otherwise(0L)).as(s"__pred_$i"))
+      }
+    val one = scored.agg(aggs.head, aggs.tail: _*)
+    val rows = explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"),
+        col(s"__tp_$i").as("tp"),
+        (col(s"__pred_$i") - col(s"__tp_$i")).as("fp"),
+        (col("__pos") - col(s"__tp_$i")).as("fn"),
+        (col("__n") - col(s"__pred_$i") - col("__pos") + col(s"__tp_$i"))
+          .as("tn"))
+    }: _*))
+    one.select(rows.as("r")).select(col("r.*"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double"), 9)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double")
+            / (col("tp") + col("fn")).cast("double"), 9)))
+  }
+
   /** Stride-scheduled SOURCE INTERLEAVE (curriculum/mixing-order
     * construction — the deterministic counterpart of rate-based
     * sampling): the n-th document of source s is assigned the virtual

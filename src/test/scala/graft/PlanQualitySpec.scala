@@ -319,9 +319,19 @@ class PlanQualitySpec extends SparkSpec {
       p.take(800))
   }
 
+  test("classifier PR report: one corpus scan, one aggregation shuffle serves every threshold") {
+    val p = planOf("text_classifier_pr")
+    // the per-threshold confusion counts are conditional sums in ONE
+    // map-combined aggregation — no corpus×thresholds explosion, no
+    // per-threshold re-scan
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p.take(1200))
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
   test("map-only text passes plan without any exchange") {
     for (q <- Seq("text_pii_redact", "text_gopher_filter", "split_train_val",
-        "chunk_overlap")) {
+        "chunk_overlap", "text_blocklist", "text_mojibake")) {
       val p = planOf(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n${p.take(800)}")
     }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Properties of the web-corpus screening operators added round 10:
+  * blocklist hit semantics, mojibake detection on clean vs damaged
+  * text, and the classifier calibration contract's invariants
+  * (confusion counts sum to N; recall non-increasing, prediction
+  * count non-increasing in the threshold).
+  */
+class TextScreenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("blocklist: occurrence counts, overlapping bigrams, keep flag") {
+    val docs = Seq(
+      (0L, "clean words only here"),
+      (1L, "slow slow day"),                // word 'slow' twice
+      (2L, "the big big big table"),        // 'big big' overlaps twice
+      (3L, "table table table spark slow"), // 2 bigram + 2 word hits
+      (4L, ""),                             // empty text
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .blocklistScreen(docs, Seq("slow", "spark", "table table", "big big"))
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 0L, 0L, 0L, true)))
+    assert(out(1) == ((1L, 2L, 0L, 2L, false)))
+    assert(out(2) == ((2L, 0L, 2L, 2L, false)))
+    assert(out(3) == ((3L, 2L, 2L, 4L, false)))
+    assert(out(4) == ((4L, 0L, 0L, 0L, true)))
+  }
+
+  test("blocklist: rejects 3-word phrases and non-normalized entries") {
+    val docs = Seq((0L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistScreen(docs, Seq("a b c"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistScreen(docs, Seq("Spark"))
+    }
+  }
+
+  test("mojibake: zero on clean ASCII, exact marker counts on damaged text") {
+    // the canonical damage: UTF-8 bytes of "café" re-read as Latin-1
+    val damaged = new String("café résumé".getBytes("UTF-8"), "ISO-8859-1")
+    assert(damaged == "cafÃ©  rÃ©sumÃ©".replace("  ", " ")) // 3 Ã markers
+    val docs = Seq(
+      (0L, "perfectly clean ascii text"),
+      (1L, damaged),
+      (2L, "partial � replacement � chars"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.mojibakeSignal(docs)
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out(0)._2 == 0L && !out(0)._5)
+    assert(out(1)._2 == 3L && out(1)._5) // one Ã per damaged accent
+    assert(out(2)._2 == 2L && out(2)._5)
+    assert(out(0)._4 == 0.0)
+  }
+
+  test("classifier PR: counts sum to N; recall and predictions monotone in threshold") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val thresholds = Seq(-0.02, -0.01, -0.005, 0.0, 0.005, 0.01, 0.02)
+    val n = docs.count()
+    val rows = TextAnalysis
+      .classifierPrReport(docs, thresholds, minTokens = 30)
+      .select("threshold", "tp", "fp", "fn", "tn", "recall")
+      .collect().sortBy(_.getDouble(0))
+    assert(rows.length == thresholds.size)
+    for (r <- rows)
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == n)
+    // raising the threshold can only shrink the predicted-positive set
+    val preds = rows.map(r => r.getLong(1) + r.getLong(2)).toSeq
+    assert(preds == preds.sorted.reverse, s"predictions not monotone: $preds")
+    val tps = rows.map(_.getLong(1)).toSeq
+    assert(tps == tps.sorted.reverse, s"tp not monotone: $tps")
+    // non-degenerate grid: at least one threshold splits the corpus
+    assert(preds.exists(p => p > 0 && p < n), preds.toString)
+  }
+}
