@@ -3592,6 +3592,145 @@ object Oracles {
         |  FROM ad)
         |SELECT qid, rank, nid, adist FROM r WHERE rank <= 10""".stripMargin,
 
+    // Trained-residual IVFPQ: the sim_ivfpq_topk pipeline with the
+    // residual codebooks refined by TWO unrolled exact-integer EM
+    // rounds (assignment = |w|^2 - 2 s.w argmin, ties to lowest code;
+    // update = half-away-from-zero integer mean sign(s)*((2|s|+n)//(2n));
+    // empty codes keep their codeword) — the tok_unigram_train
+    // unrolled-training convention.
+    "sim_ivfpq_trained" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |cseed AS (
+        |  SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |    AS cell
+        |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+        |cseedn AS (
+        |  SELECT cell, qv AS cv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS cn
+        |  FROM cseed),
+        |cdist AS (
+        |  SELECT q.vec_id, s.cell,
+        |    s.cn - 2 * CAST(list_sum(list_transform(range(1, 65),
+        |      i -> q.qv[i] * s.cv[i])) AS BIGINT) AS d
+        |  FROM q CROSS JOIN cseedn s),
+        |cellasg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
+        |res AS (
+        |  SELECT q.vec_id, ca.cell,
+        |    list_transform(range(1, 65), i -> q.qv[i] - c.cv[i]) AS rv
+        |  FROM q
+        |  JOIN cellasg ca ON ca.vec_id = q.vec_id
+        |  JOIN cseedn c ON c.cell = ca.cell),
+        |rseed AS (
+        |  SELECT rv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+        |  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT 16)),
+        |w0 AS (
+        |  SELECT rseed.c, CAST(r.j AS INT) AS j,
+        |    rv[(r.j * 8 + 1):(r.j * 8 + 8)] AS w
+        |  FROM rseed CROSS JOIN range(0, 8) r(j)),
+        |rsub AS (
+        |  SELECT vec_id, CAST(r.j AS INT) AS j,
+        |    rv[(r.j * 8 + 1):(r.j * 8 + 8)] AS s
+        |  FROM res CROSS JOIN range(0, 8) r(j)),
+        |a1 AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT s.vec_id, s.j, w.c,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+        |        CAST(list_sum(list_transform(w.w, x -> x * x)) AS BIGINT)
+        |        - 2 * CAST(list_sum(list_transform(range(1, 9),
+        |            i -> s.s[i] * w.w[i])) AS BIGINT), w.c) AS rn
+        |    FROM rsub s JOIN w0 w ON w.j = s.j) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a.j, a.c, CAST(r.i AS INT) AS i,
+        |    CAST(sum(s.s[CAST(r.i AS INT)]) AS BIGINT) AS sm,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM a1 a JOIN rsub s ON s.vec_id = a.vec_id AND s.j = a.j
+        |  CROSS JOIN range(1, 9) r(i)
+        |  GROUP BY a.j, a.c, r.i),
+        |w1 AS (
+        |  SELECT w.j, w.c, coalesce(u.wl, w.w) AS w
+        |  FROM w0 w LEFT JOIN (
+        |    SELECT j, c, list(CASE WHEN sm >= 0 THEN (2 * sm + n) // (2 * n)
+        |                           ELSE -((-2 * sm + n) // (2 * n)) END
+        |                      ORDER BY i) AS wl
+        |    FROM u1 GROUP BY j, c) u ON u.j = w.j AND u.c = w.c),
+        |a2 AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT s.vec_id, s.j, w.c,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+        |        CAST(list_sum(list_transform(w.w, x -> x * x)) AS BIGINT)
+        |        - 2 * CAST(list_sum(list_transform(range(1, 9),
+        |            i -> s.s[i] * w.w[i])) AS BIGINT), w.c) AS rn
+        |    FROM rsub s JOIN w1 w ON w.j = s.j) WHERE rn = 1),
+        |u2 AS (
+        |  SELECT a.j, a.c, CAST(r.i AS INT) AS i,
+        |    CAST(sum(s.s[CAST(r.i AS INT)]) AS BIGINT) AS sm,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM a2 a JOIN rsub s ON s.vec_id = a.vec_id AND s.j = a.j
+        |  CROSS JOIN range(1, 9) r(i)
+        |  GROUP BY a.j, a.c, r.i),
+        |w2 AS (
+        |  SELECT w.j, w.c, coalesce(u.wl, w.w) AS w
+        |  FROM w1 w LEFT JOIN (
+        |    SELECT j, c, list(CASE WHEN sm >= 0 THEN (2 * sm + n) // (2 * n)
+        |                           ELSE -((-2 * sm + n) // (2 * n)) END
+        |                      ORDER BY i) AS wl
+        |    FROM u2 GROUP BY j, c) u ON u.j = w.j AND u.c = w.c),
+        |rcwn AS (
+        |  SELECT c, j, w,
+        |    CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS wn
+        |  FROM w2),
+        |enc0 AS (
+        |  SELECT s.vec_id, s.j, w.c,
+        |    w.wn - 2 * CAST(list_sum(list_transform(range(1, 9),
+        |      i -> s.s[i] * w.w[i])) AS BIGINT) AS d
+        |  FROM rsub s JOIN rcwn w ON w.j = s.j),
+        |enc AS (
+        |  SELECT vec_id, j, c FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        |    FROM enc0) WHERE rn = 1),
+        |qres AS (
+        |  SELECT p.qid, p.cell,
+        |    list_transform(range(1, 65), i -> q.qv[i] - c.cv[i]) AS rv
+        |  FROM probes p
+        |  JOIN q ON q.vec_id = p.qid
+        |  JOIN cseedn c ON c.cell = p.cell),
+        |qsub AS (
+        |  SELECT qid, cell, CAST(r.j AS INT) AS j,
+        |    rv[(r.j * 8 + 1):(r.j * 8 + 8)] AS s
+        |  FROM qres CROSS JOIN range(0, 8) r(j)),
+        |dtr AS (
+        |  SELECT qs.qid, qs.cell, qs.j, w.c,
+        |    CAST(list_sum(list_transform(qs.s, x -> x * x)) AS BIGINT) + w.wn
+        |      - 2 * CAST(list_sum(list_transform(range(1, 9),
+        |        i -> qs.s[i] * w.w[i])) AS BIGINT) AS d
+        |  FROM qsub qs JOIN rcwn w ON w.j = qs.j),
+        |ad AS (
+        |  SELECT dtr.qid, e.vec_id AS nid, CAST(sum(dtr.d) AS BIGINT) AS adist
+        |  FROM enc e
+        |  JOIN cellasg ca ON ca.vec_id = e.vec_id
+        |  JOIN dtr ON dtr.cell = ca.cell AND dtr.j = e.j AND dtr.c = e.c
+        |  WHERE e.vec_id <> dtr.qid
+        |  GROUP BY dtr.qid, e.vec_id),
+        |r AS (
+        |  SELECT qid, nid, adist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+        |  FROM ad)
+        |SELECT qid, rank, nid, adist FROM r WHERE rank <= 10""".stripMargin,
+
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,

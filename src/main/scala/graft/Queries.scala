@@ -1319,6 +1319,25 @@ object Queries {
     Similarity.ivfPqTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10,
       nlist = 8, nprobe = 2, m = 8, ksub = 16, residual = true)
 
+  /** Extension — the FULL FAISS IVFPQ recipe, driver-visible: residual
+    * codebooks TRAINED by 2 exact-integer EM rounds from the seed init
+    * ([[graft.functions.Similarity.seededTrainedResidualCodebooks]] —
+    * portable argmin assignment + half-away-from-zero integer mean),
+    * then the same residual-encoded partial-probe search as
+    * `sim_ivfpq_topk`. The oracle replays the EM rounds unrolled (the
+    * `tok_unigram_train` convention) and every downstream stage
+    * bit-for-bit; trained-vs-seeded reconstruction is spec-pinned.
+    */
+  val simIvfPqTrained: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val coarse = Similarity.seedCentroids(emb, 8)
+    val cb = Similarity.seededTrainedResidualCodebooks(emb, coarse,
+      m = 8, ksub = 16, iters = 2)
+    Similarity.ivfPqTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10,
+      nlist = 8, nprobe = 2, m = 8, ksub = 16, residual = true,
+      codebooks = Some(cb), coarseCentroids = Some(coarse))
+  }
+
   /** Power-of-two length-bucket analysis over [16, 1024]: per-bucket
     * doc/token totals and the padding waste a fixed-shape batcher
     * would pay (integer-only bucket ladder, engine-portable).

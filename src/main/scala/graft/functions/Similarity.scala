@@ -1359,6 +1359,77 @@ object Similarity {
     } finally res.unpersist()
   }
 
+  /** ORACLE-REPLAYABLE trained residual codebooks — the registered
+    * face of the FAISS IVFPQ training recipe ([[trainedResidualPqCodebooks]]
+    * stays the sampled production variant; its `xxhash64`-ordered
+    * k-means init and through-double mean rounding are exactly the two
+    * steps an external SQL engine cannot replay). Here:
+    *
+    *  - init = [[seedResidualCodebooks]] (the `ksub` lowest-`vec_id`
+    *    residuals, already the oracle-rebuildable convention);
+    *  - `iters` EM rounds where assignment is the exact-integer
+    *    argmin ([[cellOf]]'s `|c|² − 2·v·c`, ties to lowest code) and
+    *    the update rounds the per-(code, dim) mean HALF-AWAY-FROM-ZERO
+    *    in pure integer arithmetic — `sign(s)·((2|s| + n) div (2n))`
+    *    with truncating division on non-negative operands, identical
+    *    in any engine (DuckDB's `//` truncates; Scala `/` truncates);
+    *  - empty codes keep their codeword (the [[trainedResidualPqCodebooks]]
+    *    convention).
+    *
+    * Driver state: m × ksub × dsub longs; per round, one map-combined
+    * (code, dim) sum over the residual table per subspace.
+    */
+  def seededTrainedResidualCodebooks(
+      embeddings: DataFrame, coarse: Array[Array[Long]], m: Int, ksub: Int,
+      iters: Int = 2): Array[Array[Array[Long]]] = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val init = seedResidualCodebooks(embeddings, coarse, m, ksub)
+    val centArr = array(coarse.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val res = embeddings
+      .select(col("vec_id"), quantized(col("embedding")).as("q0"))
+      .select(col("vec_id"),
+        zip_with(col("q0"),
+          element_at(centArr, cellOf(col("q0"), coarse) + 1),
+          (x, c) => x - c).as("q"))
+    val dsub = coarse.head.length / m
+    try {
+      res.persist()
+      Array.tabulate(m) { j =>
+        val sub = res.select(col("vec_id"),
+          slice(col("q"), j * dsub + 1, dsub).as("q"))
+        kmeansRefineExact(sub, init(j), iters)
+      }
+    } finally res.unpersist()
+  }
+
+  /** The exact-integer EM rounds behind [[seededTrainedResidualCodebooks]]:
+    * explicit init, portable update rounding. Kept separate from
+    * [[kmeansCentroids]] on purpose — that one's init/rounding match
+    * the production (sampled, non-replayable) path and are pinned by
+    * existing specs.
+    */
+  private def kmeansRefineExact(sub: DataFrame, init: Array[Array[Long]],
+      iters: Int): Array[Array[Long]] =
+    (1 to iters).foldLeft(init) { (cent, _) =>
+      val sums = sub.withColumn("__cell", cellOf(col("q"), cent))
+        .select(col("__cell"), posexplode(col("q")).as(Seq("__pos", "__v")))
+        .groupBy(col("__cell"), col("__pos"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cent.indices.map { cell =>
+        byCell.get(cell) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map { r =>
+            val s = r.getLong(2); val n = r.getLong(3)
+            if (s >= 0L) (2L * s + n) / (2L * n)
+            else -((-2L * s + n) / (2L * n))
+          }.toArray
+          case None => cent(cell)
+        }
+      }.toArray
+    }
+
   /** IVF + PQ composition (FAISS's IVFPQ): the coarse quantizer prunes
     * the scan to the query's `nprobe` nearest seed-centroid cells;
     * within the probed cells distances come from PQ codes (ADC — the

@@ -898,6 +898,29 @@ class DedupSimilaritySpec extends SparkSpec {
       s"trained residual IVF-PQ recall $trainedRes/500 below seeded global $seeded/500")
   }
 
+  test("seeded-trained residual codebooks (oracle arm) never lose recall to their seed init") {
+    // the sim_ivfpq_trained training path: seed-residual init + 2
+    // exact-integer EM rounds (portable assignment/rounding, unlike
+    // the sampled xxhash64 production path above). Full probe
+    // isolates codebook quality from cell pruning; k-means refinement
+    // from the init must not damage the fit.
+    val qids = (0L until 50L).toSeq
+    val k = 10
+    val exact = exactL2TopK(embs, qids, k).select($"qid", $"nid")
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("qid", "nid").join(exact, Seq("qid", "nid"), "left_semi").count()
+    val coarse = Similarity.seedCentroids(embs, 8)
+    def run(cb: Option[Array[Array[Array[Long]]]]) =
+      Similarity.ivfPqTopK(embs, qids, k, nlist = 8, nprobe = 8,
+        m = 8, ksub = 16, residual = true,
+        codebooks = cb, coarseCentroids = Some(coarse))
+    val seeded = recall(run(None))
+    val trained = recall(run(Some(
+      Similarity.seededTrainedResidualCodebooks(embs, coarse, 8, 16, iters = 2))))
+    assert(trained >= seeded,
+      s"seeded-trained recall $trained/500 below raw seed init $seeded/500")
+  }
+
   test("IVF under adversarial cell skew: correct top-k, no exchange blow-up") {
     // 90% of the corpus in ONE Voronoi cell — the documented skew
     // caveat ("a degenerate centroid set concentrates mass in one
