@@ -95,19 +95,20 @@ object Graphs {
     * a smaller r0.
     *
     * Shape at scale: per half-step ONE shuffle of the O(nodes) score
-    * table to the edge side plus a map-side-combined sum, and a 1-row
-    * max broadcast back (the scalar-attach BNLJ whitelisted in
-    * PlanQualitySpec). Nodes with no in-edges hold authority 0, no
-    * out-edges hub 0 — kept in the output via the node-universe left
-    * join.
+    * table to the edge side plus a map-side-combined sum; the rescale
+    * max rides as an `observe` metric ON that same job and returns as
+    * a driver literal (round 10 — it used to be a separate 1-row
+    * aggregate crossJoined back, one extra job per half-step). Nodes
+    * with no in-edges hold authority 0, no out-edges hub 0 — kept in
+    * the output via the node-universe left join.
     *
-    * Each half-step's raw-score table feeds TWO consumers — the
-    * 1-row max aggregate AND the rescale projection — so it is
-    * `localCheckpoint`ed before the fan-out ([[labelPropagation]]'s
-    * per-round discipline). Without it the unshared subtree DOUBLES
-    * per half-step (Catalyst does not share subtrees across
-    * consumers, see [[triangleCount]]); measured round 8 at 57 s for
-    * a 1,600-node graph vs ~3 s with the materialization.
+    * Each half-step's raw-score table feeds the NEXT half-step and
+    * (for the final step) the output join, so it is checkpointed per
+    * round ([[labelPropagation]]'s discipline) — without the
+    * materialization the unshared subtree DOUBLES per half-step
+    * (Catalyst does not share subtrees across consumers, see
+    * [[triangleCount]]); measured round 8 at 57 s for a 1,600-node
+    * graph vs ~3 s with it.
     */
   def hits(edges: DataFrame, iters: Int, r0: Long = 1000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
@@ -135,21 +136,33 @@ object Graphs {
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     var prevAIds = Set.empty[Int]
     var prevHIds = Set.empty[Int]
+    // The rescale MAX rides as an `observe` metric ON the half-step's
+    // materialization job (the kHopDistances discipline) and comes
+    // back as a driver literal — no separate 1-row aggregate job, no
+    // scalar-attach crossJoin in the plan. Values are unchanged: the
+    // observed max is the same exact integer the old broadcast carried.
+    def ckptMaxed(df: DataFrame, scoreCol: String): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, max(col(scoreCol)).as("m")).materialize()
+      // empty raw table (edge-less graph): any nonzero divisor works,
+      // the rescale projects zero rows
+      (ck, Option(obs.get("m")).fold(1L)(_.asInstanceOf[Long]))
+    }
     var hub = nodes.withColumn("h", lit(r0))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val araw = e.join(hub, e("src") === hub("node"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
-        .materialize()
+      val (araw, am) = ckptMaxed(
+        e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("ar")), "ar")
       val aIds = trackNew(); free(prevAIds); prevAIds = aIds
-      auth = araw.crossJoin(broadcast(araw.agg(max(col("ar")).as("am"))))
-        .select(col("dst").as("node"), expr(s"(ar * $r0) div am").as("a"))
-      val hraw = e.join(auth, e("dst") === auth("node"))
-        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
-        .materialize()
+      auth = araw.select(col("dst").as("node"),
+        expr(s"(ar * $r0) div ${am}L").as("a"))
+      val (hraw, hm) = ckptMaxed(
+        e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src")).agg(sum(col("a")).as("hr")), "hr")
       val hIds = trackNew(); free(prevHIds); prevHIds = hIds
-      hub = hraw.crossJoin(broadcast(hraw.agg(max(col("hr")).as("hm"))))
-        .select(col("src").as("node"), expr(s"(hr * $r0) div hm").as("h"))
+      hub = hraw.select(col("src").as("node"),
+        expr(s"(hr * $r0) div ${hm}L").as("h"))
     }
     val out = nodes
       .join(hub.select(col("node"), col("h").as("hub")), Seq("node"), "left")
@@ -178,7 +191,18 @@ object Graphs {
     * absent.
     */
   def kHopDistances(edges: DataFrame, sources: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int): DataFrame =
+    kHopStates(edges, sources, maxHops)._1
+
+  /** (distances, size of the final frontier) — the frontier counts
+    * already ride as `observe` metrics on the per-round checkpoints,
+    * so the convergence certificate is free: the last materialized
+    * frontier holds exactly the nodes at `dist = maxHops` (or is
+    * empty when the traversal exhausted early — same answer either
+    * way).
+    */
+  private def kHopStates(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): (DataFrame, Long) = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val e = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst"))
@@ -212,7 +236,7 @@ object Graphs {
       dist = dist.union(frontier)
       i += 1
     }
-    dist
+    (dist, frontierN)
   }
 
   /** Exact triangle count of an undirected graph, by degree-ordered
@@ -414,27 +438,36 @@ object Graphs {
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
 
   /** Last two peeling states — (round rounds−1 edges, round rounds
-    * edges); both eagerly checkpointed, so the report's two counts
-    * are O(1) jobs over materialized RDDs.
+    * edges, their edge counts); counts ride as `observe` metrics on
+    * the per-round checkpoints (the [[kHopDistances]] discipline), so
+    * the convergence report costs ZERO extra jobs.
     */
   private def kCoreStates(edges: DataFrame, k: Int,
-      rounds: Int): (DataFrame, DataFrame) = {
+      rounds: Int): (DataFrame, DataFrame, Long, Long) = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
-    var e = edges.select(col(edges.columns(0)).as("src"),
-      col(edges.columns(1)).as("dst")).materialize()
+    def ckptCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("n")).materialize()
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
+    var (e, n) = ckptCounted(edges.select(
+      col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst")))
     var prev = e
+    var prevN = n
     for (_ <- 1 to rounds) {
       prev = e
+      prevN = n
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
-      e = e
+      val next = ckptCounted(e
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst")
-        .materialize()
+        .select("src", "dst"))
+      e = next._1
+      n = next._2
     }
-    (prev, e)
+    (prev, e, prevN, n)
   }
 
   /** Convergence certificate for bounded-round [[kCore]] (the gap
@@ -449,8 +482,8 @@ object Graphs {
     * certificate is two counts over already-checkpointed states.
     */
   def kCoreReport(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val (prev, last) = kCoreStates(edges, k, rounds)
-    val changed = prev.count() - last.count()
+    val (_, _, prevN, lastN) = kCoreStates(edges, k, rounds)
+    val changed = prevN - lastN
     edges.sparkSession.range(1).select(lit("kcore").as("op"),
       lit(rounds.toLong).as("rounds"),
       lit(changed).as("changed_last_round"),
@@ -488,8 +521,7 @@ object Graphs {
     */
   def kHopReport(edges: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
-    val dist = kHopDistances(edges, sources, maxHops)
-    val changed = dist.filter(col("dist") === maxHops.toLong).count()
+    val changed = kHopStates(edges, sources, maxHops)._2
     edges.sparkSession.range(1).select(lit("bfs").as("op"),
       lit(maxHops.toLong).as("rounds"),
       lit(changed).as("changed_last_round"),

@@ -141,7 +141,6 @@ class PlanQualitySpec extends SparkSpec {
       "layout_hilbert",                              // 1-row min/max quantizer
       "layout_skipping",                             // ≤128-row zone stats × probe literals × 1-row min/max
       "graph_modularity",                            // 1-row edge-total cross
-      "graph_hits",                                  // 1-row max-rescale cross per half-step
       "text_bm25", "text_collocations",              // corpus avg/total row
       "corpus_drift",                                // 1-row (n1, n2) totals
       "emb_drift",                                   // 1-row vec_id-midpoint cross
