@@ -2573,6 +2573,23 @@ object Oracles {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
         |FROM te JOIN tr USING (sh) GROUP BY doc_id""".stripMargin,
 
+    // Exact-substring decontamination: needles = first 16 chars of the
+    // deterministic eval sample; per train doc, count of distinct
+    // needles contained verbatim.
+    "decon_substring" ->
+      """WITH nl AS (
+        |  SELECT list_sort(list_distinct(list(substr(text, 1, 16)))) AS ns
+        |  FROM documents
+        |  WHERE source NOT IN ('src0', 'src1', 'src2')
+        |    AND doc_id % 5 = 0 AND length(text) >= 16)
+        |SELECT d.doc_id,
+        |  CAST(len(list_filter((SELECT ns FROM nl),
+        |    n -> contains(d.text, n))) AS BIGINT) AS n_matches,
+        |  len(list_filter((SELECT ns FROM nl),
+        |    n -> contains(d.text, n))) > 0 AS contaminated
+        |FROM documents d
+        |WHERE d.source IN ('src0', 'src1', 'src2')""".stripMargin,
+
     // Survivors after component collapse: everything except non-min
     // members of each duplicate cluster.
     "dedup_survivors_cc" ->

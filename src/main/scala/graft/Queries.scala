@@ -2983,6 +2983,26 @@ object Queries {
       w = 8)
   }
 
+  /** Extension — exact-substring decontamination
+    * ([[graft.functions.Dedup.substringContamination]]): train docs
+    * (src0–src2) screened against needles = the first 16 characters
+    * of a deterministic eval sample (src3+, doc_id ≡ 0 mod 5, ≥ 16
+    * chars) — the character-level complement of `decontaminate`'s
+    * token 8-grams. Needles are a bounded driver collect riding as
+    * literals; the screen is map-only (plan-guarded).
+    */
+  val deconSubstring: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val trainSrc = Seq("src0", "src1", "src2")
+    val needles = docs
+      .filter(!col("source").isin(trainSrc: _*) &&
+        col("doc_id") % 5 === 0 && length(col("text")) >= 16)
+      .select(substring(col("text"), 1, 16).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    Dedup.substringContamination(
+      docs.filter(col("source").isin(trainSrc: _*)), needles)
+  }
+
   /** Corpus-prep flagship: the full pretraining data path as ONE
     * composed plan — duplicate-cluster collapse (keep each component's
     * min), language filter, deterministic 50% reweight, PII redaction,

@@ -804,6 +804,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** EXACT-SUBSTRING decontamination (the BigCode/HumanEval-style
+    * screen): flag every training document containing ANY eval needle
+    * verbatim at any character position — catches sub-token and
+    * cross-token-boundary leaks the token-w-gram arm
+    * ([[contaminationOverlap]]) cannot see. Returns one row per train
+    * doc: `(doc_id, n_matches, contaminated)` where `n_matches`
+    * counts how many distinct needles occur.
+    *
+    * Scale shape: the needle set rides as LITERALS in one codegen'd
+    * higher-order `filter(contains)` — map-only, zero shuffle, the
+    * corpus text never moves. Per-doc compute is |needles| substring
+    * searches, so this is the right plan for the real-world case
+    * (benchmark prompt sets — 10²–10⁴ short strings); a needle set
+    * too large to broadcast is what the gram-join arm is for.
+    * Needles must be non-empty (an empty needle matches everything).
+    */
+  def substringContamination(train: DataFrame,
+      needles: Seq[String]): DataFrame = {
+    require(needles.nonEmpty, "needle set must not be empty")
+    require(needles.forall(_.nonEmpty), "needles must be non-empty strings")
+    val arr = array(needles.distinct.sorted.map(lit): _*)
+    train.select(col("doc_id"),
+        size(filter(arr, n => col("text").contains(n))).cast("long")
+          .as("n_matches"))
+      .withColumn("contaminated", col("n_matches") > 0L)
+  }
+
   // ------------------------------------- repeated-substring spans
 
   /** Ordered per-position gram hashes, native kernel (md5-portable —

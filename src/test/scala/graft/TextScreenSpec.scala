@@ -57,6 +57,37 @@ class TextScreenSpec extends SparkSpec {
     assert(out(0)._4 == 0.0)
   }
 
+  test("substring decontamination: verbatim needle at any position; prefix-only misses") {
+    val train = Seq(
+      (0L, "totally clean document text"),
+      (1L, "leading words then THE SECRET EVAL PROMPT appears inline"),
+      (2L, "THE SECRET EVAL PROMPT starts this one"),
+      (3L, "the secret eval prompt differs by case"), // exact match only
+      (4L, "two hits: THE SECRET EVAL PROMPT and ANOTHER NEEDLE too"),
+    ).toDF("doc_id", "text")
+    val out = graft.functions.Dedup.substringContamination(train,
+        Seq("THE SECRET EVAL PROMPT", "ANOTHER NEEDLE"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 0L, false)))
+    assert(out(1) == ((1L, 1L, true)))
+    assert(out(2) == ((2L, 1L, true)))
+    assert(out(3) == ((3L, 0L, false)))
+    assert(out(4) == ((4L, 2L, true)))
+    intercept[IllegalArgumentException] {
+      graft.functions.Dedup.substringContamination(train, Seq(""))
+    }
+  }
+
+  test("decon_substring query: positive arm fires at fixture scale") {
+    // a screen that never flags anything is untested in its positive
+    // arm — the needle length/sample is tuned so the fixture yields
+    // BOTH contaminated and clean train docs
+    val out = Queries.deconSubstring(spark, sfDir)
+      .select("contaminated").as[Boolean].collect()
+    assert(out.exists(identity) && out.exists(!_),
+      s"degenerate screen: ${out.count(identity)}/${out.length} flagged")
+  }
+
   test("classifier PR: counts sum to N; recall and predictions monotone in threshold") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val thresholds = Seq(-0.02, -0.01, -0.005, 0.0, 0.005, 0.01, 0.02)
