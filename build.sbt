@@ -19,6 +19,10 @@ run / fork := true
 // interleave), and showSuccess drops the trailer — the JSON line is the
 // final stdout line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// belt-and-braces: runMain's fork delegates to run-scoped options in
+// current sbt, but pin the runMain scope too so an sbt upgrade can't
+// silently bring the prefix back
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 // showSuccess is consumed by sbt's command engine, not by another
 // setting — silence the false-positive unused-key lint

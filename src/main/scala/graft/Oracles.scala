@@ -5393,8 +5393,9 @@ object Oracles {
         |    CAST(length(t) AS BIGINT) AS n_chars
         |  FROM d)
         |SELECT doc_id, mojibake_hits, n_chars,
-        |  round(CAST(mojibake_hits AS DOUBLE) / CAST(n_chars AS DOUBLE), 9)
-        |    AS mojibake_rate,
+        |  CASE WHEN n_chars = 0 THEN 0.0
+        |       ELSE round(CAST(mojibake_hits AS DOUBLE)
+        |                  / CAST(n_chars AS DOUBLE), 9) END AS mojibake_rate,
         |  mojibake_hits > 0 AS suspect
         |FROM h""".stripMargin,
 

@@ -1001,8 +1001,9 @@ object Dedup {
     * collected (a hub's edges stay distributed — the min-neighbor
     * reduction is map-side combined, and the 1-row-per-key build side
     * broadcasts or AQE-splits the join). Lineage is truncated per round
-    * with localCheckpoint; a long-lived cluster job would point
-    * `setCheckpointDir` at durable storage and use `checkpoint` instead.
+    * via [[graft.plans.Materialize]] — localCheckpoint in local mode;
+    * a long-lived cluster job that points `setCheckpointDir` at
+    * durable storage gets reliable `checkpoint` automatically.
     *
     * Returns `(doc_id, component)` for every node appearing in `pairs`,
     * where component = smallest doc_id in the connected component.
@@ -1051,11 +1052,9 @@ object Dedup {
     // exact — a signature collision costs one extra job, never a
     // wrong answer.
     def checkpointWithSig(df: DataFrame): (DataFrame, (Long, Long)) = {
-      val obs = org.apache.spark.sql.Observation()
-      val ck = df.observe(obs,
+      val (ck, m) = graft.plans.Materialize.withMetrics(df,
         count(lit(1)).as("n"),
-        bit_xor(xxhash64(col("u"), col("v"))).as("x")).materialize()
-      val m = obs.get
+        bit_xor(xxhash64(col("u"), col("v"))).as("x"))
       (ck, (m("n").asInstanceOf[Long],
         Option(m("x")).map(_.asInstanceOf[Long]).getOrElse(0L)))
     }

@@ -1060,8 +1060,12 @@ object TextAnalysis {
     docs.select(col("doc_id"), hits.as("mojibake_hits"),
         length(textCol).cast("long").as("n_chars"))
       .withColumn("mojibake_rate",
-        round(col("mojibake_hits").cast("double")
-          / col("n_chars").cast("double"), 9))
+        // empty doc: 0.0, not the NaN a raw 0/0 would produce (NaN
+        // fails every numeric alert threshold — the embDriftStream
+        // lesson, and the hashedLinearScore nf=0 convention)
+        when(col("n_chars") === 0L, lit(0.0))
+          .otherwise(round(col("mojibake_hits").cast("double")
+            / col("n_chars").cast("double"), 9)))
       .withColumn("suspect", col("mojibake_hits") > 0L)
   }
 

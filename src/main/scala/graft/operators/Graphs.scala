@@ -137,16 +137,16 @@ object Graphs {
     var prevAIds = Set.empty[Int]
     var prevHIds = Set.empty[Int]
     // The rescale MAX rides as an `observe` metric ON the half-step's
-    // materialization job (the kHopDistances discipline) and comes
-    // back as a driver literal — no separate 1-row aggregate job, no
+    // materialization job (Materialize.withMetrics) and comes back as
+    // a driver literal — no separate 1-row aggregate job, no
     // scalar-attach crossJoin in the plan. Values are unchanged: the
     // observed max is the same exact integer the old broadcast carried.
     def ckptMaxed(df: DataFrame, scoreCol: String): (DataFrame, Long) = {
-      val obs = org.apache.spark.sql.Observation()
-      val ck = df.observe(obs, max(col(scoreCol)).as("m")).materialize()
+      val (ck, m) = graft.plans.Materialize.withMetrics(df,
+        max(col(scoreCol)).as("m"))
       // empty raw table (edge-less graph): any nonzero divisor works,
       // the rescale projects zero rows
-      (ck, Option(obs.get("m")).fold(1L)(_.asInstanceOf[Long]))
+      (ck, Option(m("m")).fold(1L)(_.asInstanceOf[Long]))
     }
     var hub = nodes.withColumn("h", lit(r0))
     var auth: DataFrame = null
@@ -214,11 +214,6 @@ object Graphs {
     // is a union of already-checkpointed frontiers, so its lineage is
     // O(rounds) unions over materialized RDDs (linear, not the
     // quadratic-lineage trap the frontier checkpoint guards against).
-    def ckptCounted(df: DataFrame): (DataFrame, Long) = {
-      val obs = org.apache.spark.sql.Observation()
-      val ck = df.observe(obs, count(lit(1)).as("n")).materialize()
-      (ck, obs.get("n").asInstanceOf[Long])
-    }
     var (dist, n0) = ckptCounted(sources
       .select(col(sources.columns(0)).as("node"))
       .distinct().withColumn("dist", lit(0L)))
@@ -437,6 +432,16 @@ object Graphs {
     kCoreStates(edges, k, rounds)._2
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
 
+  /** Shared observe-count-on-materialization step (the
+    * [[graft.plans.Materialize.withMetrics]] pattern): row count rides
+    * on the checkpoint job — zero extra jobs for loop bookkeeping.
+    */
+  private def ckptCounted(df: DataFrame): (DataFrame, Long) = {
+    val (ck, m) = graft.plans.Materialize.withMetrics(df,
+      count(lit(1)).as("n"))
+    (ck, m("n").asInstanceOf[Long])
+  }
+
   /** Last two peeling states — (round rounds−1 edges, round rounds
     * edges, their edge counts); counts ride as `observe` metrics on
     * the per-round checkpoints (the [[kHopDistances]] discipline), so
@@ -446,11 +451,6 @@ object Graphs {
       rounds: Int): (DataFrame, DataFrame, Long, Long) = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
-    def ckptCounted(df: DataFrame): (DataFrame, Long) = {
-      val obs = org.apache.spark.sql.Observation()
-      val ck = df.observe(obs, count(lit(1)).as("n")).materialize()
-      (ck, obs.get("n").asInstanceOf[Long])
-    }
     var (e, n) = ckptCounted(edges.select(
       col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst")))
     var prev = e

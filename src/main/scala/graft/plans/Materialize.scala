@@ -41,11 +41,35 @@ object Materialize {
   /** Truncate lineage and materialize: reliable `checkpoint()` when a
     * checkpoint dir is set on the SparkContext, `localCheckpoint()`
     * otherwise.
+    *
+    * Durable mode caches around the checkpoint: Spark's reliable
+    * checkpoint runs the eager action AND a second job that
+    * re-executes the RDD to write the files (the classic
+    * checkpoint-without-cache 2× recompute) — with the dataset cached,
+    * the write job reads blocks instead of recomputing the subtree.
     */
   def apply[T](ds: Dataset[T]): Dataset[T] =
-    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      ds.checkpoint()
-    else ds.localCheckpoint()
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      ds.persist()
+      try ds.checkpoint()
+      finally ds.unpersist(blocking = false)
+    } else ds.localCheckpoint()
+
+  /** Materialize with job-metric piggybacking: `metrics` (named
+    * aggregate expressions) ride as an `observe` on the
+    * materialization job itself, so loop disciplines that need a
+    * per-round count / max / signature pay ZERO extra jobs for it.
+    * Returns the materialized dataset and the observed metric row as
+    * a name→value map (aggregates over zero rows observe as null —
+    * callers own that default). The shared form of the pattern
+    * connectedComponents, HITS, k-core and BFS each carried privately.
+    */
+  def withMetrics[T](ds: Dataset[T], first: org.apache.spark.sql.Column,
+      rest: org.apache.spark.sql.Column*): (Dataset[T], Map[String, Any]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ck = apply(ds.observe(obs, first, rest: _*))
+    (ck, obs.get)
+  }
 
   /** Postfix syntax: `df.materialize()` reads like the
     * `localCheckpoint()` calls it replaces.
