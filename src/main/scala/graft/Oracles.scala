@@ -5441,6 +5441,88 @@ object Oracles {
         |       THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 9) END AS recall
         |FROM c""".stripMargin,
 
+    // Curation funnel: the five screens' flags replayed per doc
+    // (langid argmax with the engine's tie rule, blocklist counts,
+    // the Gopher rule, classifier sign, keep-first digest rank), then
+    // cumulative conjunctive counts unioned into stage rows.
+    "curation_funnel" ->
+      """WITH tl AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(text), '\s+') AS toks,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> length(t) > 0) AS ftl
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','von','zu','mit','den'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('the','of','and','to','in','is','that','for'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','los','del'))) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','un','une'))) AS s_fr
+        |  FROM tl),
+        |fl AS (
+        |  SELECT doc_id,
+        |    (s_en > 0 AND s_en >= s_de AND s_en > s_es AND s_en > s_fr) AS f_lang
+        |  FROM sc),
+        |fb AS (
+        |  SELECT doc_id,
+        |    len(list_filter(
+        |      CASE WHEN len(ftl) < 2 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_transform(range(1, len(ftl)),
+        |                  i -> ftl[i] || ' ' || ftl[i + 1]) END,
+        |      g -> list_contains(['table table', 'big big'], g))) = 0 AS f_block
+        |  FROM tl),
+        |fg AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) BETWEEN 30 AND 100000 AS f_band
+        |  FROM tl),
+        |fc0 AS (
+        |  SELECT doc_id,
+        |    list_concat(ftl,
+        |      CASE WHEN len(ftl) < 2 THEN CAST([] AS VARCHAR[])
+        |           ELSE list_transform(range(1, len(ftl)),
+        |                  i -> ftl[i] || ' ' || ftl[i + 1]) END) AS fl2
+        |  FROM tl),
+        |fc AS (
+        |  SELECT doc_id,
+        |    len(fl2) > 0 AND CAST(list_sum(list_transform(fl2, f ->
+        |      CAST(CAST(concat('0x', substr(md5(concat('qw_',
+        |        CAST(CAST(concat('0x', substr(md5(concat('qf_', f)), 1, 8)) AS UBIGINT) % 1024 AS VARCHAR))), 1, 8)) AS UBIGINT) % 2001 AS BIGINT) - 1000))
+        |      AS BIGINT) > 0 AS f_clf
+        |  FROM fc0),
+        |fd AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY md5(substr(text, 1, 48))
+        |                       ORDER BY doc_id) = 1 AS f_first
+        |  FROM documents),
+        |j AS (
+        |  SELECT fl.f_lang AS c1,
+        |    fl.f_lang AND fb.f_block AS c2,
+        |    fl.f_lang AND fb.f_block AND fg.f_band AS c3,
+        |    fl.f_lang AND fb.f_block AND fg.f_band AND fc.f_clf AS c4,
+        |    fl.f_lang AND fb.f_block AND fg.f_band AND fc.f_clf AND fd.f_first AS c5
+        |  FROM fl
+        |  JOIN fb USING (doc_id) JOIN fg USING (doc_id)
+        |  JOIN fc USING (doc_id) JOIN fd USING (doc_id)),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |    CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+        |  FROM j),
+        |st AS (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'lang_id' AS name, n0 AS n_in, n1 AS n_kept FROM a
+        |  UNION ALL SELECT 2, 'blocklist', n1, n2 FROM a
+        |  UNION ALL SELECT 3, 'length_band', n2, n3 FROM a
+        |  UNION ALL SELECT 4, 'classifier', n3, n4 FROM a
+        |  UNION ALL SELECT 5, 'prefix_dedup', n4, n5 FROM a)
+        |SELECT stage, name, n_in, n_kept,
+        |  CASE WHEN n_in = 0 THEN 0.0
+        |       ELSE round(CAST(n_in - n_kept AS DOUBLE)
+        |                  / CAST(n_in AS DOUBLE), 9) END AS drop_rate
+        |FROM st""".stripMargin,
+
     // Drift monitor: exact-integer TV deviation |c1*N2 - c2*N1| over
     // the merged vocabulary of the two snapshot halves; one division
     // per emitted row.

@@ -2902,6 +2902,35 @@ object Queries {
       thresholds = Seq(-0.02, -0.01, -0.005, 0.0, 0.005, 0.01, 0.02),
       minTokens = 30)
 
+  /** Extension — curation funnel
+    * ([[graft.functions.TextAnalysis.curationFunnel]]): per-stage
+    * kept/dropped accounting through a five-screen chain (langid →
+    * phrase blocklist → token-length band → classifier → keep-first
+    * prefix dedup) — the audit table every production pipeline ships
+    * next to its output. Stage instantiation tuned so EVERY stage
+    * drops and keeps documents at fixture scale (a funnel whose tail
+    * sees zero rows tests nothing); the Gopher rule stays available
+    * as a pluggable screen (`gopherKeep`) but annihilates this
+    * fixture (its 50-word floor + stopword test), so the band screen
+    * stands in. One narrow flag pass + one 16-byte-digest window +
+    * one map-combined aggregation serves all five stages.
+    */
+  val curationFunnel: Q = (s, dir) =>
+    TextAnalysis.curationFunnel(t(s, dir, "documents"),
+      Seq(
+        "lang_id" -> (TextAnalysis.langId(col("text")) === "en"),
+        "blocklist" -> {
+          val (w, p) = TextAnalysis.blocklistHitCols(col("text"),
+            Seq("table table", "big big"))
+          w + p === 0L
+        },
+        "length_band" -> size(TextAnalysis.tokens(lower(col("text"))))
+          .between(30, 100000),
+        "classifier" -> (TextAnalysis.hashedLinearScore(col("text")) > 0),
+      ),
+      dedupStage = Some("prefix_dedup" ->
+        md5(substring(col("text"), 1, 48).cast("binary"))))
+
   /** Extension — RAKE keyphrase extraction: corpus top-50 candidate
     * phrases (stopword-delimited runs ≤ 4 tokens) by summed
     * deg/freq word scores, ordered fold for FP parity.

@@ -122,9 +122,27 @@ object TextAnalysis {
       round(symRatio, 4).as("symbol_ratio"),
       round(alphaRatio, 4).as("alpha_word_ratio"),
       stopDistinct.cast("long").as("stop_distinct"),
-      (n.between(50, 100000) && meanLen.between(3.0, 10.0) &&
-        symRatio <= 0.1 && alphaRatio > 0.8 && stopDistinct >= 2)
-        .as("keep"))
+      gopherKeep(text).as("keep"))
+  }
+
+  /** The Gopher keep decision as a bare Column (the [[gopherSignals]]
+    * rule on UNROUNDED ratios) — reusable by composition faces like
+    * [[curationFunnel]] without re-deriving the thresholds.
+    */
+  def gopherKeep(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks).cast("long")
+    val nd = n.cast("double")
+    val meanLen = aggregate(toks, lit(0L),
+      (acc, w) => acc + length(w).cast("long")).cast("double") / nd
+    val symRatio = regexp_count(text, lit("#|\\.\\.\\.|…"))
+      .cast("double") / nd
+    val alphaRatio = size(filter(toks, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nd
+    val stopDistinct = gopherStops
+      .map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+    n.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+      symRatio <= 0.1 && alphaRatio > 0.8 && stopDistinct >= 2
   }
 
   /** Corpus vocabulary: token frequencies, most common first (ties
@@ -1018,6 +1036,20 @@ object TextAnalysis {
     * longer phrases would need per-length n-gram arrays.
     */
   def blocklistScreen(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
+    val (wordHits, phraseHits) = blocklistHitCols(col("text"), blocklist)
+    docs.select(col("doc_id"),
+        wordHits.as("word_hits"),
+        phraseHits.as("phrase_hits"))
+      .withColumn("n_hits", col("word_hits") + col("phrase_hits"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
+  /** (word-hit count, phrase-hit count) as bare Columns — the
+    * [[blocklistScreen]] semantics, reusable by composition faces
+    * like [[curationFunnel]].
+    */
+  def blocklistHitCols(text: Column,
+      blocklist: Seq[String]): (Column, Column) = {
     require(blocklist.nonEmpty, "blocklist must not be empty")
     val (phrases, words) = blocklist.partition(_.contains(" "))
     require(phrases.forall(_.split(" ").length == 2),
@@ -1028,16 +1060,65 @@ object TextAnalysis {
       if (entries.isEmpty) lit(0L)
       else size(filter(arr,
         t => entries.map(e => t === lit(e)).reduce(_ || _))).cast("long")
-    val toks = filter(tokens(lower(col("text"))), t => length(t) > 0)
+    val toks = filter(tokens(lower(text)), t => length(t) > 0)
     val bigrams = zip_with(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
       slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
-    docs.select(col("doc_id"),
-        countIn(toks, words).as("word_hits"),
-        countIn(bigrams, phrases).as("phrase_hits"))
-      .withColumn("n_hits", col("word_hits") + col("phrase_hits"))
-      .withColumn("keep", col("n_hits") === 0L)
+    (countIn(toks, words), countIn(bigrams, phrases))
+  }
+
+  /** Curation funnel report — the per-stage audit every production
+    * pipeline ships next to its output (how many documents each
+    * screen dropped, in order): conjunctive CUMULATIVE stages, one
+    * row per stage with `(stage, name, n_in, n_kept, drop_rate)`
+    * where `n_in` of stage k is `n_kept` of stage k−1.
+    *
+    * `screens` are per-row boolean Columns (reuse the standalone
+    * operators' Column faces — [[langId]], [[blocklistHitCols]],
+    * [[gopherKeep]], [[hashedLinearScore]], token bands);
+    * `dedupStage` optionally appends a keep-first-by-key stage
+    * (first `doc_id` per key survives — content digest, URL, or a
+    * prefix digest).
+    *
+    * Scale shape: every screen flag is computed in ONE narrow map
+    * pass; the only shuffles are the digest window for the dedup
+    * flag (16-byte keys — text never rides a shuffle) and the final
+    * map-combined aggregation, whose conditional sums serve EVERY
+    * stage at once (the [[classifierPrReport]] one-pass pattern — no
+    * per-stage corpus re-scan).
+    */
+  def curationFunnel(docs: DataFrame, screens: Seq[(String, Column)],
+      dedupStage: Option[(String, Column)] = None): DataFrame = {
+    require(screens.nonEmpty, "need at least one screen stage")
+    val screenCols = screens.zipWithIndex.map { case ((_, c), i) =>
+      c.as(s"f$i") }
+    val flagged = docs.select(
+      (col("doc_id") +: screenCols) ++
+        dedupStage.map { case (_, key) => key.as("__key") }.toSeq: _*)
+    val withDedup = dedupStage match {
+      case Some((name, _)) => (flagged.withColumn(s"f${screens.size}",
+          row_number().over(Window.partitionBy(col("__key"))
+            .orderBy(col("doc_id"))) === 1),
+        screens.map(_._1) :+ name)
+      case None => (flagged, screens.map(_._1))
+    }
+    val (df, names) = withDedup
+    val cum = names.indices.map { i =>
+      (0 to i).map(j => col(s"f$j")).reduce(_ && _) }
+    val aggs = count(lit(1)).as("n0") +:
+      cum.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"n${i + 1}") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = explode(array(names.zipWithIndex.map { case (name, i) =>
+      struct(lit(i + 1L).as("stage"), lit(name).as("name"),
+        col(s"n$i").as("n_in"), col(s"n${i + 1}").as("n_kept"))
+    }: _*))
+    one.select(rows.as("r")).select(col("r.*"))
+      .withColumn("drop_rate",
+        when(col("n_in") === 0L, lit(0.0))
+          .otherwise(round((col("n_in") - col("n_kept")).cast("double")
+            / col("n_in").cast("double"), 9)))
   }
 
   /** Mojibake / encoding-damage signal (the ftfy lineage — UTF-8 text

@@ -328,6 +328,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("curation funnel: one corpus scan; digest window + final agg are the only exchanges") {
+    val p = planOf("curation_funnel")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p.take(1200))
+    // all five screen flags ride ONE narrow pass; only the 16-byte
+    // prefix-digest window and the single-row aggregation shuffle
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
   test("map-only text passes plan without any exchange") {
     for (q <- Seq("text_pii_redact", "text_gopher_filter", "split_train_val",
         "chunk_overlap", "text_blocklist", "text_mojibake",

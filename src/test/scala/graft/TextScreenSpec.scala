@@ -88,6 +88,22 @@ class TextScreenSpec extends SparkSpec {
       s"degenerate screen: ${out.count(identity)}/${out.length} flagged")
   }
 
+  test("curation funnel: chained counts, monotone kept, every stage active on the fixture") {
+    val rows = Queries.curationFunnel(spark, sfDir)
+      .orderBy("stage")
+      .select("stage", "name", "n_in", "n_kept")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(rows.map(_._2) ==
+      Seq("lang_id", "blocklist", "length_band", "classifier", "prefix_dedup"))
+    // n_in of stage k is n_kept of stage k-1; kept never exceeds in
+    for (Seq(a, b) <- rows.sliding(2)) assert(b._3 == a._4)
+    for (r <- rows) assert(r._4 <= r._3 && r._4 >= 0)
+    // the fixture instantiation must exercise every stage's DROP arm
+    // (a funnel whose tail sees zero rows tests nothing)
+    for (r <- rows) assert(r._4 < r._3, s"stage ${r._2} dropped nothing")
+    assert(rows.last._4 > 0, "funnel annihilated the corpus")
+  }
+
   test("classifier PR: counts sum to N; recall and predictions monotone in threshold") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val thresholds = Seq(-0.02, -0.01, -0.005, 0.0, 0.005, 0.01, 0.02)
