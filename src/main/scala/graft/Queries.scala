@@ -2915,21 +2915,27 @@ object Queries {
     * stands in. One narrow flag pass + one 16-byte-digest window +
     * one map-combined aggregation serves all five stages.
     */
+  /** The registered funnel's screen chain — shared with the streaming
+    * twin's batch-equivalence spec so the two faces cannot drift.
+    */
+  private[graft] def funnelScreens: Seq[(String, Column)] = Seq(
+    "lang_id" -> (TextAnalysis.langId(col("text")) === "en"),
+    "blocklist" -> {
+      val (w, p) = TextAnalysis.blocklistHitCols(col("text"),
+        Seq("table table", "big big"))
+      w + p === 0L
+    },
+    "length_band" -> size(TextAnalysis.tokens(lower(col("text"))))
+      .between(30, 100000),
+    "classifier" -> (TextAnalysis.hashedLinearScore(col("text")) > 0),
+  )
+
+  private[graft] def funnelDedup: (String, Column) =
+    "prefix_dedup" -> md5(substring(col("text"), 1, 48).cast("binary"))
+
   val curationFunnel: Q = (s, dir) =>
     TextAnalysis.curationFunnel(t(s, dir, "documents"),
-      Seq(
-        "lang_id" -> (TextAnalysis.langId(col("text")) === "en"),
-        "blocklist" -> {
-          val (w, p) = TextAnalysis.blocklistHitCols(col("text"),
-            Seq("table table", "big big"))
-          w + p === 0L
-        },
-        "length_band" -> size(TextAnalysis.tokens(lower(col("text"))))
-          .between(30, 100000),
-        "classifier" -> (TextAnalysis.hashedLinearScore(col("text")) > 0),
-      ),
-      dedupStage = Some("prefix_dedup" ->
-        md5(substring(col("text"), 1, 48).cast("binary"))))
+      funnelScreens, dedupStage = Some(funnelDedup))
 
   /** Extension — RAKE keyphrase extraction: corpus top-50 candidate
     * phrases (stopword-delimited runs ≤ 4 tokens) by summed

@@ -1104,12 +1104,28 @@ object TextAnalysis {
       case None => (flagged, screens.map(_._1))
     }
     val (df, names) = withDedup
-    val cum = names.indices.map { i =>
+    funnelRows(funnelAgg(df, names.size), names)
+  }
+
+  /** One-row cumulative-conjunction counts `n0..nK` over flag columns
+    * `f0..f{K−1}` — the funnel's single map-combined aggregation,
+    * shared by [[curationFunnel]] and the streaming twin (whose
+    * per-batch counts are ADDITIVE in exactly this form).
+    */
+  private[graft] def funnelAgg(df: DataFrame, nStages: Int): DataFrame = {
+    val cum = (0 until nStages).map { i =>
       (0 to i).map(j => col(s"f$j")).reduce(_ && _) }
     val aggs = count(lit(1)).as("n0") +:
       cum.zipWithIndex.map { case (c, i) =>
         sum(when(c, 1L).otherwise(0L)).as(s"n${i + 1}") }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Unpivot a one-row `n0..nK` counts frame into the funnel's
+    * per-stage rows `(stage, name, n_in, n_kept, drop_rate)`.
+    */
+  private[graft] def funnelRows(one: DataFrame,
+      names: Seq[String]): DataFrame = {
     val rows = explode(array(names.zipWithIndex.map { case (name, i) =>
       struct(lit(i + 1L).as("stage"), lit(name).as("name"),
         col(s"n$i").as("n_in"), col(s"n${i + 1}").as("n_kept"))

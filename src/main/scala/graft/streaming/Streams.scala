@@ -481,6 +481,78 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming CURATION FUNNEL — the monitoring face of
+    * `curation_funnel`: per micro-batch, every screen flag is
+    * computed in the same one narrow pass as the batch operator
+    * (shared `funnelAgg` core), the keep-first dedup flag consults
+    * the ACCUMULATED seen-keys state (a key is "first" only on its
+    * first appearance across the stream's whole life), and the
+    * per-stage counts — additive by construction — are merged into
+    * the running totals. The callback receives the accumulated
+    * funnel table after each batch; feeding the corpus through in
+    * doc_id-ordered batches reproduces the batch `curationFunnel`
+    * EXACTLY (spec-pinned). State: the seen-keys digest table +
+    * one counts row, persisted with the [[driftStream]]
+    * atomic-overwrite discipline.
+    */
+  def funnelStream(
+      docs: DataFrame,
+      screens: Seq[(String, org.apache.spark.sql.Column)],
+      dedupStage: (String, org.apache.spark.sql.Column),
+      statePath: String,
+      checkpoint: String,
+      onFunnel: DataFrame => Unit,
+  ): StreamingQuery = {
+    val names = screens.map(_._1) :+ dedupStage._1
+    val k = names.size
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val keysPath = s"$statePath/keys"
+        val countsPath = s"$statePath/counts"
+        val screenCols = screens.zipWithIndex.map { case ((_, c), i) =>
+          c.as(s"f$i") }
+        val flagged = batch.select(
+          (col("doc_id") +: screenCols) :+ dedupStage._2.as("__key"): _*)
+        val hasKeys =
+          java.nio.file.Files.exists(java.nio.file.Paths.get(keysPath))
+        val seen =
+          if (hasKeys) spark.read.parquet(keysPath)
+          else flagged.select(col("__key")).limit(0)
+        // first GLOBALLY = first within the batch (by doc_id) AND the
+        // key never appeared in any prior batch
+        val withFirst = flagged
+          .withColumn("__rk", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__key")).orderBy(col("doc_id"))))
+          .join(seen.select(col("__key"), lit(true).as("__seen")),
+            Seq("__key"), "left")
+          .withColumn(s"f${k - 1}",
+            col("__rk") === 1 && col("__seen").isNull)
+        val batchRow = graft.functions.TextAnalysis
+          .funnelAgg(withFirst, k).head()
+        val prior: Array[Long] =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(countsPath)))
+            spark.read.parquet(countsPath).head()
+              .toSeq.map(_.asInstanceOf[Long]).toArray
+          else Array.fill(k + 1)(0L)
+        val merged = (0 to k).map(i => prior(i) + batchRow.getLong(i))
+        import spark.implicits._
+        val one = Seq(merged).toDF().select(
+          (0 to k).map(i => col("value").getItem(i).as(s"n$i")): _*)
+        onFunnel(graft.functions.TextAnalysis.funnelRows(one, names))
+        graft.operators.Merge.atomicOverwrite(
+          one.select((0 to k).map(i => col(s"n$i")): _*), countsPath)
+        graft.operators.Merge.atomicOverwrite(
+          seen.unionByName(flagged.select(col("__key"))).distinct(),
+          keysPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming DRIFT monitor — the per-batch face of `corpus_drift`:
     * each micro-batch's token counts are compared against the
     * ACCUMULATED reference distribution (all prior batches) with the

@@ -485,6 +485,50 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(state).agg(sum($"c")).head().getLong(0) == n1 + n2)
   }
 
+  test("streaming curation funnel: accumulated stage counts equal the batch funnel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel-ck").toString
+    val state = s"$dir/state"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val schema = docs.schema
+    // doc_id-ordered batches: global keep-first-by-key then equals the
+    // batch window's first-by-doc_id, so stream totals must be EXACT
+    val h1 = docs.filter($"doc_id" < 250)
+    val h2 = docs.filter($"doc_id" >= 250)
+    var last: Option[Seq[(Long, String, Long, Long, Double)]] = None
+    def run(): Unit = {
+      val q = Streams.funnelStream(
+        spark.readStream.schema(schema).parquet(s"$dir/in/*"),
+        Queries.funnelScreens, Queries.funnelDedup, state, ckpt,
+        f => { last = Some(f.orderBy("stage")
+          .as[(Long, String, Long, Long, Double)].collect().toSeq) })
+      q.awaitTermination(120000)
+    }
+    h1.write.parquet(s"$dir/in/b1.parquet")
+    run()
+    val afterB1 = last.get
+    assert(afterB1.head._3 == 250L, afterB1) // n_in of stage 1 = batch size
+    h2.write.parquet(s"$dir/in/b2.parquet")
+    run()
+    val streamed = last.get
+    val batch = graft.functions.TextAnalysis
+      .curationFunnel(docs, Queries.funnelScreens,
+        dedupStage = Some(Queries.funnelDedup))
+      .orderBy("stage")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(streamed == batch,
+      s"stream totals diverged:\n  stream $streamed\n  batch  $batch")
+    // restart recovery: the seen-keys state makes a re-fed duplicate
+    // batch contribute ZERO to the dedup stage's kept count
+    h2.write.mode("overwrite").parquet(s"$dir/in/b3.parquet")
+    run()
+    val afterDup = last.get
+    assert(afterDup.last._4 == batch.last._4,
+      s"re-fed batch inflated dedup survivors: $afterDup")
+  }
+
   test("streaming embedding drift: per-batch max mean-shift vs reference, batch-exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-edrift").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-edrift-ck").toString
