@@ -18,11 +18,11 @@ run / fork := true
 // stdout through verbatim (stderr stays on stderr, so Spark WARNs don't
 // interleave), and showSuccess drops the trailer — the JSON line is the
 // final stdout line.
+// runMain builds its fork options from the RUN-scoped settings
+// (sbt Defaults), so this one setting covers both `run` and `runMain`
+// — a runMain-scoped copy is dead (lintUnused confirms sbt never
+// reads it).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-// belt-and-braces: runMain's fork delegates to run-scoped options in
-// current sbt, but pin the runMain scope too so an sbt upgrade can't
-// silently bring the prefix back
-Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 // showSuccess is consumed by sbt's command engine, not by another
 // setting — silence the false-positive unused-key lint
