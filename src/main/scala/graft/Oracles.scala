@@ -1979,6 +1979,62 @@ object Oracles {
          |FROM i3""".stripMargin
     },
 
+    // Fixpoint-delta certificates: pagerank rounds 2-vs-3 and HITS
+    // rounds 1-vs-2 replayed with the SAME unrolled builders as
+    // graph_pagerank / graph_hits, reduced to changed-node counts.
+    "graph_fixpoint_delta" -> {
+      val r0h = 1000000L
+      def iter(prev: String, out: String): String =
+        s"$out AS (SELECT e.dst AS node, " +
+          s"CAST(150000000 + (85 * sum(p.r // dg.deg)) // 100 AS BIGINT) AS r " +
+          s"FROM edges e JOIN $prev p ON p.node = e.src " +
+          s"JOIN deg dg ON dg.src = e.src GROUP BY e.dst)"
+      def auth(h: String, out: String): String =
+        s"""${out}raw AS (SELECT e.dst AS node, CAST(sum(p.h) AS BIGINT) AS ar
+           |  FROM edges e JOIN $h p ON p.node = e.src GROUP BY e.dst),
+           |$out AS (SELECT node,
+           |  CAST((ar * $r0h) // (SELECT max(ar) FROM ${out}raw) AS BIGINT) AS a
+           |  FROM ${out}raw)""".stripMargin
+      def hubStep(a: String, out: String): String =
+        s"""${out}raw AS (SELECT e.src AS node, CAST(sum(p.a) AS BIGINT) AS hr
+           |  FROM edges e JOIN $a p ON p.node = e.dst GROUP BY e.src),
+           |$out AS (SELECT node,
+           |  CAST((hr * $r0h) // (SELECT max(hr) FROM ${out}raw) AS BIGINT) AS h
+           |  FROM ${out}raw)""".stripMargin
+      val hitsChanged =
+        """(SELECT count(*) FROM nodes n
+          |    LEFT JOIN h1 ON h1.node = n.node LEFT JOIN h2 ON h2.node = n.node
+          |    LEFT JOIN a1 ON a1.node = n.node LEFT JOIN a2 ON a2.node = n.node
+          |    WHERE COALESCE(h2.h, 0) <> COALESCE(h1.h, 0)
+          |       OR COALESCE(a2.a, 0) <> COALESCE(a1.a, 0))""".stripMargin
+      val prChanged =
+        """(SELECT count(*) FROM i3 FULL JOIN i2 ON i3.node = i2.node
+          |        WHERE i3.r IS DISTINCT FROM i2.r)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS su
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, su AS dst FROM d
+         |  UNION ALL SELECT su, c FROM d),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT DISTINCT src AS node,
+         |  CAST(1000000000 AS BIGINT) AS r FROM edges),
+         |${iter("r0", "i1")},
+         |${iter("i1", "i2")},
+         |${iter("i2", "i3")},
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst FROM edges),
+         |h0 AS (SELECT node, CAST($r0h AS BIGINT) AS h FROM nodes),
+         |${auth("h0", "a1")},
+         |${hubStep("a1", "h1")},
+         |${auth("h1", "a2")},
+         |${hubStep("a2", "h2")}
+         |SELECT 'pagerank' AS op, CAST(3 AS BIGINT) AS rounds,
+         |  CAST($prChanged AS BIGINT) AS changed_last_round,
+         |  $prChanged = 0 AS converged
+         |UNION ALL
+         |SELECT 'hits', 2, CAST($hitsChanged AS BIGINT), $hitsChanged = 0""".stripMargin
+    },
+
     // HITS: 2 unrolled rounds of max-rescaled floor-integer
     // half-steps — auth = Σ hub over in-edges then ·r0 // max, hub
     // symmetric over out-edges; node universe left-joined with 0 fill.

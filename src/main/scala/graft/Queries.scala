@@ -730,6 +730,20 @@ object Queries {
     graft.operators.Graphs.hits(tradeEdges(s, dir), iters = 2)
       .select(decodeNode(col("hub"), col("auth")): _*)
 
+  /** Extension — fixpoint-delta certificates for the two
+    * fixed-iteration graph ops ([[graft.operators.Graphs.pageRankReport]] /
+    * [[graft.operators.Graphs.hitsReport]]), completing the
+    * `graph_convergence` family: integer PageRank and max-rescaled
+    * integer HITS are deterministic fixpoint iterations, so a zero
+    * count of nodes whose state changed in the final round certifies
+    * EXACT convergence (further rounds provably identical). Run
+    * sequentially — the HITS loop's checkpoint-id bookkeeping assumes
+    * single-threaded construction.
+    */
+  val graphFixpointDelta: Q = (s, dir) =>
+    graft.operators.Graphs.pageRankReport(tradeEdges(s, dir), iters = 3)
+      .unionAll(graft.operators.Graphs.hitsReport(tradeEdges(s, dir), iters = 2))
+
   /** Extension — bounded BFS: exact hop distance from customer 0 to
     * every node of the trade graph within 4 hops (frontier-at-a-time;
     * see [[graft.operators.Graphs.kHopDistances]]).

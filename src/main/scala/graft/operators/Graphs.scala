@@ -46,6 +46,20 @@ object Graphs {
     * (85·Σ)/100` in floor arithmetic.
     */
   def pageRank(edges: DataFrame, iters: Int, r0: Long = 1000000000L): DataFrame = {
+    val (_, ranks, e) = pageRankStates0(edges, iters, r0)
+    // The final ranks are materialized (eager localCheckpoint) so the
+    // degree-joined edge table can be unpersisted HERE — callers get a
+    // self-contained result with no storage obligation left behind.
+    val out = ranks.materialize()
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** (round iters−1 ranks, round iters ranks, the persisted
+    * degree-joined edge table — caller unpersists).
+    */
+  private def pageRankStates0(edges: DataFrame, iters: Int,
+      r0: Long): (DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1, "iters must be >= 1")
     require(r0 >= 100, "r0 must carry at least 2 decimal digits")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -57,7 +71,9 @@ object Graphs {
     val teleport = 15L * r0 / 100L
     var ranks = e.select(col("src").as("node")).distinct()
       .withColumn("r", lit(r0))
+    var prev = ranks
     for (i <- 1 to iters) {
+      prev = ranks
       ranks = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst")
@@ -66,12 +82,32 @@ object Graphs {
           (lit(teleport) + expr("(85 * s) div 100")).as("r"))
       if (i % 5 == 0 && i < iters) ranks = ranks.materialize()
     }
-    // The final ranks are materialized (eager localCheckpoint) so the
-    // degree-joined edge table can be unpersisted HERE — callers get a
-    // self-contained result with no storage obligation left behind.
-    val out = ranks.materialize()
+    (prev, ranks, e)
+  }
+
+  /** Convergence certificate for fixed-iteration [[pageRank]] (the
+    * [[kCoreReport]] family face for the fixpoint ops): one row
+    * `(op, rounds, changed_last_round, converged)` where
+    * `changed_last_round` counts nodes whose integer rank differs
+    * between round iters−1 and round iters (a node entering or
+    * leaving the rank table counts as changed). Integer PageRank is a
+    * deterministic fixpoint iteration, so a zero count certifies the
+    * iteration has converged EXACTLY — further rounds are provably
+    * identical. One O(nodes) full join over the last two states.
+    */
+  def pageRankReport(edges: DataFrame, iters: Int,
+      r0: Long = 1000000000L): DataFrame = {
+    require(iters >= 2, "need two rounds to compare")
+    val (prev, last, e) = pageRankStates0(edges, iters, r0)
+    val changed = last
+      .join(prev.select(col("node"), col("r").as("__pr")), Seq("node"), "full")
+      .filter(not(col("r") <=> col("__pr")))
+      .count()
     e.unpersist(blocking = false)
-    out
+    edges.sparkSession.range(1).select(lit("pagerank").as("op"),
+      lit(iters.toLong).as("rounds"),
+      lit(changed).as("changed_last_round"),
+      lit(changed == 0L).as("converged"))
   }
 
   /** Fixed-iteration integer HITS (Kleinberg 1999 — hubs point at good
@@ -117,15 +153,44 @@ object Graphs {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // Superseded half-step checkpoints are freed EAGERLY inside the
-    // loop (the connectedComponents round discipline) — without this a
-    // single high-iters call accumulates 2·iters materialized edge-
-    // scale RDDs for its whole lifetime, freed only by the caller's
-    // post-query sweep. araw_i stays live until araw_{i+1} has
-    // materialized (the FINAL auth projection reads the final araw);
-    // likewise hraw. The id-diff trick assumes single-threaded query
-    // construction on this SparkContext (as in connectedComponents).
-    val sc = edges.sparkSession.sparkContext
+    val (_, _, hub, auth, freeLoop) = hitsLoop(e, nodes, iters, r0,
+      keepGens = 1)
+    val out = nodes
+      .join(hub.select(col("node"), col("h").as("hub")), Seq("node"), "left")
+      .join(auth.select(col("node"), col("a").as("auth")), Seq("node"), "left")
+      .na.fill(0L, Seq("hub", "auth"))
+      .materialize()
+    // `out` is eagerly materialized: the retained half-step
+    // checkpoints and the edge cache are no longer reachable.
+    freeLoop()
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** The HITS half-step engine shared by [[hits]] and [[hitsReport]]:
+    * `iters` max-rescaled integer rounds over the persisted edge
+    * table. Returns (round iters−1 hub, round iters−1 auth, final
+    * hub, final auth, free-retained-checkpoints closure).
+    *
+    * Superseded half-step checkpoints are freed EAGERLY inside the
+    * loop — `keepGens` generations stay live (1 for [[hits]]: araw_i
+    * until araw_{i+1} materializes, since the final auth projection
+    * reads the final araw; 2 for [[hitsReport]], which compares the
+    * last two rounds). Without the eager free a single high-iters
+    * call accumulates 2·iters materialized edge-scale RDDs for its
+    * whole lifetime. The id-diff trick assumes single-threaded query
+    * construction on this SparkContext (as in connectedComponents) —
+    * callers must not run other plans concurrently during the loop.
+    *
+    * The rescale MAX rides as an `observe` metric ON each half-step's
+    * materialization job (Materialize.withMetrics) and comes back as
+    * a driver literal — no separate 1-row aggregate job, no
+    * scalar-attach crossJoin in the plan.
+    */
+  private def hitsLoop(e: DataFrame, nodes: DataFrame, iters: Int,
+      r0: Long, keepGens: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, () => Unit) = {
+    val sc = e.sparkSession.sparkContext
     e.count() // force the edge cache into getPersistentRDDs pre-baseline
     var known = sc.getPersistentRDDs.keySet
     def trackNew(): Set[Int] = {
@@ -134,13 +199,6 @@ object Graphs {
     }
     def free(ids: Set[Int]): Unit = ids.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    var prevAIds = Set.empty[Int]
-    var prevHIds = Set.empty[Int]
-    // The rescale MAX rides as an `observe` metric ON the half-step's
-    // materialization job (Materialize.withMetrics) and comes back as
-    // a driver literal — no separate 1-row aggregate job, no
-    // scalar-attach crossJoin in the plan. Values are unchanged: the
-    // observed max is the same exact integer the old broadcast carried.
     def ckptMaxed(df: DataFrame, scoreCol: String): (DataFrame, Long) = {
       val (ck, m) = graft.plans.Materialize.withMetrics(df,
         max(col(scoreCol)).as("m"))
@@ -148,32 +206,69 @@ object Graphs {
       // the rescale projects zero rows
       (ck, Option(m("m")).fold(1L)(_.asInstanceOf[Long]))
     }
+    var aGens: List[Set[Int]] = Nil // newest first
+    var hGens: List[Set[Int]] = Nil
+    def push(gens: List[Set[Int]], ids: Set[Int]): List[Set[Int]] = {
+      val g = ids :: gens
+      if (g.size > keepGens) { free(g.last); g.init } else g
+    }
     var hub = nodes.withColumn("h", lit(r0))
     var auth: DataFrame = null
+    var hubPrev: DataFrame = null
+    var authPrev: DataFrame = null
     for (_ <- 1 to iters) {
+      hubPrev = hub
+      authPrev = auth
       val (araw, am) = ckptMaxed(
         e.join(hub, e("src") === hub("node"))
           .groupBy(col("dst")).agg(sum(col("h")).as("ar")), "ar")
-      val aIds = trackNew(); free(prevAIds); prevAIds = aIds
+      aGens = push(aGens, trackNew())
       auth = araw.select(col("dst").as("node"),
         expr(s"(ar * $r0) div ${am}L").as("a"))
       val (hraw, hm) = ckptMaxed(
         e.join(auth, e("dst") === auth("node"))
           .groupBy(col("src")).agg(sum(col("a")).as("hr")), "hr")
-      val hIds = trackNew(); free(prevHIds); prevHIds = hIds
+      hGens = push(hGens, trackNew())
       hub = hraw.select(col("src").as("node"),
         expr(s"(hr * $r0) div ${hm}L").as("h"))
     }
-    val out = nodes
-      .join(hub.select(col("node"), col("h").as("hub")), Seq("node"), "left")
-      .join(auth.select(col("node"), col("a").as("auth")), Seq("node"), "left")
-      .na.fill(0L, Seq("hub", "auth"))
-      .materialize()
-    // `out` is eagerly materialized: the final half-step checkpoints
-    // and the edge cache are no longer reachable — free them too.
-    free(prevAIds); free(prevHIds)
+    (hubPrev, authPrev, hub, auth,
+      () => { free(aGens.flatten.toSet); free(hGens.flatten.toSet) })
+  }
+
+  /** Convergence certificate for fixed-iteration [[hits]]: one row
+    * `(op, rounds, changed_last_round, converged)` where
+    * `changed_last_round` counts nodes whose (hub, auth) pair —
+    * 0-filled over the node universe, exactly like the [[hits]]
+    * output — differs between round iters−1 and round iters.
+    * Max-rescaled integer HITS is a deterministic fixpoint iteration,
+    * so a zero count certifies exact convergence.
+    */
+  def hitsReport(edges: DataFrame, iters: Int,
+      r0: Long = 1000000L): DataFrame = {
+    require(iters >= 2, "need two rounds to compare")
+    require(r0 >= 100, "r0 must carry at least 2 decimal digits")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val (hubPrev, authPrev, hub, auth, freeLoop) =
+      hitsLoop(e, nodes, iters, r0, keepGens = 2)
+    def filled(h: DataFrame, a: DataFrame, hn: String,
+        an: String): DataFrame = nodes
+      .join(h.select(col("node"), col("h").as(hn)), Seq("node"), "left")
+      .join(a.select(col("node"), col("a").as(an)), Seq("node"), "left")
+      .na.fill(0L, Seq(hn, an))
+    val changed = filled(hub, auth, "hub", "auth")
+      .join(filled(hubPrev, authPrev, "phub", "pauth"), Seq("node"))
+      .filter(col("hub") =!= col("phub") || col("auth") =!= col("pauth"))
+      .count()
+    freeLoop()
     e.unpersist(blocking = false)
-    out
+    edges.sparkSession.range(1).select(lit("hits").as("op"),
+      lit(iters.toLong).as("rounds"),
+      lit(changed).as("changed_last_round"),
+      lit(changed == 0L).as("converged"))
   }
 
   /** Bounded-depth BFS: exact hop distance (0…maxHops) from a source

@@ -201,6 +201,35 @@ class GraphsSpec extends SparkSpec {
     assert(bf6 == 0 && bconv6)
   }
 
+  test("fixpoint-delta certificates: exact fixpoints certified, moving states flagged") {
+    import spark.implicits._
+    def report(df: org.apache.spark.sql.DataFrame): (Long, Boolean) = {
+      val r = df.as[(String, Long, Long, Boolean)].collect().head
+      (r._3, r._4)
+    }
+    // a symmetric 2-cycle is an EXACT pagerank fixpoint from round 1
+    // (0.15·r0 + 0.85·r0 = r0) and an exact HITS fixpoint (both
+    // scores pin at r0 every half-step) — zero delta, certified
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (pd0, pc0) = report(Graphs.pageRankReport(cyc, iters = 3))
+    assert(pd0 == 0L && pc0)
+    val (hd0, hc0) = report(Graphs.hitsReport(cyc, iters = 2))
+    assert(hd0 == 0L && hc0)
+    // an asymmetric star (1→2, 1→3, 2→1, 3→1 plus a pendant chain)
+    // keeps integer ranks moving in early rounds — flagged
+    val star = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val (pd1, pc1) = report(Graphs.pageRankReport(star, iters = 2))
+    assert(pd1 > 0L && !pc1, s"early rounds must still be moving ($pd1)")
+    // the certificate's delta must agree with a brute state compare
+    def prState(iters: Int): Map[Long, Long] =
+      Graphs.pageRank(star, iters).as[(Long, Long)].collect().toMap
+    val (s1, s2) = (prState(1), prState(2))
+    val brute = (s1.keySet ++ s2.keySet)
+      .count(n => s1.get(n) != s2.get(n)).toLong
+    assert(pd1 == brute, s"certificate $pd1 vs brute $brute")
+  }
+
   test("convergence certificates agree with brute-force fixpoint checks on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(0xC0A9)
