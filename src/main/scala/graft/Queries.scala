@@ -736,13 +736,29 @@ object Queries {
     * `graph_convergence` family: integer PageRank and max-rescaled
     * integer HITS are deterministic fixpoint iterations, so a zero
     * count of nodes whose state changed in the final round certifies
-    * EXACT convergence (further rounds provably identical). Run
-    * sequentially — the HITS loop's checkpoint-id bookkeeping assumes
-    * single-threaded construction.
+    * EXACT convergence (further rounds provably identical). The two
+    * certificates are independent job chains over the SAME
+    * materialized edge table — run concurrently (the
+    * graph_convergence discipline; the HITS loop frees only its own
+    * checkpoint ids, so concurrency is safe).
     */
-  val graphFixpointDelta: Q = (s, dir) =>
-    graft.operators.Graphs.pageRankReport(tradeEdges(s, dir), iters = 3)
-      .unionAll(graft.operators.Graphs.hitsReport(tradeEdges(s, dir), iters = 2))
+  val graphFixpointDelta: Q = (s, dir) => {
+    // both certificates read the SAME trade graph — materialize the
+    // orders⋈lineitem derivation once (no-subtree-sharing rule)
+    val edges = tradeEdges(s, dir).materialize()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import s.implicits._
+    val reports = Seq(
+      Future(graft.operators.Graphs.pageRankReport(edges, iters = 3)
+        .as[(String, Long, Long, Boolean)].head()),
+      Future(graft.operators.Graphs.hitsReport(edges, iters = 2)
+        .as[(String, Long, Long, Boolean)].head()),
+    )
+    Await.result(Future.sequence(reports),
+        scala.concurrent.duration.Duration.Inf)
+      .toDF("op", "rounds", "changed_last_round", "converged")
+  }
 
   /** Extension — bounded BFS: exact hop distance from customer 0 to
     * every node of the trade graph within 4 hops (frontier-at-a-time;

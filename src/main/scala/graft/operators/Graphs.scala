@@ -46,7 +46,8 @@ object Graphs {
     * (85·Σ)/100` in floor arithmetic.
     */
   def pageRank(edges: DataFrame, iters: Int, r0: Long = 1000000000L): DataFrame = {
-    val (_, ranks, e) = pageRankStates0(edges, iters, r0)
+    val (_, ranks, e) = pageRankStates0(edges, iters, r0,
+      materializePrev = false)
     // The final ranks are materialized (eager localCheckpoint) so the
     // degree-joined edge table can be unpersisted HERE — callers get a
     // self-contained result with no storage obligation left behind.
@@ -57,9 +58,14 @@ object Graphs {
 
   /** (round iters−1 ranks, round iters ranks, the persisted
     * degree-joined edge table — caller unpersists).
+    * `materializePrev` checkpoints the state BEFORE the final round,
+    * so a caller comparing prev vs last (the report) runs the shared
+    * round prefix ONCE — Catalyst shares no subtrees, so without it
+    * the compare join recomputes rounds 1…iters−1 twice.
     */
   private def pageRankStates0(edges: DataFrame, iters: Int,
-      r0: Long): (DataFrame, DataFrame, DataFrame) = {
+      r0: Long, materializePrev: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1, "iters must be >= 1")
     require(r0 >= 100, "r0 must carry at least 2 decimal digits")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -73,6 +79,7 @@ object Graphs {
       .withColumn("r", lit(r0))
     var prev = ranks
     for (i <- 1 to iters) {
+      if (materializePrev && i == iters) ranks = ranks.materialize()
       prev = ranks
       ranks = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("r div deg").as("c"))
@@ -98,7 +105,8 @@ object Graphs {
   def pageRankReport(edges: DataFrame, iters: Int,
       r0: Long = 1000000000L): DataFrame = {
     require(iters >= 2, "need two rounds to compare")
-    val (prev, last, e) = pageRankStates0(edges, iters, r0)
+    val (prev, last, e) = pageRankStates0(edges, iters, r0,
+      materializePrev = true)
     val changed = last
       .join(prev.select(col("node"), col("r").as("__pr")), Seq("node"), "full")
       .filter(not(col("r") <=> col("__pr")))
@@ -178,9 +186,11 @@ object Graphs {
     * reads the final araw; 2 for [[hitsReport]], which compares the
     * last two rounds). Without the eager free a single high-iters
     * call accumulates 2·iters materialized edge-scale RDDs for its
-    * whole lifetime. The id-diff trick assumes single-threaded query
-    * construction on this SparkContext (as in connectedComponents) —
-    * callers must not run other plans concurrently during the loop.
+    * whole lifetime. Each checkpoint's OWN backing RDD ids come from
+    * its LogicalRDD leaves (`Materialize.rddIds`) — no global
+    * `getPersistentRDDs` diffing, so the loop is safe to run
+    * concurrently with other plans (the fixpoint-delta query runs it
+    * alongside the PageRank report).
     *
     * The rescale MAX rides as an `observe` metric ON each half-step's
     * materialization job (Materialize.withMetrics) and comes back as
@@ -191,12 +201,11 @@ object Graphs {
       r0: Long, keepGens: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame, () => Unit) = {
     val sc = e.sparkSession.sparkContext
-    e.count() // force the edge cache into getPersistentRDDs pre-baseline
-    var known = sc.getPersistentRDDs.keySet
-    def trackNew(): Set[Int] = {
-      val now = sc.getPersistentRDDs.keySet
-      val fresh = (now -- known).toSet; known = now; fresh
-    }
+    // warm the edge cache BEFORE the first half-step: that job reads
+    // `e` twice (join input AND the hub side derived from nodes ← e);
+    // against a cold lazy cache both subtrees race to compute the
+    // partitions, paying the edge derivation twice in one job
+    e.count()
     def free(ids: Set[Int]): Unit = ids.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     def ckptMaxed(df: DataFrame, scoreCol: String): (DataFrame, Long) = {
@@ -222,13 +231,13 @@ object Graphs {
       val (araw, am) = ckptMaxed(
         e.join(hub, e("src") === hub("node"))
           .groupBy(col("dst")).agg(sum(col("h")).as("ar")), "ar")
-      aGens = push(aGens, trackNew())
+      aGens = push(aGens, graft.plans.Materialize.rddIds(araw))
       auth = araw.select(col("dst").as("node"),
         expr(s"(ar * $r0) div ${am}L").as("a"))
       val (hraw, hm) = ckptMaxed(
         e.join(auth, e("dst") === auth("node"))
           .groupBy(col("src")).agg(sum(col("a")).as("hr")), "hr")
-      hGens = push(hGens, trackNew())
+      hGens = push(hGens, graft.plans.Materialize.rddIds(hraw))
       hub = hraw.select(col("src").as("node"),
         expr(s"(hr * $r0) div ${hm}L").as("h"))
     }

@@ -71,6 +71,18 @@ object Materialize {
     (ck, obs.get)
   }
 
+  /** The persisted RDD ids backing a MATERIALIZED dataset (its
+    * LogicalRDD leaves) — lets loop disciplines free exactly their
+    * own superseded checkpoints, with no global `getPersistentRDDs`
+    * set-diffing (which assumes single-threaded query construction
+    * and breaks under concurrent plans). Reliable-checkpoint RDDs
+    * don't hold blocks, so freeing them is a harmless no-op.
+    */
+  def rddIds[T](ds: Dataset[T]): Set[Int] =
+    ds.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+
   /** Postfix syntax: `df.materialize()` reads like the
     * `localCheckpoint()` calls it replaces.
     */
