@@ -2630,14 +2630,17 @@ object Oracles {
         |FROM te JOIN tr USING (sh) GROUP BY doc_id""".stripMargin,
 
     // Exact-substring decontamination: needles = first 16 chars of the
-    // deterministic eval sample; per train doc, count of distinct
-    // needles contained verbatim.
+    // deterministic eval sample, capped at 512 in doc_id order (the
+    // Spark face's driver-memory bound; does not bind at fixture
+    // scale); per train doc, count of distinct needles contained
+    // verbatim.
     "decon_substring" ->
       """WITH nl AS (
-        |  SELECT list_sort(list_distinct(list(substr(text, 1, 16)))) AS ns
-        |  FROM documents
-        |  WHERE source NOT IN ('src0', 'src1', 'src2')
-        |    AND doc_id % 5 = 0 AND length(text) >= 16)
+        |  SELECT list_sort(list_distinct(list(n))) AS ns
+        |  FROM (SELECT substr(text, 1, 16) AS n FROM documents
+        |        WHERE source NOT IN ('src0', 'src1', 'src2')
+        |          AND doc_id % 5 = 0 AND length(text) >= 16
+        |        ORDER BY doc_id LIMIT 512))
         |SELECT d.doc_id,
         |  CAST(len(list_filter((SELECT ns FROM nl),
         |    n -> contains(d.text, n))) AS BIGINT) AS n_matches,

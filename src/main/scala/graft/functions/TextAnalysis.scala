@@ -1115,9 +1115,12 @@ object TextAnalysis {
   private[graft] def funnelAgg(df: DataFrame, nStages: Int): DataFrame = {
     val cum = (0 until nStages).map { i =>
       (0 to i).map(j => col(s"f$j")).reduce(_ && _) }
+    // coalesce: `sum` over ZERO rows is NULL — an empty corpus (or an
+    // empty streaming micro-batch, whose getLong would NPE) must report
+    // 0 kept at every stage, not NULL rows
     val aggs = count(lit(1)).as("n0") +:
       cum.zipWithIndex.map { case (c, i) =>
-        sum(when(c, 1L).otherwise(0L)).as(s"n${i + 1}") }
+        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(s"n${i + 1}") }
     df.agg(aggs.head, aggs.tail: _*)
   }
 

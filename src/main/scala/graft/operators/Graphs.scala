@@ -46,28 +46,73 @@ object Graphs {
     * (85·Σ)/100` in floor arithmetic.
     */
   def pageRank(edges: DataFrame, iters: Int, r0: Long = 1000000000L): DataFrame = {
-    val (_, ranks, e) = pageRankStates0(edges, iters, r0,
+    val (_, ranks, e, freeRounds) = pageRankStates0(edges, iters, r0,
       materializePrev = false)
     // The final ranks are materialized (eager localCheckpoint) so the
-    // degree-joined edge table can be unpersisted HERE — callers get a
-    // self-contained result with no storage obligation left behind.
+    // degree-joined edge table and any retained round checkpoints can
+    // be freed HERE — callers get a self-contained result with no
+    // storage obligation left behind.
     val out = ranks.materialize()
+    freeRounds()
     e.unpersist(blocking = false)
     out
   }
 
+  /** (final ranks — value-identical to [[pageRank]] — and the
+    * [[pageRankReport]] certificate row), both from ONE trajectory:
+    * the suite-level answer to running `pageRank` and
+    * `pageRankReport` side by side, which would re-run every round
+    * twice. The extra cost over [[pageRank]] alone is the
+    * prev-round checkpoint plus one O(nodes) full-join count.
+    */
+  def pageRankWithReport(edges: DataFrame, iters: Int,
+      r0: Long = 1000000000L): (DataFrame, DataFrame) = {
+    require(iters >= 2, "need two rounds to compare")
+    val (prev, last, e, freeRounds) = pageRankStates0(edges, iters, r0,
+      materializePrev = true)
+    val out = last.materialize()
+    val changed = out
+      .join(prev.select(col("node"), col("r").as("__pr")), Seq("node"), "full")
+      .filter(not(col("r") <=> col("__pr")))
+      .count()
+    freeRounds()
+    e.unpersist(blocking = false)
+    (out, certRow(edges, "pagerank", iters, changed))
+  }
+
+  /** One-row fixpoint certificate `(op, rounds, changed_last_round,
+    * converged)` — literal-only plan, the count already a driver
+    * scalar.
+    */
+  private def certRow(edges: DataFrame, op: String, rounds: Int,
+      changed: Long): DataFrame =
+    edges.sparkSession.range(1).select(lit(op).as("op"),
+      lit(rounds.toLong).as("rounds"),
+      lit(changed).as("changed_last_round"),
+      lit(changed == 0L).as("converged"))
+
   /** (round iters−1 ranks, round iters ranks, the persisted
-    * degree-joined edge table — caller unpersists).
+    * degree-joined edge table — caller unpersists — and a closure
+    * freeing the retained round checkpoints, called by the caller
+    * AFTER its last action reading the returned states).
     * `materializePrev` checkpoints the state BEFORE the final round,
     * so a caller comparing prev vs last (the report) runs the shared
     * round prefix ONCE — Catalyst shares no subtrees, so without it
     * the compare join recomputes rounds 1…iters−1 twice.
+    *
+    * Checkpoint retention follows [[hitsLoop]]'s discipline: one
+    * generation stays live inside the loop (a new checkpoint is
+    * eager, so its predecessor can never be read again), superseded
+    * generations are freed immediately, and the final generation is
+    * freed by the returned closure — no node-scale blocks outlive the
+    * call in a long-lived session.
     */
   private def pageRankStates0(edges: DataFrame, iters: Int,
       r0: Long, materializePrev: Boolean)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, () => Unit) = {
     require(iters >= 1, "iters must be >= 1")
     require(r0 >= 100, "r0 must carry at least 2 decimal digits")
+    val sc = edges.sparkSession.sparkContext
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // (src, dst, deg) — the per-iteration join input, reused `iters`
     // times; persist so the degree join runs once.
@@ -75,11 +120,20 @@ object Graphs {
       .select(col("src"), col("dst"), col("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val teleport = 15L * r0 / 100L
+    var gens: List[Set[Int]] = Nil // newest first; keep 1 live
+    def free(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    def ckpt(df: DataFrame): DataFrame = {
+      val ck = df.materialize()
+      val g = graft.plans.Materialize.rddIds(ck) :: gens
+      gens = if (g.size > 1) { free(g.last); g.init } else g
+      ck
+    }
     var ranks = e.select(col("src").as("node")).distinct()
       .withColumn("r", lit(r0))
     var prev = ranks
     for (i <- 1 to iters) {
-      if (materializePrev && i == iters) ranks = ranks.materialize()
+      if (materializePrev && i == iters) ranks = ckpt(ranks)
       prev = ranks
       ranks = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("r div deg").as("c"))
@@ -87,9 +141,9 @@ object Graphs {
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           (lit(teleport) + expr("(85 * s) div 100")).as("r"))
-      if (i % 5 == 0 && i < iters) ranks = ranks.materialize()
+      if (i % 5 == 0 && i < iters) ranks = ckpt(ranks)
     }
-    (prev, ranks, e)
+    (prev, ranks, e, () => free(gens.flatten.toSet))
   }
 
   /** Convergence certificate for fixed-iteration [[pageRank]] (the
@@ -105,17 +159,15 @@ object Graphs {
   def pageRankReport(edges: DataFrame, iters: Int,
       r0: Long = 1000000000L): DataFrame = {
     require(iters >= 2, "need two rounds to compare")
-    val (prev, last, e) = pageRankStates0(edges, iters, r0,
+    val (prev, last, e, freeRounds) = pageRankStates0(edges, iters, r0,
       materializePrev = true)
     val changed = last
       .join(prev.select(col("node"), col("r").as("__pr")), Seq("node"), "full")
       .filter(not(col("r") <=> col("__pr")))
       .count()
+    freeRounds()
     e.unpersist(blocking = false)
-    edges.sparkSession.range(1).select(lit("pagerank").as("op"),
-      lit(iters.toLong).as("rounds"),
-      lit(changed).as("changed_last_round"),
-      lit(changed == 0L).as("converged"))
+    certRow(edges, "pagerank", iters, changed)
   }
 
   /** Fixed-iteration integer HITS (Kleinberg 1999 — hubs point at good
@@ -254,7 +306,24 @@ object Graphs {
     * so a zero count certifies exact convergence.
     */
   def hitsReport(edges: DataFrame, iters: Int,
-      r0: Long = 1000000L): DataFrame = {
+      r0: Long = 1000000L): DataFrame =
+    hitsStatesCompared(edges, iters, r0, wantScores = false)._2
+
+  /** (hub/auth scores — value-identical to [[hits]] — and the
+    * [[hitsReport]] certificate row), both from ONE trajectory (the
+    * [[pageRankWithReport]] counterpart). Extra cost over [[hits]]
+    * alone: one retained half-step generation plus one O(nodes)
+    * compare-join count.
+    */
+  def hitsWithReport(edges: DataFrame, iters: Int,
+      r0: Long = 1000000L): (DataFrame, DataFrame) = {
+    val (scores, report) = hitsStatesCompared(edges, iters, r0,
+      wantScores = true)
+    (scores.get, report)
+  }
+
+  private def hitsStatesCompared(edges: DataFrame, iters: Int,
+      r0: Long, wantScores: Boolean): (Option[DataFrame], DataFrame) = {
     require(iters >= 2, "need two rounds to compare")
     require(r0 >= 100, "r0 must carry at least 2 decimal digits")
     val e = edges.select(col("src"), col("dst"))
@@ -268,16 +337,19 @@ object Graphs {
       .join(h.select(col("node"), col("h").as(hn)), Seq("node"), "left")
       .join(a.select(col("node"), col("a").as(an)), Seq("node"), "left")
       .na.fill(0L, Seq(hn, an))
-    val changed = filled(hub, auth, "hub", "auth")
+    // when scores are wanted, the FINAL filled state is materialized
+    // once and serves both the compare join and the returned output
+    // (the no-subtree-sharing rule)
+    val last = if (wantScores) filled(hub, auth, "hub", "auth").materialize()
+      else filled(hub, auth, "hub", "auth")
+    val changed = last
       .join(filled(hubPrev, authPrev, "phub", "pauth"), Seq("node"))
       .filter(col("hub") =!= col("phub") || col("auth") =!= col("pauth"))
       .count()
     freeLoop()
     e.unpersist(blocking = false)
-    edges.sparkSession.range(1).select(lit("hits").as("op"),
-      lit(iters.toLong).as("rounds"),
-      lit(changed).as("changed_last_round"),
-      lit(changed == 0L).as("converged"))
+    (if (wantScores) Some(last) else None,
+      certRow(edges, "hits", iters, changed))
   }
 
   /** Bounded-depth BFS: exact hop distance (0…maxHops) from a source

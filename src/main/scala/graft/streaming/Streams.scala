@@ -506,7 +506,7 @@ object Streams {
     val names = screens.map(_._1) :+ dedupStage._1
     val k = names.size
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val keysPath = s"$statePath/keys"
         val countsPath = s"$statePath/counts"
@@ -529,20 +529,32 @@ object Streams {
             Seq("__key"), "left")
           .withColumn(s"f${k - 1}",
             col("__rk") === 1 && col("__seen").isNull)
-        val batchRow = graft.functions.TextAnalysis
-          .funnelAgg(withFirst, k).head()
-        val prior: Array[Long] =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(countsPath)))
-            spark.read.parquet(countsPath).head()
-              .toSeq.map(_.asInstanceOf[Long]).toArray
-          else Array.fill(k + 1)(0L)
-        val merged = (0 to k).map(i => prior(i) + batchRow.getLong(i))
+        val (prior, lastBid): (Array[Long], Long) =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(countsPath))) {
+            val r = spark.read.parquet(countsPath)
+              .select((0 to k).map(i => col(s"n$i")) :+ col("__bid"): _*)
+              .head()
+            ((0 to k).map(r.getLong).toArray, r.getLong(k + 1))
+          } else (Array.fill(k + 1)(0L), -1L)
+        // foreachBatch is at-least-once: a crash between the counts
+        // commit below and the streaming checkpoint commit replays this
+        // batch — the persisted __bid detects the replay and the merge
+        // is SKIPPED (the keys overwrite stays idempotent: re-unioning
+        // the same batch's keys through distinct adds nothing), so the
+        // per-stage counts are effectively exactly-once.
+        val merged: Seq[Long] =
+          if (lastBid == batchId) (0 to k).map(prior)
+          else {
+            val batchRow = graft.functions.TextAnalysis
+              .funnelAgg(withFirst, k).head()
+            (0 to k).map(i => prior(i) + batchRow.getLong(i))
+          }
         import spark.implicits._
         val one = Seq(merged).toDF().select(
           (0 to k).map(i => col("value").getItem(i).as(s"n$i")): _*)
         onFunnel(graft.functions.TextAnalysis.funnelRows(one, names))
         graft.operators.Merge.atomicOverwrite(
-          one.select((0 to k).map(i => col(s"n$i")): _*), countsPath)
+          one.withColumn("__bid", lit(batchId)), countsPath)
         graft.operators.Merge.atomicOverwrite(
           seen.unionByName(flagged.select(col("__key"))).distinct(),
           keysPath)

@@ -32,9 +32,18 @@ class GraftSessionSpec extends AnyFunSuite {
     // returns it — assert the DOCUMENTED reuse behavior plus that the
     // semantics-bearing settings hold on the shared session too (the
     // test harness sets the same ones).
-    val s = GraftSession.local(4)
-    assert(s eq TestSpark.spark)
-    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
-    assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    // getOrCreate applies the recipe's NON-static confs (e.g.
+    // shuffle.partitions=4) to the existing shared session — restore
+    // them after the assertion so later suites keep the harness width
+    // (order-dependent behavior otherwise).
+    val prevShuffle = TestSpark.spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val s = GraftSession.local(4)
+      assert(s eq TestSpark.spark)
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    } finally {
+      TestSpark.spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 }

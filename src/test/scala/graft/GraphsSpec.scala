@@ -230,6 +230,23 @@ class GraphsSpec extends SparkSpec {
     assert(pd1 == brute, s"certificate $pd1 vs brute $brute")
   }
 
+  test("WithReport entry points: scores and certificate from ONE trajectory match the standalone faces") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 3L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val (prRanks, prReport) = Graphs.pageRankWithReport(edges, iters = 3)
+    assert(prRanks.as[(Long, Long)].collect().toMap ==
+      Graphs.pageRank(edges, iters = 3).as[(Long, Long)].collect().toMap)
+    assert(prReport.collect().toSeq ==
+      Graphs.pageRankReport(edges, iters = 3).collect().toSeq)
+    val (hScores, hReport) = Graphs.hitsWithReport(edges, iters = 2)
+    assert(hScores.as[(Long, Long, Long)].collect().sorted.toSeq ==
+      Graphs.hits(edges, iters = 2)
+        .as[(Long, Long, Long)].collect().sorted.toSeq)
+    assert(hReport.collect().toSeq ==
+      Graphs.hitsReport(edges, iters = 2).collect().toSeq)
+  }
+
   test("convergence certificates agree with brute-force fixpoint checks on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(0xC0A9)
