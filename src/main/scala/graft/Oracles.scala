@@ -1137,6 +1137,39 @@ object Oracles {
       s"""WITH ${hotSpanCtes("documents")}
          |SELECT doc_id, span_start, span_end, n_hot_grams FROM spans""".stripMargin,
 
+    // Character-level repeated-substring spans: per-CHARACTER-position
+    // 20-char grams of the RAW text (no lowercasing, no tokenization;
+    // DuckDB substr/length count code points, matching the kernel),
+    // corpus-wide counts, hot positions (>= 2), gaps-and-islands merge
+    // (gap > 20 starts a new island) — the hotSpanCtes chain at char
+    // granularity. Sub-20-char docs contribute one whole-text gram
+    // (range upper bound greatest(len-20,0)+2 = 2 -> one position).
+    "dedup_char_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(1, greatest(length(text) - 20, 0) + 2),
+        |      s -> {'pos': s - 1, 'h': md5(substr(text, s, 20))})) AS u
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
+        |c AS (SELECT h, count(*) AS n FROM g2 GROUP BY h),
+        |hot AS (
+        |  SELECT g2.doc_id, g2.pos FROM g2 JOIN c USING (h) WHERE c.n >= 2),
+        |gaps AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+        |      THEN 1 ELSE 0 END AS gap
+        |  FROM hot),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(gap) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM gaps)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 20 AS BIGINT) AS span_end,
+        |  count(*) AS n_hot_grams
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+
     "dedup_span_removal" ->
       s"""WITH ${spanRemovalCtes("documents")}
          |SELECT doc_id, clean_text, n_removed_tokens FROM removal""".stripMargin,
@@ -3864,6 +3897,51 @@ object Oracles {
         |  CAST(CASE WHEN toks = '' THEN 0 ELSE len(string_split(toks, ' ')) END AS BIGINT) AS n_tokens,
         |  toks
         |FROM enc""".stripMargin,
+
+    // BPE-dropout encode: the tok_bpe_encode replace-chain where each
+    // merge rank r applies to word w only when
+    // substr(md5('bpedrop:' || w || ':r'), 1, 2) >= '40' (keep prob
+    // 192/256 — two-lowercase-hex-digit strings compare lexically the
+    // same as numerically, and the engine kernel compares the first
+    // digest BYTE against 0x40). Words ride through one CTE per merge
+    // rank (the CASE references its input twice, so a column ref per
+    // stage beats 2^4 nested lambda copies), then re-join in word
+    // order; empty docs re-enter via the left join.
+    "tok_bpe_dropout" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS words
+        |  FROM documents WHERE doc_id < 50),
+        |wx AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+        |    i -> {'wi': i, 'w': words[i]})) AS u
+        |  FROM base),
+        |w0 AS (SELECT doc_id, u.wi AS wi, u.w AS w,
+        |  ' ' || array_to_string(list_append(string_split(u.w, ''), '</w>'), ' ') || ' ' AS s
+        |  FROM wx),
+        |w1 AS (SELECT doc_id, wi, w,
+        |  CASE WHEN substr(md5('bpedrop:' || w || ':0'), 1, 2) >= '40'
+        |    THEN replace(replace(s, ' a </w> ', ' a</w> '), ' a </w> ', ' a</w> ')
+        |    ELSE s END AS s FROM w0),
+        |w2 AS (SELECT doc_id, wi, w,
+        |  CASE WHEN substr(md5('bpedrop:' || w || ':1'), 1, 2) >= '40'
+        |    THEN replace(replace(s, ' e </w> ', ' e</w> '), ' e </w> ', ' e</w> ')
+        |    ELSE s END AS s FROM w1),
+        |w3 AS (SELECT doc_id, wi, w,
+        |  CASE WHEN substr(md5('bpedrop:' || w || ':2'), 1, 2) >= '40'
+        |    THEN replace(replace(s, ' t a ', ' ta '), ' t a ', ' ta ')
+        |    ELSE s END AS s FROM w2),
+        |w4 AS (SELECT doc_id, wi, w,
+        |  CASE WHEN substr(md5('bpedrop:' || w || ':3'), 1, 2) >= '40'
+        |    THEN replace(replace(s, ' s c ', ' sc '), ' s c ', ' sc ')
+        |    ELSE s END AS s FROM w3),
+        |enc AS (
+        |  SELECT doc_id, string_agg(trim(s), ' ' ORDER BY wi) AS toks
+        |  FROM w4 GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(CASE WHEN e.toks IS NULL OR e.toks = '' THEN 0
+        |       ELSE len(string_split(e.toks, ' ')) END AS BIGINT) AS n_tokens,
+        |  COALESCE(e.toks, '') AS toks
+        |FROM base b LEFT JOIN enc e USING (doc_id)""".stripMargin,
 
     // Tokenizer fertility report: the tok_bpe_encode replace-chain
     // encode over the FULL corpus, folded to per-language exact

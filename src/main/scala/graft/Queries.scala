@@ -1691,6 +1691,26 @@ object Queries {
         concat_ws(" ", col("__toks")).as("toks"))
   }
 
+  /** Extension — BPE-DROPOUT encoding
+    * ([[graft.functions.Bpe.encodeDropout]], Provilkov et al. 2020):
+    * the training-time subword-regularization face of
+    * `tok_bpe_encode` — each fixture merge is skipped per word with
+    * deterministic md5-keyed probability 64/256 = 25%, so the same
+    * word can surface as different segmentations across word forms
+    * while every decision replays bit-for-bit in the oracle. Same
+    * map-only shape as the plain encode.
+    */
+  val tokBpeDropout: Q = (s, dir) => {
+    val merges = graft.functions.Bpe.fixtureMerges
+    t(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        graft.functions.Bpe.encodeDropout(col("text"), merges, dropByte = 64)
+          .as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__toks")).as("toks"))
+  }
+
   /** Extension — tokenizer FERTILITY report: the standard
     * tokenizer-evaluation table (subwords per word and characters per
     * subword, by language) under the fixture BPE merges — the number
@@ -2903,6 +2923,16 @@ object Queries {
     */
   val dedupSpanRemoval: Q = (s, dir) =>
     Dedup.removeRepeatedSpans(t(s, dir, "documents"), w = 8, minCount = 2)
+
+  /** Extension — CHARACTER-level repeated-substring spans
+    * ([[graft.functions.Dedup.charRepeatedSpans]]): maximal merged
+    * runs of 20-char gram positions whose raw substring occurs ≥ 2×
+    * corpus-wide — the exact-substring granularity of Lee et al.
+    * 2021, catching repeats that cross token boundaries or sit
+    * inside tokens (invisible to `dedup_hot_spans`' token 8-grams).
+    */
+  val dedupCharSpans: Q = (s, dir) =>
+    Dedup.charRepeatedSpans(t(s, dir, "documents"), k = 20, minCount = 2)
 
   /** Extension — CCNet keep-first unit dedup (Wenzek et al. 2020):
     * the corpus rewritten so the FIRST occurrence of every 10-token

@@ -126,6 +126,7 @@ object SparkEntry {
     "sim_knn_graph" -> Queries.simKnnGraph,
     "dedup_semantic" -> Queries.dedupSemantic,
     "dedup_hot_spans" -> Queries.dedupHotSpans,
+    "dedup_char_spans" -> Queries.dedupCharSpans,
     "dedup_incremental" -> Queries.dedupIncremental,
     "dedup_keep_first" -> Queries.dedupKeepFirst,
     "dedup_minhash_est" -> Queries.dedupMinhashEst,
@@ -167,6 +168,7 @@ object SparkEntry {
     "text_token_count" -> Queries.textTokenCount,
     "tok_bpe_pairs" -> Queries.tokBpePairs,
     "tok_bpe_encode" -> Queries.tokBpeEncode,
+    "tok_bpe_dropout" -> Queries.tokBpeDropout,
     "tok_fertility" -> Queries.tokFertility,
     "tok_bpe_roundtrip" -> Queries.tokBpeRoundtrip,
     "tok_bpe_merges" -> Queries.tokBpeMerges,

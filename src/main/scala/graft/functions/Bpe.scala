@@ -165,6 +165,30 @@ object Bpe {
     call_function("graft_bpe_encode", text, mergeLit)
   }
 
+  /** [[encode]] with deterministic BPE-DROPOUT (Provilkov et al. 2020
+    * — subword regularization: exposing a model to multiple
+    * segmentations of the same word measurably improves translation/
+    * LM quality; the mechanism is skipping a random subset of merges
+    * per encode). This face replaces the PRNG with md5-keyed
+    * per-(word, merge-rank) decisions — drop merge r for word w iff
+    * `first_byte(md5("bpedrop:" + w + ":" + r)) < dropByte` — so the
+    * augmentation is reproducible, engine-portable (the DuckDB oracle
+    * replays every decision), and shuffles/retries cannot change the
+    * output. Different corpora epochs re-salt by rewriting the word
+    * (e.g. prepending an epoch tag upstream). `dropByte = 0` ≡
+    * [[encode]] exactly (spec-pinned); `dropByte = 64` ≈ Provilkov's
+    * recommended p = 0.1–0.3 range. Map-only, one kernel call per row.
+    */
+  def encodeDropout(text: Column, merges: Seq[(String, String)],
+      dropByte: Int): Column = {
+    graft.plans.GraftFunctions.registerActive()
+    val flat = merges.flatMap { case (a, b) => Seq(a, b) }
+    val mergeLit =
+      if (flat.isEmpty) array().cast("array<string>")
+      else array(flat.map(lit): _*)
+    call_function("graft_bpe_dropout", text, mergeLit, lit(dropByte))
+  }
+
   /** The column-level fold form of [[encode]] — k chained `aggregate`
     * folds over each word's symbol array. Semantically the reference
     * the kernel is spec-proven equal to (`BpeSpec`); interpreted HOF

@@ -841,6 +841,14 @@ object Dedup {
     call_function("graft_gramhashes", text, lit(w))
   }
 
+  /** Ordered per-character-position k-gram hashes, native kernel
+    * (md5-portable, code-point positions). Self-registering.
+    */
+  def nativeCharGramHashes(text: Column, k: Int): Column = {
+    GraftFunctions.registerActive()
+    call_function("graft_chargrams", text, lit(k))
+  }
+
   /** EXACT repeated-substring spans (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better": training corpora are
     * full of verbatim-repeated boilerplate — headers, licenses,
@@ -870,18 +878,55 @@ object Dedup {
     */
   def repeatedSpans(docs: DataFrame, w: Int = 8, minCount: Long = 2): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    hotPositionSpans(
+      docs.select(col("doc_id"),
+        posexplode(nativeGramHashes(col("text"), w)).as(Seq("pos", "gh"))),
+      w, minCount)
+  }
+
+  /** CHARACTER-level [[repeatedSpans]] (Lee et al. 2021's actual
+    * granularity — their suffix-array pass finds verbatim repeats at
+    * BYTE offsets): a character position is hot when its k-char gram
+    * (raw text, no lowercasing/tokenization — exact-substring
+    * identity) occurs ≥ `minCount` times corpus-wide; overlapping hot
+    * positions merge into maximal spans. Catches sub-token repeats
+    * and repeats crossing token boundaries that the token-w-gram face
+    * cannot see (a license header re-wrapped with different
+    * whitespace, a URL embedded mid-token). Returns `(doc_id,
+    * span_start, span_end, n_hot_grams)` in CODE-POINT indices,
+    * `span_end` exclusive and capped by nothing (sub-k docs report
+    * `span_end = k` — the [[repeatedSpans]] bound convention).
+    *
+    * Scale shape: identical to [[repeatedSpans]] with ~w× more
+    * positions (one per char, not per token) — still only (8-byte
+    * hash, int position) pairs shuffle, never text; the hot-count
+    * groupBy map-combines, the count join-back is 1-row-per-key.
+    * The k≈20 default mirrors Lee et al.'s 50-BPE-token ≈ few-dozen-
+    * char threshold scaled to the fixture's short docs.
+    */
+  def charRepeatedSpans(docs: DataFrame, k: Int = 20,
+      minCount: Long = 2): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    hotPositionSpans(
+      docs.select(col("doc_id"),
+        posexplode(nativeCharGramHashes(col("text"), k)).as(Seq("pos", "gh"))),
+      k, minCount)
+  }
+
+  /** Shared hot-position → maximal-span core of [[repeatedSpans]] and
+    * [[charRepeatedSpans]]: corpus-wide gram counts over a
+    * `(doc_id, pos, gh)` stream, hot filter, gaps-and-islands merge
+    * (positions ≤ w apart chain — their grams overlap or touch).
+    */
+  private def hotPositionSpans(gramStream: DataFrame, w: Int,
+      minCount: Long): DataFrame = {
     // the gram stream feeds the hot-count aggregate AND the join
     // back — one kernel pass, materialized (24-byte rows)
-    val grams = docs
-      .select(col("doc_id"), posexplode(nativeGramHashes(col("text"), w))
-        .as(Seq("pos", "gh")))
-      .materialize()
+    val grams = gramStream.materialize()
     val counts = grams.groupBy(col("gh")).agg(count(lit(1)).as("n"))
     val hot = grams
       .join(counts.filter(col("n") >= minCount), Seq("gh"))
       .select(col("doc_id"), col("pos"))
-    // gaps-and-islands: positions ≤ w apart chain into one span (their
-    // grams overlap or touch)
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val islands = hot
       .withColumn("__gap",

@@ -50,6 +50,9 @@ object GraftFunctions {
     ("graft_gramhashes",
       new ExpressionInfo(classOf[GramHashesExpr].getName, "graft_gramhashes"),
       (es: Seq[Expression]) => GramHashesExpr(es(0), foldedInt(es(1)))),
+    ("graft_chargrams",
+      new ExpressionInfo(classOf[CharGramHashesExpr].getName, "graft_chargrams"),
+      (es: Seq[Expression]) => CharGramHashesExpr(es(0), foldedInt(es(1)))),
     ("graft_nfc",
       new ExpressionInfo(classOf[NfcExpr].getName, "graft_nfc"),
       (es: Seq[Expression]) => NfcExpr(es.head)),
@@ -62,6 +65,10 @@ object GraftFunctions {
     ("graft_bpe_encode",
       new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
       (es: Seq[Expression]) => BpeEncodeExpr(es(0), foldedStringArray(es(1)))),
+    ("graft_bpe_dropout",
+      new ExpressionInfo(classOf[BpeDropoutExpr].getName, "graft_bpe_dropout"),
+      (es: Seq[Expression]) => BpeDropoutExpr(es(0), foldedStringArray(es(1)),
+        foldedInt(es(2)))),
     ("graft_wordpiece",
       new ExpressionInfo(classOf[WordPieceExpr].getName, "graft_wordpiece"),
       (es: Seq[Expression]) => WordPieceExpr(es(0), foldedStringArray(es(1)))),

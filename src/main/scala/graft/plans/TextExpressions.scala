@@ -159,6 +159,47 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** ORDERED per-position CHARACTER-k-gram hashes of the raw text —
+    * the [[gramHashes]] construction at character granularity (Lee et
+    * al. 2021's actual unit: verbatim repeats that cross token
+    * boundaries or sit inside tokens are invisible to token grams).
+    * No lowercasing, no tokenization: exact-substring identity.
+    * Positions and gram boundaries are CODE POINTS, matching DuckDB's
+    * `substr`/`length` semantics (NOT UTF-16 code units), so the
+    * oracle rebuilds identical hot sets with `md5(substr(text, i, k))`.
+    * Docs shorter than k chars contribute one whole-text gram (the
+    * [[gramHashes]] rule). One O(bytes) boundary scan, then one md5
+    * per position over the byte slice — no per-gram string copies.
+    */
+  def charGramHashes(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    // code-point start offsets (UTF-8 continuation bytes are 10xxxxxx)
+    val offs = new Array[Int](bytes.length + 1)
+    var n = 0
+    var p = 0
+    while (p < bytes.length) {
+      if ((bytes(p) & 0xc0) != 0x80) { offs(n) = p; n += 1 }
+      p += 1
+    }
+    offs(n) = bytes.length
+    val count = math.max(n - k, 0) + 1
+    val out = new Array[Long](count)
+    val md = md5Local.get()
+    var i = 0
+    while (i < count) {
+      val until = if (i + k <= n) offs(i + k) else bytes.length
+      md.reset()
+      md.update(bytes, offs(i), until - offs(i))
+      val d = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** k-permutation MinHash signature of a shingle-hash array. Null
     * elements are skipped (the column form's `transform` propagates
     * null through `pmod`, and `array_min` ignores nulls — same result).
@@ -381,6 +422,67 @@ object TextKernels {
             } else { next.add(syms.get(i)); i += 1 }
           }
           syms = next
+          mi += 2
+        }
+        var si = 0
+        while (si < syms.size) {
+          out += UTF8String.fromString(syms.get(si)); si += 1
+        }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** [[bpeEncode]] with deterministic BPE-DROPOUT (Provilkov, Emelianenko
+    * & Voita 2020, "BPE-Dropout: Simple and Effective Subword
+    * Regularization"): each merge RANK is skipped for a given WORD when
+    * the first byte of `md5("bpedrop:" + word + ":" + rank)` is below
+    * `dropByte` (drop probability ≈ dropByte/256). md5-derived
+    * "randomness" instead of a PRNG so the augmentation is a pure
+    * function of (word, rank) — the DuckDB oracle replays every
+    * decision with `substr(md5(...), 1, 2) < hex(dropByte)`, and two
+    * engine runs agree bit-for-bit (the corpus-split/cap discipline).
+    * Per-word (not per-occurrence) decisions are the deterministic
+    * simplification: one epoch of training data gets one consistent
+    * segmentation per word form, different word forms and different
+    * salt epochs get different merge subsets — the regularization
+    * signal Provilkov §3 measures survives. `dropByte = 0` is exactly
+    * [[bpeEncode]].
+    */
+  def bpeEncodeDropout(
+      text: UTF8String, merges: Array[String], dropByte: Int): ArrayData = {
+    val words = text.toLowerCase.toString.split("\\s+")
+    val md = md5Local.get()
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var syms = new java.util.ArrayList[String](w.length + 1)
+        var ci = 0
+        while (ci < w.length) {
+          val n = Character.charCount(w.codePointAt(ci))
+          syms.add(w.substring(ci, ci + n))
+          ci += n
+        }
+        syms.add("</w>")
+        var mi = 0
+        while (mi + 1 < merges.length) {
+          md.reset()
+          val d = md.digest(("bpedrop:" + w + ":" + (mi >> 1))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if ((d(0) & 0xff) >= dropByte) {
+            val a = merges(mi); val b = merges(mi + 1)
+            val next = new java.util.ArrayList[String](syms.size)
+            var i = 0
+            while (i < syms.size) {
+              if (i + 1 < syms.size && syms.get(i) == a && syms.get(i + 1) == b) {
+                next.add(a + b); i += 2
+              } else { next.add(syms.get(i)); i += 1 }
+            }
+            syms = next
+          }
           mi += 2
         }
         var si = 0
@@ -648,6 +750,30 @@ case class GramHashesExpr(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** `graft_chargrams(text, k)` — ordered per-position character-k-gram
+  * hashes (md5-portable; raw text, code-point positions).
+  */
+case class CharGramHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if k < 1 =>
+      TypeCheckResult.TypeCheckFailure(s"gram width must be >= 1, got $k")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charGramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.charGramHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashesExpr =
+    copy(child = newChild)
+}
+
 /** `graft_winnow(text, w, k)` — winnowing (fp, fp_pos) selections
   * over k-gram hashes.
   */
@@ -706,6 +832,39 @@ case class BpeEncodeExpr(child: Expression, merges: IndexedSeq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `graft_bpe_dropout(text, merges, drop_byte)` — BPE encode with
+  * deterministic md5-keyed per-(word, rank) merge dropout
+  * (drop probability ≈ drop_byte/256; 0 ≡ plain encode).
+  */
+case class BpeDropoutExpr(child: Expression, merges: IndexedSeq[String],
+    dropByte: Int) extends UnaryExpression {
+
+  override def prettyName: String = "graft_bpe_dropout"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if merges.length % 2 != 0 =>
+      TypeCheckResult.TypeCheckFailure("merges must be a flat [a,b,...] pair list")
+    case _ if dropByte < 0 || dropByte > 256 =>
+      TypeCheckResult.TypeCheckFailure(s"drop_byte must be in [0, 256], got $dropByte")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  private lazy val mArr: Array[String] = merges.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeEncodeDropout(input.asInstanceOf[UTF8String], mArr, dropByte)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeMerges", mArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.bpeEncodeDropout($c, $mRef, $dropByte)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDropoutExpr =
     copy(child = newChild)
 }
 

@@ -181,6 +181,45 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encodeDropout: dropByte=0 ≡ encode; fertility rises with the drop rate; decisions replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+    val merges = Bpe.fixtureMerges
+    def toks(dropByte: Int) = docs.select(col("doc_id"),
+        Bpe.encodeDropout(col("text"), merges, dropByte).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val plain = docs.select(col("doc_id"),
+        Bpe.encode(col("text"), merges).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    // dropByte = 0: every decision keeps — exactly the plain encode
+    assert(toks(0) == plain)
+    // dropByte = 256: every decision drops — pure character encode,
+    // the fertility ceiling
+    val t64 = toks(64)
+    val t128 = toks(128)
+    val t256 = toks(256)
+    def total(m: Map[Long, Seq[String]]) = m.values.map(_.size.toLong).sum
+    // dropping merges can only starve fusions: token counts rise
+    // monotonically with the drop rate, strictly on a real corpus
+    assert(total(plain) < total(t64), s"${total(plain)} vs ${total(t64)}")
+    assert(total(t64) < total(t128))
+    assert(total(t128) <= total(t256))
+    // per-doc: never below the plain encode, never above char-level
+    for ((id, ts) <- t64) {
+      assert(ts.size >= plain(id).size, s"doc $id shrank under dropout")
+      assert(ts.size <= t256(id).size, s"doc $id exceeded char encode")
+    }
+    // md5-keyed decisions are a pure function of (word, rank): a
+    // second run replays bit-for-bit
+    assert(toks(64) == t64)
+    // decode still inverts: merges only concatenate, dropped or not
+    val rt = docs.select(col("doc_id"),
+        Bpe.decode(Bpe.encodeDropout(col("text"), merges, 64)).as("rt"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("want"))
+      .filter(col("rt") =!= col("want")).count()
+    assert(rt == 0L)
+  }
+
   test("decode∘encode is the identity on normalized text for trained AND arbitrary merges") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") < 40).select("doc_id", "text")

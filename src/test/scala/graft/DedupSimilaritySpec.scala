@@ -1190,6 +1190,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(clean(4L) == ("middle filler words distinct here", 16L))
   }
 
+  test("charRepeatedSpans: char-granularity repeats, cross-token and sub-token, code-point positions") {
+    // docs 1+2 share a 30-char run that crosses token boundaries with
+    // DIFFERENT surrounding tokenization (doc 2 embeds it mid-token) —
+    // invisible to token grams, exact at char granularity. k=10 gram
+    // starts inside a 30-char repeat at positions off..off+20.
+    val run = "AAAAAAAAAABBBBBBBBBBCCCCCCCCCC" // 30 chars
+    val d = Seq(
+      (1L, s"$run and some unique tail for one"),
+      (2L, s"xy${run}zq other unique content here"),
+      (3L, "no repeated character runs at all in this document"),
+    ).toDF("doc_id", "text")
+    val spans = Dedup.charRepeatedSpans(d, k = 10, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // hot 10-gram starts: doc 1 positions 0..20, doc 2 positions 2..22
+    // (each 10-gram inside the run occurs in both docs); single islands
+    assert(spans.exists { case (id, s, e, _) => id == 1L && s == 0L && e == 30L })
+    assert(spans.exists { case (id, s, e, _) => id == 2L && s == 2L && e == 32L })
+    assert(!spans.exists(_._1 == 3L))
+
+    // code-point positions: a surrogate-pair emoji before the repeat
+    // shifts positions by ONE code point (not two UTF-16 units)
+    val emoji = new String(Character.toChars(0x1F600))
+    // tails diverge IMMEDIATELY after the run (no shared space), so
+    // the hot region is exactly the run
+    val d2 = Seq(
+      (1L, s"$emoji${run}one-unique"),
+      (2L, s".${run}two-other"),
+    ).toDF("doc_id", "text")
+    val s2 = Dedup.charRepeatedSpans(d2, k = 10, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s2 == Set((1L, 1L, 31L), (2L, 1L, 31L)))
+
+    // sub-k doc: one whole-text gram; duplicated short docs go hot
+    // with the span_end = k bound convention
+    val d3 = Seq((1L, "tiny"), (2L, "tiny"), (3L, "other")).toDF("doc_id", "text")
+    val s3 = Dedup.charRepeatedSpans(d3, k = 10, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s3 == Set((1L, 0L, 10L), (2L, 0L, 10L)))
+  }
+
   test("removeRepeatedSpans sweep ≡ join baseline, incl. a pathological many-span doc") {
     // doc 1: 500 occurrences of one hot 8-gram, each separated by 9
     // unique tokens — 500 DISJOINT spans (gap 9 > w would be 17 > 8).

@@ -483,6 +483,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p.take(800))
   }
 
+  test("char-level repeated spans: same guards as the token face") {
+    val p = planOf("dedup_char_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // char-gram kernel runs once, inside the checkpoint job
+    assert(!p.contains("chargrams"),
+      s"char-gram kernel recomputes downstream of the checkpoint:\n${p.take(800)}")
+    assert(p.contains("Scan ExistingRDD"), p.take(800))
+    // the only join is the gram-count join-back (keyed by hash); a
+    // doc_id-keyed join would be a position×span fan-out
+    for (l <- p.linesIterator if l.contains("Join"))
+      assert(!l.contains("doc_id"), s"doc-keyed join in char spans: $l")
+  }
+
   test("span removal sweeps coverage with a window — no token-to-span join") {
     val p = planOf("dedup_span_removal")
     // the only join the plan may contain is repeatedSpans' gram-count
