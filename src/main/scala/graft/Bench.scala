@@ -138,9 +138,14 @@ object Bench {
 
     def isolate(): Unit = {
       // deterministic isolation: free the previous query's leftover
-      // checkpoint blocks NOW, not whenever the async cleaner runs
+      // checkpoint blocks NOW, and BLOCK until the removal completes —
+      // a non-blocking unpersist leaves the block-manager removals
+      // running concurrently with the next timed sample (round-10's
+      // dedup_cluster_sizes 3x in-suite phantom never reproduced
+      // standalone; overlapping async cleanup was the one systematic
+      // in-suite-only difference, so it is removed from the protocol)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       System.gc()
     }
     def timeOne(name: String,

@@ -22,9 +22,10 @@ object Verify {
       }
       // free the query's localCheckpoint blocks NOW (many operators
       // materialize shared intermediates eagerly; the async cleaner
-      // would let 230 queries' blocks pile up in executor storage)
+      // would let 240 queries' blocks pile up in executor storage) —
+      // blocking, so removals never overlap the next query's run
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
