@@ -657,13 +657,21 @@ object Graphs {
     * count — and therefore the unrolled oracle — is unchanged; the
     * certificate is two counts over already-checkpointed states.
     */
-  def kCoreReport(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val (_, _, prevN, lastN) = kCoreStates(edges, k, rounds)
-    val changed = prevN - lastN
-    edges.sparkSession.range(1).select(lit("kcore").as("op"),
-      lit(rounds.toLong).as("rounds"),
-      lit(changed).as("changed_last_round"),
-      lit(changed == 0L).as("converged"))
+  def kCoreReport(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreWithReport(edges, k, rounds)._2
+
+  /** (surviving-subgraph degrees — value-identical to [[kCore]] — and
+    * the [[kCoreReport]] certificate row) from ONE peeling: the
+    * certificate is the difference of the per-round edge counts that
+    * already ride as `observe` metrics, so it is FREE on top of the
+    * peel (the [[pageRankWithReport]] suite-dedup pattern).
+    */
+  def kCoreWithReport(edges: DataFrame, k: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
+    val (_, last, prevN, lastN) = kCoreStates(edges, k, rounds)
+    val surv = last.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    (surv, certRow(edges, "kcore", rounds, prevN - lastN))
   }
 
   /** Convergence certificate for bounded-round [[labelPropagation]]:
@@ -696,11 +704,40 @@ object Graphs {
     * the horizon may still have unvisited neighbors.
     */
   def kHopReport(edges: DataFrame, sources: DataFrame,
-      maxHops: Int): DataFrame = {
-    val changed = kHopStates(edges, sources, maxHops)._2
-    edges.sparkSession.range(1).select(lit("bfs").as("op"),
-      lit(maxHops.toLong).as("rounds"),
-      lit(changed).as("changed_last_round"),
-      lit(changed == 0L).as("converged"))
+      maxHops: Int): DataFrame =
+    kHopWithReport(edges, sources, maxHops)._2
+
+  /** (hop distances — value-identical to [[kHopDistances]] — and the
+    * [[kHopReport]] certificate row) from ONE traversal: the frontier
+    * size already rides as an `observe` metric on the per-round
+    * checkpoints, so the certificate is free on top of the BFS.
+    */
+  def kHopWithReport(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): (DataFrame, DataFrame) = {
+    val (dist, frontierN) = kHopStates(edges, sources, maxHops)
+    (dist, certRow(edges, "bfs", maxHops, frontierN))
+  }
+
+  /** (labeled nodes — value-identical to [[labelPropagation]] — and
+    * the [[labelPropagationReport]] certificate row) from ONE
+    * propagation: both final label states are already checkpointed by
+    * the loop, so the certificate adds one O(nodes) compare-join
+    * count.
+    */
+  def labelPropagationWithReport(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
+    val (prev, labels, seed, e) = labelPropagationStates0(edges, seeds, rounds)
+    val out = labels
+      .join(seed.select(col("node"), lit(true).as("is_seed")),
+        Seq("node"), "left")
+      .na.fill(false, Seq("is_seed"))
+      .materialize()
+    val changed = labels.select(col("node"), col("label"))
+      .join(prev.select(col("node"), col("label").as("__prev")),
+        Seq("node"), "left")
+      .filter(not(col("label") <=> col("__prev")))
+      .count()
+    e.unpersist(blocking = false)
+    (out, certRow(edges, "labelprop", rounds, changed))
   }
 }
