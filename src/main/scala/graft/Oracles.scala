@@ -300,6 +300,38 @@ object Oracles {
       |    count(*) AS n_hot_grams
       |  FROM isl GROUP BY doc_id, island)""".stripMargin
 
+  /** [[hotSpanCtes]] at CHARACTER granularity (the `graft_chargrams`
+    * kernel's semantics: per-code-point-position 20-char grams of the
+    * RAW text, hot ≥ 2 corpus-wide, islands merge at gap > 20),
+    * ending in `spans(doc_id, span_start, span_end, n_hot_grams)`.
+    */
+  private def charSpanCtes(rel: String): String =
+    s"""g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(
+      |      range(1, greatest(length(text) - 20, 0) + 2),
+      |      s -> {'pos': s - 1, 'h': md5(substr(text, s, 20))})) AS u
+      |  FROM $rel),
+      |g2 AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
+      |c AS (SELECT h, count(*) AS n FROM g2 GROUP BY h),
+      |hot AS (
+      |  SELECT g2.doc_id, g2.pos FROM g2 JOIN c USING (h) WHERE c.n >= 2),
+      |gaps AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+      |      THEN 1 ELSE 0 END AS gap
+      |  FROM hot),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(gap) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM gaps),
+      |spans AS (
+      |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |    CAST(max(pos) + 20 AS BIGINT) AS span_end,
+      |    count(*) AS n_hot_grams
+      |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
   /** [[hotSpanCtes]] plus the token-cut rewrite, ending in
     * `removal(doc_id, clean_text, n_removed_tokens)`.
     */
@@ -1145,30 +1177,42 @@ object Oracles {
     // granularity. Sub-20-char docs contribute one whole-text gram
     // (range upper bound greatest(len-20,0)+2 = 2 -> one position).
     "dedup_char_spans" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(
-        |      range(1, greatest(length(text) - 20, 0) + 2),
-        |      s -> {'pos': s - 1, 'h': md5(substr(text, s, 20))})) AS u
-        |  FROM documents),
-        |g2 AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
-        |c AS (SELECT h, count(*) AS n FROM g2 GROUP BY h),
-        |hot AS (
-        |  SELECT g2.doc_id, g2.pos FROM g2 JOIN c USING (h) WHERE c.n >= 2),
-        |gaps AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
-        |      THEN 1 ELSE 0 END AS gap
-        |  FROM hot),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    sum(gap) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        |  FROM gaps)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |  CAST(max(pos) + 20 AS BIGINT) AS span_end,
-        |  count(*) AS n_hot_grams
-        |FROM isl GROUP BY doc_id, island""".stripMargin,
+      s"""WITH ${charSpanCtes("documents")}
+         |SELECT doc_id, span_start, span_end, n_hot_grams FROM spans""".stripMargin,
+
+    // Char-span removal: spans of one doc are strictly disjoint (islands
+    // merge everything <= 20 apart), so the rewrite keeps the segment
+    // before each span (cursor = previous span_end via lag, seeded 0)
+    // plus the tail after the last span; substr clamps the sub-20-doc
+    // whole-text span, and least(e, length) clamps the removed count.
+    "dedup_char_removal" ->
+      s"""WITH ${charSpanCtes("documents")},
+         |sp AS (
+         |  SELECT doc_id, span_start AS s, span_end AS e,
+         |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS prev_e
+         |  FROM spans),
+         |pieces AS (
+         |  SELECT d.doc_id, CAST(sp.s AS BIGINT) AS ord,
+         |    substr(d.text, CAST(sp.prev_e + 1 AS INT), CAST(sp.s - sp.prev_e AS INT)) AS piece
+         |  FROM sp JOIN documents d USING (doc_id)
+         |  UNION ALL
+         |  SELECT d.doc_id, CAST(9223372036854775807 AS BIGINT) AS ord,
+         |    substr(d.text, CAST(m.mx + 1 AS INT)) AS piece
+         |  FROM (SELECT doc_id, max(span_end) AS mx FROM spans GROUP BY doc_id) m
+         |  JOIN documents d USING (doc_id)),
+         |agg AS (
+         |  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+         |  FROM pieces GROUP BY doc_id),
+         |rem AS (
+         |  SELECT sp.doc_id,
+         |    CAST(sum(least(sp.e, length(d.text)) - sp.s) AS BIGINT) AS n_removed
+         |  FROM sp JOIN documents d USING (doc_id) GROUP BY sp.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(a.clean_text, d.text) AS clean_text,
+         |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed_chars
+         |FROM documents d
+         |LEFT JOIN agg a USING (doc_id)
+         |LEFT JOIN rem r USING (doc_id)""".stripMargin,
 
     "dedup_span_removal" ->
       s"""WITH ${spanRemovalCtes("documents")}

@@ -2943,6 +2943,14 @@ object Queries {
   val dedupCharSpans: Q = (s, dir) =>
     Dedup.charRepeatedSpans(t(s, dir, "documents"), k = 20, minCount = 2)
 
+  /** Corpus rewrite with the char-level repeated spans cut
+    * ([[graft.functions.Dedup.removeCharSpans]]): one fold over each
+    * doc's sorted disjoint span array — no per-character explode, the
+    * text never shuffles.
+    */
+  val dedupCharRemoval: Q = (s, dir) =>
+    Dedup.removeCharSpans(t(s, dir, "documents"), k = 20, minCount = 2)
+
   /** Extension — CCNet keep-first unit dedup (Wenzek et al. 2020):
     * the corpus rewritten so the FIRST occurrence of every 10-token
     * unit survives and later verbatim repeats drop — the

@@ -127,6 +127,7 @@ object SparkEntry {
     "dedup_semantic" -> Queries.dedupSemantic,
     "dedup_hot_spans" -> Queries.dedupHotSpans,
     "dedup_char_spans" -> Queries.dedupCharSpans,
+    "dedup_char_removal" -> Queries.dedupCharRemoval,
     "dedup_incremental" -> Queries.dedupIncremental,
     "dedup_keep_first" -> Queries.dedupKeepFirst,
     "dedup_minhash_est" -> Queries.dedupMinhashEst,

@@ -913,6 +913,56 @@ object Dedup {
       k, minCount)
   }
 
+  /** Corpus rewrite dropping every [[charRepeatedSpans]] span:
+    * characters whose code-point index falls inside any span are cut
+    * and the remainder re-joined. Returns `(doc_id, clean_text,
+    * n_removed_chars)` for every document (no-span docs pass through
+    * with 0).
+    *
+    * Unlike the token face ([[removeRepeatedSpans]]'s boundary-event
+    * sweep over an exploded token stream), no per-character explode is
+    * needed here: islands merge all positions ≤ k apart, so two spans
+    * of one doc are STRICTLY disjoint (consecutive hot positions
+    * p₁ < p₂ across an island break satisfy p₂ − p₁ > k, hence
+    * p₁ + k < p₂), and the rewrite is ONE fold over the doc's sorted
+    * span array — `text[cursor, s)` kept per span, tail appended at
+    * the end — all inside codegen'd `aggregate`/`substr`. Shape: the
+    * span table groups by doc_id (spans per doc ≪ chars), one
+    * broadcast-able left join back to the corpus, map-only rewrite;
+    * the corpus text is read once and never shuffled.
+    *
+    * `span_end` can exceed the doc length only on the (sub-k-doc)
+    * whole-text gram — `substr` clamps the kept segments and
+    * `n_removed_chars` clamps with `least(e, len)`.
+    */
+  def removeCharSpans(docs: DataFrame, k: Int = 20,
+      minCount: Long = 2): DataFrame = {
+    val spans = charRepeatedSpans(docs, k, minCount)
+    val perDoc = spans.groupBy("doc_id").agg(
+      array_sort(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("sp"))
+    val text = col("text")
+    val rewrite = aggregate(
+      col("sp"),
+      struct(lit(0L).as("cur"), lit("").as("acc")),
+      (st, x) => struct(
+        x.getField("e").as("cur"),
+        concat(st.getField("acc"),
+          text.substr((st.getField("cur") + 1).cast("int"),
+            (x.getField("s") - st.getField("cur")).cast("int"))).as("acc")),
+      st => concat(st.getField("acc"),
+        text.substr((st.getField("cur") + 1).cast("int"),
+          greatest(length(text) - st.getField("cur").cast("int"), lit(0)))))
+    val removed = aggregate(col("sp"), lit(0L), (acc, x) =>
+      acc + (least(x.getField("e"), length(text).cast("long"))
+        - x.getField("s")))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("sp").isNull, text).otherwise(rewrite).as("clean_text"),
+        when(col("sp").isNull, lit(0L)).otherwise(removed)
+          .as("n_removed_chars"))
+  }
+
   /** Shared hot-position → maximal-span core of [[repeatedSpans]] and
     * [[charRepeatedSpans]]: corpus-wide gram counts over a
     * `(doc_id, pos, gh)` stream, hot filter, gaps-and-islands merge

@@ -1231,6 +1231,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(s3 == Set((1L, 0L, 10L), (2L, 0L, 10L)))
   }
 
+  test("removeCharSpans: exact cut, character conservation, pass-through, sub-k full removal") {
+    val run = "AAAAAAAAAABBBBBBBBBBCCCCCCCCCC"
+    val d = Seq(
+      (1L, s"$run and some unique tail for one"),
+      (2L, s"xy${run}zq other unique content here"),
+      (3L, "no repeated character runs at all in this document"),
+      (4L, "tiny"), (5L, "tiny"),
+    ).toDF("doc_id", "text")
+    val got = graft.functions.Dedup.removeCharSpans(d, k = 10, minCount = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1: span [0,30) cut, tail survives
+    assert(got(1L) == (" and some unique tail for one", 30L))
+    // doc 2: span [2,32) covers exactly the run — "xy" prefix and the
+    // "zq…" tail both survive
+    assert(got(2L) == ("xyzq other unique content here", 30L))
+    // untouched doc passes through verbatim
+    assert(got(3L) == ("no repeated character runs at all in this document", 0L))
+    // duplicated sub-k docs: whole-text span, clamped removal count
+    assert(got(4L) == ("", 4L) && got(5L) == ("", 4L))
+    // conservation on every doc: kept + removed = original (char counts)
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, (clean, removed)) <- got)
+      assert(clean.length + removed == texts(id).length, s"doc $id")
+  }
+
   test("removeRepeatedSpans sweep ≡ join baseline, incl. a pathological many-span doc") {
     // doc 1: 500 occurrences of one hot 8-gram, each separated by 9
     // unique tokens — 500 DISJOINT spans (gap 9 > w would be 17 > 8).
