@@ -4622,6 +4622,63 @@ object Oracles {
         |  COALESCE(array_to_string(a.flat, ' '), '') AS toks
         |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""".stripMargin,
 
+    // Unigram subword sampling: the tok_unigram Viterbi replay with
+    // one extra term — every candidate piece's cost is perturbed by
+    // md5 noise keyed on (word, piece), '0x'||substr(md5(...),1,8)
+    // % 301 (the kernel reads the same first 4 digest bytes), then
+    // the same argmin/longest-tie DP and backpointer walk.
+    "tok_unigram_sampled" ->
+      """WITH RECURSIVE pc AS (
+        |  SELECT p.piece, CAST(length(p.piece) AS INT) AS plen,
+        |    2200 - 500 * length(p.piece)
+        |      + CAST(CAST(concat('0x', substr(md5(concat('uc_', p.piece)), 1, 8)) AS UBIGINT) % 400 AS BIGINT) AS pcost
+        |  FROM (VALUES ('th'),('the'),('he'),('er'),('st'),('est'),('ta'),('tab'),('ble'),('le'),('ab'),('ion'),('ing'),('ed'),('an'),('on'),('en'),('at'),('ll'),('ow'),('low'),('re'),('ter'),('al'),('ar'),('ro'),('li'),('ne')) p(piece)),
+        |base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS words
+        |  FROM documents),
+        |dw AS (SELECT DISTINCT unnest(words) AS word FROM base),
+        |chars AS (
+        |  SELECT DISTINCT ch AS piece, 1 AS plen, CAST(2000 AS BIGINT) AS pcost FROM (
+        |    SELECT unnest(string_split(word, '')) AS ch FROM dw)
+        |  WHERE length(ch) = 1
+        |    AND ch NOT IN (SELECT piece FROM pc WHERE plen = 1)),
+        |inv AS (SELECT * FROM pc UNION ALL SELECT * FROM chars),
+        |st(word, pos, best, bp) AS (
+        |  SELECT word, 0, [CAST(0 AS BIGINT)], CAST([] AS INT[]) FROM dw
+        |  UNION ALL
+        |  SELECT s.word, s.pos + 1,
+        |    list_append(s.best, m.c), list_append(s.bp, m.l)
+        |  FROM st s JOIN LATERAL (
+        |    SELECT s.best[s.pos + 2 - v.plen] + v.pcost
+        |      + CAST(CAST(concat('0x', substr(md5(concat('useg_', s.word, '_', v.piece)), 1, 8)) AS UBIGINT) % 301 AS BIGINT) AS c,
+        |      v.plen AS l
+        |    FROM inv v
+        |    WHERE v.plen <= s.pos + 1
+        |      AND v.piece = substr(s.word, s.pos + 2 - v.plen, v.plen)
+        |    ORDER BY c, l DESC LIMIT 1) m ON true
+        |  WHERE s.pos < len(s.word)),
+        |fin AS (SELECT word, best[len(word) + 1] AS wcost, bp FROM st WHERE pos = len(word)),
+        |walk(word, pos, toks, wbp) AS (
+        |  SELECT word, CAST(len(word) AS INT), CAST([] AS VARCHAR[]), bp FROM fin
+        |  UNION ALL
+        |  SELECT w.word, w.pos - w.wbp[w.pos],
+        |    list_prepend(substr(w.word, w.pos - w.wbp[w.pos] + 1, w.wbp[w.pos]), w.toks),
+        |    w.wbp
+        |  FROM walk w WHERE w.pos > 0),
+        |seg AS (SELECT word, toks FROM walk WHERE pos = 0),
+        |docw AS (
+        |  SELECT doc_id, unnest(words) AS word, generate_subscripts(words, 1) AS ord FROM base),
+        |agg AS (
+        |  SELECT d.doc_id, flatten(list(s2.toks ORDER BY d.ord)) AS flat,
+        |    CAST(sum(f.wcost) AS BIGINT) AS tc
+        |  FROM docw d JOIN seg s2 ON s2.word = d.word JOIN fin f ON f.word = d.word
+        |  GROUP BY d.doc_id)
+        |SELECT b.doc_id,
+        |  CAST(COALESCE(len(a.flat), 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.tc, 0) AS BIGINT) AS total_cost,
+        |  COALESCE(array_to_string(a.flat, ' '), '') AS toks
+        |FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""".stripMargin,
+
     // Trained-BPE corpus encode: the tok_bpe_merges train chain with
     // the WORD carried through every apply round, a final apply of the
     // rank-2 merge, then per-doc reassembly of each word's subword

@@ -1876,6 +1876,25 @@ object Queries {
         concat_ws(" ", col("__e.toks")).as("toks"))
   }
 
+  /** Extension — Unigram subword SAMPLING
+    * ([[graft.functions.Unigram.encodeSampled]], Kudo 2018 §4): the
+    * training-time regularization face of `tok_unigram` — candidate
+    * piece costs perturbed by md5 noise keyed on (word, piece), then
+    * the same Viterbi argmin (Gumbel-style perturb-and-MAP). The
+    * BPE-dropout counterpart for the Unigram tokenizer family; every
+    * decision replays in the oracle. Same map-only shape.
+    */
+  val tokUnigramSampled: Q = (s, dir) => {
+    val u = graft.functions.Unigram
+    val enc = u.encodeSampled(col("text"), u.fixturePieces,
+      u.fixturePieces.map(u.pieceCost), noiseMod = 301)
+    t(s, dir, "documents").select(col("doc_id"), enc.as("__e"))
+      .select(col("doc_id"),
+        size(col("__e.toks")).cast("long").as("n_tokens"),
+        col("__e.cost").as("total_cost"),
+        concat_ws(" ", col("__e.toks")).as("toks"))
+  }
+
   /** Unigram-LM TRAINING (Viterbi-EM, hard-EM variant): seed = the
     * corpus's top-48 substrings of length 2–4, then two (E) segment /
     * (M) re-price rounds — usage-weighted integer cost updates, no

@@ -182,6 +182,7 @@ object SparkEntry {
     "tok_wordpiece_train" -> Queries.tokWordpieceTrain,
     "tok_wordpiece_trained" -> Queries.tokWordpieceTrained,
     "tok_unigram" -> Queries.tokUnigram,
+    "tok_unigram_sampled" -> Queries.tokUnigramSampled,
     "tok_unigram_train" -> Queries.tokUnigramTrain,
     "tok_unigram_trained" -> Queries.tokUnigramTrained,
     "layout_zorder" -> Queries.layoutZorder,

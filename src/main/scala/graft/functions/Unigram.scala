@@ -74,6 +74,33 @@ object Unigram {
   def encodeFixture(text: Column): Column =
     encodeWithCost(text, fixturePieces, fixturePieces.map(pieceCost))
 
+  /** [[encodeWithCost]] with deterministic SUBWORD SAMPLING (Kudo 2018
+    * §4 — training on sampled segmentations instead of the argmax
+    * regularizes the downstream model): every candidate piece's cost
+    * is perturbed by md5 noise keyed on (word, piece) — a
+    * Gumbel-style perturb-and-Viterbi, so "sampling" is a pure
+    * function of the inputs that the DuckDB oracle replays and
+    * shuffles/retries cannot change (the [[graft.functions.Bpe
+    * .encodeDropout]] discipline applied to the Unigram face).
+    * `noiseMod = 1` ≡ [[encodeWithCost]] exactly (spec-pinned);
+    * noise up to `noiseMod − 1` on a ~200–2100 cost scale shifts
+    * near-tied lattice paths, which is where Kudo's n-best mass
+    * lives. Map-only, one kernel call per row.
+    */
+  def encodeSampled(text: Column, pieces: Seq[String], costs: Seq[Long],
+      charCost: Int = CharCost, noiseMod: Int = 301): Column = {
+    require(pieces.length == costs.length)
+    graft.plans.GraftFunctions.registerActive()
+    val pLit =
+      if (pieces.isEmpty) array().cast("array<string>")
+      else array(pieces.map(lit): _*)
+    val cLit =
+      if (costs.isEmpty) array().cast("array<bigint>")
+      else array(costs.map(lit): _*)
+    call_function("graft_unigram_sampled", text, pLit, cLit,
+      lit(charCost), lit(noiseMod))
+  }
+
   // ------------------------------------------------------- training
 
   /** One trained inventory row: piece, its round-2 corpus-weighted

@@ -211,8 +211,12 @@ object Graphs {
     require(r0 >= 100, "r0 must carry at least 2 decimal digits")
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the node universe feeds the loop's hub seed AND the output join
+    // — materialize so its union+distinct shuffle runs once
+    // (no-subtree-sharing)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .materialize()
     val (_, _, hub, auth, freeLoop) = hitsLoop(e, nodes, iters, r0,
       keepGens = 1)
     val out = nodes
@@ -221,10 +225,22 @@ object Graphs {
       .na.fill(0L, Seq("hub", "auth"))
       .materialize()
     // `out` is eagerly materialized: the retained half-step
-    // checkpoints and the edge cache are no longer reachable.
+    // checkpoints, the node universe and the edge cache are no longer
+    // reachable.
     freeLoop()
+    freeIds(nodes)
     e.unpersist(blocking = false)
     out
+  }
+
+  /** Free a materialized frame's own backing RDD blocks (its
+    * LogicalRDD leaves — safe alongside concurrent plans, no global
+    * diffing).
+    */
+  private def freeIds(df: DataFrame): Unit = {
+    val sc = df.sparkSession.sparkContext
+    graft.plans.Materialize.rddIds(df).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
   }
 
   /** The HITS half-step engine shared by [[hits]] and [[hitsReport]]:
@@ -328,8 +344,10 @@ object Graphs {
     require(r0 >= 100, "r0 must carry at least 2 decimal digits")
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // 3 consumers (loop seed + both filled states): materialize once
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .materialize()
     val (hubPrev, authPrev, hub, auth, freeLoop) =
       hitsLoop(e, nodes, iters, r0, keepGens = 2)
     def filled(h: DataFrame, a: DataFrame, hn: String,
@@ -347,6 +365,7 @@ object Graphs {
       .filter(col("hub") =!= col("phub") || col("auth") =!= col("pauth"))
       .count()
     freeLoop()
+    freeIds(nodes)
     e.unpersist(blocking = false)
     (if (wantScores) Some(last) else None,
       certRow(edges, "hits", iters, changed))

@@ -76,6 +76,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[UnigramEncodeExpr].getName, "graft_unigram"),
       (es: Seq[Expression]) => UnigramEncodeExpr(es(0),
         foldedStringArray(es(1)), foldedLongArray(es(2)), foldedInt(es(3)))),
+    ("graft_unigram_sampled",
+      new ExpressionInfo(classOf[UnigramSampledExpr].getName, "graft_unigram_sampled"),
+      (es: Seq[Expression]) => UnigramSampledExpr(es(0),
+        foldedStringArray(es(1)), foldedLongArray(es(2)), foldedInt(es(3)),
+        foldedInt(es(4)))),
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (es: Seq[Expression]) => SimHash64Expr(es.head)),

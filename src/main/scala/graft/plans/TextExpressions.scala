@@ -574,6 +574,92 @@ object TextKernels {
         totalCost))
   }
 
+  /** [[unigramEncode]] with deterministic SUBWORD SAMPLING (Kudo 2018
+    * §4 — subword regularization: training on sampled, not argmax,
+    * segmentations regularizes the downstream model; SentencePiece
+    * samples from the n-best lattice). This face replaces the sampler
+    * with a GUMBEL-STYLE perturb-and-Viterbi: every candidate piece's
+    * cost is perturbed by md5-derived noise keyed on (word, piece) —
+    * `(first 4 md5 bytes of "useg_" + word + "_" + piece) % noiseMod`
+    * — and the SAME Viterbi then picks the argmin path. Different
+    * word forms draw independent perturbations (segmentation
+    * diversity across the corpus, the Kudo training signal) while
+    * every decision is a pure function of the inputs: the DuckDB
+    * oracle replays the noise with the `'0x' || substr(md5(…),1,8)`
+    * construction the trained-cost formula already uses, and retries/
+    * shuffles cannot change the output. `noiseMod = 1` is exactly
+    * [[unigramEncode]] (noise ≡ 0 — spec-pinned).
+    */
+  def unigramEncodeSampled(
+      text: UTF8String, pieces: Array[String], costs: Array[Long],
+      charCost: Long, noiseMod: Int): InternalRow = {
+    val costOf = new java.util.HashMap[String, java.lang.Long]()
+    var maxLen = 1
+    var vi = 0
+    while (vi < pieces.length) {
+      costOf.put(pieces(vi), java.lang.Long.valueOf(costs(vi)))
+      if (pieces(vi).length > maxLen) maxLen = pieces(vi).length
+      vi += 1
+    }
+    val md = md5Local.get()
+    def noise(word: String, piece: String): Long = {
+      md.reset()
+      val d = md.digest(("useg_" + word + "_" + piece)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 4 digest bytes big-endian unsigned == the oracle's
+      // CAST('0x' || substr(md5(…), 1, 8) AS UBIGINT)
+      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      u % noiseMod
+    }
+    val words = text.toLowerCase.toString.split("\\s+")
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var totalCost = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        val n = w.length
+        val best = new Array[Long](n + 1)
+        val bp = new Array[Int](n + 1)
+        var i = 1
+        while (i <= n) {
+          var bestC = Long.MaxValue
+          var bestL = 0
+          var len = 1
+          val lim = math.min(i, maxLen)
+          while (len <= lim) {
+            val sub = w.substring(i - len, i)
+            val boxed: java.lang.Long = costOf.get(sub)
+            val found = (boxed ne null) || len == 1
+            if (found) {
+              val c0: Long =
+                if (boxed ne null) boxed.longValue() else charCost
+              val c = best(i - len) + c0 + noise(w, sub)
+              if (c < bestC || (c == bestC && len > bestL)) {
+                bestC = c; bestL = len
+              }
+            }
+            len += 1
+          }
+          best(i) = bestC; bp(i) = bestL
+          i += 1
+        }
+        totalCost += best(n)
+        val rev = new java.util.ArrayList[String]()
+        var j = n
+        while (j > 0) { rev.add(w.substring(j - bp(j), j)); j -= bp(j) }
+        var ri = rev.size - 1
+        while (ri >= 0) { out += UTF8String.fromString(rev.get(ri)); ri -= 1 }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray),
+        totalCost))
+  }
+
   /** WordPiece encode (Wu+ 2016 / BERT): lowercase, whitespace-
     * tokenize, then greedy LONGEST-MATCH-FIRST segmentation of each
     * word against `vocab` — continuation positions match pieces
@@ -936,6 +1022,51 @@ case class UnigramEncodeExpr(
   }
 
   override protected def withNewChildInternal(newChild: Expression): UnigramEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `graft_unigram_sampled(text, pieces, costs, char_cost, noise_mod)`
+  * — Unigram Viterbi over md5-perturbed costs (deterministic subword
+  * sampling; noise_mod = 1 ≡ plain encode).
+  */
+case class UnigramSampledExpr(
+    child: Expression, pieces: IndexedSeq[String],
+    costs: IndexedSeq[Long], charCost: Int, noiseMod: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_unigram_sampled"
+  override def dataType: DataType = StructType(Seq(
+    StructField("toks", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("cost", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if pieces.length != costs.length =>
+      TypeCheckResult.TypeCheckFailure(
+        s"${pieces.length} pieces vs ${costs.length} costs")
+    case _ if charCost < 0 =>
+      TypeCheckResult.TypeCheckFailure("char fallback cost must be >= 0")
+    case _ if noiseMod < 1 =>
+      TypeCheckResult.TypeCheckFailure("noise_mod must be >= 1")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  private lazy val pArr: Array[String] = pieces.toArray
+  private lazy val cArr: Array[Long] = costs.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.unigramEncodeSampled(
+      input.asInstanceOf[UTF8String], pArr, cArr, charCost.toLong, noiseMod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("ugPieces", pArr, "java.lang.String[]")
+    val cRef = ctx.addReferenceObj("ugCosts", cArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextKernels.unigramEncodeSampled($c, $pRef, $cRef, " +
+        s"${charCost}L, $noiseMod)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSampledExpr =
     copy(child = newChild)
 }
 

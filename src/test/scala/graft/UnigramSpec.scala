@@ -92,6 +92,41 @@ class UnigramSpec extends SparkSpec {
     assert(t3.isEmpty && c3 == 0L)
   }
 
+  test("encodeSampled: noiseMod=1 ≡ plain encode; diversity appears; chars conserved; replays") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 80).select("doc_id", "text")
+    val pieces = Unigram.fixturePieces
+    val costs = pieces.map(Unigram.pieceCost)
+    def run(noiseMod: Int) = docs.select(col("doc_id"),
+        Unigram.encodeSampled(col("text"), pieces, costs,
+          noiseMod = noiseMod).as("e"))
+      .select(col("doc_id"), col("e.toks"), col("e.cost"))
+      .as[(Long, Seq[String], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val plain = docs.select(col("doc_id"),
+        Unigram.encodeFixture(col("text")).as("e"))
+      .select(col("doc_id"), col("e.toks"), col("e.cost"))
+      .as[(Long, Seq[String], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // noiseMod = 1: noise ≡ 0, exactly the plain Viterbi
+    assert(run(1) == plain)
+    // real noise: pure function of the inputs (bit-identical replay)
+    val s301 = run(301)
+    assert(run(301) == s301)
+    // the regularization signal: some docs segment DIFFERENTLY than
+    // the argmax path (that's the point of sampling)
+    val diverged = s301.count { case (id, (toks, _)) => toks != plain(id)._1 }
+    assert(diverged > 0, "noise=301 produced zero segmentation diversity")
+    // segmentation never invents or loses characters: per doc, token
+    // chars == word chars
+    val texts = docs.as[(Long, String)].collect().toMap
+    for ((id, (toks, _)) <- s301) {
+      val wordChars = texts(id).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).map(_.length).sum
+      assert(toks.map(_.length).sum == wordChars, s"doc $id")
+    }
+  }
+
   test("trainer: EM rounds move costs toward usage; reference replay agrees") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") < 60).select("doc_id", "text")
