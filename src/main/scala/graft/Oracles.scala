@@ -5236,6 +5236,31 @@ object Oracles {
         |  n3 + len(regexp_extract_all(t3, '\+\d{7,15}\b')) AS n4 FROM s3)
         |SELECT doc_id, t4 AS clean_text, CAST(n4 AS BIGINT) AS n_pii FROM s4""".stripMargin,
 
+    // Per-source PII audit: the text_pii_redact sequential-count chain
+    // with PER-TYPE counts carried per doc (both phone patterns fold
+    // into one type), grouped by source with single-division rates.
+    "text_pii_audit" ->
+      """WITH s0 AS (SELECT doc_id, source, text AS t0 FROM documents),
+        |s1 AS (SELECT doc_id, source,
+        |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1,
+        |  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne FROM s0),
+        |s2 AS (SELECT doc_id, source, ne,
+        |  regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2,
+        |  len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS nip FROM s1),
+        |s3 AS (SELECT doc_id, source, ne, nip,
+        |  regexp_replace(t2, '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g') AS t3,
+        |  len(regexp_extract_all(t2, '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) AS np1 FROM s2),
+        |s4 AS (SELECT doc_id, source, ne, nip, np1,
+        |  len(regexp_extract_all(t3, '\+\d{7,15}\b')) AS np2 FROM s3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ne) AS BIGINT) AS n_email,
+        |  CAST(sum(nip) AS BIGINT) AS n_ip,
+        |  CAST(sum(np1 + np2) AS BIGINT) AS n_phone,
+        |  CAST(sum(CASE WHEN ne + nip + np1 + np2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+        |  round(CAST(sum(CASE WHEN ne + nip + np1 + np2 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 9) AS pii_doc_rate
+        |FROM s4 GROUP BY source""".stripMargin,
+
     // Unicode normalization: the oracle rebuilds the identical
     // decomposed decoration (every 'e' → 'e' + U+0301) and applies
     // DuckDB's own nfc_normalize / strip_accents — the hash match

@@ -1599,6 +1599,16 @@ object Queries {
       TextAnalysis.redactPii(col("text")).as("clean_text"),
       TextAnalysis.piiHits(col("text")).as("n_pii"))
 
+  /** Extension — per-source PII audit
+    * ([[graft.functions.TextAnalysis.piiAudit]]): typed hit totals
+    * (email/IP/phone under the sequential-redaction count semantics),
+    * affected-doc counts and rates — the data card a redaction
+    * pipeline publishes next to `text_pii_redact`'s rewrite. One
+    * narrow map pass + one map-combined groupBy.
+    */
+  val textPiiAudit: Q = (s, dir) =>
+    TextAnalysis.piiAudit(t(s, dir, "documents"))
+
   /** Extension — Unicode normalization (NFC + accent stripping): the
     * fixture corpus is pure ASCII, so the query first DECORATES it
     * deterministically — every 'e' becomes 'e' + U+0301 (combining

@@ -207,6 +207,7 @@ object SparkEntry {
     "text_lang_id" -> Queries.textLangId,
     "text_rake" -> Queries.textRake,
     "text_pii_redact" -> Queries.textPiiRedact,
+    "text_pii_audit" -> Queries.textPiiAudit,
     "text_normalize" -> Queries.textNormalize,
     "text_boilerplate" -> Queries.textBoilerplate,
     "text_blocklist" -> Queries.textBlocklist,

@@ -834,6 +834,44 @@ object TextAnalysis {
         n + regexp_count(c, lit(pat)).cast("long"))
     }._2
 
+  /** Per-TYPE PII counts under the [[redactPii]] sequential-redaction
+    * semantics (pattern i counts on text already redacted by patterns
+    * < i): one struct `(n_email, n_ip, n_phone)` — both `<PHONE>`
+    * patterns fold into one type. The typed complement [[piiHits]]'
+    * scalar total collapses; feeds the audit face a redaction
+    * pipeline ships next to its output.
+    */
+  def piiHitsByType(text: Column): Column = {
+    val perPattern = piiPatterns.foldLeft((text, Seq.empty[Column])) {
+      case ((c, counts), (pat, rep)) =>
+        (regexp_replace(c, pat, rep),
+          counts :+ regexp_count(c, lit(pat)).cast("long"))
+    }._2
+    struct(perPattern(0).as("n_email"), perPattern(1).as("n_ip"),
+      (perPattern(2) + perPattern(3)).as("n_phone"))
+  }
+
+  /** Per-source PII AUDIT (the data card every redaction pipeline
+    * publishes): typed hit totals, affected-doc counts and rates —
+    * the number that says whether a source is safe to ship and which
+    * PII class dominates. One narrow map pass (the [[piiHitsByType]]
+    * fold) + one map-combined groupBy; ratios are single divisions.
+    */
+  def piiAudit(docs: DataFrame): DataFrame = {
+    val typed = docs.select(col("source"),
+      piiHitsByType(col("text")).as("h"))
+    typed.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("h.n_email")).as("n_email"),
+        sum(col("h.n_ip")).as("n_ip"),
+        sum(col("h.n_phone")).as("n_phone"),
+        sum(when(col("h.n_email") + col("h.n_ip") + col("h.n_phone") > 0,
+          1L).otherwise(0L)).as("n_docs_with_pii"))
+      .withColumn("pii_doc_rate",
+        round(col("n_docs_with_pii").cast("double")
+          / col("n_docs").cast("double"), 9))
+  }
+
   /** Rolling polynomial (Karp–Rabin) fingerprint over the text:
     * f = Σ c_i · B^(n-1-i) mod P, B = 31, P a prime < 2^30 (keeps
     * `acc·B + c` < 2^36 — safe under Spark's default ANSI arithmetic,
