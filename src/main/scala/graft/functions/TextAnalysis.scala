@@ -857,20 +857,29 @@ object TextAnalysis {
     * PII class dominates. One narrow map pass (the [[piiHitsByType]]
     * fold) + one map-combined groupBy; ratios are single divisions.
     */
-  def piiAudit(docs: DataFrame): DataFrame = {
+  def piiAudit(docs: DataFrame): DataFrame = piiRate(piiAuditCounts(docs))
+
+  /** The audit's ADDITIVE per-source counts (no rate): the mergeable
+    * state the streaming twin accumulates per micro-batch — counts
+    * from two disjoint batches sum to the counts of their union.
+    */
+  private[graft] def piiAuditCounts(docs: DataFrame): DataFrame = {
     val typed = docs.select(col("source"),
       piiHitsByType(col("text")).as("h"))
     typed.groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("h.n_email")).as("n_email"),
-        sum(col("h.n_ip")).as("n_ip"),
-        sum(col("h.n_phone")).as("n_phone"),
-        sum(when(col("h.n_email") + col("h.n_ip") + col("h.n_phone") > 0,
-          1L).otherwise(0L)).as("n_docs_with_pii"))
-      .withColumn("pii_doc_rate",
-        round(col("n_docs_with_pii").cast("double")
-          / col("n_docs").cast("double"), 9))
+      count(lit(1)).as("n_docs"),
+      sum(col("h.n_email")).as("n_email"),
+      sum(col("h.n_ip")).as("n_ip"),
+      sum(col("h.n_phone")).as("n_phone"),
+      sum(when(col("h.n_email") + col("h.n_ip") + col("h.n_phone") > 0,
+        1L).otherwise(0L)).as("n_docs_with_pii"))
   }
+
+  /** Attach the single-division affected-doc rate to a counts table. */
+  private[graft] def piiRate(counts: DataFrame): DataFrame =
+    counts.withColumn("pii_doc_rate",
+      round(col("n_docs_with_pii").cast("double")
+        / col("n_docs").cast("double"), 9))
 
   /** Rolling polynomial (Karp–Rabin) fingerprint over the text:
     * f = Σ c_i · B^(n-1-i) mod P, B = 31, P a prime < 2^30 (keeps

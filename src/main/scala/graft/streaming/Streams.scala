@@ -565,6 +565,57 @@ object Streams {
       .start()
   }
 
+  /** Streaming PII AUDIT — the monitoring face of `text_pii_audit`:
+    * each micro-batch's typed per-source counts (ADDITIVE by
+    * construction — [[graft.functions.TextAnalysis.piiAuditCounts]])
+    * merge into the accumulated per-source state; the callback
+    * receives the accumulated audit (with rates) after every batch.
+    * Feeding a corpus through in any batching reproduces the batch
+    * `piiAudit` EXACTLY (spec-pinned). State: one row per source,
+    * persisted with the [[funnelStream]] discipline — atomic
+    * overwrite + the last-applied batchId, so an at-least-once
+    * foreachBatch replay never double-counts.
+    */
+  def piiAuditStream(
+      docs: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      onAudit: DataFrame => Unit,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cols = Seq("n_docs", "n_email", "n_ip", "n_phone",
+          "n_docs_with_pii")
+        val exists =
+          java.nio.file.Files.exists(java.nio.file.Paths.get(statePath))
+        val (prior, lastBid) =
+          if (exists) {
+            val p = spark.read.parquet(statePath)
+            (Some(p.select(("source" +: cols).map(col): _*)),
+              p.agg(max(col("__bid"))).head().getLong(0))
+          } else (None, -1L)
+        val merged =
+          if (lastBid == batchId) prior.get // replay: already applied
+          else {
+            val b = graft.functions.TextAnalysis.piiAuditCounts(batch)
+            prior match {
+              case None => b
+              case Some(st) => st.unionByName(b).groupBy("source")
+                .agg(sum(cols.head).as(cols.head),
+                  cols.tail.map(c => sum(c).as(c)): _*)
+            }
+          }
+        graft.operators.Merge.atomicOverwrite(
+          merged.withColumn("__bid", lit(batchId)), statePath)
+        onAudit(graft.functions.TextAnalysis.piiRate(
+          spark.read.parquet(statePath).drop("__bid")))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming DRIFT monitor — the per-batch face of `corpus_drift`:
     * each micro-batch's token counts are compared against the
     * ACCUMULATED reference distribution (all prior batches) with the

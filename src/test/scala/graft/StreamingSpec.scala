@@ -529,6 +529,46 @@ class StreamingSpec extends SparkSpec {
       s"re-fed batch inflated dedup survivors: $afterDup")
   }
 
+  test("streaming PII audit: accumulated per-source counts equal the batch audit across restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pii-ck").toString
+    val state = s"$dir/state"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    // the sf0.001 fixture carries no PII — decorate every 7th doc with
+    // one hit of each type so the typed counters are exercised on BOTH
+    // faces identically
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact a.b@mail.co at 10.0.0.1 or +6329876543 ")))
+          .otherwise(col("text")).as("text"))
+    val schema = docs.schema
+    var last: Option[Seq[(String, Long, Long, Long, Long, Long, Double)]] = None
+    def run(): Unit = {
+      val q = Streams.piiAuditStream(
+        spark.readStream.schema(schema).parquet(s"$dir/in/*"),
+        state, ckpt,
+        a => { last = Some(a.orderBy("source")
+          .as[(String, Long, Long, Long, Long, Long, Double)]
+          .collect().toSeq) })
+      q.awaitTermination(120000)
+    }
+    docs.filter($"doc_id" < 250).write.parquet(s"$dir/in/b1.parquet")
+    run() // batch 1, then a RESTART (new query, same checkpoint/state)
+    assert(last.get.map(_._2).sum == 250L, last.get)
+    docs.filter($"doc_id" >= 250).write.parquet(s"$dir/in/b2.parquet")
+    run()
+    val streamed = last.get
+    val batch = graft.functions.TextAnalysis.piiAudit(docs)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(streamed == batch,
+      s"stream audit diverged:\n  stream $streamed\n  batch  $batch")
+    // the fixture must actually exercise the typed counters
+    assert(batch.map(_._3).sum + batch.map(_._4).sum + batch.map(_._5).sum > 0,
+      "fixture contains no PII at all — audit untested")
+  }
+
   test("streaming embedding drift: per-batch max mean-shift vs reference, batch-exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-edrift").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-edrift-ck").toString
