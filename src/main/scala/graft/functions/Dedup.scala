@@ -907,10 +907,23 @@ object Dedup {
   def charRepeatedSpans(docs: DataFrame, k: Int = 20,
       minCount: Long = 2): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    hotPositionSpans(
-      docs.select(col("doc_id"),
-        posexplode(nativeCharGramHashes(col("text"), k)).as(Seq("pos", "gh"))),
-      k, minCount)
+    // Storage shape differs from the token face on purpose: the char
+    // gram stream is ~20 bytes PER CHARACTER (≈ 20× the corpus — the
+    // token face's stream is per-token, ~5× smaller), so materializing
+    // it as [[repeatedSpans]] does would store corpus-multiples at
+    // scale. Instead the HOT GRAM SET (only hashes occurring ≥
+    // minCount — the repeats themselves, usually tiny) is what
+    // materializes, and the kernel scan runs twice: once feeding the
+    // map-combined count, once feeding the join-back, which AQE turns
+    // into a BROADCAST of the hot set when it is small — the gram
+    // stream then never rides a second shuffle and nothing
+    // corpus-scale is ever stored.
+    def grams = docs.select(col("doc_id"),
+      posexplode(nativeCharGramHashes(col("text"), k)).as(Seq("pos", "gh")))
+    val hot = grams.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount).select(col("gh"))
+      .materialize()
+    mergeIslands(grams.join(hot, Seq("gh")).select(col("doc_id"), col("pos")), k)
   }
 
   /** Corpus rewrite dropping every [[charRepeatedSpans]] span:
@@ -971,12 +984,22 @@ object Dedup {
   private def hotPositionSpans(gramStream: DataFrame, w: Int,
       minCount: Long): DataFrame = {
     // the gram stream feeds the hot-count aggregate AND the join
-    // back — one kernel pass, materialized (24-byte rows)
+    // back — one kernel pass, materialized (24-byte rows). Right for
+    // the TOKEN face; the char face uses the hot-set shape instead
+    // (see [[charRepeatedSpans]]).
     val grams = gramStream.materialize()
     val counts = grams.groupBy(col("gh")).agg(count(lit(1)).as("n"))
     val hot = grams
       .join(counts.filter(col("n") >= minCount), Seq("gh"))
       .select(col("doc_id"), col("pos"))
+    mergeIslands(hot, w)
+  }
+
+  /** Gaps-and-islands merge of hot positions into maximal spans
+    * (positions ≤ w apart chain — their grams overlap or touch);
+    * doc-local windows, no skew beyond document length.
+    */
+  private def mergeIslands(hot: DataFrame, w: Int): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val islands = hot
       .withColumn("__gap",

@@ -483,15 +483,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p.take(800))
   }
 
-  test("char-level repeated spans: same guards as the token face") {
+  test("char-level repeated spans: hot-set shape — nothing corpus-scale stored") {
     val p = planOf("dedup_char_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(800))
-    // char-gram kernel runs once, inside the checkpoint job
-    assert(!p.contains("chargrams"),
-      s"char-gram kernel recomputes downstream of the checkpoint:\n${p.take(800)}")
+    // the char face deliberately inverts the token face's storage
+    // shape: the HOT SET is the checkpointed side (Scan ExistingRDD),
+    // and the ~20-bytes-per-character gram stream is recomputed by the
+    // kernel for the join-back — so the kernel appears in the scored
+    // plan EXACTLY once and the corpus-scale stream is never stored
+    val kernelScans = "(?i)chargramhashes".r.findAllIn(p).size
+    assert(kernelScans == 1,
+      s"expected exactly one join-back kernel scan, got $kernelScans:\n${p.take(800)}")
     assert(p.contains("Scan ExistingRDD"), p.take(800))
-    // the only join is the gram-count join-back (keyed by hash); a
+    // the only join is the hot-set membership join (keyed by hash); a
     // doc_id-keyed join would be a position×span fan-out
     for (l <- p.linesIterator if l.contains("Join"))
       assert(!l.contains("doc_id"), s"doc-keyed join in char spans: $l")
