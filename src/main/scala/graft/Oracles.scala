@@ -2594,6 +2594,26 @@ object Oracles {
         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
         |HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5""".stripMargin,
 
+    // Incremental near-dup screen: the dedup_ngram_jaccard computation
+    // with the pair predicate sided (delta = odd doc_ids, history =
+    // even) instead of a_id < b_id.
+    "dedup_incremental_neardup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 3, 0) + 2),
+        |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2]))) AS shingles
+        |  FROM tok),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh)
+        |SELECT a.doc_id AS delta_id, b.doc_id AS history_id, count(*) AS inter,
+        |  round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) AS jaccard
+        |FROM ex a JOIN ex b ON a.sh = b.sh
+        |  AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        |HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.5""".stripMargin,
+
     // MinHash estimate contract: the exact side (pair set +
     // inter/jaccard) is the dedup_ngram_jaccard computation verbatim;
     // est_in_envelope is Spark's claim the k=128 signature estimate

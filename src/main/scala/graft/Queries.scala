@@ -1106,6 +1106,21 @@ object Queries {
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3, threshold = 0.5)
       .select("a_id", "b_id", "inter", "jaccard")
 
+  /** Extension — incremental NEAR-dup screening
+    * ([[graft.functions.Dedup.crossJaccardPairs]]): which new-batch
+    * docs (odd doc_ids — `dedup_incremental`'s delta split) are
+    * exact-Jaccard ≥ 0.5 near-dups of the accumulated history (even
+    * doc_ids) — the fuzzy complement of `dedup_incremental`'s
+    * digest screen, never comparing history against itself.
+    */
+  val dedupIncrementalNeardup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Dedup.crossJaccardPairs(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      w = 3, threshold = 0.5)
+  }
+
   /** Directional shingle-containment pairs ≥ 0.8: documents
     * substantially CONTAINED in another (quotes, boilerplate-wrapped
     * mirrors) that symmetric Jaccard misses when the outer doc is much

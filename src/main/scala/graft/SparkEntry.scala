@@ -129,6 +129,7 @@ object SparkEntry {
     "dedup_char_spans" -> Queries.dedupCharSpans,
     "dedup_char_removal" -> Queries.dedupCharRemoval,
     "dedup_incremental" -> Queries.dedupIncremental,
+    "dedup_incremental_neardup" -> Queries.dedupIncrementalNeardup,
     "dedup_keep_first" -> Queries.dedupKeepFirst,
     "dedup_minhash_est" -> Queries.dedupMinhashEst,
     "dedup_span_removal" -> Queries.dedupSpanRemoval,

@@ -230,6 +230,59 @@ object Dedup {
   private def withShinglesNative(docs: DataFrame, w: Int): DataFrame =
     docs.select(col("doc_id"), nativeShingles(col("text"), w).as("shingles"))
 
+  /** Exact-Jaccard near-dup pairs ACROSS two corpora — the incremental
+    * ingest face of [[ngramJaccardPairs]]: which NEW documents
+    * (`delta`) are near-dups of the accumulated corpus (`history`),
+    * without ever comparing history against itself (the quadratic
+    * part a daily batch must not re-pay). doc_ids must be globally
+    * unique across both inputs. Returns `(delta_id, history_id,
+    * inter, jaccard)` for verified J ≥ `threshold`.
+    *
+    * Same prefix-filter exactness as the self-join face: document
+    * frequency — and therefore the rarity order the prefix theorem
+    * needs to be CONSISTENT across every document — is computed over
+    * the UNION of both sides; the candidate join then pairs only
+    * delta prefixes against history prefixes (the side filter replaces
+    * `a_id < b_id`; the prefix-intersection theorem is per-pair and
+    * does not care which restriction follows it). Candidates and
+    * verification are shared with the self-join machinery.
+    */
+  def crossJaccardPairs(delta: DataFrame, history: DataFrame,
+      w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    GraftFunctions.register(delta.sparkSession)
+    val arrs = withShinglesNative(delta, w).withColumn("__delta", lit(true))
+      .unionByName(
+        withShinglesNative(history, w).withColumn("__delta", lit(false)))
+      .materialize()
+    val ex = arrs
+      .select(col("doc_id"), col("__delta"),
+        size(col("shingles")).cast("long").as("n_sh"),
+        explode(col("shingles")).as("sh"))
+    val dfTable = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val ranked = ex.join(dfTable, Seq("sh"))
+      .withColumn("rk", row_number().over(byRarity))
+    val np = arrs.sparkSession.sparkContext.defaultParallelism
+    val prefix = ranked
+      .filter(col("rk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("__delta"), col("sh"), col("n_sh"))
+      .repartition(np)
+      .materialize()
+    val cands = prefix.filter(col("__delta"))
+      .select(col("doc_id").as("a_id"), col("sh"), col("n_sh").as("a_n"))
+      .join(prefix.filter(!col("__delta"))
+        .select(col("doc_id").as("b_id"), col("sh"), col("n_sh").as("b_n")),
+        Seq("sh"))
+      .filter(least(col("a_n"), col("b_n")).cast("double")
+        >= lit(threshold) * greatest(col("a_n"), col("b_n")).cast("double")
+          - lit(1e-9))
+      .select("a_id", "b_id").distinct()
+    verifyPairs(arrs.select("doc_id", "shingles"), cands, threshold)
+      .select(col("a_id").as("delta_id"), col("b_id").as("history_id"),
+        col("inter"), col("jaccard"))
+  }
+
   /** Prefix-filtered exact-Jaccard pairs from a PRE-MATERIALIZED
     * (doc_id, shingles) table (callers checkpoint it — possibly with
     * extra columns they share, e.g. the MinHash signature).

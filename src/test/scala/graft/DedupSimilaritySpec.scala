@@ -1231,6 +1231,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(s3 == Set((1L, 0L, 10L), (2L, 0L, 10L)))
   }
 
+  test("crossJaccardPairs ≡ the self-join face restricted to cross-side pairs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val cross = graft.functions.Dedup.crossJaccardPairs(
+        docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
+        w = 3, threshold = 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // expected: every self-join pair with one odd and one even side,
+    // re-oriented (delta=odd first)
+    val self = graft.functions.Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("a_id", "b_id", "inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    val want = self.collect {
+      case (a, b, i, j) if a % 2 == 1 && b % 2 == 0 => (a, b) -> (i, j)
+      case (a, b, i, j) if a % 2 == 0 && b % 2 == 1 => (b, a) -> (i, j)
+    }.toMap
+    assert(cross == want, s"cross ${cross.size} vs want ${want.size}")
+    assert(want.nonEmpty, "fixture produced no cross-side near-dups")
+  }
+
   test("removeCharSpans: exact cut, character conservation, pass-through, sub-k full removal") {
     val run = "AAAAAAAAAABBBBBBBBBBCCCCCCCCCC"
     val d = Seq(
