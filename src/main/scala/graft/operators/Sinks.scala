@@ -34,6 +34,28 @@ object Sinks {
   def appendOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).orc(path)
 
+  /** K1 in JSONL (one JSON object per line) — the lingua franca of
+    * LLM training-data interchange (every public corpus release and
+    * tokenizer pipeline reads it). Spark's json datasource IS
+    * line-delimited by default; compression keeps the text-heavy
+    * rows reasonable on disk. Lossy-by-design relative to parquet:
+    * JSON has no int-vs-long or timestamp types — [[readJsonl]]
+    * documents the schema-pinned round-trip contract.
+    */
+  def appendJsonl(df: DataFrame, path: String,
+      codec: String = "gzip"): Unit =
+    df.write.mode(SaveMode.Append).option("compression", codec).json(path)
+
+  /** Read a JSONL corpus with a PINNED schema (never inferred:
+    * inference costs an extra full pass at 100 TB and silently widens
+    * int→long or parses timestamp-looking strings; a pinned schema
+    * makes the [[appendJsonl]] round-trip exact for the JSON-safe
+    * types — long/double/string/bool/arrays/structs).
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** K1 over JDBC — the reference's real sink is a MySQL pool; see
     * [[graft.sources.Jdbc.append]] (batched writer) and
     * [[graft.sources.Jdbc.refresh]] (K3 delete-then-insert).

@@ -249,4 +249,26 @@ class SchedulerSinksSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
       plan.take(800))
   }
+
+  test("JSONL round-trip: pinned schema, exact values, append semantics, column pruning") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+      .resolve("docs.jsonl").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.operators.Sinks.appendJsonl(docs, dir)
+    val back = graft.operators.Sinks.readJsonl(spark, dir, docs.schema)
+    assert(back.schema == docs.schema)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // append is additive, not overwrite
+    graft.operators.Sinks.appendJsonl(docs.limit(5), dir)
+    assert(graft.operators.Sinks.readJsonl(spark, dir, docs.schema).count()
+      == docs.count() + 5)
+    // pinned schema + projection prune to the read columns (JSON scans
+    // cannot push predicates, but must not parse unread fields)
+    val plan = graft.operators.Sinks.readJsonl(spark, dir, docs.schema)
+      .select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      plan.take(800))
+  }
 }
