@@ -565,6 +565,73 @@ object Streams {
       .start()
   }
 
+  /** Streaming TOP-K MAINTENANCE — incremental similarity search (the
+    * interactive-session theme of EDBT'20 "Incremental Based Framework
+    * for Efficient Top-K Similarity Search" / SIGMOD'20 "Continuously
+    * Adaptive Similarity Search"): a FIXED probe set's exact top-k is
+    * maintained as corpus vectors ARRIVE. Per micro-batch only the NEW
+    * vectors are scored — the same exact quantized-integer cosine as
+    * [[graft.functions.Similarity.bruteForceTopK]], map-only against
+    * the broadcast probe set — and merged with the state via the
+    * top-k monoid: `topk(topk(A) ∪ B) = topk(A ∪ B)`. State is
+    * EXACTLY |queries|·k rows, never the corpus; ties break by
+    * neighbor id, so feeding a corpus through in ANY batching (or
+    * replaying a batch — scores are deterministic per (qid, nid), the
+    * distinct absorbs duplicates) reproduces the batch operator
+    * bit-for-bit (spec-pinned). The callback receives the ranked
+    * top-k table after each batch in [[graft.functions.Similarity
+    * .bruteForceTopK]]'s output shape.
+    */
+  def topkStream(
+      vecs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      statePath: String,
+      checkpoint: String,
+      onTopk: DataFrame => Unit,
+  ): StreamingQuery = {
+    import graft.functions.Similarity.{quantized, cosineFromInts}
+    // the probe side is STATIC — quantize it once on the driver,
+    // against ITS session (foreachBatch hands a cloned session whose
+    // registry does not serve frames bound to the root session)
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col("vec_id").as("qid"),
+        quantized(col("embedding")).as("qv"))
+      .withColumn("qn", call_function("graft_norm_sq", col("qv")))
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.plans.GraftFunctions.register(spark)
+        val b = batch.select(col("vec_id"),
+            quantized(col("embedding")).as("v"))
+          .withColumn("nsq", call_function("graft_norm_sq", col("v")))
+        val scored = b.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            cosineFromInts(call_function("graft_dot", col("v"), col("qv")),
+              col("nsq"), col("qn")).as("cos"))
+        val state =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(statePath)))
+            spark.read.parquet(statePath)
+          else scored.limit(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        val merged = state.unionByName(scored).distinct()
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= k)
+          .drop("__rk")
+        graft.operators.Merge.atomicOverwrite(merged, statePath)
+        onTopk(spark.read.parquet(statePath)
+          .withColumn("rank", row_number().over(w))
+          .select(col("qid"), col("rank"), col("nid"),
+            round(col("cos"), 6).as("cos")))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming PII AUDIT — the monitoring face of `text_pii_audit`:
     * each micro-batch's typed per-source counts (ADDITIVE by
     * construction — [[graft.functions.TextAnalysis.piiAuditCounts]])

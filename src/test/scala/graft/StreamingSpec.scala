@@ -529,6 +529,41 @@ class StreamingSpec extends SparkSpec {
       s"re-fed batch inflated dedup survivors: $afterDup")
   }
 
+  test("streaming top-k maintenance: incremental state equals brute-force top-k across restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-topk-ck").toString
+    val state = s"$dir/state"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val qids = Seq(0L, 1L, 2L)
+    val queries = embs.filter($"vec_id".isin(qids.map(Long.box): _*))
+    val schema = embs.schema
+    var last: Option[Seq[(Long, Long, Long, Double)]] = None
+    def run(): Unit = {
+      val q = Streams.topkStream(
+        spark.readStream.schema(schema).parquet(s"$dir/in/*"),
+        queries, k = 10, state, ckpt,
+        t => { last = Some(t.orderBy("qid", "rank")
+          .as[(Long, Long, Long, Double)].collect().toSeq) })
+      q.awaitTermination(120000)
+    }
+    val mid = 80L
+    embs.filter($"vec_id" < mid).write.parquet(s"$dir/in/b1.parquet")
+    run() // batch 1, then a RESTART
+    embs.filter($"vec_id" >= mid).write.parquet(s"$dir/in/b2.parquet")
+    run()
+    val streamed = last.get
+    val batch = graft.functions.Similarity.bruteForceTopK(embs, qids, 10)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed == batch,
+      s"incremental top-k diverged:\n  stream ${streamed.take(6)}…" +
+        s"\n  batch  ${batch.take(6)}…")
+    // state really is bounded at |queries|·k rows
+    assert(spark.read.parquet(state).count() == qids.size * 10L)
+  }
+
   test("streaming PII audit: accumulated per-source counts equal the batch audit across restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-pii-ck").toString
