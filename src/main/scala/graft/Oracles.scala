@@ -1474,6 +1474,30 @@ object Oracles {
          |FROM events WHERE $V
          |GROUP BY user_id""".stripMargin,
 
+    // Trajectory similarity: per-user event-type sequence (the
+    // user_event_sequence ordering), then the dedup_ngram_jaccard
+    // chain at w=3 / θ=0.4 over the synthesized sequence text (2-grams
+    // saturate the fixture's 5-type alphabet — see the query doc).
+    "seq_trajectory_sim" ->
+      s"""WITH seqs AS (
+         |  SELECT user_id AS doc_id,
+         |    array_to_string(list(event_type ORDER BY ts, event_id), ' ') AS text
+         |  FROM events WHERE $V GROUP BY user_id),
+         |tok AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM seqs),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(toks) - 3, 0) + 2),
+         |      s -> concat_ws(' ', toks[s], toks[s+1], toks[s+2]))) AS shingles
+         |  FROM tok),
+         |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh)
+         |SELECT a.doc_id AS user_a, b.doc_id AS user_b, count(*) AS inter,
+         |  round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) AS jaccard
+         |FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+         |HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= 0.4""".stripMargin,
+
     // RFM: integer recency (epoch µs) / frequency, DECIMAL-summed
     // monetary cast to DOUBLE once; quantile_cont mirrors Spark
     // percentile (the agg_percentiles parity pattern); scores compare

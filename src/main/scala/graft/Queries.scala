@@ -407,6 +407,38 @@ object Queries {
         concat_ws(",", expr("transform(__ev, e -> e.table)")).as("event_seq"),
         size(col("__ev")).cast("long").as("seq_len"))
 
+  /** Extension — user TRAJECTORY similarity (the distributed top-k
+    * trajectory-search theme, REPOSE ICDE'21 lineage, approximated
+    * Spark-first): each user's time-ordered event-type sequence is a
+    * trajectory; pairs of users whose trajectories share ≥ 0.5 of
+    * their 2-gram transition shingles are behavioral near-dups.
+    * Set-of-transitions Jaccard instead of DTW/EDR on purpose: the
+    * alignment measures are O(len²) per PAIR with no shuffle-safe
+    * candidate pruning, while shingle Jaccard rides the existing
+    * prefix-filtered exact machinery ([[graft.functions.Dedup
+    * .ngramJaccardPairs]] — candidates only via shared rare shingles,
+    * never all-pairs) and stays oracle-exact. Sequences build with
+    * ONE groupBy (ts, log_id ties — the `user_event_sequence` order).
+    *
+    * Motif width is calibrated to the alphabet: over the fixture's 5
+    * event types, 2-gram sets saturate (~all 25 transitions appear in
+    * every ~67-event trajectory — Jaccard ≈ 1 for EVERYONE, a
+    * degenerate all-pairs result the prefix filter cannot prune);
+    * 3-gram motifs (125 possible) discriminate, and θ = 0.4 keeps the
+    * top ~0.6% of user pairs.
+    */
+  val seqTrajectorySim: Q = (s, dir) => {
+    val seqs = Readers.validChangeLog(s, dir)
+      .groupBy(col("rsbsa_no"))
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("log_id"), col("table")))).as("__ev"))
+      .select(col("rsbsa_no").as("doc_id"),
+        concat_ws(" ", expr("transform(__ev, e -> e.table)")).as("text"))
+    Dedup.ngramJaccardPairs(seqs, w = 3, threshold = 0.4)
+      .select(col("a_id").as("user_a"), col("b_id").as("user_b"),
+        col("inter"), col("jaccard"))
+  }
+
   /** Extension — per-user EWMA smoothing of event values (α = 0.3,
     * 20-row trailing window; bit-exact ordered fold both engines).
     */

@@ -69,6 +69,7 @@ object SparkEntry {
     "w7_daily_share" -> Queries.w7DailyShare,
     "user_event_sequence" -> Queries.userEventSequence,
     "seq_transitions" -> Queries.seqTransitions,
+    "seq_trajectory_sim" -> Queries.seqTrajectorySim,
     "graph_copurchase" -> Queries.graphCopurchase,
     "inc_agg_merge" -> Queries.incAggMerge,
     "graph_pagerank" -> Queries.graphPagerank,
