@@ -209,6 +209,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("subword-regularization encodes are one kernel projection — map-only") {
+    // the md5-keyed "randomness" must stay INSIDE the kernel: any
+    // join/shuffle here would mean the decisions ride a side-channel
+    for ((q, kernel) <- Seq("tok_bpe_dropout" -> "graft_bpe_dropout",
+        "tok_unigram_sampled" -> "graft_unigram_sampled")) {
+      val p = planOf(q)
+      assert(p.contains(kernel), s"$q: ${p.take(800)}")
+      assert(!p.contains("Join"), s"$q plan joins:\n${p.take(800)}")
+      assert(!p.contains("Exchange"), s"$q plan shuffles:\n${p.take(800)}")
+    }
+  }
+
   test("sketch heavy hitters: ONE token-stream scan, downstream reads only the sketch") {
     // the builder — sketch cells + sampled candidates from a single
     // aggregation — must contain exactly one scan of documents

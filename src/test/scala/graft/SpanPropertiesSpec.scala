@@ -110,6 +110,90 @@ class SpanPropertiesSpec extends SparkSpec {
     }
   }
 
+  /** Char-level corpora: HIGH-ENTROPY filler tokens (9 random lowercase
+    * letters each — structured fillers like `d00X_iYYY` provably break
+    * char-level idempotence: after a cut, splice windows that end
+    * before the distinguishing counter digit collide across cut sites,
+    * e.g. "001  i00" from both …i005 and …i006 — random letters make
+    * any such collision ~26^-10) with a 38-char hot segment planted at
+    * random token slots.
+    */
+  private val charPlant = "<<<HOT-REPEATED-SEGMENT-0123456789>>>!"
+  private def charDocGen(docId: Long): Gen[(Long, String)] =
+    for {
+      n <- Gen.choose(8, 20)
+      k <- Gen.frequency(2 -> Gen.const(0), 3 -> Gen.const(1), 2 -> Gen.const(2))
+      slots <- Gen.listOfN(k, Gen.choose(0, n))
+      fillers <- Gen.listOfN(n, Gen.listOfN(9, Gen.alphaLowerChar).map(_.mkString))
+    } yield {
+      val withPlants = slots.sorted.reverse
+        .foldLeft(fillers.toVector)((acc, s) => acc.patch(s, Seq(charPlant), 0))
+      (docId, withPlants.mkString(" "))
+    }
+  private def charCorpusGen: Gen[Seq[(Long, String)]] =
+    Gen.sequence[Seq[(Long, String)], (Long, String)]((1L to 8L).map(charDocGen))
+
+  test("∀ corpora with planted char repeats: char removal is complete, idempotent, conserving") {
+    for (corpus <- samples(charCorpusGen, 5)) {
+      val d = corpus.toDF("doc_id", "text")
+      val plants = corpus.map(c =>
+        c._2.sliding(charPlant.length).count(_ == charPlant)).sum
+      val cleaned = Dedup.removeCharSpans(d, k = 10, minCount = 2)
+      val rows = cleaned.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+      if (plants >= 2)
+        // completeness: no plant-internal 10-gram survives anywhere
+        for ((id, (clean, _)) <- rows)
+          assert(!clean.contains(charPlant.substring(4, 14)),
+            s"hot char gram survived in doc $id: $clean")
+      else assert(rows.values.forall(_._2 == 0L))
+
+      // conservation: kept chars + removed chars = original chars
+      for ((id, text) <- corpus) {
+        val (clean, removed) = rows(id)
+        assert(clean.length + removed == text.length,
+          s"doc $id: kept=${clean.length} removed=$removed of ${text.length}")
+      }
+
+      // idempotence: unique fillers cannot splice into a repeat
+      val again = Dedup.removeCharSpans(
+        cleaned.select($"doc_id", $"clean_text".as("text")),
+        k = 10, minCount = 2)
+      assert(again.agg(sum($"n_removed_chars")).head().getLong(0) == 0L)
+    }
+  }
+
+  test("∀ random corpora: crossJaccardPairs equals an in-memory bipartite brute force") {
+    def shingles(text: String, w: Int): Set[String] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) Set("")
+      else if (toks.length <= w) Set(toks.mkString(" "))
+      else toks.sliding(w).map(_.mkString(" ")).toSet
+    }
+    // planted-phrase docs share only the 3 phrase-internal 3-grams, so
+    // true cross J sits around 0.04–0.1 — θ = 0.05 keeps the expected
+    // set non-trivial while the prefix filter still prunes
+    var signal = 0
+    for (corpus <- samples(corpusGen, 4)) {
+      val d = corpus.toDF("doc_id", "text")
+      val got = Dedup.crossJaccardPairs(
+          d.filter($"doc_id" % 2 === 1), d.filter($"doc_id" % 2 === 0),
+          w = 3, threshold = 0.05)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (a, ta) <- corpus if a % 2 == 1
+        (b, tb) <- corpus if b % 2 == 0
+        sa = shingles(ta, 3); sb = shingles(tb, 3)
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= 0.05
+      } yield (a, b)).toSet
+      assert(got == want, s"cross pairs diverged: got $got want $want")
+      signal += want.size
+    }
+    assert(signal > 0, "no sample produced any cross-side near-dup — fuzz untested")
+  }
+
   test("∀ corpora: every reported span is hot and spans never overlap within a doc") {
     for (corpus <- samples(corpusGen, 3)) {
       val d = corpus.toDF("doc_id", "text")
