@@ -2080,6 +2080,38 @@ object Oracles {
          |FROM i3""".stripMargin
     },
 
+    // Personalized PageRank from every 50th customer: teleport lands
+    // on seed nodes only (full join vs the seed set per round); same
+    // integer floor arithmetic and 3-round unroll as graph_pagerank.
+    "graph_ppr_seeds" -> {
+      def iter(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT COALESCE(c.node, s.node) AS node,
+           |    COALESCE(c.rc, 0)
+           |      + CASE WHEN s.node IS NOT NULL THEN 150000000 ELSE 0 END AS r
+           |  FROM (SELECT e.dst AS node,
+           |          CAST((85 * sum(p.r // dg.deg)) // 100 AS BIGINT) AS rc
+           |        FROM edges e JOIN $prev p ON p.node = e.src
+           |        JOIN deg dg ON dg.src = e.src GROUP BY e.dst) c
+           |  FULL JOIN seeds s ON s.node = c.node)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS su
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, su AS dst FROM d
+         |  UNION ALL SELECT su, c FROM d),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |seeds AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+         |  WHERE c_custkey % 50 = 0),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM seeds),
+         |${iter("r0", "i1")},
+         |${iter("i1", "i2")},
+         |${iter("i2", "i3")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS kind,
+         |  node // 2 AS id, CAST(r AS BIGINT) AS rank
+         |FROM i3""".stripMargin
+    },
+
     // Fixpoint-delta certificates: pagerank rounds 2-vs-3 and HITS
     // rounds 1-vs-2 replayed with the SAME unrolled builders as
     // graph_pagerank / graph_hits, reduced to changed-node counts.

@@ -787,6 +787,23 @@ object Queries {
     ranks.select(decodeNode(col("r").as("rank")): _*)
   }
 
+  /** Extension — PERSONALIZED PageRank from every 50th customer
+    * ([[graft.operators.Graphs.personalizedPageRank]]): the walk
+    * teleports only to the seed customers, so ranks measure proximity
+    * to them — "suppliers and customers in these accounts' trading
+    * neighborhood", the recommendation face the global
+    * `graph_pagerank` cannot express. Same exact-integer unrolled
+    * oracle.
+    */
+  val graphPprSeeds: Q = (s, dir) => {
+    val seeds = t(s, dir, "customer")
+      .filter(col("c_custkey") % 50 === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    graft.operators.Graphs
+      .personalizedPageRank(tradeEdges(s, dir), seeds, iters = 3)
+      .select(decodeNode(col("r").as("rank")): _*)
+  }
+
   /** Extension — integer HITS hubs/authorities over the trade graph:
     * separates the cited-by role from the cites role (PageRank's one
     * random walk cannot); max-rescaled floor arithmetic per half-step

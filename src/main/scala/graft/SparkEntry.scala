@@ -73,6 +73,7 @@ object SparkEntry {
     "graph_copurchase" -> Queries.graphCopurchase,
     "inc_agg_merge" -> Queries.incAggMerge,
     "graph_pagerank" -> Queries.graphPagerank,
+    "graph_ppr_seeds" -> Queries.graphPprSeeds,
     "graph_hits" -> Queries.graphHits,
     "stat_corr" -> Queries.statCorr,
     "stat_ttest" -> Queries.statTtest,

@@ -80,6 +80,61 @@ object Graphs {
     (out, certRow(edges, "pagerank", iters, changed))
   }
 
+  /** PERSONALIZED PageRank (Haveliwala 2002 lineage — the
+    * recommendation-system face of [[pageRank]]: the random walk
+    * teleports only to the SEED set, so ranks measure proximity to
+    * the seeds instead of global centrality). Same exact-integer
+    * discipline: teleport `15·r0/100` lands on seed nodes only, every
+    * contribution is floor arithmetic, so Spark and the unrolled
+    * DuckDB oracle agree bit-for-bit. Initial state: seeds at `r0`,
+    * everyone else absent; a node appears in the output once any walk
+    * mass reaches it (or it is a seed). Same per-round O(edges)
+    * shuffle + map-side combine as [[pageRank]]; the seed table is
+    * O(seeds) and broadcast-able; round lineage truncates via the
+    * [[pageRankStates0]] checkpoint discipline.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int, r0: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(r0 >= 100, "r0 must carry at least 2 decimal digits")
+    val sc = edges.sparkSession.sparkContext
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleport = 15L * r0 / 100L
+    val seed = seeds.select(col(seeds.columns(0)).as("node")).distinct()
+      .materialize()
+    var gens: List[Set[Int]] = Nil
+    def free(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    def ckpt(df: DataFrame): DataFrame = {
+      val ck = df.materialize()
+      val g = graft.plans.Materialize.rddIds(ck) :: gens
+      gens = if (g.size > 1) { free(g.last); g.init } else g
+      ck
+    }
+    var ranks = seed.withColumn("r", lit(r0))
+    for (i <- 1 to iters) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"), expr("(85 * s) div 100").as("rc"))
+      ranks = contrib
+        .join(seed.withColumn("__t", lit(teleport)), Seq("node"), "full")
+        .select(col("node"),
+          (coalesce(col("rc"), lit(0L)) + coalesce(col("__t"), lit(0L)))
+            .as("r"))
+      if (i % 5 == 0 && i < iters) ranks = ckpt(ranks)
+    }
+    val out = ranks.materialize()
+    free(gens.flatten.toSet)
+    free(graft.plans.Materialize.rddIds(seed))
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** One-row fixpoint certificate `(op, rounds, changed_last_round,
     * converged)` — literal-only plan, the count already a driver
     * scalar.

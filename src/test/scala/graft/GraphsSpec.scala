@@ -230,6 +230,29 @@ class GraphsSpec extends SparkSpec {
     assert(pd1 == brute, s"certificate $pd1 vs brute $brute")
   }
 
+  test("personalizedPageRank: proximity to seeds, unreachable components absent, hand-unrolled round") {
+    import spark.implicits._
+    // two disjoint symmetric components; seed = node 1 in the first
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r = graft.operators.Graphs
+      .personalizedPageRank(edges, seeds, iters = 2, r0 = 1000L)
+      .as[(Long, Long)].collect().toMap
+    // the un-seeded component never receives walk mass
+    assert(!r.contains(10L) && !r.contains(11L), r)
+    // hand-unroll (r0=1000, teleport=150):
+    // round 1: contributions from r0={1:1000}: node2 gets 85% of 1000
+    //   (deg(1)=1) = 850; node1 = teleport only = 150; node2 = 850
+    // round 2: from {1:150, 2:850}: node2 ← 1's 150 → 85%·150 = 127;
+    //   deg(2)=2 → 850 div 2 = 425 each to 1 and 3 → 85%·425 = 361;
+    //   node1 = 361 + 150 teleport = 511; node2 = 127; node3 = 361
+    assert(r == Map(1L -> 511L, 2L -> 127L, 3L -> 361L), r)
+    // proximity ordering: the seed outranks everyone, 1-hop beats the
+    // global-pagerank view where degree would dominate
+    assert(r(1L) > r(3L) && r(3L) > r(2L))
+  }
+
   test("WithReport entry points: scores and certificate from ONE trajectory match the standalone faces") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
