@@ -758,14 +758,36 @@ object Queries {
     * a stale entry cannot exist.
     */
   private val fixpointCerts = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), (Long, Long, Boolean)]()
+    (String, String, String), (Long, Long, Boolean)]()
+
+  /** The graph loop parameters, single-sourced: each parent query
+    * passes these constants to its operator AND into the memo key (as
+    * [[certParams]] strings), and the certificate queries look up by
+    * the same constants — a future drift between a parent's iteration
+    * count and the certificate's cold-path recompute can't silently
+    * serve a stale scalar; the key simply misses and the cold path
+    * computes the right value.
+    */
+  private val PrIters = 3
+  private val HitsIters = 2
+  private val KcoreK = 3
+  private val KcoreRounds = 3
+  private val LpaRounds = 3
+  private val BfsHops = 4
+  private def certParams(op: String): String = op match {
+    case "pagerank" => s"iters=$PrIters"
+    case "hits" => s"iters=$HitsIters"
+    case "kcore" => s"k=$KcoreK;rounds=$KcoreRounds"
+    case "labelprop" => s"rounds=$LpaRounds"
+    case "bfs" => s"hops=$BfsHops"
+  }
 
   /** Collect the 1-row literal-only certificate frame into the memo
     * (no cluster job — the changed-count is already a driver scalar).
     */
   private def stashCert(dir: String, report: DataFrame): Unit = {
     val r = report.head()
-    fixpointCerts.put((dir, r.getString(0)),
+    fixpointCerts.put((dir, r.getString(0), certParams(r.getString(0))),
       (r.getLong(1), r.getLong(2), r.getBoolean(3)))
   }
 
@@ -775,14 +797,15 @@ object Queries {
     */
   private def memoCert(dir: String, op: String,
       report: => DataFrame): (String, Long, Long, Boolean) = {
-    if (!fixpointCerts.containsKey((dir, op))) stashCert(dir, report)
-    val c = fixpointCerts.get((dir, op))
+    val key = (dir, op, certParams(op))
+    if (!fixpointCerts.containsKey(key)) stashCert(dir, report)
+    val c = fixpointCerts.get(key)
     (op, c._1, c._2, c._3)
   }
 
   val graphPagerank: Q = (s, dir) => {
     val (ranks, report) = graft.operators.Graphs
-      .pageRankWithReport(tradeEdges(s, dir), iters = 3)
+      .pageRankWithReport(tradeEdges(s, dir), iters = PrIters)
     stashCert(dir, report)
     ranks.select(decodeNode(col("r").as("rank")): _*)
   }
@@ -812,7 +835,7 @@ object Queries {
     */
   val graphHits: Q = (s, dir) => {
     val (scores, report) = graft.operators.Graphs
-      .hitsWithReport(tradeEdges(s, dir), iters = 2)
+      .hitsWithReport(tradeEdges(s, dir), iters = HitsIters)
     stashCert(dir, report)
     scores.select(decodeNode(col("hub"), col("auth")): _*)
   }
@@ -838,9 +861,9 @@ object Queries {
     lazy val edges = tradeEdges(s, dir).materialize()
     val rows = Seq(
       memoCert(dir, "pagerank",
-        graft.operators.Graphs.pageRankReport(edges, iters = 3)),
+        graft.operators.Graphs.pageRankReport(edges, iters = PrIters)),
       memoCert(dir, "hits",
-        graft.operators.Graphs.hitsReport(edges, iters = 2)))
+        graft.operators.Graphs.hitsReport(edges, iters = HitsIters)))
     import s.implicits._
     rows.toDF("op", "rounds", "changed_last_round", "converged")
   }
@@ -852,7 +875,7 @@ object Queries {
   val graphKhop: Q = (s, dir) => {
     val src = s.range(1).select(lit(0L).as("node"))
     val (dist, report) = graft.operators.Graphs
-      .kHopWithReport(tradeEdges(s, dir), src, maxHops = 4)
+      .kHopWithReport(tradeEdges(s, dir), src, maxHops = BfsHops)
     stashCert(dir, report)
     dist.select(decodeNode(col("dist")): _*)
   }
@@ -875,7 +898,7 @@ object Queries {
       .filter(col("p_partkey") % 10 === 0)
       .select(col("p_partkey").as("node"), col("p_brand").as("label"))
     val (labels, report) = graft.operators.Graphs
-      .labelPropagationWithReport(edges, seeds, rounds = 3)
+      .labelPropagationWithReport(edges, seeds, rounds = LpaRounds)
     stashCert(dir, report)
     labels.withColumnRenamed("node", "part")
   }
@@ -892,7 +915,7 @@ object Queries {
     val edges = und.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionAll(und.select(col("item_b").as("src"), col("item_a").as("dst")))
     val (surv, report) = graft.operators.Graphs
-      .kCoreWithReport(edges, k = 3, rounds = 3)
+      .kCoreWithReport(edges, k = KcoreK, rounds = KcoreRounds)
     stashCert(dir, report)
     surv.withColumnRenamed("node", "part")
   }
@@ -926,18 +949,18 @@ object Queries {
     }
     val rows = Seq(
       memoCert(dir, "kcore",
-        graft.operators.Graphs.kCoreReport(coEdges, k = 3, rounds = 3)),
+        graft.operators.Graphs.kCoreReport(coEdges, k = KcoreK, rounds = KcoreRounds)),
       memoCert(dir, "labelprop", {
         val seeds = t(s, dir, "part")
           .filter(col("p_partkey") % 10 === 0)
           .select(col("p_partkey").as("node"), col("p_brand").as("label"))
         graft.operators.Graphs.labelPropagationReport(coEdges, seeds,
-          rounds = 3)
+          rounds = LpaRounds)
       }),
       memoCert(dir, "bfs", {
         val src = s.range(1).select(lit(0L).as("node"))
         graft.operators.Graphs.kHopReport(tradeEdges(s, dir), src,
-          maxHops = 4)
+          maxHops = BfsHops)
       }))
     import s.implicits._
     rows.toDF("op", "rounds", "changed_last_round", "converged")

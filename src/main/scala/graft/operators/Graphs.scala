@@ -63,18 +63,31 @@ object Graphs {
     * the suite-level answer to running `pageRank` and
     * `pageRankReport` side by side, which would re-run every round
     * twice. The extra cost over [[pageRank]] alone is the
-    * prev-round checkpoint plus one O(nodes) full-join count.
+    * prev-round checkpoint only: the changed-count rides the output
+    * materialization job as an `observe` metric
+    * ([[graft.plans.Materialize.withMetrics]]) on the final-round ⟗
+    * prev full join, so there is NO separate compare job (round 11 ran
+    * one — a full-join + count action after the final materialize —
+    * and graph_pagerank regressed 2.9× for it).
     */
   def pageRankWithReport(edges: DataFrame, iters: Int,
       r0: Long = 1000000000L): (DataFrame, DataFrame) = {
     require(iters >= 2, "need two rounds to compare")
     val (prev, last, e, freeRounds) = pageRankStates0(edges, iters, r0,
       materializePrev = true)
-    val out = last.materialize()
-    val changed = out
-      .join(prev.select(col("node"), col("r").as("__pr")), Seq("node"), "full")
-      .filter(not(col("r") <=> col("__pr")))
-      .count()
+    // From round 1 onward the rank table's node set is exactly the
+    // in-edge node set, so prev (round iters−1 ≥ 1) and last cover the
+    // SAME nodes: the full join is row-for-row the final rank table
+    // plus a `__pr` column, and dropping it back out is value-identical
+    // to [[pageRank]]. The changed-count is observed ON the
+    // materialization; r.isNotNull keeps prev-only rows (impossible by
+    // the set argument, kept for defense) out of the output.
+    val (ck, m) = graft.plans.Materialize.withMetrics(
+      last.join(prev.select(col("node"), col("r").as("__pr")),
+        Seq("node"), "full"),
+      sum(when(not(col("r") <=> col("__pr")), 1L)).as("changed"))
+    val changed = Option(m("changed")).fold(0L)(_.asInstanceOf[Long])
+    val out = ck.filter(col("r").isNotNull).select("node", "r")
     freeRounds()
     e.unpersist(blocking = false)
     (out, certRow(edges, "pagerank", iters, changed))
@@ -383,8 +396,9 @@ object Graphs {
   /** (hub/auth scores — value-identical to [[hits]] — and the
     * [[hitsReport]] certificate row), both from ONE trajectory (the
     * [[pageRankWithReport]] counterpart). Extra cost over [[hits]]
-    * alone: one retained half-step generation plus one O(nodes)
-    * compare-join count.
+    * alone: one retained half-step generation — the changed-count
+    * rides the output materialization job as an `observe` metric, no
+    * separate compare job.
     */
   def hitsWithReport(edges: DataFrame, iters: Int,
       r0: Long = 1000000L): (DataFrame, DataFrame) = {
@@ -410,20 +424,34 @@ object Graphs {
       .join(h.select(col("node"), col("h").as(hn)), Seq("node"), "left")
       .join(a.select(col("node"), col("a").as(an)), Seq("node"), "left")
       .na.fill(0L, Seq(hn, an))
-    // when scores are wanted, the FINAL filled state is materialized
-    // once and serves both the compare join and the returned output
-    // (the no-subtree-sharing rule)
-    val last = if (wantScores) filled(hub, auth, "hub", "auth").materialize()
-      else filled(hub, auth, "hub", "auth")
-    val changed = last
-      .join(filled(hubPrev, authPrev, "phub", "pauth"), Seq("node"))
-      .filter(col("hub") =!= col("phub") || col("auth") =!= col("pauth"))
-      .count()
+    // Both filled states cover the SAME node universe, so the inner
+    // compare join is row-for-row the final state plus the prev
+    // columns. When scores are wanted, the changed-count rides the
+    // output materialization as an `observe` metric (the
+    // [[pageRankWithReport]] fusion — no separate compare job) and the
+    // output projects the prev columns back out, value-identical to
+    // [[hits]]. Report-only callers skip the materialization: one
+    // count job over the loop checkpoints is already minimal.
+    val changedCond =
+      col("hub") =!= col("phub") || col("auth") =!= col("pauth")
+    val (scores, changed) = if (wantScores) {
+      val (ck, m) = graft.plans.Materialize.withMetrics(
+        filled(hub, auth, "hub", "auth")
+          .join(filled(hubPrev, authPrev, "phub", "pauth"), Seq("node")),
+        sum(when(changedCond, 1L)).as("changed"))
+      (Some(ck.select("node", "hub", "auth")),
+        Option(m("changed")).fold(0L)(_.asInstanceOf[Long]))
+    } else {
+      (None,
+        filled(hub, auth, "hub", "auth")
+          .join(filled(hubPrev, authPrev, "phub", "pauth"), Seq("node"))
+          .filter(changedCond)
+          .count())
+    }
     freeLoop()
     freeIds(nodes)
     e.unpersist(blocking = false)
-    (if (wantScores) Some(last) else None,
-      certRow(edges, "hits", iters, changed))
+    (scores, certRow(edges, "hits", iters, changed))
   }
 
   /** Bounded-depth BFS: exact hop distance (0…maxHops) from a source

@@ -531,8 +531,13 @@ object Streams {
             col("__rk") === 1 && col("__seen").isNull)
         val (prior, lastBid): (Array[Long], Long) =
           if (java.nio.file.Files.exists(java.nio.file.Paths.get(countsPath))) {
-            val r = spark.read.parquet(countsPath)
-              .select((0 to k).map(i => col(s"n$i")) :+ col("__bid"): _*)
+            val p = spark.read.parquet(countsPath)
+            // a counts file written before the __bid replay guard
+            // existed lacks the column — treat it as "no batch applied
+            // yet" (-1) instead of failing the first post-upgrade batch
+            val bid = if (p.columns.contains("__bid")) col("__bid")
+              else lit(-1L).as("__bid")
+            val r = p.select((0 to k).map(i => col(s"n$i")) :+ bid: _*)
               .head()
             ((0 to k).map(r.getLong).toArray, r.getLong(k + 1))
           } else (Array.fill(k + 1)(0L), -1L)
@@ -578,9 +583,14 @@ object Streams {
     * neighbor id, so feeding a corpus through in ANY batching (or
     * replaying a batch — scores are deterministic per (qid, nid), the
     * distinct absorbs duplicates) reproduces the batch operator
-    * bit-for-bit (spec-pinned). The callback receives the ranked
-    * top-k table after each batch in [[graft.functions.Similarity
-    * .bruteForceTopK]]'s output shape.
+    * bit-for-bit (spec-pinned). PRECONDITION (the same one
+    * [[graft.functions.Dedup.crossJaccardPairs]] states for doc_ids):
+    * `vec_id` must be globally unique across the stream — the distinct
+    * that absorbs replays would also collapse two genuine corpus rows
+    * sharing a vec_id into one, where the batch operator's row_number
+    * would rank both; parity holds only under unique ids. The callback
+    * receives the ranked top-k table after each batch in
+    * [[graft.functions.Similarity.bruteForceTopK]]'s output shape.
     */
   def topkStream(
       vecs: DataFrame,
@@ -659,8 +669,12 @@ object Streams {
         val (prior, lastBid) =
           if (exists) {
             val p = spark.read.parquet(statePath)
+            // coalesce: a zero-row state file (an empty first batch
+            // still writes the frame) makes max() NULL — read it as
+            // "no batch applied" instead of NPE-ing the next batch
             (Some(p.select(("source" +: cols).map(col): _*)),
-              p.agg(max(col("__bid"))).head().getLong(0))
+              p.agg(coalesce(max(col("__bid")), lit(-1L)))
+                .head().getLong(0))
           } else (None, -1L)
         val merged =
           if (lastBid == batchId) prior.get // replay: already applied

@@ -46,6 +46,20 @@ class DriverContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("README's query inventory matches the registry") {
+    // round 11 shipped a README claiming 245 queries against a
+    // 248-query registry — the exact drift class these meta-invariants
+    // exist to catch; the count in README.md must track the registry
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val claimed = "(\\d+) named queries".r.findFirstMatchIn(readme)
+      .map(_.group(1).toInt)
+    assert(claimed.contains(SparkEntry.queries.size),
+      s"README.md claims $claimed queries; registry has " +
+        s"${SparkEntry.queries.size}")
+  }
+
   test("every registered query is documented in SURVEY.md") {
     // the judge audits SURVEY's operator tables against the registry;
     // a query that ships without its SURVEY row is invisible coverage
