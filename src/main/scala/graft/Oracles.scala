@@ -4018,6 +4018,37 @@ object Oracles {
         |  toks
         |FROM enc""".stripMargin,
 
+    // BYTE-level BPE encode: pieces are alternating whitespace /
+    // non-whitespace runs (regexp_extract_all keeps EVERY char), the
+    // byte→unicode alphabet is identity on the pure-printable-ASCII
+    // fixture except space → 'Ġ' (chr(288), GPT-2's mapped byte 32),
+    // and the rank-ordered byte merges replay via the two-pass
+    // replace-chain convention (all fixture pairs x ≠ y). No
+    // lowercase, no </w> — rank 2 ('th','e') fires only after rank 1
+    // built 'th'.
+    "tok_bpe_bytes" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\s+|\S+') AS pieces
+        |  FROM documents WHERE doc_id < 50),
+        |enc AS (
+        |  SELECT doc_id, array_to_string(list_transform(pieces, p ->
+        |    trim(
+        |      replace(replace(
+        |        replace(replace(
+        |          replace(replace(
+        |            replace(replace(
+        |              ' ' || array_to_string(string_split(replace(p, ' ', chr(288)), ''), ' ') || ' ',
+        |              ' t h ', ' th '), ' t h ', ' th '),
+        |            ' th e ', ' the '), ' th e ', ' the '),
+        |          ' i n ', ' in '), ' i n ', ' in '),
+        |        ' a n ', ' an '), ' a n ', ' an ')
+        |    )), ' ') AS toks
+        |  FROM base)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN toks = '' THEN 0 ELSE len(string_split(toks, ' ')) END AS BIGINT) AS n_tokens,
+        |  toks
+        |FROM enc""".stripMargin,
+
     // BPE-dropout encode: the tok_bpe_encode replace-chain where each
     // merge rank r applies to word w only when
     // substr(md5('bpedrop:' || w || ':r'), 1, 2) >= '40' (keep prob

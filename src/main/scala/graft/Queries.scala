@@ -1817,6 +1817,27 @@ object Queries {
         concat_ws(" ", col("__toks")).as("toks"))
   }
 
+  /** Extension — BYTE-level BPE encoding
+    * ([[graft.functions.Bpe.encodeBytes]], the GPT-2/Llama lineage):
+    * UTF-8 bytes map through the published byte→unicode alphabet and
+    * merges fold over the mapped symbols — no lowercase, no `</w>`,
+    * no [UNK], whitespace runs are their own pieces (space → 'Ġ'),
+    * so the token stream decodes back to the input bit-for-bit
+    * (`BpeSpec` pins the roundtrip on emoji/CJK/control input; the
+    * oracle replays the merge folds with the two-pass replace-chain
+    * convention). Same map-only one-kernel-call shape as
+    * `tok_bpe_encode`.
+    */
+  val tokBpeBytes: Q = (s, dir) => {
+    val merges = graft.functions.Bpe.fixtureByteMerges
+    t(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        graft.functions.Bpe.encodeBytes(col("text"), merges).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__toks")).as("toks"))
+  }
+
   /** Extension — tokenizer FERTILITY report: the standard
     * tokenizer-evaluation table (subwords per word and characters per
     * subword, by language) under the fixture BPE merges — the number

@@ -250,4 +250,39 @@ object Bpe {
     */
   val fixtureMerges: Seq[(String, String)] =
     Seq(("a", EndOfWord), ("e", EndOfWord), ("t", "a"), ("s", "c"))
+
+  /** BYTE-level BPE encode — the GPT-2/Llama-lineage face
+    * ([[graft.plans.TextKernels.bpeEncodeBytes]]): the text's UTF-8
+    * bytes map through the published GPT-2 byte→unicode alphabet
+    * (printable bytes to themselves, the rest to 256+n; space → 'Ġ'),
+    * merges apply over the mapped symbols, and NOTHING is normalized
+    * or dropped — no lowercase, no `</w>`, no [UNK], no char-level
+    * fallback; whitespace runs are their own pieces, so
+    * [[decodeBytes]] reproduces any input bit-for-bit. One kernel
+    * call per row, map-only.
+    */
+  def encodeBytes(text: Column, merges: Seq[(String, String)]): Column = {
+    graft.plans.GraftFunctions.registerActive()
+    val flat = merges.flatMap { case (a, b) => Seq(a, b) }
+    val mergeLit =
+      if (flat.isEmpty) array().cast("array<string>")
+      else array(flat.map(lit): _*)
+    call_function("graft_bpe_bytes", text, mergeLit)
+  }
+
+  /** Exact inverse of [[encodeBytes]]: tokens → bytes → UTF-8. */
+  def decodeBytes(toks: Column): Column = {
+    graft.plans.GraftFunctions.registerActive()
+    call_function("graft_bpe_bytes_decode", toks)
+  }
+
+  /** Fixed byte-level merge table for the driver-contract fixture
+    * (rank-ordered; all pairs x ≠ y so the oracle's two-pass
+    * replace-chain convention is faithful). ("th","e") at rank 2
+    * exercises rank chaining — it only fires after rank 1 built
+    * "th"; ASCII letters map to themselves under the byte alphabet,
+    * so the oracle needs no byte table for these symbols.
+    */
+  val fixtureByteMerges: Seq[(String, String)] =
+    Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"))
 }

@@ -254,6 +254,71 @@ object Dedup {
       .unionByName(
         withShinglesNative(history, w).withColumn("__delta", lit(false)))
       .materialize()
+    crossPairsFrom(arrs, threshold, withinDelta = false)._1
+      .select(col("a_id").as("delta_id"), col("b_id").as("history_id"),
+        col("inter"), col("jaccard"))
+  }
+
+  /** The `(doc_id, shingles)` table the incremental screens persist as
+    * history state: one codegen'd kernel pass, 8-byte hashes ≈ one
+    * long per token — the streaming twin appends each micro-batch's
+    * table instead of ever re-shingling history.
+    */
+  def shingleTable(docs: DataFrame, w: Int = 3): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    withShinglesNative(docs, w)
+  }
+
+  /** The per-micro-batch INGEST SCREEN behind
+    * [[graft.streaming.Streams.neardupScreenStream]]: exact-Jaccard
+    * near-dup pairs of the arriving delta against accumulated history
+    * AND against earlier-arriving (lower doc_id) delta rows — so the
+    * union over ANY chronological batching of a corpus is exactly the
+    * batching-invariant set {(later, earlier) : J ≥ t}, which is
+    * [[ngramJaccardPairs]]'s pair set re-keyed by arrival direction
+    * (spec-pinned). Inputs are PRE-SHINGLED `(doc_id, shingles)`
+    * tables ([[shingleTable]]); doc_ids must be globally unique and
+    * arrival-ordered. Returns `(delta_id, prior_id, inter, jaccard)`
+    * EAGERLY materialized with every internal checkpoint already
+    * freed — a long-lived stream leaks nothing per batch beyond the
+    * result it hands the caller (free via
+    * [[graft.plans.Materialize.rddIds]] when done).
+    */
+  def ingestScreenPairs(deltaArrs: DataFrame, historyArrs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sc = deltaArrs.sparkSession.sparkContext
+    val arrs = deltaArrs.select(col("doc_id"), col("shingles"))
+      .withColumn("__delta", lit(true))
+      .unionByName(historyArrs.select(col("doc_id"), col("shingles"))
+        .withColumn("__delta", lit(false)))
+      .materialize()
+    val (pairs, freePrefix) = crossPairsFrom(arrs, threshold,
+      withinDelta = true)
+    val out = pairs
+      .select(col("a_id").as("delta_id"), col("b_id").as("prior_id"),
+        col("inter"), col("jaccard"))
+      .materialize()
+    freePrefix()
+    graft.plans.Materialize.rddIds(arrs).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    out
+  }
+
+  /** Shared cross-corpus candidate+verify core over a combined
+    * `(doc_id, shingles, __delta)` table: document frequency — the
+    * rarity order the prefix theorem needs CONSISTENT across every
+    * document — is computed over the whole table; candidates pair
+    * delta prefixes against history prefixes, plus (when
+    * `withinDelta`) earlier delta rows by doc_id — the ingest-screen
+    * face, where a batch containing two copies must flag the later
+    * one. Returns the verified pairs and a closure freeing the prefix
+    * checkpoint (batch callers leave it for the between-query sweep —
+    * their result is lazy; the streaming caller materializes its
+    * result and frees eagerly).
+    */
+  private def crossPairsFrom(arrs: DataFrame, threshold: Double,
+      withinDelta: Boolean): (DataFrame, () => Unit) = {
+    val sc = arrs.sparkSession.sparkContext
     val ex = arrs
       .select(col("doc_id"), col("__delta"),
         size(col("shingles")).cast("long").as("n_sh"),
@@ -269,18 +334,20 @@ object Dedup {
       .select(col("doc_id"), col("__delta"), col("sh"), col("n_sh"))
       .repartition(np)
       .materialize()
+    val pb = if (withinDelta) prefix else prefix.filter(!col("__delta"))
     val cands = prefix.filter(col("__delta"))
       .select(col("doc_id").as("a_id"), col("sh"), col("n_sh").as("a_n"))
-      .join(prefix.filter(!col("__delta"))
-        .select(col("doc_id").as("b_id"), col("sh"), col("n_sh").as("b_n")),
+      .join(pb.select(col("doc_id").as("b_id"),
+          col("__delta").as("__bd"), col("sh"), col("n_sh").as("b_n")),
         Seq("sh"))
+      .filter(!col("__bd") || col("b_id") < col("a_id"))
       .filter(least(col("a_n"), col("b_n")).cast("double")
         >= lit(threshold) * greatest(col("a_n"), col("b_n")).cast("double")
           - lit(1e-9))
       .select("a_id", "b_id").distinct()
-    verifyPairs(arrs.select("doc_id", "shingles"), cands, threshold)
-      .select(col("a_id").as("delta_id"), col("b_id").as("history_id"),
-        col("inter"), col("jaccard"))
+    (verifyPairs(arrs.select("doc_id", "shingles"), cands, threshold),
+      () => graft.plans.Materialize.rddIds(prefix).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
   }
 
   /** Prefix-filtered exact-Jaccard pairs from a PRE-MATERIALIZED
@@ -465,10 +532,21 @@ object Dedup {
       col("__suf").as("__asuf"), col("__nrm").as("__anrm"))
     val pb = prefix.select(col("doc_id").as("b_id"), col("term"),
       col("__suf").as("__bsuf"), col("__nrm").as("__bnrm"))
+    // Candidate pruning in DOUBLE with a 1e-9 downward slack on the
+    // threshold side: the suffix products reach ~10²⁴ (long² · τ²),
+    // but a prefix filter only needs NO FALSE NEGATIVES — double
+    // relative error is ≤ ~10⁻¹⁴ over three multiplies, so any pair
+    // the exact decimal inequality admits survives the slackened
+    // double one, and the survivors are re-decided EXACTLY below.
+    // Decimal(38,0) triple-products here ran per term-match row (the
+    // widest point of the whole operator, 100×+ the pair count);
+    // doubles keep the predicate in cheap codegen arithmetic.
+    def dbl(c: Column): Column = c.cast("double")
     val cands = pa.join(pb,
         pa("term") === pb("term") && pa("a_id") < pb("b_id")
-          && dec(col("__asuf")) * dec(col("__bsuf")) * lit(p2._2)
-            >= lit(p2._1) * dec(col("__anrm")) * dec(col("__bnrm")))
+          && dbl(col("__asuf")) * dbl(col("__bsuf")) * lit(p2._2.toDouble)
+            >= lit(p2._1.toDouble * (1.0 - 1e-9))
+              * dbl(col("__anrm")) * dbl(col("__bnrm")))
       .select("a_id", "b_id").distinct()
     val bagDot = GraftFunctions.bagDot(docs.sparkSession,
       col("a_terms"), col("a_tfs"), col("b_terms"), col("b_tfs"))

@@ -69,6 +69,13 @@ object GraftFunctions {
       new ExpressionInfo(classOf[BpeDropoutExpr].getName, "graft_bpe_dropout"),
       (es: Seq[Expression]) => BpeDropoutExpr(es(0), foldedStringArray(es(1)),
         foldedInt(es(2)))),
+    ("graft_bpe_bytes",
+      new ExpressionInfo(classOf[BpeBytesEncodeExpr].getName, "graft_bpe_bytes"),
+      (es: Seq[Expression]) => BpeBytesEncodeExpr(es(0), foldedStringArray(es(1)))),
+    ("graft_bpe_bytes_decode",
+      new ExpressionInfo(classOf[BpeBytesDecodeExpr].getName,
+        "graft_bpe_bytes_decode"),
+      (es: Seq[Expression]) => BpeBytesDecodeExpr(es(0))),
     ("graft_wordpiece",
       new ExpressionInfo(classOf[WordPieceExpr].getName, "graft_wordpiece"),
       (es: Seq[Expression]) => WordPieceExpr(es(0), foldedStringArray(es(1)))),

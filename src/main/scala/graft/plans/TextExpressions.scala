@@ -495,6 +495,109 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** GPT-2 byte↔unicode table (Radford et al. 2019, GPT-2
+    * `encoder.py` `bytes_to_unicode` — the published byte-level BPE
+    * alphabet): the 188 printable latin-1 bytes map to themselves,
+    * the other 68 (controls, space, DEL, 0xA0, 0xAD) shift to
+    * `256 + n` in byte order — every byte becomes exactly one
+    * PRINTABLE char (space → 'Ġ' U+0120), so merge symbols are clean
+    * strings with no whitespace/controls and ANY byte sequence
+    * round-trips losslessly with no [UNK] and no char-level fallback.
+    */
+  val byteChar: Array[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** Inverse of [[byteChar]] (mapped codepoints stop at 323). */
+  private val charByte: Array[Int] = {
+    val out = Array.fill(324)(-1)
+    var b = 0
+    while (b < 256) { out(byteChar(b)) = b; b += 1 }
+    out
+  }
+
+  /** BYTE-level BPE encode (the GPT-2/Llama lineage face of
+    * [[bpeEncode]]): NO lowercasing, NO `</w>`, no dropped
+    * characters — the text splits into alternating
+    * whitespace/non-whitespace runs (every char belongs to exactly
+    * one piece), each piece's UTF-8 BYTES map through [[byteChar]]
+    * to one symbol per byte, and the rank-ordered merges fold
+    * exactly as in [[bpeEncode]]. Concatenating the output tokens
+    * and reversing the byte map reproduces the input BIT-FOR-BIT
+    * ([[bpeDecodeBytes]], spec-pinned on emoji/CJK/control input) —
+    * the property char-level BPE buys with `</w>` + lossy
+    * normalization and byte-level BPE gets for free.
+    */
+  def bpeEncodeBytes(text: UTF8String, merges: Array[String]): ArrayData = {
+    val s = text.toString
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      var j = i
+      while (j < n && Character.isWhitespace(s.charAt(j)) == ws) j += 1
+      val bytes = s.substring(i, j)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var syms = new java.util.ArrayList[String](bytes.length)
+      var bi = 0
+      while (bi < bytes.length) {
+        syms.add(String.valueOf(byteChar(bytes(bi) & 0xFF))); bi += 1
+      }
+      var mi = 0
+      while (mi + 1 < merges.length) {
+        val a = merges(mi); val b = merges(mi + 1)
+        val next = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          if (k + 1 < syms.size && syms.get(k) == a && syms.get(k + 1) == b) {
+            next.add(a + b); k += 2
+          } else { next.add(syms.get(k)); k += 1 }
+        }
+        syms = next
+        mi += 2
+      }
+      var si = 0
+      while (si < syms.size) {
+        out += UTF8String.fromString(syms.get(si)); si += 1
+      }
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Exact inverse of [[bpeEncodeBytes]]: concatenate the tokens,
+    * map each char back to its byte, decode UTF-8. A char outside
+    * the byte alphabet means the input was not produced by the
+    * encoder — fail loudly rather than emit silent mojibake.
+    */
+  def bpeDecodeBytes(toks: ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder
+    var ti = 0
+    val n = toks.numElements()
+    while (ti < n) { sb.append(toks.getUTF8String(ti).toString); ti += 1 }
+    val bytes = new Array[Byte](sb.length)
+    var ci = 0
+    while (ci < sb.length) {
+      val c = sb.charAt(ci).toInt
+      val b = if (c < 324) charByte(c) else -1
+      if (b < 0) throw new IllegalArgumentException(
+        s"not a byte-BPE token char: U+${c.toHexString}")
+      bytes(ci) = b.toByte
+      ci += 1
+    }
+    UTF8String.fromBytes(bytes)
+  }
+
   /** Unigram-LM encode (Kudo 2018 / SentencePiece's segmentation
     * half): lowercase, whitespace-tokenize, then VITERBI
     * minimum-total-cost segmentation of each word over a piece
@@ -951,6 +1054,60 @@ case class BpeDropoutExpr(child: Expression, merges: IndexedSeq[String],
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeDropoutExpr =
+    copy(child = newChild)
+}
+
+/** `graft_bpe_bytes(text, merges_flat)` — BYTE-level BPE encode
+  * (GPT-2 alphabet, lossless, no normalization) under a rank-ordered
+  * flattened merge list.
+  */
+case class BpeBytesEncodeExpr(child: Expression, merges: IndexedSeq[String])
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_bpe_bytes"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if merges.length % 2 != 0 =>
+      TypeCheckResult.TypeCheckFailure(
+        s"merge list must be flattened (a,b) pairs, got ${merges.length} entries")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  private lazy val mArr: Array[String] = merges.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeEncodeBytes(input.asInstanceOf[UTF8String], mArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeByteMerges", mArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.bpeEncodeBytes($c, $mRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeBytesEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `graft_bpe_bytes_decode(toks)` — exact inverse of
+  * `graft_bpe_bytes`: tokens → bytes → UTF-8 string.
+  */
+case class BpeBytesDecodeExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_bpe_bytes_decode"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeDecodeBytes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.bpeDecodeBytes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeBytesDecodeExpr =
     copy(child = newChild)
 }
 

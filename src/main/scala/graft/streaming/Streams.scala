@@ -869,4 +869,85 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming INCREMENTAL NEAR-DUP SCREEN — the daily-ingest twin of
+    * `dedup_incremental_neardup` ([[graft.functions.Dedup
+    * .crossJaccardPairs]]) end-to-end: each micro-batch's documents
+    * are exact-Jaccard screened against the ACCUMULATED history (and
+    * against earlier rows of the same batch, by doc_id — a batch
+    * carrying two copies must flag the later one), so the union of
+    * emitted pairs over ANY chronological batching equals the
+    * batching-invariant directional pair set {(later, earlier) :
+    * J ≥ t} (spec-pinned ≡ the batch `ngramJaccardPairs` re-keyed by
+    * arrival). PRECONDITION: doc_ids globally unique and
+    * arrival-ordered (the [[topkStream]] convention).
+    *
+    * State is the history's `(doc_id, shingles)` table — but stored
+    * APPEND-ONLY: each batch writes its own shingle table under
+    * `statePath/b<batchId>` (atomic overwrite of that one directory —
+    * an at-least-once replay rewrites identical content, and the
+    * history read only globs directories with bid < batchId, so a
+    * half-committed current batch is never read back). The per-batch
+    * I/O is O(batch), never O(corpus) — a full-state rewrite per
+    * micro-batch (the counts-state discipline of [[funnelStream]],
+    * fine for 1-row state) would be quadratic over an ingest day at
+    * corpus scale. History is re-read from columnar parquet per batch
+    * and never re-shingled. Internal checkpoints are freed per batch
+    * ([[graft.functions.Dedup.ingestScreenPairs]]); the emitted pairs
+    * table is freed after the callback returns.
+    */
+  def neardupScreenStream(
+      docs: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      w: Int = 3,
+      threshold: Double = 0.5,
+      onPairs: DataFrame => Unit,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.plans.GraftFunctions.register(spark)
+        def free(df: DataFrame): Unit =
+          graft.plans.Materialize.rddIds(df).foreach(id =>
+            spark.sparkContext.getPersistentRDDs.get(id)
+              .foreach(_.unpersist(false)))
+        // one kernel pass shingles the batch; the table serves the
+        // screen AND becomes this batch's history increment
+        val arrs = graft.plans.Materialize(
+          graft.functions.Dedup.shingleTable(batch, w))
+        // history = every COMMITTED prior batch's directory (bid <
+        // batchId: a replayed current batch never reads its own
+        // half-written increment)
+        val root = java.nio.file.Paths.get(statePath)
+        val priorDirs: Seq[String] =
+          if (java.nio.file.Files.isDirectory(root)) {
+            val it = java.nio.file.Files.list(root)
+            try {
+              val b = Seq.newBuilder[String]
+              it.forEach { p =>
+                val n = p.getFileName.toString
+                if (n.startsWith("b") && !n.contains(".") &&
+                    n.drop(1).forall(_.isDigit) &&
+                    n.drop(1).toLong < batchId)
+                  b += p.toString
+              }
+              b.result()
+            } finally it.close()
+          } else Nil
+        val history =
+          if (priorDirs.nonEmpty) spark.read.parquet(priorDirs: _*)
+          else arrs.select("doc_id", "shingles").limit(0)
+        val pairs = graft.functions.Dedup
+          .ingestScreenPairs(arrs, history, threshold)
+        graft.operators.Merge.atomicOverwrite(
+          arrs.select("doc_id", "shingles"), s"$statePath/b$batchId")
+        onPairs(pairs)
+        free(pairs)
+        free(arrs)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -237,6 +237,60 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("byte-BPE: bit-for-bit lossless roundtrip on emoji/CJK/control/any-UTF-8 input") {
+    // the property that distinguishes the byte face from the char
+    // face: NOTHING is normalized or dropped — decode(encode(x)) == x
+    // exactly, for any input, under any merge list, with no [UNK]
+    val texts = Seq(
+      "hello world",
+      "Héllo WÖRLD — mixed Ça",           // latin-1 accents + dash
+      "日本語のテキスト 中文 한국어",          // CJK multi-byte
+      "emoji 🎉🎊 👩‍👩‍👧‍👦 flags 🇵🇭",      // 4-byte + ZWJ sequences
+      "tabs\tand\nnewlines\r\n  double  spaces ",
+      "ASCII with UPPER case preserved",
+      "")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val trained = Bpe.trainBpe(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 40), numMerges = 6)
+    for (merges <- Seq(Bpe.fixtureByteMerges, trained, Seq.empty)) {
+      val got = df.select(col("doc_id"),
+          Bpe.decodeBytes(Bpe.encodeBytes(col("text"), merges)).as("rebuilt"))
+        .as[(Long, String)].collect().toMap
+      for ((i, t) <- texts.zipWithIndex.map(_.swap))
+        assert(got(i.toLong) == t,
+          s"byte roundtrip broke under $merges on doc $i: ${got(i.toLong)}")
+    }
+  }
+
+  test("byte-BPE: hand-checked segmentation — rank chaining, case sensitivity, Ġ for space") {
+    val df = Seq((0L, "the thin Thing in an")).toDF("doc_id", "text")
+    val got = df.select(
+        Bpe.encodeBytes(col("text"), Bpe.fixtureByteMerges).as("toks"))
+      .as[Seq[String]].head()
+    // merges (t,h) (th,e) (i,n) (a,n): "the"→the (rank chain),
+    // "thin"→th+in, "Thing"→T,h,in,g (NO lowercase: 'T'≠'t'),
+    // space pieces → 'Ġ' (mapped byte 32), "in"→in, "an"→an
+    val g = "Ġ"
+    assert(got == Seq("the", g, "th", "in", g, "T", "h", "in", "g",
+      g, "in", g, "an"), got)
+  }
+
+  test("byte-BPE: every byte's mapped char is printable and the alphabet is a bijection") {
+    val bc = graft.plans.TextKernels.byteChar
+    assert(bc.length == 256)
+    assert(bc.toSet.size == 256, "byte alphabet must be injective")
+    for (c <- bc) {
+      assert(!Character.isWhitespace(c) && !Character.isISOControl(c),
+        s"mapped char U+${c.toInt.toHexString} is whitespace/control")
+    }
+    // the published anchors: printable ASCII identity, space → Ġ
+    assert(bc('a'.toInt) == 'a' && bc('~'.toInt) == '~' && bc(33) == '!')
+    assert(bc(32) == 'Ġ') // Ġ
+    assert(bc(0) == 'Ā')  // first shifted byte → Ā
+  }
+
   test("trained merges compress: tokenCounts under trained BPE ≤ char count, equals reference") {
     val merges = Bpe.trainBpe(sennrichDocs, numMerges = 8)
     val got = Bpe.tokenCounts(sennrichDocs, merges)

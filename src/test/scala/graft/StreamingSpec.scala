@@ -851,4 +851,71 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_.seq_in_bucket >= 2))
     assert(batch.exists(p => p.n_tokens > 2048 && p.offset_in_seq == 0))
   }
+
+  test("streaming near-dup ingest screen equals the batch pair sets across restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nds").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nds-ck").toString
+    val state = s"$dir/state"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val schema = docs.schema
+    // arrival order = the batch query's split: history (even doc_ids)
+    // first — in TWO batches with a stream restart between them — then
+    // every delta (odd) doc in one final batch
+    val evens = docs.filter($"doc_id" % 2 === 0)
+    val odds = docs.filter($"doc_id" % 2 === 1)
+    val got = scala.collection.mutable.Set[(Long, Long, Long, Double)]()
+    def run(): Unit = {
+      val q = Streams.neardupScreenStream(
+        spark.readStream.schema(schema).parquet(s"$dir/in/*"),
+        state, ckpt, w = 3, threshold = 0.5,
+        onPairs = p => got ++=
+          p.as[(Long, Long, Long, Double)].collect())
+      q.awaitTermination(180000)
+    }
+    evens.filter($"doc_id" < 250).write.parquet(s"$dir/in/b1.parquet")
+    run()
+    evens.filter($"doc_id" >= 250).write.parquet(s"$dir/in/b2.parquet")
+    run() // restart: history state + source offsets must both recover
+    odds.write.parquet(s"$dir/in/b3.parquet")
+    run()
+    // (1) the incremental face: emitted (odd delta, even prior) pairs
+    // ≡ the registered batch query crossJaccardPairs(odds, evens)
+    val crossWant = graft.functions.Dedup
+      .crossJaccardPairs(odds, evens, w = 3, threshold = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val crossGot = got.toSet.filter(t => t._1 % 2 == 1 && t._2 % 2 == 0)
+    assert(crossGot == crossWant,
+      s"stream cross pairs diverged from batch dedup_incremental_neardup:" +
+        s"\n stream-only=${(crossGot -- crossWant).toSeq.sorted.take(5)}" +
+        s"\n batch-only=${(crossWant -- crossGot).toSeq.sorted.take(5)}")
+    // (2) the batching-invariance theorem: the cumulative emitted set
+    // is ngramJaccardPairs over everything seen, re-keyed (later
+    // arrival, earlier) — same parity ⇒ by doc_id, cross parity ⇒ the
+    // odd doc arrived later (all evens preceded all odds here)
+    val allWant = graft.functions.Dedup
+      .ngramJaccardPairs(docs, w = 3, threshold = 0.5)
+      .select("a_id", "b_id", "inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (a, b, i, j) =>
+        if (a % 2 == b % 2) (math.max(a, b), math.min(a, b), i, j)
+        else if (a % 2 == 1) (a, b, i, j)
+        else (b, a, i, j)
+      }.toSet
+    assert(got.toSet == allWant,
+      s"cumulative stream pairs != directional batch pair set:" +
+        s"\n stream-only=${(got.toSet -- allWant).toSeq.sorted.take(5)}" +
+        s"\n batch-only=${(allWant -- got.toSet).toSeq.sorted.take(5)}")
+    // the fixture exercised all three emission classes
+    assert(got.exists(t => t._1 % 2 == 1 && t._2 % 2 == 0))
+    assert(got.exists(t => t._1 % 2 == t._2 % 2))
+    // state is append-only: one committed directory per micro-batch
+    val stateDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(state))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val names = scala.collection.mutable.Buffer[String]()
+    stateDirs.forEachRemaining(p => names += p.getFileName.toString)
+    assert(names.count(n => n.matches("b\\d+")) == 3, names)
+  }
 }
