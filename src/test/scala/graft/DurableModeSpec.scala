@@ -90,4 +90,62 @@ class DurableModeSpec extends SparkSpec {
       assert(batch.exists(_.seq_in_bucket >= 2))
     }
   }
+
+  test("EtlRun.run (file mode): merge targets identical with and without a checkpoint dir") {
+    import spark.implicits._
+    // the reference-parity lifecycle (extract → normalize → merge →
+    // cascade) under setCheckpointDir: every Materialize site inside
+    // the run takes the reliable-checkpoint path and the published
+    // targets must be row-identical to local mode
+    def writeFixtures(dir: String): Unit = {
+      Seq(("R1", "juan", "cruz"), ("R2", "maria", "santos"),
+          ("R3", "jose", "reyes"))
+        .toDF("rsbsa_no", "first_name", "surname")
+        .write.parquet(s"$dir/farmers_kyc1.parquet")
+      Seq(("R1", "farming"), ("R1", "fishing"), ("R2", "farming"))
+        .toDF("rsbsa_no", "livelihood")
+        .write.parquet(s"$dir/farmers_livelihood.parquet")
+      Seq(("P1", "R1", "owner"), ("P2", "R1", "tenant"),
+          ("P3", "R2", "owner"))
+        .toDF("parcel_id", "rsbsa_no", "own_status")
+        .write.parquet(s"$dir/farmparcelownership.parquet")
+      Seq(("P1", "lot a"), ("P2", "lot b"), ("P3", "lot c"),
+          ("P4", "lot d"))
+        .toDF("parcel_id", "desc_location")
+        .write.parquet(s"$dir/farmparcel.parquet")
+    }
+    val log = Seq(
+      (1L, "R1", "farmers_kyc1"),
+      (2L, "R1", "farmers_livelihood"),
+      (3L, "R1", "farmparcelownership"),
+      (4L, "R2", "farmers_kyc1"),
+    ).toDF("log_id", "rsbsa_no", "table")
+    def runOnce(): (graft.pipeline.RunReport, Map[String, Seq[String]]) = {
+      val src = java.nio.file.Files.createTempDirectory("graft-detl-s").toString
+      val tgt = java.nio.file.Files.createTempDirectory("graft-detl-t").toString
+      writeFixtures(src)
+      val report = graft.pipeline.EtlRun.onParquet(spark, src, tgt).run(log)
+      val tables = Seq("farmers_kyc1", "farmers_livelihood",
+        "farmparcelownership", "farmparcel")
+      (report, tables.map(t => t -> spark.read
+        .parquet(s"$tgt/$t.parquet")
+        .collect().map(_.toString).sorted.toSeq).toMap)
+    }
+    val (localReport, localTargets) = runOnce()
+    assert(localReport.errors == 0)
+    // NOTE: unlike the flagship above, the ETL lifecycle contains NO
+    // lineage-truncation sites — each table is ONE declarative plan
+    // (extract → normalize → merge → atomic publish) recomputable from
+    // its parquet leaves, so executor-loss resilience is Spark-native
+    // and durable mode writes no checkpoint files. The contract being
+    // pinned is behavioral: setting a checkpoint dir must not CHANGE
+    // anything the run publishes.
+    val (durReport, durTargets) = withCheckpointDir { _ => runOnce() }
+    assert(durReport.errors == 0)
+    assert(durReport.processed == localReport.processed)
+    assert(durReport.tables.map(t => (t.table, t.extracted, t.merged)).toSet
+      == localReport.tables.map(t => (t.table, t.extracted, t.merged)).toSet)
+    assert(durTargets == localTargets,
+      s"merge targets diverged between modes:\n local=$localTargets\n durable=$durTargets")
+  }
 }
