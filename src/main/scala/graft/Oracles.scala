@@ -4347,6 +4347,58 @@ object Oracles {
         |UNION ALL SELECT CAST(1 AS BIGINT), a, b FROM m1
         |UNION ALL SELECT CAST(2 AS BIGINT), a, b FROM m2""".stripMargin,
 
+    // Byte-level BPE trainer, 3 rounds replayed (the tok_bpe_merges
+    // convention over the BYTE face): pieces are whitespace-preserving
+    // runs (regexp_extract_all keeps every char), symbolized through
+    // the byte alphabet — identity on the printable-ASCII fixture
+    // except space → chr(288) ('Ġ') — with NO lowercase and NO </w>;
+    // each round pair-counts, argmaxes with the (cnt desc, a, b)
+    // tie-break, and applies via the two-pass delimiter-replace.
+    "tok_bpe_bytes_merges" ->
+      """WITH wc AS (
+        |  SELECT piece, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(regexp_extract_all(text, '\s+|\S+')) AS piece FROM documents)
+        |  WHERE length(piece) > 0 GROUP BY piece
+        |  ORDER BY n DESC, piece LIMIT 65536),
+        |v0 AS (
+        |  SELECT ' ' || array_to_string(string_split(replace(piece, ' ', chr(288)), ''), ' ') || ' ' AS s, n
+        |  FROM wc),
+        |pc0 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v0) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m0 AS (SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
+        |v1 AS (
+        |  SELECT replace(replace(s,
+        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
+        |      ' ' || (SELECT a FROM m0) || (SELECT b FROM m0) || ' '),
+        |      ' ' || (SELECT a FROM m0) || ' ' || (SELECT b FROM m0) || ' ',
+        |      ' ' || (SELECT a FROM m0) || (SELECT b FROM m0) || ' ') AS s, n
+        |  FROM v0),
+        |pc1 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v1) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT a, b FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |v2 AS (
+        |  SELECT replace(replace(s,
+        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+        |      ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' '),
+        |      ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+        |      ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ') AS s, n
+        |  FROM v1),
+        |pc2 AS (
+        |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(sy)), i -> {'a': sy[i], 'b': sy[i+1]})) AS p
+        |    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM v2) WHERE len(sy) >= 2)
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT a, b FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1)
+        |SELECT CAST(0 AS BIGINT) AS rank, a, b FROM m0
+        |UNION ALL SELECT CAST(1 AS BIGINT), a, b FROM m1
+        |UNION ALL SELECT CAST(2 AS BIGINT), a, b FROM m2""".stripMargin,
+
     // Unigram Viterbi-EM trainer, BOTH rounds replayed: substring
     // seeding (top-48 weighted 2..4-grams), round-1 DP under seed
     // costs -> usage counts -> re-priced inventory, round-2 DP under

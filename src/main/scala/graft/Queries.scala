@@ -1902,6 +1902,24 @@ object Queries {
       .toDF("rank", "a", "b")
   }
 
+  /** The first 3 BYTE-level BPE merges LEARNED from the corpus
+    * ([[graft.functions.Bpe.trainBpeBytes]] — the training half of
+    * `tok_bpe_bytes`, completing train+encode+decode on the byte
+    * face): pieces are whitespace-preserving runs symbolized through
+    * the GPT-2 byte alphabet (no lowercase, no `</w>`), and the
+    * oracle unrolls the same three rounds in SQL over the mapped
+    * piece table (the `tok_bpe_merges` convention — pair-count →
+    * argmax with the (cnt desc, a, b) tie-break → two-pass
+    * delimiter-replace apply). Driver state: 3 argmax rows.
+    */
+  val tokBpeBytesMerges: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.Bpe.trainBpeBytes(t(s, dir, "documents"), numMerges = 3)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "a", "b")
+  }
+
   /** WordPiece TRAINING on the corpus (3 rounds of likelihood-scored
     * merges — `count(ab)/(count(a)·count(b))`, the published WordPiece
     * objective, vs BPE's raw frequency): the vocabulary-induction half

@@ -174,6 +174,7 @@ object SparkEntry {
     "tok_bpe_encode" -> Queries.tokBpeEncode,
     "tok_bpe_dropout" -> Queries.tokBpeDropout,
     "tok_bpe_bytes" -> Queries.tokBpeBytes,
+    "tok_bpe_bytes_merges" -> Queries.tokBpeBytesMerges,
     "tok_fertility" -> Queries.tokFertility,
     "tok_bpe_roundtrip" -> Queries.tokBpeRoundtrip,
     "tok_bpe_merges" -> Queries.tokBpeMerges,

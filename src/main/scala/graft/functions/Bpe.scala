@@ -120,9 +120,18 @@ object Bpe {
     * one round deep; the table is ≤ vocabCap rows throughout).
     */
   def trainBpe(docs: DataFrame, numMerges: Int,
-      vocabCap: Int = 65536): Seq[(String, String)] = {
-    var vocab = wordCounts(docs, vocabCap)
-      .select(initialSymbols(col("word")).as("symbols"), col("n"))
+      vocabCap: Int = 65536): Seq[(String, String)] =
+    trainLoop(wordCounts(docs, vocabCap)
+      .select(initialSymbols(col("word")).as("symbols"), col("n")),
+      numMerges)
+
+  /** The round loop shared by the char and byte trainers: the seed
+    * symbolization is the ONLY thing that differs — `trainRound`'s
+    * pair statistics and merge application are symbol-agnostic.
+    */
+  private def trainLoop(vocab0: DataFrame,
+      numMerges: Int): Seq[(String, String)] = {
+    var vocab = vocab0
     vocab.persist()
     val merges = Seq.newBuilder[(String, String)]
     try {
@@ -143,6 +152,37 @@ object Bpe {
       }
       merges.result()
     } finally vocab.unpersist()
+  }
+
+  /** Frequency-capped distinct-PIECE counts — the byte face of
+    * [[wordCounts]]: pieces are alternating whitespace/non-whitespace
+    * runs (lookaround split, every char kept, NO lowercase), so the
+    * trained merges see exactly what [[encodeBytes]] will encode.
+    * Single-char pieces (lone spaces) survive the count but carry no
+    * adjacent pairs, so they never influence training — multi-space
+    * runs CAN learn 'ĠĠ'-style merges, the GPT-2 behavior.
+    */
+  def pieceCounts(docs: DataFrame, vocabCap: Int = 65536): DataFrame =
+    docs.select(explode(split(col("text"),
+        "(?<=\\s)(?=\\S)|(?<=\\S)(?=\\s)")).as("piece"))
+      .filter(length(col("piece")) > 0)
+      .groupBy("piece").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .limit(vocabCap)
+
+  /** Learn `numMerges` BYTE-level merges — [[trainBpe]]'s loop over
+    * [[pieceCounts]] seeded through the byte alphabet
+    * (`graft_byte_syms`): train + encode + decode now all live on the
+    * byte face. Same scale shape: one corpus pass, then k rounds over
+    * the ≤`vocabCap` piece table, one collected argmax row per round.
+    */
+  def trainBpeBytes(docs: DataFrame, numMerges: Int,
+      vocabCap: Int = 65536): Seq[(String, String)] = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    trainLoop(pieceCounts(docs, vocabCap)
+      .select(call_function("graft_byte_syms", col("piece")).as("symbols"),
+        col("n")),
+      numMerges)
   }
 
   /** Encode a text column with a trained merge list: lowercase,

@@ -72,6 +72,9 @@ object GraftFunctions {
     ("graft_bpe_bytes",
       new ExpressionInfo(classOf[BpeBytesEncodeExpr].getName, "graft_bpe_bytes"),
       (es: Seq[Expression]) => BpeBytesEncodeExpr(es(0), foldedStringArray(es(1)))),
+    ("graft_byte_syms",
+      new ExpressionInfo(classOf[ByteSymsExpr].getName, "graft_byte_syms"),
+      (es: Seq[Expression]) => ByteSymsExpr(es(0))),
     ("graft_bpe_bytes_decode",
       new ExpressionInfo(classOf[BpeBytesDecodeExpr].getName,
         "graft_bpe_bytes_decode"),

@@ -575,6 +575,23 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** One piece → its byte-alphabet symbol sequence (one 1-char
+    * symbol per UTF-8 byte, through [[byteChar]]) — the seed
+    * symbolization for byte-level BPE TRAINING (the byte face of
+    * `initialSymbols`; no `</w>`).
+    */
+  def byteSyms(piece: UTF8String): ArrayData = {
+    val bytes = piece.getBytes
+    val out = new Array[Any](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = UTF8String.fromString(
+        String.valueOf(byteChar(bytes(i) & 0xFF)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Exact inverse of [[bpeEncodeBytes]]: concatenate the tokens,
     * map each char back to its byte, decode UTF-8. A char outside
     * the byte alphabet means the input was not produced by the
@@ -1085,6 +1102,28 @@ case class BpeBytesEncodeExpr(child: Expression, merges: IndexedSeq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeBytesEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `graft_byte_syms(piece)` — byte-alphabet seed symbolization for
+  * byte-level BPE training.
+  */
+case class ByteSymsExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_byte_syms"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.byteSyms(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.byteSyms($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSymsExpr =
     copy(child = newChild)
 }
 

@@ -277,6 +277,28 @@ class BpeSpec extends SparkSpec {
       g, "in", g, "an"), got)
   }
 
+  test("byte-BPE trainer: hand-derived merges on a tiny corpus; trained merges roundtrip") {
+    // corpus "low low low lower": pieces = 3×"low", "lower", single
+    // spaces (1 symbol → no pairs). Round 1 pairs: (l,o)=4, (o,w)=4 —
+    // tie breaks (cnt desc, a, b) → (l,o). Round 2: (lo,w)=4.
+    // Round 3: only "lower" has pairs left — (e,r) vs (low,e), both 1,
+    // 'e' < 'low' → (e,r). NO </w> anywhere (byte face).
+    val docs = Seq((0L, "low low low lower")).toDF("doc_id", "text")
+    val merges = Bpe.trainBpeBytes(docs, numMerges = 3)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "r")), merges)
+    // the trained artifact drives the byte encoder and still decodes
+    // back bit-for-bit
+    val rebuilt = docs.select(
+        Bpe.decodeBytes(Bpe.encodeBytes(col("text"), merges)).as("t"))
+      .as[String].head()
+    assert(rebuilt == "low low low lower")
+    val toks = docs.select(
+        Bpe.encodeBytes(col("text"), merges).as("toks"))
+      .as[Seq[String]].head()
+    assert(toks == Seq("low", "Ġ", "low", "Ġ", "low", "Ġ", "low", "er"),
+      toks)
+  }
+
   test("byte-BPE: every byte's mapped char is printable and the alphabet is a bijection") {
     val bc = graft.plans.TextKernels.byteChar
     assert(bc.length == 256)
