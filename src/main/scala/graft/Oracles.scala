@@ -332,6 +332,36 @@ object Oracles {
       |    count(*) AS n_hot_grams
       |  FROM isl GROUP BY doc_id, island)""".stripMargin
 
+  /** Content-defined chunking CTEs (the `Dedup.cdcChunks` semantics):
+    * cut where the 8-char window's md5-first-8-bytes hash ≡ 0 mod 64,
+    * chunks between consecutive boundaries of [0, cuts…, len]. Ends in
+    * `ch(doc_id, c{ln, h})`.
+    */
+  private val CDC_CHUNK_CTES: String =
+    """d AS (
+      |  SELECT doc_id, text, length(text) AS n
+      |  FROM documents WHERE length(text) > 0),
+      |cut AS (
+      |  SELECT doc_id, text, n,
+      |    list_filter(
+      |      list_transform(range(1, greatest(n - 8, 0) + 2), s -> s - 1),
+      |      i -> i > 0 AND
+      |        CAST(concat('0x', substr(md5(substr(text, CAST(i + 1 AS INT), 8)), 1, 16))
+      |          AS UBIGINT) % 64 = 0) AS cuts
+      |  FROM d),
+      |b AS (
+      |  SELECT doc_id, text,
+      |    list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+      |      [CAST(n AS BIGINT)]) AS bs
+      |  FROM cut),
+      |ch AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(bs)), i ->
+      |      {'ln': bs[i + 1] - bs[i],
+      |       'h': md5(substr(text, CAST(bs[i] + 1 AS INT),
+      |                 CAST(bs[i + 1] - bs[i] AS INT)))})) AS c
+      |  FROM b)""".stripMargin
+
   /** [[hotSpanCtes]] plus the token-cut rewrite, ending in
     * `removal(doc_id, clean_text, n_removed_tokens)`.
     */
@@ -1061,6 +1091,38 @@ object Oracles {
          |  END AS kept
          |FROM b""".stripMargin,
 
+    // Competence-based curriculum: quartile cutoffs over the composite
+    // quality score (quantile_cont ≡ Spark's interpolated percentile —
+    // the daily_ops_report p95 convention), stage = 4 minus cutoffs
+    // cleared counting c1..c3 with the engine's `cut <= quality` rule,
+    // position = salted-md5 row_number inside each stage.
+    "corpus_curriculum" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    round((least(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) / 64.0, 1.0)
+        |         + least(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             t -> t IN ('the','of','and','to','in','is','that','for'))) AS DOUBLE) * 8
+        |             / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0)) / 2, 4) AS quality
+        |  FROM documents),
+        |c AS (
+        |  SELECT quantile_cont(quality, 0.25) AS c1,
+        |         quantile_cont(quality, 0.50) AS c2,
+        |         quantile_cont(quality, 0.75) AS c3
+        |  FROM q),
+        |st AS (
+        |  SELECT q.doc_id, q.quality,
+        |    CAST(4 - (CASE WHEN c.c1 <= q.quality THEN 1 ELSE 0 END)
+        |           - (CASE WHEN c.c2 <= q.quality THEN 1 ELSE 0 END)
+        |           - (CASE WHEN c.c3 <= q.quality THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS stage
+        |  FROM q CROSS JOIN c)
+        |SELECT doc_id, stage,
+        |  CAST(row_number() OVER (PARTITION BY stage
+        |    ORDER BY md5('cur:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos,
+        |  quality
+        |FROM st""".stripMargin,
+
     // BM25 top-20: every corpus statistic is an exact integer; the
     // per-doc double arithmetic is the SAME expression tree the engine
     // builds (term contributions added in declared order, literals
@@ -1179,6 +1241,34 @@ object Oracles {
     "dedup_char_spans" ->
       s"""WITH ${charSpanCtes("documents")}
          |SELECT doc_id, span_start, span_end, n_hot_grams FROM spans""".stripMargin,
+
+    // Content-defined chunking (LBFS): cut positions are gram starts
+    // i > 0 whose rolling 8-char window hash has 6 low zero bits —
+    // the hash is the SAME md5-first-8-bytes value the graft_chargrams
+    // kernel emits (low 6 bits of the signed long == uh % 64 of the
+    // unsigned assembly), so the boundary sets agree exactly. Chunks
+    // are consecutive boundary pairs over [0, cuts..., len]; identity
+    // is md5 of the chunk text. Duplicate table: hashes seen >= 2x.
+    "dedup_cdc_chunks" ->
+      s"""WITH $CDC_CHUNK_CTES
+         |SELECT c.h AS chunk_hash, CAST(min(c.ln) AS BIGINT) AS chunk_len,
+         |  count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs
+         |FROM ch GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // Store-once savings over the same chunking: per-hash (len, copies)
+    // first, then one corpus-level roll-up; the ratio divides once.
+    "dedup_cdc_ratio" ->
+      s"""WITH $CDC_CHUNK_CTES,
+         |per AS (
+         |  SELECT c.h AS h, min(c.ln) AS ln, count(*) AS n
+         |  FROM ch GROUP BY 1)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_chunks,
+         |  count(*) AS n_unique,
+         |  CAST(sum(ln * n) AS BIGINT) AS chars_total,
+         |  CAST(sum(ln) AS BIGINT) AS chars_unique,
+         |  round(CAST(1 AS DOUBLE) - CAST(sum(ln) AS DOUBLE)
+         |    / CAST(sum(ln * n) AS DOUBLE), 6) AS dedup_ratio
+         |FROM per""".stripMargin,
 
     // Char-span removal: spans of one doc are strictly disjoint (islands
     // merge everything <= 20 apart), so the rewrite keeps the segment
@@ -3075,6 +3165,43 @@ object Oracles {
         |FROM s""".stripMargin,
 
     "sim_cosine_topk" -> BRUTE_TOPK,
+
+    // Semi-hard negative mining (FaceNet §3.3): brute scored pairs as
+    // BRUTE_TOPK (exact integer dots — bit-identical doubles), the
+    // anchor's positive radius is min cosine over same-label rows, and
+    // the mined set is other-label rows STRICTLY below that radius,
+    // ranked closest-first. The WHERE runs before the window (SQL
+    // semantics) exactly as the engine filters before row_number.
+    "sim_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q),
+        |probes AS (
+        |  SELECT vec_id AS qid, label AS qlabel, qv AS pv, nsq AS pn FROM n
+        |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |scored AS (
+        |  SELECT p.qid, p.qlabel, c.vec_id AS nid, c.label,
+        |    CAST(CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+        |        i -> c.qv[i] * p.pv[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(p.pn AS DOUBLE))) AS cos
+        |  FROM n c, probes p WHERE c.vec_id != p.qid),
+        |pos AS (
+        |  SELECT qid, min(cos) AS pos_cos FROM scored
+        |  WHERE label = qlabel GROUP BY qid)
+        |SELECT qid, rank, nid, round(cos, 6) AS cos,
+        |  round(pos_cos, 6) AS pos_cos FROM (
+        |  SELECT s.qid, s.nid, s.cos, p.pos_cos,
+        |    row_number() OVER (PARTITION BY s.qid
+        |      ORDER BY s.cos DESC, s.nid) AS rank
+        |  FROM scored s JOIN pos p ON s.qid = p.qid
+        |  WHERE s.label != s.qlabel AND s.cos < p.pos_cos)
+        |WHERE rank <= 10""".stripMargin,
     "sim_lsh_topk" -> BRUTE_TOPK,
     "sim_ivf_topk" -> BRUTE_TOPK,
     // Registered at candidates ≥ corpus (screening passes everything)

@@ -1280,6 +1280,16 @@ object Queries {
   val simCosineTopk: Q = (s, dir) =>
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
 
+  /** Extension — semi-hard negative mining
+    * ([[graft.functions.Similarity.semiHardNegatives]], FaceNet §3.3):
+    * per anchor, the top-10 other-label vectors just outside the
+    * anchor's hardest-positive radius — the triplet-selection sweep a
+    * contrastive-training pipeline runs corpus-wide.
+    */
+  val simHardNegatives: Q = (s, dir) =>
+    Similarity.semiHardNegatives(
+      t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
+
   /** LSH-bucketed ANN top-10 (scale path). Registered probing the full
     * Hamming ball (probes = 2^planes — the LSH analog of IVF's
     * nprobe = nlist), so the output provably equals brute force and the
@@ -3067,6 +3077,18 @@ object Queries {
     Similarity.mmrRerank(t(s, dir, "embeddings"), queryId = 0L,
       k = 10, pool = 50, lambdaPct = 70)
 
+  /** Extension — competence-based curriculum schedule
+    * ([[graft.functions.Selection.curriculumSchedule]], Platanios et
+    * al. 2019): quartile stages over the composite quality score
+    * (stage 1 = cleanest prose first) with a deterministic salted-hash
+    * shuffle position inside each stage — the epoch ordering a
+    * curriculum data loader consumes.
+    */
+  val corpusCurriculum: Q = (s, dir) =>
+    graft.functions.Selection.curriculumSchedule(
+      t(s, dir, "documents"),
+      TextAnalysis.qualityScore(col("text")), stages = 4)
+
   /** Extension — CCNet-style head/middle/tail quality banding with
     * per-band sample rates (head 1.0, middle 0.5, tail 0.1); fixed
     * band thresholds, salted hash sampling.
@@ -3105,6 +3127,23 @@ object Queries {
     */
   val dedupCharRemoval: Q = (s, dir) =>
     Dedup.removeCharSpans(t(s, dir, "documents"), k = 20, minCount = 2)
+
+  /** Extension — content-defined chunking duplicate table
+    * ([[graft.functions.Dedup.cdcDuplicateChunks]], Muthitacharoen et
+    * al. 2001): chunks cut where the rolling 8-char window hash has 6
+    * low zero bits (expected ~64-char chunks), duplicate chunk hashes
+    * with copy/doc counts — the shift-resistant storage-dedup face
+    * (byte-offset chunking breaks on a single insertion; CDC does not).
+    */
+  val dedupCdcChunks: Q = (s, dir) =>
+    Dedup.cdcDuplicateChunks(t(s, dir, "documents"), w = 8, maskBits = 6)
+
+  /** Extension — corpus-level CDC dedup ratio
+    * ([[graft.functions.Dedup.cdcDedupRatio]]): the single-row
+    * store-once savings estimate over the same chunking.
+    */
+  val dedupCdcRatio: Q = (s, dir) =>
+    Dedup.cdcDedupRatio(t(s, dir, "documents"), w = 8, maskBits = 6)
 
   /** Extension — CCNet keep-first unit dedup (Wenzek et al. 2020):
     * the corpus rewritten so the FIRST occurrence of every 10-token

@@ -132,6 +132,8 @@ object SparkEntry {
     "dedup_char_removal" -> Queries.dedupCharRemoval,
     "dedup_incremental" -> Queries.dedupIncremental,
     "dedup_incremental_neardup" -> Queries.dedupIncrementalNeardup,
+    "dedup_cdc_chunks" -> Queries.dedupCdcChunks,
+    "dedup_cdc_ratio" -> Queries.dedupCdcRatio,
     "dedup_keep_first" -> Queries.dedupKeepFirst,
     "dedup_minhash_est" -> Queries.dedupMinhashEst,
     "dedup_span_removal" -> Queries.dedupSpanRemoval,
@@ -141,6 +143,7 @@ object SparkEntry {
     "text_novelty" -> Queries.textNovelty,
     "text_tfidf" -> Queries.textTfIdf,
     "corpus_quality_buckets" -> Queries.corpusQualityBuckets,
+    "corpus_curriculum" -> Queries.corpusCurriculum,
     "sample_stratified" -> Queries.sampleStratified,
     "sample_token_budget" -> Queries.sampleTokenBudget,
     "sim_rerank_topk" -> Queries.simRerankTopk,
@@ -150,6 +153,7 @@ object SparkEntry {
     "prepare_pretraining" -> Queries.preparePretraining,
     // -- extensions: similarity search
     "sim_cosine_topk" -> Queries.simCosineTopk,
+    "sim_hard_negatives" -> Queries.simHardNegatives,
     "sim_lsh_topk" -> Queries.simLshTopk,
     "sim_ivf_topk" -> Queries.simIvfTopk,
     "sim_pq_topk" -> Queries.simPqTopk,

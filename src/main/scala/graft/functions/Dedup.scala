@@ -1361,4 +1361,105 @@ object Dedup {
       .union(edges.select(col("v"), col("v")).distinct())
   }
 
+  // -------------------------------------------- content-defined chunking
+
+  /** Content-defined chunking (Muthitacharoen et al. 2001, LBFS):
+    * every document is cut at positions where the rolling hash of the
+    * `w`-char window starting there has its low `maskBits` bits zero —
+    * boundaries are a pure function of local CONTENT, so an insertion
+    * shifts only the chunk it lands in and identical passages chunk
+    * identically in every document that contains them (the property
+    * byte-offset chunking lacks). Emits one row per chunk:
+    * (doc_id, chunk_start, chunk_len, chunk_hash) with the md5 of the
+    * chunk text as its identity.
+    *
+    * This is the pure form — no min/max chunk clamps, so the boundary
+    * set needs no sequential scan: every position is classified
+    * independently, which is what makes the operator embarrassingly
+    * parallel (and the oracle expressible). Expected chunk length is
+    * 2^maskBits characters.
+    *
+    * Scale shape: ONE corpus scan; the per-position gram hashes are a
+    * single codegen'd kernel call per document, boundaries and chunk
+    * structs are doc-local array ops (no per-character explode — the
+    * explode is per CHUNK, ~len/2^maskBits rows of a 3-column struct),
+    * and the document text never rides a shuffle.
+    */
+  def cdcChunks(docs: DataFrame, w: Int = 8, maskBits: Int = 6): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val mask = (1L << maskBits) - 1
+    val hs = nativeCharGramHashes(col("text"), w)
+    // gram-start positions (0-based code points) whose window hash
+    // lands on the cut pattern; position 0 is always a boundary and is
+    // excluded here so the prepended 0 stays unique
+    val cuts = filter(
+      transform(hs, (h, i) => when(h.bitwiseAND(lit(mask)) === 0 && i > 0, i)),
+      x => x.isNotNull)
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        concat(array(lit(0)), cuts, array(length(col("text")))).as("bs"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("bs")) - 1), i =>
+          struct(
+            element_at(col("bs"), i).as("st"),
+            (element_at(col("bs"), i + 1) - element_at(col("bs"), i)).as("ln"),
+            md5(col("text").substr(
+              element_at(col("bs"), i) + 1,
+              element_at(col("bs"), i + 1) - element_at(col("bs"), i))
+              .cast("binary")).as("h")))).as("c"))
+      .select(col("doc_id"),
+        col("c.st").cast("long").as("chunk_start"),
+        col("c.ln").cast("long").as("chunk_len"),
+        col("c.h").as("chunk_hash"))
+  }
+
+  /** Cross-document duplicate chunks under [[cdcChunks]]: chunk hashes
+    * seen ≥ 2 times corpus-wide with their copy and document counts —
+    * the storage-dedup face (which passages would a chunk store keep
+    * once). One map-side-combined shuffle on the 16-byte digest.
+    */
+  def cdcDuplicateChunks(docs: DataFrame, w: Int = 8,
+      maskBits: Int = 6): DataFrame =
+    cdcChunks(docs, w, maskBits)
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("chunk_len")).as("chunk_len"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_copies") >= 2)
+
+  /** Per-unique-chunk store table of [[cdcChunks]]: (chunk_hash, ln,
+    * n) — the additive state a chunk store maintains (n sums, ln is a
+    * constant per hash, so min merges batches exactly).
+    */
+  private[graft] def cdcPerHash(docs: DataFrame, w: Int = 8,
+      maskBits: Int = 6): DataFrame =
+    cdcChunks(docs, w, maskBits)
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("chunk_len")).as("ln"), count(lit(1)).as("n"))
+
+  /** The store-once roll-up over a [[cdcPerHash]]-shaped table. */
+  private[graft] def cdcRatioOf(perHash: DataFrame): DataFrame =
+    perHash
+      .agg(
+        sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_unique"),
+        sum(col("ln") * col("n")).as("chars_total"),
+        sum(col("ln")).as("chars_unique"))
+      .select(col("n_chunks"), col("n_unique"), col("chars_total"),
+        col("chars_unique"),
+        round(lit(1.0) - col("chars_unique").cast("double")
+          / col("chars_total").cast("double"), 6).as("dedup_ratio"))
+
+  /** Corpus-level CDC dedup ratio: how much smaller the corpus would
+    * be if every [[cdcChunks]] chunk were stored once (the dedup
+    * estimator backup/chunk stores report). Single row —
+    * n_chunks / n_unique / chars_total / chars_unique / dedup_ratio.
+    * Two cascaded map-side-combined aggregations; nothing corpus-scale
+    * is collected.
+    */
+  def cdcDedupRatio(docs: DataFrame, w: Int = 8,
+      maskBits: Int = 6): DataFrame =
+    cdcRatioOf(cdcPerHash(docs, w, maskBits))
+
 }

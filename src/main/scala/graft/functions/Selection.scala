@@ -174,4 +174,45 @@ object Selection {
       .filter(col("rk") <= k)
       .select(col("g"), col("id"), col("rk"))
   }
+
+  /** Competence-based curriculum schedule (Platanios et al. 2019,
+    * "Competence-based Curriculum Learning for NMT"): order the corpus
+    * easiest-first by a difficulty proxy — here document quality, high
+    * quality = clean prose = stage 1 — and emit each document's
+    * training stage plus a DETERMINISTIC shuffled position within its
+    * stage (salted md5 order: uniformly random in distribution, yet
+    * stable under re-runs and engine-portable, the property an actual
+    * data loader needs to resume mid-epoch).
+    *
+    * Stages are exact interpolated quantile bands of the score (the
+    * paper's c(t) competence thresholds, materialized as quartiles
+    * here). At 100 TB the cutoff aggregate is the only global
+    * statistic — one map-side-combined pass producing a single
+    * broadcast row (swap in `approx_percentile` when exactness is not
+    * contractual); stage assignment is map-only against that row, and
+    * the within-stage shuffle is a stage-partitioned window, never a
+    * global sort.
+    */
+  def curriculumSchedule(docs: DataFrame, quality: Column,
+      stages: Int = 4, salt: String = "cur"): DataFrame = {
+    require(stages >= 2, "a curriculum needs at least 2 stages")
+    val q = docs.select(col("doc_id"), quality.as("quality"))
+    val ps = (1 until stages).map(i => i.toDouble / stages)
+    val cutsRow = q.agg(
+      percentile(col("quality"), lit(ps.head)).as("c1"),
+      ps.tail.zipWithIndex.map { case (p, i) =>
+        percentile(col("quality"), lit(p)).as(s"c${i + 2}") }: _*)
+    // stage = 1 + number of cutoffs the score clears, counted from the
+    // top band down: quality >= c(stages-1) → stage 1 (easiest)
+    val stageCol = (1 until stages).foldLeft(lit(stages): Column) {
+      case (acc, i) => acc - when(col(s"c$i") <= col("quality"), 1).otherwise(0)
+    }
+    q.crossJoin(broadcast(cutsRow))
+      .withColumn("stage", stageCol.cast("long"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("stage")).orderBy(
+          md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))
+            .cast("binary")), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("stage"), col("pos"), col("quality"))
+  }
 }

@@ -78,6 +78,56 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Semi-hard negative mining (Schroff et al. 2015, "FaceNet", §3.3 —
+    * the triplet-selection rule contrastive training pipelines run over
+    * the whole corpus): for each anchor, find the top-k OTHER-label
+    * vectors that are LESS similar than the anchor's hardest (least
+    * similar) same-label positive but maximally similar among those —
+    * negatives inside the positive radius are "too hard" (they collapse
+    * training), so the mined set is the closest negatives that still
+    * respect the margin. Anchors with no same-label positive emit
+    * nothing (there is no radius to respect).
+    *
+    * Emits (qid, rank, nid, cos, pos_cos) — pos_cos is the anchor's
+    * positive radius, so the per-row margin is pos_cos − cos.
+    *
+    * Scale shape: the anchor set is tiny and broadcast; the corpus is
+    * scanned ONCE and both the positive radius (a conditional min) and
+    * the negative ranking ride the SAME qid-partitioned window exchange
+    * — one shuffle total, no self-join, nothing materialized. Cosines
+    * are exact-integer dots (deterministic), so the strict
+    * `cos < pos_cos` comparison is bit-identical to the oracle's.
+    */
+  def semiHardNegatives(
+      embeddings: DataFrame, anchorIds: Seq[Long], k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val quant = embeddings.select(
+      col("vec_id"), col("label"),
+      quantized(col("embedding")).as("q"),
+    ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
+    val anchors = quant
+      .filter(col("vec_id").isin(anchorIds.map(Long.box): _*))
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("q").as("qv"), col("nsq").as("qn"))
+    val scored = quant.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("nid"), col("label"),
+        cosineFromInts(call_function("graft_dot", col("q"), col("qv")),
+          col("nsq"), col("qn")).as("cos"))
+    // positive radius and negative rank share one qid partitioning —
+    // Catalyst plans a single exchange for both windows
+    val wq = Window.partitionBy(col("qid"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("pos_cos",
+        min(when(col("label") === col("qlabel"), col("cos"))).over(wq))
+      .filter(col("label") =!= col("qlabel") && col("cos") < col("pos_cos"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("cos"), 6).as("cos"), round(col("pos_cos"), 6).as("pos_cos"))
+  }
+
   /** Two-stage prefix-dimension rerank (Matryoshka-style screening):
     * stage 1 scores the whole corpus against each query on only the
     * first `prefixDims` components — a dot product dims/prefixDims×

@@ -697,6 +697,58 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming CDC CHUNK STORE — the ingest twin of `dedup_cdc_ratio`:
+    * each micro-batch's documents are content-defined-chunked
+    * ([[graft.functions.Dedup.cdcChunks]] — doc-local, so chunk
+    * identity is batching-invariant by construction) and merged into
+    * the accumulated per-hash store state (chunk_hash, ln, n); the
+    * callback receives the CUMULATIVE store-once savings row in
+    * exactly `cdcDedupRatio`'s shape after every batch — the dedup
+    * meter a chunk-store ingest pipeline exposes. State is one row per
+    * UNIQUE chunk (the store's own index, never the corpus text),
+    * persisted with the [[piiAuditStream]] discipline — atomic
+    * overwrite + the last-applied batchId, so an at-least-once
+    * foreachBatch replay never double-counts copies.
+    */
+  def cdcStoreStream(
+      docs: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      onRatio: DataFrame => Unit,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val exists =
+          java.nio.file.Files.exists(java.nio.file.Paths.get(statePath))
+        val (prior, lastBid) =
+          if (exists) {
+            val p = spark.read.parquet(statePath)
+            (Some(p.select(col("chunk_hash"), col("ln"), col("n"))),
+              p.agg(coalesce(max(col("__bid")), lit(-1L)))
+                .head().getLong(0))
+          } else (None, -1L)
+        val merged =
+          if (lastBid == batchId) prior.get // replay: already applied
+          else {
+            val b = graft.functions.Dedup.cdcPerHash(batch)
+            prior match {
+              case None => b
+              case Some(st) => st.unionByName(b)
+                .groupBy(col("chunk_hash"))
+                .agg(min(col("ln")).as("ln"), sum(col("n")).as("n"))
+            }
+          }
+        graft.operators.Merge.atomicOverwrite(
+          merged.withColumn("__bid", lit(batchId)), statePath)
+        onRatio(graft.functions.Dedup.cdcRatioOf(
+          spark.read.parquet(statePath).drop("__bid")))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming DRIFT monitor — the per-batch face of `corpus_drift`:
     * each micro-batch's token counts are compared against the
     * ACCUMULATED reference distribution (all prior batches) with the

@@ -323,4 +323,35 @@ class AnalyticsPropertiesSpec extends SparkSpec {
           s"superset promoted a non-survivor ${(r._1, r._2)}")
     }
   }
+
+  test("∀ random corpora: curriculumSchedule partitions the corpus into " +
+      "quality-monotone stages with per-stage permutation positions") {
+    import graft.functions.Selection
+    val scoreGen: Gen[Seq[(Long, Double)]] =
+      Gen.sequence[Seq[(Long, Double)], (Long, Double)](
+        (0 until 48).map { i =>
+          for (q <- Gen.choose(0, 10000)) yield (i.toLong, q / 10000.0)
+        })
+    for (rows <- samples(scoreGen, 4); stages <- Seq(2, 4)) {
+      val df = rows.toDF("doc_id", "q")
+      val got = Selection.curriculumSchedule(df, col("q"), stages)
+        .as[(Long, Long, Long, Double)].collect()
+      // partition: every doc appears exactly once, stage in range
+      assert(got.map(_._1).sorted.toSeq == rows.map(_._1).sorted)
+      assert(got.forall(r => r._2 >= 1 && r._2 <= stages))
+      // monotone: a higher-quality doc never lands in a later stage
+      val byQ = got.sortBy(-_._4)
+      for (Array(a, b) <- byQ.sliding(2).map(_.toArray) if a._4 > b._4)
+        assert(a._2 <= b._2, s"quality ${a._4} in stage ${a._2} after ${b._4} in ${b._2}")
+      // positions are a 1..|stage| permutation inside each stage
+      for ((s, g) <- got.groupBy(_._2))
+        assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq, s"stage $s")
+      // deterministic
+      val again = Selection.curriculumSchedule(df, col("q"), stages)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+      // all stages are populated on a 48-doc spread
+      assert(got.map(_._2).distinct.length == stages)
+    }
+  }
 }

@@ -1739,4 +1739,108 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fp(1L) == fp(3L))
     assert(fp(1L) != fp(2L))
   }
+
+  // ------------------------------------------ content-defined chunking
+
+  /** Deterministic prose-like filler: long enough that the 1-in-64 cut
+    * rule fires many times, varied enough that chunks differ.
+    */
+  private def cdcText(seed: Int, words: Int): String =
+    (0 until words).map(i => f"w${(i * 31 + seed * 17) % 97}%02d").mkString(" ")
+
+  test("cdc chunks tile each document exactly (contiguous, full cover)") {
+    val d = Seq((1L, cdcText(1, 200)), (2L, cdcText(2, 150)), (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(d).as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val lens = d.select($"doc_id", length($"text").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    for ((id, chunks) <- ch) {
+      assert(chunks.head._2 == 0L, s"doc $id: first chunk must start at 0")
+      for (Array(a, b) <- chunks.sliding(2).map(_.toArray))
+        assert(a._2 + a._3 == b._2, s"doc $id: gap/overlap at ${b._2}")
+      assert(chunks.map(_._3).sum == lens(id), s"doc $id: must cover all chars")
+      assert(chunks.forall(_._3 > 0), s"doc $id: empty chunk")
+    }
+    // the multi-hundred-char docs must actually have been cut
+    assert(ch(1L).size > 1 && ch(2L).size > 1, "cut rule never fired")
+  }
+
+  test("cdc boundaries resist shifts: a prefix insertion preserves tail chunks") {
+    val shared = cdcText(7, 250)
+    val d = Seq((1L, shared), (2L, "an unrelated preamble paragraph " + shared))
+      .toDF("doc_id", "text")
+    val byDoc = Dedup.cdcChunks(d).as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._4).toSet).toMap
+    val common = byDoc(1L) intersect byDoc(2L)
+    assert(common.nonEmpty,
+      "shifted copy shares no chunk — content-defined cuts must realign")
+    // the duplicate-chunk face reports exactly those as 2-doc chunks
+    val dup = Dedup.cdcDuplicateChunks(d)
+      .filter($"n_docs" === 2).select("chunk_hash").as[String].collect().toSet
+    assert(dup == common)
+    // and fixed-offset chunking could not share ANY chunk here: the
+    // insertion length is not a multiple of any fixed chunk size > 1
+    val ratio = Dedup.cdcDedupRatio(d)
+      .select("dedup_ratio").as[Double].head()
+    assert(ratio > 0.0, "shared tail must yield store-once savings")
+  }
+
+  test("cdc ratio fields are mutually consistent and bounded") {
+    val d = Seq((1L, cdcText(3, 120)), (2L, cdcText(3, 120)), (3L, cdcText(4, 80)))
+      .toDF("doc_id", "text")
+    val r = Dedup.cdcDedupRatio(d)
+      .as[(Long, Long, Long, Long, Double)].head()
+    val (nChunks, nUnique, charsTotal, charsUnique, ratio) = r
+    assert(nUnique <= nChunks && charsUnique <= charsTotal)
+    assert(math.abs(ratio - (1.0 - charsUnique.toDouble / charsTotal)) < 1e-6)
+    // doc 1 and 2 are identical -> at least half the chunk mass dedups
+    assert(ratio > 0.0)
+  }
+
+  // ------------------------------------------ semi-hard negative mining
+
+  test("semi-hard negatives: other-label, strictly outside the positive radius, closest-first") {
+    val mined = Similarity.semiHardNegatives(embs, Seq(0L, 1L, 2L, 3L, 4L), 10)
+      .as[(Long, Int, Long, Double, Double)].collect()
+    assert(mined.nonEmpty)
+    val labels = embs.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    // recompute the exact scored pairs via the audited brute machinery
+    val cosOf = Similarity.bruteForceTopK(embs, Seq(0L, 1L, 2L, 3L, 4L),
+        k = Int.MaxValue)
+      .as[(Long, Int, Long, Double)].collect()
+      .map { case (q, _, n, c) => (q, n) -> c }.toMap
+    val posRadius = cosOf.toSeq
+      .filter { case ((q, n), _) => labels(n) == labels(q) }
+      .groupBy(_._1._1).view.mapValues(_.map(_._2).min).toMap
+    for ((q, rank, n, c, pc) <- mined) {
+      assert(labels(n) != labels(q), s"anchor $q mined a same-label $n")
+      assert(math.abs(pc - posRadius(q)) < 1e-6, s"anchor $q radius drift")
+      assert(c < pc, s"anchor $q: negative $n inside the positive radius")
+      assert(rank >= 1 && rank <= 10)
+    }
+    // ranks are contiguous and ordered by descending cosine per anchor
+    for ((_, rows) <- mined.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length).toSeq)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
+  test("semi-hard negatives: an anchor with no same-label positive emits nothing") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 9),  // anchor: label 9 appears once
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.0f, 1.0f), 2),
+      (3L, Array(0.5f, 0.5f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    assert(Similarity.semiHardNegatives(vecs, Seq(0L), 5).isEmpty,
+      "no positive -> no radius -> no mined rows")
+    // with a positive present, only strictly-farther negatives emerge
+    val vecs2 = vecs.union(Seq((4L, Array(0.8f, 0.2f), 9))
+      .toDF("vec_id", "embedding", "label"))
+    val got = Similarity.semiHardNegatives(vecs2, Seq(0L), 5)
+      .as[(Long, Int, Long, Double, Double)].collect()
+    assert(got.nonEmpty && got.forall(r => r._4 < r._5))
+  }
 }

@@ -154,6 +154,8 @@ class PlanQualitySpec extends SparkSpec {
       "sim_recall_report", "sim_recall_report_ivf",  // truth arm = brute pass
       "sim_mips_recall",                             // truth arm = brute dot pass
       "sim_mmr_rerank",                              // 1-row broadcast query vector
+      "sim_hard_negatives",                          // mining sweep: broadcast anchor set × corpus by design
+      "corpus_curriculum",                           // 1-row quantile-cutoff cross
       "decon_semantic",                              // broadcast eval side, zero shuffle
       "graph_triangles",                             // degree-ordered probe broadcast
     )
@@ -256,6 +258,45 @@ class PlanQualitySpec extends SparkSpec {
   test("brute-force similarity broadcasts the query side") {
     val p = planOf("sim_cosine_topk")
     assert(p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("semi-hard negatives: anchors broadcast; positive radius and rank share ONE exchange") {
+    val p = planOf("sim_hard_negatives")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    // both windows partition by qid — Catalyst must reuse a single
+    // hash exchange for the min-radius window and the rank window
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected one qid exchange for both windows, got $exchanges:\n${p.take(1200)}")
+  }
+
+  test("cdc chunking: one kernel scan, no join, digest-only shuffles") {
+    val p = planOf("dedup_cdc_chunks")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p.take(800))
+    val kernelScans = "(?i)chargramhashes".r.findAllIn(p).size
+    assert(kernelScans == 1,
+      s"expected one chargram kernel call, got $kernelScans:\n${p.take(800)}")
+    // chunks explode locally; the shuffles are the canonical two-phase
+    // distinct-aggregate pair — (chunk_hash, doc_id) partial then
+    // chunk_hash final — both map-side combined and carrying only
+    // 16-byte digests + counters, never document text
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2,
+      s"expected the two-phase distinct-agg shuffles, got $exchanges:\n${p.take(1200)}")
+    for (l <- p.linesIterator if l.contains("Exchange hashpartitioning"))
+      assert(!l.contains("text"), s"document text entered a shuffle: $l")
+  }
+
+  test("curriculum: cutoffs ride a 1-row broadcast; the only shuffle is the stage window") {
+    val p = planOf("corpus_curriculum")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected only the stage-window exchange, got $exchanges:\n${p.take(1200)}")
   }
 
   test("bloom semi-join: the word-test filter runs upstream of the first exchange") {

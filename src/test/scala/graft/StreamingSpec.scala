@@ -918,4 +918,43 @@ class StreamingSpec extends SparkSpec {
     stateDirs.forEachRemaining(p => names += p.getFileName.toString)
     assert(names.count(n => n.matches("b\\d+")) == 3, names)
   }
+
+  test("streaming cdc chunk store: cumulative savings row is batch-exact across a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ck").toString
+    val state = s"$dir/state.parquet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val schema = docs.schema
+    var last: Option[(Long, Long, Long, Long, Double)] = None
+    def run(): Unit = {
+      val q = Streams.cdcStoreStream(
+        spark.readStream.schema(schema).parquet(s"$dir/in/*"),
+        state, ckpt,
+        r => { last = Some(
+          r.as[(Long, Long, Long, Long, Double)].head()) })
+      q.awaitTermination(120000)
+    }
+    docs.filter($"doc_id" < 250).write.parquet(s"$dir/in/b1.parquet")
+    run() // batch 1, then a RESTART (new query, same checkpoint/state)
+    val mid = last.get
+    // the mid-stream meter must itself be a valid cdc ratio (of the
+    // half corpus) — the chunking is doc-local, so any prefix of the
+    // stream equals the batch operator on the docs seen so far
+    val halfWant = graft.functions.Dedup
+      .cdcDedupRatio(docs.filter($"doc_id" < 250))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(mid == halfWant, s"mid-stream meter drifted: $mid vs $halfWant")
+    docs.filter($"doc_id" >= 250).write.parquet(s"$dir/in/b2.parquet")
+    run()
+    val want = graft.functions.Dedup.cdcDedupRatio(docs)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(last.get == want,
+      s"stream savings diverged:\n  stream ${last.get}\n  batch  $want")
+    // state is the store's index: one row per unique chunk, no text
+    val st = spark.read.parquet(state)
+    assert(st.count() == want._2, "state must hold exactly n_unique rows")
+    assert(!st.columns.contains("text"))
+  }
 }
