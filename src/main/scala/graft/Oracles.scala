@@ -6229,6 +6229,28 @@ object Oracles {
          |  AND a.s_start < b.s_end AND b.s_start < a.s_end
          |GROUP BY a.rsbsa_no, a.s_start""".stripMargin,
 
+    // Code-vs-prose screen: both signals are exact counts (regex class
+    // [{}();=<>] is literal-safe in Java regex and RE2 alike; keyword
+    // hits are exact token equality), so the only doubles are the two
+    // saturating ratios — same expression tree both sides.
+    "text_code_detect" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(regexp_replace(text, '[{}();=<>]', '', 'g')) AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('def','return','import','class','function',
+        |                 'void','struct','lambda','elif','printf'))) AS BIGINT) AS kw_hits,
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS n
+        |  FROM documents)
+        |SELECT doc_id, n_symbols,
+        |  round(CAST(n_symbols AS DOUBLE) / n, 4) AS symbol_ratio,
+        |  kw_hits,
+        |  round((least(CAST(n_symbols AS DOUBLE) / n * 20, 1.0)
+        |       + least(CAST(kw_hits AS DOUBLE) / 4.0, 1.0)) / 2, 4) AS code_score,
+        |  round((least(CAST(n_symbols AS DOUBLE) / n * 20, 1.0)
+        |       + least(CAST(kw_hits AS DOUBLE) / 4.0, 1.0)) / 2, 4) >= 0.5 AS is_code
+        |FROM s""".stripMargin,
+
     "text_quality_score" ->
       """SELECT doc_id,
         |  round((least(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) / 64.0, 1.0)

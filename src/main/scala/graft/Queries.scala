@@ -3173,6 +3173,14 @@ object Queries {
     TextAnalysis.blocklistScreen(t(s, dir, "documents"),
       Seq("slow", "spark", "table table", "big big"))
 
+  /** Extension — code-vs-prose routing screen
+    * ([[graft.functions.TextAnalysis.codeScreen]]): code-punctuation
+    * density + exact keyword hits, the corpus-split step before
+    * language-specific processing. Map-only, zero exchange.
+    */
+  val textCodeDetect: Q = (s, dir) =>
+    TextAnalysis.codeScreen(t(s, dir, "documents"))
+
   /** Extension — mojibake / encoding-damage signal (ftfy lineage):
     * per-doc count + rate of UTF-8-read-as-Latin-1 artifacts. The
     * fixture is pure ASCII, so every 7th doc is DETERMINISTICALLY

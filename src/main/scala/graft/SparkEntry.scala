@@ -144,6 +144,7 @@ object SparkEntry {
     "text_tfidf" -> Queries.textTfIdf,
     "corpus_quality_buckets" -> Queries.corpusQualityBuckets,
     "corpus_curriculum" -> Queries.corpusCurriculum,
+    "text_code_detect" -> Queries.textCodeDetect,
     "sample_stratified" -> Queries.sampleStratified,
     "sample_token_budget" -> Queries.sampleTokenBudget,
     "sim_rerank_topk" -> Queries.simRerankTopk,

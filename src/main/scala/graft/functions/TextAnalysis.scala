@@ -1091,6 +1091,41 @@ object TextAnalysis {
       .withColumn("keep", col("n_hits") === 0L)
   }
 
+  /** Code-vs-prose routing screen — the corpus-split step a mixed
+    * pretraining pipeline runs before language-specific processing
+    * (C4 dropped any page containing '{' outright, Raffel et al. 2020
+    * §2.2; StarCoder-era pipelines route instead of drop). Two
+    * deterministic map-only signals: density of code punctuation
+    * (`{}();=<>` — the characters prose grammar almost never emits)
+    * and exact whitespace-token hits against a small case-sensitive
+    * keyword list chosen to be rare in prose (`def`, `import`,
+    * `printf`, …). Score = mean of the two saturating signals
+    * (symbol density saturates at 5%, keywords at 4 hits);
+    * `is_code` = score ≥ 0.5, i.e. both signals firing or either
+    * alone at saturation.
+    *
+    * Scale shape: one narrow projection — no tokens, characters, or
+    * text ever reach a shuffle (same contract as [[qualityScore]]).
+    */
+  def codeScreen(docs: DataFrame): DataFrame = {
+    val kws = Seq("def", "return", "import", "class", "function",
+      "void", "struct", "lambda", "elif", "printf")
+    val nSym = (length(col("text")) -
+      length(regexp_replace(col("text"), "[{}();=<>]", ""))).cast("long")
+    val kw = size(filter(tokens(col("text")),
+      t => kws.map(e => t === lit(e)).reduce(_ || _))).cast("long")
+    val symRatioRaw = nSym.cast("double") /
+      greatest(length(col("text")).cast("double"), lit(1.0))
+    val score = round((least(symRatioRaw * 20, lit(1.0))
+      + least(kw.cast("double") / lit(4.0), lit(1.0))) / 2, 4)
+    docs.select(col("doc_id"),
+      nSym.as("n_symbols"),
+      round(symRatioRaw, 4).as("symbol_ratio"),
+      kw.as("kw_hits"),
+      score.as("code_score"),
+      (score >= 0.5).as("is_code"))
+  }
+
   /** (word-hit count, phrase-hit count) as bare Columns — the
     * [[blocklistScreen]] semantics, reusable by composition faces
     * like [[curationFunnel]].

@@ -393,7 +393,7 @@ class PlanQualitySpec extends SparkSpec {
   test("map-only text passes plan without any exchange") {
     for (q <- Seq("text_pii_redact", "text_gopher_filter", "split_train_val",
         "chunk_overlap", "text_blocklist", "text_mojibake",
-        "decon_substring")) {
+        "decon_substring", "text_code_detect")) {
       val p = planOf(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n${p.take(800)}")
     }

@@ -123,4 +123,33 @@ class TextScreenSpec extends SparkSpec {
     // non-degenerate grid: at least one threshold splits the corpus
     assert(preds.exists(p => p > 0 && p < n), preds.toString)
   }
+
+  test("code screen: routes code-shaped text, passes prose, and is signal-exact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "def f(x): return g(x) + h(x); import os; class A: elif printf"),
+      (2L, "the quiet harvest settled over the terraces before dawn"),
+      (3L, "for (int i = 0; i < n; i++) { total += values[i]; }"),
+      (4L, ""),
+      (5L, "she said return the class books before function hall closes"),
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.codeScreen(d)
+      .as[(Long, Long, Double, Long, Double, Boolean)]
+      .collect().map(x => x._1 -> x).toMap
+    // code docs route as code; prose does not — even prose that happens
+    // to reuse keyword WORDS (doc 5) stays below the gate without the
+    // punctuation signal
+    assert(r(1L)._6 && r(3L)._6, s"code docs not routed: ${r(1L)} ${r(3L)}")
+    assert(!r(2L)._6 && !r(5L)._6, s"prose routed as code: ${r(2L)} ${r(5L)}")
+    // exact signals: doc 3 symbols { } ( ) ; ; ; = = < [] not counted
+    assert(r(3L)._2 == ("for (int i = 0; i < n; i++) { total += values[i]; }"
+      .count("{}();=<>".contains(_))), r(3L).toString)
+    assert(r(1L)._4 == 6L, s"doc 1 keyword hits: ${r(1L)}") // def return(x2-no: 1) import class elif printf
+    // empty text: zero everything, not NaN
+    assert(r(4L)._2 == 0L && r(4L)._5 == 0.0 && !r(4L)._6)
+    // score law spot checks: doc 5 = (0 + min(3/4, 1)) / 2; doc 1 =
+    // both signals saturated
+    assert(r(5L)._4 == 3L && r(5L)._5 == 0.375, r(5L).toString)
+    assert(r(1L)._5 == 1.0, r(1L).toString)
+  }
 }
