@@ -1737,6 +1737,49 @@ object Oracles {
     // 3-core by 3 unrolled peeling rounds over the same co-purchase
     // graph: per round, symmetric degree count → keep deg >= 3 →
     // restrict edges to kept endpoints — mirrors Graphs.kCore.
+    // SCC over the directed nation trade graph: the oracle is GROUND
+    // TRUTH — full transitive closure, mutual pairs, scc = min mutual
+    // partner (the engine's FW-BW peeling must land on exactly this
+    // table; no trajectory replication, the algorithm is exact by
+    // construction). Edge derivation mirrors the engine: directed
+    // nation flows, self-trade dropped, top-3 outbound partners by
+    // (line count desc, partner asc).
+    "graph_scc" ->
+      """WITH RECURSIVE l AS (
+        |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
+        |    li.l_returnflag AS rf
+        |  FROM orders o
+        |  JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN supplier s ON s.s_suppkey = li.l_suppkey),
+        |cnt AS (
+        |  SELECT CAST(CASE WHEN rf = 'R' THEN sn ELSE cn END AS BIGINT) AS src,
+        |         CAST(CASE WHEN rf = 'R' THEN cn ELSE sn END AS BIGINT) AS dst,
+        |         count(*) AS n
+        |  FROM l
+        |  WHERE (CASE WHEN rf = 'R' THEN sn ELSE cn END)
+        |     != (CASE WHEN rf = 'R' THEN cn ELSE sn END)
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rk
+        |    FROM cnt) WHERE rk <= 3),
+        |nn AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON e2.src = r.b),
+        |mutual AS (
+        |  SELECT r1.a AS v, r1.b AS w FROM reach r1 JOIN reach r2
+        |    ON r1.a = r2.b AND r1.b = r2.a),
+        |scc AS (
+        |  SELECT nn.node, least(nn.node, coalesce(min(m.w), nn.node)) AS scc
+        |  FROM nn LEFT JOIN mutual m ON m.v = nn.node
+        |  GROUP BY nn.node)
+        |SELECT scc.node AS nation, na.n_name, scc.scc
+        |FROM scc JOIN nation na ON na.n_nationkey = scc.node""".stripMargin,
+
     "graph_kcore" -> {
       def peel(inEd: String, d: String, kk: String, outEd: String) =
         s"""$d AS (SELECT src AS node, count(*) AS deg FROM $inEd GROUP BY src),

@@ -742,6 +742,57 @@ object Queries {
       .union(pairs.select(col("su").as("src"), col("c").as("dst")))
   }
 
+  /** DIRECTED nation-level trade edges for the SCC face: regular
+    * order lines flow customer-nation → supplier-nation (goods
+    * bought), RETURN-flagged lines flow supplier-nation →
+    * customer-nation (goods sent back) — a genuinely directed relation
+    * whose cycles are sustained two-way trading blocs. Each nation
+    * keeps only its TOP-3 outbound partners by exact line count
+    * (count desc, partner asc — scale-robust sparsification, unlike an
+    * absolute count floor); self-trade drops so the slots go to real
+    * partners. The fact-table aggregation is the 100-TB-bearing stage;
+    * the resulting graph is nation-scale by construction, which also
+    * keeps the oracle's ground-truth closure trivially cheap.
+    */
+  private def directedTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val flows = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_returnflag"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(
+        when(col("l_returnflag") === "R", col("s_nationkey"))
+          .otherwise(col("c_nationkey")).cast("long").as("src"),
+        when(col("l_returnflag") === "R", col("c_nationkey"))
+          .otherwise(col("s_nationkey")).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    flows
+      .withColumn("rk", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("n").desc, col("dst"))))
+      .filter(col("rk") <= 3).select("src", "dst")
+  }
+
+  /** Extension — strongly connected components over the directed
+    * nation trade graph
+    * ([[graft.operators.Graphs.stronglyConnectedComponents]], FW-BW
+    * min-label class peeling): which trading blocs are MUTUALLY
+    * reachable through sustained buy/return flows. The directed
+    * complement of `dedup_components`' undirected closure; the oracle
+    * is ground-truth mutual reachability via a recursive CTE, which
+    * the engine never computes.
+    */
+  val graphScc: Q = (s, dir) =>
+    graft.operators.Graphs
+      .stronglyConnectedComponents(directedTradeEdges(s, dir))
+      .join(t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("node"), col("n_name")),
+        Seq("node"))
+      .select(col("node").as("nation"), col("n_name"), col("scc"))
+
   /** Decode a parity-packed trade-graph node id to (kind, id). */
   private def decodeNode(rest: Column*): Seq[Column] =
     Seq(when(col("node") % 2 === 0, lit("customer"))

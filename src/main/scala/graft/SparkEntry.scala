@@ -91,6 +91,7 @@ object SparkEntry {
     "graph_khop" -> Queries.graphKhop,
     "graph_labelprop" -> Queries.graphLabelprop,
     "graph_kcore" -> Queries.graphKcore,
+    "graph_scc" -> Queries.graphScc,
     "graph_convergence" -> Queries.graphConvergence,
     "graph_fixpoint_delta" -> Queries.graphFixpointDelta,
     "graph_modularity" -> Queries.graphModularity,

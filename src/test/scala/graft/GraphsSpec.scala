@@ -337,4 +337,82 @@ class GraphsSpec extends SparkSpec {
     assert(deep(1L) == ((1000000L, 1000000L)) &&
       deep(2L) == ((1000000L, 1000000L)))
   }
+
+  // ------------------------------------------------------------- SCC
+
+  /** Brute mutual-reachability SCC (Floyd-Warshall closure) — the
+    * independent in-memory reference for
+    * [[Graphs.stronglyConnectedComponents]].
+    */
+  private def bruteScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val reach = Array.fill(n, n)(false)
+    for ((a, b) <- edges) reach(idx(a))(idx(b)) = true
+    for (k <- 0 until n; i <- 0 until n if reach(i)(k);
+         j <- 0 until n if reach(k)(j)) reach(i)(j) = true
+    nodes.map { v =>
+      val mutual = nodes.filter(w =>
+        w == v || (reach(idx(v))(idx(w)) && reach(idx(w))(idx(v))))
+      v -> mutual.min
+    }.toMap
+  }
+
+  /** Runs BOTH paths — driver Tarjan (bounded-collect fast path) and
+    * the distributed FW-BW peeling (collectThreshold = 0) — and pins
+    * them identical before returning.
+    */
+  private def scc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst")
+    val fast = Graphs.stronglyConnectedComponents(df)
+      .as[(Long, Long)].collect().toMap
+    val dist = Graphs
+      .stronglyConnectedComponents(df, collectThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist,
+      s"Tarjan fast path != distributed peeling:\n fast $fast\n dist $dist")
+    dist
+  }
+
+  test("scc: cycles group, chains stay singletons, self-loops are their own component") {
+    // figure-eight (two cycles sharing node 3) + a directed tail + a
+    // 2-cycle island + a self-loop-only node
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),      // cycle {1,2,3}
+      (3L, 4L), (4L, 5L), (5L, 3L),      // cycle {3,4,5} -> one SCC {1..5}
+      (5L, 6L), (6L, 7L),                // acyclic tail
+      (8L, 9L), (9L, 8L),                // island 2-cycle
+      (10L, 10L),                        // self-loop only
+    )
+    val got = scc(edges)
+    assert(got == bruteScc(edges), s"scc drift: $got")
+    assert(got(1L) == 1L && got(5L) == 1L && got(4L) == 1L)
+    assert(got(6L) == 6L && got(7L) == 7L)
+    assert(got(8L) == 8L && got(9L) == 8L)
+    assert(got(10L) == 10L)
+  }
+
+  test("scc: descending id chain needs trim-driven peels and still settles exactly") {
+    // ids descend along the edges — the adversarial order for min-label
+    // settling (F==B never fires off the fringe); the trim pass must
+    // carry it
+    val chain = (1L to 8L).reverse.sliding(2).map(p => (p(0), p(1))).toSeq
+    val withCycle = chain ++ Seq((1L, 20L), (20L, 21L), (21L, 1L))
+    val got = scc(withCycle)
+    assert(got == bruteScc(withCycle), s"scc drift: $got")
+    assert(got(20L) == 1L && got(21L) == 1L && got(8L) == 8L)
+  }
+
+  test("scc agrees with brute mutual reachability on random directed graphs") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 4) {
+      val n = 12 + trial * 3
+      val edges = (1 to n * 2).map(_ =>
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1)).distinct
+      val got = scc(edges)
+      assert(got == bruteScc(edges),
+        s"trial $trial drift:\n got  $got\n want ${bruteScc(edges)}")
+    }
+  }
 }
