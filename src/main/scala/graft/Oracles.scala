@@ -80,6 +80,50 @@ object Oracles {
       |      (a, b) -> a + b) AS c
       |  FROM sl CROSS JOIN nn CROSS JOIN vfin)""".stripMargin
 
+  /** Greedy k-center coreset, all 8 rounds unrolled: round r picks the
+    * max-min-squared-L2 row (ties by vec_id) of state s_{r-1}, then
+    * s_r folds the new center into every remaining row's min distance
+    * — exact integer arithmetic end to end, mirroring
+    * `Similarity.kCenterCoreset` bit for bit.
+    */
+  private val KCENTER: String = {
+    val k = 8
+    def dotTo(alias: String): String =
+      s"CAST(list_sum(list_transform(range(1, len(x.qv) + 1), " +
+        s"i -> x.qv[i] * $alias.qv[i])) AS BIGINT)"
+    val head =
+      """n AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM n),
+        |c1 AS (SELECT vec_id, qv, nsq FROM q
+        |       WHERE vec_id = (SELECT min(vec_id) FROM q)),
+        |s1 AS (
+        |  SELECT x.vec_id, x.qv, x.nsq,
+        |    x.nsq + c.nsq - 2 * """.stripMargin + dotTo("c") +
+        " AS d\n  FROM q x, c1 c WHERE x.vec_id != c.vec_id)"
+    val rounds = (2 to k).flatMap { r =>
+      val f = s"f$r AS (SELECT vec_id, qv, nsq, d FROM s${r - 1} " +
+        "ORDER BY d DESC, vec_id LIMIT 1)"
+      val s = if (r < k)
+        Some(s"s$r AS (\n  SELECT x.vec_id, x.qv, x.nsq,\n" +
+          s"    least(x.d, x.nsq + f.nsq - 2 * ${dotTo("f")}) AS d\n" +
+          s"  FROM s${r - 1} x, f$r f WHERE x.vec_id != f.vec_id)")
+      else None
+      f +: s.toSeq
+    }
+    val out = (Seq(
+      "SELECT 1 AS rank, vec_id, CAST(0 AS BIGINT) AS dist_sq FROM c1") ++
+      (2 to k).map(r => s"SELECT $r AS rank, vec_id, d AS dist_sq FROM f$r"))
+      .mkString("\nUNION ALL\n")
+    s"WITH ${(head +: rounds).mkString(",\n")}\n$out"
+  }
+
   private val BRUTE_TOPK =
     """WITH q AS (
       |  SELECT vec_id,
@@ -3208,6 +3252,7 @@ object Oracles {
         |FROM s""".stripMargin,
 
     "sim_cosine_topk" -> BRUTE_TOPK,
+    "sample_kcenter" -> KCENTER,
 
     // Semi-hard negative mining (FaceNet §3.3): brute scored pairs as
     // BRUTE_TOPK (exact integer dots — bit-identical doubles), the

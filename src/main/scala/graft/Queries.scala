@@ -1331,6 +1331,17 @@ object Queries {
   val simCosineTopk: Q = (s, dir) =>
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 10)
 
+  /** Extension — greedy k-center coreset
+    * ([[graft.functions.Similarity.kCenterCoreset]], Gonzalez 1985
+    * farthest-point traversal): the 8 most mutually-spread vectors
+    * plus the cover-radius² trajectory — the representative-subset
+    * selection a data-efficient-training pipeline runs over
+    * embeddings. Exact integer distances; the oracle replays all 8
+    * greedy rounds.
+    */
+  val sampleKcenter: Q = (s, dir) =>
+    Similarity.kCenterCoreset(t(s, dir, "embeddings"), k = 8)
+
   /** Extension — semi-hard negative mining
     * ([[graft.functions.Similarity.semiHardNegatives]], FaceNet §3.3):
     * per anchor, the top-10 other-label vectors just outside the

@@ -147,6 +147,7 @@ object SparkEntry {
     "corpus_curriculum" -> Queries.corpusCurriculum,
     "text_code_detect" -> Queries.textCodeDetect,
     "sample_stratified" -> Queries.sampleStratified,
+    "sample_kcenter" -> Queries.sampleKcenter,
     "sample_token_budget" -> Queries.sampleTokenBudget,
     "sim_rerank_topk" -> Queries.simRerankTopk,
     "sim_mmr_rerank" -> Queries.simMmrRerank,

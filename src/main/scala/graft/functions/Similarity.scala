@@ -243,6 +243,84 @@ object Similarity {
     selected.toSeq.toDF("rank", "vec_id", "rel", "max_sim", "mmr")
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal — the 2-approximation every coreset/active-learning
+    * curation pipeline runs to pick a maximally-spread representative
+    * subset): seed at the minimum vec_id, then k−1 times pick the
+    * vector FARTHEST (max min-squared-L2 over chosen centers, ties by
+    * vec_id) from everything chosen so far. Distances are exact
+    * integers over the quantized vectors (‖a−b‖² = ‖a‖² + ‖b‖² −
+    * 2·a·b), so the trajectory is bit-reproducible and the DuckDB
+    * oracle unrolls it round for round. Emits `(rank, vec_id,
+    * dist_sq)` — dist_sq is the cover radius² at selection time (the
+    * k-center objective's trajectory; rank 1 = 0), so the caller reads
+    * coverage quality straight off the result.
+    *
+    * Scale shape: the min-distance state table carries (vec_id, q, d)
+    * and is updated MAP-ONLY against the one newest center per round
+    * (the center's vector rides as a literal — the [[kmeansAssign]]
+    * convention); the per-round argmax is a distributed TakeOrdered
+    * (limit 1), and the driver ever holds k rows. O(k·corpus) total
+    * work, k bounded — never all-pairs, nothing corpus-scale
+    * collected. Superseded round states free eagerly.
+    */
+  def kCenterCoreset(embeddings: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = embeddings.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val sc = spark.sparkContext
+    def free(df: DataFrame): Unit =
+      graft.plans.Materialize.rddIds(df).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val quant = embeddings.select(
+      col("vec_id"), quantized(col("embedding")).as("q"),
+    ).withColumn("nsq", call_function("graft_norm_sq", col("q")))
+      .materialize()
+    val seed = quant.orderBy(col("vec_id")).limit(1)
+      .collect().headOption
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    seed.foreach { s =>
+      var centerId = s.getLong(0)
+      var centerVec = s.getSeq[Long](1).toArray
+      var centerNsq = s.getLong(2)
+      picked += ((1, centerId, 0L))
+      def distToCenter: Column =
+        col("nsq") + lit(centerNsq) - lit(2L) *
+          call_function("graft_dot", col("q"),
+            array(centerVec.map(lit).toIndexedSeq: _*))
+      var state = quant.filter(col("vec_id") =!= centerId)
+        .select(col("vec_id"), col("q"), col("nsq"),
+          distToCenter.as("d"))
+        .materialize()
+      var rank = 2
+      var empty = false
+      while (rank <= k && !empty) {
+        state.orderBy(col("d").desc, col("vec_id")).limit(1)
+          .collect().headOption match {
+          case None => empty = true
+          case Some(far) =>
+            centerId = far.getLong(0)
+            centerVec = far.getSeq[Long](1).toArray
+            centerNsq = far.getLong(2)
+            picked += ((rank, centerId, far.getLong(3)))
+            if (rank < k) {
+              val next = state.filter(col("vec_id") =!= centerId)
+                .select(col("vec_id"), col("q"), col("nsq"),
+                  least(col("d"), distToCenter).as("d"))
+                .materialize()
+              free(state)
+              state = next
+            }
+            rank += 1
+        }
+      }
+      free(state)
+    }
+    free(quant)
+    import spark.implicits._
+    picked.toSeq.toDF("rank", "vec_id", "dist_sq")
+  }
+
   /** Random-hyperplane signature: p sign bits packed into a long. The
     * hyperplane components are deterministic pseudo-random ±[0,1)
     * values derived from `md5("p_i")` (see

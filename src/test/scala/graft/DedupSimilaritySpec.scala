@@ -1827,6 +1827,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-center coreset: exact greedy farthest-point trajectory and monotone radius") {
+    val got = Similarity.kCenterCoreset(embs, k = 8)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 8 && got.head == ((1, got.head._2, 0L)))
+    // independent in-memory greedy reference over the same quantization
+    val vecs = embs.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect()
+      .map { case (id, v) =>
+        id -> v.map(x => math.round(x.toDouble * 1000)).toArray }
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = List(vecs.keys.min)
+    var want = List((1, vecs.keys.min, 0L))
+    for (r <- 2 to 8) {
+      val (far, dist) = (vecs.keySet -- chosen).toSeq
+        .map(id => id -> chosen.map(c => d2(vecs(id), vecs(c))).min)
+        .minBy { case (id, d) => (-d, id) }
+      want ::= ((r, far, dist))
+      chosen ::= far
+    }
+    assert(got.toSeq == want.reverse, s"trajectory drift:\n got  ${got.toSeq}\n want ${want.reverse}")
+    // cover radius is non-increasing after round 2 (greedy k-center law)
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b }, radii.toSeq)
+  }
+
   test("semi-hard negatives: an anchor with no same-label positive emits nothing") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 9),  // anchor: label 9 appears once
