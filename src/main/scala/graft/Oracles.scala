@@ -2126,6 +2126,50 @@ object Oracles {
     // One-way ANOVA: exact BIGINT per-group moments, the cross-group
     // Σ s_g²/n_g as a g-ordered list_reduce fold (FP addition does not
     // commute), then the fixed F and η² trees of Profile.anovaF.
+    // Kruskal–Wallis: 2×midranks are exact integers (2·prefix + c + 1
+    // over the distinct-value counts), per-group rank sums exact
+    // BIGINTs, and the per-group double terms fold in g-order (the
+    // stat_anova list_reduce convention) — bit-identical trees.
+    "stat_kruskal" -> {
+      def dd(x: String) = s"CAST($x AS DOUBLE)"
+      s"""WITH base AS (
+         |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v FROM documents),
+         |vc AS (SELECT v, count(*) AS c FROM base GROUP BY v),
+         |mr AS (
+         |  SELECT v, c,
+         |    2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS m2
+         |  FROM vc),
+         |per AS (
+         |  SELECT g, CAST(sum(m) AS BIGINT) AS ng,
+         |    CAST(sum(m * m2) AS BIGINT) AS r2
+         |  FROM (SELECT g, v, count(*) AS m FROM base GROUP BY g, v) gv
+         |  JOIN mr USING (v) GROUP BY g),
+         |terms AS (
+         |  SELECT g, ng, r2,
+         |    ${dd("r2")} * ${dd("r2")} / (4.0 * ${dd("ng")}) AS t
+         |  FROM per),
+         |tt AS (SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tie3 FROM vc),
+         |a AS (
+         |  SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n_rows,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(t ORDER BY g)), (x, y) -> x + y) AS rsum
+         |  FROM terms)
+         |SELECT k, n_rows,
+         |  CASE WHEN n_rows >= 2 THEN
+         |    12.0 * rsum / (${dd("n_rows")} * (${dd("n_rows")} + 1.0))
+         |      - 3.0 * (${dd("n_rows")} + 1.0) END AS h_stat,
+         |  CASE WHEN n_rows >= 2 AND
+         |      1.0 - ${dd("tie3")}
+         |        / (${dd("n_rows")} * ${dd("n_rows")} * ${dd("n_rows")}
+         |           - ${dd("n_rows")}) > 0.0 THEN
+         |    (12.0 * rsum / (${dd("n_rows")} * (${dd("n_rows")} + 1.0))
+         |      - 3.0 * (${dd("n_rows")} + 1.0))
+         |    / (1.0 - ${dd("tie3")}
+         |        / (${dd("n_rows")} * ${dd("n_rows")} * ${dd("n_rows")}
+         |           - ${dd("n_rows")})) END AS h_corrected
+         |FROM a CROSS JOIN tt""".stripMargin
+    },
+
     "stat_anova" -> {
       def d(x: String) = s"CAST($x AS DOUBLE)"
       val ssb = s"(bsum - ${d("s")} * ${d("s")} / ${d("n_rows")})"

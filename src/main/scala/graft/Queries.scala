@@ -702,6 +702,15 @@ object Queries {
     graft.operators.Profile.anovaF(
       t(s, dir, "documents"), col("lang"), col("n_chars"))
 
+  /** Extension — Kruskal–Wallis H over the same lang × n_chars cell as
+    * `stat_anova`: the rank-based answer when the F test's variance
+    * assumptions fail ([[graft.operators.Profile.kruskalWallis]];
+    * exact integer midranks, two-phase global ranking, tie-corrected).
+    */
+  val statKruskal: Q = (s, dir) =>
+    graft.operators.Profile.kruskalWallis(
+      t(s, dir, "documents"), col("lang"), col("n_chars"))
+
   /** Extension — chi-square independence of document language ×
     * source: the categorical drift test next to `stat_ttest`
     * (one contingency shuffle, broadcast marginal grid, ordered-fold

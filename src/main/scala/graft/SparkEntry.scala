@@ -84,6 +84,7 @@ object SparkEntry {
     "stat_ols" -> Queries.statOls,
     "stat_spearman" -> Queries.statSpearman,
     "stat_anova" -> Queries.statAnova,
+    "stat_kruskal" -> Queries.statKruskal,
     "stat_benford" -> Queries.statBenford,
     "sample_reservoir" -> Queries.sampleReservoir,
     "stat_histogram" -> Queries.statHistogram,

@@ -608,4 +608,79 @@ object Profile {
     agg0.select(col("k"), col("n_rows"), f.as("f_stat"),
       eta.as("eta_sq"))
   }
+
+  /** Kruskal–Wallis H test (1952) — the RANK-based k-group location
+    * test, [[anovaF]]'s nonparametric counterpart (valid under
+    * non-normal, heavy-tailed or ordinal values where the F test's
+    * variance assumptions fail). Midranks handle ties exactly: the
+    * whole statistic is computed on 2×rank integers (2·midrank =
+    * 2·prefix_count + count + 1 — always integral), so every per-group
+    * rank sum is an exact BIGINT and the only floating point is the
+    * fixed per-group term tree folded in group order (the [[anovaF]]
+    * ordered-fold discipline) plus the final H expression — the oracle
+    * replays it bit for bit. Emits one row: `(k, n_rows, h_stat,
+    * h_corrected)` with the standard tie correction
+    * `H / (1 − Σ(t³−t)/(N³−N))`.
+    *
+    * Scale shape: the global ranking never runs as an unpartitioned
+    * window — distinct-value counts get exact weighted prefix sums via
+    * the two-phase range-partition trick ([[graft.operators.Skew
+    * .withGlobalIndex]]'s discipline: per-partition cumulative window,
+    * per-partition totals collected — bounded by the partition count —
+    * and broadcast back). Everything else is map-combined aggregation;
+    * the 1-row tie term attaches by broadcast. Exactness bound: rank
+    * sums overflow 64-bit past ~2·10⁹ rows per test cell (document the
+    * cast ladder before raising).
+    */
+  def kruskalWallis(df: DataFrame, group: Column,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    // (g, v) feeds the distinct-value counts AND the per-(g,v)
+    // multiplicities — materialize once
+    val base = df.select(group.as("g"), value.cast("long").as("v"))
+      .materialize()
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val vcp = base.groupBy("v").agg(count(lit(1)).as("c"))
+      .repartitionByRange(parts, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__cum", sum(col("c")).over(
+        Window.partitionBy(col("__pid")).orderBy(col("v"))))
+      .materialize()
+    val offsets = vcp.groupBy(col("__pid")).agg(sum(col("c")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offRows = offsets.map { case (pid, t) =>
+      val off = acc; acc += t; (pid, off) }.toIndexedSeq
+    val sp = spark; import sp.implicits._
+    val offDf = broadcast(offRows.toDF("__pid", "__off"))
+    // 2·midrank of value v = 2·(#values below) + count(v) + 1
+    val mr = vcp.join(offDf, "__pid")
+      .select(col("v"), col("c"),
+        (lit(2L) * (col("__off") + col("__cum") - col("c"))
+          + col("c") + lit(1L)).as("m2"))
+    val per = base.groupBy("g", "v").agg(count(lit(1)).as("m"))
+      .join(mr.select("v", "m2"), Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("m")).as("ng"), sum(col("m") * col("m2")).as("r2"))
+    def d(c: String): Column = col(c).cast("double")
+    // term_g = R_g²/n_g with R_g = r2/2 ⇒ r2²/(4·n_g)
+    val terms = per.select(col("g"), col("ng"), col("r2"),
+      (d("r2") * d("r2") / (lit(4.0) * d("ng"))).as("t"))
+    val ties = vcp.agg(
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie3"))
+    val agg0 = terms.agg(
+      count(lit(1)).as("k"), sum("ng").as("n_rows"),
+      aggregate(array_sort(collect_list(struct(col("g"), col("t")))),
+        lit(0.0), (acc2, e) => acc2 + e.getField("t")).as("rsum"))
+    val nd = d("n_rows")
+    val h = lit(12.0) * col("rsum") / (nd * (nd + lit(1.0))) -
+      lit(3.0) * (nd + lit(1.0))
+    val corr = lit(1.0) - d("tie3") / (nd * nd * nd - nd)
+    agg0.crossJoin(broadcast(ties))
+      .select(col("k"), col("n_rows"),
+        when(col("n_rows") >= 2, h).as("h_stat"),
+        when(col("n_rows") >= 2 && corr > lit(0.0), h / corr)
+          .as("h_corrected"))
+  }
 }

@@ -136,6 +136,7 @@ class PlanQualitySpec extends SparkSpec {
       "stat_chisq",                                  // |B|-row marginal cross + 1-row totals
       "stat_benford",                                // 1-row totals cross onto the 9-digit table
       "stat_mannwhitney",                            // |pairs|-row broadcast pair list
+      "stat_kruskal",                                // 1-row tie-term cross
       "stat_ks",                                     // |pairs|-row broadcast pair list
       "layout_zorder",                               // 1-row min/max quantizer
       "layout_hilbert",                              // 1-row min/max quantizer

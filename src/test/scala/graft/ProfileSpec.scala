@@ -245,6 +245,32 @@ class ProfileSpec extends SparkSpec {
     assert(rows.size == 3)
   }
 
+  test("kruskalWallis: hand-computed tie-corrected H; degenerate single row NULL-guarded") {
+    import org.apache.spark.sql.functions.col
+    // a=[1,2,3,3,5] b=[3,4,4,6] c=[7,8,8]: N=12, midranks with ties,
+    // H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) = 7.476923…,
+    // tie term Σ(t³−t) = 6+6+6 = 18 ⇒ H' = H/(1−18/1716) = 7.637142…
+    val d = (Seq(1, 2, 3, 3, 5).map(("a", _)) ++
+      Seq(3, 4, 4, 6).map(("b", _)) ++
+      Seq(7, 8, 8).map(("c", _))).toDF("g", "v")
+    val r = Profile.kruskalWallis(d, col("g"), col("v")).collect().head
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n_rows") == 12)
+    assert(math.abs(r.getAs[Double]("h_stat") - 7.476923076923079) < 1e-12)
+    assert(math.abs(r.getAs[Double]("h_corrected") - 7.637142857142859) < 1e-12)
+    // permuting group labels of identical value multisets cannot move H
+    val p = (Seq(1, 2, 3, 3, 5).map(("c", _)) ++
+      Seq(3, 4, 4, 6).map(("a", _)) ++
+      Seq(7, 8, 8).map(("b", _))).toDF("g", "v")
+    val r2 = Profile.kruskalWallis(p, col("g"), col("v")).collect().head
+    assert(math.abs(r2.getAs[Double]("h_stat") -
+      r.getAs[Double]("h_stat")) < 1e-12)
+    // n_rows == 1: the h expressions are NULL-guarded, counts real
+    val one = Profile.kruskalWallis(Seq(("z", 7)).toDF("g", "v"),
+      col("g"), col("v")).collect().head
+    assert(one.getAs[Long]("n_rows") == 1 &&
+      one.isNullAt(one.fieldIndex("h_stat")))
+  }
+
   test("histogram: integer-cents bins are exact, width clamps on constants") {
     // cents 100..499 → lo=100, hi=499, width=ceil(400/4)=100
     val d = Seq(1.00, 1.99, 2.00, 3.50, 4.99).toDF("v")
