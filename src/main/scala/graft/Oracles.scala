@@ -86,7 +86,15 @@ object Oracles {
     * — exact integer arithmetic end to end, mirroring
     * `Similarity.kCenterCoreset` bit for bit.
     */
-  private val KCENTER: String = {
+  /** Greedy k-center coreset, all 8 rounds unrolled: round r picks the
+    * max-min-squared-L2 row (ties by vec_id) of state s_{r-1}, then
+    * s_r folds the new center into every remaining row's min distance
+    * — exact integer arithmetic end to end, mirroring
+    * `Similarity.kCenterCoreset` bit for bit. CTE chain shared with
+    * the contrastive-set composition (ends in `kc(rank, vec_id,
+    * dist_sq)` plus the quantized table `q(vec_id, qv, nsq)`).
+    */
+  private val KCENTER_CTES: String = {
     val k = 8
     def dotTo(alias: String): String =
       s"CAST(list_sum(list_transform(range(1, len(x.qv) + 1), " +
@@ -121,8 +129,11 @@ object Oracles {
       "SELECT 1 AS rank, vec_id, CAST(0 AS BIGINT) AS dist_sq FROM c1") ++
       (2 to k).map(r => s"SELECT $r AS rank, vec_id, d AS dist_sq FROM f$r"))
       .mkString("\nUNION ALL\n")
-    s"WITH ${(head +: rounds).mkString(",\n")}\n$out"
+    (head +: rounds).mkString(",\n") + s",\nkc AS (\n$out)"
   }
+
+  private val KCENTER: String =
+    s"WITH $KCENTER_CTES\nSELECT rank, vec_id, dist_sq FROM kc"
 
   private val BRUTE_TOPK =
     """WITH q AS (
@@ -3297,6 +3308,41 @@ object Oracles {
 
     "sim_cosine_topk" -> BRUTE_TOPK,
     "sample_kcenter" -> KCENTER,
+
+    // Contrastive-set composition: the shared k-center CTE chain picks
+    // the anchors, then the semi-hard mining logic (same trees as
+    // sim_hard_negatives) runs with those anchors as the probe set.
+    "sim_contrastive_set" ->
+      s"""WITH $KCENTER_CTES,
+         |anchors AS (SELECT rank AS anchor_rank, vec_id AS qid FROM kc),
+         |probes AS (
+         |  SELECT a.anchor_rank, a.qid, qq.qv AS pv, qq.nsq AS pn,
+         |    el.label AS qlabel
+         |  FROM anchors a
+         |  JOIN q qq ON qq.vec_id = a.qid
+         |  JOIN embeddings el ON el.vec_id = a.qid),
+         |scored AS (
+         |  SELECT p.anchor_rank, p.qid, p.qlabel, c.vec_id AS nid,
+         |    ce.label,
+         |    CAST(CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+         |        i -> c.qv[i] * p.pv[i])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(p.pn AS DOUBLE)))
+         |      AS cos
+         |  FROM q c
+         |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+         |  CROSS JOIN probes p
+         |  WHERE c.vec_id != p.qid),
+         |pos AS (
+         |  SELECT qid, min(cos) AS pos_cos FROM scored
+         |  WHERE label = qlabel GROUP BY qid)
+         |SELECT anchor_rank, qid, rank, nid, round(cos, 6) AS cos,
+         |  round(pos_cos, 6) AS pos_cos FROM (
+         |  SELECT s.anchor_rank, s.qid, s.nid, s.cos, p.pos_cos,
+         |    row_number() OVER (PARTITION BY s.qid
+         |      ORDER BY s.cos DESC, s.nid) AS rank
+         |  FROM scored s JOIN pos p ON s.qid = p.qid
+         |  WHERE s.label != s.qlabel AND s.cos < p.pos_cos)
+         |WHERE rank <= 5""".stripMargin,
 
     // Semi-hard negative mining (FaceNet §3.3): brute scored pairs as
     // BRUTE_TOPK (exact integer dots — bit-identical doubles), the

@@ -1351,6 +1351,27 @@ object Queries {
   val sampleKcenter: Q = (s, dir) =>
     Similarity.kCenterCoreset(t(s, dir, "embeddings"), k = 8)
 
+  /** Extension — contrastive training-set builder (composition
+    * flagship): [[graft.functions.Similarity.kCenterCoreset]] picks 8
+    * maximally-spread anchors, then
+    * [[graft.functions.Similarity.semiHardNegatives]] mines each
+    * anchor's top-5 semi-hard negatives — the anchor-selection +
+    * triplet-mining pipeline a contrastive fine-tune runs end to end.
+    * The anchor set is k driver rows by construction (the coreset
+    * result IS bounded), so the composition stays broadcast-shaped.
+    */
+  val simContrastiveSet: Q = (s, dir) => {
+    val embs = t(s, dir, "embeddings")
+    val anchors = Similarity.kCenterCoreset(embs, k = 8)
+      .select(col("rank").as("anchor_rank"), col("vec_id"))
+    val ids = anchors.select("vec_id").collect().map(_.getLong(0)).toSeq
+    Similarity.semiHardNegatives(embs, ids, k = 5)
+      .join(broadcast(anchors.withColumnRenamed("vec_id", "qid")),
+        Seq("qid"))
+      .select(col("anchor_rank"), col("qid"), col("rank"), col("nid"),
+        col("cos"), col("pos_cos"))
+  }
+
   /** Extension — semi-hard negative mining
     * ([[graft.functions.Similarity.semiHardNegatives]], FaceNet §3.3):
     * per anchor, the top-10 other-label vectors just outside the

@@ -158,6 +158,7 @@ object SparkEntry {
     // -- extensions: similarity search
     "sim_cosine_topk" -> Queries.simCosineTopk,
     "sim_hard_negatives" -> Queries.simHardNegatives,
+    "sim_contrastive_set" -> Queries.simContrastiveSet,
     "sim_lsh_topk" -> Queries.simLshTopk,
     "sim_ivf_topk" -> Queries.simIvfTopk,
     "sim_pq_topk" -> Queries.simPqTopk,

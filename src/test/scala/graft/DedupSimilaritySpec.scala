@@ -1854,6 +1854,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(radii.zip(radii.tail).forall { case (a, b) => a >= b }, radii.toSeq)
   }
 
+  test("contrastive set: anchors are exactly the k-center picks; per-anchor rows equal standalone mining") {
+    val set = Queries.simContrastiveSet(spark, sfDir)
+      .as[(Int, Long, Int, Long, Double, Double)].collect()
+    val centers = Similarity.kCenterCoreset(embs, k = 8)
+      .as[(Int, Long, Long)].collect().map(r => r._2 -> r._1).toMap
+    assert(set.map(_._2).toSet.subsetOf(centers.keySet))
+    assert(set.forall { case (ar, qid, _, _, _, _) => centers(qid) == ar })
+    val standalone = Similarity
+      .semiHardNegatives(embs, centers.keys.toSeq, k = 5)
+      .as[(Long, Int, Long, Double, Double)].collect().toSet
+    assert(set.map { case (_, q, r, n, c, p) => (q, r, n, c, p) }.toSet
+      == standalone, "composition must equal standalone mining over the same anchors")
+  }
+
   test("semi-hard negatives: an anchor with no same-label positive emits nothing") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 9),  // anchor: label 9 appears once

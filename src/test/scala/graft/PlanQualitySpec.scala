@@ -156,6 +156,7 @@ class PlanQualitySpec extends SparkSpec {
       "sim_mips_recall",                             // truth arm = brute dot pass
       "sim_mmr_rerank",                              // 1-row broadcast query vector
       "sim_hard_negatives",                          // mining sweep: broadcast anchor set × corpus by design
+      "sim_contrastive_set",                         // same mining sweep over the k-center anchors
       "corpus_curriculum",                           // 1-row quantile-cutoff cross
       "decon_semantic",                              // broadcast eval side, zero shuffle
       "graph_triangles",                             // degree-ordered probe broadcast
