@@ -80,6 +80,62 @@ object Bench {
     samples.min
   }
 
+  /** Constant-work DISK-I/O noise canary: a fixed-size parquet
+    * write + read-back + localCheckpoint probe (the exact I/O mix of
+    * the engine's checkpoint-heavy family — CC star rounds, APSS's
+    * three materializations, the flagship barriers) timed FIRST and
+    * LAST with the same warm-up + min-of-N protocol as the CPU canary.
+    *
+    * Why it exists: the CPU canary cannot adjudicate a STRUCTURED
+    * regression — round 12's artifact inflated the checkpoint-heavy
+    * family 1.3–2.1× while map-only CPU-bound families stayed flat and
+    * the CPU canary moved only 14%, a pattern consistent with
+    * host-side disk contention but formally unfalsifiable from the
+    * artifact because the only noise instrument was CPU-bound. With
+    * both canaries in the artifact, the adjudication is mechanical:
+    * io-canary inflation matching the family inflation = host disk
+    * noise; a flat io canary under a family regression = real code
+    * cost. Reported as `canary_io_s` (raw seconds; NOT folded into
+    * the normalization — `value_norm` stays CPU-normalized so it is
+    * comparable with prior rounds' artifacts).
+    *
+    * Probe size: 4M rows × (long + long + 32-char md5) ≈ 90 MB of
+    * parquet — big enough that write+read dominates scheduling
+    * overhead, small enough to stay O(seconds) on a healthy host.
+    * Checkpoint blocks are freed (blocking) after every sample so the
+    * probe never taxes the suite it guards.
+    */
+  def canaryIo(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, md5, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("graft-io-canary")
+    val path = dir.resolve("probe").toString
+    def work(): Unit = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      spark.range(0L, 4000000L, 1L, 32)
+        .select(col("id"), xxhash64(col("id")).as("h"),
+          md5(col("id").cast("string")).as("s"))
+        .write.mode("overwrite").parquet(path)
+      val n = spark.read.parquet(path).localCheckpoint().count()
+      require(n == 4000000L, s"io canary read $n rows")
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!before(id)) rdd.unpersist(true) }
+    }
+    work() // warm-up: codegen + committer init, untimed
+    val samples = scala.collection.mutable.ArrayBuffer[Double]()
+    while (samples.size < 3) {
+      val t0 = System.nanoTime()
+      work()
+      samples += (System.nanoTime() - t0) / 1e9
+    }
+    // best-effort cleanup — the probe dir is /tmp-scoped either way
+    try {
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    } catch { case _: Throwable => () }
+    samples.min
+  }
+
   /** Raw per-query seconds from a prior run's bench_out.json, parsed
     * with a dependency-free scan of its final `"queries":{...}` map —
     * the reference for the phantom re-run pass. Empty when the file
@@ -134,6 +190,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     val canaryFirst = canary(spark)
+    val canaryIoFirst = canaryIo(spark)
     val prior = priorRaw(sfDir = sfDir)
 
     def isolate(): Unit = {
@@ -207,6 +264,7 @@ object Bench {
     }
 
     val canaryLast = canary(spark)
+    val canaryIoLast = canaryIo(spark)
 
     for (name <- missingCoverage(results.map(_._1).toSet).toSeq.sorted)
       errors(name) = "no timing entry recorded for registered query"
@@ -255,6 +313,7 @@ object Bench {
     val head =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""canary_s":{"first":${r3(canaryFirst)},"last":${r3(canaryLast)}},""" +
+      s""""canary_io_s":{"first":${r3(canaryIoFirst)},"last":${r3(canaryIoLast)}},""" +
       s""""value_norm":${r3(total / canaryMean)},"sf":"$sfDir",""" +
       s""""n_queries":${results.size},"queries_file":"bench_out.json",""" +
       s""""slowest":$slowest$phantomJson$errJson"""

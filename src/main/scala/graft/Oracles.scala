@@ -84,12 +84,6 @@ object Oracles {
     * max-min-squared-L2 row (ties by vec_id) of state s_{r-1}, then
     * s_r folds the new center into every remaining row's min distance
     * — exact integer arithmetic end to end, mirroring
-    * `Similarity.kCenterCoreset` bit for bit.
-    */
-  /** Greedy k-center coreset, all 8 rounds unrolled: round r picks the
-    * max-min-squared-L2 row (ties by vec_id) of state s_{r-1}, then
-    * s_r folds the new center into every remaining row's min distance
-    * — exact integer arithmetic end to end, mirroring
     * `Similarity.kCenterCoreset` bit for bit. CTE chain shared with
     * the contrastive-set composition (ends in `kc(rank, vec_id,
     * dist_sq)` plus the quantized table `q(vec_id, qv, nsq)`).
@@ -130,6 +124,63 @@ object Oracles {
       (2 to k).map(r => s"SELECT $r AS rank, vec_id, d AS dist_sq FROM f$r"))
       .mkString("\nUNION ALL\n")
     (head +: rounds).mkString(",\n") + s",\nkc AS (\n$out)"
+  }
+
+  /** URL fixture + canonicalization CTE chain shared by
+    * text_url_canonical and dedup_by_url — replays
+    * `Normalize.canonicalUrl` rule for rule: lowercase authority,
+    * default-port strip (`:80` iff http, `:443` iff https), fragment
+    * drop, tracking-param removal with separator repair, empty path
+    * → `/`. Ends in `canon(doc_id, url, canon_url)`.
+    */
+  private val URL_CANON_CTES: String = {
+    val tracked = "utm_source|utm_medium|utm_campaign|utm_term" +
+      "|utm_content|gclid|fbclid|ref"
+    s"""base AS (
+       |  SELECT doc_id, source || '.example.com' AS host,
+       |    '/page-' ||
+       |      CAST(CAST(floor(doc_id / 100.0) AS BIGINT) AS VARCHAR) AS path,
+       |    CAST(floor(doc_id / 20.0) AS BIGINT) % 5 AS v
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id,
+       |    CASE v
+       |      WHEN 0 THEN 'https://' || host || path
+       |      WHEN 1 THEN 'HTTPS://' || upper(host) || path
+       |      WHEN 2 THEN 'https://' || host || ':443' || path
+       |      WHEN 3 THEN 'https://' || host || path || '?utm_source=feed&x=1'
+       |      ELSE 'https://' || host || path || '?x=1&fbclid=abc#frag'
+       |    END AS url
+       |  FROM base),
+       |pre AS (
+       |  SELECT doc_id, url,
+       |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)
+       |      AS prefix
+       |  FROM u),
+       |parts AS (
+       |  SELECT doc_id, url, lower(prefix) AS auth,
+       |    substr(url, length(prefix) + 1) AS rest
+       |  FROM pre),
+       |cleaned AS (
+       |  SELECT doc_id, url,
+       |    CASE WHEN starts_with(auth, 'http://')
+       |           THEN regexp_replace(auth, ':80$$', '')
+       |         WHEN starts_with(auth, 'https://')
+       |           THEN regexp_replace(auth, ':443$$', '')
+       |         ELSE auth END AS noport,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(rest, '#.*$$', ''),
+       |      '([?&])($tracked)=[^&]*', '\\1', 'g'),
+       |      '&&+', '&', 'g'),
+       |      '\\?&', '?', 'g'),
+       |      '[?&]+$$', '') AS tail
+       |  FROM parts),
+       |canon AS (
+       |  SELECT doc_id, url, noport ||
+       |    CASE WHEN tail = '' THEN '/'
+       |         WHEN starts_with(tail, '?') THEN '/' || tail
+       |         ELSE tail END AS canon_url
+       |  FROM cleaned)""".stripMargin
   }
 
   private val KCENTER: String =
@@ -962,6 +1013,60 @@ object Oracles {
          |  round(list_sum(list(lp ORDER BY pos)) / count(*), 4) AS kn_xent
          |FROM bg2 JOIN sc ON sc.w1 = bg2.w1 AND sc.w2 = bg2.w2
          |GROUP BY bg2.doc_id""".stripMargin,
+
+    // Interpolated Kneser–Ney TRIGRAM (D = 0.75 at every level):
+    // token counts at the top level, continuation (type) counts at
+    // both lower levels — seven exact integer aggregates of the
+    // trigram/bigram TYPE tables; the per-trigram probability is the
+    // identical fixed FP tree as TextAnalysis.kn3CrossEntropy,
+    // operation for operation; per-doc sum ordered by position.
+    "text_kn3_score" ->
+      s"""WITH lmtok AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+         |  FROM documents),
+         |tgl AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(toks) - 1),
+         |      i -> {'pos': i - 1, 'w1': toks[i], 'w2': toks[i + 1],
+         |            'w3': toks[i + 2]}) AS tl
+         |  FROM lmtok WHERE len(toks) >= 3),
+         |tgu AS (SELECT doc_id, unnest(tl) AS u FROM tgl),
+         |tg AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2,
+         |  u.w3 AS w3 FROM tgu),
+         |bgl AS (
+         |  SELECT list_transform(range(1, len(toks)),
+         |    i -> {'w1': toks[i], 'w2': toks[i + 1]}) AS bl
+         |  FROM lmtok WHERE len(toks) >= 2),
+         |bgu AS (SELECT unnest(bl) AS u FROM bgl),
+         |bi AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS c2
+         |  FROM bgu GROUP BY 1, 2),
+         |tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+         |ctx12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS ctx,
+         |  count(*) AS n1fw12 FROM tri GROUP BY 1, 2),
+         |mid23 AS (SELECT w2, w3, count(*) AS n1bw23 FROM tri GROUP BY 1, 2),
+         |mid2 AS (SELECT w2, count(*) AS nmid FROM tri GROUP BY 1),
+         |fw2 AS (SELECT w1 AS w2, count(*) AS n1fw2 FROM bi GROUP BY 1),
+         |bw3 AS (SELECT w2 AS w3, count(*) AS n1bw3 FROM bi GROUP BY 1),
+         |bt AS (SELECT count(*) AS bb FROM bi),
+         |sc AS (
+         |  SELECT tri.w1, tri.w2, tri.w3,
+         |    round(-ln(
+         |      (CAST(c3 AS DOUBLE) - 0.75) / CAST(ctx AS DOUBLE)
+         |      + (0.75 * CAST(n1fw12 AS DOUBLE) / CAST(ctx AS DOUBLE))
+         |        * ((CAST(n1bw23 AS DOUBLE) - 0.75) / CAST(nmid AS DOUBLE)
+         |           + (0.75 * CAST(n1fw2 AS DOUBLE) / CAST(nmid AS DOUBLE))
+         |             * (CAST(n1bw3 AS DOUBLE) / CAST(bb AS DOUBLE)))), 9) AS lp
+         |  FROM tri
+         |  JOIN ctx12 ON ctx12.w1 = tri.w1 AND ctx12.w2 = tri.w2
+         |  JOIN mid23 ON mid23.w2 = tri.w2 AND mid23.w3 = tri.w3
+         |  JOIN mid2 ON mid2.w2 = tri.w2
+         |  JOIN fw2 ON fw2.w2 = tri.w2
+         |  JOIN bw3 ON bw3.w3 = tri.w3
+         |  CROSS JOIN bt)
+         |SELECT tg.doc_id, count(*) AS n_trigrams,
+         |  round(list_sum(list(lp ORDER BY pos)) / count(*), 4) AS kn3_xent
+         |FROM tg JOIN sc ON sc.w1 = tg.w1 AND sc.w2 = tg.w2 AND sc.w3 = tg.w3
+         |GROUP BY tg.doc_id""".stripMargin,
 
     // Stratified sample: per-lang rank over the salted hash order.
     "sample_stratified" ->
@@ -6428,6 +6533,29 @@ object Oracles {
         |  round((least(CAST(n_symbols AS DOUBLE) / n * 20, 1.0)
         |       + least(CAST(kw_hits AS DOUBLE) / 4.0, 1.0)) / 2, 4) >= 0.5 AS is_code
         |FROM s""".stripMargin,
+
+    // URL canonicalization: the fixture CTE derives the same five
+    // cosmetic variants per doc_id both engines build, and the
+    // canonical form replays Normalize.canonicalUrl's rule chain with
+    // DuckDB's regex built-ins (RE2 'g' flag where Spark's
+    // regexp_replace is implicitly global; '\1' where Java uses '$1').
+    "text_url_canonical" ->
+      s"""WITH $URL_CANON_CTES
+         |SELECT doc_id, url, canon_url,
+         |  regexp_extract(lower(url), '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host,
+         |  md5(canon_url) AS canon_key
+         |FROM canon""".stripMargin,
+
+    // Keep-first URL dedup over the canonical key; min over the
+    // per-group-constant canon_url/host picks the representative.
+    "dedup_by_url" ->
+      s"""WITH $URL_CANON_CTES
+         |SELECT md5(canon_url) AS canon_key,
+         |  min(canon_url) AS canon_url,
+         |  min(regexp_extract(lower(url), '^[a-z0-9+.-]+://([^/:?#]+)', 1)) AS host,
+         |  min(doc_id) AS keeper,
+         |  count(*) AS n_urls
+         |FROM canon GROUP BY 1""".stripMargin,
 
     "text_quality_score" ->
       """SELECT doc_id,

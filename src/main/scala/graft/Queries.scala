@@ -3092,6 +3092,15 @@ object Queries {
   val textKnScore: Q = (s, dir) =>
     TextAnalysis.knCrossEntropy(t(s, dir, "documents"))
 
+  /** Extension — interpolated Kneser–Ney TRIGRAM self-perplexity per
+    * document (D = 0.75 at every level): the order-3 step toward the
+    * 5-gram KenLM the CCNet-lineage filters ship — token counts at
+    * the top level, continuation (type) counts at both lower levels.
+    * See [[graft.functions.TextAnalysis.kn3CrossEntropy]].
+    */
+  val textKn3Score: Q = (s, dir) =>
+    TextAnalysis.kn3CrossEntropy(t(s, dir, "documents"))
+
   /** Extension — n-gram novelty: the fraction of each document's
     * distinct 3-gram shingles that occur nowhere else in the corpus —
     * high novelty flags original content, low novelty flags
@@ -3715,4 +3724,69 @@ object Queries {
       stride = 64, frameLen = 32)
       .select(col("media_id"), col("frame_no"),
         length(col("frame_bytes")).as("frame_len"))
+
+  /** Deterministic per-document URL fixture for the URL-dedup faces:
+    * the corpus carries no URL column, so the query derives one from
+    * (source, doc_id) — the textMojibake convention, both engines
+    * deriving identically. Sources cycle mod 20 in the fixture data,
+    * so host = source, path groups by doc_id/100, and the variant
+    * index floor(doc_id/20) % 5 walks all five cosmetic variants of
+    * the same resource (case-mangled authority, explicit default
+    * port, UTM/click-id tracking params, fragment) WITHIN each
+    * (host, path) class of five docs — canonicalization produces REAL
+    * equivalence classes: variants 0–2 collapse to the bare URL,
+    * variants 3–4 to the bare URL + the retained non-tracking
+    * `?x=1` param.
+    */
+  private def urlFixture(s: SparkSession, dir: String): DataFrame = {
+    val host = concat(col("source"), lit(".example.com"))
+    val path = concat(lit("/page-"), floor(col("doc_id") / 100).cast("long"))
+    val v = pmod(floor(col("doc_id") / 20).cast("long"), lit(5))
+    val url = when(v === 0, concat(lit("https://"), host, path))
+      .when(v === 1, concat(lit("HTTPS://"), upper(host), path))
+      .when(v === 2, concat(lit("https://"), host, lit(":443"), path))
+      .when(v === 3,
+        concat(lit("https://"), host, path, lit("?utm_source=feed&x=1")))
+      .otherwise(
+        concat(lit("https://"), host, path, lit("?x=1&fbclid=abc#frag")))
+    t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+  }
+
+  /** Extension — URL canonicalization
+    * ([[graft.functions.Normalize.canonicalUrl]], the C4/RefinedWeb
+    * pre-dedup key normalization): per document, the raw URL, its
+    * canonical form, the md5 canonical key the dedup shuffles, and the
+    * lowercased host. Map-only — one string kernel per row, zero
+    * exchanges.
+    */
+  val textUrlCanonical: Q = (s, dir) => {
+    val canon = Normalize.canonicalUrl(col("url"))
+    urlFixture(s, dir)
+      .select(col("doc_id"), col("url"), canon.as("canon_url"),
+        Normalize.urlHost(col("url")).as("host"),
+        md5(canon.cast("binary")).as("canon_key"))
+  }
+
+  /** Extension — keep-first URL dedup (the step C4/RefinedWeb run
+    * BEFORE content dedup — most exact duplicates are one page
+    * re-fetched under cosmetically different URLs): group by the
+    * canonical key, keep the minimum doc_id, count the collapsed
+    * variants. Scale shape: canonicalization is map-only; the one
+    * shuffle is a map-side-combined aggregate keyed on the 16-byte
+    * md5 canonical key, carrying one representative canonical URL +
+    * host per DISTINCT key per task (min over equal values), never
+    * per-row URL text and never document text.
+    */
+  val dedupByUrl: Q = (s, dir) => {
+    val canon = Normalize.canonicalUrl(col("url"))
+    urlFixture(s, dir)
+      .select(col("doc_id"), canon.as("canon_url"),
+        md5(canon.cast("binary")).as("canon_key"),
+        Normalize.urlHost(col("url")).as("host"))
+      .groupBy(col("canon_key"))
+      .agg(min(col("canon_url")).as("canon_url"),
+        min(col("host")).as("host"),
+        min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_urls"))
+  }
 }

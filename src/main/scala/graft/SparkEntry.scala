@@ -147,6 +147,8 @@ object SparkEntry {
     "corpus_quality_buckets" -> Queries.corpusQualityBuckets,
     "corpus_curriculum" -> Queries.corpusCurriculum,
     "text_code_detect" -> Queries.textCodeDetect,
+    "text_url_canonical" -> Queries.textUrlCanonical,
+    "dedup_by_url" -> Queries.dedupByUrl,
     "sample_stratified" -> Queries.sampleStratified,
     "sample_kcenter" -> Queries.sampleKcenter,
     "sample_token_budget" -> Queries.sampleTokenBudget,
@@ -229,6 +231,7 @@ object SparkEntry {
     "text_classifier_pr" -> Queries.textClassifierPr,
     "curation_funnel" -> Queries.curationFunnel,
     "text_kn_score" -> Queries.textKnScore,
+    "text_kn3_score" -> Queries.textKn3Score,
     "text_gopher_filter" -> Queries.textGopherFilter,
     "text_repetition" -> Queries.textRepetition,
     "corpus_reweight" -> Queries.corpusReweight,

@@ -126,4 +126,63 @@ object Normalize {
      floor(pmod(totalSec, lit(3600)) / 60),
      pmod(totalSec, lit(60)))
   }
+
+  /** Tracking query parameters [[canonicalUrl]] strips — the fixed
+    * literal list of per-fetch analytics/click-id params (UTM family,
+    * Google/Facebook click ids, referrer tags) that vary without
+    * changing the resource; every web-corpus pipeline (C4,
+    * RefinedWeb) carries an equivalent list for its pre-dedup URL
+    * normalization.
+    */
+  val trackingParams: Seq[String] = Seq(
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "ref")
+
+  /** URL canonicalization — the key-normalization step web-corpus
+    * pipelines run BEFORE any content dedup (C4 / RefinedWeb lineage:
+    * most exact duplicates are the same page re-fetched under a
+    * cosmetically different URL). Rules, applied in order, all
+    * expressible as codegen'd string built-ins on BOTH engines (the
+    * DuckDB oracle mirrors them verbatim):
+    *
+    *  1. scheme + authority lowercased (path/query case is
+    *     significant per RFC 3986 §6.2.2.1, host case is not);
+    *  2. default ports stripped — `:80` iff http, `:443` iff https
+    *     (a non-default port is identity-bearing and survives);
+    *  3. fragment dropped (never sent to the server);
+    *  4. [[trackingParams]] query params removed, OTHER params kept
+    *     in their original order; separators repaired and a trailing
+    *     `?`/`&` dropped;
+    *  5. empty path normalized to `/` so `https://x.com` and
+    *     `https://x.com/` collide.
+    *
+    * Map-only — one row in, one canonical string out; the dedup that
+    * follows shuffles only the 16-byte md5 of this value, never text.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val prefix = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val rest = url.substr(length(prefix) + lit(1), length(url))
+    val auth = lower(prefix)
+    val noPort = when(auth.startsWith("http://"),
+        regexp_replace(auth, ":80$", ""))
+      .when(auth.startsWith("https://"), regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val stripped = regexp_replace(noFrag,
+      s"([?&])(${trackingParams.mkString("|")})=[^&]*", "$1")
+    val c1 = regexp_replace(stripped, "&&+", "&")
+    val c2 = regexp_replace(c1, "\\?&", "?")
+    val c3 = regexp_replace(c2, "[?&]+$", "")
+    val pathed = when(c3 === "", lit("/"))
+      .when(c3.startsWith("?"), concat(lit("/"), c3))
+      .otherwise(c3)
+    concat(noPort, pathed)
+  }
+
+  /** Lowercased host of a URL (no port, no userinfo beyond what the
+    * synthetic corpus produces) — the grouping key for host-level
+    * dedup policies (per-host caps, domain blocklists).
+    */
+  def urlHost(url: Column): Column =
+    regexp_extract(lower(url), "^[a-z0-9+.-]+://([^/:?#]+)", 1)
 }

@@ -190,8 +190,15 @@ object Selection {
     * statistic — one map-side-combined pass producing a single
     * broadcast row (swap in `approx_percentile` when exactness is not
     * contractual); stage assignment is map-only against that row, and
-    * the within-stage shuffle is a stage-partitioned window, never a
-    * global sort.
+    * the within-stage position is the two-phase exact per-group index
+    * ([[graft.operators.Skew.withPerGroupIndex]]): range partition on
+    * (stage, salted key), per-partition row_number, driver
+    * prefix-summed offsets broadcast back. A
+    * `Window.partitionBy(stage)` row_number would look partitioned
+    * but, with `stages` tiny, IS a global sort split `stages` ways —
+    * each reducer sorting corpus/stages rows with no rank filter for
+    * WindowGroupLimit to prune on; the two-phase form keeps the sort
+    * parallelism at the shuffle-partition count.
     */
   def curriculumSchedule(docs: DataFrame, quality: Column,
       stages: Int = 4, salt: String = "cur"): DataFrame = {
@@ -207,12 +214,14 @@ object Selection {
     val stageCol = (1 until stages).foldLeft(lit(stages): Column) {
       case (acc, i) => acc - when(col(s"c$i") <= col("quality"), 1).otherwise(0)
     }
-    q.crossJoin(broadcast(cutsRow))
+    val staged = q.crossJoin(broadcast(cutsRow))
       .withColumn("stage", stageCol.cast("long"))
-      .withColumn("pos",
-        row_number().over(Window.partitionBy(col("stage")).orderBy(
-          md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))
-            .cast("binary")), col("doc_id"))).cast("long"))
+      .withColumn("__hk",
+        md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))
+          .cast("binary")))
+    graft.operators.Skew
+      .withPerGroupIndex(staged, "stage",
+        Seq(col("__hk"), col("doc_id")), "pos")
       .select(col("doc_id"), col("stage"), col("pos"), col("quality"))
   }
 }

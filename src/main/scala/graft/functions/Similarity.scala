@@ -91,12 +91,24 @@ object Similarity {
     * Emits (qid, rank, nid, cos, pos_cos) — pos_cos is the anchor's
     * positive radius, so the per-row margin is pos_cos − cos.
     *
-    * Scale shape: the anchor set is tiny and broadcast; the corpus is
-    * scanned ONCE and both the positive radius (a conditional min) and
-    * the negative ranking ride the SAME qid-partitioned window exchange
-    * — one shuffle total, no self-join, nothing materialized. Cosines
-    * are exact-integer dots (deterministic), so the strict
-    * `cos < pos_cos` comparison is bit-identical to the oracle's.
+    * Scale shape: the anchor set is tiny and broadcast, and NOTHING
+    * corpus-sized ever rides a qid-keyed shuffle. The positive radius
+    * is a `groupBy(qid)` conditional min — map-side combined, so the
+    * radius exchange carries ≤ |anchors| rows per map task — broadcast
+    * back onto a second map-only scoring pass; the same-label and
+    * outside-radius rows (the vast majority of the corpus) are
+    * filtered MAP-SIDE, and only then does the rank window run, whose
+    * `rank <= k` filter triggers WindowGroupLimit: each map task
+    * pre-prunes to its local top-k per anchor BEFORE the window
+    * exchange, so the rank shuffle carries O(|anchors|·k·tasks) rows.
+    * (The previous shape computed the radius as a min-window sharing
+    * the rank window's exchange — one shuffle, but that one shuffle
+    * moved corpus×anchors rows into |anchors| window partitions, a
+    * per-anchor reducer sorting the whole corpus.) The corpus is
+    * scanned twice, both passes map-only — scans parallelize; a
+    * |anchors|-partition sort does not. Cosines are exact-integer
+    * dots (deterministic), so the strict `cos < pos_cos` comparison
+    * is bit-identical to the oracle's.
     */
   def semiHardNegatives(
       embeddings: DataFrame, anchorIds: Seq[Long], k: Int): DataFrame = {
@@ -109,18 +121,20 @@ object Similarity {
       .filter(col("vec_id").isin(anchorIds.map(Long.box): _*))
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("q").as("qv"), col("nsq").as("qn"))
-    val scored = quant.crossJoin(broadcast(anchors))
+    def scored = quant.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qlabel"), col("vec_id").as("nid"), col("label"),
         cosineFromInts(call_function("graft_dot", col("q"), col("qv")),
           col("nsq"), col("qn")).as("cos"))
-    // positive radius and negative rank share one qid partitioning —
-    // Catalyst plans a single exchange for both windows
-    val wq = Window.partitionBy(col("qid"))
+    // |anchors| rows out; anchors with no same-label positive get a
+    // null pos_cos and the strict `cos < pos_cos` drops them entirely
+    // (no radius to respect — FaceNet emits nothing for them)
+    val radius = scored.groupBy(col("qid"))
+      .agg(min(when(col("label") === col("qlabel"), col("cos")))
+        .as("pos_cos"))
     val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored
-      .withColumn("pos_cos",
-        min(when(col("label") === col("qlabel"), col("cos"))).over(wq))
+      .join(broadcast(radius), Seq("qid"))
       .filter(col("label") =!= col("qlabel") && col("cos") < col("pos_cos"))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)

@@ -663,6 +663,93 @@ object TextAnalysis {
           4).as("kn_xent"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM cross-entropy (Chen & Goodman
+    * 1998 §2.7's interpolated form, fixed D = 0.75 at every level) —
+    * the order-3 step toward the 5-gram KenLM the CCNet-lineage
+    * filters actually ship, extending [[knCrossEntropy]]'s exact
+    * integer / fixed-FP-tree discipline one order up:
+    *
+    * `P(w₃|w₁w₂) = (c(w₁w₂w₃) − D)/c(w₁w₂·)
+    *             + D·N1+(w₁w₂·)/c(w₁w₂·) · Pkn(w₃|w₂)`
+    * `Pkn(w₃|w₂) = (N1+(·w₂w₃) − D)/N1+(·w₂·)
+    *             + D·N1+(w₂·)/N1+(·w₂·) · N1+(·w₃)/B`
+    *
+    * — the top level uses token counts, both lower levels use
+    * CONTINUATION (type) counts: N1+(·w₂w₃) counts distinct
+    * predecessors of the bigram, N1+(·w₂·) distinct trigram types
+    * with middle w₂, N1+(w₂·)/N1+(·w₃)/B come from the bigram type
+    * table exactly as in the order-2 model. Self-perplexity keeps
+    * every scored trigram seen, so every count the clamps guard is
+    * ≥ 1 > D and no max(·,0)/OOV arm is needed.
+    *
+    * Determinism: all seven model statistics are exact integer
+    * aggregates; each trigram's probability is ONE fixed FP tree
+    * (mirrored operation-for-operation in the oracle), lp quantized
+    * to 9 decimals, per-doc sum an ordered fold over positions.
+    *
+    * Shape at scale: statistics are map-side-combined aggregates of
+    * the trigram/bigram TYPE tables (vocabulary-bounded, not the
+    * token stream); the position stream joins the scored table once
+    * by (w₁,w₂,w₃) — never a token-stream×model cross.
+    */
+  def kn3CrossEntropy(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val toks = docs.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("toks"))
+    // trigram position stream feeds the model build AND the scoring
+    // join; the trigram type table feeds FOUR consumers — materialize
+    // both once (the knCrossEntropy fan-out discipline)
+    val tg = toks
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, size(toks) - 3), i -> " +
+            "struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))"))
+          .as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), col("t.w1").as("w1"),
+        col("t.w2").as("w2"), col("t.w3").as("w3"))
+      .materialize()
+    val bg = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> " +
+          "struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("bw1"), col("b.w2").as("bw2"))
+    val tri = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .materialize()
+    val ctx12 = tri.groupBy("w1", "w2")
+      .agg(sum("c3").as("ctx"), count(lit(1)).as("n1fw12"))
+    val mid23 = tri.groupBy("w2", "w3").agg(count(lit(1)).as("n1bw23"))
+    val mid2 = tri.groupBy("w2").agg(count(lit(1)).as("nmid"))
+    val bi = bg.groupBy("bw1", "bw2").agg(count(lit(1)).as("c2"))
+      .materialize()
+    val fw2 = bi.groupBy("bw1").agg(count(lit(1)).as("n1fw2"))
+      .withColumnRenamed("bw1", "w2")
+    val bw3 = bi.groupBy("bw2").agg(count(lit(1)).as("n1bw3"))
+      .withColumnRenamed("bw2", "w3")
+    val btot = bi.agg(count(lit(1)).as("__b"))
+    def d(c: String): Column = col(c).cast("double")
+    val plow = (d("n1bw23") - lit(discount)) / d("nmid") +
+      (lit(discount) * d("n1fw2") / d("nmid")) * (d("n1bw3") / d("__b"))
+    val p = (d("c3") - lit(discount)) / d("ctx") +
+      (lit(discount) * d("n1fw12") / d("ctx")) * plow
+    val scored = tri
+      .join(ctx12, Seq("w1", "w2")).join(mid23, Seq("w2", "w3"))
+      .join(mid2, Seq("w2")).join(fw2, Seq("w2")).join(bw3, Seq("w3"))
+      .crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("w3"), round(-log(p), 9).as("lp"))
+    tg.join(scored, Seq("w1", "w2", "w3"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        round(
+          aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+              s => s.getField("lp")),
+            lit(0.0), (acc, x) => acc + x) / count(lit(1)).cast("double"),
+          4).as("kn3_xent"))
+  }
+
   /** PMI collocation extraction: the corpus's top-k two-word
     * expressions by pointwise mutual information,
     * `pmi = ln(p(w1,w2) / (p(w1)·p(w2)))` with `p(w1,w2)` over the

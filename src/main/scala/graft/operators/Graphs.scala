@@ -899,35 +899,6 @@ object Graphs {
     f
   }
 
-  /** Strongly connected components over a DIRECTED edge list —
-    * forward-backward min-label CLASS PEELING (the FW-BW partition
-    * family: Fleischer et al. 2000 divide-and-conquer, Orzan 2004
-    * coloring, with min labels so component ids are canonical): per
-    * peel, compute the forward min-reach F and backward min-reach B
-    * fixpoints ([[minLabelFixpoint]], O(edges) per round, never
-    * all-pairs). F(v) = B(v) = x proves v and x reach each other, so v
-    * settles into SCC(x) — and the remaining minimum node's whole SCC
-    * always satisfies it, so every peel provably progresses. Unsettled
-    * nodes carry the (F, B) pair as their CLASS: any cycle lies wholly
-    * inside one class (crossing edges can never close a cycle — F or B
-    * would differ), so the next peel keeps only same-class edges and
-    * all classes recurse IN ONE DataFrame, no per-class dispatch.
-    * Returns `(node, scc)` with scc = the component's minimum node id
-    * — exactly mutual-reachability ground truth (the DuckDB oracle
-    * computes it by transitive closure; the engine never does).
-    *
-    * Scale shape: every step is an equi-join + map-combined min
-    * aggregate on the shrinking remainder; fixpoints are
-    * jump-accelerated (each round also folds the label table onto
-    * itself) and peel count is the class-recursion depth, never O(n).
-    * Self-loops drop from the loop edges (they never affect strong
-    * connectivity); self-loop-only nodes settle as their own SCC like
-    * any other edge-less node. A distinct edge set at or under
-    * `collectThreshold` rows short-circuits to driver Tarjan — the
-    * bounded-collect convention: ~13 fixpoint checkpoints of pure job
-    * overhead lose to one exact O(V+E) pass on driver-sized graphs,
-    * and the two paths are spec-pinned identical.
-    */
   /** Iterative Tarjan (1972) over a driver-resident edge list —
     * explicit DFS stack (no recursion, safe at the full
     * `collectThreshold`), component id canonicalized to the MINIMUM
@@ -980,6 +951,35 @@ object Graphs {
     sccOf.toMap
   }
 
+  /** Strongly connected components over a DIRECTED edge list —
+    * forward-backward min-label CLASS PEELING (the FW-BW partition
+    * family: Fleischer et al. 2000 divide-and-conquer, Orzan 2004
+    * coloring, with min labels so component ids are canonical): per
+    * peel, compute the forward min-reach F and backward min-reach B
+    * fixpoints ([[minLabelFixpoint]], O(edges) per round, never
+    * all-pairs). F(v) = B(v) = x proves v and x reach each other, so v
+    * settles into SCC(x) — and the remaining minimum node's whole SCC
+    * always satisfies it, so every peel provably progresses. Unsettled
+    * nodes carry the (F, B) pair as their CLASS: any cycle lies wholly
+    * inside one class (crossing edges can never close a cycle — F or B
+    * would differ), so the next peel keeps only same-class edges and
+    * all classes recurse IN ONE DataFrame, no per-class dispatch.
+    * Returns `(node, scc)` with scc = the component's minimum node id
+    * — exactly mutual-reachability ground truth (the DuckDB oracle
+    * computes it by transitive closure; the engine never does).
+    *
+    * Scale shape: every step is an equi-join + map-combined min
+    * aggregate on the shrinking remainder; fixpoints are
+    * jump-accelerated (each round also folds the label table onto
+    * itself) and peel count is the class-recursion depth, never O(n).
+    * Self-loops drop from the loop edges (they never affect strong
+    * connectivity); self-loop-only nodes settle as their own SCC like
+    * any other edge-less node. A distinct edge set at or under
+    * `collectThreshold` rows short-circuits to driver Tarjan — the
+    * bounded-collect convention: ~13 fixpoint checkpoints of pure job
+    * overhead lose to one exact O(V+E) pass on driver-sized graphs,
+    * and the two paths are spec-pinned identical.
+    */
   def stronglyConnectedComponents(edges: DataFrame, maxPeel: Int = 25,
       maxIter: Int = 60, collectThreshold: Int = 4096): DataFrame = {
     require(edges.columns.length >= 2,

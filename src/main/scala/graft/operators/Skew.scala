@@ -150,4 +150,59 @@ object Skew {
       .drop("__pid", "__rn", "__off")
     (out, acc)
   }
+
+  /** Exact 1-based PER-GROUP index — [[withGlobalIndex]] with the
+    * count restarting at 1 inside each value of `groupCol` — built so
+    * the parallelism is the shuffle-partition count, NEVER the group
+    * count. `row_number().over(Window.partitionBy(group))` looks
+    * partitioned, but with a handful of groups (curriculum stages,
+    * booleans, quartile bands) it IS a global sort split |groups|
+    * ways: each reducer sorts corpus/|groups| rows, and no rank
+    * filter means InferWindowGroupLimit can't pre-prune.
+    *
+    * Same three phases, group-aware: `repartitionByRange` on
+    * (group ++ sortCols) — a group's rows land on consecutive
+    * partition ids, each partition holding at most a partition-sized
+    * slice of any group; per-partition `row_number` partitioned by
+    * (partition id, group) — parallel, each task sorting only its own
+    * slice; per-(partition, group) counts (≤ partitions + groups rows
+    * of metadata, since range partitioning makes groups contiguous)
+    * prefix-summed per group on the driver and broadcast back. The
+    * index equals the low-cardinality window's output bit-for-bit —
+    * (group ++ sortCols) must be a unique key, same contract as
+    * [[withGlobalIndex]].
+    */
+  def withPerGroupIndex(df: DataFrame, groupCol: String,
+      sortCols: Seq[Column], idxName: String): DataFrame = {
+    val spark = df.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranked = df.repartitionByRange(parts, col(groupCol) +: sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        w.partitionBy(col("__pid"), col(groupCol)).orderBy(sortCols: _*))
+        .cast("long"))
+      .materialize()
+    val counts = ranked.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__c")).collect()
+    val offRows = counts.groupBy(_.get(1)).toSeq.flatMap { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_.getInt(0)).map { r =>
+        val off = acc; acc += r.getLong(2)
+        org.apache.spark.sql.Row(r.getInt(0), r.get(1), off)
+      }
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__opid",
+        org.apache.spark.sql.types.IntegerType),
+      ranked.schema(groupCol).copy(name = "__og"),
+      org.apache.spark.sql.types.StructField("__off",
+        org.apache.spark.sql.types.LongType)))
+    val offDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema))
+    ranked.join(offDf,
+        col("__pid") === col("__opid") && col(groupCol) === col("__og"))
+      .withColumn(idxName, col("__off") + col("__rn"))
+      .drop("__pid", "__rn", "__opid", "__og", "__off")
+  }
 }

@@ -1618,6 +1618,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(s(9L) > (1L to 8L).map(s(_)).max)
   }
 
+  test("kn3CrossEntropy: hand-computed interpolated trigram KN; OOD ranks higher") {
+    import graft.functions.TextAnalysis
+    // "a b a b a": trigrams c(aba)=2, c(bab)=1; bigram types ab/ba, B=2.
+    // P(a|ab) = (2−.75)/2 + (.75·1/2)·[(1−.75)/1 + (.75·1/1)·(1/2)]
+    //         = 0.625 + 0.375·0.625 = 0.859375
+    // P(b|ba) = (1−.75)/1 + (.75·1/1)·0.625 = 0.71875
+    // — every term an exact double, so equality is exact after the
+    // engine's 9-decimal lp quantization
+    val sp = spark; import sp.implicits._
+    val d = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.kn3CrossEntropy(d).collect()(0)
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpAba = r9(-math.log(0.859375))
+    val lpBab = r9(-math.log(0.71875))
+    val exp = BigDecimal((lpAba + lpBab + lpAba) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(1) == 3L)
+    assert(got.getDouble(2) == exp, s"got ${got.getDouble(2)} expected $exp")
+    // a 2-token doc has no trigram and emits nothing
+    assert(TextAnalysis.kn3CrossEntropy(
+      Seq((1L, "a b")).toDF("doc_id", "text")).count() == 0)
+    // ranking sanity: the garbled doc ranks worst under order-3 too
+    val common = "the farmer plants rice in the field every morning"
+    val mix = ((1L to 8L).map(i => (i, common + s" season $i")) :+
+      (9L, "zxqv jkwp mbrt ylnd qofg hscx")).toDF("doc_id", "text")
+    val s3 = TextAnalysis.kn3CrossEntropy(mix).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s3(9L) > (1L to 8L).map(s3(_)).max)
+  }
+
   test("qualityBands: fixed cutoffs band correctly; rates apply per band") {
     import graft.functions.TextAnalysis
     val scored = spark.range(0, 3000).toDF("doc_id")

@@ -393,10 +393,12 @@ class GraphsSpec extends SparkSpec {
     assert(got(10L) == 10L)
   }
 
-  test("scc: descending id chain needs trim-driven peels and still settles exactly") {
+  test("scc: descending id chain settles via class-partition edge filtering") {
     // ids descend along the edges — the adversarial order for min-label
-    // settling (F==B never fires off the fringe); the trim pass must
-    // carry it
+    // settling (F==B fires only at the fringe per peel); the
+    // same-(F,B)-class edge filter must carry it: crossing edges drop,
+    // the remainder's classes empty out, and the next peel settles the
+    // stranded chain nodes as singletons
     val chain = (1L to 8L).reverse.sliding(2).map(p => (p(0), p(1))).toSeq
     val withCycle = chain ++ Seq((1L, 20L), (20L, 21L), (21L, 1L))
     val got = scc(withCycle)

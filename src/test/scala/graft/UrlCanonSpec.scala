@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Normalize
+
+/** Hand-built URL equivalence classes for
+  * [[graft.functions.Normalize.canonicalUrl]] — each rule exercised
+  * with a positive AND a must-not-touch case, since the canonical key
+  * feeds keep-first dedup where a false collapse DELETES a document.
+  */
+class UrlCanonSpec extends SparkSpec {
+
+  private def canon(urls: String*): Seq[String] = {
+    val sp = spark; import sp.implicits._
+    urls.toDF("url").select(Normalize.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("case-mangled authority, default port, fragment, and tracking " +
+      "params all collapse to one canonical form") {
+    val got = canon(
+      "https://Ex.COM/a",
+      "HTTPS://EX.com:443/a",
+      "https://ex.com/a#section-2",
+      "https://ex.com/a?utm_source=feed",
+      "https://ex.com/a?gclid=xyz#frag",
+    )
+    assert(got.forall(_ == "https://ex.com/a"), got.mkString(" | "))
+  }
+
+  test("non-tracking params survive, in original order, with separators repaired") {
+    assert(canon("https://ex.com/a?x=1&utm_medium=m&y=2")
+      == Seq("https://ex.com/a?x=1&y=2"))
+    assert(canon("https://ex.com/a?utm_source=s&x=1")
+      == Seq("https://ex.com/a?x=1"))
+    assert(canon("https://ex.com/a?utm_source=s&utm_term=t&x=1")
+      == Seq("https://ex.com/a?x=1"))
+    assert(canon("https://ex.com/a?x=1&fbclid=f")
+      == Seq("https://ex.com/a?x=1"))
+  }
+
+  test("a tracking NAME inside another param name must not strip (no false collapse)") {
+    // href/xref contain "ref" but the rule anchors on the [?&] delimiter
+    assert(canon("https://ex.com/p?href=z") == Seq("https://ex.com/p?href=z"))
+    assert(canon("https://ex.com/p?xref=1&y=2")
+      == Seq("https://ex.com/p?xref=1&y=2"))
+  }
+
+  test("non-default ports are identity-bearing and survive") {
+    assert(canon("https://ex.com:8443/a") == Seq("https://ex.com:8443/a"))
+    // :443 is only default for https; on http it stays
+    assert(canon("http://ex.com:443/a") == Seq("http://ex.com:443/a"))
+    assert(canon("http://ex.com:80/a") == Seq("http://ex.com/a"))
+  }
+
+  test("empty path normalizes to / so bare-host forms collide") {
+    assert(canon("https://ex.com", "https://ex.com/",
+        "https://ex.com?utm_source=s").distinct == Seq("https://ex.com/"))
+  }
+
+  test("path and query case is significant (RFC 3986: only the authority folds)") {
+    assert(canon("https://ex.com/Path?Q=V") == Seq("https://ex.com/Path?Q=V"))
+  }
+
+  test("urlHost lowercases and drops port/path") {
+    val sp = spark; import sp.implicits._
+    val got = Seq("HTTPS://Ex.COM:8443/a?x=1").toDF("url")
+      .select(Normalize.urlHost(col("url"))).collect().head.getString(0)
+    assert(got == "ex.com")
+  }
+
+  test("dedup_by_url keep-first: min doc_id survives, variants counted") {
+    val df = SparkEntry.queries("dedup_by_url")(spark, sfDir)
+    val rows = df.collect()
+    // every group's keeper is its minimum doc_id by construction (min
+    // aggregate) — sanity-check collapse really happened: the fixture
+    // walks all 5 cosmetic variants inside each (host, path) class
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("n_urls") > 1),
+      "URL canonicalization collapsed nothing — fixture misaligned")
+    val total = rows.map(_.getAs[Long]("n_urls")).sum
+    val docs = SparkEntry.queries("text_url_canonical")(spark, sfDir).count()
+    assert(total == docs, s"partition property violated: $total != $docs")
+  }
+}
