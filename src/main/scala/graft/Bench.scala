@@ -120,9 +120,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) => if (!before(id)) rdd.unpersist(true) }
     }
-    work() // warm-up: codegen + committer init, untimed
+    // the CPU canary's exact protocol (2 warm-ups, min-of-4): a cold
+    // first io reading bakes committer/codegen warm-up into what must
+    // be a pure disk-contention signal, and first-vs-last is the
+    // adjudication this probe exists for
+    work(); work()
     val samples = scala.collection.mutable.ArrayBuffer[Double]()
-    while (samples.size < 3) {
+    while (samples.size < 4) {
       val t0 = System.nanoTime()
       work()
       samples += (System.nanoTime() - t0) / 1e9

@@ -161,25 +161,35 @@ object Oracles {
        |  SELECT doc_id, url, lower(prefix) AS auth,
        |    substr(url, length(prefix) + 1) AS rest
        |  FROM pre),
-       |cleaned AS (
+       |nofrag AS (
        |  SELECT doc_id, url,
        |    CASE WHEN starts_with(auth, 'http://')
        |           THEN regexp_replace(auth, ':80$$', '')
        |         WHEN starts_with(auth, 'https://')
        |           THEN regexp_replace(auth, ':443$$', '')
        |         ELSE auth END AS noport,
-       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-       |      regexp_replace(rest, '#.*$$', ''),
-       |      '([?&])($tracked)=[^&]*', '\\1', 'g'),
+       |    regexp_replace(rest, '#.*$$', '') AS nf
+       |  FROM parts),
+       |splitq AS (
+       |  SELECT doc_id, url, noport,
+       |    CASE WHEN strpos(nf, '?') = 0 THEN nf
+       |         ELSE substr(nf, 1, strpos(nf, '?') - 1) END AS path,
+       |    CASE WHEN strpos(nf, '?') = 0 THEN ''
+       |         ELSE substr(nf, strpos(nf, '?')) END AS query
+       |  FROM nofrag),
+       |cleaned AS (
+       |  SELECT doc_id, url, noport, path,
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(query,
+       |        '(^\\?|&)($tracked)=[^&]*', '\\1', 'g'),
        |      '&&+', '&', 'g'),
        |      '\\?&', '?', 'g'),
-       |      '[?&]+$$', '') AS tail
-       |  FROM parts),
+       |      '[?&]+$$', '') AS q
+       |  FROM splitq),
        |canon AS (
-       |  SELECT doc_id, url, noport ||
-       |    CASE WHEN tail = '' THEN '/'
-       |         WHEN starts_with(tail, '?') THEN '/' || tail
-       |         ELSE tail END AS canon_url
+       |  SELECT doc_id, url,
+       |    noport || (CASE WHEN path = '' THEN '/' ELSE path END) || q
+       |      AS canon_url
        |  FROM cleaned)""".stripMargin
   }
 
@@ -1038,8 +1048,7 @@ object Oracles {
          |    i -> {'w1': toks[i], 'w2': toks[i + 1]}) AS bl
          |  FROM lmtok WHERE len(toks) >= 2),
          |bgu AS (SELECT unnest(bl) AS u FROM bgl),
-         |bi AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS c2
-         |  FROM bgu GROUP BY 1, 2),
+         |bi AS (SELECT DISTINCT u.w1 AS w1, u.w2 AS w2 FROM bgu),
          |tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
          |ctx12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS ctx,
          |  count(*) AS n1fw12 FROM tri GROUP BY 1, 2),
@@ -6555,6 +6564,18 @@ object Oracles {
          |  min(regexp_extract(lower(url), '^[a-z0-9+.-]+://([^/:?#]+)', 1)) AS host,
          |  min(doc_id) AS keeper,
          |  count(*) AS n_urls
+         |FROM canon GROUP BY 1""".stripMargin,
+
+    // Host-level dedup report: two-phase distinct over (host, md5
+    // canonical key), dup ratio one division on the host row.
+    "dedup_url_hosts" ->
+      s"""WITH $URL_CANON_CTES
+         |SELECT regexp_extract(lower(url), '^[a-z0-9+.-]+://([^/:?#]+)', 1)
+         |    AS host,
+         |  count(*) AS n_urls,
+         |  count(DISTINCT md5(canon_url)) AS n_canonical,
+         |  round(1.0 - CAST(count(DISTINCT md5(canon_url)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
          |FROM canon GROUP BY 1""".stripMargin,
 
     "text_quality_score" ->

@@ -3789,4 +3789,27 @@ object Queries {
         min(col("doc_id")).as("keeper"),
         count(lit(1)).as("n_urls"))
   }
+
+  /** Extension — host-level dedup report (the crawl-side view of
+    * [[dedupByUrl]]): per host, raw URL count, distinct canonical
+    * keys, and the duplication ratio — the table a crawl operator
+    * reads to find mirror/parameter-spam hosts worth blocklisting or
+    * capping (`cap_by_source` is the enforcement face). Scale shape:
+    * canonicalization map-only; one two-phase distinct aggregate
+    * keyed on (host, 16-byte canonical md5) — digests ride the
+    * shuffle, never URL text; the ratio is a single division on the
+    * host-level row.
+    */
+  val dedupUrlHosts: Q = (s, dir) => {
+    val canon = Normalize.canonicalUrl(col("url"))
+    urlFixture(s, dir)
+      .select(md5(canon.cast("binary")).as("canon_key"),
+        Normalize.urlHost(col("url")).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("canon_key")).as("n_canonical"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_canonical").cast("double")
+          / col("n_urls").cast("double"), 4))
+  }
 }

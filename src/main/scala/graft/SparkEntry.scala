@@ -149,6 +149,7 @@ object SparkEntry {
     "text_code_detect" -> Queries.textCodeDetect,
     "text_url_canonical" -> Queries.textUrlCanonical,
     "dedup_by_url" -> Queries.dedupByUrl,
+    "dedup_url_hosts" -> Queries.dedupUrlHosts,
     "sample_stratified" -> Queries.sampleStratified,
     "sample_kcenter" -> Queries.sampleKcenter,
     "sample_token_budget" -> Queries.sampleTokenBudget,

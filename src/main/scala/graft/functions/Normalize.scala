@@ -150,9 +150,16 @@ object Normalize {
     *  2. default ports stripped — `:80` iff http, `:443` iff https
     *     (a non-default port is identity-bearing and survives);
     *  3. fragment dropped (never sent to the server);
-    *  4. [[trackingParams]] query params removed, OTHER params kept
+    *  4. [[trackingParams]] QUERY params removed, OTHER params kept
     *     in their original order; separators repaired and a trailing
-    *     `?`/`&` dropped;
+    *     `?`/`&` dropped. The rest is split at the FIRST `?` and the
+    *     param rules touch only the query component: `&` is a legal
+    *     path character (RFC 3986 §3.3) and `?` is legal inside query
+    *     values (§3.4), so `/a&ref=1` (a path) and `?q=a?ref=1` (a
+    *     value containing `?ref=`) must survive untouched — a false
+    *     collapse here DELETES a document downstream. Within the
+    *     query, a tracking param matches only as a whole `?`-led or
+    *     `&`-led parameter;
     *  5. empty path normalized to `/` so `https://x.com` and
     *     `https://x.com/` collide.
     *
@@ -168,15 +175,20 @@ object Normalize {
       .when(auth.startsWith("https://"), regexp_replace(auth, ":443$", ""))
       .otherwise(auth)
     val noFrag = regexp_replace(rest, "#.*$", "")
-    val stripped = regexp_replace(noFrag,
-      s"([?&])(${trackingParams.mkString("|")})=[^&]*", "$1")
+    val qPos = instr(noFrag, "?") // 1-based; 0 when there is no query
+    val path = when(qPos === 0, noFrag)
+      .otherwise(noFrag.substr(lit(1), qPos - lit(1)))
+    val query = when(qPos === 0, lit(""))
+      .otherwise(noFrag.substr(qPos, length(noFrag)))
+    // a param is stripped only as a WHOLE query parameter: led by the
+    // opening '?' (anchored) or a '&' separator — never mid-value
+    val stripped = regexp_replace(query,
+      s"(^\\?|&)(${trackingParams.mkString("|")})=[^&]*", "$1")
     val c1 = regexp_replace(stripped, "&&+", "&")
     val c2 = regexp_replace(c1, "\\?&", "?")
     val c3 = regexp_replace(c2, "[?&]+$", "")
-    val pathed = when(c3 === "", lit("/"))
-      .when(c3.startsWith("?"), concat(lit("/"), c3))
-      .otherwise(c3)
-    concat(noPort, pathed)
+    val pathed = when(path === "", lit("/")).otherwise(path)
+    concat(noPort, pathed, c3)
   }
 
   /** Lowercased host of a URL (no port, no userinfo beyond what the

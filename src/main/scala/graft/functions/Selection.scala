@@ -214,11 +214,15 @@ object Selection {
     val stageCol = (1 until stages).foldLeft(lit(stages): Column) {
       case (acc, i) => acc - when(col(s"c$i") <= col("quality"), 1).otherwise(0)
     }
+    // project the spent cutoff columns away BEFORE the index: the
+    // range shuffle + checkpoint inside withPerGroupIndex must carry
+    // only (doc_id, quality, stage, key), not stages-1 dead doubles
     val staged = q.crossJoin(broadcast(cutsRow))
       .withColumn("stage", stageCol.cast("long"))
       .withColumn("__hk",
         md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))
           .cast("binary")))
+      .select(col("doc_id"), col("quality"), col("stage"), col("__hk"))
     graft.operators.Skew
       .withPerGroupIndex(staged, "stage",
         Seq(col("__hk"), col("doc_id")), "pos")

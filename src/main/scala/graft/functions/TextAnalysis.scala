@@ -721,8 +721,9 @@ object TextAnalysis {
       .agg(sum("c3").as("ctx"), count(lit(1)).as("n1fw12"))
     val mid23 = tri.groupBy("w2", "w3").agg(count(lit(1)).as("n1bw23"))
     val mid2 = tri.groupBy("w2").agg(count(lit(1)).as("nmid"))
-    val bi = bg.groupBy("bw1", "bw2").agg(count(lit(1)).as("c2"))
-      .materialize()
+    // the bigram TYPE set — unlike the order-2 model, no level of the
+    // trigram formula reads bigram token counts, only type counts
+    val bi = bg.distinct().materialize()
     val fw2 = bi.groupBy("bw1").agg(count(lit(1)).as("n1fw2"))
       .withColumnRenamed("bw1", "w2")
     val bw3 = bi.groupBy("bw2").agg(count(lit(1)).as("n1bw3"))

@@ -130,25 +130,13 @@ object Skew {
     */
   def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
       idxName: String): (DataFrame, Long) = {
-    val spark = df.sparkSession
-    val w = org.apache.spark.sql.expressions.Window
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val ranked = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__rn", row_number().over(
-        w.partitionBy(col("__pid")).orderBy(sortCols: _*)).cast("long"))
-      .materialize()
-    val counts = ranked.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offRows = counts.map { case (pid, c) =>
-      val off = acc; acc += c; (pid, off) }.toIndexedSeq
-    val sp = spark; import sp.implicits._
-    val offDf = broadcast(offRows.toDF("__pid", "__off"))
-    val out = ranked.join(offDf, "__pid")
-      .withColumn(idxName, col("__off") + col("__rn"))
-      .drop("__pid", "__rn", "__off")
-    (out, acc)
+    // the groupless special case of the per-group recipe: a constant
+    // group tags every row (4 bytes/row through the range shuffle —
+    // the price of ONE copy of the tricky three-phase machinery)
+    val (out, total) =
+      perGroupIndex(df.withColumn("__ggrp", lit(0)), "__ggrp",
+        sortCols, idxName)
+    (out.drop("__ggrp"), total)
   }
 
   /** Exact 1-based PER-GROUP index — [[withGlobalIndex]] with the
@@ -173,7 +161,18 @@ object Skew {
     * [[withGlobalIndex]].
     */
   def withPerGroupIndex(df: DataFrame, groupCol: String,
-      sortCols: Seq[Column], idxName: String): DataFrame = {
+      sortCols: Seq[Column], idxName: String): DataFrame =
+    perGroupIndex(df, groupCol, sortCols, idxName)._1
+
+  /** Shared three-phase core for [[withGlobalIndex]] /
+    * [[withPerGroupIndex]]; also returns the total row count (free —
+    * it is the offsets' sum). The offset join is NULL-SAFE on the
+    * group column (`<=>`): a NULL group is a group like any other —
+    * a plain `===` would silently DROP every null-group row from the
+    * result instead of indexing it.
+    */
+  private def perGroupIndex(df: DataFrame, groupCol: String,
+      sortCols: Seq[Column], idxName: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val w = org.apache.spark.sql.expressions.Window
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -192,6 +191,7 @@ object Skew {
         org.apache.spark.sql.Row(r.getInt(0), r.get(1), off)
       }
     }
+    val total = counts.map(_.getLong(2)).sum
     val offSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("__opid",
         org.apache.spark.sql.types.IntegerType),
@@ -200,9 +200,10 @@ object Skew {
         org.apache.spark.sql.types.LongType)))
     val offDf = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(offRows, 1), offSchema))
-    ranked.join(offDf,
-        col("__pid") === col("__opid") && col(groupCol) === col("__og"))
+    val out = ranked.join(offDf,
+        col("__pid") === col("__opid") && col(groupCol) <=> col("__og"))
       .withColumn(idxName, col("__off") + col("__rn"))
       .drop("__pid", "__rn", "__opid", "__og", "__off")
+    (out, total)
   }
 }

@@ -910,11 +910,34 @@ class PlanQualitySpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
       Window => LWindow, WindowGroupLimit => LWindowGroupLimit}
     val found = scala.collection.mutable.ArrayBuffer[String]()
+    // a WindowGroupLimit exempts a window only when it actually prunes
+    // THIS window's input: reachable through the direct child chain
+    // (projections/filters/sorts) with a matching partition spec — a
+    // rank-limited window deeper in the plan must not shield an
+    // un-pruned low-cardinality window stacked above it
+    def prunedByGroupLimit(w: LWindow): Boolean = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+        Project => LProject, Sort => LSort}
+      var node: LogicalPlan = w.child
+      var steps = 0
+      while (steps < 8) {
+        node match {
+          case g: LWindowGroupLimit =>
+            return g.partitionSpec.length == w.partitionSpec.length &&
+              g.partitionSpec.zip(w.partitionSpec)
+                .forall { case (a, b) => a.semanticEquals(b) }
+          case p: LProject => node = p.child
+          case f: LFilter => node = f.child
+          case s: LSort => node = s.child
+          case _ => return false
+        }
+        steps += 1
+      }
+      false
+    }
     df.queryExecution.optimizedPlan.foreach {
       case w: LWindow if w.partitionSpec.nonEmpty =>
-        val groupLimited = w.child.exists {
-          case _: LWindowGroupLimit => true; case _ => false }
-        if (!groupLimited) {
+        if (!prunedByGroupLimit(w)) {
           val env = scala.collection.mutable.Map[ExprId, Expression]()
           w.child.foreach { (node: LogicalPlan) =>
             node.expressions.foreach(_.foreach {

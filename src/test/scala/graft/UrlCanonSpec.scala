@@ -40,10 +40,25 @@ class UrlCanonSpec extends SparkSpec {
   }
 
   test("a tracking NAME inside another param name must not strip (no false collapse)") {
-    // href/xref contain "ref" but the rule anchors on the [?&] delimiter
+    // href/xref contain "ref" but the rule anchors on the ?/& delimiter
     assert(canon("https://ex.com/p?href=z") == Seq("https://ex.com/p?href=z"))
     assert(canon("https://ex.com/p?xref=1&y=2")
       == Seq("https://ex.com/p?xref=1&y=2"))
+  }
+
+  test("param rules touch only the query: path '&' and in-value '?' survive") {
+    // '&' is a legal path character (RFC 3986 §3.3): /a&ref=1 is a
+    // PATH, not a tracking param — stripping it would collapse this
+    // URL onto https://ex.com/a and delete a document downstream
+    assert(canon("https://ex.com/a&ref=1") == Seq("https://ex.com/a&ref=1"))
+    assert(canon("https://ex.com/a&&b") == Seq("https://ex.com/a&&b"))
+    // '?' is legal inside a query VALUE (§3.4): ?q=a?ref=1 is one
+    // param whose value contains "?ref=1" — not a strippable param
+    assert(canon("https://ex.com/s?q=a?ref=1")
+      == Seq("https://ex.com/s?q=a?ref=1"))
+    // while a genuinely ?-led tracking param still strips
+    assert(canon("https://ex.com/a?ref=1") == Seq("https://ex.com/a"))
+    assert(canon("https://ex.com/a?ref=1&x=2") == Seq("https://ex.com/a?x=2"))
   }
 
   test("non-default ports are identity-bearing and survive") {
