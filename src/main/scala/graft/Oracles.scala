@@ -130,8 +130,11 @@ object Oracles {
     * text_url_canonical and dedup_by_url — replays
     * `Normalize.canonicalUrl` rule for rule: lowercase authority,
     * default-port strip (`:80` iff http, `:443` iff https), fragment
-    * drop, tracking-param removal with separator repair, empty path
-    * → `/`. Ends in `canon(doc_id, url, canon_url)`.
+    * drop, query-scoped tracking-param removal where each strip
+    * consumes its own separator (no post-hoc repair — see the engine
+    * scaladoc for the false-collapse cases repairs caused), empty
+    * path → `/`. Ends in `canon(doc_id, url, canon_url, host)` — the
+    * host emitted ONCE here so the three URL queries cannot drift.
     */
   private val URL_CANON_CTES: String = {
     val tracked = "utm_source|utm_medium|utm_campaign|utm_term" +
@@ -164,11 +167,11 @@ object Oracles {
        |nofrag AS (
        |  SELECT doc_id, url,
        |    CASE WHEN starts_with(auth, 'http://')
-       |           THEN regexp_replace(auth, ':80$$', '')
+       |           THEN regexp_replace(auth, ':80\\z', '')
        |         WHEN starts_with(auth, 'https://')
-       |           THEN regexp_replace(auth, ':443$$', '')
+       |           THEN regexp_replace(auth, ':443\\z', '')
        |         ELSE auth END AS noport,
-       |    regexp_replace(rest, '#.*$$', '') AS nf
+       |    regexp_replace(rest, '(?s)#.*', '') AS nf
        |  FROM parts),
        |splitq AS (
        |  SELECT doc_id, url, noport,
@@ -179,17 +182,16 @@ object Oracles {
        |  FROM nofrag),
        |cleaned AS (
        |  SELECT doc_id, url, noport, path,
-       |    regexp_replace(regexp_replace(regexp_replace(
-       |      regexp_replace(query,
-       |        '(^\\?|&)($tracked)=[^&]*', '\\1', 'g'),
-       |      '&&+', '&', 'g'),
-       |      '\\?&', '?', 'g'),
-       |      '[?&]+$$', '') AS q
+       |    regexp_replace(
+       |      regexp_replace(query, '&($tracked)=[^&]*', '', 'g'),
+       |      '^\\?($tracked)=[^&]*&?', '?') AS q0
        |  FROM splitq),
        |canon AS (
        |  SELECT doc_id, url,
-       |    noport || (CASE WHEN path = '' THEN '/' ELSE path END) || q
-       |      AS canon_url
+       |    noport || (CASE WHEN path = '' THEN '/' ELSE path END) ||
+       |      (CASE WHEN q0 = '?' THEN '' ELSE q0 END) AS canon_url,
+       |    regexp_extract(lower(url), '^[a-z0-9+.-]+://([^/:?#]+)', 1)
+       |      AS host
        |  FROM cleaned)""".stripMargin
   }
 
@@ -6547,11 +6549,12 @@ object Oracles {
     // cosmetic variants per doc_id both engines build, and the
     // canonical form replays Normalize.canonicalUrl's rule chain with
     // DuckDB's regex built-ins (RE2 'g' flag where Spark's
-    // regexp_replace is implicitly global; '\1' where Java uses '$1').
+    // regexp_replace is implicitly global). The shared canon CTE also
+    // emits the host ONCE, so the three URL queries cannot drift from
+    // each other on the host rule.
     "text_url_canonical" ->
       s"""WITH $URL_CANON_CTES
-         |SELECT doc_id, url, canon_url,
-         |  regexp_extract(lower(url), '^[a-z0-9+.-]+://([^/:?#]+)', 1) AS host,
+         |SELECT doc_id, url, canon_url, host,
          |  md5(canon_url) AS canon_key
          |FROM canon""".stripMargin,
 
@@ -6561,7 +6564,7 @@ object Oracles {
       s"""WITH $URL_CANON_CTES
          |SELECT md5(canon_url) AS canon_key,
          |  min(canon_url) AS canon_url,
-         |  min(regexp_extract(lower(url), '^[a-z0-9+.-]+://([^/:?#]+)', 1)) AS host,
+         |  min(host) AS host,
          |  min(doc_id) AS keeper,
          |  count(*) AS n_urls
          |FROM canon GROUP BY 1""".stripMargin,
@@ -6570,8 +6573,7 @@ object Oracles {
     // canonical key), dup ratio one division on the host row.
     "dedup_url_hosts" ->
       s"""WITH $URL_CANON_CTES
-         |SELECT regexp_extract(lower(url), '^[a-z0-9+.-]+://([^/:?#]+)', 1)
-         |    AS host,
+         |SELECT host,
          |  count(*) AS n_urls,
          |  count(DISTINCT md5(canon_url)) AS n_canonical,
          |  round(1.0 - CAST(count(DISTINCT md5(canon_url)) AS DOUBLE)

@@ -151,17 +151,26 @@ object Normalize {
     *     (a non-default port is identity-bearing and survives);
     *  3. fragment dropped (never sent to the server);
     *  4. [[trackingParams]] QUERY params removed, OTHER params kept
-    *     in their original order; separators repaired and a trailing
-    *     `?`/`&` dropped. The rest is split at the FIRST `?` and the
-    *     param rules touch only the query component: `&` is a legal
-    *     path character (RFC 3986 §3.3) and `?` is legal inside query
-    *     values (§3.4), so `/a&ref=1` (a path) and `?q=a?ref=1` (a
-    *     value containing `?ref=`) must survive untouched — a false
-    *     collapse here DELETES a document downstream. Within the
-    *     query, a tracking param matches only as a whole `?`-led or
-    *     `&`-led parameter;
+    *     in their original order. The rest is split at the FIRST `?`
+    *     and the param rules touch only the query component: `&` is a
+    *     legal path character (RFC 3986 §3.3) and `?` is legal inside
+    *     query values (§3.4), so `/a&ref=1` (a path) and `?q=a?ref=1`
+    *     (a value containing `?ref=`) must survive untouched — a
+    *     false collapse here DELETES a document downstream. Each
+    *     strip CONSUMES ITS OWN SEPARATOR (`&name=value` removed
+    *     whole; a leading `?name=value&` folds to `?`; a query
+    *     reduced to exactly `?` drops) — there is deliberately NO
+    *     post-hoc separator "repair": a global `?&`→`?` / `&&`→`&` /
+    *     trailing-`[?&]` pass would rewrite LEGAL in-value `?` and
+    *     pre-existing empty params (`?q=a?&b=1`, `?q=a?`,
+    *     `?a=1&&x=3`), each a distinct resource falsely collapsed;
     *  5. empty path normalized to `/` so `https://x.com` and
     *     `https://x.com/` collide.
+    *
+    * Anchoring is `\z` (absolute end of input) everywhere, never `$`:
+    * Java's `$` matches before a final line terminator while RE2's
+    * does not, and the oracle mirrors these rules in RE2 — on crawl
+    * garbage with a trailing newline the two would silently disagree.
     *
     * Map-only — one row in, one canonical string out; the dedup that
     * follows shuffles only the 16-byte md5 of this value, never text.
@@ -171,24 +180,24 @@ object Normalize {
     val rest = url.substr(length(prefix) + lit(1), length(url))
     val auth = lower(prefix)
     val noPort = when(auth.startsWith("http://"),
-        regexp_replace(auth, ":80$", ""))
-      .when(auth.startsWith("https://"), regexp_replace(auth, ":443$", ""))
+        regexp_replace(auth, ":80\\z", ""))
+      .when(auth.startsWith("https://"), regexp_replace(auth, ":443\\z", ""))
       .otherwise(auth)
-    val noFrag = regexp_replace(rest, "#.*$", "")
+    val noFrag = regexp_replace(rest, "(?s)#.*", "")
     val qPos = instr(noFrag, "?") // 1-based; 0 when there is no query
     val path = when(qPos === 0, noFrag)
       .otherwise(noFrag.substr(lit(1), qPos - lit(1)))
     val query = when(qPos === 0, lit(""))
       .otherwise(noFrag.substr(qPos, length(noFrag)))
-    // a param is stripped only as a WHOLE query parameter: led by the
-    // opening '?' (anchored) or a '&' separator — never mid-value
-    val stripped = regexp_replace(query,
-      s"(^\\?|&)(${trackingParams.mkString("|")})=[^&]*", "$1")
-    val c1 = regexp_replace(stripped, "&&+", "&")
-    val c2 = regexp_replace(c1, "\\?&", "?")
-    val c3 = regexp_replace(c2, "[?&]+$", "")
+    val names = trackingParams.mkString("|")
+    // &-led params vanish with their own '&'; the ?-led first param
+    // folds onto the '?' (consuming the '&' that promoted its
+    // successor); a query that was ALL tracking is now exactly "?"
+    val s1 = regexp_replace(query, s"&($names)=[^&]*", "")
+    val s2 = regexp_replace(s1, s"^\\?($names)=[^&]*&?", "?")
+    val q = when(s2 === "?", lit("")).otherwise(s2)
     val pathed = when(path === "", lit("/")).otherwise(path)
-    concat(noPort, pathed, c3)
+    concat(noPort, pathed, q)
   }
 
   /** Lowercased host of a URL (no port, no userinfo beyond what the

@@ -71,6 +71,30 @@ class SkewStatefulSpec extends SparkSpec {
     assert(sizes.forall(s => s > 50 && s < 250)) // roughly even
   }
 
+  test("withPerGroupIndex: equals the grouped window, and NULL groups are indexed, not dropped") {
+    val df = Seq(
+      (1L, java.lang.Long.valueOf(10L)), (2L, java.lang.Long.valueOf(10L)),
+      (3L, java.lang.Long.valueOf(20L)), (4L, null.asInstanceOf[java.lang.Long]),
+      (5L, null.asInstanceOf[java.lang.Long]), (6L, java.lang.Long.valueOf(20L)),
+    ).toDF("id", "g")
+    val got = Skew.withPerGroupIndex(df, "g", Seq(col("id")), "idx")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+    // the null group is a group like any other (the offset join is
+    // null-safe); a === join would silently drop ids 4 and 5
+    assert(got == Set(
+      (1L, 10L, 1L), (2L, 10L, 2L),
+      (3L, 20L, 1L), (6L, 20L, 2L),
+      (4L, -1L, 1L), (5L, -1L, 2L)), got)
+    // the delegated groupless form: exact 1..n over the total order,
+    // count returned for free
+    val (gidx, n) = Skew.withGlobalIndex(
+      spark.range(0, 100).toDF("id"), Seq(col("id").desc), "rk")
+    assert(n == 100L)
+    val pairs = gidx.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L until 100L).forall(i => pairs(i) == 100L - i))
+  }
+
   test("firstSeenKeys: stateful dedup emits each key once across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-state-ckpt").toString

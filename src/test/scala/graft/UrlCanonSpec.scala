@@ -28,7 +28,7 @@ class UrlCanonSpec extends SparkSpec {
     assert(got.forall(_ == "https://ex.com/a"), got.mkString(" | "))
   }
 
-  test("non-tracking params survive, in original order, with separators repaired") {
+  test("non-tracking params survive, in original order, separators intact") {
     assert(canon("https://ex.com/a?x=1&utm_medium=m&y=2")
       == Seq("https://ex.com/a?x=1&y=2"))
     assert(canon("https://ex.com/a?utm_source=s&x=1")
@@ -59,6 +59,25 @@ class UrlCanonSpec extends SparkSpec {
     // while a genuinely ?-led tracking param still strips
     assert(canon("https://ex.com/a?ref=1") == Seq("https://ex.com/a"))
     assert(canon("https://ex.com/a?ref=1&x=2") == Seq("https://ex.com/a?x=2"))
+  }
+
+  test("no post-hoc separator repair: in-value '?&', trailing '?', and " +
+      "pre-existing empty params survive") {
+    // each strip consumes its own separator, so there is nothing to
+    // "repair" — a global ?&→?, &&→&, or trailing-[?&] pass would
+    // rewrite all three of these LEGAL queries onto other URLs'
+    // canonical keys (and keep-first dedup would delete a document)
+    assert(canon("https://ex.com/s?q=a?&b=1")
+      == Seq("https://ex.com/s?q=a?&b=1"))
+    assert(canon("https://ex.com/s?q=a?") == Seq("https://ex.com/s?q=a?"))
+    assert(canon("https://ex.com/a?a=1&&x=3")
+      == Seq("https://ex.com/a?a=1&&x=3"))
+    // and the separator-consuming strips still compose: leading AND
+    // middle AND trailing tracking params all vanish cleanly
+    assert(canon("https://ex.com/a?gclid=1&x=2&utm_term=t")
+      == Seq("https://ex.com/a?x=2"))
+    assert(canon("https://ex.com/a?gclid=1&fbclid=2")
+      == Seq("https://ex.com/a"))
   }
 
   test("non-default ports are identity-bearing and survive") {
