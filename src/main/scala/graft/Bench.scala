@@ -131,13 +131,51 @@ object Bench {
       work()
       samples += (System.nanoTime() - t0) / 1e9
     }
-    // best-effort cleanup — the probe dir is /tmp-scoped either way
+    deleteRecursively(dir)
+    samples.min
+  }
+
+  /** Best-effort recursive delete of a probe's temp dir. The walk
+    * stream is closed explicitly — Files.walk holds DirectoryStreams
+    * (open fds) until closed, and the bench takes many probe samples
+    * per run.
+    */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
     try {
-      java.nio.file.Files.walk(dir)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
     } catch { case _: Throwable => () }
-    samples.min
+
+  /** One-sample mini I/O probe (quarter-size [[canaryIo]] work, no
+    * warm-up — by rerun time the committer and codegen paths are hot):
+    * the phantom pass BRACKETS each suspect's re-run with one of these
+    * before and one after, so the artifact carries a per-query
+    * contention verdict. Round 13 proved the two-point suite-level io
+    * canary cannot adjudicate a mid-suite window: both end readings
+    * were healthy while the worst query inflated 14× between them —
+    * "was the host slow at the ends?" is not "was the host slow when
+    * THIS query ran?".
+    */
+  def canaryIoOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, md5, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("graft-io-probe")
+    val path = dir.resolve("probe").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val t0 = System.nanoTime()
+    spark.range(0L, 1000000L, 1L, 32)
+      .select(col("id"), xxhash64(col("id")).as("h"),
+        md5(col("id").cast("string")).as("s"))
+      .write.mode("overwrite").parquet(path)
+    val n = spark.read.parquet(path).localCheckpoint().count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(n == 1000000L, s"io probe read $n rows")
+    spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) => if (!before(id)) rdd.unpersist(true) }
+    deleteRecursively(dir)
+    sec
   }
 
   /** Raw per-query seconds from a prior run's bench_out.json, parsed
@@ -259,11 +297,18 @@ object Bench {
     // already succeeded in the suite (its time stands), so drop any
     // error the re-run attempt recorded
     val preRerunErrors = errors.keySet.toSet
+    // each rerun is BRACKETED by one-sample io probes: a suspect that
+    // stays slow between two healthy brackets is an honest regression
+    // signal; inflated brackets adjudicate it to host contention
     val reruns = suspects.map { case (name, _) =>
-      name -> timeOne(name, SparkEntry.queries(name)) }.toMap
+      val ioBefore = canaryIoOnce(spark)
+      val t = timeOne(name, SparkEntry.queries(name))
+      val ioAfter = canaryIoOnce(spark)
+      name -> ((t, ioBefore, ioAfter)) }.toMap
     for (name <- reruns.keys if !preRerunErrors(name)) errors.remove(name)
     val results = suite.map { case (name, t) =>
-      val best = reruns.get(name).filter(r => r >= 0 && r < t).getOrElse(t)
+      val best = reruns.get(name).map(_._1).filter(r => r >= 0 && r < t)
+        .getOrElse(t)
       name -> best
     }
 
@@ -307,9 +352,10 @@ object Bench {
     val phantomJson =
       if (suspects.isEmpty) ""
       else suspects.map { case (name, t) =>
-        jstr(name) + s""":{"suite":${r3(t)},"rerun":${
-          r3(reruns.getOrElse(name, -1.0))},"prior":${
-          r3(prior.getOrElse(name, -1.0))}}"""
+        val (rr, ioB, ioA) = reruns.getOrElse(name, (-1.0, -1.0, -1.0))
+        jstr(name) + s""":{"suite":${r3(t)},"rerun":${r3(rr)},"prior":${
+          r3(prior.getOrElse(name, -1.0))},"io_before":${r3(ioB)},"io_after":${
+          r3(ioA)}}"""
       }.mkString(",\"phantoms\":{", ",", "}")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => jstr(k) + ":" + r3(v) }

@@ -137,8 +137,9 @@ object Oracles {
     * host emitted ONCE here so the three URL queries cannot drift.
     */
   private val URL_CANON_CTES: String = {
-    val tracked = "utm_source|utm_medium|utm_campaign|utm_term" +
-      "|utm_content|gclid|fbclid|ref"
+    val trackedIn = Seq("utm_source", "utm_medium", "utm_campaign",
+      "utm_term", "utm_content", "gclid", "fbclid", "ref")
+      .map(n => s"'$n'").mkString(", ")
     s"""base AS (
        |  SELECT doc_id, source || '.example.com' AS host,
        |    '/page-' ||
@@ -182,15 +183,18 @@ object Oracles {
        |  FROM nofrag),
        |cleaned AS (
        |  SELECT doc_id, url, noport, path,
-       |    regexp_replace(
-       |      regexp_replace(query, '&($tracked)=[^&]*', '', 'g'),
-       |      '^\\?($tracked)=[^&]*&?', '?') AS q0
+       |    CASE WHEN query = '' THEN ''
+       |         ELSE '?' || array_to_string(list_filter(
+       |           string_split(substr(query, 2), '&'),
+       |           p -> lower(split_part(p, '=', 1))
+       |             NOT IN ($trackedIn)), '&') END AS q0
        |  FROM splitq),
        |canon AS (
        |  SELECT doc_id, url,
        |    noport || (CASE WHEN path = '' THEN '/' ELSE path END) ||
        |      (CASE WHEN q0 = '?' THEN '' ELSE q0 END) AS canon_url,
-       |    regexp_extract(lower(url), '^[a-z0-9+.-]+://([^/:?#]+)', 1)
+       |    regexp_extract(lower(url),
+       |      '^[a-z0-9+.-]+://(?:[^/?#@]*@)?([^/:?#@]+)', 1)
        |      AS host
        |  FROM cleaned)""".stripMargin
   }
@@ -1078,6 +1082,106 @@ object Oracles {
          |  round(list_sum(list(lp ORDER BY pos)) / count(*), 4) AS kn3_xent
          |FROM tg JOIN sc ON sc.w1 = tg.w1 AND sc.w2 = tg.w2 AND sc.w3 = tg.w3
          |GROUP BY tg.doc_id""".stripMargin,
+
+    // Interpolated Kneser–Ney 5-GRAM (D = 0.75 at every level, the
+    // KenLM production order): token counts at the top, continuation
+    // (type) counts at levels 4/3/2/1 — numerator+denominator from the
+    // corpus (k+1)-gram TYPE table, backoff-weight numerator from the
+    // k-gram type table (TextAnalysis.knNCrossEntropy's convention).
+    // The per-5-gram probability is the identical fixed FP tree,
+    // innermost level first, operation for operation; lp quantized to
+    // 9 decimals; per-doc sum ordered by position.
+    "text_kn5_score" ->
+      s"""WITH lmtok AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+         |  FROM documents),
+         |g5l AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(toks) - 3),
+         |      i -> {'pos': i - 1, 'w1': toks[i], 'w2': toks[i + 1],
+         |            'w3': toks[i + 2], 'w4': toks[i + 3],
+         |            'w5': toks[i + 4]}) AS gl
+         |  FROM lmtok WHERE len(toks) >= 5),
+         |g5u AS (SELECT doc_id, unnest(gl) AS u FROM g5l),
+         |g5 AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2,
+         |  u.w3 AS w3, u.w4 AS w4, u.w5 AS w5 FROM g5u),
+         |t5 AS (SELECT w1, w2, w3, w4, w5, count(*) AS cn
+         |  FROM g5 GROUP BY 1, 2, 3, 4, 5),
+         |ctx AS (SELECT w1, w2, w3, w4, CAST(sum(cn) AS BIGINT) AS ctx,
+         |  count(*) AS n1fw_top FROM t5 GROUP BY 1, 2, 3, 4),
+         |b4l AS (
+         |  SELECT list_transform(range(1, len(toks) - 2),
+         |    i -> {'v1': toks[i], 'v2': toks[i + 1], 'v3': toks[i + 2],
+         |          'v4': toks[i + 3]}) AS bl
+         |  FROM lmtok WHERE len(toks) >= 4),
+         |b4u AS (SELECT unnest(bl) AS u FROM b4l),
+         |b4 AS (SELECT DISTINCT u.v1 AS v1, u.v2 AS v2, u.v3 AS v3,
+         |  u.v4 AS v4 FROM b4u),
+         |b3l AS (
+         |  SELECT list_transform(range(1, len(toks) - 1),
+         |    i -> {'v1': toks[i], 'v2': toks[i + 1], 'v3': toks[i + 2]}) AS bl
+         |  FROM lmtok WHERE len(toks) >= 3),
+         |b3u AS (SELECT unnest(bl) AS u FROM b3l),
+         |b3 AS (SELECT DISTINCT u.v1 AS v1, u.v2 AS v2, u.v3 AS v3 FROM b3u),
+         |b2l AS (
+         |  SELECT list_transform(range(1, len(toks)),
+         |    i -> {'v1': toks[i], 'v2': toks[i + 1]}) AS bl
+         |  FROM lmtok WHERE len(toks) >= 2),
+         |b2u AS (SELECT unnest(bl) AS u FROM b2l),
+         |b2 AS (SELECT DISTINCT u.v1 AS v1, u.v2 AS v2 FROM b2u),
+         |cc4 AS (SELECT w2 AS w2, w3 AS w3, w4 AS w4, w5 AS w5,
+         |  count(*) AS cc4 FROM t5 GROUP BY 1, 2, 3, 4),
+         |den4 AS (SELECT w2 AS w2, w3 AS w3, w4 AS w4, count(*) AS den4
+         |  FROM t5 GROUP BY 1, 2, 3),
+         |lam4 AS (SELECT v1 AS w2, v2 AS w3, v3 AS w4, count(*) AS lam4
+         |  FROM b4 GROUP BY 1, 2, 3),
+         |cc3 AS (SELECT v2 AS w3, v3 AS w4, v4 AS w5, count(*) AS cc3
+         |  FROM b4 GROUP BY 1, 2, 3),
+         |den3 AS (SELECT v2 AS w3, v3 AS w4, count(*) AS den3
+         |  FROM b4 GROUP BY 1, 2),
+         |lam3 AS (SELECT v1 AS w3, v2 AS w4, count(*) AS lam3
+         |  FROM b3 GROUP BY 1, 2),
+         |cc2 AS (SELECT v2 AS w4, v3 AS w5, count(*) AS cc2
+         |  FROM b3 GROUP BY 1, 2),
+         |den2 AS (SELECT v2 AS w4, count(*) AS den2 FROM b3 GROUP BY 1),
+         |lam2 AS (SELECT v1 AS w4, count(*) AS lam2 FROM b2 GROUP BY 1),
+         |bw AS (SELECT v2 AS w5, count(*) AS n1bw FROM b2 GROUP BY 1),
+         |bt AS (SELECT count(*) AS bb FROM b2),
+         |sc AS (
+         |  SELECT t5.w1, t5.w2, t5.w3, t5.w4, t5.w5,
+         |    round(-ln(
+         |      (CAST(cn AS DOUBLE) - 0.75) / CAST(ctx AS DOUBLE)
+         |      + (0.75 * CAST(n1fw_top AS DOUBLE) / CAST(ctx AS DOUBLE))
+         |        * ((CAST(cc4 AS DOUBLE) - 0.75) / CAST(den4 AS DOUBLE)
+         |          + (0.75 * CAST(lam4 AS DOUBLE) / CAST(den4 AS DOUBLE))
+         |            * ((CAST(cc3 AS DOUBLE) - 0.75) / CAST(den3 AS DOUBLE)
+         |              + (0.75 * CAST(lam3 AS DOUBLE) / CAST(den3 AS DOUBLE))
+         |                * ((CAST(cc2 AS DOUBLE) - 0.75) / CAST(den2 AS DOUBLE)
+         |                  + (0.75 * CAST(lam2 AS DOUBLE) / CAST(den2 AS DOUBLE))
+         |                    * (CAST(n1bw AS DOUBLE) / CAST(bb AS DOUBLE)))))),
+         |      9) AS lp
+         |  FROM t5
+         |  JOIN ctx ON ctx.w1 = t5.w1 AND ctx.w2 = t5.w2
+         |    AND ctx.w3 = t5.w3 AND ctx.w4 = t5.w4
+         |  JOIN cc4 ON cc4.w2 = t5.w2 AND cc4.w3 = t5.w3
+         |    AND cc4.w4 = t5.w4 AND cc4.w5 = t5.w5
+         |  JOIN den4 ON den4.w2 = t5.w2 AND den4.w3 = t5.w3
+         |    AND den4.w4 = t5.w4
+         |  JOIN lam4 ON lam4.w2 = t5.w2 AND lam4.w3 = t5.w3
+         |    AND lam4.w4 = t5.w4
+         |  JOIN cc3 ON cc3.w3 = t5.w3 AND cc3.w4 = t5.w4 AND cc3.w5 = t5.w5
+         |  JOIN den3 ON den3.w3 = t5.w3 AND den3.w4 = t5.w4
+         |  JOIN lam3 ON lam3.w3 = t5.w3 AND lam3.w4 = t5.w4
+         |  JOIN cc2 ON cc2.w4 = t5.w4 AND cc2.w5 = t5.w5
+         |  JOIN den2 ON den2.w4 = t5.w4
+         |  JOIN lam2 ON lam2.w4 = t5.w4
+         |  JOIN bw ON bw.w5 = t5.w5
+         |  CROSS JOIN bt)
+         |SELECT g5.doc_id, count(*) AS n_5grams,
+         |  round(list_sum(list(lp ORDER BY pos)) / count(*), 4) AS kn5_xent
+         |FROM g5 JOIN sc ON sc.w1 = g5.w1 AND sc.w2 = g5.w2
+         |  AND sc.w3 = g5.w3 AND sc.w4 = g5.w4 AND sc.w5 = g5.w5
+         |GROUP BY g5.doc_id""".stripMargin,
 
     // Stratified sample: per-lang rank over the salted hash order.
     "sample_stratified" ->
@@ -6580,6 +6684,31 @@ object Oracles {
          |    / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
          |FROM canon GROUP BY 1""".stripMargin,
 
+    // Ratio-driven per-host cap: cap = max(1, floor(8·(1 − dup_ratio)))
+    // on the ROUNDED ratio (both engines round to 4 first — one shared
+    // fixed FP tree); winners ranked by the salted-md5 order with a
+    // doc_id tiebreak, the sample_stratified convention.
+    "corpus_host_cap" ->
+      s"""WITH $URL_CANON_CTES,
+         |hosts AS (
+         |  SELECT host, round(1.0
+         |    - CAST(count(DISTINCT md5(canon_url)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
+         |  FROM canon GROUP BY 1),
+         |caps AS (
+         |  SELECT host, greatest(CAST(1 AS BIGINT),
+         |    CAST(floor(8.0 * (1.0 - dup_ratio)) AS BIGINT)) AS cap
+         |  FROM hosts),
+         |rk AS (
+         |  SELECT doc_id, host,
+         |    row_number() OVER (PARTITION BY host
+         |      ORDER BY substr(md5('hostcap:' || CAST(doc_id AS VARCHAR)), 1, 16),
+         |               doc_id) AS rn
+         |  FROM canon)
+         |SELECT rk.doc_id, rk.host, caps.cap
+         |FROM rk JOIN caps ON caps.host = rk.host
+         |WHERE rn <= cap""".stripMargin,
+
     "text_quality_score" ->
       """SELECT doc_id,
         |  round((least(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) / 64.0, 1.0)
@@ -6819,6 +6948,31 @@ object Oracles {
         |  max(meta_width) AS max_width,
         |  max(meta_duration_ms) AS max_duration_ms
         |FROM m GROUP BY kind""".stripMargin,
+
+    // The four decode-bearing media queries (real PNG/WAV decodes —
+    // pixels and PCM samples are beyond any SQL re-derivation) check
+    // against GOLDEN PARQUET FIXTURES committed in-repo: the expected
+    // (id, digest/feature) outputs at the driver's verification scale
+    // (sf0.01), snapshotted once and pinned — rows/schema/hash all
+    // evaluate instead of the former rows-only check. Semantics are
+    // property-pinned in MultimodalSpec (re-encode invariance, resize
+    // proximity, gain invariance, unrelated-distance); the fixture
+    // pins REGRESSION: any decode/hash/banding change shows up as a
+    // hash mismatch here. Regenerate (deliberately manual) by copying
+    // a verified /tmp/graft_verify_out/<name>/part-*.parquet over the
+    // fixture after auditing the diff.
+    "media_phash" ->
+      """SELECT media_id, phash, n_neardup_pairs
+        |FROM read_parquet('/root/repo/fixtures/media_phash.parquet')""".stripMargin,
+    "media_audio_fp" ->
+      """SELECT media_id, afp, n_neardup_pairs
+        |FROM read_parquet('/root/repo/fixtures/media_audio_fp.parquet')""".stripMargin,
+    "media_features" ->
+      """SELECT media_id, kind, n_bytes, checksum, feat_w, feat_h
+        |FROM read_parquet('/root/repo/fixtures/media_features.parquet')""".stripMargin,
+    "media_frames" ->
+      """SELECT media_id, frame_no, frame_len
+        |FROM read_parquet('/root/repo/fixtures/media_frames.parquet')""".stripMargin,
 
     // North-star composition: exact-dedup survivors minus near-dup
     // losers, English-only, quality-thresholded — each stage the same

@@ -3101,6 +3101,16 @@ object Queries {
   val textKn3Score: Q = (s, dir) =>
     TextAnalysis.kn3CrossEntropy(t(s, dir, "documents"))
 
+  /** Extension — interpolated Kneser–Ney 5-GRAM self-perplexity per
+    * document (D = 0.75 at every level): the actual production order
+    * — KenLM, the CCNet-lineage quality filter, ships an order-5
+    * interpolated-KN model. Token counts at the top level,
+    * continuation (type) counts at all four lower levels, one shared
+    * recursion. See [[graft.functions.TextAnalysis.knNCrossEntropy]].
+    */
+  val textKn5Score: Q = (s, dir) =>
+    TextAnalysis.knNCrossEntropy(t(s, dir, "documents"), order = 5)
+
   /** Extension — n-gram novelty: the fraction of each document's
     * distinct 3-gram shingles that occur nowhere else in the corpus —
     * high novelty flags original content, low novelty flags
@@ -3811,5 +3821,47 @@ object Queries {
       .withColumn("dup_ratio",
         round(lit(1.0) - col("n_canonical").cast("double")
           / col("n_urls").cast("double"), 4))
+  }
+
+  /** Extension — ratio-driven per-host cap: the crawl-policy action
+    * [[dedupUrlHosts]]' report exists to feed. Each host's document
+    * cap scales DOWN with its duplication ratio —
+    * `cap = max(1, ⌊base·(1 − dup_ratio)⌋)` with base = 8 — so
+    * mirror/parameter-spam hosts contribute fewer documents and clean
+    * hosts keep their full allowance; winners are drawn in the same
+    * salted-hash order as `corpus_source_cap` (bias-free, not
+    * crawl-order). Scale shape: the cap table is host-level (one
+    * aggregate row per host, broadcast); enforcement is
+    * [[graft.functions.TextAnalysis.capPerGroup]]'s two-phase cap —
+    * per-partition pre-cap to the static base, exact rank window over
+    * ≤ partitions×base survivors — the corpus never sees a per-host
+    * window.
+    */
+  val corpusHostCap: Q = (s, dir) => {
+    val baseCap = 8
+    val canon = Normalize.canonicalUrl(col("url"))
+    // the (doc_id, digest, host) projection feeds FOUR consumers (the
+    // cap aggregate, both capPerGroup passes, the output join) —
+    // materialize once so the corpus is scanned and canonicalized once
+    val docs = urlFixture(s, dir)
+      .select(col("doc_id"),
+        md5(canon.cast("binary")).as("canon_key"),
+        Normalize.urlHost(col("url")).as("host"))
+      .materialize()
+    val caps = docs.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("canon_key")).as("n_canonical"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_canonical").cast("double")
+          / col("n_urls").cast("double"), 4))
+      .select(col("host"), greatest(lit(1L),
+        floor(lit(baseCap.toDouble) * (lit(1.0) - col("dup_ratio")))
+          .cast("long")).as("cap"))
+    TextAnalysis.capPerGroup(docs, caps, "cap", baseCap, "host",
+        substring(md5(concat(lit("hostcap:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 16),
+        col("doc_id"))
+      .join(broadcast(caps), Seq("host"))
+      .select(col("doc_id"), col("host"), col("cap"))
   }
 }

@@ -150,6 +150,7 @@ object SparkEntry {
     "text_url_canonical" -> Queries.textUrlCanonical,
     "dedup_by_url" -> Queries.dedupByUrl,
     "dedup_url_hosts" -> Queries.dedupUrlHosts,
+    "corpus_host_cap" -> Queries.corpusHostCap,
     "sample_stratified" -> Queries.sampleStratified,
     "sample_kcenter" -> Queries.sampleKcenter,
     "sample_token_budget" -> Queries.sampleTokenBudget,
@@ -233,6 +234,7 @@ object SparkEntry {
     "curation_funnel" -> Queries.curationFunnel,
     "text_kn_score" -> Queries.textKnScore,
     "text_kn3_score" -> Queries.textKn3Score,
+    "text_kn5_score" -> Queries.textKn5Score,
     "text_gopher_filter" -> Queries.textGopherFilter,
     "text_repetition" -> Queries.textRepetition,
     "corpus_reweight" -> Queries.corpusReweight,

@@ -151,19 +151,24 @@ object Normalize {
     *     (a non-default port is identity-bearing and survives);
     *  3. fragment dropped (never sent to the server);
     *  4. [[trackingParams]] QUERY params removed, OTHER params kept
-    *     in their original order. The rest is split at the FIRST `?`
-    *     and the param rules touch only the query component: `&` is a
-    *     legal path character (RFC 3986 §3.3) and `?` is legal inside
-    *     query values (§3.4), so `/a&ref=1` (a path) and `?q=a?ref=1`
-    *     (a value containing `?ref=`) must survive untouched — a
-    *     false collapse here DELETES a document downstream. Each
-    *     strip CONSUMES ITS OWN SEPARATOR (`&name=value` removed
-    *     whole; a leading `?name=value&` folds to `?`; a query
-    *     reduced to exactly `?` drops) — there is deliberately NO
-    *     post-hoc separator "repair": a global `?&`→`?` / `&&`→`&` /
-    *     trailing-`[?&]` pass would rewrite LEGAL in-value `?` and
-    *     pre-existing empty params (`?q=a?&b=1`, `?q=a?`,
-    *     `?a=1&&x=3`), each a distinct resource falsely collapsed;
+    *     verbatim in their original order. The rest is split at the
+    *     FIRST `?` and the param rules touch only the query
+    *     component: `&` is a legal path character (RFC 3986 §3.3) and
+    *     `?` is legal inside query values (§3.4), so `/a&ref=1` (a
+    *     path) and `?q=a?ref=1` (a value containing `?ref=`) must
+    *     survive untouched — a false collapse here DELETES a document
+    *     downstream. The strip is STRUCTURAL, not a regex scan: the
+    *     query body splits on `&` (the one reserved separator — a raw
+    *     `&` cannot occur inside a param), each param's NAME (the
+    *     part before its first `=`) is compared case-insensitively
+    *     against the list, survivors rejoin with `&` (split/rejoin is
+    *     byte-identical for kept params, including empty ones like
+    *     `?a=1&&x=3`). This is the only shape that is simultaneously
+    *     safe against the three regex hazards: name-prefix bleed
+    *     (`ref` must not eat `referrer=x`), VALUELESS params
+    *     (`?utm_source` with no `=`, strippable only with lookahead,
+    *     which the oracle's RE2 lacks), and case-mangled names
+    *     (`?UTM_SOURCE=x`). A query reduced to exactly `?` drops;
     *  5. empty path normalized to `/` so `https://x.com` and
     *     `https://x.com/` collide.
     *
@@ -187,23 +192,29 @@ object Normalize {
     val qPos = instr(noFrag, "?") // 1-based; 0 when there is no query
     val path = when(qPos === 0, noFrag)
       .otherwise(noFrag.substr(lit(1), qPos - lit(1)))
-    val query = when(qPos === 0, lit(""))
-      .otherwise(noFrag.substr(qPos, length(noFrag)))
-    val names = trackingParams.mkString("|")
-    // &-led params vanish with their own '&'; the ?-led first param
-    // folds onto the '?' (consuming the '&' that promoted its
-    // successor); a query that was ALL tracking is now exactly "?"
-    val s1 = regexp_replace(query, s"&($names)=[^&]*", "")
-    val s2 = regexp_replace(s1, s"^\\?($names)=[^&]*&?", "?")
+    // structural strip (scaladoc rule 4): split the query body on
+    // '&', drop params whose lowercased name is tracked, rejoin —
+    // kept params (empty ones included) are reassembled verbatim
+    val body = when(qPos === 0, lit(""))
+      .otherwise(noFrag.substr(qPos + lit(1), length(noFrag)))
+    val kept = filter(split(body, "&", -1), p =>
+      !lower(split_part(p, lit("="), lit(1)))
+        .isInCollection(trackingParams))
+    val s2 = when(qPos === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
     val q = when(s2 === "?", lit("")).otherwise(s2)
     val pathed = when(path === "", lit("/")).otherwise(path)
     concat(noPort, pathed, q)
   }
 
-  /** Lowercased host of a URL (no port, no userinfo beyond what the
-    * synthetic corpus produces) — the grouping key for host-level
-    * dedup policies (per-host caps, domain blocklists).
+  /** Lowercased host of a URL (no port, no userinfo) — the grouping
+    * key for host-level dedup policies (per-host caps, domain
+    * blocklists). An optional `user[:pw]@` userinfo prefix (RFC 3986
+    * §3.2.1) is skipped so `https://alice@x.com/a` groups under
+    * `x.com`, not `alice@x.com` — a wrong key here splits one host's
+    * dup statistics across phantom hosts.
     */
   def urlHost(url: Column): Column =
-    regexp_extract(lower(url), "^[a-z0-9+.-]+://([^/:?#]+)", 1)
+    regexp_extract(lower(url),
+      "^[a-z0-9+.-]+://(?:[^/?#@]*@)?([^/:?#@]+)", 1)
 }

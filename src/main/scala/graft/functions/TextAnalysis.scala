@@ -484,6 +484,38 @@ object TextAnalysis {
       id === col("__winner_id"), "left_semi")
   }
 
+  /** [[topKPerGroup]] with a PER-GROUP cap: `caps` carries one row per
+    * group value with its cap in `capCol` (≤ `maxCap` — the static
+    * bound the per-partition pre-cap slices to; rows of groups absent
+    * from `caps` are dropped). The cap table is aggregate-sized (one
+    * row per group), so it rides a broadcast join onto the ≤
+    * partitions × maxCap pre-capped survivors — the corpus itself
+    * never sees a per-group window. This is the enforcement face of
+    * ratio-driven crawl policies: caps computed FROM the data (e.g. a
+    * host's dup ratio) applied back per group.
+    */
+  def capPerGroup(docs: DataFrame, caps: DataFrame, capCol: String,
+      maxCap: Int, group: String, order: Column, id: Column,
+      broadcastWinners: Boolean = true): DataFrame = {
+    require(maxCap >= 1, s"maxCap >= 1, got $maxCap")
+    val perPart = docs
+      .select(col(group).as("__grp"),
+        struct(order.as("__ord"), id.as("__id")).as("__cand"))
+      .groupBy(col("__grp"), spark_partition_id().as("__pid"))
+      .agg(slice(array_sort(collect_list(col("__cand"))), 1, maxCap).as("__top"))
+    val winners = perPart
+      .select(col("__grp"), explode(col("__top")).as("__c"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__grp")
+          .orderBy(col("__c.__ord"), col("__c.__id"))))
+      .join(broadcast(caps.select(col(group).as("__grp"),
+        col(capCol).cast("long").as("__cap"))), Seq("__grp"))
+      .filter(col("__rn") <= col("__cap"))
+      .select(col("__c.__id").as("__winner_id"))
+    docs.join(if (broadcastWinners) broadcast(winners) else winners,
+      id === col("__winner_id"), "left_semi")
+  }
+
   /** Corpus-level bigram language-model cross-entropy per document
     * (the CCNet-style quality signal: documents whose token
     * transitions are improbable under the corpus's own statistics are
@@ -749,6 +781,124 @@ object TextAnalysis {
               s => s.getField("lp")),
             lit(0.0), (acc, x) => acc + x) / count(lit(1)).cast("double"),
           4).as("kn3_xent"))
+  }
+
+  /** Interpolated Kneser–Ney cross-entropy at ARBITRARY order n ≥ 3
+    * (Chen & Goodman 1998 §2.7, fixed D = 0.75 at every level) — the
+    * general ladder [[knCrossEntropy]] (order 2) and
+    * [[kn3CrossEntropy]] (order 3) climb, up to the 5-gram model the
+    * CCNet-lineage production filters actually ship (KenLM is an
+    * order-5 interpolated-KN model). One recursion, shared by every
+    * order:
+    *
+    * `P_n(w_n|w₁..w_{n−1}) = (c(w₁..w_n) − D)/c(w₁..w_{n−1}·)
+    *                       + D·N1+(w₁..w_{n−1}·)/c(w₁..w_{n−1}·) · P_{n−1}`
+    * `P_k(w_n|ctx_k)       = (N1+(·ctx_k w_n) − D)/N1+(·ctx_k ·)
+    *                       + D·N1+(ctx_k ·)/N1+(·ctx_k ·) · P_{k−1}`
+    * `P_1(w_n)             = N1+(·w_n)/B`
+    *
+    * with `ctx_k` the last k−1 words — the top level reads TOKEN
+    * counts from the n-gram table, every lower level k reads
+    * CONTINUATION (type) counts: numerator and denominator from the
+    * corpus (k+1)-gram TYPE table (distinct predecessors of the
+    * k-gram / distinct (k+1)-gram types around the context), the
+    * backoff-weight numerator from the corpus k-gram type table —
+    * exactly [[kn3CrossEntropy]]'s level-2 convention generalized.
+    * Self-perplexity keeps every scored n-gram seen, so every count
+    * is ≥ 1 > D and no max(·,0)/OOV arm is needed.
+    *
+    * Determinism: all (3(n−2)+4) model statistics are exact integer
+    * aggregates; each n-gram's probability is ONE fixed FP tree built
+    * innermost-level-first (mirrored operation-for-operation in the
+    * oracle), lp quantized to 9 decimals, per-doc sum an ordered fold
+    * over positions.
+    *
+    * Shape at scale: every statistic is a map-side-combined aggregate
+    * of an n-gram/k-gram TYPE table (vocabulary-bounded — not the
+    * token stream); the type tables take one corpus pass each (n−2
+    * passes total, each a distinct() whose output is type-bounded);
+    * the position stream joins the scored table ONCE by the n words —
+    * never a token-stream×model cross.
+    */
+  def knNCrossEntropy(docs: DataFrame, order: Int,
+      discount: Double = 0.75): DataFrame = {
+    require(order >= 3 && order <= 6, s"order in [3,6], got $order")
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val n = order
+    val ws = (1 to n).map(i => s"w$i")
+    val toks = docs.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("toks"))
+    def gramStruct(k: Int): String =
+      s"transform(sequence(0, size(toks) - $k), i -> struct(" +
+        (0 until k).map(j => s"toks[i+$j] AS v${j + 1}").mkString(", ") + "))"
+    // n-gram position stream: feeds the model build AND the scoring
+    // join (the kn3CrossEntropy fan-out discipline)
+    val gN = toks.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(gramStruct(n))).as(Seq("pos", "g")))
+      .select(col("doc_id") +: col("pos") +:
+        ws.zipWithIndex.map { case (w, j) => col(s"g.v${j + 1}").as(w) }: _*)
+      .materialize()
+    val tN = gN.groupBy(ws.map(col): _*).agg(count(lit(1)).as("cn"))
+      .materialize()
+    // corpus k-gram TYPE tables, k = 2..n−1 (columns v1..vk); the
+    // n-gram type table is tN's key set
+    val tTypes: Map[Int, DataFrame] =
+      (2 until n).map { k =>
+        k -> toks.filter(size(col("toks")) >= k)
+          .select(explode(expr(gramStruct(k))).as("g"))
+          .select((1 to k).map(j => col(s"g.v$j").as(s"v$j")): _*)
+          .distinct().materialize()
+      }.toMap + (n -> tN.select(
+        ws.zipWithIndex.map { case (w, j) => col(w).as(s"v${j + 1}") }: _*))
+    def d(c: Column): Column = c.cast("double")
+    // level-k statistics keyed on the n-gram's LAST k (or k−1) words:
+    // the level-k gram is (w_{n−k+1}..w_n), its context drops w_n
+    def lastW(k: Int): Seq[String] = ws.takeRight(k)
+    var scored: DataFrame = tN
+      .join(tN.groupBy(ws.init.map(col): _*)
+        .agg(sum("cn").as("ctx"), count(lit(1)).as("n1fw_top")), ws.init)
+    for (k <- (n - 1) to 2 by -1) {
+      val tk1 = tTypes(k + 1) // v1..v_{k+1}
+      // N1+(· gram_k): distinct predecessors — group the (k+1)-gram
+      // types by their last k words
+      val cc = tk1.groupBy((2 to k + 1).map(j => col(s"v$j")): _*)
+        .agg(count(lit(1)).as(s"cc$k"))
+        .toDF(lastW(k) :+ s"cc$k": _*)
+      // N1+(· ctx ·): (k+1)-gram types around the middle k−1 words
+      val den = tk1.groupBy((2 to k).map(j => col(s"v$j")): _*)
+        .agg(count(lit(1)).as(s"den$k"))
+        .toDF(lastW(k).init :+ s"den$k": _*)
+      // N1+(ctx ·): distinct continuations in the k-gram type table
+      val lam = tTypes(k).groupBy((1 until k).map(j => col(s"v$j")): _*)
+        .agg(count(lit(1)).as(s"lam$k"))
+        .toDF(lastW(k).init :+ s"lam$k": _*)
+      scored = scored.join(cc, lastW(k)).join(den, lastW(k).init)
+        .join(lam, lastW(k).init)
+    }
+    val t2 = tTypes(2)
+    val bw = t2.groupBy(col("v2")).agg(count(lit(1)).as("n1bw"))
+      .toDF(ws.last, "n1bw")
+    val btot = t2.agg(count(lit(1)).as("__b"))
+    scored = scored.join(bw, Seq(ws.last)).crossJoin(broadcast(btot))
+    // the probability tree, innermost level first — identical nesting
+    // to kn3CrossEntropy at n = 3
+    var p: Column = d(col("n1bw")) / d(col("__b"))
+    for (k <- 2 until n)
+      p = (d(col(s"cc$k")) - lit(discount)) / d(col(s"den$k")) +
+        (lit(discount) * d(col(s"lam$k")) / d(col(s"den$k"))) * p
+    val pTop = (d(col("cn")) - lit(discount)) / d(col("ctx")) +
+      (lit(discount) * d(col("n1fw_top")) / d(col("ctx"))) * p
+    val lps = scored.select(ws.map(col) :+ round(-log(pTop), 9).as("lp"): _*)
+    gN.join(lps, ws)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as(s"n_${n}grams"),
+        round(
+          aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+              s => s.getField("lp")),
+            lit(0.0), (acc, x) => acc + x) / count(lit(1)).cast("double"),
+          4).as(s"kn${n}_xent"))
   }
 
   /** PMI collocation extraction: the corpus's top-k two-word

@@ -133,6 +133,8 @@ object Skew {
     // the groupless special case of the per-group recipe: a constant
     // group tags every row (4 bytes/row through the range shuffle —
     // the price of ONE copy of the tricky three-phase machinery)
+    require(!df.columns.contains("__ggrp"),
+      "withGlobalIndex: input already has a __ggrp column")
     val (out, total) =
       perGroupIndex(df.withColumn("__ggrp", lit(0)), "__ggrp",
         sortCols, idxName)
@@ -173,6 +175,12 @@ object Skew {
     */
   private def perGroupIndex(df: DataFrame, groupCol: String,
       sortCols: Seq[Column], idxName: String): (DataFrame, Long) = {
+    // fail loudly on temporary-name collisions: a pre-existing __pid /
+    // __rn (or downstream __opid/__og/__off) would be silently
+    // clobbered and dropped, corrupting caller data
+    for (tmp <- Seq("__pid", "__rn", "__opid", "__og", "__off"))
+      require(!df.columns.contains(tmp),
+        s"perGroupIndex: input already has a $tmp column")
     val spark = df.sparkSession
     val w = org.apache.spark.sql.expressions.Window
     val parts = spark.sessionState.conf.numShufflePartitions

@@ -8,16 +8,21 @@ import graft.functions.TextAnalysis
 import graft.plans.GraftFunctions
 
 /** Dev probe: time each stage of the Bayardo APSS cosine plan
-  * (mirrors the CURRENT Dedup.bagCosinePairs structure) to find the
-  * hot stage.
+  * (mirrors the CURRENT Dedup.bagCosinePairs structure) and compare
+  * the two verify orders — (A) dedup-then-attach (the corpus-scale
+  * path: candidate pairs distinct() before the attach joins) vs (B)
+  * attach-then-dedup (the broadcastable-vecs path the operator takes
+  * by default: every match row verified map-side in one zero-shuffle
+  * stage, pair dedup on the verified output). Round-14 readings at
+  * sf0.1 (τ = 9/10): 28.4M match rows → 11.8M distinct candidates →
+  * 1,777 pairs; under an idle host A ≈ 4.5 s / B ≈ 5.7 s post-
+  * checkpoint, under host contention A ≈ 14–17 s / B ≈ 8–10 s —
+  * B trades +2.4× cheap codegen dots for ZERO shuffle and no
+  * partial-aggregate hash tables, which is what contention multiplies.
   */
 object ApssProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.GraftSession.local(32, appName = "apss-probe")
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,6 +30,7 @@ object ApssProbe {
     val (tauNum, tauDen) = (9, 10)
     val p2 = (tauNum.toLong * tauNum, tauDen.toLong * tauDen)
     def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def dbl(c: Column): Column = c.cast("double")
     // localCheckpoint is EAGER: timing the call captures the stage cost.
     def ck(name: String, df: DataFrame): DataFrame = {
       val t0 = System.nanoTime()
@@ -60,22 +66,38 @@ object ApssProbe {
       col("__suf").as("__asuf"), col("__nrm").as("__anrm"))
     val pb = prefix.select(col("doc_id").as("b_id"), col("term"),
       col("__suf").as("__bsuf"), col("__nrm").as("__bnrm"))
-    val cands = ck("cands+distinct", pa.join(pb,
-        pa("term") === pb("term") && pa("a_id") < pb("b_id")
-          && dec(col("__asuf")) * dec(col("__bsuf")) * lit(p2._2)
-            >= lit(p2._1) * dec(col("__anrm")) * dec(col("__bnrm")))
-      .select("a_id", "b_id").distinct())
+    val matched = pa.join(pb,
+      pa("term") === pb("term") && pa("a_id") < pb("b_id")
+        && dbl(col("__asuf")) * dbl(col("__bsuf")) * lit(p2._2.toDouble)
+          >= lit(p2._1.toDouble * (1.0 - 1e-9))
+            * dbl(col("__anrm")) * dbl(col("__bnrm")))
+      .select("a_id", "b_id")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    time("matched-raw")(matched.count())
     val bagDot = GraftFunctions.bagDot(spark,
       col("a_terms"), col("a_tfs"), col("b_terms"), col("b_tfs"))
-    val fin = ck("attach+dot+filter", cands
-      .join(vecs.select(col("doc_id").as("a_id"), col("terms").as("a_terms"),
-        col("tfs").as("a_tfs"), col("nrm").as("a_nrm")), Seq("a_id"))
-      .join(vecs.select(col("doc_id").as("b_id"), col("terms").as("b_terms"),
-        col("tfs").as("b_tfs"), col("nrm").as("b_nrm")), Seq("b_id"))
+    def verify(cands: DataFrame): DataFrame = cands
+      .join(broadcast(vecs.select(col("doc_id").as("a_id"),
+        col("terms").as("a_terms"), col("tfs").as("a_tfs"),
+        col("nrm").as("a_nrm"))), Seq("a_id"))
+      .join(broadcast(vecs.select(col("doc_id").as("b_id"),
+        col("terms").as("b_terms"), col("tfs").as("b_tfs"),
+        col("nrm").as("b_nrm"))), Seq("b_id"))
       .withColumn("dot", bagDot)
       .filter(dec(col("dot")) * dec(col("dot")) * lit(p2._2)
-        >= lit(p2._1) * dec(col("a_nrm")) * dec(col("b_nrm"))))
-    println(s"pairs: ${fin.count()}")
+        >= lit(p2._1) * dec(col("a_nrm")) * dec(col("b_nrm")))
+      .select(col("a_id"), col("b_id"), col("dot"), col("a_nrm"),
+        col("b_nrm"), (col("dot").cast("double") /
+          sqrt((col("a_nrm") * col("b_nrm")).cast("double"))).as("cosine"))
+    for (i <- 1 to 3)
+      time(s"A dedup-then-attach $i")(verify(matched.distinct()).count())
+    for (i <- 1 to 3)
+      time(s"B attach-then-dedup $i")(
+        verify(matched).dropDuplicates("a_id", "b_id").count())
     spark.stop()
   }
 }

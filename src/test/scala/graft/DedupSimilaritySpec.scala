@@ -183,6 +183,14 @@ class DedupSimilaritySpec extends SparkSpec {
           .select($"a_id", $"b_id", $"dot").as[(Long, Long, Long)]
           .collect().toSet
         assert(got == naive, s"trial $trial τ=$p/$q")
+        // force the non-broadcast (dedup-first) verify order: the two
+        // orders must be observationally identical — broadcastMaxTfRows
+        // only picks where the pair dedup runs, never what survives
+        val gotShuffle = Dedup.bagCosinePairs(corpus, p, q,
+            broadcastMaxTfRows = 0L)
+          .select($"a_id", $"b_id", $"dot").as[(Long, Long, Long)]
+          .collect().toSet
+        assert(gotShuffle == naive, s"trial $trial τ=$p/$q (dedup-first order)")
         if (p == 9) assert(naive.nonEmpty, s"trial $trial: no near-dups generated")
       }
     }
@@ -1647,6 +1655,41 @@ class DedupSimilaritySpec extends SparkSpec {
     val s3 = TextAnalysis.kn3CrossEntropy(mix).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(s3(9L) > (1L to 8L).map(s3(_)).max)
+  }
+
+  test("knNCrossEntropy: order 3 ≡ kn3CrossEntropy bit-for-bit; order " +
+      "ladder 5 ≤ 3 ≤ 2 on self-scored text; short docs emit nothing") {
+    import graft.functions.TextAnalysis
+    val sp = spark; import sp.implicits._
+    val common = "the farmer plants rice in the field every morning and " +
+      "the farmer waters rice in the field every evening"
+    val mix = ((1L to 8L).map(i => (i, common + s" season $i")) :+
+      (9L, "zxqv jkwp mbrt ylnd qofg hscx uvtw arge")).toDF("doc_id", "text")
+    // the general recursion at order 3 must reproduce the hand-verified
+    // kn3 implementation EXACTLY (identical statistics, identical FP
+    // tree, identical 9-decimal quantization)
+    val kn3 = TextAnalysis.kn3CrossEntropy(mix).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val knN3 = TextAnalysis.knNCrossEntropy(mix, order = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(knN3 == kn3)
+    // self-scored cross-entropy falls as the order rises (higher-order
+    // models fit their own training data better) — the ladder the
+    // production 5-gram filter rests on, pinned corpus-wide
+    def mean(m: Map[Long, Double]): Double = m.values.sum / m.size
+    val x2 = mean(TextAnalysis.knCrossEntropy(mix).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap)
+    val x3 = mean(kn3.map { case (k, v) => k -> v._2 })
+    val x5 = mean(TextAnalysis.knNCrossEntropy(mix, order = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap)
+    assert(x5 <= x3 + 1e-9 && x3 <= x2 + 1e-9, s"ladder violated: $x5 $x3 $x2")
+    // OOD garbage still ranks worst at order 5
+    val s5 = TextAnalysis.knNCrossEntropy(mix, order = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s5(9L) > (1L to 8L).map(s5(_)).max)
+    // a 4-token doc has no 5-gram and emits nothing
+    assert(TextAnalysis.knNCrossEntropy(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), order = 5).count() == 0)
   }
 
   test("qualityBands: fixed cutoffs band correctly; rates apply per band") {

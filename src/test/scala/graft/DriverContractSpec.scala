@@ -71,13 +71,28 @@ class DriverContractSpec extends AnyFunSuite {
       s"queries missing from SURVEY.md: ${undocumented.toSeq.sorted}")
   }
 
-  test("only the decode queries may lack an oracle") {
-    // every other query MUST ship DuckDB-checkable; a new query landing
+  test("every query ships an oracle — zero rows-only rows") {
+    // every query MUST be DuckDB-checkable; since round 14 even the
+    // four decode-bearing media queries check against committed golden
+    // parquet fixtures (fixtures/*.parquet), so a new query landing
     // without its oracle shows up here, not as a silent rows-only row
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("media_features", "media_frames", "media_phash",
-      "media_audio_fp"),
-      s"unexpected oracle-less queries: ${noOracle.toSeq.sorted}")
+    assert(noOracle.isEmpty,
+      s"oracle-less queries: ${noOracle.toSeq.sorted}")
+  }
+
+  test("the golden media fixtures exist where their oracles read them") {
+    // the four media_* oracles read committed parquet snapshots by
+    // absolute path; a moved/renamed fixture would fail only at
+    // driver-verify time without this guard
+    for (q <- Seq("media_phash", "media_audio_fp", "media_features",
+        "media_frames")) {
+      val path = s"/root/repo/fixtures/$q.parquet"
+      assert(java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(path)), s"missing golden fixture $path")
+      assert(SparkEntry.oracleSql(q).contains(path),
+        s"$q oracle does not read its fixture")
+    }
   }
 
   test("every baseline-only query has a registered, non-baseline scale twin") {

@@ -148,6 +148,7 @@ class PlanQualitySpec extends SparkSpec {
       "text_lm_score", "text_tfidf",                 // model stat tables
       "text_kn_score",                               // 1-row |B| totals cross
       "text_kn3_score",                              // 1-row |B| totals cross
+      "text_kn5_score",                              // 1-row |B| totals cross
       // deliberate brute/ground-truth arms over a broadcast probe set
       "dedup_cosine_pairs",                          // tagged baselineOnly
       "sim_cosine_topk",                             // tagged baselineOnly

@@ -44,6 +44,32 @@ class UrlCanonSpec extends SparkSpec {
     assert(canon("https://ex.com/p?href=z") == Seq("https://ex.com/p?href=z"))
     assert(canon("https://ex.com/p?xref=1&y=2")
       == Seq("https://ex.com/p?xref=1&y=2"))
+    // and a tracking name as a PREFIX of another name must not bleed:
+    // "ref" must not eat the front of "referrer=x" (the regex-scan
+    // hazard the structural split/rejoin strip exists to rule out)
+    assert(canon("https://ex.com/p?referrer=x")
+      == Seq("https://ex.com/p?referrer=x"))
+    assert(canon("https://ex.com/p?utm_sourcey=1&a=2")
+      == Seq("https://ex.com/p?utm_sourcey=1&a=2"))
+  }
+
+  test("valueless and case-mangled tracking params strip; valueless " +
+      "NON-tracking params survive") {
+    // real crawls carry ?utm_source with no '=' and UTM_SOURCE=x —
+    // param names compare case-insensitively and the value is optional
+    assert(canon("https://ex.com/a?utm_source") == Seq("https://ex.com/a"))
+    assert(canon("https://ex.com/a?utm_source&x=1")
+      == Seq("https://ex.com/a?x=1"))
+    assert(canon("https://ex.com/a?x=1&fbclid")
+      == Seq("https://ex.com/a?x=1"))
+    assert(canon("https://ex.com/a?UTM_SOURCE=x") == Seq("https://ex.com/a"))
+    assert(canon("https://ex.com/a?Ref=1&b=2") == Seq("https://ex.com/a?b=2"))
+    // kept params are reassembled verbatim — case preserved
+    assert(canon("https://ex.com/a?Beta=1&GCLID=z")
+      == Seq("https://ex.com/a?Beta=1"))
+    // a valueless param that merely RESEMBLES a tracking name survives
+    assert(canon("https://ex.com/a?reference")
+      == Seq("https://ex.com/a?reference"))
   }
 
   test("param rules touch only the query: path '&' and in-value '?' survive") {
@@ -96,11 +122,16 @@ class UrlCanonSpec extends SparkSpec {
     assert(canon("https://ex.com/Path?Q=V") == Seq("https://ex.com/Path?Q=V"))
   }
 
-  test("urlHost lowercases and drops port/path") {
+  test("urlHost lowercases and drops port/path/userinfo") {
     val sp = spark; import sp.implicits._
-    val got = Seq("HTTPS://Ex.COM:8443/a?x=1").toDF("url")
+    def host(u: String): String = Seq(u).toDF("url")
       .select(Normalize.urlHost(col("url"))).collect().head.getString(0)
-    assert(got == "ex.com")
+    assert(host("HTTPS://Ex.COM:8443/a?x=1") == "ex.com")
+    // RFC 3986 §3.2.1 userinfo is skipped — alice@ex.com is NOT a host
+    assert(host("https://alice@ex.com/a") == "ex.com")
+    assert(host("https://alice:pw@ex.com:8443/a") == "ex.com")
+    // '@' AFTER the authority (in the path) must not trigger the skip
+    assert(host("https://ex.com/a@b") == "ex.com")
   }
 
   test("dedup_by_url keep-first: min doc_id survives, variants counted") {
