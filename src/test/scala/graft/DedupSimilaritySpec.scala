@@ -1408,6 +1408,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top == Set((1L, "a", 0.9), (3L, "a", 0.7), (5L, "b", 0.4), (6L, "b", 0.8)))
   }
 
+  test("capPerGroup ≡ per-group rank window on random data; missing-cap " +
+      "groups drop; partition-layout independent") {
+    import graft.functions.TextAnalysis
+    val rnd = new scala.util.Random(0xCAB)
+    val rows = (1L to 300L).map(i =>
+      (i, s"g${rnd.nextInt(7)}", rnd.nextDouble()))
+    val d = rows.toDF("doc_id", "grp", "q")
+    val caps = Seq(("g0", 1L), ("g1", 2L), ("g2", 3L), ("g3", 5L),
+      ("g4", 8L), ("g5", 4L)).toDF("grp", "cap") // g6 has NO cap row
+    val maxCap = 8
+    def got(parts: Int): Set[Long] =
+      TextAnalysis.capPerGroup(d.repartition(parts), caps, "cap", maxCap,
+        "grp", col("q"), col("doc_id"))
+        .select("doc_id").as[Long].collect().toSet
+    // the naive reference: rank within group by (q, doc_id), keep ≤ cap
+    val capMap = Seq("g0" -> 1, "g1" -> 2, "g2" -> 3, "g3" -> 5,
+      "g4" -> 8, "g5" -> 4).toMap
+    val exp = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      capMap.get(g).toSeq.flatMap(c =>
+        rs.sortBy(r => (r._3, r._1)).take(c).map(_._1))
+    }.toSet
+    val one = got(1)
+    assert(one == exp)
+    assert(got(13) == exp) // pre-cap merge is partition-layout independent
+    assert(!one.exists(id => rows.exists(r => r._1 == id && r._2 == "g6")))
+  }
+
   test("resampleToMix: over-share groups thin toward target, others pass whole") {
     import graft.functions.TextAnalysis
     val d = ((1L to 200L).map(i => (i, "en")) ++ (201L to 240L).map(i => (i, "zh")) ++

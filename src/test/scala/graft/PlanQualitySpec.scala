@@ -755,6 +755,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.toLowerCase.contains("bagdot"), p.take(1500))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(800))
+    // round-13 defect class: distinct() on candidate pairs put a
+    // candidate-sized exchange + partial-aggregate hash tables UNDER
+    // the verify joins — the suite's largest spill footprint and the
+    // 14× contention multiplier. In the broadcastable-vecs order the
+    // ONLY shuffle is the OUTPUT-sized pair dedup ABOVE the verify
+    // filter: candidate join → attach → dot → filter is one map
+    // stage. Pinned as (a) exactly one shuffle exchange, (b) it sits
+    // above the bagdot filter in the tree (prints before it).
+    val shuffles = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1,
+      s"expected exactly 1 shuffle exchange (the pair dedup), saw $shuffles")
+    val exIdx = p.linesIterator.indexWhere(
+      l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    val dotIdx = p.linesIterator.indexWhere(_.toLowerCase.contains("bagdot"))
+    assert(exIdx >= 0 && dotIdx >= 0 && exIdx < dotIdx,
+      s"pair dedup exchange (line $exIdx) must sit ABOVE the verify " +
+        s"filter (line $dotIdx) — a candidate-sized shuffle under the " +
+        "verify joins is the round-13 footprint defect")
   }
 
   test("SUITE-WIDE: no query scans one table 3+ times off the audited whitelist") {
