@@ -6684,6 +6684,19 @@ object Oracles {
          |    / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
          |FROM canon GROUP BY 1""".stripMargin,
 
+    // Host-disjoint split: salted-md5 hex-prefix thresholds on the
+    // HOST (the splitTrainVal rule family keyed one level up), so
+    // every document of a host shares the assignment.
+    "split_host_disjoint" ->
+      s"""WITH $URL_CANON_CTES
+         |SELECT doc_id, host,
+         |  CASE WHEN substr(md5('hostsplit:' || host), 1, 2) < 'e6'
+         |         THEN 'train'
+         |       WHEN substr(md5('hostsplit:' || host), 1, 2) < 'f3'
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM canon""".stripMargin,
+
     // Ratio-driven per-host cap: cap = max(1, floor(8·(1 − dup_ratio)))
     // on the ROUNDED ratio (both engines round to 4 first — one shared
     // fixed FP tree); winners ranked by the salted-md5 order with a

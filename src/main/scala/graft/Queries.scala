@@ -1646,6 +1646,29 @@ object Queries {
           "train").otherwise("val").as("split"))
   }
 
+  /** Host-disjoint train/val/test split: the leakage UNIT is the
+    * SITE, not the document — templated pages, boilerplate, and
+    * near-dup articles within one host leak across doc-level splits
+    * even after near-dup clustering (the [[splitLeakageSafe]] unit
+    * catches content twins, not site siblings), so web-corpus holdouts
+    * assign whole HOSTS to one side. Same deterministic rule family
+    * as [[splitTrainVal]] — salted md5 of the host, hex-prefix
+    * thresholds ("e6" ≈ 90% train, "f3" ≈ next 5% val, rest test) —
+    * keyed on the userinfo-free lowercased host, so every document of
+    * a host shares the assignment by construction. Map-only; the
+    * fixture's 20 hosts land lumpily (a 20-host corpus has ~36% chance
+    * of an empty val split) — correct behavior for host-level
+    * assignment, which trades per-split balance for zero site leakage.
+    */
+  val splitHostDisjoint: Q = (s, dir) => {
+    val h = substring(md5(concat(lit("hostsplit:"),
+      Normalize.urlHost(col("url"))).cast("binary")), 1, 2)
+    urlFixture(s, dir)
+      .select(col("doc_id"), Normalize.urlHost(col("url")).as("host"),
+        when(h < "e6", "train").when(h < "f3", "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Concat-and-chunk sequence packing: where each document lands in
     * the fixed-2048-token pretraining layout. Distributed prefix sum —
     * the only unpartitioned window runs over bucket subtotals, never

@@ -217,6 +217,7 @@ object SparkEntry {
     "text_winnow" -> Queries.textWinnow,
     "split_train_val" -> Queries.splitTrainVal,
     "split_leakage_safe" -> Queries.splitLeakageSafe,
+    "split_host_disjoint" -> Queries.splitHostDisjoint,
     "pack_chunks" -> Queries.packChunks,
     "pack_no_split" -> Queries.packNoSplit,
     "pack_bfd" -> Queries.packBfd,

@@ -134,6 +134,24 @@ class UrlCanonSpec extends SparkSpec {
     assert(host("https://ex.com/a@b") == "ex.com")
   }
 
+  test("split_host_disjoint: every host lands in exactly ONE split; " +
+      "deterministic; train dominates at the 90% threshold") {
+    val rows = SparkEntry.queries("split_host_disjoint")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // host-disjointness IS the operator's contract: zero site leakage
+    val byHost = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byHost.nonEmpty && byHost.values.forall(_.size == 1),
+      byHost.filter(_._2.size > 1).toString)
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    val trainHosts = byHost.count(_._2 == Set("train"))
+    assert(trainHosts.toDouble / byHost.size >= 0.5,
+      s"$trainHosts/${byHost.size} hosts in train — thresholds broken?")
+    // deterministic: a rerun assigns identically
+    val again = SparkEntry.queries("split_host_disjoint")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(again.toSet == rows.toSet)
+  }
+
   test("dedup_by_url keep-first: min doc_id survives, variants counted") {
     val df = SparkEntry.queries("dedup_by_url")(spark, sfDir)
     val rows = df.collect()
