@@ -126,15 +126,18 @@ object Oracles {
     (head +: rounds).mkString(",\n") + s",\nkc AS (\n$out)"
   }
 
-  /** URL fixture + canonicalization CTE chain shared by
-    * text_url_canonical and dedup_by_url — replays
-    * `Normalize.canonicalUrl` rule for rule: lowercase authority,
-    * default-port strip (`:80` iff http, `:443` iff https), fragment
-    * drop, query-scoped tracking-param removal where each strip
-    * consumes its own separator (no post-hoc repair — see the engine
-    * scaladoc for the false-collapse cases repairs caused), empty
-    * path → `/`. Ends in `canon(doc_id, url, canon_url, host)` — the
-    * host emitted ONCE here so the three URL queries cannot drift.
+  /** URL fixture + canonicalization CTE chain shared by the URL-family
+    * queries — replays `Normalize.canonicalUrl` rule for rule:
+    * lowercase authority, default-port strip (`:80` iff http, `:443`
+    * iff https), fragment drop, STRUCTURAL query-scoped tracking-param
+    * removal (split the query body on `&`, drop params whose
+    * lowercased name — the part before the first `=` — is tracked,
+    * rejoin survivors verbatim; the same split/filter/rejoin as the
+    * engine, which regex scans cannot express safely — see the engine
+    * scaladoc's three hazards), empty path → `/`. Ends in
+    * `canon(doc_id, url, canon_url, host)` — the host emitted ONCE
+    * here (userinfo-skipping rule included) so the URL queries cannot
+    * drift from each other.
     */
   private val URL_CANON_CTES: String = {
     val trackedIn = Seq("utm_source", "utm_medium", "utm_campaign",

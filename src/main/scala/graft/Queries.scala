@@ -3871,6 +3871,9 @@ object Queries {
         md5(canon.cast("binary")).as("canon_key"),
         Normalize.urlHost(col("url")).as("host"))
       .materialize()
+    // host-level (tiny) but consumed twice — inside capPerGroup's
+    // broadcast and by the output join — materialize so the per-host
+    // aggregate over the corpus runs once, not once per consumer
     val caps = docs.groupBy(col("host"))
       .agg(count(lit(1)).as("n_urls"),
         count_distinct(col("canon_key")).as("n_canonical"))
@@ -3880,6 +3883,7 @@ object Queries {
       .select(col("host"), greatest(lit(1L),
         floor(lit(baseCap.toDouble) * (lit(1.0) - col("dup_ratio")))
           .cast("long")).as("cap"))
+      .materialize()
     TextAnalysis.capPerGroup(docs, caps, "cap", baseCap, "host",
         substring(md5(concat(lit("hostcap:"), col("doc_id").cast("string"))
           .cast("binary")), 1, 16),

@@ -467,50 +467,53 @@ object TextAnalysis {
     * to disable).
     */
   def topKPerGroup(docs: DataFrame, k: Int, group: String, order: Column,
-      id: Column, broadcastWinners: Boolean = true): DataFrame = {
-    val perPart = docs
-      .select(col(group).as("__grp"),
-        struct(order.as("__ord"), id.as("__id")).as("__cand"))
-      .groupBy(col("__grp"), spark_partition_id().as("__pid"))
-      .agg(slice(array_sort(collect_list(col("__cand"))), 1, k).as("__top"))
-    val winners = perPart
-      .select(col("__grp"), explode(col("__top")).as("__c"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__grp")
-          .orderBy(col("__c.__ord"), col("__c.__id"))))
-      .filter(col("__rn") <= k)
-      .select(col("__c.__id").as("__winner_id"))
-    docs.join(if (broadcastWinners) broadcast(winners) else winners,
-      id === col("__winner_id"), "left_semi")
-  }
+      id: Column, broadcastWinners: Boolean = true): DataFrame =
+    twoPhaseTopPerGroup(docs, k, group, order, id, broadcastWinners,
+      ranked => ranked.filter(col("__rn") <= k))
 
   /** [[topKPerGroup]] with a PER-GROUP cap: `caps` carries one row per
-    * group value with its cap in `capCol` (≤ `maxCap` — the static
-    * bound the per-partition pre-cap slices to; rows of groups absent
-    * from `caps` are dropped). The cap table is aggregate-sized (one
-    * row per group), so it rides a broadcast join onto the ≤
-    * partitions × maxCap pre-capped survivors — the corpus itself
-    * never sees a per-group window. This is the enforcement face of
-    * ratio-driven crawl policies: caps computed FROM the data (e.g. a
-    * host's dup ratio) applied back per group.
+    * group value with its cap in `capCol`; rows of groups absent from
+    * `caps` are dropped, and a cap above `maxCap` is CLAMPED to it
+    * (the per-partition pre-cap slices to `maxCap`, so a larger cap
+    * could not be honored exactly — without the clamp the result
+    * would silently depend on the partition layout). The cap table is
+    * aggregate-sized (one row per group), so it rides a broadcast
+    * join onto the ≤ partitions × maxCap pre-capped survivors — the
+    * corpus itself never sees a per-group window. This is the
+    * enforcement face of ratio-driven crawl policies: caps computed
+    * FROM the data (e.g. a host's dup ratio) applied back per group.
     */
   def capPerGroup(docs: DataFrame, caps: DataFrame, capCol: String,
       maxCap: Int, group: String, order: Column, id: Column,
-      broadcastWinners: Boolean = true): DataFrame = {
-    require(maxCap >= 1, s"maxCap >= 1, got $maxCap")
+      broadcastWinners: Boolean = true): DataFrame =
+    twoPhaseTopPerGroup(docs, maxCap, group, order, id, broadcastWinners,
+      ranked => ranked
+        .join(broadcast(caps.select(col(group).as("__grp"),
+          least(col(capCol).cast("long"), lit(maxCap.toLong)).as("__cap"))),
+          Seq("__grp"))
+        .filter(col("__rn") <= col("__cap")))
+
+  /** The shared two-phase skeleton behind [[topKPerGroup]] /
+    * [[capPerGroup]]: per-(group, input-partition) sorted pre-cap to
+    * `maxK` (bounded by partition size), exact rank window over the
+    * ≤ partitions × maxK survivors, then the caller's `keep` filter on
+    * the ranked survivors, semi join back. Only the keep rule differs:
+    * a static k vs a broadcast-joined per-group cap.
+    */
+  private def twoPhaseTopPerGroup(docs: DataFrame, maxK: Int,
+      group: String, order: Column, id: Column, broadcastWinners: Boolean,
+      keep: DataFrame => DataFrame): DataFrame = {
+    require(maxK >= 1, s"need a positive per-group bound, got $maxK")
     val perPart = docs
       .select(col(group).as("__grp"),
         struct(order.as("__ord"), id.as("__id")).as("__cand"))
       .groupBy(col("__grp"), spark_partition_id().as("__pid"))
-      .agg(slice(array_sort(collect_list(col("__cand"))), 1, maxCap).as("__top"))
-    val winners = perPart
-      .select(col("__grp"), explode(col("__top")).as("__c"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__grp")
-          .orderBy(col("__c.__ord"), col("__c.__id"))))
-      .join(broadcast(caps.select(col(group).as("__grp"),
-        col(capCol).cast("long").as("__cap"))), Seq("__grp"))
-      .filter(col("__rn") <= col("__cap"))
+      .agg(slice(array_sort(collect_list(col("__cand"))), 1, maxK).as("__top"))
+    val winners = keep(perPart
+        .select(col("__grp"), explode(col("__top")).as("__c"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("__grp")
+            .orderBy(col("__c.__ord"), col("__c.__id")))))
       .select(col("__c.__id").as("__winner_id"))
     docs.join(if (broadcastWinners) broadcast(winners) else winners,
       id === col("__winner_id"), "left_semi")

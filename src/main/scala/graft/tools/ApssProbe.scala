@@ -9,12 +9,18 @@ import graft.plans.GraftFunctions
 
 /** Dev probe: time each stage of the Bayardo APSS cosine plan
   * (mirrors the CURRENT Dedup.bagCosinePairs structure) and compare
-  * the two verify orders — (A) dedup-then-attach (the corpus-scale
-  * path: candidate pairs distinct() before the attach joins) vs (B)
-  * attach-then-dedup (the broadcastable-vecs path the operator takes
-  * by default: every match row verified map-side in one zero-shuffle
-  * stage, pair dedup on the verified output). Round-14 readings at
-  * sf0.1 (τ = 9/10): 28.4M match rows → 11.8M distinct candidates →
+  * the two BENCH-SCALE verify orders — (A) dedup-then-attach with
+  * BROADCAST attaches (the pre-round-14 plan: candidate pairs
+  * distinct() before the attach joins, which AQE broadcast at this
+  * scale) vs (B) attach-then-dedup (what the operator now runs when
+  * vecs is broadcastable: every match row verified map-side in one
+  * zero-shuffle stage, pair dedup on the verified output). NOTE: arm
+  * A is NOT the operator's corpus-scale branch — that one attaches
+  * via SHUFFLE joins (verify(matched.distinct(), identity)); both
+  * arms here broadcast, so the comparison isolates exactly the one
+  * plan difference that changed in round 14 (the candidate-sized
+  * exchange + partial-agg hash tables). Round-14 readings at sf0.1
+  * (τ = 9/10): 28.4M match rows → 11.8M distinct candidates →
   * 1,777 pairs; under an idle host A ≈ 4.5 s / B ≈ 5.7 s post-
   * checkpoint, under host contention A ≈ 14–17 s / B ≈ 8–10 s —
   * B trades +2.4× cheap codegen dots for ZERO shuffle and no

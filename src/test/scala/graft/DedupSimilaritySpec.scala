@@ -1415,14 +1415,18 @@ class DedupSimilaritySpec extends SparkSpec {
     val rows = (1L to 300L).map(i =>
       (i, s"g${rnd.nextInt(7)}", rnd.nextDouble()))
     val d = rows.toDF("doc_id", "grp", "q")
+    // g6 has NO cap row (drops); g4's 20 exceeds maxCap=8 and must
+    // CLAMP — the per-partition pre-cap slices to maxCap, so an
+    // unclamped larger cap would make the result depend on layout
     val caps = Seq(("g0", 1L), ("g1", 2L), ("g2", 3L), ("g3", 5L),
-      ("g4", 8L), ("g5", 4L)).toDF("grp", "cap") // g6 has NO cap row
+      ("g4", 20L), ("g5", 4L)).toDF("grp", "cap")
     val maxCap = 8
     def got(parts: Int): Set[Long] =
       TextAnalysis.capPerGroup(d.repartition(parts), caps, "cap", maxCap,
         "grp", col("q"), col("doc_id"))
         .select("doc_id").as[Long].collect().toSet
-    // the naive reference: rank within group by (q, doc_id), keep ≤ cap
+    // the naive reference: rank within group by (q, doc_id), keep ≤
+    // min(cap, maxCap)
     val capMap = Seq("g0" -> 1, "g1" -> 2, "g2" -> 3, "g3" -> 5,
       "g4" -> 8, "g5" -> 4).toMap
     val exp = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
