@@ -187,6 +187,29 @@ object Bench {
     }
   }
 
+  /** One-sample mini CPU probe (quarter-size [[canary]] work, no
+    * warm-up — the suite-start canary already compiled and C2-warmed
+    * this exact plan shape): the phantom pass pairs one of these with
+    * each [[canaryIoOnce]] bracket around a suspect's re-run. Round 14
+    * showed an io-only bracket is blind to CPU-side contention: a
+    * flagship's re-run read 1.8× its prior between two HEALTHY io
+    * brackets while the suite's first CPU canary sat 2.6× its last —
+    * the host was CPU-saturated, not disk-saturated, and io brackets
+    * alone would have convicted the code. A probe failure reports -1
+    * ("no reading"), never an abort — same contract as
+    * [[canaryIoOnce]].
+    */
+  def canaryCpuOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+    try {
+      val t0 = System.nanoTime()
+      spark.range(0L, 500000000L, 1L, 64)
+        .select(xxhash64(col("id")).as("h"))
+        .agg(bit_xor(col("h"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
+  }
+
   /** Raw per-query seconds from a prior run's bench_out.json, parsed
     * with a dependency-free scan of its final `"queries":{...}` map —
     * the reference for the phantom re-run pass. Empty when the file
@@ -308,14 +331,18 @@ object Bench {
     // already succeeded in the suite (its time stands), so drop any
     // error the re-run attempt recorded
     val preRerunErrors = errors.keySet.toSet
-    // each rerun is BRACKETED by one-sample io probes: a suspect that
-    // stays slow between two healthy brackets is an honest regression
-    // signal; inflated brackets adjudicate it to host contention
+    // each rerun is BRACKETED by one-sample io AND cpu probes: a
+    // suspect that stays slow between healthy brackets on BOTH axes
+    // is an honest regression signal; an inflated bracket on either
+    // axis adjudicates it to host contention (io-only brackets proved
+    // blind to CPU-saturation windows — see canaryCpuOnce)
     val reruns = suspects.map { case (name, _) =>
       val ioBefore = canaryIoOnce(spark)
+      val cpuBefore = canaryCpuOnce(spark)
       val t = timeOne(name, SparkEntry.queries(name))
+      val cpuAfter = canaryCpuOnce(spark)
       val ioAfter = canaryIoOnce(spark)
-      name -> ((t, ioBefore, ioAfter)) }.toMap
+      name -> ((t, ioBefore, ioAfter, cpuBefore, cpuAfter)) }.toMap
     for (name <- reruns.keys if !preRerunErrors(name)) errors.remove(name)
     val results = suite.map { case (name, t) =>
       val best = reruns.get(name).map(_._1).filter(r => r >= 0 && r < t)
@@ -363,10 +390,11 @@ object Bench {
     val phantomJson =
       if (suspects.isEmpty) ""
       else suspects.map { case (name, t) =>
-        val (rr, ioB, ioA) = reruns.getOrElse(name, (-1.0, -1.0, -1.0))
+        val (rr, ioB, ioA, cpuB, cpuA) =
+          reruns.getOrElse(name, (-1.0, -1.0, -1.0, -1.0, -1.0))
         jstr(name) + s""":{"suite":${r3(t)},"rerun":${r3(rr)},"prior":${
           r3(prior.getOrElse(name, -1.0))},"io_before":${r3(ioB)},"io_after":${
-          r3(ioA)}}"""
+          r3(ioA)},"cpu_before":${r3(cpuB)},"cpu_after":${r3(cpuA)}}"""
       }.mkString(",\"phantoms\":{", ",", "}")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => jstr(k) + ":" + r3(v) }

@@ -26,4 +26,13 @@ class BenchProbeSpec extends SparkSpec {
     val tmpAfter = probeDirs()
     assert(tmpAfter <= tmpBefore, s"probe left temp dirs ($tmpBefore -> $tmpAfter)")
   }
+
+  test("canaryCpuOnce: returns a positive reading and leaves no " +
+      "persistent state") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val sec = Bench.canaryCpuOnce(spark)
+    assert(sec > 0.0)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, s"probe leaked blocks: ${after -- before}")
+  }
 }
