@@ -3771,7 +3771,7 @@ object Queries {
     * variants 3–4 to the bare URL + the retained non-tracking
     * `?x=1` param.
     */
-  private def urlFixture(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def urlFixture(s: SparkSession, dir: String): DataFrame = {
     val host = concat(col("source"), lit(".example.com"))
     val path = concat(lit("/page-"), floor(col("doc_id") / 100).cast("long"))
     val v = pmod(floor(col("doc_id") / 20).cast("long"), lit(5))

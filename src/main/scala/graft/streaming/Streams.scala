@@ -922,6 +922,101 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming URL FRONTIER DEDUP — the crawl-loop twin of
+    * `dedup_by_url`: each micro-batch's URLs are canonicalized
+    * ([[graft.functions.Normalize.canonicalUrl]]) and KEEP-FIRST
+    * deduplicated, both within the batch (by doc_id — a batch carrying
+    * two cosmetic variants of one resource must keep only the earlier)
+    * and against the ACCUMULATED seen-key state, so the union of
+    * emitted survivors over ANY chronological batching equals the
+    * batch `dedupByUrl` keeper set (spec-pinned across 1/2/3-batch
+    * splits). PRECONDITION: doc_ids globally unique and arrival-
+    * ordered (the [[topkStream]] convention — keep-FIRST is only
+    * well-defined under an arrival order).
+    *
+    * State is the seen canonical-key set — 16-byte md5 digests only,
+    * never URL text — stored APPEND-ONLY with the
+    * [[neardupScreenStream]] discipline: each batch writes its own
+    * survivor keys under `statePath/b<batchId>` (atomic overwrite of
+    * that one directory; an at-least-once replay rewrites identical
+    * content, and the history glob only reads bid < batchId, so a
+    * half-committed current batch is never read back). Per-batch state
+    * I/O is O(batch), never O(corpus).
+    *
+    * Scale shape: the history check runs as TWO BROADCAST joins so the
+    * corpus-sized seen set never shuffles — (1) the batch's winner
+    * keys (small) broadcast-SEMI-join the history scan (map-only: each
+    * history partition probes the broadcast hash and emits only keys
+    * this batch re-saw, ≤ batch rows), (2) that seen subset broadcasts
+    * back as the ANTI side over the batch winners. The per-batch
+    * history SCAN is the indexless frontier baseline (columnar
+    * digests, ~16 bytes/URL); a 100 TB deployment fronts it with the
+    * host-level policy tables this engine already derives
+    * (`dedup_url_hosts` ratios, `corpus_host_cap` caps) so the
+    * frontier only consults the digest store for hosts worth crawling.
+    *
+    * Survivors handed to the callback: `(doc_id, url, canon_url,
+    * canon_key)` — the fetch queue a crawler actually enqueues.
+    */
+  def urlDedupStream(
+      docs: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      onSurvivors: DataFrame => Unit,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val canon = graft.functions.Normalize.canonicalUrl(col("url"))
+        val keyed = batch.select(col("doc_id"), col("url"),
+          canon.as("canon_url"),
+          md5(canon.cast("binary")).as("canon_key"))
+        // within-batch keep-first: digest-keyed min-doc_id groupBy
+        // (map-side combined, skew-free by construction) + join back —
+        // the Dedup.exact discipline, no window over the batch
+        val winners = keyed.join(
+          keyed.groupBy(col("canon_key"))
+            .agg(min(col("doc_id")).as("doc_id")),
+          Seq("canon_key", "doc_id"), "left_semi")
+        val root = java.nio.file.Paths.get(statePath)
+        val priorDirs: Seq[String] =
+          if (java.nio.file.Files.isDirectory(root)) {
+            val it = java.nio.file.Files.list(root)
+            try {
+              val b = Seq.newBuilder[String]
+              it.forEach { p =>
+                val n = p.getFileName.toString
+                if (n.startsWith("b") && !n.contains(".") &&
+                    n.drop(1).forall(_.isDigit) &&
+                    n.drop(1).toLong < batchId)
+                  b += p.toString
+              }
+              b.result()
+            } finally it.close()
+          } else Nil
+        val survivors =
+          if (priorDirs.isEmpty) winners
+          else {
+            val history = spark.read.parquet(priorDirs: _*)
+            // seen = history keys this batch re-saw (≤ batch rows):
+            // broadcast the SMALL batch key set into a map-only
+            // history scan, then broadcast the result back as the
+            // anti side — the seen set never shuffles
+            val seen = history.join(
+              broadcast(winners.select(col("canon_key"))),
+              Seq("canon_key"), "left_semi").distinct()
+            winners.join(broadcast(seen), Seq("canon_key"), "left_anti")
+          }
+        graft.operators.Merge.atomicOverwrite(
+          survivors.select(col("canon_key")), s"$statePath/b$batchId")
+        onSurvivors(survivors.select(col("doc_id"), col("url"),
+          col("canon_url"), col("canon_key")))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming INCREMENTAL NEAR-DUP SCREEN — the daily-ingest twin of
     * `dedup_incremental_neardup` ([[graft.functions.Dedup
     * .crossJaccardPairs]]) end-to-end: each micro-batch's documents

@@ -919,6 +919,57 @@ class StreamingSpec extends SparkSpec {
     assert(names.count(n => n.matches("b\\d+")) == 3, names)
   }
 
+  test("streaming url frontier dedup: cumulative survivors equal the batch " +
+      "keeper set across restarts, state stays append-only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-urls").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-urls-ck").toString
+    val state = s"$dir/state"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val urls = Queries.urlFixture(spark, sfDir)
+    val schema = urls.schema
+    val got = scala.collection.mutable.Set[(Long, String, String, String)]()
+    def run(): Unit = {
+      val q = Streams.urlDedupStream(
+        spark.readStream.schema(schema).parquet(s"$dir/in/*"),
+        state, ckpt,
+        onSurvivors = s => got ++=
+          s.as[(Long, String, String, String)].collect())
+      q.awaitTermination(180000)
+    }
+    // arrival order = doc_id order, split so cosmetic variants of one
+    // resource land in DIFFERENT batches (variant classes are 5 blocks
+    // of 20 consecutive doc_ids each) — the cross-batch dedup is real,
+    // with a stream restart between every batch
+    urls.filter($"doc_id" < 150).coalesce(1).write.parquet(s"$dir/in/b1.parquet")
+    run()
+    urls.filter($"doc_id" >= 150 && $"doc_id" < 320).coalesce(1)
+      .write.parquet(s"$dir/in/b2.parquet")
+    run()
+    urls.filter($"doc_id" >= 320).coalesce(1).write.parquet(s"$dir/in/b3.parquet")
+    run()
+    // batching-invariance: cumulative survivors ≡ the registered batch
+    // query's keepers (keep-first under doc_id order = min doc_id)
+    val keepers = SparkEntry.queries("dedup_by_url")(spark, sfDir)
+      .select($"keeper", $"canon_url", $"canon_key")
+      .as[(Long, String, String)].collect().toSet
+    val gotKeepers = got.toSet.map((t: (Long, String, String, String)) =>
+      (t._1, t._3, t._4))
+    assert(gotKeepers == keepers,
+      s"stream survivors diverged from batch dedup_by_url keepers:" +
+        s"\n stream-only=${(gotKeepers -- keepers).toSeq.sorted.take(5)}" +
+        s"\n batch-only=${(keepers -- gotKeepers).toSeq.sorted.take(5)}")
+    // the fixture really exercised cross-batch dedup: fewer survivors
+    // than inputs, and at least one batch emitted zero-or-reduced rows
+    assert(got.size < urls.count())
+    // state is append-only: one committed digest directory per batch
+    val stateDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(state))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val names = scala.collection.mutable.Buffer[String]()
+    stateDirs.forEachRemaining(p => names += p.getFileName.toString)
+    assert(names.count(n => n.matches("b\\d+")) == 3, names)
+  }
+
   test("streaming cdc chunk store: cumulative savings row is batch-exact across a restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ck").toString
