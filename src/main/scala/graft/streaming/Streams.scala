@@ -697,6 +697,77 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming RESERVOIR SAMPLE — the ingest twin of
+    * `sample_reservoir` ([[graft.functions.Selection.reservoirSample]]
+    * — per-group exact-k uniform sample by salted-hash rank), kept
+    * EXACTLY equal to the batch sample over everything seen so far:
+    * bottom-k-by-priority is a monoid (bottom-k(A ∪ B) =
+    * bottom-k(bottom-k(A) ∪ B)), and the priority is recomputable from
+    * the id (md5(salt:id)), so state is just the current winner
+    * `(g, id)` rows — ≤ groups·k rows, never the corpus. Each batch
+    * unions the state rows with the arrivals and re-runs the batch
+    * reservoir on that union; the callback receives the full current
+    * sample `(g, id, rk)` after every batch (complete-mode emission,
+    * the [[heavyHittersStream]] convention). This is the eval-set /
+    * holdout maintenance job of an ingest pipeline: a uniform
+    * per-source sample that stays valid as the corpus grows, without
+    * ever rescanning it.
+    *
+    * State persists with the [[piiAuditStream]] discipline — atomic
+    * overwrite + last-applied batchId, so an at-least-once replay is
+    * a no-op (bottom-k of an already-applied union is idempotent
+    * anyway; the guard merely skips the recompute).
+    *
+    * Unlike arrival-order operators ([[topkStream]]'s conventions),
+    * the result is BATCHING-INVARIANT with no ordering precondition:
+    * any partition of the corpus into micro-batches, in any order,
+    * yields the same final sample as the one-shot batch query.
+    */
+  def reservoirStream(
+      docs: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      k: Int,
+      onSample: DataFrame => Unit,
+      group: String = "source",
+      id: String = "doc_id",
+      salt: String = "rsv",
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val exists =
+          java.nio.file.Files.exists(java.nio.file.Paths.get(statePath))
+        val (prior, lastBid) =
+          if (exists) {
+            val p = spark.read.parquet(statePath)
+            (Some(p.select(col("g"), col("id"), col("rk"))),
+              p.agg(coalesce(max(col("__bid")), lit(-1L)))
+                .head().getLong(0))
+          } else (None, -1L)
+        val merged =
+          if (lastBid == batchId) prior.get // replay: already applied
+          else {
+            val arrivals = batch.select(col(group), col(id))
+            val pool = prior match {
+              case None => arrivals
+              case Some(st) =>
+                st.select(col("g").as(group), col("id").as(id))
+                  .unionByName(arrivals)
+            }
+            graft.functions.Selection.reservoirSample(
+              pool, col(group), col(id), k, salt)
+          }
+        graft.operators.Merge.atomicOverwrite(
+          merged.select(col("g"), col("id"), col("rk"))
+            .withColumn("__bid", lit(batchId)), statePath)
+        onSample(spark.read.parquet(statePath).drop("__bid"))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming CDC CHUNK STORE — the ingest twin of `dedup_cdc_ratio`:
     * each micro-batch's documents are content-defined-chunked
     * ([[graft.functions.Dedup.cdcChunks]] — doc-local, so chunk

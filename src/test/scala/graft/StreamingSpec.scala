@@ -970,6 +970,45 @@ class StreamingSpec extends SparkSpec {
     assert(names.count(n => n.matches("b\\d+")) == 3, names)
   }
 
+  test("streaming reservoir sample: state equals the one-shot batch sample " +
+      "under arbitrary batching, across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rsv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rsv-ck").toString
+    val state = s"$dir/state.parquet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source")
+    val schema = docs.schema
+    var last: Set[(String, Long, Long)] = Set.empty
+    def run(): Unit = {
+      val q = Streams.reservoirStream(
+        spark.readStream.schema(schema).parquet(s"$dir/in/*"),
+        state, ckpt, k = 20,
+        onSample = s => last =
+          s.select("g", "id", "rk").as[(String, Long, Long)].collect().toSet)
+      q.awaitTermination(180000)
+    }
+    // deliberately NOT doc_id-ordered batches: the sample is a monoid
+    // over the pool, so ANY batching must converge to the same state
+    docs.filter($"doc_id" % 3 === 2).coalesce(1).write.parquet(s"$dir/in/b1.parquet")
+    run()
+    docs.filter($"doc_id" % 3 === 0).coalesce(1).write.parquet(s"$dir/in/b2.parquet")
+    run() // restart: reservoir state + source offsets must both recover
+    docs.filter($"doc_id" % 3 === 1).coalesce(1).write.parquet(s"$dir/in/b3.parquet")
+    run()
+    val want = graft.functions.Selection
+      .reservoirSample(docs, $"source", $"doc_id", k = 20)
+      .as[(String, Long, Long)].collect().toSet
+    assert(last == want,
+      s"streamed reservoir diverged from the one-shot batch sample:" +
+        s"\n stream-only=${(last -- want).toSeq.sorted.take(5)}" +
+        s"\n batch-only=${(want -- last).toSeq.sorted.take(5)}")
+    // bounded state: exactly k winners per source (fixture has >k docs
+    // per source), never the corpus
+    val perGroup = last.groupBy(_._1).map(_._2.size).toSet
+    assert(perGroup == Set(20), s"per-group sizes: $perGroup")
+  }
+
   test("streaming cdc chunk store: cumulative savings row is batch-exact across a restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ck").toString
