@@ -1088,6 +1088,167 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming HOST-BUDGET ADMISSION — the online enforcement twin of
+    * `corpus_host_cap`, closing the crawl-policy loop this engine's
+    * batch faces feed (`dedup_url_hosts` measures per-host duplication,
+    * `corpus_host_cap` derives ratio-scaled caps, this admits documents
+    * against those caps AS THEY ARRIVE): each micro-batch's URLs are
+    * canonicalized, keep-first deduplicated within the batch and
+    * against the accumulated seen-key state (the [[urlDedupStream]]
+    * two-broadcast-join screen — the corpus-sized digest set never
+    * shuffles), then ADMITTED per host while the host's budget lasts.
+    * The budget is recomputed per batch from CUMULATIVE knowledge —
+    * `cap_h = max(1, ⌊base·(1 − dup_ratio_h)⌋)` with `dup_ratio_h`
+    * over every URL seen so far (the batch twin's rule applied to the
+    * stream's prefix), `remaining_h = max(0, cap_h − kept_h)` — so a
+    * host that reveals itself as a mirror farm mid-crawl loses its
+    * allowance for later batches even though its early documents were
+    * admitted. Admission within a batch is first-by-doc_id through
+    * [[graft.functions.TextAnalysis.capPerGroup]] (two-phase cap — no
+    * per-host window over the batch). PRECONDITION: doc_ids globally
+    * unique and arrival-ordered (the [[topkStream]] convention).
+    *
+    * State: (1) first-seen canonical keys, append-only per-bid
+    * directories under `statePath/keys` ([[neardupScreenStream]]
+    * discipline — O(batch) I/O, half-committed batches never read
+    * back); ALL first-seen keys are recorded, admitted or not — key
+    * knowledge is what the dup ratio measures, the budget only gates
+    * fetching. (2) per-host counters `(host, n_urls, n_canonical,
+    * n_kept)` — one row per host, atomic overwrite + last-applied
+    * batchId. Keys commit BEFORE counters, so a crash between the two
+    * replays the batch (key overwrite is idempotent) while a committed
+    * counter row suppresses the replay entirely — per-batch admission
+    * deltas are emitted effectively exactly once.
+    *
+    * The callback receives this batch's admitted `(doc_id, url,
+    * canon_url, canon_key, host)` — the fetch queue under budget.
+    */
+  def hostCapStream(
+      docs: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      baseCap: Int,
+      onAdmitted: DataFrame => Unit,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val countersPath = s"$statePath/counters.parquet"
+        val exists =
+          java.nio.file.Files.exists(java.nio.file.Paths.get(countersPath))
+        val (priorCounters, lastBid) =
+          if (exists) {
+            val p = spark.read.parquet(countersPath)
+            (Some(p.select(col("host"), col("n_urls"),
+              col("n_canonical"), col("n_kept"))),
+              p.agg(coalesce(max(col("__bid")), lit(-1L)))
+                .head().getLong(0))
+          } else (None, -1L)
+        if (lastBid == batchId) { // replay: fully applied, emit nothing
+          onAdmitted(batch.limit(0).select(col("doc_id"), col("url"),
+            lit("").as("canon_url"), lit("").as("canon_key"),
+            lit("").as("host")))
+        } else {
+          def free(df: DataFrame): Unit =
+            graft.plans.Materialize.rddIds(df).foreach(rid =>
+              spark.sparkContext.getPersistentRDDs.get(rid)
+                .foreach(_.unpersist(false)))
+          val canon = graft.functions.Normalize.canonicalUrl(col("url"))
+          val keyed = batch.select(col("doc_id"), col("url"),
+            canon.as("canon_url"),
+            md5(canon.cast("binary")).as("canon_key"),
+            graft.functions.Normalize.urlHost(col("url")).as("host"))
+          val winners = keyed.join(
+            keyed.groupBy(col("canon_key"))
+              .agg(min(col("doc_id")).as("doc_id")),
+            Seq("canon_key", "doc_id"), "left_semi")
+          val keysRoot = java.nio.file.Paths.get(s"$statePath/keys")
+          val priorDirs: Seq[String] =
+            if (java.nio.file.Files.isDirectory(keysRoot)) {
+              val it = java.nio.file.Files.list(keysRoot)
+              try {
+                val b = Seq.newBuilder[String]
+                it.forEach { p =>
+                  val n = p.getFileName.toString
+                  if (n.startsWith("b") && !n.contains(".") &&
+                      n.drop(1).forall(_.isDigit) &&
+                      n.drop(1).toLong < batchId)
+                    b += p.toString
+                }
+                b.result()
+              } finally it.close()
+            } else Nil
+          // fresh feeds four consumers (stats, admission, the key
+          // write, the emitted rows' lineage) — cache it once
+          val fresh = graft.plans.Materialize(
+            if (priorDirs.isEmpty) winners
+            else {
+              val history = spark.read.parquet(priorDirs: _*)
+              val seen = history.join(
+                broadcast(winners.select(col("canon_key"))),
+                Seq("canon_key"), "left_semi").distinct()
+              winners.join(broadcast(seen), Seq("canon_key"), "left_anti")
+            })
+          // cumulative per-host knowledge INCLUDING this batch: every
+          // batch row counts as a seen URL, every fresh key as a new
+          // canonical resource
+          val batchStats = keyed.groupBy(col("host"))
+            .agg(count(lit(1)).as("n_urls_b"))
+            .join(fresh.groupBy(col("host"))
+              .agg(count(lit(1)).as("n_new_b")), Seq("host"), "left")
+            .na.fill(0L, Seq("n_new_b"))
+          // counters feeds budgets AND the post-admission update
+          val counters = graft.plans.Materialize(priorCounters match {
+            case None => batchStats.select(col("host"),
+              col("n_urls_b").as("n_urls"),
+              col("n_new_b").as("n_canonical"), lit(0L).as("n_kept"))
+            case Some(st) => st
+              .join(batchStats, Seq("host"), "full_outer")
+              .select(col("host"),
+                (coalesce(col("n_urls"), lit(0L))
+                  + coalesce(col("n_urls_b"), lit(0L))).as("n_urls"),
+                (coalesce(col("n_canonical"), lit(0L))
+                  + coalesce(col("n_new_b"), lit(0L))).as("n_canonical"),
+                coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          })
+          // the batch twin's cap rule on the stream's prefix
+          val budgets = counters
+            .withColumn("dup_ratio",
+              round(lit(1.0) - col("n_canonical").cast("double")
+                / col("n_urls").cast("double"), 4))
+            .withColumn("cap", greatest(lit(1L),
+              floor(lit(baseCap.toDouble) * (lit(1.0) - col("dup_ratio")))
+                .cast("long")))
+            .select(col("host"),
+              greatest(lit(0L), col("cap") - col("n_kept"))
+                .as("remaining"))
+          // admitted feeds the counter update AND the callback
+          val admitted = graft.plans.Materialize(
+            graft.functions.TextAnalysis.capPerGroup(
+              fresh, budgets, "remaining", baseCap, "host",
+              col("doc_id"), col("doc_id")))
+          // keys commit FIRST (idempotent overwrite), counters LAST
+          // (__bid is the batch's commit point)
+          graft.operators.Merge.atomicOverwrite(
+            fresh.select(col("canon_key")), s"$statePath/keys/b$batchId")
+          val keptNow = counters.join(
+              admitted.groupBy(col("host"))
+                .agg(count(lit(1)).as("n_adm_b")), Seq("host"), "left")
+            .na.fill(0L, Seq("n_adm_b"))
+            .select(col("host"), col("n_urls"), col("n_canonical"),
+              (col("n_kept") + col("n_adm_b")).as("n_kept"))
+          graft.operators.Merge.atomicOverwrite(
+            keptNow.withColumn("__bid", lit(batchId)), countersPath)
+          onAdmitted(admitted.select(col("doc_id"), col("url"),
+            col("canon_url"), col("canon_key"), col("host")))
+          free(admitted); free(counters); free(fresh)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming INCREMENTAL NEAR-DUP SCREEN — the daily-ingest twin of
     * `dedup_incremental_neardup` ([[graft.functions.Dedup
     * .crossJaccardPairs]]) end-to-end: each micro-batch's documents

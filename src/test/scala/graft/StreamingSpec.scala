@@ -970,6 +970,79 @@ class StreamingSpec extends SparkSpec {
     assert(names.count(n => n.matches("b\\d+")) == 3, names)
   }
 
+  test("streaming host-budget admission: admissions match the sequential " +
+      "fold of the batch cap rule, across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hcap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hcap-ck").toString
+    val state = s"$dir/state"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    // base 20 (not corpus_host_cap's 8): large enough that the budget
+    // is not exhausted by batch 1 — later batches must still admit
+    // (the cap is a running budget, not a first-batch gate) — yet
+    // small enough that the dup-scaled cap binds below the fresh count
+    val baseCap = 20
+    val urls = Queries.urlFixture(spark, sfDir)
+    val schema = urls.schema
+    // the reference fold consumes the ENGINE's canonicalization (the
+    // rule under test here is the budget admission, not the URL
+    // kernel — UrlCanonSpec owns that)
+    val keyedRef = urls.select($"doc_id",
+        md5(graft.functions.Normalize.canonicalUrl($"url").cast("binary"))
+          .as("ck"),
+        graft.functions.Normalize.urlHost($"url").as("host"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val splits: Seq[(Long, Long)] =
+      Seq((0L, 150L), (150L, 320L), (320L, Long.MaxValue))
+    // driver-side fold of the documented rule: within-batch keep-first,
+    // seen-key screen, cumulative counters, round-4 dup ratio,
+    // cap = max(1, floor(base * (1 - dup))), remaining = cap - kept,
+    // admit first-by-doc_id
+    val seen = scala.collection.mutable.Set[String]()
+    val nUrls = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val nCanon = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val nKept = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val expAdmitted = scala.collection.mutable.Set[Long]()
+    for ((lo, hi) <- splits) {
+      val rows = keyedRef.filter(r => r._1 >= lo && r._1 < hi)
+      val winners = rows.groupBy(_._2).map(_._2.minBy(_._1)).toSeq.sortBy(_._1)
+      val fresh = winners.filterNot(r => seen(r._2))
+      rows.foreach(r => nUrls(r._3) += 1)
+      fresh.foreach(r => nCanon(r._3) += 1)
+      for ((host, rs) <- fresh.groupBy(_._3)) {
+        val dup = BigDecimal(1.0 - nCanon(host).toDouble / nUrls(host).toDouble)
+          .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        val cap = math.max(1L, math.floor(baseCap.toDouble * (1.0 - dup)).toLong)
+        val rem = math.max(0L, cap - nKept(host))
+        val adm = rs.sortBy(_._1).take(math.min(rem, baseCap.toLong).toInt)
+        adm.foreach(r => expAdmitted += r._1)
+        nKept(host) += adm.size
+      }
+      fresh.foreach(r => seen += r._2)
+    }
+    val got = scala.collection.mutable.Set[Long]()
+    def run(): Unit = {
+      val q = Streams.hostCapStream(
+        spark.readStream.schema(schema).parquet(s"$dir/in/*"),
+        state, ckpt, baseCap,
+        onAdmitted = a => got ++= a.select("doc_id").as[Long].collect())
+      q.awaitTermination(180000)
+    }
+    for (((lo, hi), i) <- splits.zipWithIndex) {
+      urls.filter($"doc_id" >= lo && $"doc_id" < hi).coalesce(1)
+        .write.parquet(s"$dir/in/b$i.parquet")
+      run() // restart between every batch: both state stores recover
+    }
+    assert(got.toSet == expAdmitted.toSet,
+      s"stream admissions diverged from the reference fold:" +
+        s"\n stream-only=${(got.toSet -- expAdmitted).toSeq.sorted.take(8)}" +
+        s"\n fold-only=${(expAdmitted.toSet -- got).toSeq.sorted.take(8)}")
+    // the budget really bound somewhere (admitted < fresh keys), and
+    // some host still admitted in a later batch (the cap is a running
+    // budget, not a first-batch gate)
+    assert(expAdmitted.size < seen.size)
+    assert(expAdmitted.exists(_ >= 150L))
+  }
+
   test("streaming reservoir sample: state equals the one-shot batch sample " +
       "under arbitrary batching, across restarts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rsv").toString
