@@ -1012,7 +1012,10 @@ object Streams {
     * that one directory; an at-least-once replay rewrites identical
     * content, and the history glob only reads bid < batchId, so a
     * half-committed current batch is never read back). Per-batch state
-    * I/O is O(batch), never O(corpus).
+    * I/O is O(batch), never O(corpus). Emission is at-least-once: a
+    * replayed batch rewrites identical state but re-emits its
+    * survivors (consumers keyed by doc_id absorb the duplicates;
+    * [[hostCapStream]] shows the counter-guarded exactly-once form).
     *
     * Scale shape: the history check runs as TWO BROADCAST joins so the
     * corpus-sized seen set never shuffles — (1) the batch's winner
@@ -1038,6 +1041,10 @@ object Streams {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        def free(df: DataFrame): Unit =
+          graft.plans.Materialize.rddIds(df).foreach(rid =>
+            spark.sparkContext.getPersistentRDDs.get(rid)
+              .foreach(_.unpersist(false)))
         val canon = graft.functions.Normalize.canonicalUrl(col("url"))
         val keyed = batch.select(col("doc_id"), col("url"),
           canon.as("canon_url"),
@@ -1065,7 +1072,9 @@ object Streams {
               b.result()
             } finally it.close()
           } else Nil
-        val survivors =
+        // survivors feed TWO actions (the state write and the
+        // callback) — cache so the batch dedup chain runs once
+        val survivors = graft.plans.Materialize(
           if (priorDirs.isEmpty) winners
           else {
             val history = spark.read.parquet(priorDirs: _*)
@@ -1077,11 +1086,12 @@ object Streams {
               broadcast(winners.select(col("canon_key"))),
               Seq("canon_key"), "left_semi").distinct()
             winners.join(broadcast(seen), Seq("canon_key"), "left_anti")
-          }
+          })
         graft.operators.Merge.atomicOverwrite(
           survivors.select(col("canon_key")), s"$statePath/b$batchId")
         onSurvivors(survivors.select(col("doc_id"), col("url"),
           col("canon_url"), col("canon_key")))
+        free(survivors)
         ()
       }
       .option("checkpointLocation", checkpoint)
