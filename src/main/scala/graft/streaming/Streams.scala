@@ -1123,12 +1123,16 @@ object Streams {
     * discipline — O(batch) I/O, half-committed batches never read
     * back); ALL first-seen keys are recorded, admitted or not — key
     * knowledge is what the dup ratio measures, the budget only gates
-    * fetching. (2) per-host counters `(host, n_urls, n_canonical,
-    * n_kept)` — one row per host, atomic overwrite + last-applied
-    * batchId. Keys commit BEFORE counters, so a crash between the two
-    * replays the batch (key overwrite is idempotent) while a committed
-    * counter row suppresses the replay entirely — per-batch admission
-    * deltas are emitted effectively exactly once.
+    * fetching. (2) the batch's admission delta under
+    * `statePath/admitted/b<batchId>` — the durable copy of what the
+    * callback receives. (3) per-host counters `(host, n_urls,
+    * n_canonical, n_kept)` — one row per host, atomic overwrite +
+    * last-applied batchId. Keys and the delta commit BEFORE counters,
+    * so a crash before the counter commit replays the whole batch
+    * (both overwrites are idempotent), while a committed counter row
+    * suppresses the recompute and re-emits the PERSISTED delta —
+    * admission rows are delivered at-least-once and never lost, with
+    * duplicates only on a crash inside the commit–callback window.
     *
     * The callback receives this batch's admitted `(doc_id, url,
     * canon_url, canon_key, host)` — the fetch queue under budget.
@@ -1154,10 +1158,14 @@ object Streams {
               p.agg(coalesce(max(col("__bid")), lit(-1L)))
                 .head().getLong(0))
           } else (None, -1L)
-        if (lastBid == batchId) { // replay: fully applied, emit nothing
-          onAdmitted(batch.limit(0).select(col("doc_id"), col("url"),
-            lit("").as("canon_url"), lit("").as("canon_key"),
-            lit("").as("host")))
+        if (lastBid == batchId) {
+          // replay of a fully-committed batch: re-emit the PERSISTED
+          // admission delta (written before the counter commit), so a
+          // crash between the commit and the callback cannot lose the
+          // batch's admissions — delivery is at-least-once of
+          // identical rows, never a silent drop
+          onAdmitted(
+            spark.read.parquet(s"$statePath/admitted/b$batchId"))
         } else {
           def free(df: DataFrame): Unit =
             graft.plans.Materialize.rddIds(df).foreach(rid =>
@@ -1237,10 +1245,16 @@ object Streams {
             graft.functions.TextAnalysis.capPerGroup(
               fresh, budgets, "remaining", baseCap, "host",
               col("doc_id"), col("doc_id")))
-          // keys commit FIRST (idempotent overwrite), counters LAST
-          // (__bid is the batch's commit point)
+          // keys and the admission delta commit FIRST (idempotent
+          // overwrites), counters LAST (__bid is the batch's commit
+          // point) — a committed counter row implies the delta is on
+          // disk for replay re-emission
           graft.operators.Merge.atomicOverwrite(
             fresh.select(col("canon_key")), s"$statePath/keys/b$batchId")
+          graft.operators.Merge.atomicOverwrite(
+            admitted.select(col("doc_id"), col("url"), col("canon_url"),
+              col("canon_key"), col("host")),
+            s"$statePath/admitted/b$batchId")
           val keptNow = counters.join(
               admitted.groupBy(col("host"))
                 .agg(count(lit(1)).as("n_adm_b")), Seq("host"), "left")
