@@ -134,6 +134,47 @@ class UrlCanonSpec extends SparkSpec {
     assert(host("https://ex.com/a@b") == "ex.com")
   }
 
+  test("∀ generated URLs: canonicalization is IDEMPOTENT and host-stable") {
+    // adversarial generator over the grammar the rules parse:
+    // case-mangled scheme/authority, optional userinfo and ports
+    // (default and identity-bearing), paths with legal '&', query
+    // params mixing tracked/untracked/valueless/empty names and
+    // values containing '=' / '?', optional fragments — plus
+    // scheme-less junk, which must still canonicalize deterministically
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val scheme = Gen.oneOf("https", "HTTPS", "http", "HtTp")
+    val host = Gen.oneOf("Ex.COM", "ex.com", "A.b.ORG")
+    val user = Gen.oneOf("", "Alice@", "bob:PW@")
+    val port = Gen.oneOf("", ":443", ":80", ":8443")
+    val seg = Gen.oneOf("", "/a", "/A&b", "/p-1/q_2")
+    val param = Gen.oneOf("utm_source=f", "UTM_SOURCE", "x=1", "q=a?ref=1",
+      "ref=z", "REF", "refx=2", "", "k=v=w", "gclid=G", "a=1")
+    val query = Gen.oneOf(
+      Gen.const(""),
+      Gen.nonEmptyListOf(param).map(ps => "?" + ps.take(4).mkString("&")))
+    val frag = Gen.oneOf("", "#f", "#A?b&c")
+    val urlGen = Gen.oneOf(
+      for { s <- scheme; u <- user; h <- host; p <- port; g <- seg;
+            q <- query; f <- frag } yield s"$s://$u$h$p$g$q$f",
+      Gen.oneOf("foo/bar", "foo?utm_source=1", "", "just text", "a#b"))
+    val urls = (1 to 400).flatMap(i =>
+      urlGen.apply(Gen.Parameters.default, Seed(1234L + i)))
+    val sp = spark; import sp.implicits._
+    val once = urls.toDF("url")
+      .select(col("url"), Normalize.canonicalUrl(col("url")).as("c1"),
+        Normalize.urlHost(col("url")).as("h0"))
+    val twice = once.select(col("url"), col("c1"), col("h0"),
+      Normalize.canonicalUrl(col("c1")).as("c2"),
+      Normalize.urlHost(col("c1")).as("h1"))
+    val bad = twice.filter(col("c1") =!= col("c2") || col("h0") =!= col("h1"))
+      .collect()
+    assert(bad.isEmpty,
+      bad.take(5).map(r => s"url=${r.getString(0)} c1=${r.getString(1)} " +
+        s"c2=${r.getString(3)} h0=${r.getString(2)} h1=${r.getString(4)}")
+        .mkString("\n"))
+  }
+
   test("split_host_disjoint: every host lands in exactly ONE split; " +
       "deterministic; train dominates at the 90% threshold") {
     val rows = SparkEntry.queries("split_host_disjoint")(spark, sfDir)
