@@ -993,6 +993,57 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Committed per-batch state directories under `root`: the `b<bid>`
+    * children with bid < `batchId` — the append-only-state read rule
+    * shared by [[neardupScreenStream]], [[urlDedupStream]] and
+    * [[hostCapStream]] (a replayed CURRENT batch never reads its own
+    * half-written increment).
+    */
+  private[graft] def committedBatchDirs(
+      root: java.nio.file.Path, batchId: Long): Seq[String] =
+    if (!java.nio.file.Files.isDirectory(root)) Nil
+    else {
+      val it = java.nio.file.Files.list(root)
+      try {
+        val b = Seq.newBuilder[String]
+        it.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("b") && !n.contains(".") &&
+              n.drop(1).forall(_.isDigit) &&
+              n.drop(1).toLong < batchId)
+            b += p.toString
+        }
+        b.result()
+      } finally it.close()
+    }
+
+  /** Seen-key screen shared by [[urlDedupStream]] and
+    * [[hostCapStream]]: the rows of `winners` whose `canon_key` has
+    * NOT been recorded in any committed state directory. Runs as TWO
+    * BROADCAST joins so the corpus-sized digest history never
+    * shuffles — (1) the batch's (small) key set broadcast-SEMI-joins
+    * the history scan (map-only: each history partition probes the
+    * broadcast hash and emits only keys this batch re-saw, ≤ batch
+    * rows), (2) that seen subset broadcasts back as the ANTI side
+    * over the batch winners. No dedup between the two joins: every
+    * state directory holds only keys that were FIRST seen in its
+    * batch, so a key lives in exactly one committed directory and the
+    * semi-join output is duplicate-free by construction (a distinct
+    * here would be the screen's only exchange — `StreamPlanSpec` pins
+    * the zero-exchange shape).
+    */
+  private[graft] def seenKeyScreen(
+      winners: DataFrame, priorDirs: Seq[String]): DataFrame =
+    if (priorDirs.isEmpty) winners
+    else {
+      val spark = winners.sparkSession
+      val history = spark.read.parquet(priorDirs: _*)
+      val seen = history.join(
+        broadcast(winners.select(col("canon_key"))),
+        Seq("canon_key"), "left_semi")
+      winners.join(broadcast(seen), Seq("canon_key"), "left_anti")
+    }
+
   /** Streaming URL FRONTIER DEDUP — the crawl-loop twin of
     * `dedup_by_url`: each micro-batch's URLs are canonicalized
     * ([[graft.functions.Normalize.canonicalUrl]]) and KEEP-FIRST
@@ -1056,37 +1107,10 @@ object Streams {
           keyed.groupBy(col("canon_key"))
             .agg(min(col("doc_id")).as("doc_id")),
           Seq("canon_key", "doc_id"), "left_semi")
-        val root = java.nio.file.Paths.get(statePath)
-        val priorDirs: Seq[String] =
-          if (java.nio.file.Files.isDirectory(root)) {
-            val it = java.nio.file.Files.list(root)
-            try {
-              val b = Seq.newBuilder[String]
-              it.forEach { p =>
-                val n = p.getFileName.toString
-                if (n.startsWith("b") && !n.contains(".") &&
-                    n.drop(1).forall(_.isDigit) &&
-                    n.drop(1).toLong < batchId)
-                  b += p.toString
-              }
-              b.result()
-            } finally it.close()
-          } else Nil
         // survivors feed TWO actions (the state write and the
         // callback) — cache so the batch dedup chain runs once
-        val survivors = graft.plans.Materialize(
-          if (priorDirs.isEmpty) winners
-          else {
-            val history = spark.read.parquet(priorDirs: _*)
-            // seen = history keys this batch re-saw (≤ batch rows):
-            // broadcast the SMALL batch key set into a map-only
-            // history scan, then broadcast the result back as the
-            // anti side — the seen set never shuffles
-            val seen = history.join(
-              broadcast(winners.select(col("canon_key"))),
-              Seq("canon_key"), "left_semi").distinct()
-            winners.join(broadcast(seen), Seq("canon_key"), "left_anti")
-          })
+        val survivors = graft.plans.Materialize(seenKeyScreen(winners,
+          committedBatchDirs(java.nio.file.Paths.get(statePath), batchId)))
         graft.operators.Merge.atomicOverwrite(
           survivors.select(col("canon_key")), s"$statePath/b$batchId")
         onSurvivors(survivors.select(col("doc_id"), col("url"),
@@ -1180,33 +1204,11 @@ object Streams {
             keyed.groupBy(col("canon_key"))
               .agg(min(col("doc_id")).as("doc_id")),
             Seq("canon_key", "doc_id"), "left_semi")
-          val keysRoot = java.nio.file.Paths.get(s"$statePath/keys")
-          val priorDirs: Seq[String] =
-            if (java.nio.file.Files.isDirectory(keysRoot)) {
-              val it = java.nio.file.Files.list(keysRoot)
-              try {
-                val b = Seq.newBuilder[String]
-                it.forEach { p =>
-                  val n = p.getFileName.toString
-                  if (n.startsWith("b") && !n.contains(".") &&
-                      n.drop(1).forall(_.isDigit) &&
-                      n.drop(1).toLong < batchId)
-                    b += p.toString
-                }
-                b.result()
-              } finally it.close()
-            } else Nil
           // fresh feeds four consumers (stats, admission, the key
           // write, the emitted rows' lineage) — cache it once
-          val fresh = graft.plans.Materialize(
-            if (priorDirs.isEmpty) winners
-            else {
-              val history = spark.read.parquet(priorDirs: _*)
-              val seen = history.join(
-                broadcast(winners.select(col("canon_key"))),
-                Seq("canon_key"), "left_semi").distinct()
-              winners.join(broadcast(seen), Seq("canon_key"), "left_anti")
-            })
+          val fresh = graft.plans.Materialize(seenKeyScreen(winners,
+            committedBatchDirs(
+              java.nio.file.Paths.get(s"$statePath/keys"), batchId)))
           // cumulative per-host knowledge INCLUDING this batch: every
           // batch row counts as a seen URL, every fresh key as a new
           // canonical resource
@@ -1319,25 +1321,9 @@ object Streams {
         // screen AND becomes this batch's history increment
         val arrs = graft.plans.Materialize(
           graft.functions.Dedup.shingleTable(batch, w))
-        // history = every COMMITTED prior batch's directory (bid <
-        // batchId: a replayed current batch never reads its own
-        // half-written increment)
-        val root = java.nio.file.Paths.get(statePath)
-        val priorDirs: Seq[String] =
-          if (java.nio.file.Files.isDirectory(root)) {
-            val it = java.nio.file.Files.list(root)
-            try {
-              val b = Seq.newBuilder[String]
-              it.forEach { p =>
-                val n = p.getFileName.toString
-                if (n.startsWith("b") && !n.contains(".") &&
-                    n.drop(1).forall(_.isDigit) &&
-                    n.drop(1).toLong < batchId)
-                  b += p.toString
-              }
-              b.result()
-            } finally it.close()
-          } else Nil
+        // history = every COMMITTED prior batch's directory
+        val priorDirs = committedBatchDirs(
+          java.nio.file.Paths.get(statePath), batchId)
         val history =
           if (priorDirs.nonEmpty) spark.read.parquet(priorDirs: _*)
           else arrs.select("doc_id", "shingles").limit(0)
