@@ -1043,6 +1043,52 @@ class StreamingSpec extends SparkSpec {
     assert(expAdmitted.exists(_ >= 150L))
   }
 
+  test("streaming host-budget admission: a REPLAYED committed batch " +
+      "re-emits its persisted delta and leaves counters untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hcr").toString
+    val ckpt = s"$dir/ck"
+    val state = s"$dir/state"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val urls = Queries.urlFixture(spark, sfDir).filter($"doc_id" < 200)
+    urls.coalesce(1).write.parquet(s"$dir/in/b0.parquet")
+    var emitted: Seq[(Long, String)] = Nil
+    def run(): Unit = {
+      val q = Streams.hostCapStream(
+        spark.readStream.schema(urls.schema).parquet(s"$dir/in/*"),
+        state, ckpt, baseCap = 8,
+        onAdmitted = a => emitted =
+          a.select("doc_id", "host").as[(Long, String)].collect().toSeq)
+      q.awaitTermination(180000)
+    }
+    run()
+    val first = emitted.toSet
+    assert(first.nonEmpty)
+    val counters = spark.read.parquet(s"$state/counters.parquet")
+      .select("host", "n_urls", "n_canonical", "n_kept", "__bid")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // deleting ONLY the stream checkpoint (state survives) forces the
+    // source to re-deliver batch 0 with the same batchId — the
+    // at-least-once replay the commit protocol exists for
+    def rmr(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rmr(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p); ()
+    }
+    rmr(java.nio.file.Paths.get(ckpt))
+    emitted = Nil
+    run()
+    assert(emitted.toSet == first,
+      s"replay emission diverged from the persisted delta:" +
+        s"\n replay-only=${(emitted.toSet -- first).take(5)}" +
+        s"\n first-only=${(first -- emitted.toSet).take(5)}")
+    val countersAfter = spark.read.parquet(s"$state/counters.parquet")
+      .select("host", "n_urls", "n_canonical", "n_kept", "__bid")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(countersAfter == counters, "replay must not re-apply counters")
+  }
+
   test("streaming reservoir sample: state equals the one-shot batch sample " +
       "under arbitrary batching, across restarts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rsv").toString
