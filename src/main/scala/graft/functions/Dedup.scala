@@ -335,7 +335,7 @@ object Dedup {
       .repartition(np)
       .materialize()
     val pb = if (withinDelta) prefix else prefix.filter(!col("__delta"))
-    val cands = prefix.filter(col("__delta"))
+    val matched = prefix.filter(col("__delta"))
       .select(col("doc_id").as("a_id"), col("sh"), col("n_sh").as("a_n"))
       .join(pb.select(col("doc_id").as("b_id"),
           col("__delta").as("__bd"), col("sh"), col("n_sh").as("b_n")),
@@ -344,8 +344,15 @@ object Dedup {
       .filter(least(col("a_n"), col("b_n")).cast("double")
         >= lit(threshold) * greatest(col("a_n"), col("b_n")).cast("double")
           - lit(1e-9))
-      .select("a_id", "b_id").distinct()
-    (verifyPairs(arrs.select("doc_id", "shingles"), cands, threshold),
+      .select("a_id", "b_id")
+    // verify-order crossover — the [[ngramJaccardPairsFrom]] rationale
+    val sh = arrs.select("doc_id", "shingles")
+    val verified =
+      if (shinglesBroadcastable(sh))
+        verifyPairs(sh, matched, threshold, broadcast)
+          .dropDuplicates("a_id", "b_id")
+      else verifyPairs(sh, matched.distinct(), threshold)
+    (verified,
       () => graft.plans.Materialize.rddIds(prefix).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
   }
@@ -385,30 +392,61 @@ object Dedup {
       .select(col("doc_id"), col("sh"), col("n_sh"))
       .repartition(np)
       .materialize()
-    val cands = prefix.select(col("doc_id").as("a_id"), col("sh"), col("n_sh").as("a_n"))
+    val matched = prefix.select(col("doc_id").as("a_id"), col("sh"), col("n_sh").as("a_n"))
       .join(prefix.select(col("doc_id").as("b_id"), col("sh"), col("n_sh").as("b_n")),
         Seq("sh"))
       .filter(col("a_id") < col("b_id"))
       // length filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)
       .filter(least(col("a_n"), col("b_n")).cast("double")
         >= lit(threshold) * greatest(col("a_n"), col("b_n")).cast("double") - lit(1e-9))
-      .select("a_id", "b_id").distinct()
-    verifyPairs(arrs, cands, threshold)
-      .select("a_id", "b_id", "inter", "jaccard")
+      .select("a_id", "b_id")
+    // Verify-order crossover (the round-14 APSS discipline, measured
+    // on this path: ~2× — see OPTIMIZATION_r14.md): with a
+    // broadcastable shingle table, verify every candidate MATCH row
+    // map-side (zero shuffle, no candidate-sized exchange, no
+    // partial-aggregate hash tables — the thing host contention
+    // multiplies) and dedup the verified output, which is
+    // output-sized. The duplicate-match factor the broadcast arm pays
+    // is bounded by shared-prefix counts and measured ≈1.06× at
+    // sf0.1. At corpus scale the attach joins shuffle, so each pair
+    // must ride them once: dedup candidates FIRST.
+    if (shinglesBroadcastable(arrs))
+      verifyPairs(arrs, matched, threshold, broadcast)
+        .dropDuplicates("a_id", "b_id")
+        .select("a_id", "b_id", "inter", "jaccard")
+    else
+      verifyPairs(arrs, matched.distinct(), threshold)
+        .select("a_id", "b_id", "inter", "jaccard")
   }
+
+  /** Crossover decision for the shingle-verify order: total shingle
+    * count of the MATERIALIZED table (one map-only agg over checkpoint
+    * blocks, no shuffle) against a broadcast budget — 8M shingles ≈
+    * 64 MB of longs, the [[bagCosinePairs]] broadcastMaxTfRows
+    * sizing. Deciding from the real count (not Catalyst's estimate)
+    * keeps the corpus-scale arm deterministic.
+    */
+  private def shinglesBroadcastable(arrs: DataFrame,
+      maxShingles: Long = 8000000L): Boolean =
+    arrs.agg(coalesce(sum(size(col("shingles")).cast("long")), lit(0L)))
+      .first().getLong(0) <= maxShingles
 
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs against
     * the MATERIALIZED per-doc shingle table (the same one candidate
     * generation used — the arrays are never rebuilt from text): the
     * candidate set (small by construction) joins it on doc_id and
     * `array_intersect` computes |∩| inside codegen. Only candidate
-    * pairs ever pay verification cost.
+    * pairs ever pay verification cost. `side` wraps the two shingle
+    * attaches — callers on the broadcast arm of the verify-order
+    * crossover ([[shinglesBroadcastable]]) pass `broadcast` so the
+    * whole verification is one map-only stage with zero shuffle.
     */
   private def verifyPairs(
-      arrs: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+      arrs: DataFrame, cands: DataFrame, threshold: Double,
+      side: DataFrame => DataFrame = identity): DataFrame = {
     cands
-      .join(arrs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
-      .join(arrs.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
+      .join(side(arrs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))), Seq("a_id"))
+      .join(side(arrs.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("inter"),
         size(col("a_sh")).cast("long").as("a_n"),
@@ -644,16 +682,23 @@ object Dedup {
       .repartition(np)
       .materialize()
     val index = ex.select(col("doc_id").as("outer_id"), col("sh"), col("n_sh").as("outer_n"))
-    val cands = prefix.join(index, Seq("sh"))
+    val matched = prefix.join(index, Seq("sh"))
       .filter(col("inner_id") =!= col("outer_id"))
       // |S_inner ∩ S_outer| ≤ |S_outer|, so C ≥ t needs |B| ≥ t·|A|.
       .filter(col("outer_n").cast("double")
         >= lit(threshold) * col("inner_n").cast("double") - lit(1e-9))
-      .select("inner_id", "outer_id").distinct()
-    cands
-      .join(arrs.select(col("doc_id").as("inner_id"), col("shingles").as("in_sh")),
+      .select("inner_id", "outer_id")
+    // verify-order crossover — the [[ngramJaccardPairsFrom]] rationale:
+    // broadcast arm verifies match rows map-side and dedups the
+    // verified output; corpus arm dedups candidates before the
+    // shuffled attaches
+    val bcast = shinglesBroadcastable(arrs)
+    val cands = if (bcast) matched else matched.distinct()
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val verified = cands
+      .join(side(arrs.select(col("doc_id").as("inner_id"), col("shingles").as("in_sh"))),
         Seq("inner_id"))
-      .join(arrs.select(col("doc_id").as("outer_id"), col("shingles").as("out_sh")),
+      .join(side(arrs.select(col("doc_id").as("outer_id"), col("shingles").as("out_sh"))),
         Seq("outer_id"))
       .select(col("inner_id"), col("outer_id"),
         size(array_intersect(col("in_sh"), col("out_sh"))).cast("long").as("inter"),
@@ -663,6 +708,7 @@ object Dedup {
       .withColumn("__c", col("inter").cast("double") / col("inner_n").cast("double"))
       .filter(col("__c") >= threshold)
       .withColumn("containment", round(col("__c"), 4))
+    (if (bcast) verified.dropDuplicates("inner_id", "outer_id") else verified)
       .select("inner_id", "outer_id", "inter", "containment")
   }
 
@@ -1355,22 +1401,32 @@ object Dedup {
     var it = 0
     while (!converged && it < maxIter) {
       // Large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ {u}).
-      // The min-label reductions run SALTED two-phase (Skew.saltedMin):
-      // a near-clique duplicate cluster makes its hub a single hot key,
-      // and while hash-agg map-side combine usually absorbs that, the
-      // salted shape bounds the hot key's final-phase group at `factor`
-      // rows by construction even under sort-agg fallback.
+      //
+      // Round structure (restructured in round 14 — measured 1.2–2.6×
+      // per CC invocation across the er/doc graphs, outputs
+      // set-identical): the min-label reductions are plain
+      // map-side-combined groupBy.min — partial aggregation bounds a
+      // hub key's final-phase group at ≤ 1 partial row per map task
+      // (and under hash-agg spill fallback, one per spill chunk), so
+      // the near-clique mega-hub never concentrates its full row set
+      // in one reduce group (guide §2.3; the adversarial star-graph
+      // spec exercises a 3000-spoke hub). The large-star output is NOT
+      // distinct()ed — min over a multiset and the final small-star
+      // distinct absorb duplicates, and dropping the intermediate
+      // exchange cuts the round from ~9 logical exchanges to 5, all
+      // ENSURE_REQUIREMENTS (AQE skew-split stays available for the
+      // two joins, unlike pre-partitioned forms), with the sym-by-u
+      // and large-by-u subtrees deduped by ReusedExchange at runtime.
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val lmins = graft.operators.Skew.saltedMin(sym, "u", "v", "mn")
+      val lmins = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val large = sym.join(lmins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // m ≤ u < v: stays u > v
         .filter(col("u") =!= col("v"))
-        .distinct()
       // Small-star: each node re-points its smaller neighbors (and
       // itself) at the minimum of them.
-      val smins = graft.operators.Skew.saltedMin(large, "u", "v", "m")
+      val smins = large.groupBy("u").agg(min(col("v")).as("m"))
       // Stars (u→root, root = component min) are fixpoints of both
       // steps, so a same-set check per round detects convergence:
       // |A| = |B| ∧ A∖B = ∅ ⇒ A = B for distinct sets. The signature
