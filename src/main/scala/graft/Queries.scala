@@ -2212,7 +2212,12 @@ object Queries {
       .select(col("doc_id"), ta.fingerprintMd5(col("text")).as("__fp"))
       .groupBy("__fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val winners = kept.join(winnerIds, Seq("doc_id"), "left_semi")
+    // semi-join against RAW docs, not `kept`: every winner id passed
+    // the classifier gate by construction (winnerIds ⊆ kept), so the
+    // docs arm is row-identical — and the expensive hashedLinearScore
+    // pass over the corpus runs ONCE (in the winnerIds branch) instead
+    // of twice (Catalyst shares no subtrees across the two consumers)
+    val winners = docs.join(winnerIds, Seq("doc_id"), "left_semi")
     val enc = graft.functions.Unigram.encodeFixture(col("text"))
     winners
       .select(col("doc_id"), enc.as("__e"),

@@ -346,9 +346,10 @@ object Dedup {
           - lit(1e-9))
       .select("a_id", "b_id")
     // verify-order crossover — the [[ngramJaccardPairsFrom]] rationale
+    // (incl. the duplicate-match-factor guard)
     val sh = arrs.select("doc_id", "shingles")
     val verified =
-      if (shinglesBroadcastable(sh))
+      if (verifyFirstProfitable(sh, prefix, "sh"))
         verifyPairs(sh, matched, threshold, broadcast)
           .dropDuplicates("a_id", "b_id")
       else verifyPairs(sh, matched.distinct(), threshold)
@@ -402,15 +403,19 @@ object Dedup {
       .select("a_id", "b_id")
     // Verify-order crossover (the round-14 APSS discipline, measured
     // on this path: ~2× — see OPTIMIZATION_r14.md): with a
-    // broadcastable shingle table, verify every candidate MATCH row
-    // map-side (zero shuffle, no candidate-sized exchange, no
-    // partial-aggregate hash tables — the thing host contention
-    // multiplies) and dedup the verified output, which is
-    // output-sized. The duplicate-match factor the broadcast arm pays
-    // is bounded by shared-prefix counts and measured ≈1.06× at
-    // sf0.1. At corpus scale the attach joins shuffle, so each pair
-    // must ride them once: dedup candidates FIRST.
-    if (shinglesBroadcastable(arrs))
+    // broadcastable shingle table AND a low duplicate-match factor,
+    // verify every candidate MATCH row map-side (zero shuffle, no
+    // candidate-sized exchange, no partial-aggregate hash tables —
+    // the thing host contention multiplies) and dedup the verified
+    // output, which is output-sized. Measured ≈1.06× duplication on
+    // the document fixture. BOTH guards matter: a degenerate shingle
+    // domain (seq_trajectory_sim's 5-symbol alphabet — ≤125 distinct
+    // trigram motifs over every trajectory) makes the match stream
+    // ~80× the pair count, and paying array_intersect per MATCH row
+    // there measured 2.7× SLOWER than dedup-first. Otherwise (corpus
+    // scale, or high duplication) dedup candidates FIRST so each pair
+    // rides the attach joins once.
+    if (verifyFirstProfitable(arrs, prefix, "sh"))
       verifyPairs(arrs, matched, threshold, broadcast)
         .dropDuplicates("a_id", "b_id")
         .select("a_id", "b_id", "inter", "jaccard")
@@ -418,6 +423,24 @@ object Dedup {
       verifyPairs(arrs, matched.distinct(), threshold)
         .select("a_id", "b_id", "inter", "jaccard")
   }
+
+  /** Broadcast-verify-first is profitable iff (a) the shingle table
+    * fits the broadcast budget ([[shinglesBroadcastable]]) and (b)
+    * the candidate join's duplicate-match factor is small: match rows
+    * ≈ Σ c(sh)² over the MATERIALIZED prefix table's posting counts
+    * (one tiny two-stage agg, computed only when (a) holds), required
+    * ≤ 8× the prefix row count — i.e. per-match verification costs at
+    * most a small multiple of one prefix pass. The document fixture
+    * sits at 2.45×; the 5-symbol trajectory fixture at ~80×.
+    */
+  private def verifyFirstProfitable(arrs: DataFrame, prefix: DataFrame,
+      shCol: String): Boolean =
+    shinglesBroadcastable(arrs) && {
+      val r = prefix.groupBy(col(shCol)).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c") * col("__c")), lit(0L)).as("m"),
+          coalesce(sum(col("__c")), lit(0L)).as("p")).first()
+      r.getLong(0) <= 8L * math.max(r.getLong(1), 1L)
+    }
 
   /** Crossover decision for the shingle-verify order: total shingle
     * count of the MATERIALIZED table (one map-only agg over checkpoint
@@ -688,11 +711,14 @@ object Dedup {
       .filter(col("outer_n").cast("double")
         >= lit(threshold) * col("inner_n").cast("double") - lit(1e-9))
       .select("inner_id", "outer_id")
-    // verify-order crossover — the [[ngramJaccardPairsFrom]] rationale:
-    // broadcast arm verifies match rows map-side and dedups the
-    // verified output; corpus arm dedups candidates before the
-    // shuffled attaches
-    val bcast = shinglesBroadcastable(arrs)
+    // verify-order crossover — the [[ngramJaccardPairsFrom]] rationale
+    // (incl. the duplicate-match-factor guard; Σc² over the inner
+    // prefix UNDERESTIMATES the prefix×index match stream, but the
+    // degenerate-alphabet failure mode it exists to catch inflates
+    // exactly that sum): broadcast arm verifies match rows map-side
+    // and dedups the verified output; corpus arm dedups candidates
+    // before the shuffled attaches
+    val bcast = verifyFirstProfitable(arrs, prefix, "sh")
     val cands = if (bcast) matched else matched.distinct()
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val verified = cands
