@@ -53,6 +53,7 @@ object CcProbe {
       var converged = false
       var it = 0
       while (!converged && it < maxIter) {
+        val tR = System.nanoTime()
         val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
         val lmins = sym.groupBy("u").agg(min(col("v")).as("mn"))
           .select(col("u"), least(col("u"), col("mn")).as("m"))
@@ -72,6 +73,8 @@ object CcProbe {
         edges = small
         edgeSig = smallSig
         it += 1
+        println(f"    round $it: ${(System.nanoTime() - tR) / 1e9}%.2f s " +
+          s"(${smallSig._1} edges, converged=$converged)")
       }
       require(converged, s"ccB did not converge in $maxIter rounds")
       edges.select(col("u").as("doc_id"), col("v").as("component"))
