@@ -219,9 +219,28 @@ object Dedup {
     // re-runs the scan+kernel per consumer (the round-9 APSS lesson;
     // this plan held 6 corpus scans). The checkpoint stores
     // (doc_id, 8-byte hashes) ≈ one long per token — far cheaper than
-    // re-reading and re-shingling the corpus per consumer.
-    val arrs = withShinglesNative(docs, w).materialize()
-    ngramJaccardPairsFrom(arrs, threshold)
+    // re-reading and re-shingling the corpus per consumer. The total
+    // shingle count (the crossover's broadcast-budget input) rides the
+    // materialization job as an observe metric — zero extra jobs.
+    val (arrs, tot) = withShinglesMetered(docs, w)
+    ngramJaccardPairsFrom(arrs, threshold, tot)
+  }
+
+  /** Materialized `(doc_id, shingles)` + the total shingle count
+    * observed ON the checkpoint job (no separate agg job).
+    */
+  private def withShinglesMetered(docs: DataFrame, w: Int): (DataFrame, Long) =
+    meteredCheckpoint(withShinglesNative(docs, w))
+
+  /** Materialize any table carrying a `shingles` array column, with
+    * the total shingle count riding the checkpoint job as an observe
+    * metric — the verify-order crossover's broadcast-budget input,
+    * for free.
+    */
+  private def meteredCheckpoint(df: DataFrame): (DataFrame, Long) = {
+    val (ck, m) = graft.plans.Materialize.withMetrics(df,
+      sum(size(col("shingles")).cast("long")).as("__tot"))
+    (ck, Option(m("__tot")).fold(0L)(_.asInstanceOf[Long]))
   }
 
   /** (doc_id, shingles) via the codegen'd kernel — the table every
@@ -250,11 +269,11 @@ object Dedup {
   def crossJaccardPairs(delta: DataFrame, history: DataFrame,
       w: Int = 3, threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(delta.sparkSession)
-    val arrs = withShinglesNative(delta, w).withColumn("__delta", lit(true))
-      .unionByName(
-        withShinglesNative(history, w).withColumn("__delta", lit(false)))
-      .materialize()
-    crossPairsFrom(arrs, threshold, withinDelta = false)._1
+    val (arrs, tot) = meteredCheckpoint(
+      withShinglesNative(delta, w).withColumn("__delta", lit(true))
+        .unionByName(
+          withShinglesNative(history, w).withColumn("__delta", lit(false))))
+    crossPairsFrom(arrs, threshold, withinDelta = false, tot)._1
       .select(col("a_id").as("delta_id"), col("b_id").as("history_id"),
         col("inter"), col("jaccard"))
   }
@@ -287,13 +306,13 @@ object Dedup {
   def ingestScreenPairs(deltaArrs: DataFrame, historyArrs: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val sc = deltaArrs.sparkSession.sparkContext
-    val arrs = deltaArrs.select(col("doc_id"), col("shingles"))
-      .withColumn("__delta", lit(true))
-      .unionByName(historyArrs.select(col("doc_id"), col("shingles"))
-        .withColumn("__delta", lit(false)))
-      .materialize()
+    val (arrs, tot) = meteredCheckpoint(
+      deltaArrs.select(col("doc_id"), col("shingles"))
+        .withColumn("__delta", lit(true))
+        .unionByName(historyArrs.select(col("doc_id"), col("shingles"))
+          .withColumn("__delta", lit(false))))
     val (pairs, freePrefix) = crossPairsFrom(arrs, threshold,
-      withinDelta = true)
+      withinDelta = true, tot)
     val out = pairs
       .select(col("a_id").as("delta_id"), col("b_id").as("prior_id"),
         col("inter"), col("jaccard"))
@@ -317,7 +336,7 @@ object Dedup {
     * result and frees eagerly).
     */
   private def crossPairsFrom(arrs: DataFrame, threshold: Double,
-      withinDelta: Boolean): (DataFrame, () => Unit) = {
+      withinDelta: Boolean, totalShingles: Long): (DataFrame, () => Unit) = {
     val sc = arrs.sparkSession.sparkContext
     val ex = arrs
       .select(col("doc_id"), col("__delta"),
@@ -349,7 +368,7 @@ object Dedup {
     // (incl. the duplicate-match-factor guard)
     val sh = arrs.select("doc_id", "shingles")
     val verified =
-      if (verifyFirstProfitable(sh, prefix, "sh"))
+      if (verifyFirstProfitable(totalShingles, prefix, "sh"))
         verifyPairs(sh, matched, threshold, broadcast)
           .dropDuplicates("a_id", "b_id")
       else verifyPairs(sh, matched.distinct(), threshold)
@@ -363,7 +382,7 @@ object Dedup {
     * extra columns they share, e.g. the MinHash signature).
     */
   private def ngramJaccardPairsFrom(arrs: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, totalShingles: Long): DataFrame = {
     val ex = arrs
       .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
         explode(col("shingles")).as("sh"))
@@ -415,7 +434,7 @@ object Dedup {
     // there measured 2.7× SLOWER than dedup-first. Otherwise (corpus
     // scale, or high duplication) dedup candidates FIRST so each pair
     // rides the attach joins once.
-    if (verifyFirstProfitable(arrs, prefix, "sh"))
+    if (verifyFirstProfitable(totalShingles, prefix, "sh"))
       verifyPairs(arrs, matched, threshold, broadcast)
         .dropDuplicates("a_id", "b_id")
         .select("a_id", "b_id", "inter", "jaccard")
@@ -425,34 +444,26 @@ object Dedup {
   }
 
   /** Broadcast-verify-first is profitable iff (a) the shingle table
-    * fits the broadcast budget ([[shinglesBroadcastable]]) and (b)
-    * the candidate join's duplicate-match factor is small: match rows
+    * fits the broadcast budget — `totalShingles` (observed free on
+    * the arrs checkpoint job) ≤ 8M shingles ≈ 64 MB of longs, the
+    * [[bagCosinePairs]] broadcastMaxTfRows sizing — and (b) the
+    * candidate join's duplicate-match factor is small: match rows
     * ≈ Σ c(sh)² over the MATERIALIZED prefix table's posting counts
     * (one tiny two-stage agg, computed only when (a) holds), required
     * ≤ 8× the prefix row count — i.e. per-match verification costs at
     * most a small multiple of one prefix pass. The document fixture
-    * sits at 2.45×; the 5-symbol trajectory fixture at ~80×.
+    * sits at 2.45×; the 5-symbol trajectory fixture at ~80×. Deciding
+    * from real counts (not Catalyst estimates) keeps the corpus-scale
+    * arm deterministic.
     */
-  private def verifyFirstProfitable(arrs: DataFrame, prefix: DataFrame,
-      shCol: String): Boolean =
-    shinglesBroadcastable(arrs) && {
+  private def verifyFirstProfitable(totalShingles: Long, prefix: DataFrame,
+      shCol: String, maxShingles: Long = 8000000L): Boolean =
+    totalShingles <= maxShingles && {
       val r = prefix.groupBy(col(shCol)).agg(count(lit(1)).as("__c"))
         .agg(coalesce(sum(col("__c") * col("__c")), lit(0L)).as("m"),
           coalesce(sum(col("__c")), lit(0L)).as("p")).first()
       r.getLong(0) <= 8L * math.max(r.getLong(1), 1L)
     }
-
-  /** Crossover decision for the shingle-verify order: total shingle
-    * count of the MATERIALIZED table (one map-only agg over checkpoint
-    * blocks, no shuffle) against a broadcast budget — 8M shingles ≈
-    * 64 MB of longs, the [[bagCosinePairs]] broadcastMaxTfRows
-    * sizing. Deciding from the real count (not Catalyst's estimate)
-    * keeps the corpus-scale arm deterministic.
-    */
-  private def shinglesBroadcastable(arrs: DataFrame,
-      maxShingles: Long = 8000000L): Boolean =
-    arrs.agg(coalesce(sum(size(col("shingles")).cast("long")), lit(0L)))
-      .first().getLong(0) <= maxShingles
 
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs against
     * the MATERIALIZED per-doc shingle table (the same one candidate
@@ -461,7 +472,7 @@ object Dedup {
     * `array_intersect` computes |∩| inside codegen. Only candidate
     * pairs ever pay verification cost. `side` wraps the two shingle
     * attaches — callers on the broadcast arm of the verify-order
-    * crossover ([[shinglesBroadcastable]]) pass `broadcast` so the
+    * crossover ([[verifyFirstProfitable]]) pass `broadcast` so the
     * whole verification is one map-only stage with zero shuffle.
     */
   private def verifyPairs(
@@ -688,8 +699,8 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     // shingle kernel once ([[ngramJaccardPairs]] discipline): the
     // array table feeds df-count, prefix, the outer index, and both
-    // verification joins
-    val arrs = withShinglesNative(docs, w).materialize()
+    // verification joins; total shingles observed on the checkpoint
+    val (arrs, totSh) = withShinglesMetered(docs, w)
     val ex = arrs
       .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
         explode(col("shingles")).as("sh"))
@@ -718,7 +729,7 @@ object Dedup {
     // exactly that sum): broadcast arm verifies match rows map-side
     // and dedups the verified output; corpus arm dedups candidates
     // before the shuffled attaches
-    val bcast = verifyFirstProfitable(arrs, prefix, "sh")
+    val bcast = verifyFirstProfitable(totSh, prefix, "sh")
     val cands = if (bcast) matched else matched.distinct()
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val verified = cands
@@ -879,9 +890,10 @@ object Dedup {
     // ONE sketch pass: the checkpointed (shingles, sig) table serves
     // the exact-Jaccard path (arrays) AND both signature joins —
     // round 8's plan re-ran the scan+kernels 8 times
-    val sk = sketchTable(docs, w, k).materialize()
+    val (sk, totSh) = meteredCheckpoint(sketchTable(docs, w, k))
     val sig = sk.select(col("doc_id"), col("sig"))
-    ngramJaccardPairsFrom(sk.select(col("doc_id"), col("shingles")), threshold)
+    ngramJaccardPairsFrom(sk.select(col("doc_id"), col("shingles")), threshold,
+      totSh)
       .join(sig.select(col("doc_id").as("a_id"), col("sig").as("__sa")), Seq("a_id"))
       .join(sig.select(col("doc_id").as("b_id"), col("sig").as("__sb")), Seq("b_id"))
       .withColumn("__est",
