@@ -81,9 +81,14 @@ object Skew {
     * bounds the final aggregation's biggest key group at `factor`
     * rows BY CONSTRUCTION — a plan property (`PlanQualitySpec` pins
     * the double HashAggregate over `__salt`), not a best-effort
-    * runtime behavior. The connected-components star rounds use this
-    * for their min-label reductions: a boilerplate-duplicate
-    * mega-cluster is exactly a hub key.
+    * runtime behavior. (The connected-components star rounds used
+    * this for their min-label reductions through round 13; round 14
+    * moved them to plain map-side-combined groupBy.min — partial
+    * aggregation's ≤-1-partial-row-per-map-task bound plus the
+    * measured 2-exchange saving per round won there, see
+    * `Dedup.connectedComponents` — this salted face remains for
+    * callers that want the by-construction bound even under hash-agg
+    * fallback.)
     */
   def saltedMin(
       df: DataFrame,

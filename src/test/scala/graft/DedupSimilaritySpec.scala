@@ -1723,6 +1723,93 @@ class DedupSimilaritySpec extends SparkSpec {
       Seq((1L, "a b c d")).toDF("doc_id", "text"), order = 5).count() == 0)
   }
 
+  test("knN derived k-gram type tables ≡ corpus-pass sets, incl. " +
+      "exactly-k-token docs (the round-14 derivation's short-doc arm)") {
+    import graft.functions.TextAnalysis
+    val sp = spark; import sp.implicits._
+    // adversarial lengths: docs of EXACTLY 2, 3 and 4 tokens whose
+    // grams appear NOWHERE else — the derivation t_k =
+    // prefixes(t_{k+1}) ∪ suffixes(t_{k+1}) ∪ length-k docs must
+    // pick each one up via its third arm or the oracle-mirrored
+    // statistics drift
+    val docs = Seq(
+      (1L, "the farmer plants rice in the field every day"),
+      (2L, "qq ww"),                 // exactly 2 tokens
+      (3L, "ee rr tt"),              // exactly 3 tokens
+      (4L, "yy uu ii oo"),           // exactly 4 tokens
+      (5L, "the farmer plants corn in the field every day")
+    ).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("toks"))
+    def corpusTypes(k: Int) = toks.filter(size(col("toks")) >= k)
+      .select(explode(expr(
+        s"transform(sequence(0, size(toks) - $k), i -> struct(" +
+          (0 until k).map(j => s"toks[i+$j] AS v${j + 1}").mkString(", ") +
+          "))")).as("g"))
+      .select((1 to k).map(j => col(s"g.v$j").as(s"v$j")): _*)
+      .distinct()
+    // order-5 run must SCORE identically to a reference built the
+    // corpus-pass way — cheapest complete check: the level statistics
+    // are pure functions of the type SETS, so set equality at every
+    // k implies bit-identical output. Assert the sets directly by
+    // re-deriving them the way knNCrossEntropy does.
+    val t5 = corpusTypes(5)
+    var hi = t5
+    for (k <- 4 to 2 by -1) {
+      val pref = hi.select((1 to k).map(j => col(s"v$j")): _*)
+      val suf = hi.select((2 to k + 1).map(j => col(s"v$j").as(s"v${j - 1}")): _*)
+      val short = toks.filter(size(col("toks")) === k)
+        .select((0 until k).map(j => expr(s"toks[$j]").as(s"v${j + 1}")): _*)
+      val derived = pref.unionByName(suf).unionByName(short).distinct()
+      val corpus = corpusTypes(k)
+      assert(derived.exceptAll(corpus).isEmpty && corpus.exceptAll(derived).isEmpty,
+        s"k=$k derived type set ≠ corpus-pass type set")
+      hi = derived
+    }
+    // and the two KN faces still agree on this fixture (kn3's bigram
+    // set derives from its trigram table the same way)
+    val kn3 = TextAnalysis.kn3CrossEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val knN3 = TextAnalysis.knNCrossEntropy(docs, order = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(knN3 == kn3)
+  }
+
+  test("shingle verify-order crossover: both arms produce identical " +
+      "pairs on a degenerate-alphabet corpus (dup-factor guard arm)") {
+    val sp = spark; import sp.implicits._
+    // 40 docs over a 4-symbol alphabet: every trigram shingle is
+    // shared by most docs, so the prefix join's duplicate-match
+    // factor blows past the 8× guard and the operator must take the
+    // dedup-first arm — whose output must equal the naive all-pairs
+    // reference regardless
+    val syms = Array("aa", "bb", "cc", "dd")
+    val docs = (1L to 40L).map { i =>
+      val txt = (0 until 30)
+        .map(p => syms(((i + p) % 4).toInt)).mkString(" ")
+      (i, txt)
+    }.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, w = 3, threshold = 0.5)
+      .select("a_id", "b_id", "inter", "jaccard")
+    // naive all-pairs reference on the same shingle kernel
+    val arrs = docs.select(col("doc_id"),
+      Dedup.nativeShingles(col("text"), 3).as("sh"))
+    val want = arrs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      .crossJoin(arrs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("inter"),
+        size(col("a_sh")).cast("long").as("a_n"),
+        size(col("b_sh")).cast("long").as("b_n"))
+      .withColumn("__j", col("inter").cast("double")
+        / (col("a_n") + col("b_n") - col("inter")).cast("double"))
+      .filter(col("__j") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        round(col("__j"), 4).as("jaccard"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "degenerate-alphabet pairs diverged from the all-pairs reference")
+  }
+
   test("qualityBands: fixed cutoffs band correctly; rates apply per band") {
     import graft.functions.TextAnalysis
     val scored = spark.range(0, 3000).toDF("doc_id")
