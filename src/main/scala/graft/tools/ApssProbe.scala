@@ -56,10 +56,18 @@ object ApssProbe {
       .withColumn("__t2", col("tf") * col("tf"))
       .withColumn("__nrm", sum(col("__t2")).over(wAll))
       .withColumn("__suf", sum(col("__t2")).over(wSuf))
+      // round-14 experiment: L1 mass and max tf of the suffix — the
+      // Bayardo/PPJoin-family dot bound dot ≤ min(L1a·mxb, L1b·mxa)
+      // (every shared term sits in BOTH suffixes at the rarest shared
+      // term, so Σ tfa·tfb ≤ (Σ tfa)·max tfb), a candidate-predicate
+      // tightening candidate measured here before any operator change
+      .withColumn("__l1s", sum(col("tf")).over(wSuf))
+      .withColumn("__mx", max(col("tf")).over(wSuf))
     val np = spark.sparkContext.defaultParallelism
     val prefix = ck("prefix", ranked
       .filter(col("__suf") * lit(p2._2) >= lit(p2._1) * col("__nrm"))
-      .select(col("doc_id"), col("term"), col("__suf"), col("__nrm"))
+      .select(col("doc_id"), col("term"), col("__suf"), col("__nrm"),
+        col("__l1s"), col("__mx"))
       .repartition(np))
     val vecs = ck("vecs", tf.groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("term"), col("tf"))))
@@ -69,21 +77,33 @@ object ApssProbe {
         transform(col("__p"), e => e.getField("tf")).as("tfs"),
         col("nrm")))
     val pa = prefix.select(col("doc_id").as("a_id"), col("term"),
-      col("__suf").as("__asuf"), col("__nrm").as("__anrm"))
+      col("__suf").as("__asuf"), col("__nrm").as("__anrm"),
+      col("__l1s").as("__al1"), col("__mx").as("__amx"))
     val pb = prefix.select(col("doc_id").as("b_id"), col("term"),
-      col("__suf").as("__bsuf"), col("__nrm").as("__bnrm"))
-    val matched = pa.join(pb,
-      pa("term") === pb("term") && pa("a_id") < pb("b_id")
-        && dbl(col("__asuf")) * dbl(col("__bsuf")) * lit(p2._2.toDouble)
-          >= lit(p2._1.toDouble * (1.0 - 1e-9))
-            * dbl(col("__anrm")) * dbl(col("__bnrm")))
-      .select("a_id", "b_id")
+      col("__suf").as("__bsuf"), col("__nrm").as("__bnrm"),
+      col("__l1s").as("__bl1"), col("__mx").as("__bmx"))
+    val baseCond = pa("term") === pb("term") && pa("a_id") < pb("b_id") &&
+      (dbl(col("__asuf")) * dbl(col("__bsuf")) * lit(p2._2.toDouble)
+        >= lit(p2._1.toDouble * (1.0 - 1e-9))
+          * dbl(col("__anrm")) * dbl(col("__bnrm")))
+    // dot ≤ min(L1a·mxb, L1b·mxa); candidate survives only if that
+    // bound squared still clears τ²·nrm·nrm (downward slack as above)
+    val l1mx = least(dbl(col("__al1")) * dbl(col("__bmx")),
+      dbl(col("__bl1")) * dbl(col("__amx")))
+    val tightCond = baseCond &&
+      (l1mx * l1mx * lit(p2._2.toDouble)
+        >= lit(p2._1.toDouble * (1.0 - 1e-9))
+          * dbl(col("__anrm")) * dbl(col("__bnrm")))
+    val matched = pa.join(pb, baseCond).select("a_id", "b_id")
+    val matchedTight = pa.join(pb, tightCond).select("a_id", "b_id")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     time("matched-raw")(matched.count())
+    time("matched-tight")(matchedTight.count())
+    time("tight-distinct")(matchedTight.distinct().count())
     val bagDot = GraftFunctions.bagDot(spark,
       col("a_terms"), col("a_tfs"), col("b_terms"), col("b_tfs"))
     def verify(cands: DataFrame): DataFrame = cands
@@ -104,6 +124,15 @@ object ApssProbe {
     for (i <- 1 to 3)
       time(s"B attach-then-dedup $i")(
         verify(matched).dropDuplicates("a_id", "b_id").count())
+    for (i <- 1 to 3)
+      time(s"B-tight attach-then-dedup $i")(
+        verify(matchedTight).dropDuplicates("a_id", "b_id").count())
+    // completeness: the tightened candidate set must verify to the
+    // SAME pair set
+    val pBase = verify(matched).dropDuplicates("a_id", "b_id").select("a_id", "b_id")
+    val pTight = verify(matchedTight).dropDuplicates("a_id", "b_id").select("a_id", "b_id")
+    println(s"tight == base pairs: ${pBase.exceptAll(pTight).isEmpty &&
+      pTight.exceptAll(pBase).isEmpty}")
     spark.stop()
   }
 }
