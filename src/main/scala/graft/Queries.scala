@@ -740,15 +740,27 @@ object Queries {
     * oracle matches bit-for-bit.
     */
   /** The bipartite customer↔supplier trade graph, both directions,
-    * parity-disjoint node ids (customers 2k, suppliers 2k+1). */
+    * parity-disjoint node ids (customers 2k, suppliers 2k+1).
+    *
+    * Both directions come from ONE explode over the distinct pair
+    * set, not a self-union: Catalyst shares no subtrees, so the union
+    * form put the orders⋈lineitem join + distinct into the plan twice
+    * per consumer of the edge table (round-15 JobProbe: graph_hits
+    * carried 64 MB of shuffle for a 1,600-node graph — most of it the
+    * duplicated fact-table subtree under the edge persist's fill
+    * job). Row set identical, order immaterial to every consumer
+    * (integer fixpoints, joins, aggregates).
+    */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("su")).distinct()
-    pairs.select(col("c").as("src"), col("su").as("dst"))
-      .union(pairs.select(col("su").as("src"), col("c").as("dst")))
+    pairs.select(explode(array(
+        struct(col("c").as("src"), col("su").as("dst")),
+        struct(col("su").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** DIRECTED nation-level trade edges for the SCC face: regular
@@ -2216,7 +2228,10 @@ object Queries {
     // the classifier gate by construction (winnerIds ⊆ kept), so the
     // docs arm is row-identical — and the expensive hashedLinearScore
     // pass over the corpus runs ONCE (in the winnerIds branch) instead
-    // of twice (Catalyst shares no subtrees across the two consumers)
+    // of twice (Catalyst shares no subtrees across the two consumers).
+    // This additionally relies on doc_id being UNIQUE in documents
+    // (spec-pinned): a duplicate doc_id whose text failed the gate
+    // would be resurrected by the raw-docs arm.
     val winners = docs.join(winnerIds, Seq("doc_id"), "left_semi")
     val enc = graft.functions.Unigram.encodeFixture(col("text"))
     winners

@@ -347,12 +347,11 @@ object Dedup {
     val ranked = ex.join(dfTable, Seq("sh"))
       .withColumn("rk", row_number().over(byRarity))
     val np = arrs.sparkSession.sparkContext.defaultParallelism
-    val prefix = ranked
+    val (prefix, mRows, pRows) = meteredPrefix(ranked
       .filter(col("rk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("__delta"), col("sh"), col("n_sh"))
-      .repartition(np)
-      .materialize()
+      .select(col("doc_id"), col("__delta"), col("sh"), col("n_sh")),
+      np, guarded = totalShingles <= ShinglesBroadcastBudget)
     val pb = if (withinDelta) prefix else prefix.filter(!col("__delta"))
     val matched = prefix.filter(col("__delta"))
       .select(col("doc_id").as("a_id"), col("sh"), col("n_sh").as("a_n"))
@@ -368,7 +367,7 @@ object Dedup {
     // (incl. the duplicate-match-factor guard)
     val sh = arrs.select("doc_id", "shingles")
     val verified =
-      if (verifyFirstProfitable(totalShingles, prefix, "sh"))
+      if (verifyFirstProfitable(totalShingles, mRows, pRows))
         verifyPairs(sh, matched, threshold, broadcast)
           .dropDuplicates("a_id", "b_id")
       else verifyPairs(sh, matched.distinct(), threshold)
@@ -407,11 +406,10 @@ object Dedup {
     // partition and the candidate self-join fan-out inherits the
     // stream side's partitioning (the APSS serialization lesson)
     val np = arrs.sparkSession.sparkContext.defaultParallelism
-    val prefix = ranked
+    val (prefix, mRows, pRows) = meteredPrefix(ranked
       .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("sh"), col("n_sh"))
-      .repartition(np)
-      .materialize()
+      .select(col("doc_id"), col("sh"), col("n_sh")),
+      np, guarded = totalShingles <= ShinglesBroadcastBudget)
     val matched = prefix.select(col("doc_id").as("a_id"), col("sh"), col("n_sh").as("a_n"))
       .join(prefix.select(col("doc_id").as("b_id"), col("sh"), col("n_sh").as("b_n")),
         Seq("sh"))
@@ -434,7 +432,7 @@ object Dedup {
     // there measured 2.7× SLOWER than dedup-first. Otherwise (corpus
     // scale, or high duplication) dedup candidates FIRST so each pair
     // rides the attach joins once.
-    if (verifyFirstProfitable(totalShingles, prefix, "sh"))
+    if (verifyFirstProfitable(totalShingles, mRows, pRows))
       verifyPairs(arrs, matched, threshold, broadcast)
         .dropDuplicates("a_id", "b_id")
         .select("a_id", "b_id", "inter", "jaccard")
@@ -447,22 +445,62 @@ object Dedup {
     * fits the broadcast budget — `totalShingles` (observed free on
     * the arrs checkpoint job) ≤ 8M shingles ≈ 64 MB of longs, the
     * [[bagCosinePairs]] broadcastMaxTfRows sizing — and (b) the
-    * candidate join's duplicate-match factor is small: match rows
-    * ≈ Σ c(sh)² over the MATERIALIZED prefix table's posting counts
-    * (one tiny two-stage agg, computed only when (a) holds), required
-    * ≤ 8× the prefix row count — i.e. per-match verification costs at
-    * most a small multiple of one prefix pass. The document fixture
-    * sits at 2.45×; the 5-symbol trajectory fixture at ~80×. Deciding
-    * from real counts (not Catalyst estimates) keeps the corpus-scale
-    * arm deterministic.
+    * candidate join's duplicate-match factor is small: estimated
+    * `matchRows` ≤ 8× the `prefixRows` count — i.e. per-match
+    * verification costs at most a small multiple of one prefix pass.
+    * The document fixture sits at 7.43×; the 5-symbol trajectory
+    * fixture at ~562×. Deciding from real counts (not Catalyst
+    * estimates) keeps the corpus-scale arm deterministic.
+    *
+    * Both counts ride the prefix table's OWN checkpoint job as
+    * observe metrics ([[meteredPrefix]] / the containment inline
+    * form) — round 15; the stat used to be a separate two-stage agg
+    * job over the checkpoint, one extra driver action per shingle
+    * query and per streaming micro-batch (the ADVICE r14 note on
+    * ingestScreenPairs).
     */
-  private def verifyFirstProfitable(totalShingles: Long, prefix: DataFrame,
-      shCol: String, maxShingles: Long = 8000000L): Boolean =
-    totalShingles <= maxShingles && {
-      val r = prefix.groupBy(col(shCol)).agg(count(lit(1)).as("__c"))
-        .agg(coalesce(sum(col("__c") * col("__c")), lit(0L)).as("m"),
-          coalesce(sum(col("__c")), lit(0L)).as("p")).first()
-      r.getLong(0) <= 8L * math.max(r.getLong(1), 1L)
+  /** 8M shingles ≈ 64 MB of longs — the [[bagCosinePairs]]
+    * broadcastMaxTfRows sizing applied to the shingle family. The
+    * forced broadcast() hints this gate bypass
+    * autoBroadcastJoinThreshold, and the BUILT relation carries
+    * per-row/array overhead and doc_id on top of the raw longs
+    * (≈ 2–3× at the boundary, so ~150–200 MB worst case per side) —
+    * the budget assumes a driver/executor with at least a few GB of
+    * headroom, far inside Spark's 8 GB broadcast cap (the ADVICE r14
+    * sizing note).
+    */
+  private val ShinglesBroadcastBudget = 8000000L
+
+  private def verifyFirstProfitable(totalShingles: Long, matchRows: Long,
+      prefixRows: Long,
+      maxShingles: Long = ShinglesBroadcastBudget): Boolean =
+    totalShingles <= maxShingles &&
+      matchRows <= 8L * math.max(prefixRows, 1L)
+
+  /** Checkpoint a filtered prefix stream carrying an `sh` column with
+    * the verify-order guard's inputs riding the materialization job
+    * as observe metrics: when `guarded` (the broadcast budget passed,
+    * so the stream is small by construction), a window attaches each
+    * row's prefix-internal posting count c(sh), and `sum(c)` over the
+    * rows equals Σ_sh c(sh)² — the EXACT prefix×prefix match-row
+    * count, the same statistic the guard used to compute with its own
+    * driver action. The window's hash exchange exists only on this
+    * gated small-data arm; the corpus-scale arm checkpoints the plain
+    * projection, plan-identical to round 14. Returns (prefix table —
+    * column set unchanged, matchRows, prefixRows).
+    */
+  private def meteredPrefix(filtered: DataFrame, np: Int,
+      guarded: Boolean): (DataFrame, Long, Long) =
+    if (!guarded) (filtered.repartition(np).materialize(), Long.MaxValue, 1L)
+    else {
+      val (ck, m) = graft.plans.Materialize.withMetrics(
+        filtered
+          .withColumn("__c", count(lit(1)).over(Window.partitionBy("sh")))
+          .repartition(np),
+        sum(col("__c")).as("m"), count(lit(1)).as("p"))
+      (ck.drop("__c"),
+        Option(m("m")).fold(0L)(_.asInstanceOf[Long]),
+        Option(m("p")).fold(0L)(_.asInstanceOf[Long]))
     }
 
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs against
@@ -541,7 +579,12 @@ object Dedup {
     * Verify-order crossover — where the pair dedup runs depends on
     * whether the vector table fits a broadcast (decided from the tf
     * row count, free at plan-build time because tf is eagerly
-    * materialized; `broadcastMaxTfRows` ≈ 4M tf rows ≈ 160 MB):
+    * materialized; `broadcastMaxTfRows` ≈ 4M tf rows ≈ 160 MB).
+    * On the broadcast arm a FIRST-SHARED-PREFIX-TERM filter
+    * additionally collapses the match stream to exactly one row per
+    * candidate pair BEFORE verification (see the inline comment at
+    * the crossover for the completeness argument and round-15
+    * measurements):
     *  - BROADCASTABLE (the common corpus-partition case): verify
     *    every term-match row directly — match rows stream through two
     *    broadcast attaches + the codegen dot + the exact filter in
@@ -644,7 +687,7 @@ object Dedup {
           && dbl(col("__asuf")) * dbl(col("__bsuf")) * lit(p2._2.toDouble)
             >= lit(p2._1.toDouble * (1.0 - 1e-9))
               * dbl(col("__anrm")) * dbl(col("__bnrm")))
-      .select("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), pa("term").as("__mt"))
     val bagDot = GraftFunctions.bagDot(docs.sparkSession,
       col("a_terms"), col("a_tfs"), col("b_terms"), col("b_tfs"))
     def verify(pairs: DataFrame,
@@ -666,9 +709,45 @@ object Dedup {
     // dedup the tiny verified output; otherwise dedup candidate pairs
     // first so the (shuffled) attach joins carry each pair once. The
     // tf row count is known for free — tf is already materialized.
-    if (tf.count() <= broadcastMaxTfRows)
-      verify(matched, broadcast).dropDuplicates("a_id", "b_id")
-    else verify(matched.distinct(), identity)
+    //
+    // FIRST-SHARED-PREFIX-TERM (FST) dedup on the broadcast arm
+    // (round 15, measured 28.4M → 11.8M match rows = the exact 2.4×
+    // duplicate factor, verify arm ~4.7 → ~3.4 s, pair set proven
+    // equal — ApssProbe): keep, per (a,b), ONLY the match row whose
+    // term is the globally-rarest term shared by the two PREFIXES, so
+    // duplicates die BEFORE the bagDot/threshold work instead of in
+    // the final dedup. Completeness: for a qualifying pair the rarest
+    // shared term t* overall lies in BOTH prefixes (the prefix-filter
+    // completeness proof above), so the kept row IS the t* row, which
+    // provably passes the fused suffix bound. Each doc's prefix-term
+    // array rides in the global rarity order — __suf strictly
+    // decreases along that order (every term adds tf² ≥ 1), so it is
+    // a sort key for free — and array_intersect preserves the FIRST
+    // array's order, making element 1 of the intersect the pair's
+    // rarest shared prefix term. Exactly one row per candidate pair
+    // survives (the match stream has one row per (a,b, shared prefix
+    // term)); the trailing dropDuplicates is kept as a zero-cost
+    // (output-sized) safety net. The prefix table is small whenever
+    // this arm runs (same budget that lets vecs broadcast), so the
+    // two prefix-array attaches broadcast too. Tried and REJECTED the
+    // same round (numbers in ApssProbe): the positional exclusive-
+    // suffix bound (1.08× pruning — tf distribution too flat) and a
+    // two-tier double/decimal threshold filter (1.8× SLOWER).
+    if (tf.count() <= broadcastMaxTfRows) {
+      val prefArr = prefix.groupBy("doc_id")
+        .agg(transform(
+          sort_array(collect_list(struct(col("__suf"), col("term"))),
+            asc = false), e => e.getField("term")).as("__parr"))
+      val fst = matched
+        .join(broadcast(prefArr.select(col("doc_id").as("a_id"),
+          col("__parr").as("__pa"))), Seq("a_id"))
+        .join(broadcast(prefArr.select(col("doc_id").as("b_id"),
+          col("__parr").as("__pb"))), Seq("b_id"))
+        .filter(element_at(array_intersect(col("__pa"), col("__pb")), 1)
+          === col("__mt"))
+        .select("a_id", "b_id")
+      verify(fst, broadcast).dropDuplicates("a_id", "b_id")
+    } else verify(matched.select("a_id", "b_id").distinct(), identity)
   }
 
   // ------------------------------------------------- shingle containment
@@ -709,12 +788,33 @@ object Dedup {
     val dfTable = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
     val np = docs.sparkSession.sparkContext.defaultParallelism
-    val prefix = ex.join(dfTable, Seq("sh"))
+    val filtered = ex.join(dfTable, Seq("sh"))
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
-      .select(col("doc_id").as("inner_id"), col("sh"), col("n_sh").as("inner_n"))
-      .repartition(np)
-      .materialize()
+      .select(col("doc_id").as("inner_id"), col("sh"),
+        col("n_sh").as("inner_n"), col("df"))
+    // This path's match stream is prefix × FULL index, so the exact
+    // duplicate-match count is Σ c_pref(sh)·c_index(sh) = Σ df over
+    // prefix ROWS (c_index = the document frequency, already a column
+    // here) — row-decomposable, so it rides the prefix checkpoint as
+    // an observe metric: no separate guard job, and the stat is the
+    // RIGHT one (the round-14 Σ c_pref² form underestimated this
+    // stream — the ADVICE r14 note; measured 6.59× vs 5.43× on the
+    // document fixture, same arm). Corpus-scale arm checkpoints the
+    // plain projection.
+    val guarded = totSh <= ShinglesBroadcastBudget
+    val (prefix, mRows, pRows) =
+      if (!guarded)
+        (filtered.drop("df").repartition(np).materialize(),
+          Long.MaxValue, 1L)
+      else {
+        val (ck, m) = graft.plans.Materialize.withMetrics(
+          filtered.repartition(np),
+          sum(col("df")).as("m"), count(lit(1)).as("p"))
+        (ck.drop("df"),
+          Option(m("m")).fold(0L)(_.asInstanceOf[Long]),
+          Option(m("p")).fold(0L)(_.asInstanceOf[Long]))
+      }
     val index = ex.select(col("doc_id").as("outer_id"), col("sh"), col("n_sh").as("outer_n"))
     val matched = prefix.join(index, Seq("sh"))
       .filter(col("inner_id") =!= col("outer_id"))
@@ -723,13 +823,11 @@ object Dedup {
         >= lit(threshold) * col("inner_n").cast("double") - lit(1e-9))
       .select("inner_id", "outer_id")
     // verify-order crossover — the [[ngramJaccardPairsFrom]] rationale
-    // (incl. the duplicate-match-factor guard; Σc² over the inner
-    // prefix UNDERESTIMATES the prefix×index match stream, but the
-    // degenerate-alphabet failure mode it exists to catch inflates
-    // exactly that sum): broadcast arm verifies match rows map-side
-    // and dedups the verified output; corpus arm dedups candidates
-    // before the shuffled attaches
-    val bcast = verifyFirstProfitable(totSh, prefix, "sh")
+    // with this path's EXACT match-row count (observed above):
+    // broadcast arm verifies match rows map-side and dedups the
+    // verified output; corpus arm dedups candidates before the
+    // shuffled attaches
+    val bcast = verifyFirstProfitable(totSh, mRows, pRows)
     val cands = if (bcast) matched else matched.distinct()
     def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val verified = cands

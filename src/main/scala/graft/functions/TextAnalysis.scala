@@ -669,22 +669,27 @@ object TextAnalysis {
           .as(Seq("pos", "b")))
       .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .materialize()
-    val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .materialize()
+    // the bigram-type total B rides the bi checkpoint job as an
+    // observe metric (round 15) — it used to be a 1-row aggregate
+    // crossJoined back, one extra bi scan + broadcast build in the
+    // scoring job; as a literal the value (= bi's row count, exact in
+    // double far beyond any vocabulary²) is bit-identical
+    val (bi, biM) = graft.plans.Materialize.withMetrics(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2")),
+      count(lit(1)).as("__b"))
+    val bTot = Option(biM("__b")).fold(0L)(_.asInstanceOf[Long])
     // context totals + distinct-successor counts in one pass over bi
     val fw = bi.groupBy("w1").agg(sum("c2").as("ctx"),
       count(lit(1)).as("n1fw"))
     val bw = bi.groupBy("w2").agg(count(lit(1)).as("n1bw"))
-    val btot = bi.agg(count(lit(1)).as("__b"))
     def d(c: String): Column = col(c).cast("double")
     val p = (d("c2") - lit(discount)) / d("ctx") +
-      (lit(discount) * d("n1fw") / d("ctx")) * (d("n1bw") / d("__b"))
+      (lit(discount) * d("n1fw") / d("ctx")) * (d("n1bw") / lit(bTot.toDouble))
     // per-bigram lp quantized to 9 decimals (the corpus_zipf
     // discipline): JVM log and DuckDB ln differ by 1 ulp on some
     // inputs, and an unquantized sum makes the 4-decimal gate a
     // cross-libm coin flip on unlucky fixtures
     val scored = bi.join(fw, Seq("w1")).join(bw, Seq("w2"))
-      .crossJoin(broadcast(btot))
       .select(col("w1"), col("w2"), round(-log(p), 9).as("lp"))
     bg.join(scored, Seq("w1", "w2"))
       .groupBy("doc_id")
@@ -756,25 +761,29 @@ object TextAnalysis {
     // one bigram of each exactly-2-token doc; the knNCrossEntropy
     // set-equality argument at k = 2), replacing a second corpus
     // tokenize+explode pass with a type-bounded distinct
-    val bi = tri.select(col("w1").as("bw1"), col("w2").as("bw2"))
-      .unionByName(tri.select(col("w2").as("bw1"), col("w3").as("bw2")))
-      .unionByName(toks.filter(size(col("toks")) === 2)
-        .select(expr("toks[0]").as("bw1"), expr("toks[1]").as("bw2")))
-      .distinct().materialize()
+    // bigram-type total B observed on the bi checkpoint job (round 15
+    // — the [[knCrossEntropy]] rationale: one fewer bi scan +
+    // broadcast build in the scoring job, bit-identical value)
+    val (bi, biM) = graft.plans.Materialize.withMetrics(
+      tri.select(col("w1").as("bw1"), col("w2").as("bw2"))
+        .unionByName(tri.select(col("w2").as("bw1"), col("w3").as("bw2")))
+        .unionByName(toks.filter(size(col("toks")) === 2)
+          .select(expr("toks[0]").as("bw1"), expr("toks[1]").as("bw2")))
+        .distinct(),
+      count(lit(1)).as("__b"))
+    val bTot = Option(biM("__b")).fold(0L)(_.asInstanceOf[Long])
     val fw2 = bi.groupBy("bw1").agg(count(lit(1)).as("n1fw2"))
       .withColumnRenamed("bw1", "w2")
     val bw3 = bi.groupBy("bw2").agg(count(lit(1)).as("n1bw3"))
       .withColumnRenamed("bw2", "w3")
-    val btot = bi.agg(count(lit(1)).as("__b"))
     def d(c: String): Column = col(c).cast("double")
     val plow = (d("n1bw23") - lit(discount)) / d("nmid") +
-      (lit(discount) * d("n1fw2") / d("nmid")) * (d("n1bw3") / d("__b"))
+      (lit(discount) * d("n1fw2") / d("nmid")) * (d("n1bw3") / lit(bTot.toDouble))
     val p = (d("c3") - lit(discount)) / d("ctx") +
       (lit(discount) * d("n1fw12") / d("ctx")) * plow
     val scored = tri
       .join(ctx12, Seq("w1", "w2")).join(mid23, Seq("w2", "w3"))
       .join(mid2, Seq("w2")).join(fw2, Seq("w2")).join(bw3, Seq("w3"))
-      .crossJoin(broadcast(btot))
       .select(col("w1"), col("w2"), col("w3"), round(-log(p), 9).as("lp"))
     tg.join(scored, Seq("w1", "w2", "w3"))
       .groupBy("doc_id")
@@ -862,6 +871,12 @@ object TextAnalysis {
     // suffixes of the order above ∪ the one k-gram of each
     // exactly-k-token doc (see the scaladoc's set-equality argument);
     // no corpus re-scan per order
+    // the bigram-type total B (needed by the unigram backoff level)
+    // rides the k = 2 table's checkpoint job as an observe metric
+    // (round 15): it used to be a 1-row aggregate crossJoined back —
+    // one extra t2 scan + broadcast build in the scoring job; the
+    // literal is bit-identical (= t2's row count)
+    var bTot = 0L
     val tTypes: Map[Int, DataFrame] = {
       val m = scala.collection.mutable.Map[Int, DataFrame](
         n -> tN.select(
@@ -873,8 +888,15 @@ object TextAnalysis {
           (2 to k + 1).map(j => col(s"v$j").as(s"v${j - 1}")): _*)
         val shortDocs = toks.filter(size(col("toks")) === k)
           .select((0 until k).map(j => expr(s"toks[$j]").as(s"v${j + 1}")): _*)
-        m(k) = pref.unionByName(suf).unionByName(shortDocs)
-          .distinct().materialize()
+        val u = pref.unionByName(suf).unionByName(shortDocs).distinct()
+        m(k) =
+          if (k > 2) u.materialize()
+          else {
+            val (ck, met) = graft.plans.Materialize.withMetrics(u,
+              count(lit(1)).as("__b"))
+            bTot = Option(met("__b")).fold(0L)(_.asInstanceOf[Long])
+            ck
+          }
       }
       m.toMap
     }
@@ -906,11 +928,10 @@ object TextAnalysis {
     val t2 = tTypes(2)
     val bw = t2.groupBy(col("v2")).agg(count(lit(1)).as("n1bw"))
       .toDF(ws.last, "n1bw")
-    val btot = t2.agg(count(lit(1)).as("__b"))
-    scored = scored.join(bw, Seq(ws.last)).crossJoin(broadcast(btot))
+    scored = scored.join(bw, Seq(ws.last))
     // the probability tree, innermost level first — identical nesting
     // to kn3CrossEntropy at n = 3
-    var p: Column = d(col("n1bw")) / d(col("__b"))
+    var p: Column = d(col("n1bw")) / lit(bTot.toDouble)
     for (k <- 2 until n)
       p = (d(col(s"cc$k")) - lit(discount)) / d(col(s"den$k")) +
         (lit(discount) * d(col(s"lam$k")) / d(col(s"den$k"))) * p

@@ -280,10 +280,14 @@ object Graphs {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the node universe feeds the loop's hub seed AND the output join
-    // — materialize so its union+distinct shuffle runs once
-    // (no-subtree-sharing)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // — materialize so its shuffle runs once (no-subtree-sharing).
+    // Derived with ONE explode pass over e, not a src∪dst self-union:
+    // the union form read e twice in the cache-fill job (two subtree
+    // consumers racing a cold cache), and this single-consumer pass
+    // doubles as the edge-cache warm-up that hitsLoop used to pay a
+    // separate count() job for (round 15; node set identical).
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
       .materialize()
     val (_, _, hub, auth, freeLoop) = hitsLoop(e, nodes, iters, r0,
       keepGens = 1)
@@ -337,11 +341,10 @@ object Graphs {
       r0: Long, keepGens: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame, () => Unit) = {
     val sc = e.sparkSession.sparkContext
-    // warm the edge cache BEFORE the first half-step: that job reads
-    // `e` twice (join input AND the hub side derived from nodes ← e);
-    // against a cold lazy cache both subtrees race to compute the
-    // partitions, paying the edge derivation twice in one job
-    e.count()
+    // the edge cache is already warm: both callers materialize the
+    // node universe from `e` (one single-consumer explode pass) before
+    // entering the loop, so the separate count() warm-up job round 10
+    // added is gone (round 15)
     def free(ids: Set[Int]): Unit = ids.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     def ckptMaxed(df: DataFrame, scoreCol: String): (DataFrame, Long) = {
@@ -413,9 +416,10 @@ object Graphs {
     require(r0 >= 100, "r0 must carry at least 2 decimal digits")
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // 3 consumers (loop seed + both filled states): materialize once
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // 3 consumers (loop seed + both filled states): materialize once;
+    // single explode pass = the cache warm-up too (see [[hits]])
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
       .materialize()
     val (hubPrev, authPrev, hub, auth, freeLoop) =
       hitsLoop(e, nodes, iters, r0, keepGens = 2)

@@ -48,6 +48,19 @@ object ApssProbe {
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    // round-15 experiment: POSITIONAL (exclusive-suffix) filter — the
+    // Bayardo/PPJoin remaining-mass bound with the matched term's own
+    // contribution split out: for a match on term t,
+    //   dot ≤ tf_a(t)·tf_b(t) + sqrt(sufEx_a(t)·sufEx_b(t))
+    // where sufEx = suf − tf² (the L2 mass STRICTLY AFTER t in the
+    // global rarity order). Proof of completeness at the rarest
+    // shared term t*: every other shared term sits strictly after t*
+    // in BOTH docs' orders, so Cauchy–Schwarz over those terms bounds
+    // their dot contribution by sqrt(sufEx_a·sufEx_b), and t* itself
+    // adds tf_a·tf_b. Uniformly ≥ as tight as the inclusive bound
+    // (AM–GM: suf_a·suf_b = (tf_a²+eA)(tf_b²+eB) ≥ (tf_a·tf_b +
+    // sqrt(eA·eB))²), strictly tighter when the two suffix masses are
+    // asymmetric — equal when tf≡1 and eA=eB.
     val dfTable = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val wAll = Window.partitionBy("doc_id")
     val wSuf = Window.partitionBy("doc_id").orderBy(col("df"), col("term"))
@@ -66,8 +79,8 @@ object ApssProbe {
     val np = spark.sparkContext.defaultParallelism
     val prefix = ck("prefix", ranked
       .filter(col("__suf") * lit(p2._2) >= lit(p2._1) * col("__nrm"))
-      .select(col("doc_id"), col("term"), col("__suf"), col("__nrm"),
-        col("__l1s"), col("__mx"))
+      .select(col("doc_id"), col("term"), col("tf"), col("__suf"),
+        col("__nrm"), col("__l1s"), col("__mx"))
       .repartition(np))
     val vecs = ck("vecs", tf.groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("term"), col("tf"))))
@@ -77,9 +90,11 @@ object ApssProbe {
         transform(col("__p"), e => e.getField("tf")).as("tfs"),
         col("nrm")))
     val pa = prefix.select(col("doc_id").as("a_id"), col("term"),
+      col("tf").as("__atf"),
       col("__suf").as("__asuf"), col("__nrm").as("__anrm"),
       col("__l1s").as("__al1"), col("__mx").as("__amx"))
     val pb = prefix.select(col("doc_id").as("b_id"), col("term"),
+      col("tf").as("__btf"),
       col("__suf").as("__bsuf"), col("__nrm").as("__bnrm"),
       col("__l1s").as("__bl1"), col("__mx").as("__bmx"))
     val baseCond = pa("term") === pb("term") && pa("a_id") < pb("b_id") &&
@@ -94,8 +109,20 @@ object ApssProbe {
       (l1mx * l1mx * lit(p2._2.toDouble)
         >= lit(p2._1.toDouble * (1.0 - 1e-9))
           * dbl(col("__anrm")) * dbl(col("__bnrm")))
+    // positional bound (see comment above): the matched term's own
+    // product plus the cross-Cauchy–Schwarz mass of the two EXCLUSIVE
+    // suffixes must still clear τ·sqrt(nrm·nrm). Doubles + downward
+    // slack — same no-false-negative discipline as the base bound.
+    val posUb = dbl(col("__atf")) * dbl(col("__btf")) +
+      sqrt((dbl(col("__asuf")) - dbl(col("__atf")) * dbl(col("__atf"))) *
+        (dbl(col("__bsuf")) - dbl(col("__btf")) * dbl(col("__btf"))))
+    val posCond = pa("term") === pb("term") && pa("a_id") < pb("b_id") &&
+      (posUb * posUb * lit(p2._2.toDouble)
+        >= lit(p2._1.toDouble * (1.0 - 1e-9))
+          * dbl(col("__anrm")) * dbl(col("__bnrm")))
     val matched = pa.join(pb, baseCond).select("a_id", "b_id")
     val matchedTight = pa.join(pb, tightCond).select("a_id", "b_id")
+    val matchedPos = pa.join(pb, posCond).select("a_id", "b_id")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
@@ -103,7 +130,9 @@ object ApssProbe {
     }
     time("matched-raw")(matched.count())
     time("matched-tight")(matchedTight.count())
+    time("matched-pos")(matchedPos.count())
     time("tight-distinct")(matchedTight.distinct().count())
+    time("pos-distinct")(matchedPos.distinct().count())
     val bagDot = GraftFunctions.bagDot(spark,
       col("a_terms"), col("a_tfs"), col("b_terms"), col("b_tfs"))
     def verify(cands: DataFrame): DataFrame = cands
@@ -127,12 +156,93 @@ object ApssProbe {
     for (i <- 1 to 3)
       time(s"B-tight attach-then-dedup $i")(
         verify(matchedTight).dropDuplicates("a_id", "b_id").count())
-    // completeness: the tightened candidate set must verify to the
+    for (i <- 1 to 3)
+      time(s"B-pos attach-then-dedup $i")(
+        verify(matchedPos).dropDuplicates("a_id", "b_id").count())
+    // round-15 verify-stage decomposition: where do the ~4 s over the
+    // 28M match rows go — the two broadcast attaches, the bagDot
+    // kernel, or the DECIMAL(38,0) threshold arithmetic?
+    def attach(cands: DataFrame): DataFrame = cands
+      .join(broadcast(vecs.select(col("doc_id").as("a_id"),
+        col("terms").as("a_terms"), col("tfs").as("a_tfs"),
+        col("nrm").as("a_nrm"))), Seq("a_id"))
+      .join(broadcast(vecs.select(col("doc_id").as("b_id"),
+        col("terms").as("b_terms"), col("tfs").as("b_tfs"),
+        col("nrm").as("b_nrm"))), Seq("b_id"))
+    for (i <- 1 to 2)
+      time(s"decomp attach-only $i")(attach(matched).count())
+    for (i <- 1 to 2)
+      time(s"decomp attach+dot $i")(
+        attach(matched).withColumn("dot", bagDot)
+          .filter(col("dot") >= 0L).count())
+    for (i <- 1 to 2)
+      time(s"decomp attach+dot+dblfilter $i")(
+        attach(matched).withColumn("dot", bagDot)
+          .filter(dbl(col("dot")) * dbl(col("dot")) * lit(p2._2.toDouble)
+            >= lit(p2._1.toDouble) * dbl(col("a_nrm")) * dbl(col("b_nrm")))
+          .count())
+    // two-tier EXACT filter: double compare with a ±1e-9 relative
+    // guard band (rel FP error of the 3-multiply products is ≤ ~1e-15,
+    // so outside the band the double decision provably agrees with the
+    // decimal one); only band rows — measure how many — pay decimal
+    val dlhs = dbl(col("dot")) * dbl(col("dot")) * lit(p2._2.toDouble)
+    val drhs = lit(p2._1.toDouble) * dbl(col("a_nrm")) * dbl(col("b_nrm"))
+    val exactCond = dec(col("dot")) * dec(col("dot")) * lit(p2._2) >=
+      lit(p2._1) * dec(col("a_nrm")) * dec(col("b_nrm"))
+    val twoTier = (dlhs >= drhs * lit(1.0 + 1e-9)) ||
+      (dlhs >= drhs * lit(1.0 - 1e-9) && exactCond)
+    for (i <- 1 to 2)
+      time(s"decomp attach+dot+twotier $i")(
+        attach(matched).withColumn("dot", bagDot).filter(twoTier).count())
+    // round-15 experiment: FIRST-SHARED-PREFIX-TERM (FST) dedup of the
+    // match stream — keep, per (a,b), ONLY the row whose term is the
+    // globally-rarest term shared by the two PREFIXES. Exactly one row
+    // per candidate pair survives (the match stream has one row per
+    // (a,b, shared prefix term)), so the 2.4× duplicate factor dies
+    // BEFORE the dot/threshold work. Completeness: for a qualifying
+    // pair the rarest shared term t* overall lies in BOTH prefixes
+    // (the prefix-filter completeness proof), so the kept row IS the
+    // t* row, which provably passes the fused suffix bound. The
+    // per-doc prefix-term array rides in rarity order (__suf strictly
+    // decreases along the rarity order — sort key for free), and
+    // array_intersect preserves the FIRST array's order, so the first
+    // intersect element is the pair's rarest shared prefix term.
+    val prefArr = prefix.groupBy("doc_id")
+      .agg(transform(sort_array(collect_list(struct(col("__suf"), col("term"))),
+        asc = false), e => e.getField("term")).as("parr"))
+      .materialize()
+    def fstFilter(cands: DataFrame): DataFrame = cands
+      .join(broadcast(prefArr.select(col("doc_id").as("a_id"),
+        col("parr").as("a_parr"))), Seq("a_id"))
+      .join(broadcast(prefArr.select(col("doc_id").as("b_id"),
+        col("parr").as("b_parr"))), Seq("b_id"))
+      .filter(element_at(array_intersect(col("a_parr"), col("b_parr")), 1)
+        === col("term"))
+      .select("a_id", "b_id")
+    val matchedT = pa.join(pb, baseCond)
+      .select(col("a_id"), col("b_id"), pa("term"))
+    for (i <- 1 to 2)
+      time(s"decomp fst-filter $i")(fstFilter(matchedT).count())
+    for (i <- 1 to 3)
+      time(s"B-fst attach-then-dedup $i")(
+        verify(fstFilter(matchedT)).dropDuplicates("a_id", "b_id").count())
+    // completeness: each tightened candidate set must verify to the
     // SAME pair set
     val pBase = verify(matched).dropDuplicates("a_id", "b_id").select("a_id", "b_id")
     val pTight = verify(matchedTight).dropDuplicates("a_id", "b_id").select("a_id", "b_id")
+    val pPos = verify(matchedPos).dropDuplicates("a_id", "b_id").select("a_id", "b_id")
     println(s"tight == base pairs: ${pBase.exceptAll(pTight).isEmpty &&
       pTight.exceptAll(pBase).isEmpty}")
+    println(s"pos == base pairs: ${pBase.exceptAll(pPos).isEmpty &&
+      pPos.exceptAll(pBase).isEmpty}")
+    val pTwo = attach(matched).withColumn("dot", bagDot).filter(twoTier)
+      .dropDuplicates("a_id", "b_id").select("a_id", "b_id")
+    println(s"twotier == base pairs: ${pBase.exceptAll(pTwo).isEmpty &&
+      pTwo.exceptAll(pBase).isEmpty}")
+    val pFst = verify(fstFilter(matchedT)).dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id")
+    println(s"fst == base pairs: ${pBase.exceptAll(pFst).isEmpty &&
+      pFst.exceptAll(pBase).isEmpty}")
     spark.stop()
   }
 }

@@ -196,6 +196,35 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bagCosinePairs FST dedup: identical and permuted docs (every " +
+      "prefix term shared) emit each pair exactly once") {
+    // adversarial case for the round-15 first-shared-prefix-term
+    // filter: duplicate and bag-identical docs share their ENTIRE
+    // prefix, so the match stream holds one row per prefix term per
+    // pair and exactly one (the rarest shared term's) must survive —
+    // a wrong intersect order or a tie would emit the pair 0 or 2+
+    // times
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee"),
+      (2L, "aa bb cc dd ee"), // identical
+      (3L, "ee dd cc bb aa"), // permutation — identical bag
+      (4L, "aa bb cc dd ff"), // near-dup
+      (5L, "zz yy xx ww vv") // disjoint
+    ).toDF("doc_id", "text")
+    val rows = Dedup.bagCosinePairs(corpus, 9, 10)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq
+    assert(rows.distinct.size == rows.size, "a pair was emitted twice")
+    assert(rows.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("documents fixture: doc_id is unique (the publish_unigram " +
+      "raw-docs semi-join invariant)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dups = docs.groupBy("doc_id").count().filter($"count" > 1).count()
+    assert(dups == 0L, "publish_unigram's semi-join against raw docs " +
+      "relies on doc_id uniqueness — see Queries.publishUnigram")
+  }
+
   test("decontamination: only w-gram-sharing test docs flagged, with counts") {
     val train = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
