@@ -757,11 +757,23 @@ object Queries {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("su")).distinct()
-    pairs.select(explode(array(
-        struct(col("c").as("src"), col("su").as("dst")),
-        struct(col("su").as("src"), col("c").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    bothDirections(pairs, "c", "su")
   }
+
+  /** Symmetric (src, dst) edge rows from an undirected pair list in
+    * ONE pass — `explode` of the two orientations, not a self-union:
+    * Catalyst shares no subtrees, so `und.union(und.swapped)` puts
+    * the (often expensive) pair-derivation subplan into every
+    * consumer's plan twice. Row multiset identical to the union
+    * form; order immaterial to every consumer (fixpoints, joins,
+    * aggregates).
+    */
+  private def bothDirections(und: DataFrame, a: String,
+      b: String): DataFrame =
+    und.select(explode(array(
+        struct(col(a).as("src"), col(b).as("dst")),
+        struct(col(b).as("src"), col(a).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** DIRECTED nation-level trade edges for the SCC face: regular
     * order lines flow customer-nation → supplier-nation (goods
@@ -964,8 +976,9 @@ object Queries {
     val und = graft.operators.Cooccur.pairCounts(
         t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
       .filter(col("n") >= 2).select("item_a", "item_b")
-    val edges = und.select(col("item_a").as("src"), col("item_b").as("dst"))
-      .unionAll(und.select(col("item_b").as("src"), col("item_a").as("dst")))
+    // one-pass symmetric orientation (see [[bothDirections]]) — the
+    // union form carried the basket pair-count subplan twice
+    val edges = bothDirections(und, "item_a", "item_b")
     val seeds = t(s, dir, "part")
       .filter(col("p_partkey") % 10 === 0)
       .select(col("p_partkey").as("node"), col("p_brand").as("label"))
@@ -984,8 +997,8 @@ object Queries {
     val und = graft.operators.Cooccur.pairCounts(
         t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
       .filter(col("n") >= 2).select("item_a", "item_b")
-    val edges = und.select(col("item_a").as("src"), col("item_b").as("dst"))
-      .unionAll(und.select(col("item_b").as("src"), col("item_a").as("dst")))
+    // one-pass symmetric orientation (see [[bothDirections]])
+    val edges = bothDirections(und, "item_a", "item_b")
     val (surv, report) = graft.operators.Graphs
       .kCoreWithReport(edges, k = KcoreK, rounds = KcoreRounds)
     stashCert(dir, report)
@@ -1015,9 +1028,10 @@ object Queries {
       val und = graft.operators.Cooccur.pairCounts(
           t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
         .filter(col("n") >= 2).select("item_a", "item_b")
-      und.select(col("item_a").as("src"), col("item_b").as("dst"))
-        .unionAll(und.select(col("item_b").as("src"), col("item_a").as("dst")))
-        .materialize()
+      // one-pass symmetric orientation (see [[bothDirections]]) — the
+      // union form ran the pair-count subplan twice inside the
+      // checkpoint's fill job
+      bothDirections(und, "item_a", "item_b").materialize()
     }
     val rows = Seq(
       memoCert(dir, "kcore",
@@ -1052,8 +1066,7 @@ object Queries {
         t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"), cap = 32)
       .filter(col("n") >= 2).select("item_a", "item_b")
       .materialize()
-    val edges = und.select(col("item_a").as("src"), col("item_b").as("dst"))
-      .unionAll(und.select(col("item_b").as("src"), col("item_a").as("dst")))
+    val edges = bothDirections(und, "item_a", "item_b")
     val seeds = t(s, dir, "part")
       .filter(col("p_partkey") % 10 === 0)
       .select(col("p_partkey").as("node"), col("p_brand").as("label"))
@@ -3710,8 +3723,11 @@ object Queries {
       .materialize()
     val pairs = graft.functions.Dedup
       .bandedHammingPairs(hashes, "media_id", "phash", maxHamming = 10)
-    val degree = pairs.select(col("a_id").as("media_id"))
-      .unionAll(pairs.select(col("b_id").as("media_id")))
+    // one explode pass, not a self-union: the union form put the
+    // banding join + distinct subplan into the degree agg twice
+    // (no-subtree-sharing; row multiset identical)
+    val degree = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("media_id"))
       .groupBy("media_id").agg(count(lit(1)).as("n_neardup_pairs"))
     hashes.join(degree, Seq("media_id"), "left")
       .na.fill(0L, Seq("n_neardup_pairs"))
@@ -3741,8 +3757,9 @@ object Queries {
       .materialize()
     val pairs = graft.functions.Dedup
       .bandedHammingPairs(hashes, "media_id", "afp", maxHamming = 10)
-    val degree = pairs.select(col("a_id").as("media_id"))
-      .unionAll(pairs.select(col("b_id").as("media_id")))
+    // one explode pass, not a self-union (the media_phash rationale)
+    val degree = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("media_id"))
       .groupBy("media_id").agg(count(lit(1)).as("n_neardup_pairs"))
     hashes.join(degree, Seq("media_id"), "left")
       .na.fill(0L, Seq("n_neardup_pairs"))

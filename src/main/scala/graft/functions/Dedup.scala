@@ -655,6 +655,11 @@ object Dedup {
     // user-specified partition count is exempt from AQE coalescing;
     // the join output then spreads across the full parallelism.
     val np = docs.sparkSession.sparkContext.defaultParallelism
+    // Arm decision hoisted: tf is already materialized, so the count
+    // is one cheap job over its checkpoint, and the prefix layout
+    // depends on the arm (the FST array below exists only where the
+    // broadcast arm will read it).
+    val bcastArm = tf.count() <= broadcastMaxTfRows
     val prefix = ranked
       .filter(col("__suf") * lit(p2._2) >= lit(p2._1) * col("__nrm"))
       .select(col("doc_id"), col("term"), col("__suf"), col("__nrm"))
@@ -687,7 +692,8 @@ object Dedup {
           && dbl(col("__asuf")) * dbl(col("__bsuf")) * lit(p2._2.toDouble)
             >= lit(p2._1.toDouble * (1.0 - 1e-9))
               * dbl(col("__anrm")) * dbl(col("__bnrm")))
-      .select(col("a_id"), col("b_id"), pa("term").as("__mt"))
+      .select(Seq(col("a_id"), col("b_id")) ++
+        (if (bcastArm) Seq(pa("term").as("__mt")) else Nil): _*)
     val bagDot = GraftFunctions.bagDot(docs.sparkSession,
       col("a_terms"), col("a_tfs"), col("b_terms"), col("b_tfs"))
     def verify(pairs: DataFrame,
@@ -727,17 +733,24 @@ object Dedup {
     // rarest shared prefix term. Exactly one row per candidate pair
     // survives (the match stream has one row per (a,b, shared prefix
     // term)); the trailing dropDuplicates is kept as a zero-cost
-    // (output-sized) safety net. The prefix table is small whenever
-    // this arm runs (same budget that lets vecs broadcast), so the
-    // two prefix-array attaches broadcast too. Tried and REJECTED the
-    // same round (numbers in ApssProbe): the positional exclusive-
-    // suffix bound (1.08× pruning — tf distribution too flat) and a
-    // two-tier double/decimal threshold filter (1.8× SLOWER).
-    if (tf.count() <= broadcastMaxTfRows) {
+    // (output-sized) safety net. The per-doc prefix-array table is
+    // MATERIALIZED (one tiny doc-count-sized checkpoint) and attached
+    // to the match stream by two broadcast joins: the probe also
+    // measured carrying the arrays through the candidate join itself
+    // (zero extra exchange) and that form ran the filter 2× SLOWER —
+    // every candidate row materializes two array copies at the join,
+    // where the skinny-stream + broadcast-probe form does not; with
+    // the checkpoint, the final plan's only shuffle remains the
+    // output-sized pair dedup (spec-pinned). Also tried and REJECTED
+    // (numbers in ApssProbe): the positional exclusive-suffix bound
+    // (1.08× pruning — tf distribution too flat) and a two-tier
+    // double/decimal threshold filter (1.8× slower).
+    if (bcastArm) {
       val prefArr = prefix.groupBy("doc_id")
         .agg(transform(
           sort_array(collect_list(struct(col("__suf"), col("term"))),
             asc = false), e => e.getField("term")).as("__parr"))
+        .materialize()
       val fst = matched
         .join(broadcast(prefArr.select(col("doc_id").as("a_id"),
           col("__parr").as("__pa"))), Seq("a_id"))
@@ -747,7 +760,7 @@ object Dedup {
           === col("__mt"))
         .select("a_id", "b_id")
       verify(fst, broadcast).dropDuplicates("a_id", "b_id")
-    } else verify(matched.select("a_id", "b_id").distinct(), identity)
+    } else verify(matched.distinct(), identity)
   }
 
   // ------------------------------------------------- shingle containment

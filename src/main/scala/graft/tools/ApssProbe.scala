@@ -226,6 +226,41 @@ object ApssProbe {
     for (i <- 1 to 3)
       time(s"B-fst attach-then-dedup $i")(
         verify(fstFilter(matchedT)).dropDuplicates("a_id", "b_id").count())
+    // round-15 shipped form: the prefix-term array rides the prefix
+    // CHECKPOINT (window over the existing doc_id partitioning) and
+    // flows through the candidate join — zero extra exchanges; this
+    // arm measures that form against the broadcast-attach one above
+    val prefixW = ck("prefixW", ranked
+      .filter(col("__suf") * lit(p2._2) >= lit(p2._1) * col("__nrm"))
+      .select(col("doc_id"), col("term"), col("__suf"), col("__nrm"))
+      .withColumn("__parr",
+        transform(
+          sort_array(collect_list(struct(col("__suf"), col("term")))
+            .over(Window.partitionBy("doc_id")), asc = false),
+          e => e.getField("term")))
+      .repartition(np))
+    val paw = prefixW.select(col("doc_id").as("a_id"), col("term"),
+      col("__suf").as("__asuf"), col("__nrm").as("__anrm"),
+      col("__parr").as("__pa"))
+    val pbw = prefixW.select(col("doc_id").as("b_id"), col("term"),
+      col("__suf").as("__bsuf"), col("__nrm").as("__bnrm"),
+      col("__parr").as("__pb"))
+    val baseCondW = paw("term") === pbw("term") && paw("a_id") < pbw("b_id") &&
+      (dbl(col("__asuf")) * dbl(col("__bsuf")) * lit(p2._2.toDouble)
+        >= lit(p2._1.toDouble * (1.0 - 1e-9))
+          * dbl(col("__anrm")) * dbl(col("__bnrm")))
+    val matchedW = paw.join(pbw, baseCondW)
+      .select(col("a_id"), col("b_id"), paw("term").as("__mt"),
+        col("__pa"), col("__pb"))
+    val fstW = matchedW
+      .filter(element_at(array_intersect(col("__pa"), col("__pb")), 1)
+        === col("__mt"))
+      .select("a_id", "b_id")
+    for (i <- 1 to 2)
+      time(s"decomp fstw-filter $i")(fstW.count())
+    for (i <- 1 to 3)
+      time(s"B-fstw in-join $i")(
+        verify(fstW).dropDuplicates("a_id", "b_id").count())
     // completeness: each tightened candidate set must verify to the
     // SAME pair set
     val pBase = verify(matched).dropDuplicates("a_id", "b_id").select("a_id", "b_id")
